@@ -1,0 +1,254 @@
+"""§2 D — aggregations.
+
+Reference grounding [P]: cobradb/models.py::ModelCount precomputes
+per-model reaction/metabolite/gene counts; loaders count/min/max
+throughout; synonyms are aggregated per entity for matching.
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation (verified in plans — partial_ then final merge), so
+shuffle volume is #groups, not #rows.  Floating-point outputs are
+rounded at a declared precision in BOTH engine and oracle so the
+value-hash is insensitive to summation order (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+
+@register(
+    "agg_basic",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="D1 pricing-summary aggregate (ModelCount analog [P]): sum/avg/min/max/count "
+    "per group — TPC-H Q1 shape, partial+final hash agg.",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_orderkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_orderkey
+""",
+    doc="D2 exact distinct per group; ref: distinct metabolites per model [P]. Spark "
+    "expands distinct aggs into a two-phase plan automatically.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate by design; tolerance asserted in-engine (tests)
+    doc="D3 HLL approximate distinct — the 100 TB sketch path (exact distinct of a "
+    "high-cardinality key shuffles every value; HLL ships fixed-size sketches). "
+    "rows-only check; tests assert |approx-exact|/exact <= 5%.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="D4 cube/grouping sets; ref: multi-granularity catalog counts (per-model, "
+    "per-organism, global) [P]. One pass, Expand operator fans each row into its "
+    "grouping combinations.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2
+HAVING count(*) > 1
+""",
+    doc="D5 post-aggregation filter; ref: duplicate-hash groups HAVING count>1 — the "
+    "dedup-detection query shape [P].",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", F.date_trunc("day", "o_orderdate").alias("order_day"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "agg_collect_synonyms",
+    oracle="""
+SELECT p_brand,
+       array_agg(DISTINCT p_name ORDER BY p_name) AS names,
+       CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
+FROM part GROUP BY p_brand
+""",
+    doc="D6 collect per-entity synonym lists; ref: synonym table aggregated per entity "
+    "for matching [P]. array_sort(collect_set(...)) — sorted for determinism "
+    "(SURVEY §5.2).",
+)
+def agg_collect_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_sort(F.collect_set("p_name")).alias("names"),
+        F.countDistinct("p_name").alias("n_names"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_pop(l_discount), 6) AS var_disc,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="D7 moment statistics for profiling numeric columns (charge/stoichiometry "
+    "sanity checks [P]). skewness/kurtosis live in the rows-only variant of this op "
+    "(tests) — engines disagree on the estimator.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_pop("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75,
+       round(median(l_quantity), 6) AS med_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="D8 distribution profiling: exact interpolated percentiles + median for the "
+    "oracle; percentile_approx is the at-scale variant (sketch, no global sort) — "
+    "asserted within tolerance in tests.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_finished
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="D9 conditional aggregation in one pass; ref: count mapped vs unmapped genes "
+    "in a single scan [P]. count_if / sum(when) — no second pass over the data.",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        ).alias("total_finished"),
+    )
+
+
+@register(
+    "agg_first_last_ordered",
+    oracle="""
+WITH ranked AS (
+  SELECT c_nationkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_max,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_min
+  FROM customer
+)
+SELECT c_nationkey,
+       max(CASE WHEN rn_max = 1 THEN c_name END) AS richest,
+       max(CASE WHEN rn_min = 1 THEN c_name END) AS poorest
+FROM ranked GROUP BY c_nationkey
+""",
+    doc="D10 ordered first/last pick; ref: canonical synonym selection by data_source "
+    "priority [P]. max_by/min_by over a (value, unique-key) struct — the tiebreaker "
+    "makes the pick deterministic across engines.",
+)
+def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest"),
+        F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest"),
+    )

@@ -1,0 +1,52 @@
+"""Flagship end-to-end query (SURVEY §7 phase 0 / BASELINE q_join_topn).
+
+customer ⋈ orders ⋈ lineitem ⋈ nation ⋈ region → revenue per nation →
+top 10.  Exercises the whole spine: pruned parquet scans, two broadcast
+joins (dims), one large shuffle join, partial+final hash aggregation,
+TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_tables
+from cobradb_spark.registry import register
+
+
+@register(
+    "join_topn_flagship",
+    oracle="""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name LIMIT 10
+""",
+    doc="Flagship 5-table join + agg + top-k (BASELINE q_join_topn).",
+)
+def join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, nation, region = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation", "region"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+        .limit(10)
+    )

@@ -1,0 +1,287 @@
+"""§2 C — joins, the heart of cobradb's linking ETL.
+
+Reference grounding [P]: model_loading.py links model genes to genome
+genes via locus_tag/synonym lookup joins, reactions to metabolites via
+reaction_matrix, and detects orphans/deprecated ids via NOT-EXISTS
+style checks; genome_region containment queries are interval joins.
+
+Scale notes: small dims broadcast (C1); large-large equi-joins shuffle
+on the key and AQE picks SMJ vs shuffled-hash (C2); the interval join
+uses the binned composition from operators/interval.py instead of a
+nested loop (C7); the as-of join is one shuffle via union+window (C8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table, load_tables
+from cobradb_spark.operators.asof import asof_join_backward
+from cobradb_spark.operators.interval import interval_point_join
+from cobradb_spark.registry import register
+
+
+@register(
+    "join_broadcast_inner",
+    oracle="""
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    doc="C1 broadcast inner join; ref: compartment lookup per metabolite [P]. nation "
+    "and region are catalog dims — explicitly broadcast so the big side never shuffles.",
+)
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, region = load_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_large",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="C2 large-large shuffle join; ref: reaction_matrix ⋈ reactions bulk link [P]. "
+    "Both sides shuffle on the order key; AQE picks SMJ or shuffled-hash and splits "
+    "skewed partitions at scale.",
+)
+def join_shuffle_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_outer_left_right_full",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+       (a.o_custkey IS NOT NULL) AS has_open,
+       (b.o_custkey IS NOT NULL) AS has_finished
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+""",
+    doc="C3 outer joins with null-side audit; ref: genes left-joined to genome regions, "
+    "unmapped kept with mapped_to_genbank=False [P]. Full-outer keeps both null sides.",
+)
+def join_outer_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct().alias("a")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct().alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.col("a.o_custkey").isNotNull().alias("has_open"),
+        F.col("b.o_custkey").isNotNull().alias("has_finished"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="C4 left-semi (EXISTS); ref: 'models that have ≥1 escher map' style checks [P].",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT p.p_partkey, p.p_name FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+    doc="C5 left-anti (NOT EXISTS); ref: orphan detection — metabolites appearing in no "
+    "reaction_matrix row; old ids with no current synonym [P].",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    return part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "fk_audit_anti",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS fk, CAST(count(*) AS BIGINT) AS violations
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'nation.n_regionkey->region', CAST(count(*) AS BIGINT)
+FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', CAST(count(*) AS BIGINT)
+FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+""",
+    doc="C6 referential-integrity audit replacing Postgres FK constraints (SURVEY §1.2): "
+    "anti-join every FK pair, count violations (expect 0). At 100 TB this runs as a "
+    "batched audit job, one anti-join per constraint.",
+)
+def fk_audit_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "customer", "nation", "region", "supplier")}
+    pairs = [
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer.c_nationkey->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("nation.n_regionkey->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        ("supplier.s_nationkey->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+    ]
+    parts = []
+    for fk_name, child, ck, parent, pk in pairs:
+        viol = child.join(parent, child[ck] == parent[pk], "left_anti")
+        parts.append(viol.agg(F.lit(fk_name).alias("fk"), F.count("*").alias("violations")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey AS iv_key,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS lo,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 30 AS hi
+  FROM orders WHERE o_orderkey % 100 = 0
+), pt AS (
+  SELECT o_orderkey AS pt_key,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS p
+  FROM orders
+)
+SELECT iv.iv_key, pt.pt_key
+FROM iv JOIN pt ON pt.p >= iv.lo AND pt.p <= iv.hi
+""",
+    doc="C7 interval/range join; ref: genome_region [leftpos,rightpos] containment "
+    "queries [P]. Implemented via the binned equi-join composition "
+    "(operators/interval.py) — hash join on bin id, then exact re-filter; never a "
+    "nested loop. Bin width = interval length (30 days) so each interval explodes "
+    "to ≤2 bins.",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    iv = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("iv_key"), days.alias("lo"), (days + 30).alias("hi")
+    )
+    pt = orders.select(F.col("o_orderkey").alias("pt_key"), days.alias("p"))
+    joined = interval_point_join(iv, pt, lo="lo", hi="hi", point="p", bin_width=30)
+    return joined.select("iv_key", "pt_key")
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.ts,
+       (SELECT max(s.ts) FROM events s
+        WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+       ) AS signup_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    doc="C8 as-of join (latest-at-or-before); north-star events need. Implemented with "
+    "the union+window composition (operators/asof.py) — one shuffle on (user_id, ts), "
+    "no nested loop; PySpark's DataFrame._joinAsOf exists but is private API.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join_backward(
+        purchases, signups, on="ts", by="user_id", right_value_cols=["signup_ts"]
+    )
+    return out.select("event_id", "ts", "signup_ts")
+
+
+@register(
+    "join_cross_bounded",
+    oracle="""
+SELECT a.label, CAST(count(*) AS BIGINT) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label
+""",
+    doc="C9 bounded self cross join; ref: all-pairs reaction-hash comparison within a "
+    "hash bucket (dedup candidate generation) [P]. The label acts as the bucket — the "
+    "quadratic blow-up is bounded per bucket, exactly the LSH-candidate pattern.",
+)
+def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_self_hierarchy",
+    oracle="""
+SELECT o_orderkey,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS prev_orderkey
+FROM orders
+""",
+    doc="C10 self-join hierarchy; ref: gene.alternative_transcript_of self-FK "
+    "resolution [P]. On testdata: each order joined to the customer's previous order "
+    "via row_number self-equi-join (the window-free formulation a catalog layer uses "
+    "when the hierarchy key is an explicit FK).",
+)
+def join_self_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+    a, b = seq.alias("a"), seq.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey")) & (F.col("a.rn") == F.col("b.rn") + 1),
+        "left",
+    ).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.col("b.o_orderkey").alias("prev_orderkey"),
+    )

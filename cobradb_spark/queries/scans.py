@@ -1,0 +1,147 @@
+"""§2 A — scans / sources / sinks.
+
+Reference grounding [P]: cobradb's scan layer is ORM full-table reads
+(model_loading.py preload dicts), TSV curation lists (util.py load_tsv),
+Escher JSON blobs (models.py EscherMap.map_data), get_or_create upserts
+(util.py), and a terminal pg_dump.  Here: parquet scans with pruning,
+csv/json decode, partitioned parquet sinks, and an anti-join merge.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark import schemas
+from cobradb_spark.io import load_table, load_tables
+from cobradb_spark.operators.merge import merge_upsert
+from cobradb_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="A1 full table scan with schema assert; ref: session.query(Model) full reads [P]",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "region")
+    assert [f.name for f in df.schema.fields] == ["r_regionkey", "r_name"]
+    return df
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+    doc="A2 column-pruned scan; ref: session.query(Reaction.bigg_id, ...) column lists [P]. "
+    "Catalyst pushes the 2-column ReadSchema to the parquet footer — at 100 TB this is "
+    "the difference between reading 2 columns and reading 11.",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@register(
+    "scan_csv_tsv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="A3 TSV round-trip; ref: cobradb/util.py::load_tsv curation lists [P]. Writes "
+    "nation as TSV then reads it back with an explicit schema (no inference).",
+)
+def scan_csv_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="cobradb_tsv_")
+    path = os.path.join(tmp, "nation_tsv")
+    nation.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)
+    return spark.read.options(sep="\t", header=True).schema(schemas.NATION).csv(path)
+
+
+@register(
+    "scan_json_lines",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events"
+    ),
+    doc="A4 JSON decode as scan-adjacent op; ref: EscherMap.map_data JSON blobs [P]; "
+    "from_json with explicit schema (never schema-of-json inference on the hot path).",
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    doc="A5 partitioned parquet sink + read-back identity; ref: terminal pg_dump [P]. "
+    "partitionBy(l_returnflag) gives partition pruning to every later reader; the "
+    "read-back must reproduce the source rows exactly.",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_sink_")
+    path = os.path.join(tmp, "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    # partition column comes back via directory names; re-assert its type
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH existing AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+), incoming AS (
+  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderkey, o_totalprice FROM incoming
+UNION ALL
+SELECT e.o_orderkey, e.o_totalprice FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = e.o_orderkey)
+""",
+    doc="A6 upsert/merge; ref: cobradb/util.py::get_or_create — the universal upsert "
+    "behind every loader [P]. Spark-first: incoming wins, existing-not-matched kept "
+    "via left-anti join + union (no Delta in this env). See operators/merge.py.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_totalprice")
+    incoming = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+    )
+    return merge_upsert(existing, incoming, keys=["o_orderkey"])
+
+
+@register(
+    "scan_nested_ingest",
+    oracle="SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem",
+    doc="A7 nested ingest round-trip; ref: SBML/GenBank object graphs flattened to "
+    "relational rows (parse.py load_and_normalize; component_loading.py load_genome "
+    "[P]). Builds the nested ArrayType(StructType) form per order (the stoichiometry- "
+    "list shape, SURVEY §1.2) then re-explodes — must be the identity.",
+)
+def scan_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+        ).alias("lines")
+    )
+    exploded = nested.select("l_orderkey", F.explode("lines").alias("ln"))
+    return exploded.select(
+        "l_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_partkey").alias("l_partkey"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+    )

@@ -1,0 +1,178 @@
+"""§2 E — window functions.
+
+The reference has no SQL windows [P] — PostgreSQL did that work for its
+consumers; the catalog-serving layer needs them (top reactions per
+model, canonical picks, running audits).
+
+Determinism rule: every ORDER BY inside a window carries a unique
+tiebreaker key so row_number/ntile assignments are stable across
+engines (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+
+@register(
+    "win_rank_topk_pergroup",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+""",
+    doc="E1 top-k per group — 'top reactions per model' analog. row_number/rank/"
+    "dense_rank over a per-customer window; at scale this shuffles once on the "
+    "partition key and sorts within partitions.",
+)
+def win_rank_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_id) OVER w AS next_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="E2 lag/lead inter-event deltas per user — the sessionization building block.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "win_running_frame",
+    oracle="""
+SELECT o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM orders
+""",
+    doc="E3 running totals with a ROWS frame; fully-tiebroken ordering makes the "
+    "float running sum deterministic across engines.",
+)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count("*").over(w).cast("long").alias("running_n"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW), 6) AS trailing_30m
+FROM events
+""",
+    doc="E4 RANGE frame on event time: 30-minute trailing sum per user (frame bound "
+    "in microseconds over the epoch ordering column).",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("trailing_30m"),
+    )
+
+
+@register(
+    "win_ntile_pctrank",
+    oracle="""
+SELECT p_partkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+       round(percent_rank() OVER w, 9) AS pr,
+       round(cume_dist() OVER w, 9) AS cd
+FROM part
+WINDOW w AS (ORDER BY p_retailprice, p_partkey)
+""",
+    doc="E5 ntile/percent_rank/cume_dist price quartiles. Single unpartitioned window "
+    "— verification-scale only; at 100 TB quantiles come from percentile_approx (D8) "
+    "instead of a global sort window.",
+)
+def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@register(
+    "win_nth_first_last",
+    oracle="""
+SELECT o_orderkey,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey) OVER w AS last_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="E6 first/last/nth_value with an unbounded frame — canonical-pick analog "
+    "(first synonym by priority) [P].",
+)
+def win_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -1,0 +1,142 @@
+"""Explicit StructTypes for the ten canonical tables (FIXTURES.md §1).
+
+The reference declares its schema in code as SQLAlchemy models
+(cobradb/base.py::Base declarative classes [P] — see SURVEY.md §1.1);
+we do the same with Spark StructTypes.  Canonical tables are never
+schema-inferred: at 100 TB, inference is a full extra scan and a
+correctness hazard (type drift between files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+REGION = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType(), False),
+        T.StructField("r_name", T.StringType(), False),
+    ]
+)
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType(), False),
+        T.StructField("n_name", T.StringType(), False),
+        T.StructField("n_regionkey", T.IntegerType(), False),
+    ]
+)
+
+SUPPLIER = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType(), False),
+        T.StructField("s_name", T.StringType(), False),
+        T.StructField("s_nationkey", T.IntegerType(), False),
+        T.StructField("s_acctbal", T.DoubleType(), False),
+    ]
+)
+
+CUSTOMER = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), False),
+        T.StructField("c_nationkey", T.IntegerType(), False),
+        T.StructField("c_acctbal", T.DoubleType(), False),
+        T.StructField("c_mktsegment", T.StringType(), False),
+    ]
+)
+
+PART = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType(), False),
+        T.StructField("p_name", T.StringType(), False),
+        T.StructField("p_brand", T.StringType(), False),
+        T.StructField("p_type", T.StringType(), False),
+        T.StructField("p_size", T.IntegerType(), False),
+        T.StructField("p_retailprice", T.DoubleType(), False),
+    ]
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_custkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), False),
+        T.StructField("o_totalprice", T.DoubleType(), False),
+        T.StructField("o_orderdate", T.TimestampNTZType(), False),
+        T.StructField("o_orderpriority", T.StringType(), False),
+    ]
+)
+
+LINEITEM = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), False),
+        T.StructField("l_partkey", T.LongType(), False),
+        T.StructField("l_suppkey", T.LongType(), False),
+        T.StructField("l_linenumber", T.IntegerType(), False),
+        T.StructField("l_quantity", T.DoubleType(), False),
+        T.StructField("l_extendedprice", T.DoubleType(), False),
+        T.StructField("l_discount", T.DoubleType(), False),
+        T.StructField("l_tax", T.DoubleType(), False),
+        T.StructField("l_returnflag", T.StringType(), False),
+        T.StructField("l_linestatus", T.StringType(), False),
+        T.StructField("l_shipdate", T.TimestampNTZType(), False),
+    ]
+)
+
+# Raw on-disk shape: ts is INT64 TIMESTAMP(NANOS) surfaced as long via
+# spark.sql.legacy.parquet.nanosAsLong; io.load_events() converts it to
+# a microsecond TimestampNTZ (matching what the DuckDB oracle sees).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), False),
+    ]
+)
+
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), False),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), True), False),
+        T.StructField("label", T.IntegerType(), False),
+    ]
+)
+
+TABLE_SCHEMAS = {
+    "region": REGION,
+    "nation": NATION,
+    "supplier": SUPPLIER,
+    "customer": CUSTOMER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+TABLES = tuple(TABLE_SCHEMAS)

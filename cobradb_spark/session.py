@@ -1,0 +1,67 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Design notes (SURVEY.md §4.3.6): UTC session timezone and AQE are pinned
+here because timestamp normalization is the likeliest source of
+hash-mismatch against the DuckDB oracle, and AQE (coalesce + skew-join)
+is the runtime re-planner we rely on at scale instead of hand-tuned
+partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every query assumes; also applied defensively to
+# externally-provided sessions (the verify driver builds its own).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver-generated events.parquet stores timestamp[ns]; Spark
+    # rejects INT64 TIMESTAMP(NANOS) unless told to surface it as long.
+    # io.load_events() then converts ns -> microsecond timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set the engine's runtime confs on an existing session.
+
+    All keys in RUNTIME_CONFS are runtime-settable, so this is safe on a
+    session we did not build (e.g. the correctness driver's).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; defaults must do
+    return spark
+
+
+def get_spark(app_name: str = "cobradb_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the canonical local session.
+
+    local[N] = one JVM, N executor threads; shuffle partitions sized to
+    cores (not the 200 default) because at local scale the scheduler
+    overhead of tiny tasks dominates.  On a real cluster these knobs move
+    to spark-submit; nothing else in the engine depends on local mode.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

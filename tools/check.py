@@ -1,0 +1,149 @@
+"""Local correctness harness — mimics the driver's t2 gate.
+
+Runs each registered query on Spark and (when an oracle exists) the
+equivalent SQL on DuckDB over the same parquet tables, then compares
+row count, column-name set, and values.  Values are compared twice:
+EXACT (bit-identical after canonicalization) and NEAR (floats within
+rtol 1e-9).  Anything that is only NEAR needs its formulation tightened
+(rounding at declared precision on both sides) before being trusted
+against the driver's value-hash.
+
+Usage:
+  python tools/check.py                 # all queries, sf0.01
+  python tools/check.py agg_basic ...   # subset
+  python tools/check.py --sf /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cobradb_spark import registry
+from cobradb_spark.schemas import TABLES
+from cobradb_spark.session import get_spark
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return None
+        return v.floor("us").to_datetime64().astype("datetime64[us]").item()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def canonize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False, name=None):
+        canon = tuple(_canon_cell(v) for v in row)
+        rows.append(canon)
+    rows.sort(key=repr)
+    return rows
+
+
+def _near(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_near(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[str, str]:
+    sc, dc = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    if sc != dc:
+        return "FAIL", f"columns differ: spark={sc} duck={dc}"
+    if len(spark_pd) != len(duck_pd):
+        return "FAIL", f"row count differs: spark={len(spark_pd)} duck={len(duck_pd)}"
+    a, b = canonize(spark_pd), canonize(duck_pd)
+    if a == b:
+        return "EXACT", f"{len(a)} rows"
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    if all(_near(x, y) for x, y in mismatches):
+        return "NEAR", f"{len(mismatches)}/{len(a)} rows differ only in float low bits"
+    bad = [(x, y) for x, y in mismatches if not _near(x, y)]
+    return "FAIL", f"{len(bad)}/{len(a)} rows mismatch; first: spark={bad[0][0]!r} duck={bad[0][1]!r}"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: all)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    qs = registry.all_queries()
+    names = args.names or sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("check")
+    con = duck_connect(args.sf)
+    n_fail = 0
+    for name in names:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf).toPandas()
+        except Exception:
+            print(f"[FAIL ] {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"[ROWS ] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s, no oracle)")
+            continue
+        try:
+            ddf = con.execute(q.oracle).df()
+        except Exception:
+            print(f"[FAIL ] {name}: duckdb oracle raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        status, msg = compare(sdf, ddf)
+        tag = {"EXACT": "OK   ", "NEAR": "NEAR ", "FAIL": "FAIL "}[status]
+        if status == "FAIL":
+            n_fail += 1
+        print(f"[{tag}] {name}: {msg} ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names)} checked, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
