@@ -1,1 +1,324 @@
-"""Placeholder — populated in a later milestone."""
+"""§2 H — scalar/array/map/JSON functions.
+
+ID normalization is cobradb's soul [P]: parse.py::convert_ids char
+scrubbing, ::split_compartment regex `(.*)_([a-z][a-z0-9]?)$`,
+::hash_reaction (md5 over sorted met:stoich pairs — THE cross-model
+reaction dedup), util.py::increment_id / scrub_gene_id.  All of these
+are expressible as built-in JVM functions — no Python UDF on the hot
+path (the deliberately-UDF variants live in §2 K).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table, load_tables
+from cobradb_spark.registry import register
+
+
+@register(
+    "str_normalize_ids",
+    oracle="""
+SELECT p_partkey,
+       lower(trim(regexp_replace(p_name, '[^a-zA-Z0-9_]', '_', 'g'))) AS norm_id,
+       upper(p_brand) AS brand_uc,
+       translate(p_name, ' -', '__') AS underscored
+FROM part
+""",
+    doc="H1 ID normalization; ref: parse.py::convert_ids char-scrub [P]. "
+    "regexp_replace/lower/trim/translate — all codegen'd, no UDF.",
+)
+def str_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim(F.regexp_replace("p_name", "[^a-zA-Z0-9_]", "_"))).alias("norm_id"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.translate("p_name", " -", "__").alias("underscored"),
+    )
+
+
+@register(
+    "str_split_compartment",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS base_id,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS compartment,
+       str_split(p_name, ' ')[1] AS first_token
+FROM part
+""",
+    doc="H2 compartment split; ref: parse.py::split_compartment regex "
+    "`(.*)_([a-z][a-z0-9]?)$` on ids like glc__D_c [P] — same extract-groups "
+    "shape on the two-token p_name.",
+)
+def str_split_compartment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    pat = r"^(\w+) (\w+)$"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", pat, 1).alias("base_id"),
+        F.regexp_extract("p_name", pat, 2).alias("compartment"),
+        F.split("p_name", " ").getItem(0).alias("first_token"),
+    )
+
+
+@register(
+    "str_fuzzy_match",
+    oracle="""
+SELECT s.s_suppkey, c.c_custkey,
+       CAST(levenshtein(s.s_name, c.c_name) AS BIGINT) AS dist
+FROM supplier s JOIN customer c
+  ON levenshtein(s.s_name, c.c_name) <= 6
+""",
+    doc="H3 fuzzy synonym lookup; ref: synonym fuzzy matching during gene linking [P]. "
+    "levenshtein threshold join — at 100 TB this needs a blocking key (e.g. name "
+    "prefix or length band) to bound the cross product; kept unblocked here because "
+    "the correctness fixture is small.",
+)
+def str_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, c = load_tables(spark, sf_dir, "supplier", "customer")
+    dist = F.levenshtein(s.s_name, c.c_name)
+    return s.crossJoin(c).filter(dist <= 6).select(
+        "s_suppkey", "c_custkey", dist.cast("long").alias("dist")
+    )
+
+
+@register(
+    "hash_reaction_dedup",
+    oracle="""
+WITH sig AS (
+  SELECT l_orderkey,
+         sha256(string_agg(concat(l_partkey, ':', CAST(l_quantity AS BIGINT)), ','
+                ORDER BY concat(l_partkey, ':', CAST(l_quantity AS BIGINT)))) AS sig_hash
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT sig_hash, CAST(count(*) AS BIGINT) AS n_orders, min(l_orderkey) AS first_orderkey
+FROM sig GROUP BY sig_hash
+""",
+    doc="H4 reaction-hash dedup — THE flagship domain op; ref: parse.py::hash_reaction "
+    "(md5 over sorted 'met:stoich' pairs) + match-existing-by-hash in model_loading "
+    "[P]. Order = reaction, lineitem = stoichiometry triple. sha2(sorted signature) "
+    "then group-by-hash; two aggregations, both map-side combinable.",
+)
+def hash_reaction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = F.concat_ws(":", F.col("l_partkey"), F.col("l_quantity").cast("long"))
+    sig = li.groupBy("l_orderkey").agg(
+        F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(pair))), 256).alias("sig_hash")
+    )
+    return sig.groupBy("sig_hash").agg(
+        F.count("*").alias("n_orders"), F.min("l_orderkey").alias("first_orderkey")
+    )
+
+
+@register(
+    "date_parts_trunc",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+       date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS days_since_epoch,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+FROM orders
+""",
+    doc="H5 date parts/truncation; ref: load timestamps and database_version dates [P]. "
+    "ISO day-of-week (Spark weekday()+1 == DuckDB isodow) avoids the engines' "
+    "different Sunday conventions.",
+)
+def date_parts_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long").alias("days_since_epoch"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+@register(
+    "math_suite",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS tenth_floor,
+       CAST(ceil(l_extendedprice * 0.1) AS BIGINT) AS tenth_ceil,
+       round(l_quantity / 7.0, 3) AS seventh,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(sign(l_quantity - 25.0) AS DOUBLE) AS over25,
+       greatest(l_tax, l_discount) AS rate_max,
+       least(l_tax, l_discount) AS rate_min,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(exp(l_discount), 6) AS exp_disc,
+       l_quantity / nullif(CAST(l_linenumber - 1 AS DOUBLE), 0.0) AS per_prev_line
+FROM lineitem
+""",
+    doc="H6 arithmetic suite; ref: stoichiometry/bounds arithmetic in loaders [P]. "
+    "try_divide == x / nullif(y, 0) under non-ANSI semantics.",
+)
+def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # NOTE round(price*0.1, 2) is deliberately absent: 2-decimal prices
+        # x 0.1 land exactly on .xx5 ties, where Spark (exact-binary
+        # HALF_UP) and DuckDB (shortest-repr) disagree. floor/ceil of the
+        # same IEEE double are deterministic; /7 never terminates on a tie.
+        F.floor(F.col("l_extendedprice") * 0.1).alias("tenth_floor"),
+        F.ceil(F.col("l_extendedprice") * 0.1).alias("tenth_ceil"),
+        F.round(F.col("l_quantity") / 7.0, 3).alias("seventh"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.signum(F.col("l_quantity") - 25.0).alias("over25"),
+        F.greatest("l_tax", "l_discount").alias("rate_max"),
+        F.least("l_tax", "l_discount").alias("rate_min"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.try_divide(F.col("l_quantity"), (F.col("l_linenumber") - 1).cast("double")).alias(
+            "per_prev_line"
+        ),
+    )
+
+
+@register(
+    "array_ops",
+    oracle="""
+SELECT l_orderkey,
+       CAST(len(list_sort(list(l_partkey))) AS BIGINT) AS n_parts,
+       list_sort(list(l_partkey))[1:3] AS first3,
+       CAST(len(list_distinct(list(l_partkey))) AS BIGINT) AS n_uniq
+FROM lineitem GROUP BY l_orderkey
+""",
+    doc="H7 array manipulation; the stoichiometry-as-array form (SURVEY §1.2): "
+    "collect -> sort -> slice/distinct. Arrays always array_sort'ed before "
+    "comparison (determinism, SURVEY §5.2).",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(F.collect_list("l_partkey"))
+    return li.groupBy("l_orderkey").agg(
+        F.size(arr).cast("long").alias("n_parts"),
+        F.slice(arr, 1, 3).alias("first3"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
+    )
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+         AS sumsq,
+       (len(list_filter(embedding, x -> x > 2.0)) > 0) AS any_big,
+       (len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0) AS all_small
+FROM embeddings
+""",
+    doc="H8 higher-order array functions; ref: GPR rule evaluation (OR-of-ANDs over "
+    "gene presence, gene_reaction_rule) [P]. transform/filter/exists/forall/aggregate "
+    "run inside codegen — this is how per-vector math stays off the Python path.",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)), 6
+        ).alias("sumsq"),
+        F.exists(emb, lambda x: x > 2.0).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) < 10.0).alias("all_small"),
+    )
+
+
+@register(
+    "map_ops",
+    oracle="""
+WITH pq AS (
+  SELECT l_orderkey, l_partkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+)
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       min(l_partkey) AS min_key,
+       arg_min(q, l_partkey) AS qty_of_min_key
+FROM pq GROUP BY l_orderkey
+""",
+    doc="H9 map construction/access: per-order partkey->qty map (props/attrs pattern); "
+    "map_from_entries + map_keys + element_at. Oracle states the same facts "
+    "relationally (DuckDB map literals differ).",
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_orderkey", "l_partkey").agg(F.sum("l_quantity").alias("q"))
+    m = F.map_from_entries(F.collect_list(F.struct("l_partkey", "q")))
+    per_order = pq.groupBy("l_orderkey").agg(m.alias("m"))
+    min_key = F.array_min(F.map_keys("m"))
+    return per_order.select(
+        "l_orderkey",
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        min_key.alias("min_key"),
+        F.element_at("m", min_key).alias("qty_of_min_key"),
+    )
+
+
+@register(
+    "json_extract_nested",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS k_plus
+FROM events
+""",
+    doc="H10 JSON path extraction; ref: Escher map_data JSON blobs [P]. "
+    "get_json_object (string path) + from_json struct field access.",
+)
+def json_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        (F.from_json("props", "k LONG").getField("k") + 1).alias("k_plus"),
+    )
+
+
+@register(
+    "conditional_null",
+    oracle="""
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'O'), nullif(o_orderpriority, '1-URGENT'), 'fallback')
+         AS first_non_null,
+       CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 'closed' ELSE 'open' END
+         AS nvl2_style,
+       CASE WHEN isnan(CASE WHEN o_totalprice < 100000 THEN CAST('NaN' AS DOUBLE)
+                            ELSE o_totalprice END)
+            THEN -1.0
+            ELSE o_totalprice END AS nan_guarded
+FROM orders
+""",
+    doc="H11 null/NaN fallback chains; ref: formula/charge fallback across models [P]. "
+    "coalesce/nullif/nvl2/nanvl.",
+)
+def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif("o_orderstatus", F.lit("O"))
+    nan_val = F.when(
+        F.col("o_totalprice") < 100000, F.lit("NaN").cast("double")
+    ).otherwise(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(
+            status_or_null, F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("fallback")
+        ).alias("first_non_null"),
+        F.nvl2(status_or_null, F.lit("closed"), F.lit("open")).alias("nvl2_style"),
+        F.nanvl(nan_val, F.lit(-1.0)).alias("nan_guarded"),
+    )

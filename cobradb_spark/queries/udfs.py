@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""§2 K — UDF / UDAF / UDTF surface.
+
+Reference grounding [P]: cobradb's per-row Python transforms (scrub /
+convert / hash in parse.py and util.py).  Discipline (SURVEY §4.3.4):
+Arrow-batched pandas UDFs everywhere Python is unavoidable; the
+row-at-a-time K1 exists as the deliberately-tested slow case, its
+result cross-checked against the native H1 formulation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+
+@register(
+    "udf_scalar_python",
+    oracle="""
+SELECT p_partkey,
+       lower(trim(regexp_replace(p_name, '[^a-zA-Z0-9_]', '_', 'g'))) AS norm_id
+FROM part
+""",
+    doc="K1 row-at-a-time Python UDF (the deliberately-tested slow path): same "
+    "id-scrub as H1, so the native formulation is its self-oracle. Pickle serde "
+    "per row — never on a 100 TB hot path.",
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    @F.udf(T.StringType())
+    def scrub(s: str) -> str:
+        return re.sub(r"[^a-zA-Z0-9_]", "_", s).strip().lower()
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", scrub("p_name").alias("norm_id"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+""",
+    doc="K2 vectorized pandas UDF (Arrow batches): net price. ~10-100x the K1 "
+    "throughput; still slower than the pure-codegen B1 — kept for API parity.",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", net("l_extendedprice", "l_discount").alias("net_price")
+    )
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="K3 grouped-aggregate pandas UDF (GROUPED_AGG): per-group min/max via Arrow. "
+    "The geometric-mean variant (no exact SQL twin) is covered in tests.",
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def pd_min(v: pd.Series) -> float:
+        return float(v.min())
+
+    @F.pandas_udf(T.DoubleType())
+    def pd_max(v: pd.Series) -> float:
+        return float(v.max())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pd_min("l_quantity").alias("min_qty"), pd_max("l_quantity").alias("max_qty")
+    )
+
+
+@register(
+    "udf_grouped_map_normalize",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 6) AS z
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+""",
+    doc="K4 grouped-map applyInPandas: z-normalize quantity within each return-flag "
+    "group (whole group as one pandas frame in, frame out). The SQL window twin is "
+    "the oracle.",
+)
+def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_quantity"]
+        pdf = pdf[["l_orderkey", "l_linenumber"]].copy()
+        pdf["z"] = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        return pdf
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        znorm, schema="l_orderkey long, l_linenumber int, z double"
+    )
+
+
+@register(
+    "udtf_expand",
+    oracle="""
+SELECT p_partkey,
+       unnest(str_split(p_name, ' ')) AS word,
+       generate_subscripts(str_split(p_name, ' '), 1) AS pos
+FROM part
+""",
+    doc="K5 Spark 4 UDTF: explode 'gene_reaction_rule'-style strings to rows "
+    "(token, position) via a lateral join.",
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos long")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield w, i + 1
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        "SELECT p_partkey, t.word, t.pos FROM part_v, LATERAL split_words(p_name) t"
+    )

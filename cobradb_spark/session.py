@@ -58,6 +58,7 @@ def get_spark(app_name: str = "cobradb_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in RUNTIME_CONFS.items():
