@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone."""
+"""§2 J — LLM-data-pipeline operators (north-star extension).
+
+The reference's hash-dedup (get_or_create + reaction_hash [P])
+generalizes to training-data curation: exact dedup, MinHash near-dup,
+embedding similarity, text analytics.  documents/embeddings tables
+exist for exactly this (FIXTURES.md §1).
+
+Scale notes: J1 is a hash-groupBy (shuffle on the 256-bit hash — no
+skew by construction).  J2/J4 are the sub-quadratic candidate-
+generation paths (LSH bucket joins); J3 is the exact quadratic
+baseline kept for recall measurement and small probe sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+SELECT sha256(lower(trim(text))) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""",
+    doc="J1 exact dedup via content hash — get_or_create generalized [P]: normalize, "
+    "hash, group; min(doc_id) is the canonical survivor. Groups with n_docs>1 are "
+    "the duplicates.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.sha2(F.lower(F.trim("text")), 256).alias("text_hash")
+    ).agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+
+
+@register(
+    "dedup_minhash_near",
+    oracle=None,  # approximate; recall vs exact Jaccard asserted in tests
+    doc="J2 MinHash+LSH near-dup join: word 3-gram shingles -> binary HashingTF -> "
+    "MinHashLSH (seed=42) -> approxSimilarityJoin at Jaccard distance <= 0.3. "
+    "Shingles (not bare words) keep random docs dissimilar, so LSH buckets prune "
+    "hard — the 100 TB dedup path never materializes the cross product. "
+    "rows-only (approximate by design); recall vs exact Jaccard in tests.",
+)
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    shingled = d.select("doc_id", shingles.alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+_COS_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), norms AS (
+  SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM ex GROUP BY 1
+), cos AS (
+  SELECT d.a_id, d.b_id, d.dot / (na.nrm * nb.nrm) AS c
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a_id
+  JOIN norms nb ON nb.vec_id = d.b_id
+), ranked AS (
+  SELECT a_id, b_id, c,
+         row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
+  FROM cos
+)
+SELECT a_id, b_id, round(c, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=_COS_ORACLE,
+    doc="J3 brute-force cosine top-k — the exact baseline every ANN variant is "
+    "measured against. Broadcast-matrix + BLAS via mapInPandas "
+    "(operators/knn.py): the corpus is broadcast once, each query partition does "
+    "one matmul and local top-k — no shuffle, no per-pair lambda interpretation. "
+    "At 100 TB the serving path is J4; this kernel then runs per candidate bucket.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.knn import cosine_topk
+
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # approximate; recall vs sim_cosine_topk asserted in tests
+    doc="J4 ANN via BucketedRandomProjectionLSH (seed=42): random-hyperplane buckets "
+    "prune the candidate set, approxSimilarityJoin on a fixed probe set "
+    "(vec_id % 100 == 0) -> top-10 by euclidean distance. The scale path: cost "
+    "follows bucket collisions, not n^2. rows-only; recall >= 0.8 vs J3 in tests.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(probes, e, float("inf"), distCol="dist")
+    pairs = pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.col("dist").alias("dist"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("dist").asc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rn")
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(length(text)), 6) AS avg_len,
+       CAST(count(*) FILTER (WHERE length(text) <> n_chars) AS BIGINT) AS n_len_mismatch,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_words
+FROM documents GROUP BY lang
+""",
+    doc="J5 text profiling per language: doc counts, mean length, advertised-vs-actual "
+    "length audit (n_chars is deliberately auditable, FIXTURES §1), token totals.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        F.count_if(F.length("text") != F.col("n_chars")).alias("n_len_mismatch"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+    )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(str_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1, 2
+), ranked AS (
+  SELECT source, term, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rn
+  FROM counts
+)
+SELECT source, term, n, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5
+""",
+    doc="J6 top terms per source (tf-idf-lite): explode -> count -> windowed top-k. "
+    "explode + two-level agg keeps the shuffle on (source, term), not raw tokens.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    counts = words.groupBy("source", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "n", "rn")
+    )
+
+
+@register(
+    "embed_vector_norm",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+       round(CAST(embedding[1] AS DOUBLE) /
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS first_unit
+FROM embeddings
+""",
+    doc="J7 vector norms via higher-order aggregate (H8 applied): L2 norm and the "
+    "first component of the unit vector — all inside codegen, no UDF.",
+)
+def embed_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    l2 = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + dbl(x) * dbl(x))
+    )
+    return e.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2"),
+        F.round(F.element_at("embedding", 1).cast("double") / l2, 6).alias("first_unit"),
+    )
