@@ -1,1 +1,278 @@
-"""Placeholder — populated in a later milestone."""
+"""§2 I — Structured Streaming over the events table.
+
+The reference is batch-only [P]; these are the north-star stream ops.
+Verification model (SURVEY §2-I): run the streaming DAG to completion on
+a deterministic replay of events.parquet, oracle = batch SQL over the
+same parquet — stream-batch parity.
+
+Scale notes: all aggregations here are keyed by (window/session, small
+key) so streaming state is bounded by #windows x #keys; watermarks bound
+it in time.  applyInPandasWithState keeps per-user state as Arrow
+batches.  The memory sink is verification-only plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.operators.merge import merge_upsert
+from cobradb_spark.operators.streams import (
+    events_stream_dir,
+    read_events_stream,
+    run_to_memory,
+)
+from cobradb_spark.registry import register
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v_sum
+FROM events GROUP BY 1, 2
+""",
+    doc="I1 tumbling 1h window counts/sums per event_type (complete mode; state = "
+    "#hours x #types). Stream-batch parity oracle.",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v_sum")
+    )
+    out = run_to_memory(
+        agg.select(F.col("window.start").alias("hour_start"), "event_type", "n", "v_sum"),
+        "complete",
+    )
+    return out
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+WITH x AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+), exp AS (
+  SELECT event_type, value, (us // 900000000) * 900 - k * 900 AS win_s, us
+  FROM x, UNNEST([0, 1, 2, 3]) AS t(k)
+  WHERE (us // 900000000) * 900 - k * 900 > us / 1000000.0 - 3600
+)
+SELECT make_timestamp(win_s * 1000000) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v_sum
+FROM exp GROUP BY 1, 2
+""",
+    doc="I2 sliding window (1h length / 15min slide): each event lands in 4 windows. "
+    "Oracle expands windows arithmetically (epoch-aligned starts, [start, start+1h)).",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v_sum")
+    )
+    return run_to_memory(
+        agg.select(F.col("window.start").alias("win_start"), "event_type", "n", "v_sum"),
+        "complete",
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS v_sum
+FROM s GROUP BY user_id, sess_id
+""",
+    doc="I3 session windows (30min gap) per user — session_window() in the engine, "
+    "gaps-and-islands (lag + cumulative flag) as the batch oracle. Sessions close "
+    "when the gap >= 30min, matching session_window's [start, last+gap) semantics. "
+    "Batch-mode session_window here; the streaming variant (watermark + append) is "
+    "exercised in tests.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("v_sum"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "v_sum",
+        )
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle=None,  # semantic test: late batch must be dropped (also in tests)
+    doc="I4 watermark late-row dropping: batch 1 = on-time events (advances the "
+    "watermark to max(ts) - 10min), batch 2 replays events older than the "
+    "watermark — append-mode tumbling agg must not re-emit their windows. "
+    "rows-only: result = finalized windows from on-time data only.",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_batch = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cobradb_late_")
+    on_time = ev_batch.filter(F.col("event_id") % 10 != 0)
+    late_src = ev_batch.filter(F.col("event_id") % 10 == 0).filter(
+        F.col("ts") < F.lit(
+            ev_batch.agg(F.max("ts")).collect()[0][0] - pd.Timedelta(minutes=90)
+        )
+    )
+    raw = load_table(spark, sf_dir, "events")  # schema donor for writes
+    on_time_raw = on_time.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    late_raw = late_src.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    on_time_raw.write.parquet(f"{tmp}/b1")
+    os.makedirs(f"{tmp}/src")
+    shutil.move(f"{tmp}/b1/{[f for f in os.listdir(f'{tmp}/b1') if f.endswith('.parquet')][0]}",
+                f"{tmp}/src/batch1.parquet")
+
+    def add_late():
+        late_raw.write.mode("overwrite").parquet(f"{tmp}/b2")
+        part = [f for f in os.listdir(f"{tmp}/b2") if f.endswith(".parquet")][0]
+        shutil.move(f"{tmp}/b2/{part}", f"{tmp}/src/batch2.parquet")
+
+    ev = read_events_stream(spark, f"{tmp}/src")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(
+        agg.select(F.col("window.start").alias("hour_start"), "n"),
+        "append",
+        process_batches=[add_late],
+    )
+    return out
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    doc="I5 streaming dedup: the source replays events plus exact duplicates of every "
+    "10th event in one micro-batch; dropDuplicatesWithinWatermark(event_id) must "
+    "restore the original set. State is bounded by the watermark horizon — the "
+    "100 TB-stream answer to unbounded dedup state.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)  # nanosAsLong before the raw read
+    tmp = tempfile.mkdtemp(prefix="cobradb_dedup_")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long
+    dups = raw.filter(F.col("event_id") % 10 == 0)
+    raw.unionByName(dups).repartition(1).write.parquet(f"{tmp}/src")
+    ev = read_events_stream(spark, f"{tmp}/src")
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS v_sum
+FROM events GROUP BY user_id
+""",
+    doc="I6 custom stateful operator via applyInPandasWithState: per-user running "
+    "(count, sum) state updated per micro-batch; single-batch replay emits the "
+    "final state per user, which must equal the batch groupBy.",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "v_sum": [round(v, 6)]}
+        )
+
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, v_sum double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="I7 stream-static join: the static dim (nation) is broadcast into every "
+    "micro-batch — no stream-side shuffle for the join itself.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    nation = load_table(spark, sf_dir, "nation")
+    joined = ev.join(
+        F.broadcast(nation), ev.user_id % 25 == nation.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(F.count("*").alias("n_events"))
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_foreachBatch_sink",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+    doc="I8 foreachBatch idempotent sink: each micro-batch merge-upserts (A6 "
+    "semantics, operators/merge.py) into a parquet target keyed by event_id; "
+    "batch retries overwrite the same keys, so the sink is exactly-once in "
+    "effect. Read-back must equal the source.",
+)
+def stream_foreachBatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="cobradb_febs_")
+    target = f"{tmp}/target"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.select("event_id", "user_id", "event_type", "value")
+        if os.path.exists(target):
+            existing = batch_df.sparkSession.read.parquet(target)
+            merged = merge_upsert(existing, incoming, keys=["event_id"])
+            merged.write.mode("overwrite").parquet(f"{tmp}/staging")
+            shutil.rmtree(target)
+            shutil.move(f"{tmp}/staging", target)
+        else:
+            incoming.write.parquet(target)
+
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    q = ev.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)

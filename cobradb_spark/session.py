@@ -17,6 +17,10 @@ from pyspark.sql import SparkSession
 # externally-provided sessions (the verify driver builds its own).
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # Size shuffle/state partitions to the machine, not the 200 default:
+    # AQE re-coalesces batch shuffles anyway; streaming state stores do
+    # NOT (one store per partition), so this is the streaming-state knob.
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
