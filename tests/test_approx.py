@@ -1,0 +1,53 @@
+"""Tolerance/recall harnesses for the approximate operators
+(SURVEY §7 hard-part 3: approximate-op verification methodology)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cobradb_spark import registry
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    out = registry.get_query("agg_approx_distinct").fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * max(r.exact_parts, 1)
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """J4 contract: LSH top-10 must recall >= 0.8 of exact euclidean top-10."""
+    import numpy as np
+
+    ann = registry.get_query("sim_ann_lsh").fn(spark, sf_dir).collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in registry.get_query("scan_parquet").fn(spark, sf_dir).sparkSession
+           .read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    probes = {r.probe_id for r in ann}
+    assert probes  # fixed probe set is non-empty
+    recalls = []
+    for p in probes:
+        got = {r.neighbor_id for r in ann if r.probe_id == p}
+        d = {v: float(np.linalg.norm(emb[p] - vec)) for v, vec in emb.items() if v != p}
+        exact = {v for v, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
+        recalls.append(len(got & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_minhash_pairs_are_really_similar(spark, sf_dir):
+    """J2: every reported near-dup pair must have true shingle-Jaccard
+    within +/-0.25 of the reported approximate distance."""
+    rows = registry.get_query("dedup_minhash_near").fn(spark, sf_dir).collect()
+    docs = dict(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    )
+
+    def shingle(t: str) -> set:
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    for r in rows:
+        a, b = shingle(docs[r.doc_a]), shingle(docs[r.doc_b])
+        true_dist = 1 - len(a & b) / len(a | b)
+        assert true_dist <= r.jaccard_dist + 0.25

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the id/hash functions — the
+upgrade the reference's example-based suite lacks (SURVEY §5.1/5.2)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _scrub(s: str) -> str:
+    return re.sub(r"[^a-zA-Z0-9_]", "_", s).strip().lower()
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_scrub_idempotent(s):
+    assert _scrub(_scrub(s)) == _scrub(s)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_scrub_charset(s):
+    assert re.fullmatch(r"[a-z0-9_]*", _scrub(s))
+
+
+def test_reaction_hash_permutation_invariant(spark):
+    """mini_stoich: permuted stoichiometry must collide; different must not."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("r1", 101, 2.0), ("r1", 202, -1.0),
+        ("r2", 202, -1.0), ("r2", 101, 2.0),   # permutation of r1 -> same hash
+        ("r3", 101, -2.0), ("r3", 202, 1.0),   # reversed signs -> different
+    ]
+    df = spark.createDataFrame(rows, "rxn string, met long, coef double")
+    pair = F.concat_ws(":", F.col("met"), F.col("coef").cast("long"))
+    sig = df.groupBy("rxn").agg(
+        F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(pair))), 256).alias("h")
+    )
+    h = dict((r.rxn, r.h) for r in sig.collect())
+    assert h["r1"] == h["r2"]
+    assert h["r1"] != h["r3"]
+
+
+def test_znorm_known_values(spark):
+    """SNIPPETS.md mini_kv frame: z-normalize expectations (FIXTURES §3)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0), (2, 5.0), (2, 10.0)], "id long, v double"
+    )
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v"]
+        return pd.DataFrame({"id": pdf["id"], "z": (v - v.mean()) / v.std(ddof=1)})
+
+    out = df.groupBy("id").applyInPandas(znorm, "id long, z double")
+    got = sorted((r.id, round(r.z, 4)) for r in out.collect())
+    assert got == [
+        (1, -0.7071), (1, 0.7071),
+        (2, -0.8321), (2, -0.2774), (2, 1.1094),
+    ]

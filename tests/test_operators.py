@@ -1,0 +1,65 @@
+"""Known-tuple unit tests for composed operators (FIXTURES.md §3 style)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cobradb_spark.operators.asof import asof_join_backward
+from cobradb_spark.operators.interval import interval_point_join
+from cobradb_spark.operators.merge import insert_if_absent, merge_upsert
+
+
+def test_merge_upsert_incoming_wins(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    incoming = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    got = {(r.k, r.v) for r in merge_upsert(existing, incoming, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
+def test_insert_if_absent_existing_wins(spark):
+    existing = spark.createDataFrame([(1, "a")], "k long, v string")
+    incoming = spark.createDataFrame([(1, "X"), (2, "y"), (2, "z")], "k long, v string")
+    got = dict((r.k, r.v) for r in insert_if_absent(existing, incoming, ["k"]).collect())
+    assert got[1] == "a"  # get_or_create: existing row kept
+    assert got[2] in ("y", "z") and len(got) == 2
+
+
+def test_interval_join_edge_semantics(spark):
+    # mini_intervals: overlapping / touching / disjoint / zero-length (closed)
+    iv = spark.createDataFrame(
+        [("ov", 0, 10), ("touch", 10, 20), ("dis", 100, 110), ("zero", 50, 50)],
+        "iv_id string, lo long, hi long",
+    )
+    pt = spark.createDataFrame(
+        [(0,), (10,), (20,), (21,), (50,), (99,)], "p long"
+    )
+    got = {
+        (r.iv_id, r.p)
+        for r in interval_point_join(iv, pt, "lo", "hi", "p", bin_width=7).collect()
+    }
+    assert got == {
+        ("ov", 0), ("ov", 10),          # closed interval includes both ends
+        ("touch", 10), ("touch", 20),   # boundary point joins both intervals
+        ("zero", 50),                   # zero-length interval matches its point
+    }
+
+
+def test_asof_backward_known_tuples(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "by long, on long, l string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "R@10"), (1, 15, "R@15"), (2, 6, "R@6")], "by long, on long, rv string"
+    )
+    out = asof_join_backward(left, right, on="on", by="by", right_value_cols=["rv"])
+    got = {(r.by, r.on, r.rv) for r in out.collect()}
+    # ties included (on == on), later right rows not visible, no match -> null
+    assert got == {(1, 10, "R@10"), (1, 20, "R@15"), (2, 5, None)}
+
+
+def test_broadcast_in_flagship_plan(spark, sf_dir):
+    """Scale posture: the dim joins in the flagship plan must be broadcast."""
+    from cobradb_spark.queries.flagship import join_topn
+
+    plan = join_topn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,43 @@
+"""Registry integrity: the driver contract surface."""
+
+from __future__ import annotations
+
+import re
+
+from cobradb_spark import registry
+
+ALLOWED_TABLES = {
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+}
+
+# FROM/JOIN targets in oracle SQL that are not CTE names must be testdata views
+_FROM_RE = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
+_CTE_RE = re.compile(r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(", re.IGNORECASE)
+
+
+def test_registry_nonempty_and_unique():
+    qs = registry.all_queries()
+    assert len(qs) >= 60
+    assert all(q.fn is not None for q in qs.values())
+
+
+def test_oracles_reference_only_preregistered_views():
+    for name, q in registry.all_queries().items():
+        if q.oracle is None:
+            continue
+        ctes = {m.lower() for m in _CTE_RE.findall(q.oracle)}
+        for tbl in _FROM_RE.findall(q.oracle):
+            t = tbl.lower()
+            # 'null' arises from "IS NOT DISTINCT FROM NULL" phrasing
+            if t in ctes or t in {"unnest", "lateral", "read_parquet", "null", "timestamp"}:
+                continue
+            assert t in ALLOWED_TABLES, f"{name}: oracle references unknown table {t}"
+
+
+def test_entry_contract_shapes():
+    import __spark_entry__ as E
+
+    qmap, omap = E.queries(), E.oracle_sql()
+    assert set(omap) <= set(qmap)
+    assert len(qmap) >= 60
