@@ -152,6 +152,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf",
+    oracle=None,  # approximate; recall vs exact asserted in tests
+    doc="J4b IVF ANN (operators/ivf.py): KMeans coarse quantizer (nlist=8, seed=42), "
+    "probes search only the nprobe=2 nearest cells — partition-pruned candidate "
+    "scan + exact distance, the IVF alternative to random-projection LSH. "
+    "rows-only; recall vs brute force asserted in tests.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, probes, k=10, nlist=8, nprobe=2, seed=42)
+
+
+@register(
     "text_stats",
     oracle="""
 SELECT lang,

@@ -1,0 +1,401 @@
+"""Extended LLM-data text operators: SimHash, exact n-gram Jaccard,
+cosine near-dup, language-ID, quality scoring, token counting, winnowing
+fingerprints.
+
+These extend §2 J (BASELINE.json north star: dedup / text analysis as
+first-class 100 TB operators).  Everything here is hash-oracled: the
+per-word/gram hash is hex-of-md5 parsed to an integer, identical in
+Spark (conv) and DuckDB (0x-cast), so even the sketches are
+bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+# 60-bit word hash: first 15 hex chars of md5 -> integer (same value in
+# both engines; 60 bits keeps it inside a signed 64-bit long).
+_H_SPARK = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")  # noqa: E731
+_H_DUCK = "CAST(CAST(concat('0x', substr(md5({c}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+_SIMHASH_BITS = 60
+_SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 => >=1 of 4 chunks equal
+_CHUNK_BITS = 15
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, {_H_DUCK.format(c="unnest(str_split(text, ' '))")} AS h
+  FROM documents
+), bits AS (
+  SELECT doc_id,
+         {", ".join(f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END AS b{b}" for b in range(_SIMHASH_BITS))}
+  FROM words GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, ({" | ".join(f"b{b}" for b in range(_SIMHASH_BITS))}) AS fingerprint
+  FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+""",
+    doc="SimHash near-dup detection: 60-bit per-word md5 hashes, sign-of-bit-sums "
+    "fingerprint, pairs at hamming distance <= 3. Spark side finds candidates via "
+    "a BANDED equi-join (4 x 15-bit chunks — pigeonhole guarantees recall for "
+    "hamming<=3), so the cross product is never materialized; the oracle brute- "
+    "forces all pairs, proving the banding loses nothing.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    words = words.select("doc_id", _H_SPARK(F.col("w")).alias("h"))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fp_expr = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr.bitwiseOR(term)
+    fp = bit_sums.select("doc_id", fp_expr.alias("fingerprint"))
+
+    chunks = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fingerprint", i * _CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fingerprint", "bk.band", "bk.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fingerprint").alias("fa"),
+            F.col("b.fingerprint").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("fa ^ fb")).cast("long")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 1, 1) + 1),
+                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1])))
+           AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS both
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.5
+""",
+    doc="Exact n-gram (word-bigram) Jaccard dedup via inverted index: explode "
+    "distinct shingles, self-join on the posting list, |A∩B| by count, Jaccard "
+    "from set sizes. The scalable exact method — cost follows shared shingles, "
+    "not n^2. Hot shingles skew the join at scale: drop stop-shingles above a "
+    "document-frequency cap (not needed at fixture scale).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    sh = d.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("both"))
+    )
+    jac = F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_cosine_near",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), norms AS (
+  SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM ex GROUP BY 1
+)
+SELECT d.a_id, d.b_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.a_id
+JOIN norms nb ON nb.vec_id = d.b_id
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+""",
+    doc="Embedding-cosine near-dup: all pairs with cosine >= 0.4 via the broadcast-"
+    "matrix BLAS kernel (operators/knn.py pattern) — each partition emits only "
+    "its above-threshold pairs. At 100 TB: LSH/IVF candidates first, this kernel "
+    "per bucket.",
+)
+def dedup_cosine_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def part(batches):
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cmat.T
+            qa = pdf["vec_id"].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i, a_id in enumerate(qa):
+                mask = (cids > a_id) & (sims[i] >= 0.4)
+                out_a.extend([a_id] * int(mask.sum()))
+                out_b.extend(cids[mask])
+                out_c.extend(sims[i][mask])
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "c": out_c})
+
+    raw = emb.select("vec_id", "embedding").mapInPandas(
+        part, schema="a_id long, b_id long, c double"
+    )
+    return raw.select("a_id", "b_id", F.round("c", 6).alias("cos_sim"))
+
+
+_EN = ("the", "a", "and", "of", "to", "in", "is")
+_DE = ("der", "die", "das", "und", "ist", "mit", "ein")
+_ES = ("el", "la", "de", "que", "y", "los", "un")
+
+
+def _hits_duck(lex: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lex)
+    return f"len(list_filter(str_split(text, ' '), x -> x IN ({inlist})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_hits_duck(_EN)} AS en_hits,
+         {_hits_duck(_DE)} AS de_hits,
+         {_hits_duck(_ES)} AS es_hits
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(en_hits AS BIGINT) AS en_hits,
+       CAST(de_hits AS BIGINT) AS de_hits,
+       CAST(es_hits AS BIGINT) AS es_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+            WHEN es_hits > 0 THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM scores
+""",
+    doc="Language-ID heuristic: stopword-lexicon hit counts per language, argmax "
+    "with a fixed tie order (en > de > es > und). Pure codegen — a real n-gram "
+    "model swaps the lexicons for trigram tables, same plan shape.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def hits(lex):
+        return F.size(F.filter(words, lambda x: x.isin(*lex))).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        hits(_EN).alias("en_hits"),
+        hits(_DE).alias("de_hits"),
+        hits(_ES).alias("es_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("de_hits") >= F.col("es_hits")) & (F.col("de_hits") > 0), "de")
+        .when(F.col("es_hits") > 0, "es")
+        .otherwise("und")
+    )
+    return scored.withColumn("lang_pred", pred)
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       round((length(text) - len(str_split(text, ' ')) + 1.0)
+             / len(str_split(text, ' ')), 6) AS avg_word_len,
+       round(CAST(len(list_filter(str_split(text, ' '),
+             x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+             / len(str_split(text, ' ')), 6) AS stopword_ratio,
+       round(least(len(str_split(text, ' ')) / 100.0, 1.0) * 0.5
+             + least((length(text) - len(str_split(text, ' ')) + 1.0)
+                     / len(str_split(text, ' ')) / 8.0, 1.0) * 0.5, 6) AS quality
+FROM documents
+""",
+    doc="Text quality scoring (length / word-shape / stopword-ratio composite) — "
+    "the pretraining-corpus filter shape: one pass, all codegen, score is a "
+    "deterministic arithmetic blend.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    awl = (F.length("text") - n_words + 1.0) / n_words
+    stop_ratio = F.size(F.filter(words, lambda x: x.isin(*_EN))).cast("double") / n_words
+    quality = F.least(n_words / 100.0, F.lit(1.0)) * 0.5 + F.least(awl / 8.0, F.lit(1.0)) * 0.5
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+         AS bpe_ish_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(letter-runs | digit-runs | single punctuation) — the cheap pre-tokenize "
+    "estimator for corpus sizing.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 200) AS s FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+           i -> CAST(CAST(concat('0x', substr(md5(substr(s, CAST(i AS INTEGER), 8)), 1, 8))
+                AS UBIGINT) AS BIGINT)) AS h
+  FROM t
+), winnowed AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+             j -> list_min(list_slice(h, j, j + 3))))) AS fps
+  FROM grams
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       fps[1] AS min_fingerprint
+FROM winnowed
+""",
+    doc="Document fingerprinting via winnowing (Schleimer et al., SIGMOD 2003 "
+    "shape): rolling 8-gram hashes (md5-derived, cross-engine identical), min "
+    "per 4-window, distinct sorted fingerprint set. Bounded to the first 200 "
+    "chars per doc so the per-row cost is constant.",
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = F.substring("text", 1, 200)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - 7, F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(F.substring(s, i, F.lit(8))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    with_h = d.select("doc_id", grams.alias("h"))
+    winnow = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("h") - 3, F.lit(1))),
+                lambda j: F.array_min(F.slice("h", j, F.lit(4))),
+            )
+        )
+    )
+    out = with_h.select("doc_id", winnow.alias("fps"))
+    return out.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.element_at("fps", 1).alias("min_fingerprint"),
+    )

@@ -29,6 +29,8 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.scalars",
     "cobradb_spark.queries.streaming",
     "cobradb_spark.queries.llm",
+    "cobradb_spark.queries.textops",
+    "cobradb_spark.queries.multimodal",
     "cobradb_spark.queries.udfs",
 )
 
