@@ -1,0 +1,96 @@
+"""Composed ETL pipeline — the reference's model-load dataflow end-to-end.
+
+Reference lifecycle [P] (SURVEY §3.2, cobradb/model_loading.py::load_model):
+parse -> convert_ids (normalize) -> hash_reaction -> match-existing-by-hash
+-> get_or_create upsert -> ModelCount aggregate.  Row-at-a-time in the
+reference; one declarative multi-stage DataFrame program here, so the
+whole load is N shuffles total (hash, merge, count) instead of N round
+trips per entity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.operators.merge import insert_if_absent
+from cobradb_spark.registry import register
+
+
+@register(
+    "etl_model_load",
+    oracle="""
+WITH incoming AS (
+  -- "new model": orders in 1998+ with their lineitem stoichiometry
+  SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_orderpriority
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+), sig AS (
+  -- hash_reaction: sha256 over the sorted part:qty signature
+  SELECT l_orderkey,
+         lower(trim(min(o_orderpriority))) AS norm_priority,
+         sha256(string_agg(concat(l_partkey, ':', CAST(l_quantity AS BIGINT)), ','
+                ORDER BY concat(l_partkey, ':', CAST(l_quantity AS BIGINT)))) AS rhash,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM incoming GROUP BY l_orderkey
+), existing AS (
+  -- "already-loaded catalog": the distinct hashes of pre-1998 orders
+  SELECT DISTINCT sha256(string_agg(concat(l_partkey, ':', CAST(l_quantity AS BIGINT)), ','
+                  ORDER BY concat(l_partkey, ':', CAST(l_quantity AS BIGINT)))) AS rhash
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_orderkey
+), dedup AS (
+  -- match-existing-by-hash: only genuinely new reactions load
+  SELECT s.* FROM sig s WHERE NOT EXISTS
+    (SELECT 1 FROM existing e WHERE e.rhash = s.rhash)
+), canonical AS (
+  -- get_or_create within the batch: first orderkey per hash wins
+  SELECT rhash, min(l_orderkey) AS first_orderkey,
+         CAST(count(*) AS BIGINT) AS copies
+  FROM dedup GROUP BY rhash
+)
+-- ModelCount analog: per-priority load statistics
+SELECT d.norm_priority,
+       CAST(count(*) AS BIGINT) AS n_new_reactions,
+       CAST(sum(d.n_parts) AS BIGINT) AS n_matrix_rows
+FROM dedup d JOIN canonical c ON c.rhash = d.rhash AND c.first_orderkey = d.l_orderkey
+GROUP BY d.norm_priority
+""",
+    doc="Composed ETL: the reference's load_model dataflow (SURVEY §3.2 [P]) as one "
+    "DataFrame program — normalize (H1) -> reaction-hash (H4) -> anti-join dedup "
+    "vs the existing catalog (A6/C5) -> within-batch get_or_create -> count "
+    "rollup (D1/ModelCount). Set-at-a-time: 4 shuffles total for the whole load, "
+    "vs per-row ORM round trips.",
+)
+def etl_model_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pair = F.concat_ws(":", F.col("l_partkey"), F.col("l_quantity").cast("long"))
+    sig_of = lambda df: df.groupBy("l_orderkey").agg(  # noqa: E731
+        F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(pair))), 256).alias("rhash"),
+        F.count("*").alias("n_parts"),
+        F.lower(F.trim(F.min("o_orderpriority"))).alias("norm_priority"),
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_partkey", "l_quantity", "o_orderpriority", "o_orderdate"
+    )
+    incoming = sig_of(joined.filter(F.col("o_orderdate") >= "1998-01-01"))
+    existing = (
+        sig_of(joined.filter(F.col("o_orderdate") < "1998-01-01"))
+        .select("rhash")
+        .distinct()
+    )
+    # match-existing-by-hash (the reference's preloaded-dict lookup [P])
+    fresh = incoming.join(existing, on="rhash", how="left_anti")
+    canonical = fresh.groupBy("rhash").agg(F.min("l_orderkey").alias("first_orderkey"))
+    loaded = fresh.join(
+        canonical,
+        (fresh.rhash == canonical.rhash)
+        & (fresh.l_orderkey == canonical.first_orderkey),
+    )
+    return loaded.groupBy("norm_priority").agg(
+        F.count("*").alias("n_new_reactions"),
+        F.sum("n_parts").cast("long").alias("n_matrix_rows"),
+    )

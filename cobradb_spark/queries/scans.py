@@ -98,6 +98,38 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jsonl_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    doc="A4b JSON-lines source round-trip: events written as jsonl, read back with "
+    "an explicit schema (no inference scan). Covers the reference's JSON-blob "
+    "ingestion path [P: EscherMap] as a first-class source format.",
+)
+def scan_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_jsonl_")
+    path = os.path.join(tmp, "events_jsonl")
+    ev.write.mode("overwrite").json(path)
+    schema = "event_id long, user_id long, event_type string, value double"
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="A5b ORC sink/source round-trip — the second columnar format; same "
+    "pushdown/pruning properties as parquet.",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="cobradb_orc_")
+    path = os.path.join(tmp, "supplier_orc")
+    sup.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
     "merge_upsert",
     oracle="""
 WITH existing AS (

@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.textops",
     "cobradb_spark.queries.multimodal",
     "cobradb_spark.queries.udfs",
+    "cobradb_spark.queries.etl",
 )
 
 

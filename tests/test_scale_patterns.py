@@ -1,0 +1,70 @@
+"""Scale-pattern artifacts: salted joins, two-phase agg, bucketed joins.
+
+These verify the 100 TB mechanisms behave correctly and produce the
+plans they exist to produce (SURVEY §4.2-4.3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cobradb_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 1 hot key (90% of rows) + long tail
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], "k long, name string")
+    plain = {(r.k, r.v, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(fact, dim, "k", "k", salt=8).select(
+            fact.k, "v", "name"
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(1000)] + [(2, 5.0)] * 10, "k long, v double"
+    )
+    plain = {
+        (r.k, r.n, round(r.s, 6))
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    two = {
+        (r.k, r.n, round(r.s, 6))
+        for r in two_phase_agg(df, "k", {"n": "count:*", "s": "sum:v"}, salt=4).collect()
+    }
+    assert two == plain
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """bucketBy co-locates both sides: the join plan must contain no
+    Exchange — the at-scale answer to repeated joins on the same key."""
+    wh = tempfile.mkdtemp(prefix="cobradb_wh_")  # external table paths
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", os.path.join(wh, "b_orders")).saveAsTable("b_orders"))
+    (lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", os.path.join(wh, "b_lineitem")).saveAsTable("b_lineitem"))
+    joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    # disable auto-broadcast so the test exercises the SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
