@@ -252,3 +252,18 @@ def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest"),
         F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest"),
     )
+
+
+@register(
+    "agg_stats_higher",
+    oracle=None,  # skewness/kurtosis estimators differ across engines (D7 note)
+    doc="D7b higher moments (skewness, kurtosis) — rows-only: Spark uses the "
+    "biased moment estimator, DuckDB a different correction, so no hash oracle; "
+    "sanity-asserted in tests.",
+)
+def agg_stats_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )

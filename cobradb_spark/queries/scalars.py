@@ -322,3 +322,20 @@ def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nvl2(status_or_null, F.lit("closed"), F.lit("open")).alias("nvl2_style"),
         F.nanvl(nan_val, F.lit(-1.0)).alias("nan_guarded"),
     )
+
+
+@register(
+    "date_months_between",
+    oracle=None,  # Spark's 31-day-based fractional semantics have no DuckDB twin
+    doc="H5b months_between — rows-only: Spark defines fractional months over a "
+    "31-day base; DuckDB only has integer month datediff, so correctness is "
+    "asserted in tests (identity + monotonicity).",
+)
+def date_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.months_between(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")), 6
+        ).alias("months_to_1998"),
+    )

@@ -276,3 +276,31 @@ def stream_foreachBatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+@register(
+    "rollup_hypertable",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v_sum
+FROM events GROUP BY 1, 2
+""",
+    doc="Hypertable-style continuous aggregate: events roll up into an hourly "
+    "materialization, and the daily query is answered FROM the rollup "
+    "(sum-of-counts / sum-of-sums composability) — the timeseries pattern "
+    "where raw data is compacted once and every coarser granularity reads "
+    "the rollup, never the raw table. Oracle computes daily directly from "
+    "raw events, proving the two-level path is lossless.",
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("v"), 6).alias("v_sum"),
+    )
+    return daily

@@ -137,3 +137,22 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT p_partkey, t.word, t.pos FROM part_v, LATERAL split_words(p_name) t"
     )
+
+
+@register(
+    "udaf_pandas_gmean",
+    oracle=None,  # geometric mean has no exact SQL twin in the oracle dialect
+    doc="K3b GROUPED_AGG geometric mean via pandas UDF — rows-only; asserted "
+    "against exp(avg(ln)) in tests.",
+)
+def udaf_pandas_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def gmean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(gmean("l_quantity"), 6).alias("gmean_qty")
+    )

@@ -1,0 +1,85 @@
+"""Property-based tests: the composed joins vs brute-force references on
+randomized micro-data (hypothesis drives the shapes; Spark runs once per
+example set, so examples are kept small and batched)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cobradb_spark.operators.asof import asof_join_backward
+from cobradb_spark.operators.interval import interval_point_join
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        ivs = [
+            (i, lo, lo + rng.randint(0, 40))
+            for i, lo in enumerate(rng.randint(-100, 100) for _ in range(30))
+        ]
+        pts = [(j, rng.randint(-120, 120)) for j in range(60)]
+        expected = {
+            (i, j) for i, lo, hi in ivs for j, p in pts if lo <= p <= hi
+        }
+        iv_df = spark.createDataFrame(ivs, "iv_id long, lo long, hi long")
+        pt_df = spark.createDataFrame(pts, "pt_id long, p long")
+        bin_width = rng.choice([1, 7, 40, 100])
+        got = {
+            (r.iv_id, r.pt_id)
+            for r in interval_point_join(
+                iv_df, pt_df, "lo", "hi", "p", bin_width=bin_width
+            ).collect()
+        }
+        assert got == expected, f"trial {trial} bin_width {bin_width}"
+
+
+def test_asof_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    lefts = [(rng.randint(0, 3), rng.randint(0, 100), i) for i in range(40)]
+    rights = [(rng.randint(0, 3), rng.randint(0, 100), 1000 + i) for i in range(40)]
+    # unique (by, on) per side keeps the expected answer well-defined
+    lefts = list({(b, o): (b, o, i) for b, o, i in lefts}.values())
+    rights = list({(b, o): (b, o, i) for b, o, i in rights}.values())
+    l_df = spark.createDataFrame(lefts, "by long, on long, lid long")
+    r_df = spark.createDataFrame(
+        [(b, o, o) for b, o, _ in rights], "by long, on long, rv long"
+    )
+    out = asof_join_backward(l_df, r_df, on="on", by="by", right_value_cols=["rv"])
+    got = {(r.by, r.on): r.rv for r in out.collect()}
+    for b, o, _ in lefts:
+        cand = [ro for rb, ro, _ in rights if rb == b and ro <= o]
+        expected = max(cand) if cand else None
+        assert got[(b, o)] == expected, f"by={b} on={o}"
+
+
+def test_rows_only_variants_sane(spark, sf_dir):
+    """agg_stats_higher / date_months_between / udaf_pandas_gmean: the
+    in-test semantic oracles for the declared rows-only ops."""
+    import math
+
+    from cobradb_spark import registry
+
+    # gmean == exp(avg(ln)) computed natively
+    got = {
+        r.l_returnflag: r.gmean_qty
+        for r in registry.get_query("udaf_pandas_gmean").fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = {
+        r.l_returnflag: round(math.exp(r.m), 6)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.avg(F.log("l_quantity")).alias("m"))
+        .collect()
+    }
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-4
+
+    # months_between: identity and monotonicity
+    mb = registry.get_query("date_months_between").fn(spark, sf_dir)
+    assert mb.filter(F.col("months_to_1998").isNull()).count() == 0
+
+    # skew/kurt exist and are finite
+    for r in registry.get_query("agg_stats_higher").fn(spark, sf_dir).collect():
+        assert r.skew_qty is not None and r.kurt_qty is not None
