@@ -63,6 +63,13 @@ def get_spark(app_name: str = "cobradb_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Local-mode split granularity: test files are ~1-10 MB, so the
+        # 128m default scans each table in 1 task on a 32-core box.
+        # Measured at sf0.1: 2m -> 25-40% faster scans+aggs. On a real
+        # cluster with TB-scale files, leave the 128m default (this knob
+        # is intentionally NOT in RUNTIME_CONFS, which touch foreign
+        # sessions).
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MPB", "2m"))
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in RUNTIME_CONFS.items():
