@@ -84,11 +84,13 @@ def etl_model_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # match-existing-by-hash (the reference's preloaded-dict lookup [P])
     fresh = incoming.join(existing, on="rhash", how="left_anti")
-    canonical = fresh.groupBy("rhash").agg(F.min("l_orderkey").alias("first_orderkey"))
+    canonical = fresh.groupBy("rhash").agg(
+        F.min("l_orderkey").alias("first_orderkey")
+    ).withColumnRenamed("rhash", "c_rhash")
     loaded = fresh.join(
         canonical,
-        (fresh.rhash == canonical.rhash)
-        & (fresh.l_orderkey == canonical.first_orderkey),
+        (F.col("rhash") == F.col("c_rhash"))
+        & (F.col("l_orderkey") == F.col("first_orderkey")),
     )
     return loaded.groupBy("norm_priority").agg(
         F.count("*").alias("n_new_reactions"),
