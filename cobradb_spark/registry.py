@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.multimodal",
     "cobradb_spark.queries.udfs",
     "cobradb_spark.queries.etl",
+    "cobradb_spark.queries.reshape",
 )
 
 
