@@ -1,0 +1,319 @@
+"""Training-data prep operators: deterministic sampling/splits, table
+profiling, exact higher moments, dedup clustering (connected components).
+
+Reference grounding [P]: cobradb's loaders sample/QA incoming datasets
+before load (SURVEY §1.2 upsert audit); a 100 TB training pipeline adds
+deterministic splits (reproducible without storing membership),
+profiling (schema drift checks), and component-clustering of near-dup
+candidate pairs (the step after MinHash banding in queries/llm.py).
+
+Determinism across engines uses the md5-bucket trick (MEMORY:
+oracle-parity-pitfalls): Spark `conv(substring(md5(x),1,15),16,10)` ==
+DuckDB `CAST('0x'||substr(md5(x),1,15) AS UBIGINT)` — 60 bits, fits
+BIGINT.  This is also the RIGHT design at scale: a hash-derived sample
+is stable under reruns, partition-local (no shuffle, no RNG state), and
+pushes down as an ordinary filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+
+def _bucket(col_expr: str, seed: str) -> F.Column:
+    """Deterministic [0,100) bucket from md5 — Spark side."""
+    h = F.md5(F.concat(F.lit(seed), F.expr(col_expr).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 100
+
+
+def _bucket_sql(col_expr: str, seed: str) -> str:
+    """Same bucket — DuckDB side (UBIGINT parse of the same 15 hex chars)."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat('{seed}', "
+        f"CAST({col_expr} AS VARCHAR))), 1, 15)) AS UBIGINT) % 100 AS BIGINT)"
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE {_bucket_sql('o_orderkey', 's1')} < 10
+""",
+    doc="Deterministic ~10% sample: md5-bucket filter, no RNG. Scale: pure "
+    "narrow filter — partition-local, rerun-stable, pushes below joins; unlike "
+    "TABLESAMPLE the membership is reproducible from the key alone.",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(_bucket("o_orderkey", "s1") < 10).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE {_bucket_sql('o_orderkey', 's2')} <
+      CASE o_orderstatus WHEN 'F' THEN 5 WHEN 'O' THEN 20 ELSE 50 END
+""",
+    doc="Stratified sample (per-stratum fraction: F 5%, O 20%, P 50%) — the "
+    "downsample-majority-class primitive. Same md5 bucket, threshold varies by "
+    "stratum; still a narrow filter (sampleBy() without its RNG nondeterminism).",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    thresh = (
+        F.when(F.col("o_orderstatus") == "F", 5)
+        .when(F.col("o_orderstatus") == "O", 20)
+        .otherwise(50)
+    )
+    return o.filter(_bucket("o_orderkey", "s2") < thresh).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_bucket_sql('doc_id', 'split')} < 80 THEN 'train'
+            WHEN {_bucket_sql('doc_id', 'split')} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       n_chars
+FROM documents
+""",
+    doc="Reproducible 80/10/10 train/val/test assignment by key hash — no "
+    "stored membership table, no shuffle; any worker can recompute a row's "
+    "split locally, so the split survives repartitioning and reruns.",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket("doc_id", "split")
+    return d.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        "n_chars",
+    )
+
+
+@register(
+    "profile_table",
+    oracle="""
+SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT), CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT), CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       min(o_totalprice), max(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT), CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT), CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""",
+    doc="Column profiler (nulls / distincts / min / max per column) in ONE scan: "
+    "all per-column aggregates in a single agg, reshaped to rows with stack(). "
+    "The oracle unions five scans; at 100 TB the single-scan shape is the point "
+    "(multiple count-distincts share one Expand, not five table reads).",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = []
+    for c in num_cols:
+        stack_args.append(
+            f"'{c}', cnt_{c}, nd_{c}, CAST(min_{c} AS DOUBLE), CAST(max_{c} AS DOUBLE), "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        stack_args.append(
+            f"'{c}', cnt_{c}, nd_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"min_{c}, max_{c}"
+        )
+    stacked = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(stack_args)}, "
+            + ", ".join(stack_args)
+            + ") AS (col_name, cnt, n_distinct, min_num, max_num, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("cnt")).cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+WITH mu AS (
+  SELECT o_orderpriority, avg(o_totalprice) AS mu
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(avg(pow(o.o_totalprice - m.mu, 3))
+             / pow(avg(pow(o.o_totalprice - m.mu, 2)), 1.5), 6) AS skewness,
+       round(avg(pow(o.o_totalprice - m.mu, 4))
+             / pow(avg(pow(o.o_totalprice - m.mu, 2)), 2) - 3, 6) AS kurtosis
+FROM orders o JOIN mu m USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+    doc="Population skewness / excess kurtosis via explicit two-pass centered "
+    "moments (SURVEY §2 D7 — built-in skewness()/kurtosis() estimators differ "
+    "across engines, the moment formula doesn't). Pass 1 = tiny per-group mean "
+    "(broadcast back); pass 2 = centered powers. Numerically safer than the "
+    "one-pass raw-moment expansion (E[x^4] cancellation) at any scale.",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    mu = o.groupBy("o_orderpriority").agg(F.avg("o_totalprice").alias("mu"))
+    d = o.join(F.broadcast(mu), "o_orderpriority").withColumn(
+        "d", F.col("o_totalprice") - F.col("mu")
+    )
+    m2 = F.avg(F.pow("d", F.lit(2)))
+    return d.groupBy("o_orderpriority").agg(
+        F.round(F.avg(F.pow("d", F.lit(3))) / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(F.avg(F.pow("d", F.lit(4))) / F.pow(m2, F.lit(2)) - 3, 6).alias("kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a dedup candidate graph.
+# ---------------------------------------------------------------------------
+
+_CC_DOCS_SQL = """
+  SELECT doc_id, text FROM documents WHERE n_chars >= 80
+  UNION ALL
+  SELECT doc_id + 100000, text || ' v1' FROM documents WHERE n_chars >= 80
+  UNION ALL
+  SELECT doc_id + 200000, 'xx ' || text FROM documents WHERE n_chars >= 80
+  UNION ALL
+  SELECT doc_id + 300000, 'xx ' || (text || ' v1') FROM documents WHERE n_chars >= 80
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE docs AS ({_CC_DOCS_SQL}),
+ks AS (
+  SELECT doc_id, concat('P', substr(text, 1, 30)) AS k FROM docs
+  UNION ALL
+  SELECT doc_id, concat('S', right(text, 30)) AS k FROM docs
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM ks a JOIN ks b ON a.k = b.k AND a.doc_id <> b.doc_id
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component_id
+FROM reach GROUP BY src
+""",
+    doc="Connected components over a near-dup candidate graph — the step AFTER "
+    "MinHash/SimHash banding: candidate pairs (here: shared 30-char prefix or "
+    "suffix fingerprint, over documents plus two generations of mutated copies "
+    "so components have diameter 3) must be transitively merged before picking "
+    "one survivor per cluster. Spark side: hash-min label propagation to "
+    "fixpoint (each round: min label over neighbors, persist, converge check — "
+    "the Pregel/GraphX formulation; at 100 TB swap in large-star/small-star to "
+    "bound skew on giant components). Oracle: DuckDB recursive-CTE reachability.",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 80).select(
+        "doc_id", "text"
+    )
+    docs = (
+        base
+        .unionByName(base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                                 F.concat("text", F.lit(" v1")).alias("text")))
+        .unionByName(base.select((F.col("doc_id") + 200000).alias("doc_id"),
+                                 F.concat(F.lit("xx "), "text").alias("text")))
+        .unionByName(base.select((F.col("doc_id") + 300000).alias("doc_id"),
+                                 F.concat(F.lit("xx "), F.concat("text", F.lit(" v1"))).alias("text")))
+    )
+    ks = docs.select(
+        "doc_id", F.concat(F.lit("P"), F.substring("text", 1, 30)).alias("k")
+    ).unionByName(
+        docs.select("doc_id", F.concat(F.lit("S"), F.expr("right(text, 30)")).alias("k"))
+    )
+    edges = (
+        ks.alias("a")
+        .join(ks.alias("b"), "k")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    for _ in range(12):  # diameter bound; converges in ~3 rounds here
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        # One action per round: the changed flag rides along in the update
+        # DataFrame, so materializing the cache and testing convergence is
+        # a single job (no separate old-vs-new join).
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nmin", F.col("component_id"))
+                ).alias("component_id"),
+                (F.coalesce("nmin", F.col("component_id")) < F.col("component_id")).alias(
+                    "_changed"
+                ),
+            )
+            .persist()
+        )
+        changed = new.agg(F.max("_changed")).first()[0]
+        labels.unpersist()
+        labels = new
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "component_id")

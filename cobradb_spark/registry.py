@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.udfs",
     "cobradb_spark.queries.etl",
     "cobradb_spark.queries.reshape",
+    "cobradb_spark.queries.mlprep",
 )
 
 
