@@ -339,3 +339,32 @@ def date_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.months_between(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")), 6
         ).alias("months_to_1998"),
     )
+
+
+@register(
+    "date_month_diff_exact",
+    oracle="""
+SELECT o_orderkey,
+       (1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS month_diff,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT) AS day_diff,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+FROM orders
+""",
+    doc="H5 closure, exact half: calendar month delta as the explicit integer "
+    "formula (identical in every engine, unlike months_between's fractional "
+    "31-day base — that variant stays rows-only as date_months_between), plus "
+    "day datediff and month-end. All narrow expressions — codegen'd, no shuffle.",
+)
+def date_month_diff_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ref_year = F.lit(1998)
+    return o.select(
+        "o_orderkey",
+        ((ref_year - F.year("o_orderdate")) * 12 + (F.lit(1) - F.month("o_orderdate"))).alias(
+            "month_diff"
+        ),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).cast("long").alias(
+            "day_diff"
+        ),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )

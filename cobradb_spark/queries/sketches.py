@@ -1,0 +1,109 @@
+"""Sketch-based operators: mergeable HLL rollups and bloom-filter join
+pre-filtering.
+
+Reference grounding [P]: the reference's materialized summary tables
+(SURVEY §1.1 cluster 3) recompute distinct counts from base data on
+every refresh; DataSketches HLL makes the rollup re-aggregatable —
+partial sketches merge without rescanning facts, which is the only
+strategy that survives 100 TB incremental refresh.
+
+The bloom prefilter is the runtime-filter pattern Spark applies to
+shuffle joins internally (spark.sql.optimizer.runtime.bloomFilter.*),
+reconstructed here as an explicit operator: Spark 4.1 does not expose
+`bloom_filter_agg`/`might_contain` as public SQL functions, so the
+bitmap is built from the dim side's JVM-computed xxhash64 keys and
+probed in an Arrow-batched pandas UDF (vectorized numpy multiply-shift,
+never per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cobradb_spark.io import load_events, load_table
+from cobradb_spark.registry import register
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle=None,  # approximate by design; ±5% vs exact asserted in tests
+    doc="Mergeable distinct-count rollup: per-day DataSketches HLL sketches of "
+    "user_id, re-aggregated to weeks with hll_union_agg WITHOUT rescanning the "
+    "events — the incremental-refresh primitive (daily partial sketches merge "
+    "into any coarser grain). Rows-only: estimates are sketch-dependent; the "
+    "tolerance harness in tests/ compares against exact count(distinct).",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    per_day = ev.groupBy(F.date_trunc("day", "ts").alias("day_start")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        per_day.groupBy(F.date_trunc("week", "day_start").alias("week_start"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
+        .select("week_start", F.col("approx_users").cast("long").alias("approx_users"))
+    )
+
+
+_BLOOM_BITS = 1 << 17  # 16 KiB bitmap — broadcast-trivial
+_BLOOM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _bloom_positions(u: np.ndarray, salt: int) -> np.ndarray:
+    """Multiply-shift probe position from a 64-bit hash (vectorized)."""
+    return ((u * np.uint64(salt)) >> np.uint64(47)) % np.uint64(_BLOOM_BITS)
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderstatus
+""",
+    doc="Runtime bloom-filter join prefilter: the dim side (BUILDING customers) "
+    "builds a 16 KiB bloom bitmap from JVM xxhash64 keys; the fact side drops "
+    "non-matching rows BEFORE the join shuffle via a vectorized pandas-UDF "
+    "probe. False positives are removed by the exact join that follows, so the "
+    "result is identical to the plain join (the oracle). At 100 TB this is the "
+    "shape that cuts shuffle volume when the dim is semi-selective but too big "
+    "to broadcast whole.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+
+    # Build: distinct dim-key hashes -> driver (dim is broadcast-scale by
+    # assumption; the bitmap, not the keys, is what ships to executors).
+    hashed = c.select(F.xxhash64("c_custkey").alias("h")).distinct().collect()
+    u = np.array([r.h for r in hashed], dtype=np.int64).view(np.uint64)
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    for salt in _BLOOM_SALTS:
+        bits[_bloom_positions(u, salt)] = True
+    bc = spark.sparkContext.broadcast(np.packbits(bits))
+
+    @pandas_udf("boolean")
+    def bloom_maybe(h: pd.Series) -> pd.Series:
+        b = np.unpackbits(bc.value).view(bool)
+        uu = h.to_numpy(dtype=np.int64).view(np.uint64)
+        ok = np.ones(len(uu), dtype=bool)
+        for salt in _BLOOM_SALTS:
+            ok &= b[_bloom_positions(uu, salt)]
+        return pd.Series(ok)
+
+    pre = o.withColumn("_h", F.xxhash64("o_custkey")).filter(bloom_maybe("_h")).drop("_h")
+    joined = pre.join(c, pre.o_custkey == c.c_custkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

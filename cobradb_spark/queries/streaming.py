@@ -304,3 +304,54 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 6).alias("v_sum"),
     )
     return daily
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       round(p.value, 6) AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+    doc="I-ext stream-stream interval join: purchases within 30 minutes after a "
+    "view by the same user. Both sides carry watermarks so the join state is "
+    "bounded (views older than watermark - 30min are evicted); append mode "
+    "emits each match exactly once. Stream-batch parity oracle = the same "
+    "time-range join in batch SQL.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream_dir(sf_dir)
+    views = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return run_to_memory(
+        j.select("user_id", "view_id", "purchase_id", F.round("p_value", 6).alias("p_value")),
+        "append",
+    )

@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.etl",
     "cobradb_spark.queries.reshape",
     "cobradb_spark.queries.mlprep",
+    "cobradb_spark.queries.sketches",
 )
 
 

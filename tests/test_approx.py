@@ -51,3 +51,46 @@ def test_minhash_pairs_are_really_similar(spark, sf_dir):
         a, b = shingle(docs[r.doc_a]), shingle(docs[r.doc_b])
         true_dist = 1 - len(a & b) / len(a | b)
         assert true_dist <= r.jaccard_dist + 0.25
+
+
+def test_hll_sketch_merge_within_5pct(spark, sf_dir):
+    """Sketch-merge contract: weekly HLL union of daily sketches must track
+    the exact weekly count(distinct user_id) within 5%."""
+    from cobradb_spark.io import load_events
+
+    approx = {
+        r.week_start: r.approx_users
+        for r in registry.get_query("agg_hll_sketch_merge").fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.week_start: r.n
+        for r in load_events(spark, sf_dir)
+        .groupBy(F.date_trunc("week", "ts").alias("week_start"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= 0.05 * max(exact[wk], 1)
+
+
+def test_bloom_prefilter_passes_all_true_matches(spark, sf_dir):
+    """A bloom filter may let false positives through (the join removes
+    them) but must NEVER drop a true match — compare prefiltered join
+    cardinality against the plain join."""
+    got = {
+        (r.o_orderstatus, r.n_orders)
+        for r in registry.get_query("join_bloom_prefilter").fn(spark, sf_dir).collect()
+    }
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        (r.o_orderstatus, r.n)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
