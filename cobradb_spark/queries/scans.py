@@ -177,3 +177,28 @@ def scan_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln.l_partkey").alias("l_partkey"),
         F.col("ln.l_quantity").alias("l_quantity"),
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+""",
+    doc="A-ext custom Python DataSource (sources/pydocs.py): pluggable "
+    "connector with row-group split planning, pushFilters equality pushdown "
+    "(the lang = 'en' predicate runs inside the scan — PushedFilters visible "
+    "in the plan), and Arrow-batch transfer. Oracle = the same scan through "
+    "the native reader.",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.sources.pydocs import DocsParquetDataSource
+    from cobradb_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)  # filterPushdown conf on foreign sessions too
+    spark.dataSource.register(DocsParquetDataSource)
+    df = (
+        spark.read.format("cobradb_pydocs")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    return df.filter(F.col("lang") == "en").select("doc_id", "lang", "n_chars")

@@ -25,6 +25,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Allow custom Python DataSources (sources/pydocs.py) to absorb
+    # pushed filters; off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # The driver-generated events.parquet stores timestamp[ns]; Spark
     # rejects INT64 TIMESTAMP(NANOS) unless told to surface it as long.
     # io.load_events() then converts ns -> microsecond timestamp.

@@ -102,6 +102,61 @@ AUDITS = [
         ["CartesianProduct"],
         "two-level rollup keeps partial aggregation at both granularities",
     ),
+    (
+        "sample_hash_deterministic",
+        ["ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"],
+        ["Exchange"],
+        "deterministic sample is a pure narrow filter: zero shuffles, column "
+        "pruning intact (the md5 predicate is compute-only, so it filters "
+        "post-scan by design)",
+    ),
+    (
+        "split_train_test",
+        [],
+        ["Exchange"],
+        "split assignment is projection-only: zero shuffles at any scale",
+    ),
+    (
+        "reshape_unpivot",
+        ["Expand"],
+        ["Exchange"],
+        "unpivot lowers to Expand — row growth without any shuffle",
+    ),
+    (
+        "agg_pivot",
+        ["partial_sum"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "pivot with explicit values: one partial+final agg, no values-discovery "
+        "distinct scan",
+    ),
+    (
+        "agg_skew_kurt",
+        ["BroadcastHashJoin", "partial_avg"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "per-group means broadcast back for pass 2; both passes keep map-side "
+        "partial aggregation",
+    ),
+    (
+        "join_bloom_prefilter",
+        ["ArrowEvalPython"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "bloom probe is Arrow-vectorized and sits on the fact side before the "
+        "join, cutting rows entering the shuffle/build",
+    ),
+    (
+        "scan_python_datasource",
+        ["PushedFilters: [EqualTo(lang,en)]"],
+        ["Exchange"],
+        "the equality predicate is absorbed by the custom Python source "
+        "(pushFilters) and runs inside the scan",
+    ),
+    (
+        "agg_hll_sketch_merge",
+        ["hll_union_agg", "partial_hll_sketch_agg"],
+        ["CartesianProduct"],
+        "daily sketches build with partial aggregation; weekly rollup merges "
+        "sketches, never rescans events",
+    ),
 ]
 
 
