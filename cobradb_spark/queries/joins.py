@@ -285,3 +285,38 @@ def join_self_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.o_orderkey").alias("o_orderkey"),
         F.col("b.o_orderkey").alias("prev_orderkey"),
     )
+
+
+@register(
+    "hierarchy_recursive_cte",
+    oracle="""
+WITH RECURSIVE anc(custkey, depth) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, a.depth + 1
+  FROM customer c JOIN anc a ON c.c_custkey // 2 = a.custkey
+  WHERE c.c_custkey > 0
+)
+SELECT custkey, depth FROM anc
+""",
+    doc="C10-ext TRUE recursion (Spark 4 WITH RECURSIVE, vs the fixed-depth "
+    "self-join of join_self_hierarchy): every customer keyed into a binary-tree "
+    "parent relation (parent = custkey DIV 2), walked from the root to any "
+    "depth. Each recursive step is an equi-join on the parent key — "
+    "shuffle-partitioned, no nested loop — and the engine stops when a level "
+    "produces no rows (~log2(N) steps).",
+)
+def hierarchy_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+WITH RECURSIVE anc(custkey, depth) AS (
+  SELECT c_custkey, 0 FROM customer_rcte WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, a.depth + 1
+  FROM customer_rcte c JOIN anc a ON c.c_custkey DIV 2 = a.custkey
+  WHERE c.c_custkey > 0
+)
+SELECT custkey, CAST(depth AS INT) AS depth FROM anc
+"""
+    )

@@ -202,3 +202,29 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter(F.col("lang") == "en").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "scan_observed_metrics",
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="A-ext pipeline observability: df.observe() attaches named metrics "
+    "(row count, null count, value sum) that are computed DURING the normal "
+    "action — no second scan — and surface via QueryExecutionListener / "
+    "Observation. The returned result is the ordinary aggregate (oracle-exact); "
+    "tests/test_operators.py asserts the observed metrics match it.",
+)
+def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    observed = o.observe(
+        "orders_scan_metrics",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("o_totalprice").alias("price_sum"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys"),
+    )
+    return observed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )

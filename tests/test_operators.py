@@ -63,3 +63,32 @@ def test_broadcast_in_flagship_plan(spark, sf_dir):
 
     plan = join_topn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_observed_metrics_match_result(spark, sf_dir):
+    """df.observe computes pipeline metrics during the action, no second
+    scan — the observed row count / sum must equal the aggregate result."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    obs = Observation("orders_probe")
+    observed = o.observe(
+        obs, F.count(F.lit(1)).alias("rows_seen"), F.sum("o_totalprice").alias("price_sum")
+    )
+    agg = observed.agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s")).collect()[0]
+    assert obs.get["rows_seen"] == agg.n
+    assert abs(obs.get["price_sum"] - agg.s) < 1e-6
+
+
+def test_recursive_cte_depth_is_log2(spark, sf_dir):
+    """Binary-tree recursion sanity: depth of custkey k is floor(log2(k))+1."""
+    import math
+
+    from cobradb_spark import registry
+
+    rows = registry.get_query("hierarchy_recursive_cte").fn(spark, sf_dir).collect()
+    assert len(rows) == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    for r in rows:
+        want = 0 if r.custkey == 0 else int(math.log2(r.custkey)) + 1
+        assert r.depth == want, (r.custkey, r.depth, want)
