@@ -228,3 +228,34 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+""",
+    doc="A-ext custom Python DataSource WRITER (sources/pysink.py): JSONL sink "
+    "with the two-phase commit protocol — tasks write independent part files "
+    "and return commit messages; the driver publishes a _MANIFEST only when "
+    "all succeed, so committed data is never torn. Read-back goes through the "
+    "manifest; round-trip is oracle-exact.",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.sources.pysink import (
+        JsonlSinkDataSource,
+        read_manifested_jsonl,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_pyjsonl_")
+    path = os.path.join(tmp, "orders_jsonl")
+    sel.write.format("cobradb_pyjsonl").option("path", path).mode("append").save()
+    return read_manifested_jsonl(
+        spark, path, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )

@@ -355,3 +355,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("user_id", "view_id", "purchase_id", F.round("p_value", 6).alias("p_value")),
         "append",
     )
+
+
+@register(
+    "stream_python_source",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v_sum
+FROM events GROUP BY event_type
+""",
+    doc="I-ext custom Python STREAMING source (sources/pyevents_stream.py): "
+    "a SimpleDataSourceStreamReader replaying events in 2000-row micro-batches "
+    "with driver-tracked {row: n} offsets — the Kafka-shaped contract "
+    "(initialOffset / read / readBetweenOffsets) that gives exact failure "
+    "replay, vs the file-drop replay used by the other stream queries. "
+    "Stream-batch parity oracle over the full replay.",
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.session import apply_runtime_confs
+    from cobradb_spark.sources.pyevents_stream import EventsStreamDataSource
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(EventsStreamDataSource)
+    ev = (
+        spark.readStream.format("cobradb_pyevents")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", "2000")
+        .load()
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v_sum")
+    )
+    return run_to_memory(agg, "complete")
