@@ -317,3 +317,42 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("doc_id", "component_id")
+
+
+@register(
+    "etl_shard_balanced",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS tokens FROM documents
+), r AS (
+  SELECT doc_id, tokens,
+         row_number() OVER (ORDER BY tokens DESC, doc_id) AS rnk
+  FROM t
+)
+SELECT CAST((rnk - 1) % 8 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS sum_tokens
+FROM r GROUP BY 1
+""",
+    doc="Balanced training-shard packing: docs ranked by token count "
+    "descending, dealt round-robin into 8 shards (LPT-style — shard token "
+    "masses stay within one max-doc of each other). The rank comes from "
+    "operators/rank.py::global_rank — range-partition + offset-sum, NOT the "
+    "single-partition window a naive row_number() would plan, so the op "
+    "survives a 100 TB corpus. Output = per-shard doc count and token mass.",
+)
+def etl_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tokens")
+    )
+    ranked = global_rank(d, [F.col("tokens").desc(), F.col("doc_id")], rank_col="rnk")
+    return (
+        ranked.withColumn("shard_id", ((F.col("rnk") - 1) % 8).cast("long"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("sum_tokens"),
+        )
+    )

@@ -144,6 +144,14 @@ AUDITS = [
         "join, cutting rows entering the shuffle/build",
     ),
     (
+        "etl_shard_balanced",
+        ["Window"],
+        ["SinglePartition"],
+        "global rank via range-partition + offsets: the window is partitioned "
+        "by range-bucket id — a naive row_number() would plan Exchange "
+        "SinglePartition here",
+    ),
+    (
         "scan_python_datasource",
         ["PushedFilters: [EqualTo(lang,en)]"],
         ["Exchange"],
