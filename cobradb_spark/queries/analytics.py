@@ -1,0 +1,330 @@
+"""Event-analytics and pipeline-hygiene operators: gap sessionization,
+cohort retention, funnel conversion, daily-count anomaly z-scores,
+benchmark decontamination (n-gram overlap), and PII-style redaction.
+
+These mirror the reference's event-analytics surface (cobradb's
+sessionize / funnel / retention macros — reference/queries/analytics/*)
+re-expressed as single declarative Spark plans: sessionization is a
+lag + running-sum window (one shuffle on user_id, reused by every
+window in the chain); retention/funnel are two-phase aggregations that
+reduce events to one row per (user, period/stage) BEFORE the heavy
+join, so the shuffle carries users, not raw events.  Decontamination
+follows the inverted-index pattern from textops: cost scales with
+shared shingles, and the eval-side gram set is tiny => broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_MIN * 60}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_no
+""",
+    doc="Batch gap sessionization (30-min inactivity gap): lag to detect gaps, "
+    "running sum of new-session markers to number sessions, then per-session "
+    "rollup. One shuffle on user_id serves the lag window, the running-sum "
+    "window, AND the final groupBy (Spark reuses the hash partitioning) — at "
+    "100 TB the plan is a single exchange keyed by user. Window order carries "
+    "event_id as a unique tiebreaker.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    marked = e.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM firsts f JOIN active a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+    doc="Weekly cohort retention: cohort = week of first event, offset = weeks "
+    "since cohort, cell = distinct active users. Both inputs are reduced to "
+    "one row per (user, week) BEFORE the join, so the join shuffles |users x "
+    "weeks| rows, never raw events — the scale-critical move. cohort side is "
+    "one row per user => broadcast at any realistic user count.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    offset = (
+        (F.col("active_week").cast("long") - F.col("cohort_week").cast("long"))
+        / F.lit(86400 * 7)
+    ).cast("long")
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_no, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
+""",
+    doc="Ordered funnel view -> click -> purchase: each stage keeps users whose "
+    "earliest stage-k event strictly follows their stage-(k-1) time. Stages "
+    "reduce to one row per user before joining; per-user frontier tables are "
+    "tiny => broadcast joins against the (pre-filtered, pushed-down) event "
+    "scan. Filter on event_type reaches the parquet reader.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, no: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(no).cast("long").alias("stage_no"),
+            F.count("*").alias("users"),
+        )
+
+    return stage(v, "view", 1).unionAll(stage(c, "click", 2)).unionAll(
+        stage(p, "purchase", 3)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT *,
+         avg(n)         OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma,
+         count(*)       OVER w AS n_hist
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n, round((n - mu) / sigma, 6) AS zscore
+FROM stats
+WHERE n_hist >= 3 AND sigma > 0 AND abs((n - mu) / sigma) > 1.5
+""",
+    doc="Daily-count anomaly detection: per event_type, z-score of each day's "
+    "count against the trailing 7-day window (excluding the current day); "
+    "flag |z| > 1.5. The window runs over the already-aggregated daily table "
+    "(types x days rows), so the expensive scan reduces map-side first — the "
+    "window stage is negligible at any scale. Requires >= 3 history days and "
+    "nonzero variance so both engines agree on definedness.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter((F.col("n_hist") >= 3) & (F.col("sigma") > 0) & (F.abs(z) > 1.5))
+        .select("event_type", "day", "n", F.round(z, 6).alias("zscore"))
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                  i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
+                              ' ', str_split(text, ' ')[i + 2]))) AS g
+  FROM documents WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
+                            ' ', str_split(text, ' ')[i + 2]))) AS g
+  FROM documents WHERE doc_id % 50 <> 0
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id
+)
+SELECT s.doc_id, s.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams, 6) AS overlap
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams >= 0.2
+""",
+    doc="Benchmark decontamination: docs with doc_id % 50 = 0 stand in for the "
+    "eval set; every training doc is scored by the fraction of its distinct "
+    "word-trigrams that appear anywhere in the eval gram set, and docs at "
+    ">= 20% overlap are flagged for removal. The eval gram set is tiny "
+    "relative to the corpus => broadcast semi-style join; training grams "
+    "never shuffle. This is the standard n-gram decontamination pass an LLM "
+    "data pipeline runs before training.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("g"))
+    ev = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    tr = grams.filter(F.col("doc_id") % 50 != 0)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    overlap = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .filter(overlap >= 0.2)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(overlap, 6).alias("overlap"),
+        )
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+WITH red AS (
+  SELECT event_id, event_type, props,
+         regexp_replace(regexp_replace(props,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS redacted
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE redacted <> props) AS BIGINT) AS n_redacted,
+       CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT)
+         AS digit_chars
+FROM red GROUP BY event_type
+""",
+    doc="PII-style redaction pass over raw event payloads: emails then digit "
+    "runs are masked with regexp_replace (pure codegen'd JVM expressions — no "
+    "UDF), and the rollup reports per-type redaction counts and total digit "
+    "chars removed. At 100 TB this is a map-only stage fused into the scan "
+    "followed by a 5-group aggregate; DuckDB needs the 'g' flag to match "
+    "Spark's replace-all semantics.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("props"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"[0-9]+",
+        "<NUM>",
+    )
+    digit_chars = F.length("props") - F.length(
+        F.regexp_replace(F.col("props"), r"[0-9]", "")
+    )
+    return (
+        e.select("event_type", redacted.alias("redacted"), F.col("props"), digit_chars.alias("dc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("redacted") != F.col("props"), 1).otherwise(0)).alias(
+                "n_redacted"
+            ),
+            F.sum("dc").alias("digit_chars"),
+        )
+    )

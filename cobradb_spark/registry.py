@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.reshape",
     "cobradb_spark.queries.mlprep",
     "cobradb_spark.queries.sketches",
+    "cobradb_spark.queries.analytics",
 )
 
 

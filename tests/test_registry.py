@@ -13,7 +13,9 @@ ALLOWED_TABLES = {
 
 # FROM/JOIN targets in oracle SQL that are not CTE names must be testdata views
 _FROM_RE = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
-_CTE_RE = re.compile(r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(", re.IGNORECASE)
+_CTE_RE = re.compile(
+    r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([a-zA-Z0-9_,\s]*\))?\s+AS\s*\(", re.IGNORECASE
+)
 
 
 def test_registry_nonempty_and_unique():

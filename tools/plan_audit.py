@@ -165,6 +165,35 @@ AUDITS = [
         "daily sketches build with partial aggregation; weekly rollup merges "
         "sketches, never rescans events",
     ),
+    (
+        "sessionize_events",
+        ["hashpartitioning(user_id", "partial_min", "EXCHANGES<=1"],
+        [],
+        "ONE shuffle on user_id serves the lag window, the running-sum window, "
+        "and the session rollup (partitioning reused; agg keys are a superset "
+        "of the window key)",
+    ),
+    (
+        "funnel_conversion",
+        ["EqualTo(event_type,view)", "EqualTo(event_type,purchase)", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "stage filters reach the parquet reader; per-user frontier tables "
+        "broadcast — events never shuffle",
+    ),
+    (
+        "decontam_ngram_overlap",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "the eval gram set broadcasts; training grams never shuffle for the "
+        "containment probe",
+    ),
+    (
+        "text_pii_redact",
+        ["regexp_replace", "partial_sum"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+        "redaction is pure JVM codegen (no Python round-trip) fused into the "
+        "scan, then a 5-group partial+final aggregate",
+    ),
 ]
 
 
@@ -179,6 +208,17 @@ def main() -> int:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         for frag in must:
+            if frag.startswith("EXCHANGES<="):
+                # count Exchange operators in the numbered detail section, not
+                # the tree rendering (each op appears once as "(N) Exchange")
+                n = sum(
+                    1
+                    for l in plan.splitlines()
+                    if l.strip().endswith("Exchange") and l.strip().startswith("(")
+                )
+                if n > int(frag.split("<=")[1]):
+                    failures.append(f"{name}: {n} exchanges, wanted {frag}")
+                continue
             if frag not in plan:
                 failures.append(f"{name}: expected {frag!r} in plan")
         for frag in must_not:
