@@ -244,3 +244,70 @@ def embed_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2, 6).alias("l2"),
         F.round(F.element_at("embedding", 1).cast("double") / l2, 6).alias("first_unit"),
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT e.vec_id, s.scale,
+         list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / s.scale * 127 + 0.5) AS BIGINT)) AS qvec
+  FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+)
+SELECT q.vec_id AS id, round(q.scale, 6) AS scale, q.qvec,
+       round(list_sum(list_transform(
+               list_zip(e.embedding, q.qvec),
+               p -> pow(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * q.scale / 127, 2)))
+             / len(q.qvec) * 1e9, 3) AS mse_e9
+FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+""",
+    doc="Symmetric int8 quantization of the embedding column: per-vector "
+    "max-abs scale, q = floor(v/scale*127 + 0.5) (floor(x+.5), NOT round — "
+    "HALF_UP vs banker's rounding diverges on exact .5 ties across engines), "
+    "plus reconstruction MSE. All codegen'd array HOFs (transform/aggregate) "
+    "— zero Python. This is the storage-shrink pass before ANN index build: "
+    "4x smaller vectors, error surfaced per vector so a pipeline can gate "
+    "on quality. qvec hashes exactly (integers); mse reported in nano-units "
+    "(x1e9) rounded at 3 decimals so cross-engine float jitter (~1e-15 abs) "
+    "sits 9 orders below the rounding step; the unique integer id sorts "
+    "first so row order never depends on a float.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x))))
+    # the raw scale column must NOT share a name with the rounded output
+    # column: Spark's lateral-column-alias resolution lets the rounded alias
+    # shadow the input inside the HOF lambda, silently degrading the error
+    # term (caught by the oracle: mse off at 3e-5 relative).
+    q = e.select(
+        "vec_id",
+        "embedding",
+        scale.alias("scale_raw"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "scale_raw",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(dbl(x) / F.col("scale_raw") * 127 + 0.5).cast("long"),
+        ).alias("qvec"),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "embedding", "qvec", lambda v, qq: F.pow(dbl(v) - qq * F.col("scale_raw") / 127, 2)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return q.select(
+        F.col("vec_id").alias("id"),
+        F.round("scale_raw", 6).alias("scale"),
+        "qvec",
+        F.round(err / F.size("qvec") * 1e9, 3).alias("mse_e9"),
+    )

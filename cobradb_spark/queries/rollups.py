@@ -1,0 +1,188 @@
+"""Mergeable-state rollups: OHLC time-series downsampling, histogram
+quantile sketches, and incremental (base + delta) aggregation.
+
+The shared scale pattern (reference: cobradb's hypertable continuous
+aggregates, reference/storage/rollup/*): reduce raw events to a small
+per-bucket state that MERGES — so coarser windows, late backfills, and
+incremental refreshes combine existing state instead of rescanning the
+fact table.  min/max/sum/count merge trivially; quantiles need a sketch
+(fixed-bin histogram here — deterministic, so the oracle reproduces it
+bit-for-bit, unlike t-digest); first/last (OHLC open/close) merge by
+carrying the boundary timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+# value is bounded [0, 500) in the fixture; constants are part of the
+# sketch spec (like HLL's register count), NOT data-derived.
+_BIN_W = 5
+_N_BINS = 100
+
+
+@register(
+    "rollup_ohlc",
+    oracle="""
+WITH o AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, hour,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM o GROUP BY event_type, hour
+""",
+    doc="OHLC downsample to hourly bars per event_type: open/close via "
+    "row_number from either end (event_id tiebreak), high/low/count as plain "
+    "aggregates. One shuffle on (type, hour) serves both window directions "
+    "and the rollup. At 100 TB this is the continuous-aggregate build; bars "
+    "re-merge to coarser frames (daily from hourly) without touching ticks.",
+)
+def rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "ts", "event_id", "value"
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = e.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return o.groupBy("event_type", "hour").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
+@register(
+    "agg_histogram_quantile_merge",
+    oracle=f"""
+WITH daily AS (
+  -- the persisted per-day sketch: counts per fixed value bin
+  SELECT date_trunc('day', ts) AS day,
+         CAST(least(floor(value / {_BIN_W}), {_N_BINS - 1}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), weekly AS (
+  -- rollup = merge sketches: vector-sum the bins, never rescan events
+  SELECT date_trunc('week', day) AS week, bin, CAST(sum(n) AS BIGINT) AS n
+  FROM daily GROUP BY 1, 2
+), cum AS (
+  SELECT week, bin, n,
+         sum(n) OVER (PARTITION BY week ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+         sum(n) OVER (PARTITION BY week) AS total
+  FROM weekly
+)
+SELECT week, CAST(max(total) AS BIGINT) AS total,
+       CAST(min(CASE WHEN c >= ceil(0.50 * total) THEN bin * {_BIN_W} END) AS BIGINT) AS p50_lo,
+       CAST(min(CASE WHEN c >= ceil(0.95 * total) THEN bin * {_BIN_W} END) AS BIGINT) AS p95_lo,
+       CAST(min(CASE WHEN c >= ceil(0.99 * total) THEN bin * {_BIN_W} END) AS BIGINT) AS p99_lo
+FROM cum GROUP BY week
+""",
+    doc="Mergeable quantile sketch: per-day fixed-bin histograms (bin width "
+    f"{_BIN_W}, {_N_BINS} bins — spec constants, not data-derived) vector-sum "
+    "into weekly sketches, then p50/p95/p99 read off the cumulative counts "
+    "(lower bin edge). Unlike percentile_approx, the state is deterministic "
+    "and mergeable, so weekly quantiles come from daily state with NO event "
+    "rescan — the continuous-aggregate pattern for percentile dashboards. "
+    "Error is bounded by bin width; both engines compute it bit-identically.",
+)
+def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").alias("week"), "bin"
+    ).agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("week").orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = weekly.select(
+        "week",
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("c"),
+        F.sum("n").over(Window.partitionBy("week")).alias("total"),
+    )
+
+    def q_lo(p: float):
+        hit = F.when(F.col("c") >= F.ceil(p * F.col("total")), F.col("bin") * _BIN_W)
+        return F.min(hit).cast("long")
+
+    return cum.groupBy("week").agg(
+        F.max("total").cast("long").alias("total"),
+        q_lo(0.50).alias("p50_lo"),
+        q_lo(0.95).alias("p95_lo"),
+        q_lo(0.99).alias("p99_lo"),
+    )
+
+
+@register(
+    "etl_incremental_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(sum(value) / count(*), 6) AS avg_v
+FROM events GROUP BY event_type
+""",
+    doc="Incremental aggregation refresh: the Spark side aggregates the "
+    "'already materialized' base (days before 2024-01-21) and the 'new' delta "
+    "separately, then MERGES the two states (sum+sum, count+count, min/min, "
+    "max/max; avg derived at read time from merged sums — never averaged "
+    "averages). The oracle recomputes from scratch; equality proves the "
+    "incremental path is lossless, so a 100 TB daily refresh touches one "
+    "day of data, not the full history.",
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp_ntz")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    base = state(e.filter(F.col("ts") < cutoff))
+    delta = state(e.filter(F.col("ts") >= cutoff))
+    merged = base.unionAll(delta).groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("total", 6).alias("total"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round(F.col("total") / F.col("n"), 6).alias("avg_v"),
+    )

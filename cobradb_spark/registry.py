@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.mlprep",
     "cobradb_spark.queries.sketches",
     "cobradb_spark.queries.analytics",
+    "cobradb_spark.queries.rollups",
 )
 
 

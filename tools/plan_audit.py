@@ -188,6 +188,27 @@ AUDITS = [
         "containment probe",
     ),
     (
+        "rollup_ohlc",
+        ["hashpartitioning(event_type", "EXCHANGES<=1", "partial_count"],
+        ["CartesianProduct"],
+        "ONE shuffle on (event_type, hour) serves both window directions "
+        "(open/close row_numbers) and the bar rollup",
+    ),
+    (
+        "embed_quantize_int8",
+        ["EXCHANGES<=0"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        "quantization is a shuffle-free map-only pipeline of array HOFs — "
+        "the self-joins in the SQL formulation collapse into one projection",
+    ),
+    (
+        "agg_histogram_quantile_merge",
+        ["partial_sum"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+        "histogram state builds with map-side combine; the weekly merge and "
+        "quantile read-off run on bins x weeks rows, never raw events",
+    ),
+    (
         "text_pii_redact",
         ["regexp_replace", "partial_sum"],
         ["BatchEvalPython", "ArrowEvalPython"],
