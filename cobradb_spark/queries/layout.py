@@ -1,0 +1,146 @@
+"""Data-layout planning operators: Z-order clustering and range
+partition planning.
+
+At 100 TB the dominant cost is usually the scan, and the scan is only
+cheap if file-level zone maps (min/max per column chunk) let the engine
+skip data.  These operators compute the layout: a Morton (Z-order)
+key that co-clusters two dimensions so BOTH benefit from skipping, and
+an ntile-based range plan that yields equal-height partition boundaries
+for sorted writes.  Reference: cobradb's clustering maintenance jobs
+(reference/storage/layout/*); the lakehouse analogue is Delta/Iceberg
+OPTIMIZE ZORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.operators.rank import global_rank
+from cobradb_spark.registry import register
+
+_BITS = 16
+_ROWS_PER_FILE = 1000
+
+
+def _z_spark(x, y):
+    """Interleave the low 16 bits of x (even positions) and y (odd)."""
+    z = F.lit(0).cast("long")
+    for b in range(_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def _z_duck(x: str, y: str) -> str:
+    terms = []
+    for b in range(_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "etl_zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+  SELECT event_id, user_id,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS d,
+         {_z_duck("user_id", "CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT)")} AS z
+  FROM events
+), filed AS (
+  SELECT *, CAST((row_number() OVER (ORDER BY z, event_id) - 1) // {_ROWS_PER_FILE} AS BIGINT) AS file_id
+  FROM keyed
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       min(d) AS d_min, max(d) AS d_max
+FROM filed GROUP BY file_id
+""",
+    doc="Z-order layout job: Morton-interleave (user_id, day) into a 32-bit "
+    "z-key, sort, cut into fixed-size files, and report each file's zone map "
+    "(min/max of BOTH dimensions). Tight spans on both axes are exactly what "
+    "lets a 100 TB scan skip files for either a user- or a time-predicate — "
+    "one clustered layout serves two query families. The global row_number "
+    "uses operators/rank.py global_rank (repartitionByRange + offset "
+    "prefix-sum) — NO single-partition window, so the sort scales out "
+    "exactly like the production write path (repartitionByRange(z) + "
+    "per-task file cuts).",
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        (
+            F.date_trunc("day", "ts").cast("timestamp").cast("long")
+            - F.lit("2024-01-01").cast("timestamp").cast("long")
+        )
+        / 86400
+    ).cast("long")
+    keyed = e.select(
+        "event_id",
+        "user_id",
+        d.alias("d"),
+        _z_spark(F.col("user_id"), d).alias("z"),
+    )
+    ranked = global_rank(keyed, [F.col("z"), F.col("event_id")], rank_col="rn")
+    filed = ranked.withColumn(
+        "file_id", ((F.col("rn") - 1) / _ROWS_PER_FILE).cast("long")
+    )
+    return filed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+
+
+@register(
+    "etl_range_partition_plan",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice, o_orderkey,
+         ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 6) AS lo, round(max(o_totalprice), 6) AS hi
+FROM t GROUP BY bucket
+""",
+    doc="Range partition plan: equal-height boundaries for o_totalprice via "
+    "ntile(16) (unique o_orderkey tiebreak so both engines split ties "
+    "identically). The [lo, hi] per bucket is the boundary list a sorted "
+    "writer (repartitionByRange + sortWithinPartitions) uses so row groups "
+    "are disjoint and every range predicate prunes to ~1/16 of the files. "
+    "Production derives the same plan from a sample; the fixture computes "
+    "it exactly to keep the oracle bit-stable. ntile is DERIVED from the "
+    "distributed global rank (operators/rank.py) and the total count — "
+    "first N%16 buckets get the extra row, matching SQL ntile exactly — "
+    "so no single-partition window anywhere in the plan.",
+)
+def etl_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_rank(o, [F.col("o_totalprice"), F.col("o_orderkey")], rank_col="rn")
+    total = ranked.agg(F.count("*").alias("n_total"))
+    t = ranked.crossJoin(F.broadcast(total))
+    # SQL ntile(k): first rem = N%k buckets hold q+1 rows (q = N//k)
+    q = F.floor(F.col("n_total") / 16)
+    rem = F.col("n_total") % 16
+    big = rem * (q + 1)  # rows covered by the first rem (larger) buckets
+    r0 = F.col("rn") - 1
+    bucket = F.when(F.col("rn") <= big, F.floor(r0 / (q + 1)) + 1).otherwise(
+        rem + F.floor((r0 - big) / q) + 1
+    )
+    return (
+        t.select("o_totalprice", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )

@@ -356,3 +356,40 @@ def etl_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokens").cast("long").alias("sum_tokens"),
         )
     )
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, n_chars, lang,
+         CAST(CAST(concat('0x', substr(md5(concat('w1', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS UBIGINT) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, n_chars, lang,
+       round(least(CAST(n_chars AS DOUBLE) / 400, 1.0), 6) AS p
+FROM u
+WHERE CAST(h AS DOUBLE) / 1152921504606846976 < least(CAST(n_chars AS DOUBLE) / 400, 1.0)
+""",
+    doc="Quality-weighted Bernoulli sampling: keep each document with "
+    "probability p = min(n_chars/400, 1) — longer (proxy: higher-value) docs "
+    "upsampled — decided by comparing a 60-bit md5 uniform draw against p. "
+    "Same determinism story as sample_hash_deterministic: no RNG state, "
+    "rerun-stable membership, pure narrow filter that pushes below any "
+    "downstream join; this is how a 100 TB pipeline mixes sources at "
+    "configured rates without a shuffle or a stored membership table.",
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w1"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    p = F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0))
+    return (
+        d.withColumn("u", h.cast("double") / F.lit(float(1 << 60)))
+        .filter(F.col("u") < p)
+        .select("doc_id", "n_chars", "lang", F.round(p, 6).alias("p"))
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.sketches",
     "cobradb_spark.queries.analytics",
     "cobradb_spark.queries.rollups",
+    "cobradb_spark.queries.layout",
 )
 
 

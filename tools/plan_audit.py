@@ -209,6 +209,28 @@ AUDITS = [
         "quantile read-off run on bins x weeks rows, never raw events",
     ),
     (
+        "etl_zorder_layout",
+        ["partial_min"],
+        ["SinglePartition", "CartesianProduct"],
+        "z-order ranking via repartitionByRange + offset prefix-sum — the "
+        "plan never collapses to a single-partition window",
+    ),
+    (
+        "etl_range_partition_plan",
+        ["rangepartitioning", "BroadcastNestedLoopJoin"],
+        [],
+        "ntile derived from the distributed rank over rangepartitioning; the "
+        "only SinglePartition exchange is the 1-row total-count aggregate "
+        "(broadcast back via BNLJ), never the data path",
+    ),
+    (
+        "sample_weighted_bernoulli",
+        ["EXCHANGES<=0"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+        "weighted sampling is a pure narrow filter — no shuffle, no RNG "
+        "state, no Python",
+    ),
+    (
         "text_pii_redact",
         ["regexp_replace", "partial_sum"],
         ["BatchEvalPython", "ArrowEvalPython"],
