@@ -320,3 +320,38 @@ WITH RECURSIVE anc(custkey, depth) AS (
 SELECT custkey, CAST(depth AS INT) AS depth FROM anc
 """
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 6) AS total
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+""",
+    doc="C-ext correlated top-k via Spark 4 DataFrame.lateralJoin: for each "
+    "customer, the 3 highest-value orders (fully tiebroken). Catalyst "
+    "rewrites the correlated limit into a ranked window over the equi-join "
+    "key — same shuffle shape as win_rank_topk_pergroup, but expressed as "
+    "the per-row subquery a reference user would write; proves the rewrite "
+    "never degenerates into a per-customer nested loop.",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").alias("c")
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.where(F.col("o_custkey") == F.col("c.c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(3)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top).select(
+        "c_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("total"),
+    )

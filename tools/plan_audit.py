@@ -209,6 +209,14 @@ AUDITS = [
         "quantile read-off run on bins x weeks rows, never raw events",
     ),
     (
+        "join_lateral_topk",
+        ["WindowGroupLimit", "BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the correlated LIMIT rewrites to a ranked window with partial "
+        "WindowGroupLimit pruning BEFORE the shuffle — never a per-row "
+        "nested loop",
+    ),
+    (
         "etl_zorder_layout",
         ["partial_min"],
         ["SinglePartition", "CartesianProduct"],
