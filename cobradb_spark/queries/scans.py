@@ -259,3 +259,29 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_manifested_jsonl(
         spark, path, "o_orderkey long, o_orderstatus string, o_totalprice double"
     )
+
+
+@register(
+    "scan_partition_pruning",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS qty
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+    doc="A5c partition pruning end-to-end: lineitem written partitionBy("
+    "l_returnflag), read back with an equality predicate on the partition "
+    "column. The filter must resolve at PLANNING time from directory names "
+    "(PartitionFilters in the scan, audited) — zero bytes of the other "
+    "partitions are read. This is THE mechanism that turns a 100 TB "
+    "dataset into a 30 TB scan for flag-scoped queries.",
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_prune_")
+    path = os.path.join(tmp, "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
+    )

@@ -209,6 +209,14 @@ AUDITS = [
         "quantile read-off run on bins x weeks rows, never raw events",
     ),
     (
+        "scan_partition_pruning",
+        ["PartitionFilters: [isnotnull(l_returnflag", " = R)]"],
+        ["PushedFilters: [IsNotNull(l_returnflag)"],
+        "the partition-column predicate resolves at planning time from "
+        "directory names — it must appear as a PartitionFilter, not reach "
+        "the row-level parquet reader at all",
+    ),
+    (
         "join_lateral_topk",
         ["WindowGroupLimit", "BroadcastHashJoin"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
