@@ -96,3 +96,58 @@ def etl_model_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_new_reactions"),
         F.sum("n_parts").cast("long").alias("n_matrix_rows"),
     )
+
+
+@register(
+    "etl_llm_corpus_pipeline",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, lang, n_chars,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 2000
+        AND len(str_split(text, ' ')) >= 20
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       CAST(CAST(concat('0x', substr(md5(concat('shard', CAST(doc_id AS VARCHAR))), 1, 15))
+            AS UBIGINT) % 4 AS BIGINT) AS shard
+FROM ranked WHERE rn = 1
+""",
+    doc="Composed LLM-corpus build — the end-to-end hygiene pass a training "
+    "pipeline runs per snapshot: (1) language gate + length/token quality "
+    "gates (all narrow filters, lang pushed to the scan), (2) exact dedup "
+    "keeping the lowest doc_id per md5(text) signature via ONE shuffle "
+    "(window on the signature — no groupBy+join-back), (3) deterministic "
+    "md5 shard assignment, rerun-stable with no RNG. Composes the A/B "
+    "filter, H hash, E window, and mlprep sampling primitives in a single "
+    "declarative plan; at 100 TB every stage is map-side except the one "
+    "signature shuffle. Downstream: etl_shard_balanced packs the survivors "
+    "into token-balanced shards.",
+)
+def etl_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    base = (
+        d.filter(F.col("lang") == "en")
+        .filter(F.col("n_chars").between(100, 2000))
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens") >= 20)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    return canon.select("doc_id", "n_tokens", shard.alias("shard"))

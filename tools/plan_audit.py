@@ -209,6 +209,14 @@ AUDITS = [
         "quantile read-off run on bins x weeks rows, never raw events",
     ),
     (
+        "etl_llm_corpus_pipeline",
+        ["EqualTo(lang,en)", "GreaterThanOrEqual(n_chars,100)", "EXCHANGES<=1"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        "corpus hygiene pass: language + length gates reach the parquet "
+        "reader; exact dedup is the single shuffle (window on md5 "
+        "signature); shard assignment is map-side — ONE exchange total",
+    ),
+    (
         "scan_partition_pruning",
         ["PartitionFilters: [isnotnull(l_returnflag", " = R)]"],
         ["PushedFilters: [IsNotNull(l_returnflag)"],
