@@ -267,3 +267,31 @@ def agg_stats_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 900) AS all_over_900,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       arg_max(o_custkey, o_orderkey) AS cust_of_latest,
+       arg_min(o_custkey, o_orderkey) AS cust_of_earliest
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="D-ext conditional/selection aggregates: count_if, bool_and/bool_or, "
+    "and max_by/min_by (arg_max/arg_min) keyed by the UNIQUE o_orderkey so "
+    "both engines select the same row (arg extremes on non-unique keys are "
+    "tie-broken differently across engines — never oracle those). All are "
+    "single-pass partial+final aggregates.",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.max_by("o_custkey", "o_orderkey").alias("cust_of_latest"),
+        F.min_by("o_custkey", "o_orderkey").alias("cust_of_earliest"),
+    )

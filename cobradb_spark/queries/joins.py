@@ -355,3 +355,53 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round("o_totalprice", 6).alias("total"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey % 50 END AS k,
+         o_totalprice
+  FROM orders
+), r AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 50 END AS k,
+         c_acctbal
+  FROM customer
+)
+SELECT l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(l.o_totalprice AS DECIMAL(18,2)) + CAST(r.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS combined
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.k
+""",
+    doc="C-ext null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing. Spark plans EqualNullSafe as an "
+    "ordinary hash-join key (null bucket included), so the join stays a "
+    "shuffled/broadcast HASH join — asserting the semantics don't force a "
+    "nested loop. The aggregate keeps the (quadratic-in-null-count) pair "
+    "blowup summarized per key.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_orderkey") % 50)
+        .alias("k"),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("lk"),
+        "c_acctbal",
+    )
+    j = o.join(c, o["k"].eqNullSafe(c["lk"]))
+    return j.groupBy("k").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                + F.col("c_acctbal").cast("decimal(18,2)")
+            ).cast("double"),
+            6,
+        ).alias("combined"),
+    )

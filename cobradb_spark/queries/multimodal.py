@@ -46,3 +46,50 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.element_at("feat", i + 1), 6).alias(f"feat_{i}") for i in range(4)],
     )
     return out
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_no
+  FROM documents
+), sampled AS (
+  SELECT d.doc_id, f.frame_no,
+         substr(d.text, CAST(f.frame_no * 64 + 1 AS BIGINT), 64) AS frame
+  FROM frames f JOIN documents d ON d.doc_id = f.doc_id
+  WHERE f.frame_no % 4 = 0
+)
+SELECT doc_id, frame_no,
+       CAST(length(frame) AS BIGINT) AS frame_bytes,
+       CAST(CAST(concat('0x', substr(md5(frame), 1, 15)) AS UBIGINT) AS BIGINT) AS frame_sig
+FROM sampled
+""",
+    doc="Multimodal frame sampling: the payload is treated as fixed-size "
+    "64-byte frames; every 4th frame is extracted (sequence + explode + "
+    "substring — all JVM codegen, the same plumbing a video pipeline uses "
+    "before handing sampled frames to a codec UDF) and fingerprinted. "
+    "ASCII text makes byte slicing SQL-reproducible, so the whole "
+    "frame-extraction path gets a hash oracle; a real ffmpeg codec slots "
+    "in at the frame boundary as a mapInPandas stage "
+    "(operators/multimodal.py stubs it, container has no codec libs). "
+    "Scale: explode multiplies rows ~N/256 per doc BEFORE any shuffle — "
+    "frame work stays partition-local.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / 64.0).cast("long")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+    ).filter(F.col("frame_no") % 4 == 0)
+    frame = F.substring(F.col("text"), (F.col("frame_no") * 64 + 1).cast("int"), 64)
+    sig = F.conv(F.substring(F.md5(frame), 1, 15), 16, 10).cast("long")
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.length(frame).cast("long").alias("frame_bytes"),
+        sig.alias("frame_sig"),
+    )
