@@ -405,3 +405,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("combined"),
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+    doc="C-ext explicit skew mitigation through the correctness gate: the "
+    "lineitem->supplier join runs SALTED (operators/skew.py — dim replicated "
+    "8x, fact spread by a deterministic xxhash64 salt) and must produce "
+    "exactly the plain-join result. At 100 TB this is the fallback when one "
+    "hot supplier key overwhelms a task and AQE's skew split can't help "
+    "(e.g. the key sits in ONE unsplittable map output); the salt bounds "
+    "any task's share of a hot key at 1/8. DECIMAL sums keep the rollup "
+    "bit-exact.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = salted_join(li, s, "l_suppkey", "s_suppkey", salt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).alias(
+            "qty"
+        ),
+    )
