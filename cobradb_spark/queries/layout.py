@@ -144,3 +144,33 @@ def etl_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "profile_zone_maps",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u_ndv,
+       round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+FROM events GROUP BY 1
+""",
+    doc="Zone-map / statistics collection pass (the ANALYZE step a lakehouse "
+    "runs after ingest): per day-partition min/max/NDV for the skipping and "
+    "CBO columns. min/max feed file skipping; NDV feeds join-order and "
+    "broadcast decisions. One partial+final aggregate over the natural "
+    "partition key — at 100 TB this is the cheap metadata pass that makes "
+    "every later scan cheaper. Exact countDistinct here (small per-day key "
+    "space); the HLL-sketch variant for wide keys is agg_hll_sketch_merge.",
+)
+def profile_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.countDistinct("user_id").alias("u_ndv"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )

@@ -68,3 +68,31 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """operators/rank.py must reproduce row_number() OVER (ORDER BY ...) exactly,
+    including duplicate keys broken by the tiebreaker, for sizes that do and
+    don't divide evenly across partitions."""
+    import random
+
+    from pyspark.sql import Window
+
+    from cobradb_spark.operators.rank import global_rank
+
+    rng = random.Random(7)
+    for n, parts in [(1, 2), (37, 4), (500, 8)]:
+        rows = [(i, rng.randint(0, 20)) for i in range(n)]
+        df = spark.createDataFrame(rows, "uid long, key long")
+        got = {
+            r["uid"]: r["rn"]
+            for r in global_rank(
+                df, [F.col("key"), F.col("uid")], rank_col="rn", num_parts=parts
+            ).collect()
+        }
+        w = Window.orderBy("key", "uid")
+        want = {
+            r["uid"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want, f"n={n} parts={parts}"
