@@ -47,3 +47,55 @@ def interval_point_join(
         .filter(cond)
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bin_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-interval OVERLAP join: pairs where
+    [a_lo, a_hi] ∩ [b_lo, b_hi] ≠ ∅ (closed intervals), optionally also
+    matching on `extra_keys` equality columns (present in both inputs).
+
+    Same binned-equi-join strategy as interval_point_join, with one new
+    wrinkle: a pair overlapping k shared bins would surface k times, so
+    candidates are deduplicated on the pair BEFORE the exact predicate.
+    The dedup happens bin-locally via the standard trick: keep a
+    candidate only in the FIRST shared bin — max(bin containing both
+    starts) — which needs no distinct/shuffle at all, just arithmetic
+    on columns already present.
+    """
+    keys = list(extra_keys or [])
+    ba = a.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(a_lo) / bin_width).cast("long"),
+                (F.col(a_hi) / bin_width).cast("long"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(b_lo) / bin_width).cast("long"),
+                (F.col(b_hi) / bin_width).cast("long"),
+            )
+        ),
+    )
+    overlap = (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
+    # first shared bin = bin of max(a_lo, b_lo); emitting the pair only
+    # there makes each true pair appear exactly once.
+    first_shared = (F.greatest(F.col(a_lo), F.col(b_lo)) / bin_width).cast("long")
+    return (
+        ba.join(bb, on=keys + ["__bin"])
+        .filter(overlap & (F.col("__bin") == first_shared))
+        .drop("__bin")
+    )

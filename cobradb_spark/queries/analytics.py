@@ -328,3 +328,65 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dc").alias("digit_chars"),
         )
     )
+
+
+@register(
+    "funnel_time_bounded",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+           AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 72 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+           AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 72 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_no, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT 'click_72h', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase_72h', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
+""",
+    doc="Conversion-window funnel: each stage must land within 72h of the "
+    "previous stage's time (the attribution-window semantics ad/product "
+    "analytics actually use, vs funnel_conversion's unbounded ordering). "
+    "Same scale shape: per-user frontier reductions broadcast against "
+    "pushed-down event_type scans; the window bound is one extra codegen "
+    "predicate on the join.",
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    bound_us = 72 * 3600 * 1_000_000
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (us("ts") <= us("t_view") + bound_us))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (us("ts") <= us("t_click") + bound_us))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, no: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(no).cast("long").alias("stage_no"),
+            F.count("*").alias("users"),
+        )
+
+    return stage(v, "view", 1).unionAll(stage(c, "click_72h", 2)).unionAll(
+        stage(p, "purchase_72h", 3)
+    )
