@@ -386,3 +386,96 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v_sum")
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), per AS (
+  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM sess GROUP BY user_id, session_no
+), mx AS (
+  SELECT user_id, max(session_no) AS last_sess FROM per GROUP BY user_id
+)
+SELECT p.user_id, p.session_no, p.session_start, p.session_end,
+       p.n_events, p.total_cents
+FROM per p JOIN mx ON p.user_id = mx.user_id AND p.session_no < mx.last_sess
+""",
+    doc="I-ext streaming gap sessionization via applyInPandasWithState: "
+    "per-user state carries the OPEN session (last ts, bounds, count, cent "
+    "sum); a >30-min gap closes and emits it. The oracle is the batch "
+    "sessionization (sessionize_events) minus each user's still-open last "
+    "session — exactly what a correct streaming sessionizer may emit "
+    "before end-of-stream. Values accumulate as integer cents so stream "
+    "(ordered) and batch (unordered) sums are bit-identical. State is one "
+    "tuple per user — bounded regardless of stream length.",
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cobradb_spark.operators.streams import (
+        events_stream_dir,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1).tolist()
+        # pandas may hand us ns or us resolution; normalize to us
+        if ts_us and ts_us[0] > 10**16:
+            ts_us = [t // 1000 for t in ts_us]
+        cents = [int(round(v * 100)) for v in rows["value"]]
+        if state.exists:
+            sess_no, start_us, last_us, n, tot = state.get
+        else:
+            sess_no, start_us, last_us, n, tot = 0, None, None, 0, 0
+        out = []
+        for t, c in zip(ts_us, cents):
+            if start_us is None:
+                sess_no, start_us, last_us, n, tot = 1, t, t, 1, c
+            elif t - last_us > GAP_US:
+                out.append((sess_no, start_us, last_us, n, tot))
+                sess_no, start_us, last_us, n, tot = sess_no + 1, t, t, 1, c
+            else:
+                last_us, n, tot = t, n + 1, tot + c
+        state.update((sess_no, start_us, last_us, n, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_no": [o[0] for o in out],
+                "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                "n_events": [o[3] for o in out],
+                "total_cents": [o[4] for o in out],
+            }
+        )
+
+    path = events_stream_dir(sf_dir)
+    ev = read_events_stream(spark, path).select("user_id", "ts", "event_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, session_no long, session_start timestamp, "
+        "session_end timestamp, n_events long, total_cents long",
+        stateStructType="sess_no long, start_us long, last_us long, n long, tot long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append")
