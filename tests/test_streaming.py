@@ -82,3 +82,85 @@ def test_watermark_drops_late_row(spark):
     ids = {r.event_id for r in out.collect()}
     assert 4 in ids and 1 in ids and 2 in ids
     assert 3 not in ids  # the late row was dropped
+
+
+def test_stateful_sessionize_survives_batch_boundary(spark):
+    """A session whose events straddle two micro-batches must be emitted
+    ONCE, with bounds spanning both batches; a cross-batch gap must close
+    the open session carried in state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cobradb_spark.operators.streams import read_events_stream, run_to_memory
+    from cobradb_spark.queries.streaming import stream_sessionize_stateful  # noqa: F401
+
+    tmp = tempfile.mkdtemp(prefix="sess_micro_")
+    os.makedirs(f"{tmp}/src")
+
+    def ns(s: str) -> int:
+        return int(datetime.fromisoformat(s).timestamp() * 1_000_000_000)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            [(i, ns(t), u, "x", 1.0, "{}") for i, t, u in rows],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(f"{tmp}/stage")
+        part = [f for f in os.listdir(f"{tmp}/stage") if f.endswith(".parquet")][0]
+        os.rename(f"{tmp}/stage/{part}", f"{tmp}/src/{name}.parquet")
+
+    # batch1: two events 10 min apart (one open session)
+    write_batch([(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:10:00", 1)], "b1")
+
+    def add_batch2():
+        # 10:20 continues the session across the boundary; 12:00 is >30min
+        # later -> closes it, leaving a new open session
+        write_batch([(3, "2024-01-01 10:20:00", 1), (4, "2024-01-01 12:00:00", 1)], "b2")
+
+    # rebuild the same stateful pipeline as the registered query, but over
+    # this 2-batch source (the registered fn owns its own source dir)
+    GAP_US = 30 * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64").tolist()
+        if ts_us and ts_us[0] > 10**16:
+            ts_us = [t // 1000 for t in ts_us]
+        if state.exists:
+            sess_no, start_us, last_us, n = state.get
+        else:
+            sess_no, start_us, last_us, n = 0, None, None, 0
+        out = []
+        for t in ts_us:
+            if start_us is None:
+                sess_no, start_us, last_us, n = 1, t, t, 1
+            elif t - last_us > GAP_US:
+                out.append((sess_no, start_us, last_us, n))
+                sess_no, start_us, last_us, n = sess_no + 1, t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((sess_no, start_us, last_us, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_no": [o[0] for o in out],
+                "start_us": [o[1] for o in out],
+                "end_us": [o[2] for o in out],
+                "n_events": [o[3] for o in out],
+            }
+        )
+
+    ev = read_events_stream(spark, f"{tmp}/src").select("user_id", "ts", "event_id")
+    sdf = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, session_no long, start_us long, end_us long, n_events long",
+        stateStructType="sess_no long, start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(sdf, "append", process_batches=[add_batch2]).collect()
+    closed = [(r.session_no, r.n_events) for r in out]
+    # exactly one closed session: events 1-3 (3 events), bounds 10:00-10:20
+    assert closed == [(1, 3)]
+    r = out[0]
+    assert (r.end_us - r.start_us) == 20 * 60 * 1_000_000
