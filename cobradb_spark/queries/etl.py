@@ -151,3 +151,67 @@ def etl_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 4
     )
     return canon.select("doc_id", "n_tokens", shard.alias("shard"))
+
+
+@register(
+    "etl_cdc_apply",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+), cdc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 >= 7 THEN 'D'
+              WHEN o_orderkey % 3 = 0  THEN 'I'
+              ELSE 'U' END AS op,
+         o_orderstatus,
+         o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       round(coalesce(c.o_totalprice, b.o_totalprice), 6) AS o_totalprice,
+       (c.o_orderkey IS NOT NULL) AS was_changed
+FROM base b
+FULL JOIN cdc c ON b.o_orderkey = c.o_orderkey
+WHERE NOT coalesce(c.op = 'D', FALSE)
+  AND NOT coalesce(c.op = 'I' AND b.o_orderkey IS NOT NULL AND c.o_orderkey IS NULL, FALSE)
+""",
+    doc="Full CDC/MERGE apply — the general form of merge_upsert's "
+    "insert-if-absent: a change log of I/U/D ops lands on the base table in "
+    "ONE full outer join. Deletes drop matched rows, updates override "
+    "matched values, inserts pass through unmatched change rows, untouched "
+    "base rows pass through unmatched-on-the-other-side. At 100 TB both "
+    "sides hash-partition on the key (one shuffle each); the change log is "
+    "usually small enough to broadcast, collapsing to a map-side apply. "
+    "This is the Delta/Iceberg MERGE INTO dataflow expressed directly.",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cdc = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 >= 7, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    b, c = base.alias("b"), cdc.alias("c")
+    j = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full")
+    matched_delete = (F.col("c.op") == "D") & F.col("c.o_orderkey").isNotNull()
+    stray_insert = (
+        (F.col("c.op") == "I")
+        & F.col("b.o_orderkey").isNotNull()
+        & F.col("c.o_orderkey").isNull()
+    )
+    return j.filter(~matched_delete.eqNullSafe(True) & ~stray_insert.eqNullSafe(True)).select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias("o_orderstatus"),
+        F.round(
+            F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")), 6
+        ).alias("o_totalprice"),
+        F.col("c.o_orderkey").isNotNull().alias("was_changed"),
+    )
