@@ -368,3 +368,29 @@ def date_month_diff_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )
+
+
+@register(
+    "math_bround",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round_even(l_quantity / 2, 0) AS half_even0,
+       round_even(l_quantity / 4, 1) AS quarter_even1
+FROM lineitem
+""",
+    doc="H6 closure: banker's rounding (Spark bround == DuckDB round_even). "
+    "Tie inputs are halves/quarters of integer quantities — exactly "
+    "representable in binary, so both engines see a TRUE tie and break it "
+    "to the even digit identically. (bround on arbitrary decimal doubles "
+    "is NOT cross-engine stable: Spark goes through the shortest decimal "
+    "string, DuckDB rounds the raw binary — same pitfall as round(); "
+    "only exact-binary ties are safely oracle-able.)",
+)
+def math_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.bround(F.col("l_quantity") / 2, 0).alias("half_even0"),
+        F.bround(F.col("l_quantity") / 4, 1).alias("quarter_even1"),
+    )
