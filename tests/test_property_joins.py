@@ -83,3 +83,31 @@ def test_rows_only_variants_sane(spark, sf_dir):
     # skew/kurt exist and are finite
     for r in registry.get_query("agg_stats_higher").fn(spark, sf_dir).collect():
         assert r.skew_qty is not None and r.kurt_qty is not None
+
+
+def test_interval_overlap_join_matches_bruteforce_random(spark):
+    """Binned overlap join (first-shared-bin dedup) == brute-force theta
+    join: every true overlapping pair appears EXACTLY once, across bin
+    widths smaller and larger than typical interval length."""
+    from cobradb_spark.operators.interval import interval_overlap_join
+
+    rng = random.Random(11)
+    ivs_a = [(i, lo, lo + rng.randint(0, 30)) for i, lo in enumerate(rng.randint(-100, 100) for _ in range(40))]
+    ivs_b = [(j, lo, lo + rng.randint(0, 30)) for j, lo in enumerate(rng.randint(-100, 100) for _ in range(40))]
+    a = spark.createDataFrame(ivs_a, "a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame(ivs_b, "b_id long, b_lo long, b_hi long")
+    want = {
+        (i, j)
+        for i, alo, ahi in ivs_a
+        for j, blo, bhi in ivs_b
+        if alo <= bhi and blo <= ahi
+    }
+    for bw in (7, 64):
+        got = [
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=bw
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"bw={bw}: duplicate pairs emitted"
+        assert set(got) == want, f"bw={bw}: pair set mismatch"
