@@ -295,3 +295,30 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_custkey", "o_orderkey").alias("cust_of_latest"),
         F.min_by("o_custkey", "o_orderkey").alias("cust_of_earliest"),
     )
+
+
+@register(
+    "agg_weighted_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_weight
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="D-ext weighted average (price weighted by quantity): both the "
+    "weighted numerator and the weight sum accumulate as DECIMAL(18,2) "
+    "products so the cross-engine totals are bit-exact before the one "
+    "final double division. Single partial+final aggregate.",
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(num / den, 6).alias("wavg_price"),
+        F.round(den, 6).alias("total_weight"),
+    )

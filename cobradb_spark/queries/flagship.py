@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cobradb_spark.io import load_tables
+from cobradb_spark.io import load_table, load_tables
 from cobradb_spark.registry import register
 
 
@@ -49,4 +49,49 @@ def join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
         .limit(10)
+    )
+
+
+@register(
+    "sql_returned_revenue",
+    oracle="""
+SELECT c.c_custkey, n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, n.n_name
+HAVING count(*) >= 5
+""",
+    doc="TPC-H Q10-shaped composed workload expressed ENTIRELY as SQL text "
+    "through spark.sql over registered views — proving the SQL API surface "
+    "end-to-end (a reference user's Postgres query ports verbatim modulo "
+    "dialect). Catalyst still broadcasts nation/customer, pushes the "
+    "returnflag filter to the scan, and aggregates partial+final. Revenue "
+    "accumulates as exact decimal cents (discount re-expressed as an "
+    "integer percentage) so both engines sum bit-identically.",
+)
+def sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sqlv")
+    return spark.sql(
+        """
+SELECT c.c_custkey, n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue,
+       count(*) AS n_items
+FROM customer_sqlv c
+JOIN orders_sqlv o ON o.o_custkey = c.c_custkey
+JOIN lineitem_sqlv l ON l.l_orderkey = o.o_orderkey
+JOIN nation_sqlv n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, n.n_name
+HAVING count(*) >= 5
+"""
     )

@@ -399,3 +399,35 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.element_at("fps", 1).alias("min_fingerprint"),
     )
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+), bucketed AS (
+  SELECT doc_id,
+         {_H_DUCK.format(c="w")} % 8 AS bucket
+  FROM toks
+)
+SELECT doc_id,
+       {", ".join(f"CAST(count(*) FILTER (WHERE bucket = {b}) AS BIGINT) AS f{b}" for b in range(8))}
+FROM bucketed GROUP BY doc_id
+""",
+    doc="Feature hashing (the 'hashing trick'): tokens md5-hashed into 8 "
+    "buckets, per-doc bucket counts = a fixed-width feature vector with no "
+    "vocabulary build. The standard featurizer for streaming/huge-corpus "
+    "classifiers: one explode + one pivot-free conditional aggregate, no "
+    "global dictionary state to shuffle or ship. Cross-engine identical "
+    "md5 bucketing makes the whole vector hash-exact.",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    bucket = (_H_SPARK(F.col("w")) % 8).alias("bucket")
+    return (
+        toks.select("doc_id", bucket)
+        .groupBy("doc_id")
+        .agg(*[F.count_if(F.col("bucket") == b).alias(f"f{b}") for b in range(8)])
+    )

@@ -209,6 +209,13 @@ AUDITS = [
         "quantile read-off run on bins x weeks rows, never raw events",
     ),
     (
+        "sql_returned_revenue",
+        ["EqualTo(l_returnflag,R)", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "SQL-text workload gets the same physical plan as the DataFrame "
+        "path: returnflag pushed to the scan, dims broadcast",
+    ),
+    (
         "etl_llm_corpus_pipeline",
         ["EqualTo(lang,en)", "GreaterThanOrEqual(n_chars,100)", "EXCHANGES<=1"],
         ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
