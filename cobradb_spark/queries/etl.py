@@ -215,3 +215,69 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("o_totalprice"),
         F.col("c.o_orderkey").isNotNull().alias("was_changed"),
     )
+
+
+@register(
+    "dq_validate_suite",
+    oracle="""
+SELECT 'orders_null_custkey' AS check_name,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_ts_in_window',
+       CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                                OR ts >= TIMESTAMP '2024-02-01') AS BIGINT)
+FROM events
+""",
+    doc="Data-quality expectation suite (the Deequ/Great-Expectations role): "
+    "null checks, referential integrity (anti-join), range and freshness "
+    "windows — each check one conditional aggregate or anti-join, all "
+    "returned as a single violations report the load gate can assert on. "
+    "The FK check is the same anti-join shape as fk_audit_anti; at 100 TB "
+    "the dimension side broadcasts and every check is one scan (checks on "
+    "the same table share it via common subexpression in a real run).",
+)
+def dq_validate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame, cnt: F.Column) -> DataFrame:
+        return df.agg(F.lit(name).alias("check_name"), cnt.alias("n_violations"))
+
+    fk_orphans = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o["o_custkey"] == c["c_custkey"],
+        "left_anti",
+    )
+    lo = F.lit("2024-01-01").cast("timestamp_ntz")
+    hi = F.lit("2024-02-01").cast("timestamp_ntz")
+    return (
+        check("orders_null_custkey", o, F.count_if(F.col("o_custkey").isNull()))
+        .unionAll(check("orders_fk_customer", fk_orphans, F.count("*")))
+        .unionAll(check("lineitem_nonpositive_qty", li, F.count_if(F.col("l_quantity") <= 0)))
+        .unionAll(
+            check(
+                "lineitem_discount_range",
+                li,
+                F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+        .unionAll(
+            check("events_ts_in_window", e, F.count_if((F.col("ts") < lo) | (F.col("ts") >= hi)))
+        )
+    )

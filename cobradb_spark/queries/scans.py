@@ -285,3 +285,38 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity, 6) AS qty,
+       CAST(NULL AS DOUBLE) AS tax
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, l_linenumber,
+       CAST(NULL AS DOUBLE) AS qty,
+       round(l_tax, 6) AS tax
+FROM lineitem WHERE l_linenumber = 2
+""",
+    doc="A-ext schema evolution on read: two parquet batches written with "
+    "DIFFERENT schemas (an old writer without `tax`, a new writer that "
+    "dropped `qty`), read back as ONE dataset with mergeSchema=true — "
+    "missing columns surface as NULLs, never errors. This is how a 100 TB "
+    "dataset absorbs producer schema changes without rewriting history; "
+    "the per-file schemas reconcile at planning time.",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="cobradb_evo_")
+    old = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
+    )
+    new = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_linenumber", F.round("l_tax", 6).alias("tax")
+    )
+    old.write.mode("overwrite").parquet(f"{tmp}/ds/batch=old")
+    new.write.mode("overwrite").parquet(f"{tmp}/ds/batch=new")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/ds")
+    return back.select("l_orderkey", "l_linenumber", "qty", "tax")
