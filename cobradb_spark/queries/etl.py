@@ -281,3 +281,62 @@ def dq_validate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             check("events_ts_in_window", e, F.count_if((F.col("ts") < lo) | (F.col("ts") >= hi)))
         )
     )
+
+
+@register(
+    "etl_table_checksum",
+    oracle="""
+SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(CAST(concat('0x', substr(md5(
+           concat(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|',
+                  CAST(round(o_totalprice, 2) AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT))
+         AS checksum
+FROM orders
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT),
+       bit_xor(CAST(CAST(concat('0x', substr(md5(
+           concat(CAST(c_custkey AS VARCHAR), '|', CAST(c_nationkey AS VARCHAR), '|',
+                  CAST(round(c_acctbal, 2) AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT))
+FROM customer
+""",
+    doc="Cross-engine table reconciliation: an order-independent fingerprint "
+    "per table = (row count, XOR of per-row 60-bit md5 over a canonical "
+    "column serialization). XOR is commutative/associative with no "
+    "overflow, so the checksum is partition-order- and shuffle-free: each "
+    "partition XORs locally, partials XOR at the driver — one narrow scan "
+    "per table. This is the post-migration validation a reference user "
+    "runs to prove the Spark copy equals the Postgres original; numeric "
+    "columns enter via round(x,2) text so both engines serialize "
+    "identically.",
+)
+def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(df: DataFrame, name: str, cols: list) -> DataFrame:
+        canon = F.concat_ws("|", *cols)
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        return df.select(h.alias("__h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("checksum"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    orders_fp = fp(
+        o,
+        "orders",
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round("o_totalprice", 2).cast("string"),
+        ],
+    )
+    cust_fp = fp(
+        c,
+        "customer",
+        [
+            F.col("c_custkey").cast("string"),
+            F.col("c_nationkey").cast("string"),
+            F.round("c_acctbal", 2).cast("string"),
+        ],
+    )
+    return orders_fp.unionAll(cust_fp)
