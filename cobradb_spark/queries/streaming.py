@@ -479,3 +479,55 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "append")
+
+
+@register(
+    "stream_trending_topk",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY win_start
+                               ORDER BY n DESC, event_type) AS rnk
+  FROM hourly
+)
+SELECT win_start, event_type, n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="I-ext trending top-k: the stream maintains watermarked tumbling "
+    "hourly counts per event_type (the only state the stream needs — "
+    "bounded by types x open windows); the top-3 ranking runs at serve "
+    "time over the emitted aggregates (rank is not a streaming-supported "
+    "window, and does not need to be: the pre-agg output is tiny). This "
+    "is the standard lambda shape — heavy distributed pre-agg in the "
+    "stream, cheap ranking on the serving read. Hash-exact vs the "
+    "all-batch oracle; ties fully broken by event_type.",
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.streams import (
+        events_stream_dir,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    path = events_stream_dir(sf_dir)
+    ev = read_events_stream(spark, path)
+    counts = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    agg_table = run_to_memory(counts, "complete")
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        agg_table.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "n", "rnk")
+    )
