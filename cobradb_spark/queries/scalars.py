@@ -394,3 +394,24 @@ def math_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bround(F.col("l_quantity") / 2, 0).alias("half_even0"),
         F.bround(F.col("l_quantity") / 4, 1).alias("quarter_even1"),
     )
+
+
+@register(
+    "str_regexp_extract_all",
+    oracle="""
+SELECT event_id,
+       regexp_extract_all(props, '[0-9]+') AS nums,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
+FROM events
+""",
+    doc="H-ext regexp_extract_all: every digit run in the raw JSON payload "
+    "as an array, plus the count — the tokenizer-ish primitive PII "
+    "redaction and log parsing share. Pure codegen; arrays hash exactly "
+    "(strings).",
+)
+def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nums = F.regexp_extract_all(F.col("props"), F.lit(r"[0-9]+"), 0)
+    return e.select(
+        "event_id", nums.alias("nums"), F.size(nums).cast("long").alias("n_nums")
+    )

@@ -176,3 +176,23 @@ def win_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+SELECT o_orderkey,
+       round(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey), 6) AS cd
+FROM orders
+""",
+    doc="E-ext cumulative distribution per priority group (fully tiebroken "
+    "by the unique key so both engines count the same peers). Same "
+    "single-shuffle window shape as the rank family.",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.round(F.cume_dist().over(w), 6).alias("cd")
+    )
