@@ -390,3 +390,43 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(v, "view", 1).unionAll(stage(c, "click_72h", 2)).unionAll(
         stage(p, "purchase_72h", 3)
     )
+
+
+@register(
+    "segment_rfm",
+    oracle="""
+WITH peru AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS BIGINT) AS r_q,
+       CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_q
+FROM peru
+""",
+    doc="RFM segmentation: recency/frequency/monetary quartiles per user "
+    "(monetary in integer cents; every ntile tiebroken by user_id so both "
+    "engines cut identically). The quartile windows run over the "
+    "AGGREGATED per-user table — events reduce map-side first, so the "
+    "window input is |users|, not |events|; at extreme user cardinality "
+    "the same quartiles derive from the distributed rank "
+    "(operators/rank.py) exactly as etl_range_partition_plan does.",
+)
+def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    peru = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+    )
+    q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id")).cast("long")  # noqa: E731
+    return peru.select(
+        "user_id",
+        q("last_ts").alias("r_q"),
+        q("freq").alias("f_q"),
+        q("monetary_cents").alias("m_q"),
+    )
