@@ -209,6 +209,34 @@ AUDITS = [
         "quantile read-off run on bins x weeks rows, never raw events",
     ),
     (
+        "cohort_retention",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "both inputs reduce to per-(user, week) rows before the broadcast "
+        "join — the shuffle carries users, never raw events",
+    ),
+    (
+        "join_null_safe",
+        ["BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "EqualNullSafe keys still plan as a HASH join (null bucket "
+        "included), not a nested loop",
+    ),
+    (
+        "join_fuzzy_blocked",
+        ["EXCHANGES<=2"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "length-blocking turns the levenshtein theta join into an "
+        "equi-join on the block id — never a nested loop",
+    ),
+    (
+        "multimodal_frame_sample",
+        ["EXCHANGES<=0"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+        "frame explode + sample + fingerprint is a shuffle-free map-only "
+        "pipeline, fully JVM codegen",
+    ),
+    (
         "sql_returned_revenue",
         ["EqualTo(l_returnflag,R)", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
