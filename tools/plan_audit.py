@@ -224,10 +224,11 @@ AUDITS = [
     ),
     (
         "join_fuzzy_blocked",
-        ["EXCHANGES<=2"],
-        ["BroadcastNestedLoopJoin", "CartesianProduct"],
-        "length-blocking turns the levenshtein theta join into an "
-        "equi-join on the block id — never a nested loop",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+        "PassJoin segment blocking: the only nested-loop is the broadcast "
+        "of the 1183-row (dl, seg, shift) spine; the S-C candidate join "
+        "itself is a hash join on exact segment text — never |S|x|C|",
     ),
     (
         "multimodal_frame_sample",
