@@ -10,6 +10,9 @@ trips per entity.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -340,3 +343,51 @@ def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return orders_fp.unionAll(cust_fp)
+
+
+@register(
+    "etl_backfill_partition",
+    oracle="""
+SELECT event_id, date_trunc('day', ts) AS day, event_type,
+       round(CASE WHEN date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+                  THEN value * 2 ELSE value END, 6) AS value
+FROM events
+""",
+    doc="Idempotent partition backfill via dynamic partition overwrite: "
+    "events land partitioned by day; a corrected recomputation of "
+    "2024-01-15 (values doubled) is written with "
+    "partitionOverwriteMode=dynamic, which rewrites ONLY the partitions "
+    "present in the incoming frame — every other day's files are "
+    "untouched (no read-modify-write of 100 TB to fix one day). The "
+    "read-back must equal the CASE-patched oracle, proving surgical "
+    "replacement. The conf is set per-write via option(), so foreign "
+    "driver sessions work unchanged.",
+)
+def etl_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_backfill_")
+    path = os.path.join(tmp, "events_by_day")
+    e.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    target = F.lit("2024-01-15").cast("timestamp_ntz")
+    fix = e.filter(F.col("day") == target).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "event_id",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        "value",
+    )
