@@ -291,6 +291,14 @@ AUDITS = [
         "state, no Python",
     ),
     (
+        "join_bucketed_colocated",
+        ["SortMergeJoin", "Bucketed: true", "EXCHANGES<=0"],
+        ["Exchange hashpartitioning", "BroadcastExchange", "CartesianProduct"],
+        "both sides read pre-bucketed on o_orderkey: the join AND the "
+        "per-order rollup run with ZERO exchanges — the one-time bucketed "
+        "write amortizes every downstream join/agg on the key",
+    ),
+    (
         "text_pii_redact",
         ["regexp_replace", "partial_sum"],
         ["BatchEvalPython", "ArrowEvalPython"],
