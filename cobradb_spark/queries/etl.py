@@ -391,3 +391,41 @@ def etl_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@register(
+    "etl_compact_small_files",
+    oracle="""
+SELECT event_id, event_type, round(value, 6) AS value FROM events
+""",
+    doc="Small-file compaction — the maintenance pass every long-lived "
+    "table needs: a fragmented landing zone (here deliberately written "
+    "as 64 tiny files, the shape streaming ingestion leaves behind) is "
+    "rewritten into size-targeted files. The target file count is "
+    "derived from the actual on-disk bytes / 32 MiB, and the rewrite "
+    "uses coalesce() — a NARROW dependency, so compaction never "
+    "shuffles: each output task concatenates whole input files. "
+    "Content identity is the oracle (compaction must be a no-op "
+    "logically); the file-count collapse is asserted in "
+    "tests/test_scale_patterns.py. At 100 TB this runs per-partition "
+    "(compact only partitions whose avg file size is below target), "
+    "which composes with etl_backfill_partition's dynamic overwrite.",
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_compact_")
+    landing = os.path.join(tmp, "landing")
+    compacted = os.path.join(tmp, "compacted")
+    ev.repartition(64).write.mode("overwrite").parquet(landing)
+
+    frag = spark.read.parquet(landing)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(landing, f))
+        for f in os.listdir(landing)
+        if f.endswith(".parquet")
+    )
+    target = max(1, -(-total_bytes // (32 << 20)))  # ceil-div, 32 MiB files
+    frag.coalesce(int(target)).write.mode("overwrite").parquet(compacted)
+    return spark.read.parquet(compacted)

@@ -186,3 +186,107 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_v", 6).alias("max_v"),
         F.round(F.col("total") / F.col("n"), 6).alias("avg_v"),
     )
+
+
+@register(
+    "rollup_interpolate_linear",
+    oracle="""
+WITH src AS (
+  SELECT * FROM events WHERE date_part('day', ts) % 3 <> 0
+), actual AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+         round(sum(value), 6) AS v
+  FROM src GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(day_start) AS lo, max(day_start) AS hi
+  FROM actual GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day_start
+  FROM bounds
+), joined AS (
+  SELECT g.event_type, g.day_start, a.v
+  FROM grid g LEFT JOIN actual a
+    ON a.event_type = g.event_type AND a.day_start = g.day_start
+), walls AS (
+  SELECT event_type, day_start, v,
+    last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN day_start END IGNORE NULLS)
+      OVER w_back AS prev_d,
+    first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN day_start END IGNORE NULLS)
+      OVER w_fwd AS next_d
+  FROM joined
+  WINDOW
+    w_back AS (PARTITION BY event_type ORDER BY day_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY event_type ORDER BY day_start
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day_start,
+  round(CASE WHEN v IS NOT NULL THEN v
+        ELSE prev_v + (next_v - prev_v)
+             * (CAST(date_diff('day', prev_d, day_start) AS DOUBLE)
+                / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)) END,
+        6) AS v_filled,
+  (v IS NULL) AS interpolated
+FROM walls
+""",
+    doc="Time-series linear interpolation: per-series daily rollup with "
+    "interior gaps (every 3rd calendar day withheld to create "
+    "deterministic holes) completed by straight-line interpolation "
+    "between the nearest present neighbors — last_value/first_value "
+    "IGNORE NULLS over the dense grid, then "
+    "prev + (next-prev) * gap_fraction. The grid is bounded per series "
+    "by its own present endpoints, so no extrapolation is invented. "
+    "Everything downstream of the first rollup operates on "
+    "#series x #days rows, never raw events; both window directions and "
+    "the rollup share the series-key partitioning. Identical float "
+    "expression order on both engines makes the fill hash-exact.",
+)
+def rollup_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    src = load_events(spark, sf_dir).filter(F.dayofmonth("ts") % 3 != 0)
+    actual = src.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day_start")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    bounds = actual.groupBy("event_type").agg(
+        F.min("day_start").alias("lo"), F.max("day_start").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day_start"),
+    )
+    joined = grid.join(actual, ["event_type", "day_start"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("day_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day_start"))
+    walls = joined.select(
+        "event_type",
+        "day_start",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(known_day, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(known_day, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    frac = F.datediff("day_start", "prev_d").cast("double") / F.datediff(
+        "next_d", "prev_d"
+    ).cast("double")
+    fill = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    return walls.select(
+        "event_type",
+        "day_start",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(fill), 6
+        ).alias("v_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )

@@ -107,3 +107,65 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+FROM events
+GROUP BY user_id
+HAVING count(*) > (SELECT count(*) / 128.0 FROM events)
+""",
+    doc="Exact heavy hitters via the two-pass sketch pattern (Misra-Gries / "
+    "Mergeable Summaries, Agarwal et al.): pass 1 is a SHUFFLE-FREE "
+    "mapInPandas scan where each partition keeps at most K=127 Misra-Gries "
+    "counters (batch counts merged, then the (K+1)-th largest subtracted "
+    "and non-positives dropped — the mergeable-MG step, vectorized in "
+    "numpy). Any key with global frequency > n/(K+1) is guaranteed to "
+    "survive in at least one partition (pigeonhole over the per-partition "
+    "MG bound), so the union of candidates is a SUPERSET of the true "
+    "heavy hitters no matter how rows are partitioned. Pass 2 collects "
+    "the small candidate list (<= K*num_partitions keys) and re-scans "
+    "with an isin() filter — which compiles to an In predicate pushed to "
+    "the parquet reader — then exact-counts ONLY candidates and keeps "
+    "freq > n/(K+1). Output is therefore EXACT (hash-matched vs the full "
+    "GROUP BY oracle) while the shuffle only ever carries candidate "
+    "rows: at 100 TB the full-cardinality groupBy never happens.",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 127
+
+    def mg_partition(batches):
+        counters: dict[int, int] = {}
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            vc = pdf["user_id"].value_counts()
+            for uid, c in vc.items():
+                counters[int(uid)] = counters.get(int(uid), 0) + int(c)
+            if len(counters) > K:
+                vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))
+                cut = int(vals[-(K + 1)])  # (K+1)-th largest
+                counters = {u: c - cut for u, c in counters.items() if c > cut}
+        out = pd.DataFrame(
+            {
+                "user_id": list(counters.keys()) + [None],
+                "part_rows": [None] * len(counters) + [rows],
+            }
+        )
+        yield out
+
+    ev = load_events(spark, sf_dir).select("user_id")
+    sketch = ev.mapInPandas(mg_partition, "user_id long, part_rows long").collect()
+    n_total = sum(r.part_rows for r in sketch if r.part_rows is not None)
+    cands = sorted({r.user_id for r in sketch if r.user_id is not None})
+
+    thresh = n_total / (K + 1.0)
+    return (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isin(cands))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > F.lit(thresh))
+    )

@@ -96,3 +96,74 @@ def test_global_rank_matches_single_partition_window(spark):
             for r in df.withColumn("rn", F.row_number().over(w)).collect()
         }
         assert got == want, f"n={n} parts={parts}"
+
+
+def test_heavy_hitters_exact_across_partitionings(spark, sf_dir):
+    """The MG candidate pass is partitioning-dependent, but the final
+    answer must be EXACT for any partitioning (superset guarantee)."""
+    from cobradb_spark.queries.sketches import agg_heavy_hitters
+    from cobradb_spark.registry import all_queries
+
+    fn = all_queries()["agg_heavy_hitters"].fn
+    base = {(r.user_id, r.freq) for r in fn(spark, sf_dir).collect()}
+    # exact reference
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    exact = {
+        (r.user_id, r.freq)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > n / 128.0)
+        .collect()
+    }
+    assert base == exact
+
+
+def test_heavy_hitters_skewed_synthetic(spark):
+    """Skewed data across several partition counts: every true heavy
+    hitter survives the per-partition MG pruning (K=127 counters vs
+    2000 distinct keys)."""
+    import pandas as pd
+
+    rows = [(0,)] * 5000 + [(1,)] * 900 + [(k,) for k in range(2, 2002)] * 2
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id"])).repartition(
+            parts
+        )
+        n = len(rows)
+        K = 127
+
+        def mg(batches):
+            counters = {}
+            import numpy as np
+
+            for pdf in batches:
+                vc = pdf["user_id"].value_counts()
+                for uid, c in vc.items():
+                    counters[int(uid)] = counters.get(int(uid), 0) + int(c)
+                if len(counters) > K:
+                    vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))
+                    cut = int(vals[-(K + 1)])
+                    counters = {u: c - cut for u, c in counters.items() if c > cut}
+            yield pd.DataFrame({"user_id": list(counters.keys())})
+
+        cands = {
+            r.user_id for r in df.mapInPandas(mg, "user_id long").collect()
+        }
+        true_hh = {0, 1} if 900 > n / (K + 1) else {0}
+        assert true_hh <= cands, f"parts={parts}: lost a true heavy hitter"
+
+
+def test_compaction_collapses_files(spark, sf_dir):
+    """The compaction query's rewrite must produce fewer files than the
+    64-file landing zone while preserving row count."""
+    import glob
+
+    from cobradb_spark.registry import all_queries
+
+    fn = all_queries()["etl_compact_small_files"].fn
+    out = fn(spark, sf_dir)
+    n_rows = out.count()
+    files = out.inputFiles()
+    assert len(files) < 64
+    assert n_rows == spark.read.parquet(f"{sf_dir}/events.parquet").count()
