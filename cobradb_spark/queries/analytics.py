@@ -430,3 +430,102 @@ def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         q("freq").alias("f_q"),
         q("monetary_cents").alias("m_q"),
     )
+
+
+@register(
+    "analytics_copurchase_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY p1, p2
+HAVING count(*) >= 2
+""",
+    doc="Market-basket co-occurrence: distinct items per basket, then the "
+    "canonical self-equi-join on the basket key with p1 < p2 to emit "
+    "each unordered pair once, counted across baskets and thresholded "
+    "(support >= 2). The self-join co-locates on l_orderkey — one "
+    "shuffle both sides read — and the pair count is a partial+final "
+    "agg on the pair key. Pair blow-up is quadratic in BASKET size, not "
+    "data size: baskets here are <=7 items; at 100 TB the standard "
+    "guard is capping or sampling mega-baskets before the join "
+    "(documented, not needed on this data).",
+)
+def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "analytics_rolling_distinct_users",
+    oracle="""
+WITH presence AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM presence
+), cover AS (
+  SELECT p.user_id, unnest(generate_series(p.day, p.day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS day
+  FROM presence p
+), dedup AS (
+  SELECT DISTINCT user_id, day FROM cover
+)
+SELECT d.day, CAST(count(*) AS BIGINT) AS distinct_users_7d
+FROM dedup d CROSS JOIN bounds b
+WHERE d.day BETWEEN b.lo AND b.hi
+GROUP BY d.day
+""",
+    doc="Exact COUNT(DISTINCT) over a sliding window — not expressible as "
+    "a Spark window function (no distinct aggregates over frames). "
+    "Scalable rewrite: reduce events to distinct (user, day) presence "
+    "rows, explode each presence onto the 7 trailing days it covers "
+    "(sequence + explode, x7 on the REDUCED set, never raw events), "
+    "dedup, count per day. Work is O(users x active-days x 7) "
+    "regardless of event volume; every stage is a hash agg with "
+    "map-side combine. Days past the observed range are trimmed so "
+    "every reported day has a full trailing context.",
+)
+def analytics_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    presence = (
+        load_events(spark, sf_dir)
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    bounds = presence.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cover = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day", F.col("day") + F.expr("INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    ).distinct()
+    return (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("lo"), F.col("hi")))
+        .groupBy("day")
+        .agg(F.count("*").alias("distinct_users_7d"))
+    )

@@ -311,3 +311,65 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qvec",
         F.round(err / F.size("qvec") * 1e9, 3).alias("mse_e9"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM words GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * ln(n.n_docs / d.df), 6) AS score
+  FROM tf t JOIN df d ON d.term = t.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+    doc="TF-IDF keyword extraction: term frequency per (doc, term), "
+    "document frequency per term, score = tf * ln(N/df), top-3 terms per "
+    "document. Ranking uses the score ROUNDED to 6 decimals (then the "
+    "term as tiebreaker) so cross-engine libm ulp differences in ln() "
+    "can never flip an ordering — mathematically-equal scores from "
+    "different (tf, df) pairs collapse to the same rounded key on both "
+    "engines. Shuffles carry (doc, term) and term aggregates, never raw "
+    "tokens twice; the term->idf side is a dimension join (broadcast at "
+    "vocab scale, shuffle join at web scale); the per-doc top-3 rewrites "
+    "to WindowGroupLimit partial pruning.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score", "rn")
+    )
