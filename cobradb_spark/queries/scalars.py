@@ -415,3 +415,35 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", nums.alias("nums"), F.size(nums).cast("long").alias("n_nums")
     )
+
+
+@register(
+    "json_variant_typed",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+         AS k_decade,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1
+""",
+    doc="Semi-structured analytics over Spark 4's VARIANT type: "
+    "parse_json(props) produces a binary variant column (parsed ONCE, "
+    "typed access without re-tokenizing the JSON string per path — the "
+    "at-scale advantage over get_json_object, which re-parses on every "
+    "extraction), then variant_get('$.k', 'bigint') pulls a typed path "
+    "for the rollup key. DuckDB oracles the same aggregation through "
+    "its JSON extension. Everything stays in codegen; the agg is "
+    "partial+final on the extracted key.",
+)
+def json_variant_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        e.select(F.floor(k / 10).cast("long").alias("k_decade"), "value")
+        .groupBy("k_decade")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )

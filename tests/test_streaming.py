@@ -164,3 +164,114 @@ def test_stateful_sessionize_survives_batch_boundary(spark):
     assert closed == [(1, 3)]
     r = out[0]
     assert (r.end_us - r.start_us) == 20 * 60 * 1_000_000
+
+
+def test_available_now_checkpoint_resume(spark):
+    """Incremental processing across restarts: Trigger.AvailableNow drains
+    what exists, checkpoints offsets, stops; after new files land, a
+    SECOND start with the SAME checkpoint processes ONLY the delta, and
+    the cumulative complete-mode result equals the all-data batch agg."""
+    import pandas as pd
+
+    root = tempfile.mkdtemp(prefix="cobradb_avnow_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    def land(name, rows):
+        pd.DataFrame(rows, columns=["user_id", "v"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    land("a.parquet", [(1, 10), (1, 5), (2, 7)])
+    land("b.parquet", [(2, 1), (3, 2)])
+
+    schema = "user_id bigint, v bigint"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(F.sum("v").alias("total"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("avnow")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.total) for r in spark.sql("SELECT * FROM avnow").collect()
+        }
+
+    first = run_once()
+    assert first == {(1, 15), (2, 8), (3, 2)}
+
+    land("c.parquet", [(1, 100), (4, 4)])
+    second = run_once()
+    assert second == {(1, 115), (2, 8), (3, 2), (4, 4)}
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a synthetically skewed shuffle join, run
+    with aggressive skew thresholds, must show AQEShuffleRead with
+    skewed-partition splits in the final adaptive plan."""
+    import pandas as pd
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import hashlib
+
+        # one hot key carrying ~90% of fact rows; incompressible payload so
+        # the hot partition's SHUFFLE BYTES (post-lz4) actually trip the
+        # threshold — a constant pad compresses away and defeats detection
+        fact = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": [1] * 20000 + list(range(2, 2002)),
+                    "pad": [
+                        hashlib.md5(str(i).encode()).hexdigest() * 4
+                        for i in range(22000)
+                    ],
+                }
+            )
+        )
+        dim = spark.createDataFrame(
+            pd.DataFrame({"k": list(range(1, 2002)), "name": ["d"] * 2001})
+        )
+        joined = fact.join(dim.hint("shuffle_hash"), "k")
+        # collect() finalizes THIS frame's adaptive plan (count() would
+        # execute a different plan tree and leave this one non-final)
+        assert len(joined.collect()) == 22000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "join did not mark skew handling"
+        assert "skewed" in plan, "expected skew-split AQEShuffleRead"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
