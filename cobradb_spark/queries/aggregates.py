@@ -322,3 +322,32 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("wavg_price"),
         F.round(den, 6).alias("total_weight"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+         AS statuses
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Ordered string aggregation via Spark 4 LISTAGG ... WITHIN GROUP "
+    "(ORDER BY): the ANSI form of collect-and-join, with DISTINCT and a "
+    "deterministic sort so the concatenation is reproducible across "
+    "partitionings (an unordered listagg is nondeterministic at scale "
+    "by construction). DuckDB oracles via string_agg(DISTINCT .. ORDER "
+    "BY).",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("cb_orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, '|')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM cb_orders_la
+        GROUP BY o_orderpriority
+        """
+    )

@@ -447,3 +447,45 @@ def json_variant_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_decade")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
     )
+
+
+@register(
+    "scalars_try_safe",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+            ELSE round(l_extendedprice / (l_linenumber - 1), 6) END
+         AS price_per_prev_line,
+       TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                     THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                     ELSE 'n/a' END AS BIGINT) AS qty_parsed,
+       CASE WHEN l_linenumber % 3 = 0 THEN NULL
+            ELSE CAST(l_partkey * 2 AS BIGINT) END AS guarded_double
+FROM lineitem
+""",
+    doc="Error-safe evaluation with the try_* family: try_divide returns "
+    "NULL on zero denominators instead of failing the job (under ANSI "
+    "mode a single bad row would otherwise kill a 100 TB pass), "
+    "try_cast turns unparseable strings into NULLs, and a CASE-guarded "
+    "arithmetic shows the equivalent manual guard. The oracle encodes "
+    "the identical NULL-on-error semantics in portable CASE/TRY_CAST "
+    "SQL. At scale this is the difference between quarantining bad "
+    "records and re-running a day of compute.",
+)
+def scalars_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 6
+        ).alias("price_per_prev_line"),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber % 2 = 0 "
+            "THEN CAST(CAST(l_quantity AS BIGINT) AS STRING) "
+            "ELSE 'n/a' END AS BIGINT)"
+        ).alias("qty_parsed"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+        .otherwise((F.col("l_partkey") * 2).cast("long"))
+        .alias("guarded_double"),
+    )

@@ -169,3 +169,40 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") > F.lit(thresh))
     )
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY 1
+""",
+    doc="EXACT mergeable distinct-count rollup via bitmap aggregates — the "
+    "complement to agg_hll_sketch_merge when the key domain is dense "
+    "integers: per-(day, bucket) bitmaps via "
+    "bitmap_construct_agg(bitmap_bit_position(user_id)), rolled to weeks "
+    "with bitmap_or_agg WITHOUT rescanning events, then "
+    "sum(bitmap_count) per week. Bucketing by bitmap_bucket_number "
+    "(32768 bits per bucket) keeps each bitmap bounded regardless of id "
+    "range, so the pattern survives billion-key domains — state is "
+    "O(active buckets), merges are bitwise OR (associative, "
+    "re-aggregatable to ANY coarser grain), and unlike HLL the answer "
+    "is exact: hash-matched against count(DISTINCT) per week.",
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    )
+    daily = ev.groupBy(
+        "week", "day", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    weekly = daily.groupBy("week", "bkt").agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    return weekly.groupBy("week").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users")
+    )
