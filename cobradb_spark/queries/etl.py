@@ -429,3 +429,55 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = max(1, -(-total_bytes // (32 << 20)))  # ceil-div, 32 MiB files
     frag.coalesce(int(target)).write.mode("overwrite").parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+@register(
+    "etl_incremental_join_refresh",
+    oracle="""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+    doc="Incremental JOIN-view maintenance (delta-join algebra): the "
+    "materialized view V = orders |><| customer |><| nation rolled up "
+    "per nation. 'Yesterday's' V is built from orders with "
+    "o_orderkey % 5 <> 0; today's delta dO (the remaining fifth) is "
+    "joined against the dimensions ALONE — dV = dO |><| C |><| N, the "
+    "static fact history is never rescanned or re-joined — and the two "
+    "aggregate states merge by key (count+count, sum+sum). Equality "
+    "with the full-recompute oracle proves the maintenance identity "
+    "V(O u dO) = V(O) + V(dO), which holds because the dimensions are "
+    "unchanged and sum/count are abelian. Dimension joins broadcast on "
+    "both paths; sums go through DECIMAL(18,2) so the base+delta "
+    "addition order cannot perturb float low bits.",
+)
+def etl_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view_state(orders: DataFrame) -> DataFrame:
+        return (
+            orders.join(F.broadcast(c), c.c_custkey == orders.o_custkey)
+            .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            )
+        )
+
+    base = view_state(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = view_state(o.filter(F.col("o_orderkey") % 5 == 0))
+    return (
+        base.unionAll(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue").cast("double").alias("revenue"),
+        )
+    )

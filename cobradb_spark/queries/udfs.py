@@ -205,3 +205,66 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(normalize, schema="id long, l2 double, u0 double, u1 double")
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+         round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS cust_bal
+  FROM customer GROUP BY 1
+), supp AS (
+  SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp,
+         round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS supp_bal
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp,
+       CAST(round(coalesce(c.cust_bal, 0) - coalesce(s.supp_bal, 0), 2)
+            AS DOUBLE) AS bal_gap
+FROM cust c FULL JOIN supp s ON s.nationkey = c.nationkey
+""",
+    doc="K-ext cogrouped-map: customers and suppliers are grouped on "
+    "nationkey and fed PAIRWISE into one Arrow-batched pandas function "
+    "(df.groupBy(...).cogroup(other.groupBy(...)).applyInPandas) that "
+    "sees both sides of a key at once — the API for custom per-key "
+    "merge logic (as-of alignment, reconciliation, interleaving) that "
+    "would otherwise need a join plus a grouped map. Either side may be "
+    "EMPTY for a key (full-outer cogroup semantics) — exercised and "
+    "matched against a full-outer-join-of-aggregates oracle. Decimal "
+    "cents inside pandas keep the sums bit-stable; one shuffle per "
+    "side, same as the join it replaces.",
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+
+    def reconcile(key, cdf: pd.DataFrame, sdf: pd.DataFrame):
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key[0])],
+                "n_cust": [len(cdf)],
+                "n_supp": [len(sdf)],
+                "bal_gap": [
+                    (int(cdf["bal_cents"].sum()) - int(sdf["bal_cents"].sum()))
+                    / 100.0
+                ],
+            }
+        )
+
+    return (
+        c.groupBy("nationkey")
+        .cogroup(s.groupBy("nationkey"))
+        .applyInPandas(
+            reconcile,
+            "nationkey long, n_cust long, n_supp long, bal_gap double",
+        )
+    )
