@@ -268,3 +268,85 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nationkey long, n_cust long, n_supp long, bal_gap double",
         )
     )
+
+
+@register(
+    "udf_sql_declarative",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS charged
+FROM lineitem
+GROUP BY l_orderkey
+""",
+    doc="Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURNS ... "
+    "RETURN expr): the charge formula is registered ONCE as a catalog "
+    "function and reused by name. Unlike Python UDFs, the body is "
+    "inlined into the plan by Catalyst — full codegen, predicate "
+    "pushdown through it, zero serialization — so shared business "
+    "logic gets UDF ergonomics at built-in-function speed. The oracle "
+    "applies the expanded formula directly, proving the inlining is "
+    "semantically transparent.",
+)
+def udf_sql_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cb_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cb_li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(cb_charge(l_extendedprice, l_discount, l_tax)), 6)
+                 AS charged
+        FROM cb_li_sqludf
+        GROUP BY l_orderkey
+        """
+    )
+
+
+@register(
+    "reshape_transpose",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT 'n_events' AS key,
+       max(CASE WHEN event_type = 'click' THEN n_events END) AS click,
+       max(CASE WHEN event_type = 'error' THEN n_events END) AS error,
+       max(CASE WHEN event_type = 'purchase' THEN n_events END) AS purchase,
+       max(CASE WHEN event_type = 'signup' THEN n_events END) AS signup,
+       max(CASE WHEN event_type = 'view' THEN n_events END) AS view
+FROM m
+UNION ALL
+SELECT 'total_value',
+       max(CASE WHEN event_type = 'click' THEN total_value END),
+       max(CASE WHEN event_type = 'error' THEN total_value END),
+       max(CASE WHEN event_type = 'purchase' THEN total_value END),
+       max(CASE WHEN event_type = 'signup' THEN total_value END),
+       max(CASE WHEN event_type = 'view' THEN total_value END)
+FROM m
+""",
+    doc="Spark 4 DataFrame.transpose(): a per-event-type metrics frame "
+    "(5 rows x 2 metrics) flips to metrics-as-rows with event types as "
+    "columns — the index column's values become column names. Transpose "
+    "necessarily materializes the (small, post-aggregation) frame shape "
+    "on the driver, so the idiom is: aggregate FIRST, transpose the "
+    "tiny summary — never raw data. Oracle is the explicit "
+    "conditional-pivot UNION.",
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    m = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    return m.transpose(F.col("event_type"))
