@@ -299,6 +299,38 @@ AUDITS = [
         "write amortizes every downstream join/agg on the key",
     ),
     (
+        "agg_heavy_hitters",
+        ["PushedFilters: [In(user_id", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "pass 2 of the two-pass heavy hitter: the collected candidate list "
+        "becomes an In predicate pushed to the parquet reader, so the "
+        "exact-count shuffle only ever carries candidate rows",
+    ),
+    (
+        "agg_bitmap_distinct_rollup",
+        ["partial_bitmap_construct_agg"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "bitmaps build with map-side partial aggregation and merge via "
+        "bitmap_or_agg — exact distinct state, no Python, no raw-row rescan "
+        "at the weekly grain",
+    ),
+    (
+        "analytics_copurchase_pairs",
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the basket self-join is an equi-join on l_orderkey with the p1<p2 "
+        "predicate applied post-match — never an all-pairs product; pair "
+        "counts keep map-side combine",
+    ),
+    (
+        "text_tfidf_topk",
+        ["WindowGroupLimit"],
+        ["CartesianProduct"],
+        "per-doc top-3 prunes with WindowGroupLimit before the rank "
+        "shuffle; the only nested loop is the broadcast of the 1-row "
+        "corpus-size aggregate",
+    ),
+    (
         "text_pii_redact",
         ["regexp_replace", "partial_sum"],
         ["BatchEvalPython", "ArrowEvalPython"],
