@@ -320,3 +320,91 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     new.write.mode("overwrite").parquet(f"{tmp}/ds/batch=new")
     back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/ds")
     return back.select("l_orderkey", "l_linenumber", "qty", "tax")
+
+
+@register(
+    "scan_file_metadata_lineage",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files
+FROM events
+GROUP BY event_type
+""",
+    doc="Row-level file lineage via the hidden _metadata struct: events "
+    "are written partitionBy(event_type) after repartition(event_type) "
+    "(one shuffle partition per type -> exactly one file per partition "
+    "directory, making the file count deterministic), then read back "
+    "selecting _metadata.file_path alongside the data. The partition "
+    "value is recovered FROM THE PATH (regexp on 'event_type=...') and "
+    "per-file row counts are aggregated — the audit primitive for "
+    "incremental pipelines ('which files fed this partition, how many "
+    "rows each'), with no extra bookkeeping column materialized in the "
+    "data. At 100 TB, _metadata is planning-time information the reader "
+    "attaches per split; it costs nothing at rest.",
+)
+def scan_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="cobradb_meta_")
+    path = os.path.join(tmp, "events_by_type")
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1)
+        .alias("event_type"),
+        F.col("_metadata.file_path").alias("file_path"),
+    )
+    per_file = back.groupBy("event_type", "file_path").agg(
+        F.count("*").alias("n_rows")
+    )
+    return per_file.groupBy("event_type").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.countDistinct("file_path").alias("n_files"),
+    )
+
+
+@register(
+    "scan_binaryfile_ingest",
+    oracle="""
+SELECT doc_id, md5(text) AS content_md5,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id < 20
+""",
+    doc="Opaque-blob ingestion via the binaryFile source — the entry "
+    "point for image/audio corpora: one file per blob on disk, read as "
+    "(path, modificationTime, length, content) with content as a raw "
+    "binary column. Here 20 blobs are materialized from document texts "
+    "(so the oracle can verify bytes: md5 over UTF-8 bytes matches "
+    "DuckDB's md5 over the same text), the key is recovered from the "
+    "file name, and the md5 + byte length prove content integrity "
+    "end-to-end. Feeds the multimodal_* pipeline (binary column + "
+    "typed metadata struct); at scale pathGlobFilter/recursive lookup "
+    "prune the listing and each blob stays a single task-local read — "
+    "no shuffle.",
+)
+def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_blobs_")
+    for r in docs:
+        with open(os.path.join(tmp, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(tmp)
+    return blobs.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"(\d+)\.bin", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").alias("n_bytes"),
+    )
