@@ -66,3 +66,28 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _slices(spark, sf_dir)
     return old.subtract(new)  # distinct EXCEPT; exceptAll is the bag variant
+
+
+@register(
+    "set_intersect_except_all",
+    oracle=f"""
+SELECT 'intersect_all' AS op, o_custkey FROM
+  (SELECT o_custkey FROM ({_OLD}) INTERSECT ALL SELECT o_custkey FROM ({_NEW}))
+UNION ALL
+SELECT 'except_all', o_custkey FROM
+  (SELECT o_custkey FROM ({_OLD}) EXCEPT ALL SELECT o_custkey FROM ({_NEW}))
+""",
+    doc="G2/G3 bag variants — INTERSECT ALL / EXCEPT ALL keep "
+    "multiplicities (min / truncated difference of per-key counts), the "
+    "semantics that matter when the key legitimately repeats (multiple "
+    "orders per customer in each era). Spark's intersectAll/exceptAll "
+    "plan as count-aggregate + join + replicate — one shuffle per side, "
+    "never a row-by-row comparison. Both ops are emitted in one frame "
+    "with an op tag; the driver's order-insensitive hash covers the "
+    "multiset equality.",
+)
+def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _slices(spark, sf_dir)
+    ia = old.intersectAll(new).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    ea = old.exceptAll(new).select(F.lit("except_all").alias("op"), "o_custkey")
+    return ia.unionByName(ea)
