@@ -529,3 +529,54 @@ def analytics_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("day")
         .agg(F.count("*").alias("distinct_users_7d"))
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, median(n) AS med_n FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day, d.n, m.med_n, abs(d.n - m.med_n) AS adev
+  FROM daily d JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad_n FROM dev GROUP BY event_type
+)
+SELECT d.day, d.event_type, d.n,
+       round(0.6745 * (d.n - d.med_n) / nullif(m.mad_n, 0.0), 6) AS rz,
+       coalesce(abs(0.6745 * (d.n - d.med_n) / nullif(m.mad_n, 0.0)) > 3.5,
+                FALSE) AS outlier
+FROM dev d JOIN mad m USING (event_type)
+""",
+    doc="Robust daily-volume anomaly detection per event type: modified "
+    "z-score 0.6745*(x - median)/MAD with the 3.5 outlier cut (Iglewicz-"
+    "Hoaglin). Complements events_anomaly_zscore (mean/stddev are themselves "
+    "corrupted by the outliers they hunt; median/MAD have a 50% breakdown "
+    "point). Facts reduce to one row per (type, day) in a partial+final "
+    "count BEFORE any median work, so the exact medians run on the tiny "
+    "daily grid, never raw events — per-key exact medians at 100 TB stay "
+    "cheap because |types x days| is bounded.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med_n"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_n"))
+    rz = F.lit(0.6745) * (F.col("n") - F.col("med_n")) / F.nullif(
+        F.col("mad_n"), F.lit(0.0)
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "day",
+        "event_type",
+        "n",
+        F.round(rz, 6).alias("rz"),
+        F.coalesce(F.abs(rz) > 3.5, F.lit(False)).alias("outlier"),
+    )

@@ -481,3 +481,57 @@ def etl_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+WITH v_old AS (
+  SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 97 <> 0
+), v_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 89 <> 0
+), diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN o.price <> n.price THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+FROM diff GROUP BY status
+""",
+    doc="Snapshot reconciliation between two table versions (the reference's "
+    "database_version diff: which entities were added / deleted / changed "
+    "between loads — cobradb's old-ID lineage tables record exactly this "
+    "[P]). One full-outer join on the natural key classifies every row; "
+    "key_sum is an order-independent audit fingerprint per class. At 100 TB "
+    "both snapshots shuffle once on the key — or ZERO times if both are "
+    "bucketed on it (see join_bucketed_colocated); the output is 4 rows.",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v_old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    v_new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    old_a, new_a = v_old.alias("o"), v_new.alias("n")
+    diff = old_a.join(new_a, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full").select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("k"),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "deleted")
+        .when(F.col("o.price") != F.col("n.price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n"), F.sum("k").cast("long").alias("key_sum")
+    )

@@ -196,3 +196,48 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.round(F.cume_dist().over(w), 6).alias("cd")
     )
+
+
+@register(
+    "win_ewma_smooth",
+    oracle="""
+WITH lagged AS (
+  SELECT event_id, user_id, ts, value,
+         lag(value, 1) OVER win AS l1, lag(value, 2) OVER win AS l2,
+         lag(value, 3) OVER win AS l3, lag(value, 4) OVER win AS l4
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       round((value + coalesce(l1, 0.0) * 0.5 + coalesce(l2, 0.0) * 0.25
+                    + coalesce(l3, 0.0) * 0.125 + coalesce(l4, 0.0) * 0.0625)
+             / (1.0 + (CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END)
+                    + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END)
+                    + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END)
+                    + (CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END)),
+             6) AS ewma
+FROM lagged
+""",
+    doc="Exponentially-weighted moving average (decay 0.5, 5-tap truncated "
+    "kernel, renormalized at series starts) of event value per user — the "
+    "time-series smoother the reference's Postgres window layer would serve. "
+    "Expressed as a fixed lag chain so the kernel is ONE window pass (one "
+    "shuffle on user_id) with no per-row state; weights are exact binary "
+    "powers of 1/2, so both engines compute bit-identical sums in the fixed "
+    "left-associative order. The truncated kernel keeps the operator "
+    "embarrassingly parallel — an unbounded recursive EWMA would serialize "
+    "each partition; 5 taps of decay 0.5 bound the truncation error at 3%.",
+)
+def win_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in (1, 2, 3, 4)]
+    weights = [0.5, 0.25, 0.125, 0.0625]
+    num = F.col("value")
+    den = F.lit(1.0)
+    for lk, wk in zip(lags, weights):
+        num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
+        den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
+    return e.select(
+        "event_id", "user_id", "ts", F.round(num / den, 6).alias("ewma")
+    )

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.analytics",
     "cobradb_spark.queries.rollups",
     "cobradb_spark.queries.layout",
+    "cobradb_spark.queries.graph",
 )
 
 

@@ -1,0 +1,57 @@
+"""Semantic checks for the graph operators (queries/graph.py): the oracle
+gate proves Spark==DuckDB; these pin the *mathematical* invariants both
+engines could get wrong together.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cobradb_spark.queries.graph import (
+    graph_pagerank,
+    graph_triangle_stats,
+    _copurchase_edges,
+)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Symmetric graph, no dangling nodes: total rank stays 1 (up to the
+    per-iteration 1e-12 rounding, |V| * 5e-13 worst case)."""
+    pr = graph_pagerank(spark, sf_dir)
+    row = pr.agg(
+        F.sum("pagerank").alias("total"), F.count("*").alias("n"), F.min("pagerank").alias("lo")
+    ).first()
+    assert row["n"] > 0
+    assert row["total"] == pytest.approx(1.0, abs=row["n"] * 5e-13 + 1e-9)
+    assert row["lo"] > 0  # teleport term keeps every rank positive
+
+
+def test_pagerank_degree_monotone_at_extremes(spark, sf_dir):
+    """The max-degree node must outrank the min-degree node (holds for
+    PageRank on connected-ish co-occurrence graphs; a sanity probe that
+    the contribution join is keyed the right way around)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("part_id")).agg(F.count("*").alias("d"))
+    joined = graph_pagerank(spark, sf_dir).join(deg, "part_id")
+    top = joined.orderBy(F.desc("d"), "part_id").first()
+    bot = joined.orderBy(F.asc("d"), "part_id").first()
+    assert top["pagerank"] > bot["pagerank"]
+
+
+def test_triangle_stats_vs_bruteforce(spark, sf_dir):
+    """Degree-oriented count == naive a<b<c three-way join count."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.filter(F.col("src") < F.col("dst"))
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    naive = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    row = graph_triangle_stats(spark, sf_dir).first()
+    assert row["n_triangles"] == naive
+    assert 0.0 <= row["transitivity"] <= 1.0
+    # wedges >= 3 * triangles always (each triangle closes 3 wedges)
+    sum_wedges = (
+        edges.groupBy("src").count().agg(F.sum(F.expr("count * (count - 1) / 2"))).first()[0]
+    )
+    assert sum_wedges >= 3 * row["n_triangles"]

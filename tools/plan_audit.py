@@ -337,6 +337,22 @@ AUDITS = [
         "redaction is pure JVM codegen (no Python round-trip) fused into the "
         "scan, then a 5-group partial+final aggregate",
     ),
+    (
+        "graph_pagerank",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "every PageRank iteration joins the edge list against a BROADCAST "
+        "rank vector (|V| rows) — the huge edge set is never re-shuffled; "
+        "contributions partial-aggregate map-side before the dst rollup",
+    ),
+    (
+        "graph_triangle_stats",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+        "degree orientation bounds wedge fan-out by sqrt(2|E|); degree "
+        "lookups broadcast; the wedge-closing check is a hash semi-join — "
+        "the only nested loops are the three 1-row summary crossJoins",
+    ),
 ]
 
 
