@@ -580,3 +580,59 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rz, 6).alias("rz"),
         F.coalesce(F.abs(rz) > 3.5, F.lit(False)).alias("outlier"),
     )
+
+
+@register(
+    "ts_autocorr",
+    oracle="""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day, round(sum(value), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2, lag(x, 3) OVER w AS l3
+  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+r AS (
+  SELECT event_type, round(corr(x, l1), 6) AS a1, round(corr(x, l2), 6) AS a2,
+         round(corr(x, l3), 6) AS a3
+  FROM l GROUP BY event_type
+)
+SELECT event_type, CAST(1 AS BIGINT) AS lag, a1 AS acf FROM r
+UNION ALL
+SELECT event_type, CAST(2 AS BIGINT) AS lag, a2 AS acf FROM r
+UNION ALL
+SELECT event_type, CAST(3 AS BIGINT) AS lag, a3 AS acf FROM r
+""",
+    doc="Lag-1/2/3 autocorrelation of the daily value series per event type "
+    "— seasonality detection for capacity planning and drift monitors. The "
+    "fact table reduces to the (type, day) grid in a partial+final sum "
+    "BEFORE any window work, so the lag window and corr aggregates run on "
+    "|types x days| rows, never raw events; daily sums rounded to 6 on both "
+    "engines to re-sync addition-order drift before the correlations.",
+    tags=("analytics",),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = g.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 2).over(w).alias("l2"),
+        F.lag("x", 3).over(w).alias("l3"),
+    )
+    r = l.groupBy("event_type").agg(
+        F.round(F.corr("x", "l1"), 6).alias("a1"),
+        F.round(F.corr("x", "l2"), 6).alias("a2"),
+        F.round(F.corr("x", "l3"), 6).alias("a3"),
+    )
+    return r.select(
+        "event_type",
+        F.expr("stack(3, 1L, a1, 2L, a2, 3L, a3) AS (lag, acf)"),
+    ).select("event_type", "lag", "acf")

@@ -393,3 +393,46 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < p)
         .select("doc_id", "n_chars", "lang", F.round(p, 6).alias("p"))
     )
+
+
+@register(
+    "embed_kmeans_cluster",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, i, x FROM e
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d1 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.x) * (e.x - c.x)), 9) AS d
+       FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid, d,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       FROM d1),
+c1 AS (SELECT a.cid, e.i, round(avg(e.x), 9) AS x
+       FROM a1 a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1
+       GROUP BY a.cid, e.i),
+d2 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.x) * (e.x - c.x)), 9) AS d
+       FROM e JOIN c1 c USING (i) GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid, d,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       FROM d2)
+SELECT vec_id, cid AS cluster, round(d, 6) AS sqdist FROM a2 WHERE rn = 1
+""",
+    doc="Lloyd k-means (k=8, 2 assignment rounds, seeds = 8 lowest vec_ids) "
+    "over the embedding table — the embedding-cluster step behind balanced "
+    "sampling / diversity filtering in a training-data pipeline. Centroids "
+    "are query constants: each assignment is a literal-array narrow map "
+    "(transform + array_min over struct(d, cid) — zero shuffle, no UDF); "
+    "the update shuffles only k x dim partial averages per partition. "
+    "Distances/centroids rounded to 9 per iteration for cross-engine bit "
+    "parity; argmin ties break on lowest centroid id (operators/kmeans.py).",
+    tags=("mlprep",),
+)
+def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)

@@ -431,3 +431,42 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(*[F.count_if(F.col("bucket") == b).alias(f"f{b}") for b in range(8)])
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tok GROUP BY term HAVING count(*) >= 3
+""",
+    doc="Inverted-index build: term -> document-frequency + sorted posting "
+    "list, the retrieval/decontamination backbone (same index shape "
+    "decontam_ngram_overlap probes). explode -> per-doc distinct -> groupBy "
+    "term; map-side partial distinct keeps the shuffle on (term, doc_id) "
+    "pairs, and posting lists are bounded by n_docs per term. At 100 TB the "
+    "df >= 3 floor drops the hapax tail (most of the vocabulary); a stopword "
+    "ceiling (df <= c * n_docs) would cap hot-term list length the same way "
+    "— both are ordinary HAVING filters on the already-aggregated index.",
+    tags=("textops",),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 3)
+    )

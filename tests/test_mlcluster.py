@@ -1,0 +1,83 @@
+"""k-means, inverted index, and autocorrelation property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.operators.kmeans import kmeans_assign
+from cobradb_spark.registry import all_queries
+
+
+def test_kmeans_assignment_complete_and_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = all_queries()["embed_kmeans_cluster"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == emb.count(), "every vector must get exactly one cluster"
+    clusters = {r["cluster"] for r in rows}
+    assert len(clusters) <= 8
+    assert all(r["sqdist"] >= 0 for r in rows)
+
+
+def test_kmeans_sse_non_increasing(spark, sf_dir):
+    """Lloyd's algorithm guarantees SSE monotonically non-increasing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sse = []
+    for iters in (1, 2, 3):
+        df = kmeans_assign(emb, k=8, iters=iters)
+        sse.append(df.agg(F.sum("sqdist")).collect()[0][0])
+    # tolerance for the per-iteration 1e-9 parity rounding
+    assert sse[1] <= sse[0] + 1e-6
+    assert sse[2] <= sse[1] + 1e-6
+
+
+def test_kmeans_assigns_nearest_seed_for_single_iter(spark, sf_dir):
+    """With iters=1 each vector must map to its truly nearest seed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    }
+    out = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in kmeans_assign(emb, k=8, iters=1).collect()
+    }
+    sample = emb.filter(F.col("vec_id") % 37 == 0).collect()
+    for r in sample:
+        v = [float(x) for x in r["embedding"]]
+        best = min(
+            seeds,
+            key=lambda cid: (
+                round(sum((a - b) ** 2 for a, b in zip(v, seeds[cid])), 9),
+                cid,
+            ),
+        )
+        assert out[int(r["vec_id"])] == best
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
+    rows = all_queries()["text_inverted_index"].fn(spark, sf_dir).collect()
+    assert rows, "sf0.001 corpus should have repeated terms"
+    for r in rows:
+        assert r["df"] >= 3
+        assert list(r["postings"]) == sorted(set(r["postings"]))
+        assert len(r["postings"]) == r["df"]
+
+
+def test_inverted_index_roundtrip_membership(spark, sf_dir):
+    """Every posting must correspond to a doc actually containing the term."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = {r["doc_id"]: set(r["text"].split(" ")) for r in d.collect()}
+    rows = all_queries()["text_inverted_index"].fn(spark, sf_dir).collect()
+    for r in rows[:50]:
+        for doc_id in r["postings"]:
+            assert r["term"] in docs[doc_id]
+
+
+def test_autocorr_in_valid_range(spark, sf_dir):
+    rows = all_queries()["ts_autocorr"].fn(spark, sf_dir).collect()
+    assert rows
+    assert {r["lag"] for r in rows} <= {1, 2, 3}
+    for r in rows:
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9

@@ -353,6 +353,29 @@ AUDITS = [
         "lookups broadcast; the wedge-closing check is a hash semi-join — "
         "the only nested loops are the three 1-row summary crossJoins",
     ),
+    (
+        "embed_kmeans_cluster",
+        ["Project"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "SortMergeJoin", "CartesianProduct"],
+        "centroids are embedded literals: assignment is a narrow map (no "
+        "join, no shuffle, no Python); the final plan is scan -> project -> "
+        "exchange-free argmin, with only the tiny k x dim update shuffles "
+        "in earlier iterations",
+    ),
+    (
+        "text_inverted_index",
+        ["partial_count", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "token pairs partial-distinct map-side; the only shuffle carries "
+        "(term, doc_id) pairs and the df filter runs post-aggregate",
+    ),
+    (
+        "ts_autocorr",
+        ["partial_sum"],
+        ["BatchEvalPython", "CartesianProduct"],
+        "facts reduce to the (type, day) grid map-side before the lag "
+        "window and correlation aggregates (grid rows, never raw events)",
+    ),
 ]
 
 
