@@ -351,3 +351,51 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+WITH r AS (
+  SELECT round(corr(l_quantity, l_extendedprice), 6) AS qp,
+         round(corr(l_quantity, l_discount), 6) AS qd,
+         round(corr(l_quantity, l_tax), 6) AS qt,
+         round(corr(l_extendedprice, l_discount), 6) AS pd,
+         round(corr(l_extendedprice, l_tax), 6) AS pt,
+         round(corr(l_discount, l_tax), 6) AS dt
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qp AS r FROM r
+UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM r
+UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM r
+UNION ALL SELECT 'l_extendedprice', 'l_discount', pd FROM r
+UNION ALL SELECT 'l_extendedprice', 'l_tax', pt FROM r
+UNION ALL SELECT 'l_discount', 'l_tax', dt FROM r
+""",
+    doc="Pairwise Pearson correlation matrix over the four lineitem measures "
+    "in ONE scan: all six co-moment aggregates compute in a single "
+    "partial+final pass (no per-pair rescans, no driver loop), then the "
+    "1-row result unpivots to tidy (col_a, col_b, r) form. The feature-"
+    "redundancy screen a training pipeline runs before model prep; at "
+    "100 TB it stays a single map-combine aggregation regardless of width.",
+    tags=("aggregates",),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    r = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return r.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r)")
+    )

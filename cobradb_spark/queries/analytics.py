@@ -636,3 +636,68 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("stack(3, 1L, a1, 2L, a2, 3L, a3) AS (lag, acf)"),
     ).select("event_type", "lag", "acf")
+
+
+@register(
+    "analytics_path_transitions",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_MIN * 60}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS to_type
+  FROM sess
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM counts
+""",
+    doc="Markov path analysis: within-session event-type transition counts "
+    "and row-normalized transition probabilities (the click-path / funnel-"
+    "discovery primitive). Sessionization reuses the single user_id shuffle "
+    "(same partitioning serves lag, session numbering, AND lead), pairs "
+    "partial-aggregate to the |types|^2 transition grid map-side, and the "
+    "probability normalization windows over that tiny grid — raw events "
+    "never shuffle twice.",
+    tags=("analytics",),
+)
+def analytics_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    sess = e.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(ws).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("prob"),
+    )

@@ -200,3 +200,49 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "graph_khop_reach",
+    oracle=f"""
+WITH {_EDGE_SQL},
+probes AS (SELECT DISTINCT src FROM edges WHERE src % 50 = 0),
+h1 AS (SELECT p.src, e.dst FROM probes p JOIN edges e ON e.src = p.src),
+h2 AS (SELECT h.src, e2.dst FROM h1 h JOIN edges e2 ON e2.src = h.dst),
+reach AS (SELECT src, dst FROM h1 UNION SELECT src, dst FROM h2),
+a1 AS (SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS n_1hop
+       FROM h1 GROUP BY src),
+a2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_2hop
+       FROM reach WHERE dst <> src GROUP BY src)
+SELECT a1.src AS part_id, n_1hop, n_2hop FROM a1 JOIN a2 USING (src)
+""",
+    doc="Bounded-frontier 2-hop reachability: for a probe set of parts "
+    "(src % 50 = 0), the count of distinct parts within 1 and within 2 "
+    "co-purchase hops (self excluded). The BFS frontier expands via "
+    "self-joins on the PROBE-RESTRICTED edge subset — the probe filter "
+    "applies before any expansion, so cost tracks the probe frontier, not "
+    "|V|; the distinct reach set partial-aggregates map-side. The same "
+    "shape iterates to k hops (one join per hop) for neighborhood features "
+    "at 100 TB — the frontier dataframe is what you'd checkpoint per hop.",
+    tags=("graph",),
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    probes = edges.filter(F.col("src") % 50 == 0)
+    h1 = probes.select("src", "dst")
+    h2 = (
+        h1.alias("h")
+        .join(edges.alias("e2"), F.col("h.dst") == F.col("e2.src"))
+        .select(F.col("h.src").alias("src"), F.col("e2.dst").alias("dst"))
+    )
+    reach = h1.union(h2).distinct()
+    a1 = h1.distinct().groupBy("src").agg(F.count("*").alias("n_1hop"))
+    a2 = (
+        reach.filter(F.col("dst") != F.col("src"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_2hop"))
+    )
+    return (
+        a1.join(a2, "src")
+        .select(F.col("src").alias("part_id"), "n_1hop", "n_2hop")
+    )

@@ -17,7 +17,7 @@ pushes down as an ordinary filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
@@ -436,3 +436,49 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.operators.kmeans import kmeans_assign
 
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(CAST(concat('0x', substr(md5(concat('ares1', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS UBIGINT) AS BIGINT) AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(pow(CAST(h AS DOUBLE) / 1152921504606846976,
+                   1.0 / CAST(n_chars AS DOUBLE)), 12) AS wkey
+  FROM u
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, wkey, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="Weighted sampling WITHOUT replacement, top-5 per language, via the "
+    "Efraimidis-Spirakis A-Res scheme: key = u^(1/w) with w = n_chars and u "
+    "a deterministic 60-bit md5 draw — inclusion probability proportional "
+    "to weight, membership rerun-stable with no RNG state. The keying is a "
+    "narrow map; per-stratum top-k runs as a windowed rank (WindowGroupLimit "
+    "prunes per partition before the shuffle). Keys rounded to 12 so both "
+    "engines rank the identical values; ties break on doc_id.",
+    tags=("mlprep",),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ares1"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = h.cast("double") / F.lit(float(1 << 60))
+    wkey = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12)
+    w = Window.partitionBy("lang").orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", wkey.alias("wkey"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -81,3 +81,49 @@ def test_autocorr_in_valid_range(spark, sf_dir):
     for r in rows:
         if r["acf"] is not None:
             assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+
+
+def test_khop_reach_monotone(spark, sf_dir):
+    rows = all_queries()["graph_khop_reach"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["part_id"] % 50 == 0
+        assert r["n_2hop"] >= r["n_1hop"] >= 1
+
+
+def test_path_transitions_rows_normalized(spark, sf_dir):
+    rows = all_queries()["analytics_path_transitions"].fn(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        assert r["n"] >= 1 and 0.0 < r["prob"] <= 1.0
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["prob"]
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4
+
+
+def test_corr_matrix_bounds(spark, sf_dir):
+    rows = all_queries()["agg_corr_matrix"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["r"] <= 1.0
+
+
+def test_weighted_topk_shape_and_bias(spark, sf_dir):
+    from cobradb_spark.io import load_table
+
+    rows = all_queries()["sample_weighted_topk"].fn(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        assert 0.0 <= r["wkey"] <= 1.0
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang_rows in per_lang.values():
+        assert len(lang_rows) <= 5
+        keys = [r["wkey"] for r in sorted(lang_rows, key=lambda x: x["rn"])]
+        assert keys == sorted(keys, reverse=True)
+    # weight bias: sampled docs should skew longer than the corpus median
+    d = load_table(spark, sf_dir, "documents")
+    med = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    sampled = [r["n_chars"] for r in rows]
+    assert sum(c > med for c in sampled) >= len(sampled) // 2

@@ -376,6 +376,28 @@ AUDITS = [
         "facts reduce to the (type, day) grid map-side before the lag "
         "window and correlation aggregates (grid rows, never raw events)",
     ),
+    (
+        "agg_corr_matrix",
+        ["partial_corr"],
+        ["BatchEvalPython", "CartesianProduct"],
+        "all six co-moment aggregates compute in ONE partial+final scan; "
+        "the unpivot expands the 1-row result driver-free",
+    ),
+    (
+        "sample_weighted_topk",
+        ["WindowGroupLimit"],
+        ["BatchEvalPython", "Exchange hashpartitioning(doc_id"],
+        "A-Res keying is a narrow map fused into the scan; the per-language "
+        "top-5 prunes per-partition via WindowGroupLimit before the shuffle",
+    ),
+    (
+        "analytics_path_transitions",
+        ["partial_count"],
+        ["BatchEvalPython", "CartesianProduct"],
+        "one user_id exchange serves sessionization lag, session numbering, "
+        "and the lead pairing; transitions partial-aggregate to the "
+        "|types|^2 grid before the probability window",
+    ),
 ]
 
 
