@@ -13,7 +13,7 @@ value-hash is insensitive to summation order (SURVEY §5.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
@@ -398,4 +398,35 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.select(
         F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r)")
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM ranked WHERE rn = 1
+""",
+    doc="Exact per-group mode with a DETERMINISTIC tie-break (highest count, "
+    "then lowest value) — built-in mode() leaves ties engine-defined, which "
+    "can never pass a cross-engine hash gate, so the portable formulation "
+    "is count -> windowed argmax. Two partial+final aggregations over the "
+    "tiny (group, value) grid; raw rows shuffle once.",
+    tags=("aggregates",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
     )

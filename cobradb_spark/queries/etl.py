@@ -535,3 +535,80 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("status").agg(
         F.count("*").alias("n"), F.sum("k").cast("long").alias("key_sum")
     )
+
+
+@register(
+    "etl_fk_containment",
+    oracle="""
+WITH pairs AS (
+  SELECT 'lineitem.l_orderkey' AS child_col, 'orders.o_orderkey' AS parent_col,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_contained
+  UNION ALL
+  SELECT 'orders.o_custkey', 'customer.c_custkey',
+         (SELECT count(DISTINCT o_custkey) FROM orders),
+         (SELECT count(DISTINCT o_custkey) FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT l_partkey) FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part)),
+  UNION ALL
+  SELECT 'customer.c_custkey', 'orders.o_custkey',
+         (SELECT count(DISTINCT c_custkey) FROM customer),
+         (SELECT count(DISTINCT c_custkey) FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders))
+)
+SELECT child_col, parent_col,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       round(CAST(n_contained AS DOUBLE) / n_child, 6) AS containment,
+       n_contained = n_child AS fk_plausible
+FROM pairs
+""",
+    doc="Foreign-key INFERENCE by value containment: for each candidate "
+    "(child, parent) column pair, the fraction of distinct child values "
+    "present in the parent — containment 1.0 marks a plausible FK, below "
+    "1.0 quantifies orphan keys (the schema-discovery pass a catalog runs "
+    "on unfamiliar data; complements fk_audit_anti, which ENFORCES declared "
+    "FKs). Each side reduces to its distinct key set BEFORE the semi-join, "
+    "so the joins carry |keys| rows; the reverse direction (customer -> "
+    "orders) demonstrates a true negative: customers without orders.",
+    tags=("etl",),
+)
+def etl_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pair(child_df, child_col, parent_df, parent_col, child_name, parent_name):
+        child = child_df.select(F.col(child_col).alias("k")).distinct()
+        parent = parent_df.select(F.col(parent_col).alias("k")).distinct()
+        contained = child.join(parent, "k", "left_semi")
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(contained.agg(F.count("*").alias("n_contained")))
+            .select(
+                F.lit(child_name).alias("child_col"),
+                F.lit(parent_name).alias("parent_col"),
+                "n_child",
+                "n_contained",
+                F.round(F.col("n_contained").cast("double") / F.col("n_child"), 6).alias(
+                    "containment"
+                ),
+                (F.col("n_contained") == F.col("n_child")).alias("fk_plausible"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    out = pair(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey", "orders.o_orderkey")
+    out = out.unionAll(
+        pair(o, "o_custkey", c, "c_custkey", "orders.o_custkey", "customer.c_custkey")
+    )
+    out = out.unionAll(
+        pair(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey", "part.p_partkey")
+    )
+    return out.unionAll(
+        pair(c, "c_custkey", o, "o_custkey", "customer.c_custkey", "orders.o_custkey")
+    )

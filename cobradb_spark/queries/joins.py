@@ -653,3 +653,37 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="Large-large join with an explicit SHUFFLE_HASH hint: both sides "
+    "exchange on the key, but the build side hashes per-partition instead "
+    "of sorting BOTH sides (the SortMergeJoin default). When the per-"
+    "partition build side fits executor memory, skipping two O(n log n) "
+    "sorts is the right physical call at 100 TB — and if it does not fit, "
+    "falling back to merge is the safe default, which is why this stays an "
+    "explicit per-query hint rather than a global conf. Plan-audited: "
+    "ShuffledHashJoin present, no sort-merge, aggregate partial+final.",
+    tags=("joins",),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

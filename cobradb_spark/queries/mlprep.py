@@ -482,3 +482,52 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "profile_skew_keys",
+    oracle="""
+WITH freq AS (
+  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_keys
+  FROM freq
+), ranked AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk FROM freq
+)
+SELECT CAST(r.rnk AS BIGINT) AS rnk, r.key, r.n,
+       round(r.n / s.total, 6) AS share,
+       round(r.n / (s.total / s.n_keys), 6) AS ratio_to_avg
+FROM ranked r, stats s WHERE r.rnk <= 10
+""",
+    doc="Join-key skew diagnosis: per-key frequencies for l_suppkey, the 10 "
+    "heaviest keys with their row share and hot-key ratio vs the mean key. "
+    "This is the report that decides WHEN to salt or enable AQE skew-join "
+    "(join_salted_skew / the AQE test are the mitigations). The frequency "
+    "pass is partial+final (shuffle = #keys), the global top-10 is a "
+    "TakeOrdered heap (no full sort), and the 1-row stats broadcast.",
+    tags=("mlprep",),
+)
+def profile_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = freq.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_keys"),
+    )
+    # top-10 via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heaps, no global sort); the rank window then runs on 10 rows only.
+    w = Window.orderBy(F.col("n").desc(), "key")
+    top = (
+        freq.orderBy(F.col("n").desc(), "key")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n") / (F.col("total") / F.col("n_keys")), 6).alias("ratio_to_avg"),
+    )

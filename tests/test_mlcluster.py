@@ -127,3 +127,60 @@ def test_weighted_topk_shape_and_bias(spark, sf_dir):
     med = d.approxQuantile("n_chars", [0.5], 0.0)[0]
     sampled = [r["n_chars"] for r in rows]
     assert sum(c > med for c in sampled) >= len(sampled) // 2
+
+
+def test_mode_deterministic_argmax(spark, sf_dir):
+    from cobradb_spark.io import load_table
+
+    rows = all_queries()["agg_mode"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    counts = {}
+    for r in o.groupBy("o_orderstatus", "o_orderpriority").count().collect():
+        counts.setdefault(r["o_orderstatus"], {})[r["o_orderpriority"]] = r["count"]
+    assert len(rows) == len(counts)
+    for r in rows:
+        grp = counts[r["o_orderstatus"]]
+        best = min(grp, key=lambda v: (-grp[v], v))
+        assert r["mode_priority"] == best and r["n"] == grp[best]
+
+
+def test_skew_report_shares(spark, sf_dir):
+    rows = all_queries()["profile_skew_keys"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    ns = [r["n"] for r in sorted(rows, key=lambda x: x["rnk"])]
+    assert ns == sorted(ns, reverse=True)
+    assert sum(r["share"] for r in rows) <= 1.0 + 1e-6
+    # the heaviest key is necessarily at or above the mean key weight
+    top = min(rows, key=lambda x: x["rnk"])
+    assert top["ratio_to_avg"] >= 1.0
+
+def test_fk_containment_directions(spark, sf_dir):
+    rows = {
+        (r["child_col"], r["parent_col"]): r
+    for r in all_queries()["etl_fk_containment"].fn(spark, sf_dir).collect()}
+    # declared FKs hold exactly
+    assert rows[("lineitem.l_orderkey", "orders.o_orderkey")]["fk_plausible"]
+    assert rows[("orders.o_custkey", "customer.c_custkey")]["fk_plausible"]
+    assert rows[("lineitem.l_partkey", "part.p_partkey")]["fk_plausible"]
+    for r in rows.values():
+        assert 0.0 <= r["containment"] <= 1.0
+        assert r["n_contained"] <= r["n_child"]
+
+
+def test_shuffle_hash_hint_matches_plain_join(spark, sf_dir):
+    hinted = all_queries()["join_shuffle_hash_hint"].fn(spark, sf_dir)
+    from cobradb_spark.io import load_table
+    from pyspark.sql import functions as F2
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F2.count("*").alias("n_lines"),
+            F2.round(F2.sum(F2.col("l_extendedprice") * (1 - F2.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, plain.collect()))
+    assert "ShuffledHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()

@@ -398,6 +398,27 @@ AUDITS = [
         "and the lead pairing; transitions partial-aggregate to the "
         "|types|^2 grid before the probability window",
     ),
+    (
+        "join_shuffle_hash_hint",
+        ["ShuffledHashJoin", "partial_count"],
+        ["SortMergeJoin", "BroadcastNestedLoopJoin"],
+        "the SHUFFLE_HASH hint builds a per-partition hash table instead of "
+        "sorting both 100 TB sides; aggregate stays partial+final",
+    ),
+    (
+        "profile_skew_keys",
+        ["partial_count", "TakeOrderedAndProject"],
+        ["BatchEvalPython"],
+        "per-key frequency is partial+final (shuffle = #keys); the top-10 "
+        "and 1-row stats are broadcast, never a full sort of the key table",
+    ),
+    (
+        "agg_mode",
+        ["partial_count"],
+        ["BatchEvalPython", "CartesianProduct"],
+        "mode = count + windowed argmax over the (group, value) grid with a "
+        "deterministic tie-break; raw rows shuffle once",
+    ),
 ]
 
 
