@@ -701,3 +701,60 @@ def analytics_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("prob"),
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, round(avg(x), 6) AS mu, round(stddev_samp(x), 6) AS sigma
+  FROM g GROUP BY event_type
+), c AS (
+  SELECT g.event_type, g.day, g.x, s.sigma,
+         round(sum(g.x - s.mu) OVER (PARTITION BY g.event_type ORDER BY g.day
+                                     ROWS UNBOUNDED PRECEDING), 4) + 0.0 AS cusum
+  FROM g JOIN stats s USING (event_type)
+)
+SELECT event_type, day, x, cusum,
+       abs(cusum) > 2 * sigma AS flagged
+FROM c
+""",
+    doc="CUSUM changepoint detection on the daily value series per event "
+    "type: running sum of deviations from the series mean, flagged where "
+    "|CUSUM| drifts past 2 sigma — catches slow level shifts that the "
+    "pointwise z-score monitors (events_anomaly_zscore/_mad) miss. Facts "
+    "reduce to the (type, day) grid map-side; mean/sigma are a second "
+    "tiny aggregate broadcast back; the running window orders grid rows "
+    "only. Daily sums, mean, and CUSUM are rounded on both engines so the "
+    "accumulated drift re-syncs before the threshold comparison.",
+    tags=("analytics",),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("x")
+    )
+    stats = g.groupBy("event_type").agg(
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(F.stddev_samp("x"), 6).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.join(F.broadcast(stats), "event_type").withColumn(
+        # + 0.0 normalizes IEEE negative zero (-0.0 hashes != 0.0)
+        "cusum", F.round(F.sum(F.col("x") - F.col("mu")).over(w), 4) + F.lit(0.0)
+    )
+    return c.select(
+        "event_type",
+        "day",
+        "x",
+        "cusum",
+        (F.abs("cusum") > 2 * F.col("sigma")).alias("flagged"),
+    )

@@ -246,3 +246,64 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         a1.join(a2, "src")
         .select(F.col("src").alias("part_id"), "n_1hop", "n_2hop")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+inter AS (
+  SELECT e1.src AS a, e2.src AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src
+),
+scored AS (
+  SELECT i.a, i.b, i.n_shared,
+         da.d + db.d - i.n_shared AS n_union,
+         round(CAST(i.n_shared AS DOUBLE) / (da.d + db.d - i.n_shared), 6) AS jaccard
+  FROM inter i JOIN deg da ON i.a = da.node JOIN deg db ON i.b = db.node
+)
+SELECT a AS part_a, b AS part_b, n_shared, n_union, jaccard
+FROM scored ORDER BY jaccard DESC, a, b LIMIT 50
+""",
+    doc="Link-prediction similarity: neighbor-set Jaccard for part pairs "
+    "that share at least one co-purchase neighbor — top-50 most similar. "
+    "Intersections come from the wedge equi-join on the shared endpoint "
+    "(never an all-pairs comparison: candidate generation cost follows "
+    "wedges, the same skew-bounded quantity as triangle counting), the "
+    "union size derives from degrees by inclusion-exclusion, and the "
+    "global top-50 is a TakeOrdered heap with deterministic (a, b) "
+    "tie-break.",
+    tags=("graph",),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    inter = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.dst")) & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(F.col("e1.src").alias("a"), F.col("e2.src").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    scored = (
+        inter.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_shared",
+            (F.col("da") + F.col("db") - F.col("n_shared")).alias("n_union"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "part_a", "part_b").limit(50)

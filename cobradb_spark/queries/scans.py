@@ -408,3 +408,64 @@ def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.col("length").alias("n_bytes"),
     )
+
+
+@register(
+    "scan_corrupt_tolerant",
+    oracle="""
+WITH mangled AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0 THEN concat('{bad', props) ELSE props END AS p
+  FROM events
+), parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(p)
+              THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END AS k,
+         NOT json_valid(p) AS is_corrupt
+  FROM mangled
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE is_corrupt) AS BIGINT) AS n_corrupt,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM parsed GROUP BY event_type
+""",
+    doc="Corrupt-tolerant semi-structured ingestion: PERMISSIVE from_json "
+    "with columnNameOfCorruptRecord quarantines malformed payloads (a "
+    "deterministic 1-in-97 mangle simulates upstream corruption) instead "
+    "of failing the job or silently dropping rows — the dead-letter "
+    "pattern every 100 TB ingest needs. Valid rows parse their fields, "
+    "corrupt rows keep the raw payload for replay, and the per-type audit "
+    "counts both populations in the same single pass (parse is a narrow "
+    "map; the rollup is partial+final).",
+    tags=("scans",),
+)
+def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mangled = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("{bad"), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    parsed = mangled.select(
+        "event_type",
+        F.from_json(
+            "p",
+            "k LONG, _corrupt_record STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    return (
+        parsed.select(
+            "event_type",
+            F.col("j.k").alias("k"),
+            F.col("j._corrupt_record").isNotNull().alias("is_corrupt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col("is_corrupt")).alias("n_corrupt"),
+            F.sum(F.when(~F.col("is_corrupt"), F.col("k"))).cast("long").alias("sum_k"),
+        )
+    )

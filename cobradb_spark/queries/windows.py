@@ -241,3 +241,42 @@ def win_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", "ts", F.round(num / den, 6).alias("ewma")
     )
+
+
+@register(
+    "win_islands_ranges",
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS TIMESTAMP))
+           - dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts)) AS grp
+  FROM events
+)
+SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days
+FROM numbered GROUP BY user_id, grp
+""",
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE active days per user "
+    "(streak detection — the calendar-granularity dual of 30-min "
+    "sessionization). The classic constant-difference trick, dense_rank "
+    "flavor: day-number minus dense_rank is invariant within a consecutive "
+    "run EVEN with duplicate days, so no pre-dedup pass is needed — ONE "
+    "user_id shuffle serves the numbering window AND the island rollup "
+    "(the distinct-day count rides the same partitioning because user_id "
+    "is a subset of the aggregate keys). A separate distinct would cost a "
+    "second exchange on (user, day) — plan-audited EXCHANGES<=1 instead.",
+    tags=("windows",),
+)
+def win_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn(
+        "grp",
+        F.datediff("day", F.lit("1970-01-01")) - F.dense_rank().over(w),
+    )
+    return numbered.groupBy("user_id", "grp").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.countDistinct("day").alias("n_days"),
+    ).drop("grp")

@@ -184,3 +184,57 @@ def test_shuffle_hash_hint_matches_plain_join(spark, sf_dir):
     )
     assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, plain.collect()))
     assert "ShuffledHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+
+
+def test_islands_are_maximal_consecutive_runs(spark, sf_dir):
+    import datetime as dt
+
+    rows = all_queries()["win_islands_ranges"].fn(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        span = (r["island_end"] - r["island_start"]).days + 1
+        assert span == r["n_days"], "island must be gap-free"
+        by_user.setdefault(r["user_id"], []).append(r)
+    # islands of one user never touch or overlap (maximality)
+    for islands in by_user.values():
+        islands.sort(key=lambda r: r["island_start"])
+        for a, b in zip(islands, islands[1:]):
+            assert (b["island_start"] - a["island_end"]).days >= 2
+
+
+def test_jaccard_neighbors_bounds(spark, sf_dir):
+    rows = all_queries()["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 1 <= r["n_shared"] <= r["n_union"]
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_cusum_telescopes_and_flags(spark, sf_dir):
+    rows = all_queries()["events_changepoint_cusum"].fn(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        # increments of cusum must equal x - mu; recover mu from day 1
+        mu = series[0]["x"] - series[0]["cusum"]
+        run = 0.0
+        for r in series:
+            run += r["x"] - mu
+            assert abs(run - r["cusum"]) < 1e-2
+
+
+def test_corrupt_tolerant_quarantine_rate(spark, sf_dir):
+    from cobradb_spark.io import load_table
+
+    rows = all_queries()["scan_corrupt_tolerant"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_bad = e.filter((F.col("event_id") % 97) == 0).count()
+    assert sum(r["n_corrupt"] for r in rows) == n_bad
+    for r in rows:
+        assert r["n_corrupt"] < r["n_rows"]
+        assert r["sum_k"] is not None

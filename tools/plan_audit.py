@@ -419,6 +419,35 @@ AUDITS = [
         "mode = count + windowed argmax over the (group, value) grid with a "
         "deterministic tie-break; raw rows shuffle once",
     ),
+    (
+        "win_islands_ranges",
+        ["hashpartitioning(user_id", "EXCHANGES<=1", "partial_min"],
+        ["CartesianProduct"],
+        "ONE user_id shuffle serves the (user, day) dedup, the numbering "
+        "window, and the island rollup",
+    ),
+    (
+        "graph_jaccard_neighbors",
+        ["TakeOrderedAndProject", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "candidate pairs come from the wedge equi-join on the shared "
+        "endpoint (never all-pairs); degrees join in; global top-50 is a "
+        "TakeOrdered heap",
+    ),
+    (
+        "events_changepoint_cusum",
+        ["partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "facts reduce to the (type, day) grid map-side; mean/sigma "
+        "broadcast back; the running CUSUM window orders grid rows only",
+    ),
+    (
+        "scan_corrupt_tolerant",
+        ["from_json", "partial_count"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+        "PERMISSIVE parse + quarantine is a JVM-side narrow map fused into "
+        "the scan; the per-type audit is partial+final",
+    ),
 ]
 
 
