@@ -95,3 +95,99 @@ GROUP BY c.c_custkey, n.n_name
 HAVING count(*) >= 5
 """
     )
+
+
+@register(
+    "sql_shipping_priority_q3",
+    oracle="""
+SELECT l.l_orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+    doc="TPC-H Q3 shape (shipping priority), pure spark.sql text: the 10 "
+    "highest-revenue unshipped BUILDING-segment orders. Catalyst pushes "
+    "both date predicates and the segment filter to the parquet scans, "
+    "broadcasts the filtered customer side, and the top-10 compiles to a "
+    "TakeOrderedAndProject heap. Revenue sums as exact decimal cents for "
+    "bit parity; ties broken by orderkey.",
+    tags=("flagship",),
+)
+def sql_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q3v")
+    return spark.sql(
+        """
+SELECT l.l_orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer_q3v c
+JOIN orders_q3v o ON o.o_custkey = c.c_custkey
+JOIN lineitem_q3v l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+    )
+
+
+@register(
+    "sql_local_supplier_volume_q5",
+    oracle="""
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5 shape (local supplier volume), pure spark.sql: revenue "
+    "where customer and supplier share a nation inside one region — the "
+    "canonical 6-way star join. Catalyst broadcasts every dimension "
+    "(supplier/customer/nation/region), keeps the fact table un-shuffled "
+    "until the final 5-group rollup, and pushes the date range to the "
+    "orders scan. Decimal-cent accumulation for cross-engine bit parity.",
+    tags=("flagship",),
+)
+def sql_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q5v")
+    return spark.sql(
+        """
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue
+FROM customer_q5v c
+JOIN orders_q5v o ON o.o_custkey = c.c_custkey
+JOIN lineitem_q5v l ON l.l_orderkey = o.o_orderkey
+JOIN supplier_q5v s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation_q5v n ON n.n_nationkey = s.s_nationkey
+JOIN region_q5v r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+    )

@@ -307,3 +307,34 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("jaccard").desc(), "part_a", "part_b").limit(50)
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)
+SELECT d.degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       round(count(*) / n.n, 6) AS frac
+FROM deg d, n GROUP BY d.degree, n.n
+""",
+    doc="Degree distribution of the co-purchase graph — the first thing to "
+    "look at before choosing graph-operator strategies (a heavy tail says "
+    "salt the hot vertices and orient wedge work by degree; see "
+    "graph_triangle_stats). Two partial+final aggregations: per-node "
+    "degree, then nodes per degree; the 1-row total broadcasts for the "
+    "fraction.",
+    tags=("graph",),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("degree"))
+    n_df = deg.agg(F.count("*").cast("double").alias("n"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .crossJoin(F.broadcast(n_df))
+        .select("degree", "n_nodes", F.round(F.col("n_nodes") / F.col("n"), 6).alias("frac"))
+    )

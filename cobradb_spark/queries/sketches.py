@@ -206,3 +206,43 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.groupBy("week").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users")
     )
+
+
+@register(
+    "agg_hll_intersect_estimate",
+    oracle=None,  # approximate by design; tolerance vs exact asserted in tests
+    doc="Sketch SET ALGEBRA: estimated distinct-user overlap between every "
+    "pair of event types via inclusion-exclusion on HLL sketches "
+    "(|A ∩ B| ≈ |A| + |B| - |A ∪ B|, the union being hll_union of the "
+    "per-type sketches). The per-type sketches build in ONE partial+final "
+    "pass over events and are kilobytes each, so the pairwise algebra runs "
+    "on a broadcast-sized side table — audience-overlap matrices at 100 TB "
+    "without ever shuffling raw user ids twice. Rows-only: estimates are "
+    "sketch-dependent; tests assert tolerance against exact overlaps.",
+    tags=("sketches",),
+)
+def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sketch").alias("sk_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        F.hll_sketch_estimate("sk_a").alias("n_a"),
+        F.hll_sketch_estimate("sk_b").alias("n_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("n_union"),
+    )
+    return est.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0))
+        .cast("long")
+        .alias("n_intersect_est"),
+    )

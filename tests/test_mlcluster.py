@@ -238,3 +238,34 @@ def test_corrupt_tolerant_quarantine_rate(spark, sf_dir):
     for r in rows:
         assert r["n_corrupt"] < r["n_rows"]
         assert r["sum_k"] is not None
+
+
+def test_hll_intersect_tolerance(spark, sf_dir):
+    from cobradb_spark.io import load_events
+
+    rows = all_queries()["agg_hll_intersect_estimate"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_events(spark, sf_dir).select("event_type", "user_id").distinct().collect()
+    users = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    for r in rows:
+        exact = len(users[r["type_a"]] & users[r["type_b"]])
+        assert abs(r["n_intersect_est"] - exact) <= max(10, 0.15 * max(exact, 1)), (
+            r["type_a"], r["type_b"], r["n_intersect_est"], exact)
+
+
+def test_degree_distribution_integrates_to_one(spark, sf_dir):
+    rows = all_queries()["graph_degree_distribution"].fn(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-3
+    assert all(r["degree"] >= 1 and r["n_nodes"] >= 1 for r in rows)
+
+
+def test_q3_q5_shapes(spark, sf_dir):
+    q3 = all_queries()["sql_shipping_priority_q3"].fn(spark, sf_dir).collect()
+    assert len(q3) <= 10
+    revs = [r["revenue"] for r in q3]
+    assert revs == sorted(revs, reverse=True)
+    q5 = all_queries()["sql_local_supplier_volume_q5"].fn(spark, sf_dir).collect()
+    assert all(r["revenue"] > 0 for r in q5)

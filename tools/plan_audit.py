@@ -448,6 +448,27 @@ AUDITS = [
         "PERMISSIVE parse + quarantine is a JVM-side narrow map fused into "
         "the scan; the per-type audit is partial+final",
     ),
+    (
+        "sql_shipping_priority_q3",
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "EqualTo(c_mktsegment,BUILDING)", "GreaterThan(l_shipdate,1998-01-01T00:00)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "Q3: segment and date predicates reach the scans, the filtered "
+        "customer side broadcasts, top-10 is a heap — no global sort",
+    ),
+    (
+        "sql_local_supplier_volume_q5",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "Q5 6-way star: every dimension broadcasts; the fact table never "
+        "shuffles before the final 5-group rollup",
+    ),
+    (
+        "graph_degree_distribution",
+        ["partial_count"],
+        ["SortMergeJoin"],
+        "degree then degree-histogram are two partial+final aggregations; "
+        "the 1-row total broadcasts",
+    ),
 ]
 
 
