@@ -93,3 +93,120 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(frame).cast("long").alias("frame_bytes"),
         sig.alias("frame_sig"),
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(concat(source, '|',
+               CAST(CAST(floor(n_chars / 50) AS BIGINT) AS VARCHAR))), 1, 15))
+              AS UBIGINT) AS BIGINT) AS h0,
+         doc_id % 3 AS n_flips
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         xor(xor(h0,
+                 CASE WHEN n_flips > 0
+                      THEN CAST(1 AS BIGINT) << CAST(CAST(concat('0x', substr(md5(concat('flip0-',
+                               CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 60 AS INTEGER)
+                      ELSE 0 END),
+             CASE WHEN n_flips > 1
+                  THEN CAST(1 AS BIGINT) << CAST(CAST(concat('0x', substr(md5(concat('flip1-',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 60 AS INTEGER)
+                  ELSE 0 END) AS phash
+  FROM base
+), bands AS (
+  SELECT doc_id, phash, b.band_id,
+         (phash >> (15 * b.band_id)) & 32767 AS band_val
+  FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                  bb.doc_id AS doc_b, bb.phash AS ph_b
+  FROM bands a JOIN bands bb
+    ON a.band_id = bb.band_id AND a.band_val = bb.band_val
+   AND a.doc_id < bb.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+""",
+    doc="Perceptual-hash near-duplicate detection for binary media: 60-bit "
+    "pHash -> 4x15-bit LSH bands -> candidates share a band -> exact "
+    "Hamming verify via bit_count(xor) <= 6. Cost follows band collisions, "
+    "never n^2 — the image-dedup analog of dedup_simhash. A REAL pipeline "
+    "computes the hash from decoded pixels (DCT low frequencies); that "
+    "codec is container-stubbed (operators/multimodal.py), so a "
+    "deterministic fake stands in: a content-bucket hash (source + coarse "
+    "length) plus up-to-2 doc-keyed bit flips, emulating re-encoded copies "
+    "with pixel noise. Everything downstream of the decode — banding, "
+    "candidate join, Hamming verify — is the real 100 TB dedup machinery, "
+    "JVM-side and hash-oracled.",
+    tags=("multimodal",),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    base = d.select(
+        "doc_id",
+        h(
+            F.concat(
+                "source", F.lit("|"), F.floor(F.col("n_chars") / 50).cast("long").cast("string")
+            )
+        ).alias("h0"),
+        (F.col("doc_id") % 3).alias("n_flips"),
+    )
+    with_pos = base.select(
+        "doc_id",
+        "h0",
+        "n_flips",
+        (h(F.concat(F.lit("flip0-"), F.col("doc_id").cast("string"))) % 60)
+        .cast("int")
+        .alias("pos0"),
+        (h(F.concat(F.lit("flip1-"), F.col("doc_id").cast("string"))) % 60)
+        .cast("int")
+        .alias("pos1"),
+    )
+    hashed = with_pos.select(
+        "doc_id",
+        F.expr(
+            "h0 "
+            "^ (CASE WHEN n_flips > 0 THEN shiftleft(CAST(1 AS BIGINT), pos0) ELSE CAST(0 AS BIGINT) END) "
+            "^ (CASE WHEN n_flips > 1 THEN shiftleft(CAST(1 AS BIGINT), pos1) ELSE CAST(0 AS BIGINT) END)"
+        ).alias("phash"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("phash"), 15 * i).bitwiseAND(F.lit(32767)).alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    bands = (
+        hashed.select("doc_id", "phash", F.explode(band_structs).alias("bs"))
+        .select("doc_id", "phash", F.col("bs.band_id").alias("band_id"), F.col("bs.band_val").alias("band_val"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.filter(ham <= 6).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )

@@ -470,3 +470,63 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+), lm AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY term
+), total AS (
+  SELECT sum(tf) AS n, CAST(count(*) AS DOUBLE) AS v FROM lm
+), scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_tok,
+         round(avg(-ln((l.tf + 1.0) / (tt.n + tt.v))), 9) AS nll
+  FROM tok t JOIN lm l USING (term), total tt
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(exp(nll), 6) AS perplexity
+FROM scored
+""",
+    doc="Unigram language-model perplexity per document (add-one smoothed, "
+    "corpus-fit): the perplexity-filtering signal LLM pipelines use to "
+    "drop boilerplate and gibberish before training. The LM is a term-"
+    "frequency aggregate (shuffle = |vocab|); scoring joins tokens to the "
+    "LM on the term — a broadcast join once the vocabulary is floored "
+    "(text_inverted_index's df>=3 trick) — then per-doc mean NLL. "
+    "Mean-NLL rounded to 9 on both engines before exp so the transcendental "
+    "re-syncs bit-exactly.",
+    tags=("textops",),
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    lm = tok.groupBy("term").agg(F.count("*").cast("double").alias("tf"))
+    total = lm.agg(
+        F.sum("tf").alias("n"), F.count("*").cast("double").alias("v")
+    )
+    scored = (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.avg(-F.log((F.col("tf") + 1.0) / (F.col("n") + F.col("v")))), 9
+            ).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.exp("nll"), 6).alias("perplexity"),
+    )

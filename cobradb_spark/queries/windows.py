@@ -280,3 +280,53 @@ def win_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("island_end"),
         F.countDistinct("day").alias("n_days"),
     ).drop("grp")
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY event_type, ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, ts, event_id,
+       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+""",
+    doc="EXACT running COUNT(DISTINCT) — distinct event types seen per user "
+    "as of each event. count(distinct) is not a window aggregate in either "
+    "engine; the scalable formulation flags each (user, type)'s first "
+    "occurrence, then running-sums the flags. The flag window sorts type-"
+    "major inside each user (a type-block's first row IS its earliest "
+    "occurrence), so BOTH windows partition by user_id alone and ONE "
+    "exchange serves the whole query (two in-partition sorts, no second "
+    "shuffle) — a (user, type)-keyed flag window would cost a second "
+    "exchange. Plan-audited EXCHANGES<=1.",
+    tags=("windows",),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.withColumn(
+        "first_seen",
+        F.when(
+            ~F.lag("event_type").over(w_first).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )

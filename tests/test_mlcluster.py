@@ -269,3 +269,41 @@ def test_q3_q5_shapes(spark, sf_dir):
     assert revs == sorted(revs, reverse=True)
     q5 = all_queries()["sql_local_supplier_volume_q5"].fn(spark, sf_dir).collect()
     assert all(r["revenue"] > 0 for r in q5)
+
+
+def test_running_distinct_monotone_and_final(spark, sf_dir):
+    from cobradb_spark.io import load_table
+
+    rows = all_queries()["win_running_distinct"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    e = load_table(spark, sf_dir, "events")
+    finals = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(
+            F.countDistinct("event_type").alias("n")
+        ).collect()
+    }
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["distinct_types_so_far"] for r in urows]
+        assert vals[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(vals, vals[1:]))
+        assert vals[-1] == finals[uid]
+
+
+def test_perplexity_positive_and_scaled(spark, sf_dir):
+    rows = all_queries()["text_unigram_perplexity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["perplexity"] >= 1.0
+        assert r["n_tok"] >= 1
+
+
+def test_phash_pairs_verified_hamming(spark, sf_dir):
+    rows = all_queries()["multimodal_phash_dedup"].fn(spark, sf_dir).collect()
+    assert rows, "content-bucket collisions must produce near-dup pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 6

@@ -469,6 +469,29 @@ AUDITS = [
         "degree then degree-histogram are two partial+final aggregations; "
         "the 1-row total broadcasts",
     ),
+    (
+        "win_running_distinct",
+        ["hashpartitioning(user_id", "EXCHANGES<=1"],
+        ["CartesianProduct"],
+        "both windows partition by user_id alone (type-major sort supplies "
+        "the first-occurrence flag), so ONE exchange serves the exact "
+        "running-distinct query",
+    ),
+    (
+        "text_unigram_perplexity",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "the unigram LM broadcasts to the token stream; per-doc NLL is a "
+        "partial+final aggregate",
+    ),
+    (
+        "multimodal_phash_dedup",
+        ["HashAggregate"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"],
+        "pHash banding joins candidates on (band_id, band_val) — an equi-"
+        "join whose cost follows collisions, never all-pairs; hashing and "
+        "Hamming verify are JVM-side",
+    ),
 ]
 
 
