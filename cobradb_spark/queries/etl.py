@@ -612,3 +612,66 @@ def etl_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionAll(
         pair(c, "c_custkey", o, "o_custkey", "customer.c_custkey", "orders.o_custkey")
     )
+
+
+@register(
+    "etl_cascade_delete_plan",
+    oracle="""
+WITH del_nation AS (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+), del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM del_nation)
+), del_ord AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+), del_li AS (
+  SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)
+)
+SELECT 'nation' AS tbl, CAST((SELECT count(*) FROM del_nation) AS BIGINT) AS n_cascade
+UNION ALL SELECT 'customer', CAST((SELECT count(*) FROM del_cust) AS BIGINT)
+UNION ALL SELECT 'orders', CAST((SELECT count(*) FROM del_ord) AS BIGINT)
+UNION ALL SELECT 'lineitem', CAST((SELECT count(*) FROM del_li) AS BIGINT)
+""",
+    doc="Cascade-delete impact analysis: the reference's Postgres schema "
+    "deletes through FK chains (ON DELETE CASCADE); before a distributed "
+    "engine rewrites immutable files, it PLANS the cascade — counting "
+    "affected rows per table down the nation -> customer -> orders -> "
+    "lineitem chain via chained LEFT SEMI joins. Each frontier is a "
+    "broadcast-sized key set (keys only, never payload columns), so the "
+    "fact table is probed by broadcast semi-join, not shuffled; the actual "
+    "delete is then an anti-join rewrite of only the affected partitions "
+    "(etl_backfill_partition's machinery).",
+    tags=("etl",),
+)
+def etl_cascade_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region.select(F.col("r_regionkey").alias("n_regionkey"))),
+        "n_regionkey",
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey",
+        "left_semi",
+    )
+    ords = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(ords.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+    counts = [
+        nation.agg(F.count("*").alias("n_cascade")).select(F.lit("nation").alias("tbl"), "n_cascade"),
+        cust.agg(F.count("*").alias("n_cascade")).select(F.lit("customer").alias("tbl"), "n_cascade"),
+        ords.agg(F.count("*").alias("n_cascade")).select(F.lit("orders").alias("tbl"), "n_cascade"),
+        li.agg(F.count("*").alias("n_cascade")).select(F.lit("lineitem").alias("tbl"), "n_cascade"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

@@ -290,3 +290,38 @@ def rollup_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "rollup_growth_mom_yoy",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(revenue / lag(revenue, 1) OVER (ORDER BY month) - 1.0, 6) AS mom_growth,
+       round(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0, 6) AS yoy_growth
+FROM monthly
+""",
+    doc="Month-over-month and year-over-year revenue growth — the BI "
+    "staple every reporting layer serves. Orders reduce to the monthly "
+    "grid in one partial+final pass; the lag(1)/lag(12) windows then run "
+    "on |months| rows, so the unpartitioned window is bounded by the "
+    "calendar, not the data (a 100-year fact table yields 1200 rows), "
+    "and its single-partition execution is deliberate and safe.",
+    tags=("rollups",),
+)
+def rollup_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue", 1).over(w) - 1.0, 6).alias("mom_growth"),
+        F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 6).alias("yoy_growth"),
+    )

@@ -307,3 +307,21 @@ def test_phash_pairs_verified_hamming(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["hamming"] <= 6
+
+
+def test_cascade_plan_chain_consistency(spark, sf_dir):
+    rows = {r["tbl"]: r["n_cascade"] for r in
+            all_queries()["etl_cascade_delete_plan"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"nation", "customer", "orders", "lineitem"}
+    assert rows["nation"] >= 1
+    # every downstream level can only exist under a deleted parent
+    assert rows["lineitem"] >= rows["orders"] >= 0
+
+
+def test_growth_lags_align(spark, sf_dir):
+    rows = all_queries()["rollup_growth_mom_yoy"].fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["month"])
+    assert rows[0]["mom_growth"] is None and rows[0]["yoy_growth"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["mom_growth"] is not None:
+            assert abs((cur["revenue"] / prev["revenue"] - 1.0) - cur["mom_growth"]) < 1e-4

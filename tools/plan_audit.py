@@ -492,6 +492,13 @@ AUDITS = [
         "join whose cost follows collisions, never all-pairs; hashing and "
         "Hamming verify are JVM-side",
     ),
+    (
+        "etl_cascade_delete_plan",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "every cascade frontier probes the next table as a broadcast "
+        "LEFT SEMI join on keys only — the fact table is never shuffled",
+    ),
 ]
 
 
