@@ -325,3 +325,40 @@ def rollup_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") / F.lag("revenue", 1).over(w) - 1.0, 6).alias("mom_growth"),
         F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "rollup_rolling_median_7d",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, x,
+       round(CAST(median(x) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 6) AS med7
+FROM g
+""",
+    doc="Exact 7-day rolling MEDIAN of daily totals per event type — the "
+    "robust trailing baseline (median shrugs off the single-day spikes "
+    "that drag a rolling mean; pairs with events_anomaly_mad). Facts "
+    "reduce to the (type, day) grid map-side FIRST, so the exact "
+    "percentile-over-frame — quadratic-ish per partition — runs on "
+    "calendar-bounded grid rows, never raw events; that reduction is what "
+    "keeps an exact rolling median feasible at 100 TB.",
+    tags=("rollups",),
+)
+def rollup_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return g.select(
+        "event_type",
+        "day",
+        "x",
+        F.round(F.expr("percentile(x, 0.5)").over(w), 6).alias("med7"),
+    )

@@ -469,3 +469,47 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_corrupt"), F.col("k"))).cast("long").alias("sum_k"),
         )
     )
+
+
+@register(
+    "join_dpp_partition_pruning",
+    oracle="""
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM lineitem l
+JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem
+      WHERE l_linestatus = 'F') d
+  ON l.l_returnflag = d.flag
+GROUP BY l.l_returnflag
+""",
+    doc="DYNAMIC partition pruning: the fact table is stored partitioned "
+    "by the join key; the dim side's qualifying keys are only known at "
+    "runtime, so Catalyst injects a dynamicpruning#... subquery filter "
+    "into the fact scan — whole partition directories are skipped based "
+    "on the joined dim, the single biggest I/O lever for star joins over "
+    "partitioned 100 TB facts (static pruning is scan_partition_pruning). "
+    "Plan-audited: 'dynamicpruning' present in the fact scan's "
+    "PartitionFilters.",
+    tags=("scans",),
+)
+def join_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linestatus", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="cobradb_dpp_")
+    path = os.path.join(tmp, "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["l_returnflag"] == dim["flag"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

@@ -350,3 +350,31 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.transpose(F.col("event_type"))
+
+
+@register(
+    "udf_arrow_optimized_scalar",
+    oracle="""
+SELECT o_orderkey,
+       concat(o_orderstatus, ':', CAST(CAST(floor(o_totalprice / 10000) AS BIGINT) AS VARCHAR))
+         AS price_band
+FROM orders
+""",
+    doc="Arrow-OPTIMIZED row UDF (udf(useArrow=True), Spark 3.5+): the "
+    "third Python execution tier between pickle rows (K1) and pandas "
+    "batches (K2) — plain-Python per-row logic, but arguments/results "
+    "move over Arrow columnar batches, typically several x faster serde "
+    "than pickle with zero code change. Plan shows ArrowEvalPython "
+    "instead of BatchEvalPython (plan-audited). Same rule as K1 applies: "
+    "never on the 100 TB hot path when a codegen expression exists.",
+    tags=("udfs",),
+)
+def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(T.StringType(), useArrow=True)
+    def band(status: str, total: float) -> str:
+        return f"{status}:{int(total // 10000)}"
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", band("o_orderstatus", "o_totalprice").alias("price_band")
+    )

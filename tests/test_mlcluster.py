@@ -325,3 +325,33 @@ def test_growth_lags_align(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         if cur["mom_growth"] is not None:
             assert abs((cur["revenue"] / prev["revenue"] - 1.0) - cur["mom_growth"]) < 1e-4
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    df = all_queries()["join_dpp_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan
+
+
+def test_arrow_udf_uses_arrow_eval(spark, sf_dir):
+    df = all_queries()["udf_arrow_optimized_scalar"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_median_window_sanity(spark, sf_dir):
+    rows = all_queries()["rollup_rolling_median_7d"].fn(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    import statistics
+
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        for i, r in enumerate(series):
+            frame = [s["x"] for s in series[max(0, i - 6): i + 1]]
+            assert abs(r["med7"] - round(statistics.median(frame), 6)) < 1e-6

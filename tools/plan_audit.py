@@ -499,6 +499,26 @@ AUDITS = [
         "every cascade frontier probes the next table as a broadcast "
         "LEFT SEMI join on keys only — the fact table is never shuffled",
     ),
+    (
+        "join_dpp_partition_pruning",
+        ["dynamicpruning", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "runtime dim keys inject a dynamicpruning subquery into the "
+        "partitioned fact scan — whole directories skipped at run time",
+    ),
+    (
+        "udf_arrow_optimized_scalar",
+        ["ArrowEvalPython"],
+        ["BatchEvalPython"],
+        "useArrow=True row UDF ships batches over Arrow, not pickle",
+    ),
+    (
+        "rollup_rolling_median_7d",
+        ["partial_sum", "hashpartitioning(event_type"],
+        ["BatchEvalPython", "CartesianProduct"],
+        "the exact median-over-frame runs on the map-side-reduced "
+        "(type, day) grid, never raw events",
+    ),
 ]
 
 
