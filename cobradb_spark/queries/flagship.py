@@ -191,3 +191,81 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
     )
+
+
+@register(
+    "sql_order_priority_exists_q4",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order-priority checking) as pure spark.sql with a "
+    "correlated EXISTS: orders of 1997 having at least one line shipped "
+    "more than 60 days after the order date. Catalyst DECORRELATES the "
+    "subquery into a LEFT SEMI join on l_orderkey (plan-audited: no "
+    "per-row subquery execution, no nested loop) — the reference's "
+    "Postgres EXISTS queries port verbatim and still get a distributed "
+    "semi-join plan.",
+    tags=("flagship",),
+)
+def sql_order_priority_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q4v")
+    return spark.sql(
+        """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders_q4v o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem_q4v l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+    )
+
+
+@register(
+    "sql_small_quantity_scalar_q17",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       round(sum(l.l_extendedprice), 2) AS small_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+""",
+    doc="TPC-H Q17 shape (small-quantity-order revenue) as pure spark.sql "
+    "with a CORRELATED SCALAR subquery: lines whose quantity is below "
+    "half their part's average. Catalyst rewrites the per-part average "
+    "into ONE aggregate over lineitem joined back on l_partkey — the "
+    "fact table is scanned twice but never nested-looped (plan-audited). "
+    "The per-part aggregate is partial+final, so the extra pass shuffles "
+    "|parts| rows, not raw lines.",
+    tags=("flagship",),
+)
+def sql_small_quantity_scalar_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q17v")
+    return spark.sql(
+        """
+SELECT p.p_brand,
+       count(*) AS n_small_lines,
+       round(sum(l.l_extendedprice), 2) AS small_revenue
+FROM lineitem_q17v l
+JOIN part_q17v p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem_q17v l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+    )

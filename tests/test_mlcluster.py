@@ -355,3 +355,31 @@ def test_rolling_median_window_sanity(spark, sf_dir):
         for i, r in enumerate(series):
             frame = [s["x"] for s in series[max(0, i - 6): i + 1]]
             assert abs(r["med7"] - round(statistics.median(frame), 6)) < 1e-6
+
+
+def test_q4_exists_semantics(spark, sf_dir):
+    from cobradb_spark.io import load_table
+    import datetime as dt
+
+    rows = all_queries()["sql_order_priority_exists_q4"].fn(spark, sf_dir).collect()
+    total = sum(r["n_orders"] for r in rows)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert total == joined
+
+
+def test_q17_below_half_average(spark, sf_dir):
+    rows = all_queries()["sql_small_quantity_scalar_q17"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_small_lines"] >= 1 and r["small_revenue"] > 0

@@ -519,6 +519,20 @@ AUDITS = [
         "the exact median-over-frame runs on the map-side-reduced "
         "(type, day) grid, never raw events",
     ),
+    (
+        "sql_order_priority_exists_q4",
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the correlated EXISTS decorrelates into a LEFT SEMI equi-join on "
+        "l_orderkey — never per-row subquery execution",
+    ),
+    (
+        "sql_small_quantity_scalar_q17",
+        ["partial_avg", "BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the correlated scalar average rewrites to one per-part aggregate "
+        "joined back on l_partkey (partial+final; shuffles |parts| rows)",
+    ),
 ]
 
 
