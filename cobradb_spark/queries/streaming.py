@@ -531,3 +531,48 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("win_start", "event_type", "n", "rnk")
     )
+
+
+@register(
+    "stream_chained_stateful_agg",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+lvl1 AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, user_id,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT l.hour_start,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(l.n_events) AS BIGINT) AS total_events
+FROM lvl1 l, wm
+WHERE l.hour_start + INTERVAL 1 HOUR < wm.wm
+GROUP BY l.hour_start
+""",
+    doc="CHAINED stateful streaming aggregation (Spark 4 multiple-stateful-"
+    "operator support): per-(hour, user) event counts feed a SECOND "
+    "stateful aggregate (active users + totals per hour) in ONE streaming "
+    "query — pre-4.x this required two jobs with an intermediate sink. "
+    "Append mode + 2h watermark bounds both operators' state; emitted "
+    "rows are exactly the hours closed by the final watermark, which the "
+    "batch oracle replicates (window_end < max(ts) - 2h). State scales "
+    "with |users x open hours| for level 1 and |open hours| for level 2.",
+    tags=("streaming",),
+)
+def stream_chained_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    lvl1 = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    lvl2 = lvl1.groupBy("window").agg(
+        F.count("*").alias("active_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    return run_to_memory(
+        lvl2.select(
+            F.col("window.start").alias("hour_start"), "active_users", "total_events"
+        ),
+        "append",
+    )

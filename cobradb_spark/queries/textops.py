@@ -530,3 +530,70 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("n_tok"),
         F.round(F.exp("nll"), 6).alias("perplexity"),
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+WITH u AS (
+  SELECT 's' AS side, s_suppkey AS rec_id, lower(s_name) AS nm FROM supplier
+  UNION ALL
+  SELECT 'c' AS side, c_custkey AS rec_id, lower(c_name) AS nm FROM customer
+), ranked AS (
+  SELECT side, rec_id, nm,
+         row_number() OVER (ORDER BY nm, side, rec_id) AS rnk
+  FROM u
+), pairs AS (
+  SELECT a.side AS side_a, a.rec_id AS id_a, a.nm AS nm_a,
+         b.side AS side_b, b.rec_id AS id_b, b.nm AS nm_b
+  FROM ranked a JOIN ranked b ON b.rnk = a.rnk + 1 OR b.rnk = a.rnk + 2
+)
+SELECT side_a, id_a, side_b, id_b,
+       CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
+FROM pairs
+WHERE side_a <> side_b AND levenshtein(nm_a, nm_b) <= 3
+""",
+    doc="Sorted-neighborhood record linkage: union both record sets, sort "
+    "once by the blocking key (lowercased name), and compare each record "
+    "only to its w=2 successors — the classic entity-resolution blocking "
+    "that turns O(n^2) comparisons into O(n*w). The global sort rank is "
+    "computed DISTRIBUTED (operators/rank.py: range-partition + offset "
+    "prefix-sum — never a single-partition window), and the neighbor "
+    "pairing is two equi-joins on rank+k, so every stage partitions "
+    "cleanly at 100 TB. Complements join_fuzzy_blocked (PassJoin segment "
+    "blocking): SNM wins when typos cluster lexicographically.",
+    tags=("textops",),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("side"),
+        F.col("s_suppkey").alias("rec_id"),
+        F.lower("s_name").alias("nm"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("c").alias("side"),
+        F.col("c_custkey").alias("rec_id"),
+        F.lower("c_name").alias("nm"),
+    )
+    ranked = global_rank(
+        s.unionAll(c), [F.col("nm"), F.col("side"), F.col("rec_id")], rank_col="rnk"
+    )
+    a = ranked.select(
+        F.col("side").alias("side_a"), F.col("rec_id").alias("id_a"),
+        F.col("nm").alias("nm_a"), F.col("rnk").alias("rnk_a"),
+    )
+    b = ranked.select(
+        F.col("side").alias("side_b"), F.col("rec_id").alias("id_b"),
+        F.col("nm").alias("nm_b"), F.col("rnk").alias("rnk_b"),
+    )
+    pairs = None
+    for k in (1, 2):
+        pk = a.join(b, F.col("rnk_b") == F.col("rnk_a") + k)
+        pairs = pk if pairs is None else pairs.unionAll(pk)
+    dist = F.levenshtein("nm_a", "nm_b")
+    return (
+        pairs.filter((F.col("side_a") != F.col("side_b")) & (dist <= 3))
+        .select("side_a", "id_a", "side_b", "id_b", dist.cast("long").alias("dist"))
+    )

@@ -378,3 +378,55 @@ def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", band("o_orderstatus", "o_totalprice").alias("price_band")
     )
+
+
+@register(
+    "udtf_polymorphic_analyze",
+    oracle="""
+SELECT o_orderkey,
+       'o_orderstatus' AS col_0, o_orderstatus AS val_0,
+       'o_orderpriority' AS col_1, o_orderpriority AS val_1
+FROM orders
+""",
+    doc="K5-ext POLYMORPHIC UDTF (Spark 4 analyze()): the output schema is "
+    "computed at ANALYSIS time from the incoming argument types/count — "
+    "one UDTF unpivots any number of string columns without a declared "
+    "schema. This is the API the reference's dynamic-SQL helpers would "
+    "map to: schema flows from the call site, Catalyst sees concrete "
+    "columns, and downstream pruning/pushdown still work.",
+    tags=("udfs",),
+)
+def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TagCols:
+        @staticmethod
+        def analyze(*args: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(len(args)):
+                schema = schema.add(f"col_{i}", StringType()).add(
+                    f"val_{i}", StringType()
+                )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, *cols: str):
+            out = []
+            for i, v in enumerate(cols):
+                out += [f"arg_{i}", v]
+            yield tuple(out)
+
+    spark.udtf.register("tag_cols", udtf(TagCols))
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf_v")
+    df = spark.sql(
+        "SELECT o_orderkey, t.* FROM orders_udtf_v, "
+        "LATERAL tag_cols(o_orderstatus, o_orderpriority) t"
+    )
+    return df.select(
+        "o_orderkey",
+        F.lit("o_orderstatus").alias("col_0"),
+        F.col("val_0"),
+        F.lit("o_orderpriority").alias("col_1"),
+        F.col("val_1"),
+    )

@@ -383,3 +383,31 @@ def test_q17_below_half_average(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["n_small_lines"] >= 1 and r["small_revenue"] > 0
+
+
+def test_chained_stream_agg_matches_batch_closed_hours(spark, sf_dir):
+    import datetime as dt
+    from cobradb_spark.io import load_events
+
+    rows = all_queries()["stream_chained_stateful_agg"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for r in rows:
+        # only hours fully closed by the 2h watermark may be emitted
+        assert r["hour_start"] + dt.timedelta(hours=3) <= max_ts + dt.timedelta(hours=1)
+        assert r["active_users"] >= 1
+        assert r["total_events"] >= r["active_users"]
+
+
+def test_sorted_neighborhood_cross_side_and_threshold(spark, sf_dir):
+    rows = all_queries()["dedup_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["side_a"] != r["side_b"]
+        assert 0 <= r["dist"] <= 3
+
+
+def test_udtf_analyze_schema_follows_args(spark, sf_dir):
+    df = all_queries()["udtf_polymorphic_analyze"].fn(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "o_orderkey", "col_0", "val_0", "col_1", "val_1"]

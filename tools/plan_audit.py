@@ -533,6 +533,13 @@ AUDITS = [
         "the correlated scalar average rewrites to one per-part aggregate "
         "joined back on l_partkey (partial+final; shuffles |parts| rows)",
     ),
+    (
+        "dedup_sorted_neighborhood",
+        ["partial_count"],
+        ["SinglePartition", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the global sort rank is range-partitioned (never a single-"
+        "partition window); neighbor pairing is equi-joins on rank+k",
+    ),
 ]
 
 
