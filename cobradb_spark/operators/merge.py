@@ -14,7 +14,8 @@ shuffle-free on the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def merge_upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
@@ -29,10 +30,21 @@ def merge_upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> D
 
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """get_or_create semantics exactly: existing wins, new keys appended.
-    Duplicate keys *within* incoming are collapsed to one arbitrary-but-
-    deterministic row first (dropDuplicates on the key)."""
+
+    Duplicate keys *within* incoming are collapsed under an explicit
+    total order (row_number over key, ordered by every non-key column,
+    nulls last) so the surviving row is rerun-stable across runs and
+    partitionings — dropDuplicates would keep whichever row a partition
+    scan met first, which is not stable (round-1 ADVICE item)."""
     cols = existing.columns
-    fresh = incoming.select(*cols).dropDuplicates(keys).join(
-        existing.select(*keys), on=keys, how="left_anti"
+    non_key = [c for c in cols if c not in keys]
+    order = [F.col(c).asc_nulls_last() for c in non_key] or [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    fresh = (
+        incoming.select(*cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(existing.select(*keys), on=keys, how="left_anti")
     )
     return existing.unionByName(fresh)

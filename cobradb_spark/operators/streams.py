@@ -17,12 +17,12 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cobradb_spark import schemas
+from cobradb_spark.scratch import scratch_dir
 from cobradb_spark.session import apply_runtime_confs
 
 _SINK_IDS = itertools.count()
@@ -31,7 +31,7 @@ _SINK_IDS = itertools.count()
 def events_stream_dir(sf_dir: str) -> str:
     """Stage events.parquet into a temp dir (file streaming sources read
     directories)."""
-    tmp = tempfile.mkdtemp(prefix="cobradb_stream_")
+    tmp = scratch_dir("cobradb_stream_")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
     return tmp
 

@@ -11,7 +11,6 @@ trips per entity.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 from cobradb_spark.io import load_table
 from cobradb_spark.operators.merge import insert_if_absent
 from cobradb_spark.registry import register
+from cobradb_spark.scratch import scratch_dir
 
 
 @register(
@@ -370,7 +370,7 @@ def etl_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 6).alias("value"),
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_backfill_")
+    tmp = scratch_dir("cobradb_backfill_")
     path = os.path.join(tmp, "events_by_day")
     e.write.mode("overwrite").partitionBy("day").parquet(path)
 
@@ -415,7 +415,7 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.round("value", 6).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_compact_")
+    tmp = scratch_dir("cobradb_compact_")
     landing = os.path.join(tmp, "landing")
     compacted = os.path.join(tmp, "compacted")
     ev.repartition(64).write.mode("overwrite").parquet(landing)

@@ -20,6 +20,7 @@ from cobradb_spark.io import load_table, load_tables
 from cobradb_spark.operators.asof import asof_join_backward
 from cobradb_spark.operators.interval import interval_point_join
 from cobradb_spark.registry import register
+from cobradb_spark.scratch import scratch_dir
 
 
 @register(
@@ -640,7 +641,6 @@ GROUP BY o.o_orderkey, o.o_orderpriority
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -648,7 +648,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
     )
-    wh = tempfile.mkdtemp(prefix="cobradb_bucketed_")
+    wh = scratch_dir("cobradb_bucketed_")
     spark.sql("DROP TABLE IF EXISTS cb_orders_bkt")
     spark.sql("DROP TABLE IF EXISTS cb_lineitem_bkt")
     (

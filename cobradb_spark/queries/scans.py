@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,6 +19,7 @@ from cobradb_spark import schemas
 from cobradb_spark.io import load_table, load_tables
 from cobradb_spark.operators.merge import merge_upsert
 from cobradb_spark.registry import register
+from cobradb_spark.scratch import scratch_dir
 
 
 @register(
@@ -52,7 +52,7 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_csv_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="cobradb_tsv_")
+    tmp = scratch_dir("cobradb_tsv_")
     path = os.path.join(tmp, "nation_tsv")
     nation.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)
     return spark.read.options(sep="\t", header=True).schema(schemas.NATION).csv(path)
@@ -84,7 +84,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_sink_")
+    tmp = scratch_dir("cobradb_sink_")
     path = os.path.join(tmp, "lineitem_by_flag")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)
@@ -108,7 +108,7 @@ def scan_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_jsonl_")
+    tmp = scratch_dir("cobradb_jsonl_")
     path = os.path.join(tmp, "events_jsonl")
     ev.write.mode("overwrite").json(path)
     schema = "event_id long, user_id long, event_type string, value double"
@@ -123,7 +123,7 @@ def scan_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
-    tmp = tempfile.mkdtemp(prefix="cobradb_orc_")
+    tmp = scratch_dir("cobradb_orc_")
     path = os.path.join(tmp, "supplier_orc")
     sup.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
@@ -253,7 +253,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 7 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_pyjsonl_")
+    tmp = scratch_dir("cobradb_pyjsonl_")
     path = os.path.join(tmp, "orders_jsonl")
     sel.write.format("cobradb_pyjsonl").option("path", path).mode("append").save()
     return read_manifested_jsonl(
@@ -278,7 +278,7 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_prune_")
+    tmp = scratch_dir("cobradb_prune_")
     path = os.path.join(tmp, "lineitem_by_flag")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
@@ -309,7 +309,7 @@ FROM lineitem WHERE l_linenumber = 2
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    tmp = tempfile.mkdtemp(prefix="cobradb_evo_")
+    tmp = scratch_dir("cobradb_evo_")
     old = li.filter(F.col("l_linenumber") == 1).select(
         "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
     )
@@ -345,7 +345,7 @@ GROUP BY event_type
 )
 def scan_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    tmp = tempfile.mkdtemp(prefix="cobradb_meta_")
+    tmp = scratch_dir("cobradb_meta_")
     path = os.path.join(tmp, "events_by_type")
     (
         ev.repartition("event_type")
@@ -394,7 +394,7 @@ def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_blobs_")
+    tmp = scratch_dir("cobradb_blobs_")
     for r in docs:
         with open(os.path.join(tmp, f"{r.doc_id}.bin"), "wb") as fh:
             fh.write(r.text.encode("utf-8"))
@@ -496,7 +496,7 @@ def join_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_linestatus", "l_returnflag"
     )
-    tmp = tempfile.mkdtemp(prefix="cobradb_dpp_")
+    tmp = scratch_dir("cobradb_dpp_")
     path = os.path.join(tmp, "lineitem_by_flag")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     fact = spark.read.parquet(path)

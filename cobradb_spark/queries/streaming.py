@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +28,7 @@ from cobradb_spark.operators.streams import (
     run_to_memory,
 )
 from cobradb_spark.registry import register
+from cobradb_spark.scratch import scratch_dir
 
 
 @register(
@@ -129,7 +129,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_batch = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="cobradb_late_")
+    tmp = scratch_dir("cobradb_late_")
     on_time = ev_batch.filter(F.col("event_id") % 10 != 0)
     late_src = ev_batch.filter(F.col("event_id") % 10 == 0).filter(
         F.col("ts") < F.lit(
@@ -177,7 +177,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.session import apply_runtime_confs
 
     apply_runtime_confs(spark)  # nanosAsLong before the raw read
-    tmp = tempfile.mkdtemp(prefix="cobradb_dedup_")
+    tmp = scratch_dir("cobradb_dedup_")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long
     dups = raw.filter(F.col("event_id") % 10 == 0)
     raw.unionByName(dups).repartition(1).write.parquet(f"{tmp}/src")
@@ -255,7 +255,7 @@ SELECT event_id, user_id, event_type, value FROM events
     "effect. Read-back must equal the source.",
 )
 def stream_foreachBatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="cobradb_febs_")
+    tmp = scratch_dir("cobradb_febs_")
     target = f"{tmp}/target"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

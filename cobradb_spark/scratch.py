@@ -1,0 +1,33 @@
+"""Session-scoped scratch space for query materializations.
+
+Query callables that need a local directory (TSV write-then-read,
+parquet/ORC sinks, streaming replay sources, bucketed warehouses)
+allocate it here instead of bare tempfile.mkdtemp: one root per
+process, removed atexit, so repeated registry/bench/correctness runs
+do not accumulate unbounded temp data (round-1 ADVICE item).
+
+The staged data is verification plumbing only — in production these
+DAGs point at real warehouse paths / sources and nothing here runs.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+_ROOT: str | None = None
+
+
+def scratch_root() -> str:
+    """Lazily created per-process root, removed at interpreter exit."""
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="cobradb_scratch_")
+        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+    return _ROOT
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh directory under the session root (unique per call)."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())

@@ -66,13 +66,27 @@ def _canon_cell(v):
     return v
 
 
+def _sort_key(v) -> str:
+    """Float-insensitive ordering key: floats quantized to 9 significant
+    digits so a low-bit difference between engines cannot reorder one
+    list relative to the other and misalign the pairwise compare
+    (round-1 ADVICE item).  Non-floats keep their exact repr."""
+    if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
+        return f"f{v:.9e}"
+    if isinstance(v, tuple):
+        return "(" + ",".join(_sort_key(x) for x in v) + ")"
+    return repr(v)
+
+
 def canonize(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False, name=None):
         canon = tuple(_canon_cell(v) for v in row)
         rows.append(canon)
-    rows.sort(key=repr)
+    rows.sort(key=lambda r: tuple(_sort_key(v) for v in r))
     return rows
 
 
