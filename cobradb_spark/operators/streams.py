@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cobradb_spark import schemas
 from cobradb_spark.scratch import scratch_dir
@@ -38,10 +39,26 @@ def events_stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan with the canonical ts conversion (io.load_events
-    semantics: ns-as-long -> microsecond timestamp)."""
+    semantics).
+
+    File streams need an explicit schema, and it must match the on-disk
+    layout — round 2 forced the legacy ns-as-long schema onto
+    timestamp[us] parquet and silently decoded 1970-epoch garbage
+    (stream_tumbling_agg: 10 rows vs the oracle's 3385).  Peek at the
+    batch footer schema first (one driver-side file-footer read; no data
+    scan) and branch exactly like io.canonical_events_ts.
+    """
     apply_runtime_confs(spark)
-    raw = spark.readStream.schema(schemas.EVENTS_RAW).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    disk_ts = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(disk_ts, T.LongType):
+        raw = spark.readStream.schema(schemas.EVENTS_RAW).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Streaming ts stays TIMESTAMP (not NTZ): watermarks reject
+    # TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and with the
+    # UTC session timezone the wall-clock instants match the batch
+    # loader's NTZ values exactly.
+    raw = spark.readStream.schema(schemas.EVENTS).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(

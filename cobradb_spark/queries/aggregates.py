@@ -75,16 +75,31 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate by design; tolerance asserted in-engine (tests)
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       true AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
     doc="D3 HLL approximate distinct — the 100 TB sketch path (exact distinct of a "
     "high-cardinality key shuffles every value; HLL ships fixed-size sketches). "
-    "rows-only check; tests assert |approx-exact|/exact <= 5%.",
+    "Self-grading: the HLL estimate itself is engine-specific, so the query "
+    "emits the exact count plus a deterministic |approx-exact|/exact <= 5% "
+    "boolean; the oracle asserts the same exact counts and literal true, making "
+    "the sketch's accuracy part of the value hash.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.01)
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -121,11 +121,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermark_late",
-    oracle=None,  # semantic test: late batch must be dropped (also in tests)
+    oracle="""
+WITH on_time AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM on_time)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM on_time GROUP BY 1
+HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+""",
     doc="I4 watermark late-row dropping: batch 1 = on-time events (advances the "
     "watermark to max(ts) - 10min), batch 2 replays events older than the "
     "watermark — append-mode tumbling agg must not re-emit their windows. "
-    "rows-only: result = finalized windows from on-time data only.",
+    "Oracle = hourly counts over on-time rows only, restricted to windows the "
+    "final watermark finalized (window end <= max(on_time ts) - 10min): late "
+    "rows all fall in finalized windows, so a correct engine drops every one.",
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_batch = load_table(spark, sf_dir, "events")

@@ -77,9 +77,51 @@ def _load() -> None:
     _LOADED = True
 
 
+# Driver-window rotation: the correctness driver checks the FIRST 50
+# entries of query_map() in iteration order, so ordering is part of the
+# verification contract.  Rounds 1-2 exposed the same leading 50
+# (flagship/scans/filters/joins + 3 aggregates); this round front-loads
+# the 50 SURVEY §2 keys that have never received a driver row (sections
+# D4-K5) plus the three that errored in r2 (scan_json_lines, join_asof,
+# agg_approx_distinct — all fixed this round).  Rotate again next round
+# so every key accumulates driver-green evidence over time.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # r2 errs, now fixed
+    "scan_json_lines", "join_asof", "agg_approx_distinct",
+    # D4-D10 aggregates
+    "agg_grouping_sets", "agg_having", "agg_collect_synonyms", "agg_stats",
+    "agg_percentiles", "agg_conditional", "agg_first_last_ordered",
+    # E1-E6 windows
+    "win_rank_topk_pergroup", "win_lag_lead", "win_running_frame",
+    "win_range_frame", "win_ntile_pctrank", "win_nth_first_last",
+    # F1-F3 sorts
+    "sort_multikey_nulls", "topk_global", "limit_offset",
+    # G set ops
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    # H1-H11 scalars
+    "str_normalize_ids", "str_split_compartment", "str_fuzzy_match",
+    "hash_reaction_dedup", "date_parts_trunc", "math_suite", "array_ops",
+    "array_higher_order", "map_ops", "json_extract_nested", "conditional_null",
+    # I1-I8 streaming
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_counts",
+    "stream_static_join", "stream_foreachBatch_sink",
+    # J5-J7 text/embedding (J1-J4: J1/J3 driver-green in r1, J2/J4 rows-only)
+    "text_stats", "text_top_terms", "embed_vector_norm",
+    # K1-K5 UDFs
+    "udf_scalar_python", "udf_pandas_scalar", "udaf_pandas_grouped_agg",
+    "udf_grouped_map_normalize", "udtf_expand",
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    missing = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_DRIVER_PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def get_query(name: str) -> Query:

@@ -83,9 +83,10 @@ LINEITEM = T.StructType(
     ]
 )
 
-# Raw on-disk shape: ts is INT64 TIMESTAMP(NANOS) surfaced as long via
-# spark.sql.legacy.parquet.nanosAsLong; io.load_events() converts it to
-# a microsecond TimestampNTZ (matching what the DuckDB oracle sees).
+# Legacy on-disk shape (pre-round-3 testdata): ts was INT64
+# TIMESTAMP(NANOS) surfaced as long via spark.sql.legacy.parquet
+# .nanosAsLong; io.canonical_events_ts() still handles that layout.
+# Current testdata stores timestamp[us] and reads straight into EVENTS.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),

@@ -11,8 +11,10 @@ ALLOWED_TABLES = {
     "orders", "lineitem", "events", "documents", "embeddings",
 }
 
-# FROM/JOIN targets in oracle SQL that are not CTE names must be testdata views
-_FROM_RE = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
+# FROM/JOIN targets in oracle SQL that are not CTE names must be testdata
+# views.  "(?<!DISTINCT )" skips the comparison operator "IS [NOT]
+# DISTINCT FROM <operand>", whose right side is a column, not a table.
+_FROM_RE = re.compile(r"\b(?<!DISTINCT )(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
 _CTE_RE = re.compile(
     r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([a-zA-Z0-9_,\s]*\))?\s+AS\s*\(", re.IGNORECASE
 )
