@@ -1,4 +1,4 @@
-"""Brute-force cosine top-k via broadcast matrix + BLAS — the fast exact path.
+"""Cosine similarity kernels: broadcast-BLAS exact path + LSH scale path.
 
 Why not zip_with/aggregate per pair: Catalyst higher-order functions are
 evaluated interpreted, per element — a 64-dim dot over an n^2 cross join
@@ -6,12 +6,15 @@ is ~100x slower than vectorized BLAS.  Instead: the corpus matrix is
 row-normalized once, broadcast to every task (n x d floats — 2000 x 64
 = 1 MB here; the pattern holds while the *indexed* side fits executor
 memory), and each partition of queries computes `Q @ M.T` with numpy and
-keeps its own top-k.  Fully distributed over the query side; no shuffle
-at all until the (tiny) result.
+keeps its own top-k / above-threshold pairs.  Fully distributed over the
+query side; no shuffle at all until the (tiny) result.
 
-At 100 TB the corpus side no longer broadcasts — that regime belongs to
-the LSH/IVF path (queries/llm.py sim_ann_lsh); this operator remains the
-exact kernel applied within candidate buckets.
+At 100 TB the corpus side no longer broadcasts.  `cosine_near_pairs`
+gates on the estimated matrix size: above `BROADCAST_BYTES_LIMIT` it
+routes through BucketedRandomProjectionLSH candidate generation
+(sub-quadratic, no driver collect) and computes the exact cosine only on
+candidate pairs — the same kernel-per-bucket strategy the docstrings of
+sim_ann_lsh / sim_ann_ivf describe.
 """
 
 from __future__ import annotations
@@ -21,6 +24,37 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Broadcast ceiling for the collected corpus matrix (float64 bytes).
+# 512 MB comfortably fits a 48 GB driver / typical executor while leaving
+# room for the task's own batches; beyond it the LSH path wins anyway
+# because n^2 scoring dominates even when the matrix technically fits.
+BROADCAST_BYTES_LIMIT = 512 * 1024 * 1024
+
+
+def estimate_matrix_bytes(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Estimated float64 bytes of the collected (n x d) corpus matrix.
+
+    One count() plus one first() — metadata-scale actions, no data moves
+    to the driver beyond a single row.
+    """
+    first = emb.select(vec_col).first()
+    if first is None:
+        return 0
+    dim = len(first[0])
+    n = emb.count()
+    return n * dim * 8
+
+
+def _collect_unit_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """Driver-collect the corpus, sorted by id, rows L2-normalized."""
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat_n
+
 
 def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for every vector against the whole set
@@ -29,12 +63,7 @@ def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "
     Ties broken by neighbor id ascending — deterministic.
     """
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()  # corpus side: small, broadcastable
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids, mat_n = _collect_unit_matrix(emb, id_col, vec_col)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat_n)
 
@@ -63,3 +92,104 @@ def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "
         part, schema="a_id long, b_id long, c double, rn long"
     )
     return raw.select("a_id", "b_id", F.round("c", 6).alias("cos_sim"), "rn")
+
+
+def cosine_pairs_broadcast(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All ordered pairs (a_id < b_id) with cosine >= threshold, via the
+    broadcast-matrix BLAS kernel.  Exact; corpus side must fit the
+    broadcast budget (see cosine_near_pairs for the gated dispatcher)."""
+    spark = emb.sparkSession
+    ids, mat_n = _collect_unit_matrix(emb, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def part(batches):
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cmat.T
+            qa = pdf[id_col].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i, a_id in enumerate(qa):
+                mask = (cids > a_id) & (sims[i] >= threshold)
+                out_a.extend([a_id] * int(mask.sum()))
+                out_b.extend(cids[mask])
+                out_c.extend(sims[i][mask])
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "c": out_c})
+
+    raw = emb.select(id_col, vec_col).mapInPandas(
+        part, schema="a_id long, b_id long, c double"
+    )
+    return raw.select("a_id", "b_id", F.round("c", 6).alias("cos_sim"))
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Distributed near-pair generation: BucketedRandomProjectionLSH over
+    unit vectors, exact cosine re-scored on candidate pairs only.
+
+    For unit vectors, cos(a,b) >= t  <=>  ||a-b||^2 <= 2 - 2t, so the
+    euclidean approxSimilarityJoin threshold is sqrt(2 - 2t).  Candidate
+    generation is bucket-join (sub-quadratic, no driver collect, no
+    broadcast of the corpus); the final cosine is the exact float64 dot
+    of the unit vectors, so there are no false positives — only the
+    LSH-inherent possibility of missed pairs (recall tested in tests/).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    unit = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("_unit"),
+    ).withColumn("_v", array_to_vector("_unit"))
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(unit)
+    dist_threshold = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    pairs = model.approxSimilarityJoin(unit, unit, dist_threshold, distCol="_dist")
+    pairs = pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+    dot = F.aggregate(
+        F.zip_with("datasetA._unit", "datasetB._unit", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        pairs.select(
+            F.col("datasetA._id").alias("a_id"),
+            F.col("datasetB._id").alias("b_id"),
+            F.round(dot, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_bytes_limit: int | None = None,
+) -> DataFrame:
+    """Size-gated dispatcher: exact broadcast kernel while the corpus
+    matrix fits the broadcast budget, LSH candidates + exact re-score
+    beyond it.  This is the operator queries should call."""
+    limit = BROADCAST_BYTES_LIMIT if broadcast_bytes_limit is None else broadcast_bytes_limit
+    if estimate_matrix_bytes(emb, vec_col) <= limit:
+        return cosine_pairs_broadcast(emb, threshold, id_col, vec_col)
+    return cosine_pairs_lsh(emb, threshold, id_col, vec_col)

@@ -32,19 +32,40 @@ def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: list[str]) 
     """get_or_create semantics exactly: existing wins, new keys appended.
 
     Duplicate keys *within* incoming are collapsed under an explicit
-    total order (row_number over key, ordered by every non-key column,
-    nulls last) so the surviving row is rerun-stable across runs and
-    partitionings — dropDuplicates would keep whichever row a partition
-    scan met first, which is not stable (round-1 ADVICE item)."""
+    total order (row_number over key, ordered by every *orderable*
+    non-key column, nulls last) so the surviving row is rerun-stable
+    across runs and partitionings — dropDuplicates would keep whichever
+    row a partition scan met first, which is not stable (round-1 ADVICE
+    item).  Unorderable column types (MapType, and any type Spark's sort
+    rejects) are excluded from the order; if no orderable tiebreaker
+    exists the choice among exact-duplicate keys is arbitrary but the
+    window still collapses to one row (round-2 ADVICE item)."""
+    from pyspark.sql import types as T
+
     cols = existing.columns
-    non_key = [c for c in cols if c not in keys]
+    field_types = {f.name: f.dataType for f in incoming.schema.fields}
+
+    def _orderable(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    non_key = [c for c in cols if c not in keys and _orderable(field_types.get(c, T.NullType()))]
     order = [F.col(c).asc_nulls_last() for c in non_key] or [F.lit(1)]
+    # Collision-proof temp name: suffix until absent from the frame.
+    rn = "_rn"
+    while rn in cols:
+        rn += "_"
     w = Window.partitionBy(*keys).orderBy(*order)
     fresh = (
         incoming.select(*cols)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
         .join(existing.select(*keys), on=keys, how="left_anti")
     )
     return existing.unionByName(fresh)

@@ -187,44 +187,17 @@ JOIN norms na ON na.vec_id = d.a_id
 JOIN norms nb ON nb.vec_id = d.b_id
 WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
 """,
-    doc="Embedding-cosine near-dup: all pairs with cosine >= 0.4 via the broadcast-"
-    "matrix BLAS kernel (operators/knn.py pattern) — each partition emits only "
-    "its above-threshold pairs. At 100 TB: LSH/IVF candidates first, this kernel "
-    "per bucket.",
+    doc="Embedding-cosine near-dup: all pairs with cosine >= 0.4 via the shared "
+    "size-gated kernel (operators/knn.py cosine_near_pairs): broadcast-matrix "
+    "BLAS while the corpus fits the broadcast budget, LSH candidates + exact "
+    "re-score beyond it — the 100 TB path needs no code change, only data "
+    "growth past the gate.",
 )
 def dedup_cosine_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
+    from cobradb_spark.operators.knn import cosine_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
-
-    def part(batches):
-        cids, cmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ cmat.T
-            qa = pdf["vec_id"].to_numpy()
-            out_a, out_b, out_c = [], [], []
-            for i, a_id in enumerate(qa):
-                mask = (cids > a_id) & (sims[i] >= 0.4)
-                out_a.extend([a_id] * int(mask.sum()))
-                out_b.extend(cids[mask])
-                out_c.extend(sims[i][mask])
-            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "c": out_c})
-
-    raw = emb.select("vec_id", "embedding").mapInPandas(
-        part, schema="a_id long, b_id long, c double"
-    )
-    return raw.select("a_id", "b_id", F.round("c", 6).alias("cos_sim"))
+    return cosine_near_pairs(emb, threshold=0.4)
 
 
 _EN = ("the", "a", "and", "of", "to", "in", "is")

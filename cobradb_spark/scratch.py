@@ -15,17 +15,24 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 
 _ROOT: str | None = None
+_LOCK = threading.Lock()
 
 
 def scratch_root() -> str:
-    """Lazily created per-process root, removed at interpreter exit."""
+    """Lazily created per-process root, removed at interpreter exit.
+
+    Lock-guarded: two threads racing the first call would otherwise each
+    mkdtemp a root and hand out directories across different roots
+    (round-2 ADVICE item)."""
     global _ROOT
-    if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix="cobradb_scratch_")
-        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
-    return _ROOT
+    with _LOCK:
+        if _ROOT is None:
+            _ROOT = tempfile.mkdtemp(prefix="cobradb_scratch_")
+            atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+        return _ROOT
 
 
 def scratch_dir(prefix: str) -> str:

@@ -100,6 +100,21 @@ def _near(a, b) -> bool:
     return a == b
 
 
+def _align_near(a_rows: list, b_rows: list) -> bool:
+    """Greedy multiset matching under the _near tolerance: every leftover
+    spark row must absorb one distinct leftover duck row.  O(n^2) but
+    runs only on rows the pairwise zip already failed."""
+    remaining = list(b_rows)
+    for x in a_rows:
+        for i, y in enumerate(remaining):
+            if _near(x, y):
+                remaining.pop(i)
+                break
+        else:
+            return False
+    return not remaining
+
+
 def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[str, str]:
     sc, dc = sorted(spark_pd.columns), sorted(duck_pd.columns)
     if sc != dc:
@@ -113,6 +128,11 @@ def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[str, str]:
     if all(_near(x, y) for x, y in mismatches):
         return "NEAR", f"{len(mismatches)}/{len(a)} rows differ only in float low bits"
     bad = [(x, y) for x, y in mismatches if not _near(x, y)]
+    # Pairwise zip can misalign when two floats straddle a _sort_key
+    # quantization boundary (round-2 ADVICE): before declaring FAIL, try
+    # a greedy tolerance-aware multiset re-alignment of the leftovers.
+    if _align_near([x for x, _ in bad], [y for _, y in bad]):
+        return "NEAR", f"{len(mismatches)}/{len(a)} rows matched after multiset re-alignment"
     return "FAIL", f"{len(bad)}/{len(a)} rows mismatch; first: spark={bad[0][0]!r} duck={bad[0][1]!r}"
 
 
