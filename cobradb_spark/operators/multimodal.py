@@ -6,12 +6,16 @@ resize / frame-sample run as Arrow-batched pandas functions over
 mapInPandas, so each task streams batches without materializing blobs
 on the driver.
 
-The real codec libraries (PIL / librosa / ffmpeg) are NOT in this
-container, so `decode_features(codec=...)` supports:
+Codec coverage in this container (no PIL / librosa / ffmpeg):
+  - REAL decode for uncompressed containers: WAV/RIFF PCM audio
+    (synthesize_wav / decode_wav_features — stdlib `wave` chunk walk)
+    and netpbm P6 RGB images (synthesize_ppm / decode_ppm_features —
+    header parse + numpy raster + strided resize).  Both are
+    value-hashed end-to-end against SQL oracles.
   - "fake": deterministic sha256-derived features — the full Spark
     plumbing (schema, batching, partitioning) is real and oracle-checked;
-  - "image"/"audio"/"video": clearly-marked NotImplementedError stubs
-    where the codec call would go.
+  - compressed image/audio/video codecs: clearly-marked
+    NotImplementedError stubs where the PIL/librosa/ffmpeg call would go.
 """
 
 from __future__ import annotations
@@ -76,6 +80,132 @@ def decode_features(df: DataFrame, id_col: str, codec: str = "fake") -> DataFram
 
     return df.select(F.col(id_col).alias(id_col), "payload").mapInPandas(
         extract, schema=f"id long, n_bytes long, feat array<double>"
+    )
+
+
+def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL mono 16-bit WAV (RIFF container via the stdlib `wave`
+    writer) per row: n_samples = 800 + id % 100 at 8 kHz, samples
+    s_i = ((id*31 + i*7) % 65536) - 32768.  Deterministic integer content
+    so decoded features are SQL-reproducible; the container itself is a
+    spec-compliant WAV any player could read."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                n = 800 + int(did) % 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(did) * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAV container (stdlib `wave` —
+    chunk walk, fmt validation), then numpy over the PCM frames.  Emits
+    integer-exact features (min/max/sum/sum-of-squares) so the whole
+    decode path hash-checks against a SQL oracle — no codec library
+    needed for uncompressed PCM.  Compressed codecs (mp3/ogg) would slot
+    in here behind librosa/ffmpeg, which this container lacks."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "n_samples": [],
+                "s_min": [], "s_max": [], "s_sum": [], "ss_sum": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    rate, n = w.getframerate(), w.getnframes()
+                    samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                out["id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["s_min"].append(int(samples.min()))
+                out["s_max"].append(int(samples.max()))
+                out["s_sum"].append(int(samples.sum()))
+                out["ss_sum"].append(int((samples * samples).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        decode,
+        schema="id long, sample_rate long, n_samples long, "
+        "s_min long, s_max long, s_sum long, ss_sum long",
+    )
+
+
+PPM_W, PPM_H = 16, 16
+
+
+def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL binary PPM (netpbm P6) 16x16 RGB image per row with
+    pixel bytes p(x,y,c) = (id + x*3 + y*7 + c*11) % 256 — a valid image
+    any netpbm tool opens, with SQL-reproducible content."""
+    import numpy as np
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+            y, x, c = np.meshgrid(
+                np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
+            )
+            base = (x * 3 + y * 7 + c * 11).astype(np.int64)
+            for did in pdf[id_col]:
+                img = ((int(did) + base) % 256).astype(np.uint8)
+                payloads.append(header + img.tobytes())
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_ppm_features(df: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL image decode + resize: parse the P6 header (magic, dims,
+    maxval), reshape the raster with numpy, strided-subsample by
+    `stride` (the resize step a PIL pipeline would do), emit per-channel
+    integer sums of the RESIZED image — exact, so the decode+resize path
+    hash-checks against a SQL oracle.  Compressed formats (JPEG/PNG)
+    would slot in here behind PIL, which this container lacks."""
+    import numpy as np
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                magic, dims, maxval, raster = payload.split(b"\n", 3)
+                assert magic == b"P6" and maxval == b"255"
+                w, h = (int(v) for v in dims.split())
+                img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                small = img[::stride, ::stride, :].astype(np.int64)
+                out["id"].append(did)
+                out["height"].append(small.shape[0])
+                out["width"].append(small.shape[1])
+                out["r_sum"].append(int(small[:, :, 0].sum()))
+                out["g_sum"].append(int(small[:, :, 1].sum()))
+                out["b_sum"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        decode,
+        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
     )
 
 

@@ -23,13 +23,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_rank(
-    df: DataFrame, order_cols: list[Column], rank_col: str = "rank", num_parts: int | None = None
-) -> DataFrame:
-    """Add `rank_col` = exact global row_number by `order_cols`, distributed.
+def global_rank_with_total(
+    df: DataFrame, order_cols: list[Column], rank_col: str, num_parts: int | None = None
+) -> tuple[DataFrame, int]:
+    """Shared core: (frame with exact global row_number, total row count).
 
-    `order_cols` must define a TOTAL order (append a unique tiebreaker).
-    """
+    The total is free — it is the final prefix-sum accumulator — so
+    callers that need n (ntile, percent_rank, cume_dist) pay no extra
+    action."""
     k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     tagged = (
         df.repartitionByRange(k, *order_cols)
@@ -45,9 +46,124 @@ def global_rank(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    ranked = (
         tagged.withColumn(
             rank_col, (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long")
         )
         .drop("_pid")
     )
+    return ranked, acc
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[Column], rank_col: str = "rank", num_parts: int | None = None
+) -> DataFrame:
+    """Add `rank_col` = exact global row_number by `order_cols`, distributed.
+
+    `order_cols` must define a TOTAL order (append a unique tiebreaker).
+    """
+    ranked, _ = global_rank_with_total(df, order_cols, rank_col, num_parts)
+    return ranked
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    out_col: str,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact SQL ntile(k) by `order_cols` WITHOUT a single-partition
+    window: bucket = closed-form function of the distributed global rank
+    and the total count n (first n%k buckets hold ceil(n/k) rows, the
+    rest floor(n/k)) — identical to the standard ntile semantics when
+    `order_cols` is a total order."""
+    rank_col = "_ntile_rn"
+    while rank_col in df.columns:
+        rank_col += "_"
+    ranked, n = global_rank_with_total(df, order_cols, rank_col, num_parts)
+    return ranked.withColumn(
+        out_col, ntile_expr(F.col(rank_col), n, k).cast("long")
+    ).drop(rank_col)
+
+
+def ntile_expr(rn: Column, n: int, k: int) -> Column:
+    """Closed-form SQL ntile(k) bucket for global row_number `rn` over a
+    total order of n rows: the first n%k buckets hold ceil(n/k) rows,
+    the rest floor(n/k)."""
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: one row per bucket
+        return rn
+    head = r * (q + 1)  # rows living in the size-(q+1) buckets
+    return F.when(rn <= head, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - head) / q)
+    )
+
+
+def global_pct_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    pr_col: str = "pr",
+    cd_col: str = "cd",
+    rank_col: str | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact percent_rank and cume_dist by a TOTAL order (unique
+    tiebreaker ⇒ rank == row_number, so pr = (rn-1)/(n-1) and
+    cd = rn/n), from the distributed global rank — no single-partition
+    window."""
+    rc = rank_col or "_pct_rn"
+    drop_rank = rank_col is None
+    while drop_rank and rc in df.columns:
+        rc += "_"
+    ranked, n = global_rank_with_total(df, order_cols, rc, num_parts)
+    rn = F.col(rc)
+    pr = (rn - 1) / (n - 1) if n > 1 else F.lit(0.0)
+    out = ranked.withColumn(pr_col, pr.cast("double")).withColumn(
+        cd_col, (rn / n).cast("double")
+    )
+    return out.drop(rc) if drop_rank else out
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = EXCLUSIVE prefix sum of `value_col` in the total
+    order defined by `order_cols`, distributed.
+
+    Same scale-safe shape as global_rank: a plain running SUM() OVER
+    (ORDER BY ...) is a single-partition window; here partition i's rows
+    get `global_offset[i] + local running sum`, where the offsets are the
+    prefix-summed per-partition totals (K tiny rows to the driver).
+    `order_cols` must define a TOTAL order (append a unique tiebreaker).
+    """
+    k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    tagged = (
+        df.repartitionByRange(k, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r._pid: r["s"] or 0
+        for r in tagged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return tagged.withColumn(
+        out_col, (off_map[F.col("_pid")] + local).cast("long")
+    ).drop("_pid")

@@ -423,13 +423,15 @@ def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
     )
-    q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id")).cast("long")  # noqa: E731
-    return peru.select(
-        "user_id",
-        q("last_ts").alias("r_q"),
-        q("freq").alias("f_q"),
-        q("monetary_cents").alias("m_q"),
-    )
+    # Three exact quartile columns via the distributed global rank
+    # (operators/rank.py), not Spark's single-partition ntile window —
+    # per-user rows are unbounded at stream scale.  One range exchange
+    # per dimension.
+    from cobradb_spark.operators.rank import global_ntile
+
+    for col, out in (("last_ts", "r_q"), ("freq", "f_q"), ("monetary_cents", "m_q")):
+        peru = global_ntile(peru, [F.col(col).asc(), F.col("user_id").asc()], 4, out)
+    return peru.select("user_id", "r_q", "f_q", "m_q")
 
 
 @register(

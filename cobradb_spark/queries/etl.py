@@ -675,3 +675,62 @@ def etl_cascade_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "etl_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM t
+), b AS (
+  SELECT doc_id, toks, s, s + toks AS e FROM c WHERE toks > 0
+)
+SELECT doc_id, CAST(p.p AS BIGINT) AS pack_id,
+       CAST(greatest(s, p.p * 2048) - p.p * 2048 AS BIGINT) AS seg_offset,
+       CAST(least(e, (p.p + 1) * 2048) - greatest(s, p.p * 2048) AS BIGINT) AS seg_len
+FROM b, UNNEST(range(s // 2048, ((e - 1) // 2048) + 1)) AS p(p)
+""",
+    doc="LLM training-sequence packing (concat-then-chunk): documents are laid "
+    "end-to-end in doc_id order and cut into fixed 2048-token packs; a document "
+    "straddling a boundary is split into per-pack segments with in-pack offsets "
+    "— exactly what a packed-pretraining dataloader materializes.  The global "
+    "token offset comes from operators/rank.py global_prefix_sum (range "
+    "partition + per-partition offset), NOT a single-partition running window — "
+    "the 100 TB-safe form of the classic cumsum.  Deterministic, so the DuckDB "
+    "window-cumsum oracle value-hashes every segment.",
+    tags=("llm", "etl"),
+)
+def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    budget = 2048
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    laid = (
+        global_prefix_sum(toks, [F.col("doc_id")], "toks", out_col="s")
+        .filter(F.col("toks") > 0)
+        .withColumn("e", F.col("s") + F.col("toks"))
+    )
+    seg = laid.withColumn(
+        "pack_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / budget), F.floor((F.col("e") - 1) / budget)
+            )
+        ),
+    )
+    seg_start = F.greatest(F.col("s"), F.col("pack_id") * budget)
+    seg_end = F.least(F.col("e"), (F.col("pack_id") + 1) * budget)
+    return seg.select(
+        "doc_id",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (seg_start - F.col("pack_id") * budget).cast("long").alias("seg_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+    )

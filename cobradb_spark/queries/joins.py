@@ -120,14 +120,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
 SELECT p.p_partkey, p.p_name FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
 """,
     doc="C5 left-anti (NOT EXISTS); ref: orphan detection — metabolites appearing in no "
-    "reaction_matrix row; old ids with no current synonym [P].",
+    "reaction_matrix row; old ids with no current synonym [P].  The probe side is "
+    "restricted to bulk lines (quantity >= 45) so some parts genuinely have no "
+    "match — the unrestricted anti-join was empty at every sf, so the driver "
+    "check compared zero rows (vacuous, round-2 set_except lesson).",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
-    return part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti").select(
+    bulk = lineitem.filter(F.col("l_quantity") >= 45)
+    return part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )
 

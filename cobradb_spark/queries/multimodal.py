@@ -7,7 +7,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
-from cobradb_spark.operators.multimodal import attach_binary_payload, decode_features
+from cobradb_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    decode_ppm_features,
+    decode_wav_features,
+    synthesize_ppm,
+    synthesize_wav,
+)
 from cobradb_spark.registry import register
 
 # feat_i = byte i of sha256(payload) / 255 — reproducible in SQL because
@@ -46,6 +53,72 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.element_at("feat", i + 1), 6).alias(f"feat_{i}") for i in range(4)],
     )
     return out
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n FROM documents),
+s AS (
+  SELECT d.doc_id, d.n, ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+  FROM d, UNNEST(range(0, d.n)) AS t(i)
+)
+SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max,
+       CAST(sum(v) AS BIGINT) AS s_sum, CAST(sum(v * v) AS BIGINT) AS ss_sum
+FROM s GROUP BY doc_id, n
+""",
+    doc="REAL audio decode, no codec library: one WAV per document is "
+    "synthesized as a spec-compliant RIFF container (stdlib wave writer, "
+    "deterministic int16 PCM), then a SEPARATE Arrow-batched mapInPandas "
+    "stage parses the container back (chunk walk, fmt validation, PCM "
+    "frombuffer) and emits integer-exact sample statistics.  The oracle "
+    "recomputes the sample formula in SQL, so the full synthesize->decode "
+    "path is value-hashed — unlike the 'fake' sha256 codec, actual bytes "
+    "of an actual media container are decoded.  Compressed codecs "
+    "(mp3/ogg) remain container-stubbed (operators/multimodal.py). "
+    "Scale: both stages are partition-local; no shuffle until the tiny "
+    "per-doc feature rows.",
+    tags=("multimodal",),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wavs = synthesize_wav(d, id_col="doc_id")
+    return decode_wav_features(wavs).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_image_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, x.x AS x, y.y AS y, c.c AS c,
+         (doc_id + x.x * 3 + y.y * 7 + c.c * 11) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 16)) AS x(x),
+       UNNEST(range(0, 16)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+  WHERE x.x % 2 = 0 AND y.y % 2 = 0
+)
+SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(sum(v) FILTER (c = 0) AS BIGINT) AS r_sum,
+       CAST(sum(v) FILTER (c = 1) AS BIGINT) AS g_sum,
+       CAST(sum(v) FILTER (c = 2) AS BIGINT) AS b_sum
+FROM g GROUP BY doc_id
+""",
+    doc="REAL image decode + resize, no codec library: one 16x16 RGB netpbm "
+    "P6 image per document (valid binary PPM, deterministic pixel bytes), "
+    "decoded by a SEPARATE mapInPandas stage that parses the P6 header, "
+    "reshapes the raster, strided-subsamples to 8x8 (the resize step), and "
+    "emits per-channel integer sums of the RESIZED image.  The oracle "
+    "replays the pixel formula at even coordinates in SQL, value-hashing "
+    "decode AND resize.  Compressed formats (JPEG/PNG) remain container-"
+    "stubbed behind PIL (operators/multimodal.py).",
+    tags=("multimodal",),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ppms = synthesize_ppm(d, id_col="doc_id")
+    return decode_ppm_features(ppms, stride=2).withColumnRenamed("id", "doc_id")
 
 
 @register(

@@ -23,20 +23,21 @@ SELECT o_orderkey, status_or_null,
          AS pos
 FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null FROM orders)
 """,
-    doc="F1 multi-key sort with NULLS LAST; position encoded via row_number so the "
-    "order-insensitive hash still verifies ordering. Global sort = range-partition "
-    "exchange at scale; the verification window is single-partition by construction.",
+    doc="F1 multi-key sort with NULLS LAST; position encoded via an exact global "
+    "row_number so the order-insensitive hash still verifies ordering.  The "
+    "rank comes from operators/rank.py global_rank (range partition + "
+    "per-partition offsets), NOT a single-partition window — the same plan "
+    "shape survives at 100 TB.",
 )
 def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null")
     )
     order = [F.col("status_or_null").desc_nulls_last(), F.col("o_orderkey").asc()]
-    w = Window.orderBy(*order)
-    return o.orderBy(*order).select(
-        "o_orderkey",
-        "status_or_null",
-        F.row_number().over(w).cast("long").alias("pos"),
+    return global_rank(o, order, rank_col="pos").orderBy(*order).select(
+        "o_orderkey", "status_or_null", "pos"
     )
 
 

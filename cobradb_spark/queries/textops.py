@@ -509,9 +509,11 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_sorted_neighborhood",
     oracle="""
 WITH u AS (
-  SELECT 's' AS side, s_suppkey AS rec_id, lower(s_name) AS nm FROM supplier
+  SELECT 's' AS side, s_suppkey AS rec_id,
+         regexp_replace(lower(s_name), '^supplier#', '') AS nm FROM supplier
   UNION ALL
-  SELECT 'c' AS side, c_custkey AS rec_id, lower(c_name) AS nm FROM customer
+  SELECT 'c' AS side, c_custkey AS rec_id,
+         regexp_replace(lower(c_name), '^customer#', '') AS nm FROM customer
 ), ranked AS (
   SELECT side, rec_id, nm,
          row_number() OVER (ORDER BY nm, side, rec_id) AS rnk
@@ -529,7 +531,11 @@ WHERE side_a <> side_b AND levenshtein(nm_a, nm_b) <= 3
     doc="Sorted-neighborhood record linkage: union both record sets, sort "
     "once by the blocking key (lowercased name), and compare each record "
     "only to its w=2 successors — the classic entity-resolution blocking "
-    "that turns O(n^2) comparisons into O(n*w). The global sort rank is "
+    "that turns O(n^2) comparisons into O(n*w). The blocking key strips "
+    "the entity-type prefix (supplier#/customer#) so cross-side records "
+    "with near-identical suffixes actually land adjacent — with the raw "
+    "prefixed names every cross-side distance exceeded the threshold and "
+    "the check compared zero rows (vacuous). The global sort rank is "
     "computed DISTRIBUTED (operators/rank.py: range-partition + offset "
     "prefix-sum — never a single-partition window), and the neighbor "
     "pairing is two equi-joins on rank+k, so every stage partitions "
@@ -543,12 +549,12 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         F.lit("s").alias("side"),
         F.col("s_suppkey").alias("rec_id"),
-        F.lower("s_name").alias("nm"),
+        F.regexp_replace(F.lower("s_name"), "^supplier#", "").alias("nm"),
     )
     c = load_table(spark, sf_dir, "customer").select(
         F.lit("c").alias("side"),
         F.col("c_custkey").alias("rec_id"),
-        F.lower("c_name").alias("nm"),
+        F.regexp_replace(F.lower("c_name"), "^customer#", "").alias("nm"),
     )
     ranked = global_rank(
         s.unionAll(c), [F.col("nm"), F.col("side"), F.col("rec_id")], rank_col="rnk"

@@ -134,18 +134,25 @@ SELECT p_partkey,
 FROM part
 WINDOW w AS (ORDER BY p_retailprice, p_partkey)
 """,
-    doc="E5 ntile/percent_rank/cume_dist price quartiles. Single unpartitioned window "
-    "— verification-scale only; at 100 TB quantiles come from percentile_approx (D8) "
-    "instead of a global sort window.",
+    doc="E5 ntile/percent_rank/cume_dist price quartiles — computed WITHOUT the "
+    "single-partition window Spark would plan for an unpartitioned ntile(): "
+    "the unique (price, partkey) order makes rank == row_number, so all three "
+    "are closed-form functions of the distributed global rank and the total "
+    "count (operators/rank.py): ntile via the ceil bucket formula, "
+    "pr = (rn-1)/(n-1), cd = rn/n.  One range exchange; survives 100 TB.",
 )
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank_with_total, ntile_expr
+
     p = load_table(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
-    return p.select(
+    order = [F.col("p_retailprice").asc(), F.col("p_partkey").asc()]
+    ranked, n = global_rank_with_total(p, order, "_rn")
+    rn = F.col("_rn")
+    return ranked.select(
         "p_partkey",
-        F.ntile(4).over(w).cast("long").alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        ntile_expr(rn, n, 4).cast("long").alias("price_quartile"),
+        F.round((rn - 1) / (n - 1), 9).alias("pr"),
+        F.round(rn / n, 9).alias("cd"),
     )
 
 

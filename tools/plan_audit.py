@@ -535,10 +535,34 @@ AUDITS = [
     ),
     (
         "dedup_sorted_neighborhood",
-        ["partial_count"],
+        ["rangepartitioning", "BroadcastHashJoin"],
         ["SinglePartition", "CartesianProduct", "BroadcastNestedLoopJoin"],
         "the global sort rank is range-partitioned (never a single-"
         "partition window); neighbor pairing is equi-joins on rank+k",
+    ),
+    (
+        "etl_pack_sequences",
+        ["rangepartitioning", "explode(sequence"],
+        ["SinglePartition"],
+        "the global token prefix-sum is range-partitioned + offset "
+        "(operators/rank.py global_prefix_sum), never a single-partition "
+        "running window; boundary-straddling docs fan out via explode",
+    ),
+    (
+        "multimodal_audio_decode",
+        ["MapInPandas"],
+        ["SinglePartition", "Exchange"],
+        "WAV synthesize and decode are back-to-back Arrow-batched "
+        "MapInPandas stages with ZERO shuffles — blobs never leave their "
+        "partition, only per-doc feature rows exist downstream",
+    ),
+    (
+        "scan_nested_ingest",
+        ["MapInPandas", "partial_"],
+        ["SinglePartition", "CartesianProduct"],
+        "XML documents are assembled with a partial+final collect_list "
+        "aggregate and parsed partition-locally via Arrow-batched "
+        "MapInPandas — the ingest never touches the driver",
     ),
 ]
 
