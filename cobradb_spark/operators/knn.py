@@ -61,8 +61,22 @@ def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "
     (self excluded).  Returns (a_id, b_id, cos_sim rounded to 6, rn).
 
     Ties broken by neighbor id ascending — deterministic.
+
+    Scale contract: this is the EXACT kernel; the corpus matrix must fit
+    the broadcast budget (checked — a corpus past the gate raises with a
+    pointer to the LSH/IVF candidate paths rather than silently OOMing
+    the driver at 100x).  Within LSH/IVF buckets this same kernel is the
+    per-bucket exact scorer.
     """
     spark = emb.sparkSession
+    est = estimate_matrix_bytes(emb, vec_col)
+    if est > BROADCAST_BYTES_LIMIT:
+        raise ValueError(
+            f"cosine_topk corpus matrix ~{est >> 20} MiB exceeds the "
+            f"{BROADCAST_BYTES_LIMIT >> 20} MiB broadcast budget; use the "
+            "sim_ann_lsh / sim_ann_ivf candidate paths (queries/llm.py, "
+            "operators/ivf.py) with this kernel applied per bucket"
+        )
     ids, mat_n = _collect_unit_matrix(emb, id_col, vec_col)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat_n)

@@ -734,3 +734,47 @@ def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (seg_start - F.col("pack_id") * budget).cast("long").alias("seg_offset"),
         (seg_end - seg_start).cast("long").alias("seg_len"),
     )
+
+
+@register(
+    "etl_corpus_mixture",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), wt AS (
+  SELECT *, pow(tokens, 0.7) AS raw_w FROM per_src
+), tot AS (SELECT sum(raw_w) AS tw FROM wt)
+SELECT w.source, w.n_docs, w.tokens,
+       round(w.raw_w / t.tw, 6) AS mix_weight,
+       CAST(round(w.raw_w / t.tw * 1000000) AS BIGINT) AS quota_tokens,
+       round(w.raw_w / t.tw * 1000000 / w.tokens, 6) AS epochs
+FROM wt w, tot t
+""",
+    doc="Pretraining data-mixture planning: per-source token counts -> "
+    "temperature-flattened sampling weights (w ~ tokens^0.7, the standard "
+    "multilingual/multi-source flattening) -> token quotas for a 1M-token "
+    "budget and implied epochs-per-source (quota/tokens > 1 means the "
+    "source repeats).  One hash aggregate over the corpus plus a broadcast "
+    "of the |sources|-row weight table — no global window, no driver math.",
+    tags=("llm", "etl"),
+)
+def etl_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 1_000_000
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+    )
+    wt = per_src.withColumn("raw_w", F.pow("tokens", F.lit(0.7)))
+    tot = wt.agg(F.sum("raw_w").alias("tw"))
+    mix = F.col("raw_w") / F.col("tw")
+    return wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix * budget).cast("long").alias("quota_tokens"),
+        F.round(mix * budget / F.col("tokens"), 6).alias("epochs"),
+    )

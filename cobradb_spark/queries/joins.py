@@ -579,9 +579,22 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "ls", F.col("e.seg_i").alias("seg_i"), F.col("e.seg").alias("seg"))
 
     # probe side: a tiny (dl, seg_i, shift) spine broadcast-crossed with
-    # customers — one scan, vectorized column math, no giant expression tree
+    # customers — one scan, vectorized column math, no giant expression
+    # tree.  Shifts are pruned with PassJoin's position-aware bounds
+    # (Li/Deng/Feng, multi-match-aware): for 1-based segment i and
+    # length delta Δ = |probe| − |indexed| = −dl, a match can only start
+    # at shift ∈ [max(−(i−1), Δ−(τ+1−i)), min(i−1, Δ+(τ+1−i))] — edits
+    # before segment i bound the left drift, edits after bound the
+    # right.  Cuts the probe fan-out 5.1x (231 vs 1183 spine rows);
+    # losslessness is proven by the unblocked-theta-join oracle.
     combos = spark.createDataFrame(
-        [(dl, i, sh) for dl in range(-D, D + 1) for i in range(SEGS) for sh in range(-D, D + 1)],
+        [
+            (dl, i, sh)
+            for dl in range(-D, D + 1)
+            for i in range(SEGS)
+            for sh in range(-D, D + 1)
+            if max(-i, -dl - (SEGS - 1 - i)) <= sh <= min(i, -dl + (SEGS - 1 - i))
+        ],
         "dl int, seg_i int, shift int",
     )
     lc = F.length("c_name")

@@ -10,8 +10,10 @@ from cobradb_spark.io import load_table
 from cobradb_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
+    decode_motion_ppm_frames,
     decode_ppm_features,
     decode_wav_features,
+    synthesize_motion_ppm,
     synthesize_ppm,
     synthesize_wav,
 )
@@ -119,6 +121,42 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ppms = synthesize_ppm(d, id_col="doc_id")
     return decode_ppm_features(ppms, stride=2).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_video_frame_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, f.f AS frame_no, x.x AS x, y.y AS y, c.c AS c,
+         (doc_id + 31 * f.f + x.x * 3 + y.y * 7 + c.c * 11) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 8 + doc_id % 5)) AS f(f),
+       UNNEST(range(0, 8)) AS x(x),
+       UNNEST(range(0, 8)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+  WHERE f.f % 2 = 0
+)
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(sum(v) FILTER (c = 0) AS BIGINT) AS r_sum,
+       CAST(sum(v) FILTER (c = 1) AS BIGINT) AS g_sum,
+       CAST(sum(v) FILTER (c = 2) AS BIGINT) AS b_sum
+FROM g GROUP BY doc_id, frame_no
+""",
+    doc="REAL video frame sampling, no codec library: one uncompressed "
+    "motion-PPM container per document (8 + doc_id%5 concatenated binary P6 "
+    "frames — the raw-video shape of y4m), then a SEPARATE mapInPandas stage "
+    "WALKS the container by parsing each frame header (dims derived, never "
+    "assumed), decodes every 2nd frame, and emits per-frame integer channel "
+    "sums.  The oracle replays the pixel formula for the sampled frames in "
+    "SQL, value-hashing container walk + frame decode + sampling.  "
+    "Compressed video (ffmpeg) remains a container stub (frame_sample).  "
+    "Scale: blobs stay partition-local end-to-end.",
+    tags=("multimodal",),
+)
+def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vids = synthesize_motion_ppm(d, id_col="doc_id")
+    return decode_motion_ppm_frames(vids, every_n=2).withColumnRenamed("id", "doc_id")
 
 
 @register(

@@ -576,3 +576,142 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter((F.col("side_a") != F.col("side_b")) & (dist <= 3))
         .select("side_a", "id_a", "side_b", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+arr AS (
+  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bgs
+  FROM w
+), md AS (
+  SELECT doc_id, max(c) AS top_n
+  FROM (SELECT doc_id, unnest(ws) AS word, 1 AS one FROM w) raw
+       , LATERAL (SELECT 1) dummy(x)
+  GROUP BY doc_id, word
+  -- collapsed below; duckdb needs two levels for max-of-count
+), md2 AS (
+  SELECT doc_id, max(c) AS top_n FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(a.n_words AS BIGINT) AS n_words,
+       round(1.0 - a.n_distinct / CAST(a.n_words AS DOUBLE), 6) AS dup_word_frac,
+       round(1.0 - len(list_distinct(a.bgs)) / CAST(nullif(len(a.bgs), 0) AS DOUBLE), 6)
+         AS dup_bigram_frac,
+       round(m.top_n / CAST(a.n_words AS DOUBLE), 6) AS top_word_frac
+FROM arr a JOIN md2 m ON a.doc_id = m.doc_id
+""",
+    doc="Gopher-style repetition quality signals per document: duplicate-word "
+    "fraction, duplicate-bigram fraction, and most-frequent-word fraction — "
+    "the standard filters for boilerplate/spam in pretraining corpora.  Word "
+    "and bigram dedup run as JVM array higher-order functions (zero Python, "
+    "per-row cost linear in doc length); the mode frequency uses an "
+    "explode + (doc, word) groupBy, which shuffles (doc, word) pairs — "
+    "bounded by corpus token count, never quadratic.",
+    tags=("textops", "llm"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("w"), i), F.lit(" "), F.element_at(F.col("w"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    arr = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        bigrams.alias("bgs"),
+    )
+    mode = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_n"))
+    )
+    return arr.join(mode, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct("bgs")) / F.nullif(F.size("bgs"), F.lit(0)), 6
+        ).alias("dup_bigram_frac"),
+        F.round(F.col("top_n") / F.col("n_words"), 6).alias("top_word_frac"),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://www.' || source || '.Example.com/page/' ||
+         CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&sid=' ||
+         CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '\\?.*$', ''),
+           '/+$', '') AS curl
+  FROM u
+)
+SELECT curl, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon GROUP BY curl
+""",
+    doc="URL-canonicalization dedup — the first pass of every web-crawl "
+    "pretraining pipeline: lowercase, strip scheme / www / query string / "
+    "trailing slash, then group identical canonical URLs keeping the lowest "
+    "doc_id.  (Testdata has no URL column, so a deterministic URL is "
+    "synthesized per doc with case/query noise; the operator under test is "
+    "the JVM regex canonicalization chain + hash groupBy, both "
+    "shuffle-bounded by |distinct canonical URLs|.)",
+    tags=("textops", "llm"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://www."),
+        F.col("source"),
+        F.lit(".Example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&sid="),
+        F.col("doc_id").cast("string"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

@@ -92,3 +92,62 @@ def test_recursive_cte_depth_is_log2(spark, sf_dir):
     for r in rows:
         want = 0 if r.custkey == 0 else int(math.log2(r.custkey)) + 1
         assert r.depth == want, (r.custkey, r.depth, want)
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """Closed-form distributed ntile must equal Spark's own ntile() for
+    every (n, k) shape: remainder buckets, exact division, n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.operators.rank import global_ntile
+
+    for n, k in [(10, 4), (12, 4), (3, 5), (1, 2), (7, 7)]:
+        df = spark.range(n).select(F.col("id").alias("v"))
+        got = {
+            r.v: r.b
+            for r in global_ntile(df, [F.col("v").asc()], k, "b").collect()
+        }
+        want = {
+            r.v: r.b
+            for r in df.select(
+                "v", F.ntile(k).over(Window.orderBy("v")).cast("long").alias("b")
+            ).collect()
+        }
+        assert got == want, f"n={n} k={k}: {got} != {want}"
+
+
+def test_global_prefix_sum_exclusive(spark):
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    df = spark.createDataFrame([(i, (i * 3) % 7 + 1) for i in range(20)], "id long, w long")
+    out = {r.id: r.s for r in global_prefix_sum(df, [F.col("id").asc()], "w", "s").collect()}
+    acc = 0
+    for i in range(20):
+        assert out[i] == acc
+        acc += (i * 3) % 7 + 1
+
+
+def test_global_pct_rank_formulas(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.operators.rank import global_pct_rank
+
+    df = spark.range(9).select(F.col("id").alias("v"))
+    got = {
+        r.v: (round(r.pr, 9), round(r.cd, 9))
+        for r in global_pct_rank(df, [F.col("v").asc()]).collect()
+    }
+    w = Window.orderBy("v")
+    want = {
+        r.v: (round(r.pr, 9), round(r.cd, 9))
+        for r in df.select(
+            "v",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
