@@ -275,3 +275,50 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The RocksDB state store provider — the 100 TB answer to streaming
+    state larger than executor memory (state lives on local disk with
+    changelog checkpointing, not in the JVM heap) — must produce results
+    identical to the default HDFS-backed provider for both a stateful
+    aggregate and an applyInPandasWithState custom operator."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark import registry
+    from cobradb_spark.operators.streams import (
+        events_stream_dir,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    def hourly_counts():
+        ev = read_events_stream(spark, events_stream_dir(sf_dir))
+        agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count("*").alias("n")
+        )
+        out = run_to_memory(
+            agg.select(F.col("window.start").alias("h"), "event_type", "n"),
+            "complete",
+        )
+        return {(r.h, r.event_type): r.n for r in out.collect()}
+
+    old = spark.conf.get(key, None)
+    try:
+        default_res = hourly_counts()
+        spark.conf.set(key, rocks)
+        rocks_res = hourly_counts()
+        # custom stateful operator under RocksDB too
+        stateful = registry.get_query("stream_stateful_counts").fn(spark, sf_dir)
+        assert stateful.count() > 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert default_res == rocks_res and len(default_res) > 0
