@@ -715,3 +715,51 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair,
+         freq
+  FROM wf
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""",
+    doc="BPE tokenizer training, iteration 0: corpus-weighted adjacent "
+    "character-pair counts — the merge-candidate table a byte-pair-encoding "
+    "trainer maximizes over.  The corpus first collapses to (distinct word, "
+    "frequency) — the standard BPE trick that bounds all later work by "
+    "|vocab|, not corpus size — then pairs explode from a JVM HOF over each "
+    "distinct word and one hash aggregate + TakeOrdered yields the top-20 "
+    "merge candidates (ties broken by pair text, deterministic).",
+    tags=("textops", "llm"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -151,3 +151,63 @@ def test_global_pct_rank_formulas(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_wav_decoder_parses_handbuilt_container(spark):
+    """decode_wav_features must parse a WAV we build by hand (independent
+    of synthesize_wav) and report exact sample statistics."""
+    import io
+    import wave
+
+    from cobradb_spark.operators.multimodal import decode_wav_features
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples))
+    df = spark.createDataFrame([(7, buf.getvalue())], "id long, payload binary")
+    row = decode_wav_features(df).collect()[0]
+    assert (row.sample_rate, row.n_samples) == (16000, len(samples))
+    assert (row.s_min, row.s_max) == (-32768, 32767)
+    assert row.s_sum == sum(samples)
+    assert row.ss_sum == sum(s * s for s in samples)
+
+
+def test_ppm_decoder_resize_semantics(spark):
+    """decode_ppm_features must parse the P6 header (dims not assumed)
+    and subsample rows/cols by the stride."""
+    import numpy as np
+
+    from cobradb_spark.operators.multimodal import decode_ppm_features
+
+    h, w = 4, 6
+    img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    row = decode_ppm_features(df, stride=2).collect()[0]
+    small = img[::2, ::2, :].astype(int)
+    assert (row.height, row.width) == (2, 3)
+    assert (row.r_sum, row.g_sum, row.b_sum) == (
+        small[:, :, 0].sum(), small[:, :, 1].sum(), small[:, :, 2].sum(),
+    )
+
+
+def test_motion_ppm_walker_handles_mixed_frame_sizes(spark):
+    """The container walker derives each frame's size from ITS OWN header —
+    frames of different dimensions in one container must decode correctly."""
+    import numpy as np
+
+    from cobradb_spark.operators.multimodal import decode_motion_ppm_frames
+
+    def frame(h, w, fill):
+        img = np.full((h, w, 3), fill, dtype=np.uint8)
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    payload = frame(2, 2, 10) + frame(3, 1, 20) + frame(1, 4, 30)
+    df = spark.createDataFrame([(5, payload)], "id long, payload binary")
+    rows = {r.frame_no: r for r in decode_motion_ppm_frames(df, every_n=1).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].r_sum == 10 * 4 and rows[1].r_sum == 20 * 3 and rows[2].r_sum == 30 * 4

