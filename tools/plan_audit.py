@@ -564,6 +564,46 @@ AUDITS = [
         "aggregate and parsed partition-locally via Arrow-batched "
         "MapInPandas — the ingest never touches the driver",
     ),
+    (
+        "multimodal_video_frame_decode",
+        ["MapInPandas"],
+        ["SinglePartition", "Exchange"],
+        "container synthesis and the header-walking frame decoder are "
+        "back-to-back partition-local MapInPandas stages — video blobs "
+        "never shuffle",
+    ),
+    (
+        "text_bpe_pair_counts",
+        ["partial_count", "TakeOrderedAndProject"],
+        ["SinglePartition", "CartesianProduct"],
+        "corpus collapses to (distinct word, freq) with a partial+final "
+        "count, pairs explode from the vocab only, and the top-20 is a "
+        "per-partition heap merge — no global sort",
+    ),
+    (
+        "dedup_url_canonical",
+        ["ReadSchema: struct<doc_id:bigint,source:string>", "partial_count"],
+        ["SinglePartition"],
+        "only the two needed columns reach the scan; the canonical-URL "
+        "rollup is a partial+final hash aggregate",
+    ),
+    (
+        "text_repetition_stats",
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "partial_max"],
+        ["SinglePartition", "CartesianProduct"],
+        "array HOF stats stay narrow; the word-mode branch is a two-level "
+        "partial+final aggregate on (doc, word)",
+    ),
+    (
+        "etl_corpus_mixture",
+        ["partial_sum", "BroadcastExchange"],
+        ["CartesianProduct"],
+        "one partial+final hash aggregate over the corpus; the global "
+        "weight total is a bounded |sources|-row scalar aggregate whose "
+        "1-row result broadcasts back (BroadcastNestedLoopJoin over one "
+        "row is the correct scalar-join plan, not a data-scale nested "
+        "loop)",
+    ),
 ]
 
 
