@@ -14,19 +14,19 @@ from cobradb_spark.io import load_table
 from cobradb_spark.registry import register
 
 
-# Disjoint eras split at 1998-01-01: customers active only before the
+# Disjoint eras split at 2000-01-01: customers active only before the
 # split give EXCEPT a real (non-empty) difference to verify — the
 # round-2 overlapping slices made every old customer also new, so the
 # EXCEPT check compared zero rows (vacuously green).
 def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     o = load_table(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
-    new = o.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    old = o.filter(F.col("o_orderdate") < "2000-01-01").select("o_custkey")
+    new = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
     return old, new
 
 
-_OLD = "SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'"
-_NEW = "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'"
+_OLD = "SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'"
+_NEW = "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'"
 
 
 @register(
