@@ -585,3 +585,59 @@ def stream_chained_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "append",
     )
+
+
+@register(
+    "stream_python_sink",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events
+""",
+    doc="I-ext custom Python STREAMING sink (sources/pysink.py "
+    "_JsonlStreamWriter): per-micro-batch two-phase commit — tasks write "
+    "uncoordinated part files, the driver publishes _MANIFEST-{batchId} "
+    "only after the whole batch succeeds, batch retries overwrite the same "
+    "manifest — the sink half of the exactly-once contract.  Events are "
+    "replayed in two staged micro-batches so two manifests are committed; "
+    "the manifest-honoring read-back must equal the source exactly (JSON "
+    "shortest-repr doubles round-trip binary64 losslessly).",
+    tags=("streaming",),
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.session import apply_runtime_confs
+    from cobradb_spark.sources.pysink import JsonlSinkDataSource, read_manifested_jsonl
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(JsonlSinkDataSource)
+    tmp = scratch_dir("cobradb_pysink_")
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    os.makedirs(src)
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    half1 = ev_batch.filter(F.col("event_id") % 2 == 0)
+    half2 = ev_batch.filter(F.col("event_id") % 2 == 1)
+
+    def stage(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(f"{tmp}/{name}_w")
+        part = [p for p in os.listdir(f"{tmp}/{name}_w") if p.endswith(".parquet")][0]
+        shutil.move(f"{tmp}/{name}_w/{part}", f"{src}/{name}.parquet")
+
+    stage(half1, "b1")
+    ev = read_events_stream(spark, src).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("cobradb_pyjsonl")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stage(half2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_manifested_jsonl(
+        spark, out, "event_id long, user_id long, event_type string, value double"
+    )

@@ -430,3 +430,46 @@ def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("o_orderpriority").alias("col_1"),
         F.col("val_1"),
     )
+
+
+@register(
+    "udf_grouped_apply_arrow",
+    oracle="""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1
+FROM embeddings GROUP BY label
+""",
+    doc="K-ext grouped applyInArrow (Spark 4): each label's vectors arrive as "
+    "ONE pyarrow Table (columnar, no pandas boxing), the centroid is a numpy "
+    "mean over the contiguous matrix, one output row per group.  The Arrow "
+    "sibling of applyInPandas for per-group kernels at 100 TB — group rows "
+    "are sorted by vec_id before reduction so the float sum order (and hence "
+    "the driver hash) is run-to-run deterministic.  Oracle: per-label avg of "
+    "the leading dimensions in SQL.",
+)
+def udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    def centroid(table: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(table.column("vec_id"))
+        table = table.take(idx)
+        emb = table.column("embedding")
+        flat = emb.combine_chunks().flatten()
+        dim = len(flat) // len(table)
+        m = np.asarray(flat, dtype=np.float64).reshape(len(table), dim)
+        return pa.table(
+            {
+                "label": pa.array([table.column("label")[0].as_py()], pa.int32()),
+                "n": pa.array([len(table)], pa.int64()),
+                "c0": pa.array([round(float(m[:, 0].mean()), 6)], pa.float64()),
+                "c1": pa.array([round(float(m[:, 1].mean()), 6)], pa.float64()),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e.groupBy("label").applyInArrow(
+        centroid, schema="label int, n long, c0 double, c1 double"
+    )

@@ -25,6 +25,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -58,8 +59,41 @@ class _JsonlWriter(DataSourceWriter):
         pass  # unpublished part files are unreferenced garbage, not data
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of _JsonlWriter: per-micro-batch two-phase commit.
+
+    Tasks write uncoordinated part files; the driver publishes
+    `_MANIFEST-{batchId}` only after the whole batch succeeded.  A batch
+    RETRY overwrites the same manifest with the retried parts, so a
+    manifest-honoring reader sees each batch exactly once — the sink-side
+    half of Structured Streaming's exactly-once contract (the source side
+    is checkpointed offsets)."""
+
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator) -> _PartMessage:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                f.write(json.dumps({c: d[c] for c in self.columns}) + "\n")
+        return _PartMessage(name)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = sorted(m.filename for m in messages)
+        with open(os.path.join(self.path, f"_MANIFEST-{batchId}"), "w") as f:
+            f.write("\n".join(manifest) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # unpublished part files are unreferenced garbage, not data
+
+
 class JsonlSinkDataSource(DataSource):
-    """`df.write.format("cobradb_pyjsonl").option("path", ...).save()`."""
+    """`df.write.format("cobradb_pyjsonl").option("path", ...).save()` or
+    `df.writeStream.format("cobradb_pyjsonl")...` (streaming twin)."""
 
     @classmethod
     def name(cls) -> str:
@@ -68,9 +102,18 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> _JsonlWriter:
         return _JsonlWriter(self.options["path"], [f.name for f in schema.fields])
 
+    def streamWriter(self, schema, overwrite: bool) -> _JsonlStreamWriter:
+        return _JsonlStreamWriter(self.options["path"], [f.name for f in schema.fields])
+
 
 def read_manifested_jsonl(spark, path: str, schema: str):
-    """Read back ONLY the committed part files (manifest-honoring reader)."""
-    with open(os.path.join(path, "_MANIFEST")) as f:
-        parts = [os.path.join(path, ln.strip()) for ln in f if ln.strip()]
+    """Read back ONLY the committed part files (manifest-honoring reader).
+
+    Honors both the batch `_MANIFEST` and streaming `_MANIFEST-{batchId}`
+    publications; uncommitted part files are invisible."""
+    parts: list[str] = []
+    for fname in sorted(os.listdir(path)):
+        if fname == "_MANIFEST" or fname.startswith("_MANIFEST-"):
+            with open(os.path.join(path, fname)) as f:
+                parts.extend(os.path.join(path, ln.strip()) for ln in f if ln.strip())
     return spark.read.schema(schema).json(parts)
