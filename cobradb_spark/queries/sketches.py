@@ -30,22 +30,39 @@ from cobradb_spark.registry import register
 
 @register(
     "agg_hll_sketch_merge",
-    oracle=None,  # approximate by design; ±5% vs exact asserted in tests
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS approx_within_5pct
+FROM events GROUP BY 1
+""",
     doc="Mergeable distinct-count rollup: per-day DataSketches HLL sketches of "
     "user_id, re-aggregated to weeks with hll_union_agg WITHOUT rescanning the "
     "events — the incremental-refresh primitive (daily partial sketches merge "
-    "into any coarser grain). Rows-only: estimates are sketch-dependent; the "
-    "tolerance harness in tests/ compares against exact count(distinct).",
+    "into any coarser grain). Self-grading (agg_approx_distinct pattern): the "
+    "sketch estimate is engine-specific, so the query emits the exact weekly "
+    "count plus a |est-exact|/exact <= 5% verdict the oracle asserts as true — "
+    "the sketch-merge accuracy is part of the value hash.",
 )
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     per_day = ev.groupBy(F.date_trunc("day", "ts").alias("day_start")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
-    return (
+    merged = (
         per_day.groupBy(F.date_trunc("week", "day_start").alias("week_start"))
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
-        .select("week_start", F.col("approx_users").cast("long").alias("approx_users"))
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week_start")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "week_start").select(
+        "week_start",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -226,15 +243,25 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_intersect_estimate",
-    oracle=None,  # approximate by design; tolerance vs exact asserted in tests
+    oracle="""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS exact_intersect,
+       true AS est_within_tol
+FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
     doc="Sketch SET ALGEBRA: estimated distinct-user overlap between every "
     "pair of event types via inclusion-exclusion on HLL sketches "
     "(|A ∩ B| ≈ |A| + |B| - |A ∪ B|, the union being hll_union of the "
     "per-type sketches). The per-type sketches build in ONE partial+final "
     "pass over events and are kilobytes each, so the pairwise algebra runs "
     "on a broadcast-sized side table — audience-overlap matrices at 100 TB "
-    "without ever shuffling raw user ids twice. Rows-only: estimates are "
-    "sketch-dependent; tests assert tolerance against exact overlaps.",
+    "without ever shuffling raw user ids twice. Self-grading: the query "
+    "also computes the exact pairwise overlap (distinct (type,user) "
+    "self-join) and a |est-exact| <= max(10, 15% of exact) verdict the "
+    "oracle asserts as true — inclusion-exclusion error is relatively "
+    "larger on small intersections, hence the absolute floor.",
     tags=("sketches",),
 )
 def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,17 +275,30 @@ def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.select(
         "type_a",
         "type_b",
-        F.hll_sketch_estimate("sk_a").alias("n_a"),
-        F.hll_sketch_estimate("sk_b").alias("n_b"),
-        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("n_union"),
-    )
-    return est.select(
-        "type_a",
-        "type_b",
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("n_union").cast("long").alias("n_union"),
-        F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0))
+        F.greatest(
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_intersect_est"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    ea = du.select(F.col("event_type").alias("type_a"), "user_id")
+    eb = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ea.join(eb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    tol = F.greatest(F.lit(10.0), 0.15 * F.col("exact_intersect"))
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_intersect",
+        (F.abs(F.col("n_intersect_est") - F.col("exact_intersect")) <= tol).alias(
+            "est_within_tol"
+        ),
     )

@@ -141,9 +141,16 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udaf_pandas_gmean",
-    oracle=None,  # geometric mean has no exact SQL twin in the oracle dialect
-    doc="K3b GROUPED_AGG geometric mean via pandas UDF — rows-only; asserted "
-    "against exp(avg(ln)) in tests.",
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 6) AS gmean_qty
+FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag
+""",
+    doc="K3b GROUPED_AGG geometric mean via pandas UDF, hash-checked against "
+    "the exp(avg(ln)) identity in SQL: both sides round to 6 decimals, and "
+    "the ~1e-14 relative float difference between numpy's mean and the "
+    "oracle's avg is 8 orders of magnitude inside that rounding (also "
+    "asserted in tests).",
 )
 def udaf_pandas_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
