@@ -271,10 +271,33 @@ def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_higher",
-    oracle=None,  # skewness/kurtosis estimators differ across engines (D7 note)
-    doc="D7b higher moments (skewness, kurtosis) — rows-only: Spark uses the "
-    "biased moment estimator, DuckDB a different correction, so no hash oracle; "
-    "sanity-asserted in tests.",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS m1,
+         avg(l_quantity * l_quantity) AS m2,
+         avg(l_quantity * l_quantity * l_quantity) AS m3,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag,
+         m2 - m1 * m1 AS c2,
+         m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS c3,
+         m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1 AS c4
+  FROM m
+)
+SELECT l_returnflag,
+       round(c3 / pow(c2, 1.5), 6) AS skew_qty,
+       round(c4 / (c2 * c2) - 3, 6) AS kurt_qty
+FROM c
+""",
+    doc="D7b higher moments (skewness, kurtosis), hash-checked: Spark's "
+    "built-ins are the biased population estimators m3/m2^1.5 and "
+    "m4/m2^2 - 3, which the oracle reproduces from raw power sums via the "
+    "central-moment expansion.  DuckDB's own skewness()/kurtosis() use a "
+    "different bias correction — the explicit formulation sidesteps that.  "
+    "Both sides round to 6 decimals, orders above the ~1e-10 cancellation "
+    "noise of the power-sum path at this value range.",
 )
 def agg_stats_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -326,10 +326,21 @@ def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "date_months_between",
-    oracle=None,  # Spark's 31-day-based fractional semantics have no DuckDB twin
-    doc="H5b months_between — rows-only: Spark defines fractional months over a "
-    "31-day base; DuckDB only has integer month datediff, so correctness is "
-    "asserted in tests (identity + monotonicity).",
+    oracle="""
+SELECT o_orderkey,
+       round(
+         (1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+         + CASE WHEN day(o_orderdate) = 1 THEN 0.0
+                ELSE (1 - day(o_orderdate)) / 31.0 END,
+         6) AS months_to_1998
+FROM orders
+""",
+    doc="H5b months_between, hash-checked by replicating Spark's documented "
+    "semantics in SQL: whole calendar months plus a (day1-day2)/31 fraction, "
+    "integer when the days-of-month match.  The general rule also covers "
+    "time-of-day and both-last-day cases; neither arises here (orderdates "
+    "are midnight, the reference day is the 1st), so the oracle's two-branch "
+    "CASE is the complete semantics for this data.",
 )
 def date_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
