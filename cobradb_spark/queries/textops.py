@@ -763,3 +763,55 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+WITH sp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, (length(text) - 32) // 16 + 2),
+                i -> substr(text, CAST((i - 1) * 16 + 1 AS BIGINT), 32))) AS span
+  FROM documents WHERE length(text) >= 32
+), shared AS (
+  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) > 1
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM sp s JOIN shared USING (span)
+GROUP BY s.doc_id
+""",
+    doc="Cross-document repeated-span detection — the exact-substring dedup "
+    "signal (Lee et al., 'Deduplicating Training Data Makes Language Models "
+    "Better'): 32-char spans sampled at stride 16 per document, spans "
+    "appearing in more than one document flagged, per-doc count of shared "
+    "spans emitted.  A production pass would excise the spans; the detection "
+    "machinery is identical.  Cost: explode is length/stride per doc (never "
+    "quadratic), the span groupBy shuffles one row per sampled span, and the "
+    "flag joins back by span hash — all bounded by corpus size at 100 TB.",
+    tags=("textops", "llm"),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 32)
+    n_spans = F.floor((F.length("text") - 32) / 16) + 1
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_spans),
+                    lambda i: F.substring(F.col("text"), ((i - 1) * 16 + 1).cast("int"), 32),
+                )
+            )
+        ).alias("span"),
+    )
+    shared = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("span")
+    )
+    return (
+        spans.join(shared, "span")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
