@@ -778,3 +778,49 @@ def etl_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mix * budget).cast("long").alias("quota_tokens"),
         F.round(mix * budget / F.col("tokens"), 6).alias("epochs"),
     )
+
+
+@register(
+    "etl_dedup_incremental",
+    oracle="""
+WITH store AS (
+  SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 4 <> 0
+), incoming AS (
+  SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id % 8 = 1
+)
+SELECT i.doc_id, i.sig,
+       NOT EXISTS (SELECT 1 FROM store s WHERE s.sig = i.sig) AS is_new
+FROM incoming i
+""",
+    doc="Incremental corpus dedup — the shape every continuously-crawled "
+    "corpus runs per snapshot: the historical corpus persists only a "
+    "DISTINCT signature store (md5(text), written once to parquet, "
+    "kilobytes per million docs), and each incoming batch anti-probes that "
+    "store instead of rescanning history.  The store write + read-back "
+    "runs for real through scratch parquet; the probe is a broadcast-able "
+    "left join on the signature.  The incoming batch mixes genuinely new "
+    "docs (doc_id % 4 = 0) with a re-crawl of already-ingested pages "
+    "(doc_id % 8 = 1), so BOTH is_new outcomes occur and the dedup "
+    "verdict is non-vacuous.",
+    tags=("llm", "etl"),
+)
+def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tmp = scratch_dir("cobradb_sigstore_")
+    store = (
+        d.filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("sig"))
+        .distinct()
+    )
+    store.write.mode("overwrite").parquet(f"{tmp}/store")
+    persisted = spark.read.parquet(f"{tmp}/store").withColumn("seen", F.lit(True))
+    incoming = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .unionByName(d.filter(F.col("doc_id") % 8 == 1))
+        .select("doc_id", F.md5("text").alias("sig"))
+    )
+    return incoming.join(persisted, "sig", "left").select(
+        "doc_id", "sig", F.coalesce(~F.col("seen"), F.lit(True)).alias("is_new")
+    )
