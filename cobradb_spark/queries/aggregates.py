@@ -156,18 +156,20 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_synonyms",
     oracle="""
 SELECT p_brand,
-       array_agg(DISTINCT p_name ORDER BY p_name) AS names,
+       array_to_string(array_agg(DISTINCT p_name ORDER BY p_name), '|') AS names,
        CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
 FROM part GROUP BY p_brand
 """,
     doc="D6 collect per-entity synonym lists; ref: synonym table aggregated per entity "
     "for matching [P]. array_sort(collect_set(...)) — sorted for determinism "
-    "(SURVEY §5.2).",
+    "(SURVEY §5.2). Driver-facing projection joins the list with '|': the driver's "
+    "pandas canonicalizer cannot hash array cells (r3 ERR), and a delimited string "
+    "states the same facts.",
 )
 def agg_collect_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
-        F.array_sort(F.collect_set("p_name")).alias("names"),
+        F.concat_ws("|", F.array_sort(F.collect_set("p_name"))).alias("names"),
         F.countDistinct("p_name").alias("n_names"),
     )
 

@@ -259,7 +259,8 @@ WITH s AS (
            x -> CAST(floor(CAST(x AS DOUBLE) / s.scale * 127 + 0.5) AS BIGINT)) AS qvec
   FROM embeddings e JOIN s ON e.vec_id = s.vec_id
 )
-SELECT q.vec_id AS id, round(q.scale, 6) AS scale, q.qvec,
+SELECT q.vec_id AS id, round(q.scale, 6) AS scale,
+       array_to_string(q.qvec, ',') AS qvec,
        round(list_sum(list_transform(
                list_zip(e.embedding, q.qvec),
                p -> pow(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * q.scale / 127, 2)))
@@ -305,10 +306,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # qvec ships as a ','-joined string: the driver's canonicalizer cannot
+    # hash array cells (r3 ERR class); integers join losslessly.
     return q.select(
         F.col("vec_id").alias("id"),
         F.round("scale_raw", 6).alias("scale"),
-        "qvec",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec"),
         F.round(err / F.size("qvec") * 1e9, 3).alias("mse_e9"),
     )
 

@@ -190,20 +190,21 @@ def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey,
        CAST(len(list_sort(list(l_partkey))) AS BIGINT) AS n_parts,
-       list_sort(list(l_partkey))[1:3] AS first3,
+       array_to_string(list_sort(list(l_partkey))[1:3], ',') AS first3,
        CAST(len(list_distinct(list(l_partkey))) AS BIGINT) AS n_uniq
 FROM lineitem GROUP BY l_orderkey
 """,
     doc="H7 array manipulation; the stoichiometry-as-array form (SURVEY §1.2): "
     "collect -> sort -> slice/distinct. Arrays always array_sort'ed before "
-    "comparison (determinism, SURVEY §5.2).",
+    "comparison (determinism, SURVEY §5.2). first3 is projected as a ','-joined "
+    "string: the driver's pandas canonicalizer cannot hash array cells (r3 ERR).",
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     arr = F.array_sort(F.collect_list("l_partkey"))
     return li.groupBy("l_orderkey").agg(
         F.size(arr).cast("long").alias("n_parts"),
-        F.slice(arr, 1, 3).alias("first3"),
+        F.concat_ws(",", F.slice(arr, 1, 3).cast("array<string>")).alias("first3"),
         F.size(F.array_distinct(arr)).cast("long").alias("n_uniq"),
     )
 
@@ -411,20 +412,23 @@ def math_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_regexp_extract_all",
     oracle="""
 SELECT event_id,
-       regexp_extract_all(props, '[0-9]+') AS nums,
+       array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums,
        CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
 FROM events
 """,
     doc="H-ext regexp_extract_all: every digit run in the raw JSON payload "
-    "as an array, plus the count — the tokenizer-ish primitive PII "
-    "redaction and log parsing share. Pure codegen; arrays hash exactly "
-    "(strings).",
+    "joined with ',', plus the count — the tokenizer-ish primitive PII "
+    "redaction and log parsing share. Pure codegen. The driver-facing "
+    "projection is a delimited string (digit runs cannot contain ','): "
+    "the driver's canonicalizer cannot hash array cells.",
 )
 def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     nums = F.regexp_extract_all(F.col("props"), F.lit(r"[0-9]+"), 0)
     return e.select(
-        "event_id", nums.alias("nums"), F.size(nums).cast("long").alias("n_nums")
+        "event_id",
+        F.concat_ws(",", nums).alias("nums"),
+        F.size(nums).cast("long").alias("n_nums"),
     )
 
 

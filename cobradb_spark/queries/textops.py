@@ -415,7 +415,7 @@ WITH tok AS (
   ) WHERE term <> ''
 )
 SELECT term, CAST(count(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM tok GROUP BY term HAVING count(*) >= 3
 """,
     doc="Inverted-index build: term -> document-frequency + sorted posting "
@@ -439,7 +439,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            # ','-joined string, not a raw array: the driver's canonicalizer
+            # cannot hash array cells (r3 ERR class); doc_ids contain no ','.
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
         )
         .filter(F.col("df") >= 3)
     )

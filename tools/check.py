@@ -156,7 +156,28 @@ def main() -> int:
         q = qs[name]
         t0 = time.time()
         try:
-            sdf = q.fn(spark, args.sf).toPandas()
+            out = q.fn(spark, args.sf)
+            # Driver-parity guard (r3 verdict item 2): the driver's pandas
+            # canonicalizer cannot hash array/map/struct cells, so any
+            # oracle-carrying query that ships a non-scalar output column
+            # is a guaranteed driver ERR even when values match locally
+            # (this harness tuple-izes arrays; the driver does not).
+            # Local green must imply driver green -> hard FAIL here.
+            if q.oracle is not None:
+                bad_cols = [
+                    f.name
+                    for f in out.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                if bad_cols:
+                    print(
+                        f"[FAIL ] {name}: non-scalar output columns {bad_cols} — "
+                        "driver canonicalizer cannot hash these; project "
+                        "to_json/concat_ws instead"
+                    )
+                    n_fail += 1
+                    continue
+            sdf = out.toPandas()
         except Exception:
             print(f"[FAIL ] {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
