@@ -578,36 +578,44 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", ls.cast("long").alias("ls"), F.explode(F.array(*seg_structs)).alias("e")
     ).select("s_suppkey", "s_name", "ls", F.col("e.seg_i").alias("seg_i"), F.col("e.seg").alias("seg"))
 
-    # probe side: a tiny (dl, seg_i, shift) spine broadcast-crossed with
+    # probe side: a tiny (sl, seg_i, shift) spine broadcast-crossed with
     # customers — one scan, vectorized column math, no giant expression
-    # tree.  Shifts are pruned with PassJoin's position-aware bounds
+    # tree.  The spine keys on the DISTINCT SUPPLIER LENGTHS actually
+    # present on the index side (a handful of values — lengths, not
+    # names), not on all 2τ+1 length deltas: a probe at a length no
+    # supplier has can never match the equi-join on ls, so enumerating
+    # it is pure waste (13x fan-out on this fixed-width fixture).
+    # Shifts are pruned with PassJoin's position-aware bounds
     # (Li/Deng/Feng, multi-match-aware): for 1-based segment i and
     # length delta Δ = |probe| − |indexed| = −dl, a match can only start
     # at shift ∈ [max(−(i−1), Δ−(τ+1−i)), min(i−1, Δ+(τ+1−i))] — edits
     # before segment i bound the left drift, edits after bound the
-    # right.  Cuts the probe fan-out 5.1x (231 vs 1183 spine rows);
-    # losslessness is proven by the unblocked-theta-join oracle.
-    combos = spark.createDataFrame(
-        [
-            (dl, i, sh)
-            for dl in range(-D, D + 1)
-            for i in range(SEGS)
-            for sh in range(-D, D + 1)
-            if max(-i, -dl - (SEGS - 1 - i)) <= sh <= min(i, -dl + (SEGS - 1 - i))
-        ],
-        "dl int, seg_i int, shift int",
+    # right; here dl = sl − |c_name| is evaluated per customer against
+    # the spine.  Losslessness is proven by the unblocked-theta-join
+    # oracle.
+    sup_lens = s.select(F.length("s_name").cast("long").alias("sl")).distinct()
+    shift_spine = spark.createDataFrame(
+        [(i, sh) for i in range(SEGS) for sh in range(-D, D + 1)],
+        "seg_i int, shift int",
     )
+    spine = sup_lens.crossJoin(shift_spine)
     lc = F.length("c_name")
-    cand_ls = (lc + F.col("dl")).cast("long")
-    st, ln_i = seg_bounds(cand_ls, F.col("seg_i"))
+    dl = (F.col("sl") - lc).cast("int")
+    i0, tail = F.col("seg_i"), F.lit(SEGS - 1) - F.col("seg_i")
+    st, ln_i = seg_bounds(F.col("sl"), F.col("seg_i"))
     pos = (st + F.col("shift")).cast("int")
     probes = (
         c.select("c_custkey", "c_name")
-        .crossJoin(F.broadcast(combos))
+        .crossJoin(F.broadcast(spine))
+        .filter(
+            (F.abs(dl) <= D)
+            & (F.col("shift") >= F.greatest(-i0, -dl - tail))
+            & (F.col("shift") <= F.least(i0, -dl + tail))
+        )
         .select(
             "c_custkey",
             "c_name",
-            cand_ls.alias("ls"),
+            F.col("sl").alias("ls"),
             F.col("seg_i"),
             pos.alias("pos"),
             ln_i.alias("seg_len"),
@@ -620,16 +628,35 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "ls", "seg_i", "seg")
         .distinct()
+        # AQE sizes partitions by INPUT bytes: the distinct's ~15 MB output
+        # coalesces to ~1 partition, which then serializes the 46M-row
+        # fan-out join + levenshtein verify downstream (measured 18s -> 4.4s
+        # at sf0.1 from this one line).  Re-widen explicitly — partition
+        # count must follow the post-join work, not the pre-join bytes.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    cand = (
-        idx.join(probes, ["ls", "seg_i", "seg"])
-        .select("s_suppkey", "c_custkey", "s_name", "c_name")
-        .distinct()
+    # Verify-then-distinct (r3 verdict item 4 — the 6.7x scaling fix).
+    # The synthetic names share long zero-runs, so the hot segments match
+    # all-to-all and the candidate multiset degenerates to ~|S|x|C| with a
+    # ~3x duplication factor; distinct-ing THAT (15M pairs at sf0.1) was
+    # the dominant shuffle.  Two changes:
+    #   1. levenshtein(l, r, D) — Spark 3.5+ threshold form — runs the
+    #      O(D*n) banded DP (early-exit at distance > D, returns -1)
+    #      instead of the full O(n^2) matrix, so verifying the raw match
+    #      stream costs less than shuffling it;
+    #   2. the filter runs BEFORE the pair-distinct, so the shuffle only
+    #      carries true matches (38k rows at sf0.1, not 15M candidates).
+    # dist is functionally determined by the pair, so distinct on
+    # (keys, dist) == distinct on keys.  Result set and oracle unchanged.
+    cand = idx.join(probes, ["ls", "seg_i", "seg"]).select(
+        "s_suppkey", "c_custkey", "s_name", "c_name"
     )
-    dist = F.levenshtein("s_name", "c_name")
-    return cand.filter(dist <= D).select(
-        "s_suppkey", "c_custkey", dist.cast("long").alias("dist")
+    dist = F.levenshtein("s_name", "c_name", D)
+    return (
+        cand.filter(dist >= 0)
+        .select("s_suppkey", "c_custkey", dist.cast("long").alias("dist"))
+        .distinct()
     )
 
 

@@ -79,38 +79,49 @@ def _load() -> None:
 
 # Driver-window rotation: the correctness driver checks the FIRST 50
 # entries of query_map() in iteration order, so ordering is part of the
-# verification contract.  Rounds 1-2 exposed the same leading 50
-# (flagship/scans/filters/joins + 3 aggregates); this round front-loads
-# the 50 SURVEY §2 keys that have never received a driver row (sections
-# D4-K5) plus the three that errored in r2 (scan_json_lines, join_asof,
-# agg_approx_distinct — all fixed this round).  Rotate again next round
-# so every key accumulates driver-green evidence over time.
+# verification contract.  History: r1-r2 exposed the same leading 50
+# (flagship/scans/filters/joins + 3 aggregates); r3 exposed D4-K5
+# (48 pass / 2 array-canonicalizer errs).  Round 4 front-loads:
+#   (a) the 2 r3 errs, now projecting delimited strings instead of raw
+#       arrays (agg_collect_synonyms, array_ops);
+#   (b) the 4 extension keys stuck on stale r2 err rows — fixed by the
+#       r3 loader repair but never re-exposed;
+#   (c) J1/J3, which have NEVER been driver-checked (an earlier comment
+#       here wrongly claimed they were r1-green; CORRECTNESS_r01 contains
+#       neither key — r3 verdict item 4);
+#   (d) 42 of the 122 never-checked registry keys, oracle-carrying
+#       first: the dedup/sim + text/embed families (this engine's north
+#       star), sketches, analytics, reshape.
+# Remaining ~72 never-checked keys rotate in over r5/r6.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r2 errs, now fixed
-    "scan_json_lines", "join_asof", "agg_approx_distinct",
-    # D4-D10 aggregates
-    "agg_grouping_sets", "agg_having", "agg_collect_synonyms", "agg_stats",
-    "agg_percentiles", "agg_conditional", "agg_first_last_ordered",
-    # E1-E6 windows
-    "win_rank_topk_pergroup", "win_lag_lead", "win_running_frame",
-    "win_range_frame", "win_ntile_pctrank", "win_nth_first_last",
-    # F1-F3 sorts
-    "sort_multikey_nulls", "topk_global", "limit_offset",
-    # G set ops
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    # H1-H11 scalars
-    "str_normalize_ids", "str_split_compartment", "str_fuzzy_match",
-    "hash_reaction_dedup", "date_parts_trunc", "math_suite", "array_ops",
-    "array_higher_order", "map_ops", "json_extract_nested", "conditional_null",
-    # I1-I8 streaming
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_counts",
-    "stream_static_join", "stream_foreachBatch_sink",
-    # J5-J7 text/embedding (J1-J4: J1/J3 driver-green in r1, J2/J4 rows-only)
-    "text_stats", "text_top_terms", "embed_vector_norm",
-    # K1-K5 UDFs
-    "udf_scalar_python", "udf_pandas_scalar", "udaf_pandas_grouped_agg",
-    "udf_grouped_map_normalize", "udtf_expand",
+    # (a) r3 array-canonicalizer errs, now string-projected
+    "agg_collect_synonyms", "array_ops",
+    # (b) stale r2 err rows, fixed in r3 by the loader repair
+    "scan_jsonl_source", "scan_file_metadata_lineage",
+    "scan_corrupt_tolerant", "join_interval_overlap",
+    # (c) J1/J3 — first-ever driver exposure
+    "dedup_exact_hash", "sim_cosine_topk",
+    # (d) dedup/sim family (J-ext)
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cosine_near",
+    "dedup_sorted_neighborhood", "dedup_url_canonical", "dedup_repeated_spans",
+    "dedup_cluster_cc", "etl_dedup_incremental",
+    # (d) text/embed family
+    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_fingerprint_winnow", "text_feature_hashing", "text_inverted_index",
+    "text_tfidf_topk", "text_repetition_stats", "text_bpe_pair_counts",
+    "text_unigram_perplexity", "embed_quantize_int8", "embed_kmeans_cluster",
+    "str_regexp_extract_all",
+    # (d) sketches
+    "agg_hll_sketch_merge", "join_bloom_prefilter", "agg_heavy_hitters",
+    "agg_bitmap_distinct_rollup", "agg_hll_intersect_estimate",
+    "agg_histogram_quantile_merge",
+    # (d) analytics
+    "sessionize_events", "cohort_retention", "funnel_conversion",
+    "events_anomaly_zscore", "decontam_ngram_overlap", "text_pii_redact",
+    "funnel_time_bounded", "segment_rfm", "analytics_copurchase_pairs",
+    "analytics_rolling_distinct_users", "events_anomaly_mad", "ts_autocorr",
+    # (d) reshape
+    "agg_pivot", "reshape_unpivot", "reshape_transpose",
 )
 
 
