@@ -83,20 +83,42 @@ def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "
 
     def part(batches):
         cids, cmat = b_ids.value, b_mat.value
+        n = len(cids)
         for pdf in batches:
             q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = qn @ cmat.T  # (batch, n) in one BLAS call
+            a_ids = pdf[id_col].to_numpy()
+            # Self-exclusion without a per-row boolean-mask copy of the
+            # whole row: ids are sorted (collect sorts them), so one
+            # searchsorted finds each query's own column; -inf can never
+            # win a top-k slot.
+            pos = np.searchsorted(cids, a_ids)
+            valid = (pos < n) & (cids[np.minimum(pos, n - 1)] == a_ids)
+            sims[np.flatnonzero(valid), pos[valid]] = -np.inf
             out_a, out_b, out_c, out_r = [], [], [], []
-            for row_i, a_id in enumerate(pdf[id_col].to_numpy()):
+            for row_i, a_id in enumerate(a_ids):
                 row = sims[row_i]
-                mask = cids != a_id
-                cand_ids, cand = cids[mask], row[mask]
-                # primary: sim desc; tie: id asc  (lexsort: last key is primary)
-                sel = np.lexsort((cand_ids, -cand))[:k]
+                m = n - int(valid[row_i])
+                kk = min(k, m)
+                if kk <= 0:
+                    continue
+                # O(n) argpartition narrows to the boundary-value ties,
+                # then the full (sim desc, id asc) lexsort runs only on
+                # that small survivor set — not all n candidates
+                # (r3 verdict item 6; the full lexsort was the per-row
+                # hot spot).  `>= kth` keeps every tie on the boundary
+                # so the id-asc tiebreak stays exact.
+                if m > kk:
+                    kth = np.partition(row, n - kk)[n - kk]
+                    cand_idx = np.flatnonzero(row >= kth)
+                else:
+                    cand_idx = np.flatnonzero(row != -np.inf)
+                order = np.lexsort((cids[cand_idx], -row[cand_idx]))[:kk]
+                sel = cand_idx[order]
                 out_a.extend([a_id] * len(sel))
-                out_b.extend(cand_ids[sel])
-                out_c.extend(cand[sel])
+                out_b.extend(cids[sel])
+                out_c.extend(row[sel])
                 out_r.extend(range(1, len(sel) + 1))
             yield pd.DataFrame(
                 {"a_id": out_a, "b_id": out_b, "c": out_c, "rn": out_r}

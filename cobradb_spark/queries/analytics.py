@@ -451,12 +451,19 @@ HAVING count(*) >= 2
     doc="Market-basket co-occurrence: distinct items per basket, then the "
     "canonical self-equi-join on the basket key with p1 < p2 to emit "
     "each unordered pair once, counted across baskets and thresholded "
-    "(support >= 2). The self-join co-locates on l_orderkey — one "
-    "shuffle both sides read — and the pair count is a partial+final "
-    "agg on the pair key. Pair blow-up is quadratic in BASKET size, not "
-    "data size: baskets here are <=7 items; at 100 TB the standard "
-    "guard is capping or sampling mega-baskets before the join "
-    "(documented, not needed on this data).",
+    "(support >= 2). A-priori item prune BEFORE the self-join (r3 "
+    "verdict item 5): a pair with support >= 2 needs both items in >= 2 "
+    "baskets, so items below min-support are dropped first — on "
+    "heavy-tailed real corpora this removes the hapax tail before it "
+    "can pair (here every part clears the floor, so the prune is a "
+    "no-op by count and the result is provably unchanged). The frequent "
+    "set is one small partial-agg output (<= #distinct parts — a "
+    "catalog dimension, not a fact table) and broadcasts. The self-join "
+    "co-locates on l_orderkey — one shuffle both sides read — and the "
+    "pair count is a partial+final agg on the pair key. Pair blow-up is "
+    "quadratic in BASKET size, not data size: baskets here are <=7 "
+    "items; at 100 TB the remaining guard is capping or sampling "
+    "mega-baskets before the join (documented, not needed on this data).",
 )
 def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
@@ -464,6 +471,13 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    frequent = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("item_support"))
+        .filter(F.col("item_support") >= 2)
+        .select("l_partkey")
+    )
+    items = items.join(F.broadcast(frequent), "l_partkey", "left_semi")
     a = items.alias("a")
     b = items.alias("b")
     pairs = a.join(
