@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cobradb_spark import registry
+from cobradb_spark.operators.rank import release_rank_caches
 from cobradb_spark.session import get_spark
 
 HEADLINE = {
@@ -48,11 +49,13 @@ def main() -> None:
     for label, name in HEADLINE.items():
         fn = qs[name].fn
         materialize(fn(spark, sf_dir))  # warmup: codegen + page cache
+        release_rank_caches()
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             times.append(time.perf_counter() - t0)
+            release_rank_caches()
         results[label] = round(statistics.median(times), 4)
     total = round(sum(results.values()), 4)
     print(

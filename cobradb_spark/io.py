@@ -11,6 +11,7 @@ single files.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,18 +52,33 @@ def canonical_events_ts(raw: DataFrame) -> DataFrame:
 def _assert_events_ts_sane(events: DataFrame, sf_dir: str) -> None:
     """Fail loudly if ts decoded to garbage (e.g. a unit mismatch after a
     testdata regeneration — round 2 silently produced 1970-epoch
-    timestamps this way).  Real generations span ~30 days; a unit error
-    collapses or explodes that span by 1000x."""
-    if sf_dir in _TS_SANITY_OK:
+    timestamps this way).
+
+    Gates on the unit-error SIGNATURES, not a span floor (round-3 ADVICE:
+    a legitimately single-day dataset must pass):
+    - us-read-as-ns divides values by 1000 -> everything collapses onto
+      the 1970 epoch (max ts lands years before any real generation);
+    - ns-read-as-us multiplies by 1000 -> dates blow past year 3000 or
+      the span inflates ~1000x (a ~30-day corpus becomes ~80 years).
+    """
+    key = os.path.realpath(sf_dir)
+    if key in _TS_SANITY_OK:
         return
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    if lo is None or hi is None or not (_dt.timedelta(days=1) < hi - lo < _dt.timedelta(days=365 * 20)):
+    bad = (
+        lo is None
+        or hi is None
+        or hi < _dt.datetime(1985, 1, 1)  # epoch collapse (divide-by-1000)
+        or lo > _dt.datetime(3000, 1, 1)  # absurd future (multiply-by-1000)
+        or hi - lo > _dt.timedelta(days=365 * 50)  # span inflated ~1000x
+    )
+    if bad:
         raise ValueError(
             f"events.ts in {sf_dir} decoded to implausible range [{lo}, {hi}] "
-            "(expected span between 1 day and 20 years) — on-disk timestamp "
-            "layout likely changed; see io.canonical_events_ts"
+            "— the signature of a timestamp-unit mismatch after a testdata "
+            "regeneration; see io.canonical_events_ts"
         )
-    _TS_SANITY_OK.add(sf_dir)
+    _TS_SANITY_OK.add(key)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,6 +90,43 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SCHEMA_SANITY_OK: set[tuple[str, str]] = set()
+
+
+def _assert_table_schema_sane(df: DataFrame, sf_dir: str, name: str) -> None:
+    """Same tripwire idea as _assert_events_ts_sane, for the two tables
+    whose layout a regeneration could plausibly drift (r3 verdict item 7):
+    documents (text must still be a string column) and embeddings
+    (embedding must still be an array of floats).  One footer-schema
+    inspection per (realpath'd dir, table); no data scan.
+    """
+    key = (os.path.realpath(sf_dir), name)
+    if key in _SCHEMA_SANITY_OK or name not in ("documents", "embeddings"):
+        return
+    expected = schemas.TABLE_SCHEMAS[name]
+    got = {f.name: f.dataType for f in df.schema.fields}
+    missing = [f.name for f in expected.fields if f.name not in got]
+    if missing:
+        raise ValueError(
+            f"{name}.parquet in {sf_dir} is missing columns {missing} — "
+            "on-disk layout changed since the schema was frozen"
+        )
+    if name == "documents" and not isinstance(got["text"], T.StringType):
+        raise ValueError(
+            f"documents.text in {sf_dir} is {got['text']} (expected string) — "
+            "on-disk layout changed"
+        )
+    if name == "embeddings" and not (
+        isinstance(got["embedding"], T.ArrayType)
+        and isinstance(got["embedding"].elementType, (T.FloatType, T.DoubleType))
+    ):
+        raise ValueError(
+            f"embeddings.embedding in {sf_dir} is {got['embedding']} (expected "
+            "array<float>) — on-disk layout changed"
+        )
+    _SCHEMA_SANITY_OK.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table by name from an sf directory."""
     if name not in schemas.TABLE_SCHEMAS:
@@ -81,7 +134,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
     apply_runtime_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _assert_table_schema_sane(df, sf_dir, name)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

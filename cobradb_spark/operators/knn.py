@@ -224,8 +224,27 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Size-gated dispatcher: exact broadcast kernel while the corpus
     matrix fits the broadcast budget, LSH candidates + exact re-score
-    beyond it.  This is the operator queries should call."""
+    beyond it.  This is the operator queries should call.
+
+    The LSH path has recall < 1 (tested >= 0.8 in tests/): callers
+    verified against an exact all-pairs oracle would silently start
+    missing pairs once data grows past the gate (round-3 ADVICE), so the
+    crossing is loud — a logged warning — and the fallback runs with
+    doubled hash tables (8 vs the standalone default 4) to push recall
+    toward 1 at the cost of more candidate pairs.
+    """
     limit = BROADCAST_BYTES_LIMIT if broadcast_bytes_limit is None else broadcast_bytes_limit
-    if estimate_matrix_bytes(emb, vec_col) <= limit:
+    est = estimate_matrix_bytes(emb, vec_col)
+    if est <= limit:
         return cosine_pairs_broadcast(emb, threshold, id_col, vec_col)
-    return cosine_pairs_lsh(emb, threshold, id_col, vec_col)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "cosine_near_pairs: corpus matrix ~%d MiB exceeds the %d MiB broadcast "
+        "budget — switching to the APPROXIMATE LSH path (recall < 1). An "
+        "exact-oracle caller will see missed pairs; raise broadcast_bytes_limit "
+        "or accept approximate recall explicitly.",
+        est >> 20,
+        limit >> 20,
+    )
+    return cosine_pairs_lsh(emb, threshold, id_col, vec_col, num_hash_tables=8)

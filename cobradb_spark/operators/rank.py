@@ -22,6 +22,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted range-partitioned frames, pinned until the caller's result is
+# materialized.  The persist is load-bearing for correctness (the offset
+# map is computed from ONE evaluation of the sampled range partitioning;
+# an unpersisted recompute could resample different boundaries), so the
+# frames cannot be unpersisted inside the operator — harnesses call
+# release_rank_caches() after each query's result is collected (round-3
+# ADVICE: segment_rfm ntiles x3 per run were accumulating until LRU).
+_PINNED: list[DataFrame] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    _PINNED.append(df)
+    return df
+
+
+def release_rank_caches() -> int:
+    """Unpersist every pinned frame; safe once downstream results are
+    materialized.  Returns the number released."""
+    n = 0
+    for df in _PINNED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PINNED.clear()
+    return n
+
 
 def global_rank_with_total(
     df: DataFrame, order_cols: list[Column], rank_col: str, num_parts: int | None = None
@@ -32,7 +60,7 @@ def global_rank_with_total(
     callers that need n (ntile, percent_rank, cume_dist) pay no extra
     action."""
     k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    tagged = (
+    tagged = _pin(
         df.repartitionByRange(k, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -142,7 +170,7 @@ def global_prefix_sum(
     `order_cols` must define a TOTAL order (append a unique tiebreaker).
     """
     k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    tagged = (
+    tagged = _pin(
         df.repartitionByRange(k, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()

@@ -37,6 +37,29 @@ def events_stream_dir(sf_dir: str) -> str:
     return tmp
 
 
+def stage_parquet_batch(df: DataFrame, src_dir: str, stem: str) -> int:
+    """Write `df` and move EVERY part file into the stream source dir as
+    `{stem}_{i}.parquet`; returns the part count.
+
+    Moving only part[0] silently drops rows whenever the write fans out
+    to more than one partition (round-3 ADVICE) — the batch must land
+    atomically as a complete file set before the next processAllAvailable
+    so the whole staged batch is visible to the source together.
+    """
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    wdir = f"{src_dir}/../_stage_{stem}"
+    df.write.mode("overwrite").parquet(wdir)
+    parts = sorted(p for p in os.listdir(wdir) if p.endswith(".parquet"))
+    if not parts:
+        raise RuntimeError(f"staging write produced no part files in {wdir}")
+    for i, p in enumerate(parts):
+        shutil.move(f"{wdir}/{p}", f"{src_dir}/{stem}_{i}.parquet")
+    shutil.rmtree(wdir, ignore_errors=True)
+    return len(parts)
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan with the canonical ts conversion (io.load_events
     semantics).

@@ -26,6 +26,7 @@ from cobradb_spark.operators.streams import (
     events_stream_dir,
     read_events_stream,
     run_to_memory,
+    stage_parquet_batch,
 )
 from cobradb_spark.registry import register
 from cobradb_spark.scratch import scratch_dir
@@ -148,15 +149,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "events")  # schema donor for writes
     on_time_raw = on_time.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
     late_raw = late_src.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
-    on_time_raw.write.parquet(f"{tmp}/b1")
-    os.makedirs(f"{tmp}/src")
-    shutil.move(f"{tmp}/b1/{[f for f in os.listdir(f'{tmp}/b1') if f.endswith('.parquet')][0]}",
-                f"{tmp}/src/batch1.parquet")
+    stage_parquet_batch(on_time_raw, f"{tmp}/src", "batch1")
 
     def add_late():
-        late_raw.write.mode("overwrite").parquet(f"{tmp}/b2")
-        part = [f for f in os.listdir(f"{tmp}/b2") if f.endswith(".parquet")][0]
-        shutil.move(f"{tmp}/b2/{part}", f"{tmp}/src/batch2.parquet")
+        stage_parquet_batch(late_raw, f"{tmp}/src", "batch2")
 
     ev = read_events_stream(spark, f"{tmp}/src")
     agg = (
@@ -616,12 +612,7 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     half1 = ev_batch.filter(F.col("event_id") % 2 == 0)
     half2 = ev_batch.filter(F.col("event_id") % 2 == 1)
 
-    def stage(df: DataFrame, name: str) -> None:
-        df.write.mode("overwrite").parquet(f"{tmp}/{name}_w")
-        part = [p for p in os.listdir(f"{tmp}/{name}_w") if p.endswith(".parquet")][0]
-        shutil.move(f"{tmp}/{name}_w/{part}", f"{src}/{name}.parquet")
-
-    stage(half1, "b1")
+    stage_parquet_batch(half1, src, "b1")
     ev = read_events_stream(spark, src).select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
@@ -634,7 +625,7 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        stage(half2, "b2")
+        stage_parquet_batch(half2, src, "b2")
         q.processAllAvailable()
     finally:
         q.stop()

@@ -60,8 +60,11 @@ def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
     assert rows, "sf0.001 corpus should have repeated terms"
     for r in rows:
         assert r["df"] >= 3
-        assert list(r["postings"]) == sorted(set(r["postings"]))
-        assert len(r["postings"]) == r["df"]
+        # postings is a comma-delimited string of doc_ids (driver-hashable
+        # projection); split before asserting sortedness/uniqueness
+        posting_ids = [int(x) for x in r["postings"].split(",")]
+        assert posting_ids == sorted(set(posting_ids))
+        assert len(posting_ids) == r["df"]
 
 
 def test_inverted_index_roundtrip_membership(spark, sf_dir):
@@ -70,7 +73,7 @@ def test_inverted_index_roundtrip_membership(spark, sf_dir):
     docs = {r["doc_id"]: set(r["text"].split(" ")) for r in d.collect()}
     rows = all_queries()["text_inverted_index"].fn(spark, sf_dir).collect()
     for r in rows[:50]:
-        for doc_id in r["postings"]:
+        for doc_id in (int(x) for x in r["postings"].split(",")):
             assert r["term"] in docs[doc_id]
 
 

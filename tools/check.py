@@ -30,6 +30,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cobradb_spark import registry
+from cobradb_spark.operators.rank import release_rank_caches
 from cobradb_spark.schemas import TABLES
 from cobradb_spark.session import get_spark
 
@@ -182,6 +183,8 @@ def main() -> int:
             print(f"[FAIL ] {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        finally:
+            release_rank_caches()  # result materialized (or dead) — drop pins
         if q.oracle is None:
             print(f"[ROWS ] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s, no oracle)")
             continue
