@@ -85,3 +85,190 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rn")
     )
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, ksub: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a bounded driver-side sample.
+    Returns codebooks of shape (m, ksub, dsub).  Deterministic (fixed
+    seed, ties to lowest index)."""
+    n, d = sample.shape
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        X = sample[:, j * dsub : (j + 1) * dsub]
+        C = X[rng.choice(n, size=min(ksub, n), replace=False)]
+        if len(C) < ksub:  # degenerate tiny sample: pad by repeating
+            C = np.tile(C, (-(-ksub // len(C)), 1))[:ksub]
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = X[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + product quantization: the memory-compressed 100 TB ANN path.
+
+    The corpus index stores m uint8 codes per vector (8 bytes here)
+    instead of d floats (256 bytes) — the compression that lets a
+    1000-executor cluster hold a trillion-vector index in RAM.  Pipeline:
+
+    1. KMeans coarse quantizer (nlist cells), residual r = x - centroid;
+    2. per-subspace codebooks (m x ksub) trained on a bounded driver
+       sample of residuals, broadcast to executors;
+    3. encode: each vector -> (cell, m codes), vectorized mapInPandas;
+    4. query: probe the nprobe nearest cells; ADC (asymmetric distance)
+       scores candidates from an (m x ksub) lookup table per probe —
+       table lookups, no float vectors touched;
+    5. exact re-rank of the ADC shortlist (standard IVF-PQ+rerank: PQ
+       prunes, exact floats order the survivors).
+
+    Only the codebooks (m*ksub*dsub floats) and centroids collect to the
+    driver; encode/score stay distributed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    vec = emb.select("vec_id", array_to_vector("embedding").alias("features"), "embedding")
+    model = KMeans(k=nlist, seed=seed, maxIter=10, featuresCol="features").fit(vec)
+    assigned = model.transform(vec).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    dim = centers.shape[1]
+    dsub = dim // m
+
+    # bounded training sample of residuals (<= 2048 rows to the driver)
+    samp = np.array(
+        [
+            r["embedding"]
+            for r in assigned.select("embedding").limit(2048).collect()
+        ],
+        dtype=np.float64,
+    )
+    samp_cells = ((samp[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    books = _train_pq_codebooks(samp - centers[samp_cells], m, ksub, seed=seed)
+    b_books = spark.sparkContext.broadcast(books)
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    def encode(batches):
+        B, C = b_books.value, b_centers.value
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            R = X - C[pdf["cell"].to_numpy()]
+            codes = np.empty((len(R), m), dtype=np.int16)
+            for j in range(m):
+                d2 = (
+                    (R[:, None, j * dsub : (j + 1) * dsub] - B[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "code": list(codes),
+                }
+            )
+
+    coded = assigned.mapInPandas(encode, schema="vec_id long, cell int, code array<smallint>")
+
+    def probe_cells(batches):
+        C = b_centers.value
+        for pdf in batches:
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d2, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    probe_cell = probes.select("vec_id", "embedding").mapInPandas(
+        probe_cells, schema="probe_id long, cell int"
+    )
+    probe_vecs = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    # candidates: codes in the probed cells, probe vector rides along
+    cand = (
+        probe_cell.join(coded, on="cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .join(F.broadcast(probe_vecs), on="probe_id")
+    )
+
+    def adc_score(batches):
+        B, C = b_books.value, b_centers.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["p_emb"].tolist(), dtype=np.float64)
+            r = q - C[pdf["cell"].to_numpy()]  # probe residual per row's cell
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            # ADC: per row, distance^2 = sum_j ||r_j - B[j][code_j]||^2.
+            # Vectorized: gather codewords, one subtract+square per subspace.
+            acc = np.zeros(len(pdf))
+            for j in range(m):
+                cw = B[j][codes[:, j]]
+                diff = r[:, j * dsub : (j + 1) * dsub] - cw
+                acc += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "adc": np.sqrt(acc),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        adc_score, schema="probe_id long, neighbor_id long, adc double"
+    )
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("probe_id").orderBy(F.col("adc").asc(), "neighbor_id")
+    short = scored.withColumn("srn", F.row_number().over(ws)).filter(
+        F.col("srn") <= shortlist
+    )
+    # exact re-rank of the shortlist
+    nbr_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "p_emb", "n_emb", lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    reranked = (
+        short.join(F.broadcast(probe_vecs), on="probe_id")
+        .join(nbr_vecs, on="neighbor_id")
+        .select("probe_id", "neighbor_id", exact.alias("dist"))
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.col("dist").asc(), "neighbor_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rn")
+    )

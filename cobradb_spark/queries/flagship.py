@@ -269,3 +269,189 @@ WHERE p.p_size <= 10
 GROUP BY p.p_brand
 """
     )
+
+
+@register(
+    "sql_large_volume_in_q18",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
+                       GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+    doc="TPC-H Q18 shape (large-volume customers) as pure spark.sql with an "
+    "IN + GROUP BY/HAVING subquery: orders whose total quantity exceeds "
+    "150, joined back to the customer. Catalyst plans the IN as a LEFT "
+    "SEMI join against the pre-aggregated orderkey set (no per-row "
+    "re-aggregation), then TakeOrderedAndProject for the top-100 — the "
+    "aggregate-filter-semi-join pipeline a warehouse user expects.",
+    tags=("flagship",),
+)
+def sql_large_volume_in_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q18v")
+    return spark.sql(
+        """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer_q18v c
+JOIN orders_q18v o ON o.o_custkey = c.c_custkey
+JOIN lineitem_q18v l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem_q18v l2
+                       GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+    )
+
+
+@register(
+    "sql_idle_rich_customers_q22",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22 shape (global sales opportunity) as pure spark.sql: "
+    "above-average-balance customers with no RECENT order (every testdata "
+    "customer has ordered at least once, so 'idle' = nothing since "
+    "2000-06-01 — non-empty at every sf). Two "
+    "decorrelations in one statement — the uncorrelated scalar avg "
+    "becomes a broadcast one-row subquery reused across the filter, and "
+    "NOT EXISTS becomes a LEFT ANTI join on o_custkey (plan-audited: no "
+    "nested loop). The anti join probes orders' custkey column only — "
+    "column pruning keeps the probe side narrow at scale.",
+    tags=("flagship",),
+)
+def sql_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q22v")
+    return spark.sql(
+        """
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer_q22v c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_q22v c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders_q22v o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c.c_nationkey
+"""
+    )
+
+
+@register(
+    "sql_waiting_suppliers_q21",
+    oracle="""
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name LIMIT 25
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting) as pure "
+    "spark.sql — the hardest decorrelation in the suite: one correlated "
+    "EXISTS (another supplier participated) AND one correlated NOT EXISTS "
+    "(no OTHER supplier was late) over the same fact table. 'Late' is "
+    "shipdate > orderdate + 60d (testdata carries no commit/receipt "
+    "dates). Catalyst plans LEFT SEMI + LEFT ANTI joins on l_orderkey — "
+    "three scans of lineitem, zero nested loops; the NOT EXISTS "
+    "correlation on o_orderdate rides into the anti-join condition.",
+    tags=("flagship",),
+)
+def sql_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q21v")
+    return spark.sql(
+        """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier_q21v s
+JOIN lineitem_q21v l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders_q21v o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem_q21v l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem_q21v l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name LIMIT 25
+"""
+    )
+
+
+@register(
+    "sql_top_supplier_scalar_q15",
+    oracle="""
+WITH rev AS (
+  SELECT l.l_suppkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100
+           AS total_rev
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(rev.total_rev, 6) AS total_rev
+FROM supplier s
+JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    doc="TPC-H Q15 shape (top supplier) as pure spark.sql: half-year "
+    "revenue per supplier, keep the max-revenue supplier(s) via an "
+    "uncorrelated scalar MAX subquery over the same CTE. Spark evaluates "
+    "the CTE once per reference; the scalar max is a one-row broadcast "
+    "compared in the filter — no re-aggregation per row. Decimal-cent "
+    "accumulation makes the max comparison bit-exact across engines "
+    "(a float sum here could disagree on the argmax itself).",
+    tags=("flagship",),
+)
+def sql_top_supplier_scalar_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q15v")
+    return spark.sql(
+        """
+WITH rev AS (
+  SELECT l.l_suppkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100
+           AS total_rev
+  FROM lineitem_q15v l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(rev.total_rev, 6) AS total_rev
+FROM supplier_q15v s
+JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+"""
+    )

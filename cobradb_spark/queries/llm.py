@@ -168,6 +168,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf_pq",
+    oracle=None,  # approximate; recall vs exact asserted in tests
+    doc="J4c IVF-PQ ANN (operators/ivf.py ivf_pq_topk): KMeans coarse cells + "
+    "product-quantized residuals (m=8 subspaces x 16 codewords = 8 bytes per "
+    "vector vs 256 for raw floats — the compression that fits a trillion-vector "
+    "index in cluster RAM). Queries score candidates via ADC lookup tables "
+    "(no float vectors touched), then exact-rerank the shortlist. Only "
+    "codebooks/centroids collect to the driver; encode and scoring are "
+    "vectorized mapInPandas. rows-only; recall vs brute force asserted in tests.",
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.ivf import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(emb, probes, k=10, nlist=8, nprobe=2, seed=42)
+
+
+@register(
     "text_stats",
     oracle="""
 SELECT lang,

@@ -167,6 +167,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_ngram",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) t(i)
+  WHERE len(w) >= 5
+), cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id, round(CAST(p.inter AS DOUBLE) / ca.n, 6) AS containment
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.a_id
+WHERE ca.n >= 5 AND CAST(p.inter AS DOUBLE) / ca.n >= 0.8
+""",
+    doc="Asymmetric CONTAINMENT dedup (doc-inside-doc): |shingles(A) ∩ "
+    "shingles(B)| / |shingles(A)| over word 5-grams — the signal Jaccard "
+    "misses when a short document is wholly quoted inside a long one "
+    "(Jaccard divides by the UNION, so a 10x-longer host drags the score "
+    "under any threshold; containment stays 1.0). Ordered pairs: (a, b) "
+    "means a is >= 80%% contained in b. Same inverted-index shape as "
+    "dedup_ngram_jaccard — explode distinct shingles, posting-list "
+    "self-join, per-pair intersection counts — so cost follows shared "
+    "shingles, not n^2; at scale drop stop-shingles above a "
+    "document-frequency cap before the join.",
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+            F.element_at(words, i + 4),
+        ),
+    )
+    sh = (
+        d.filter(F.size(words) >= 5)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    containment = F.col("inter").cast("double") / F.col("n")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .filter((F.col("n") >= 5) & (containment >= 0.8))
+        .select("a_id", "b_id", F.round(containment, 6).alias("containment"))
+    )
+
+
+@register(
     "dedup_cosine_near",
     oracle="""
 WITH ex AS (

@@ -70,3 +70,46 @@ def test_lang_id_predicts_something(spark, sf_dir):
     out = registry.get_query("text_lang_id").fn(spark, sf_dir)
     preds = {r.lang_pred for r in out.collect()}
     assert preds <= {"en", "de", "es", "und"}
+
+
+def test_containment_finds_short_in_long(spark, sf_dir):
+    """A doc fully quoted inside a longer host must score containment 1.0
+    even though its Jaccard vs the host is far below threshold."""
+    from cobradb_spark.io import load_table
+
+    rows = registry.get_query("dedup_containment_ngram").fn(spark, sf_dir).collect()
+    assert rows, "corpus should contain contained docs"
+    texts = {
+        r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    for r in rows[:25]:
+        ga, gb = grams(texts[r["a_id"]]), grams(texts[r["b_id"]])
+        expected = len(ga & gb) / len(ga)
+        assert abs(expected - r["containment"]) < 1e-6
+        assert expected >= 0.8
+
+
+def test_ivf_pq_recall_vs_exact(spark, sf_dir):
+    """PQ-compressed IVF with exact rerank: the ADC shortlist must keep
+    enough true neighbors that the reranked top-10 tracks brute force."""
+    ann = registry.get_query("sim_ann_ivf_pq").fn(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    probes = {r.probe_id for r in ann}
+    assert probes
+    recalls = []
+    for p in probes:
+        got = {r.neighbor_id for r in ann if r.probe_id == p}
+        d = {v: float(np.linalg.norm(emb[p] - vec)) for v, vec in emb.items() if v != p}
+        exact = {v for v, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
+        recalls.append(len(got & exact) / 10)
+    # same nprobe=2/nlist=8 coarse recall ceiling as sim_ann_ivf; PQ's
+    # ADC shortlist (100 >> 10) + exact rerank should not lose more
+    assert sum(recalls) / len(recalls) >= 0.5
