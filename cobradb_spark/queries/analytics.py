@@ -251,17 +251,14 @@ WHERE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams >= 0.2
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — element_at(split(...)) inside the
+    # lambda re-splits the full text per gram (see dedup_containment_ngram)
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
     trigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice("w", i, 3), " "),
     )
-    grams = d.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("g"))
+    grams = w.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("g"))
     ev = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
     tr = grams.filter(F.col("doc_id") % 50 != 0)
     sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))

@@ -51,13 +51,14 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split("text", " ")
+    # split materialized once per row — element_at(split(...)) inside the
+    # lambda re-splits the full text per gram (see dedup_containment_ngram)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice("w", i, 3), " "),
     )
     shingled = d.select("doc_id", shingles.alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)

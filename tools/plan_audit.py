@@ -604,6 +604,52 @@ AUDITS = [
         "row is the correct scalar-join plan, not a data-scale nested "
         "loop)",
     ),
+    (
+        "sql_large_volume_in_q18",
+        ["LeftSemi", "TakeOrderedAndProject", "partial_sum"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "Q18: the IN (GROUP BY/HAVING) subquery plans as a LEFT SEMI join "
+        "against the pre-aggregated orderkey set; top-100 is a heap",
+    ),
+    (
+        "sql_idle_rich_customers_q22",
+        ["LeftAnti", "partial_avg"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "Q22: NOT EXISTS decorrelates to a LEFT ANTI join on o_custkey; "
+        "the scalar avg is one partial+final aggregate broadcast as a "
+        "one-row subquery",
+    ),
+    (
+        "sql_waiting_suppliers_q21",
+        ["LeftSemi", "LeftAnti", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q21: correlated EXISTS and NOT EXISTS over the same fact both "
+        "decorrelate — LEFT SEMI + LEFT ANTI equi-joins on l_orderkey, "
+        "zero nested loops",
+    ),
+    (
+        "sql_top_supplier_scalar_q15",
+        ["partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "Q15: per-supplier revenue is partial+final; the scalar max is a "
+        "one-row broadcast compared in the filter",
+    ),
+    (
+        "dedup_containment_ngram",
+        ["partial_count", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "containment pairs come from the shingle posting-list equi-join "
+        "(cost follows shared shingles, never n^2); intersection counts "
+        "and set sizes are partial+final aggregates, all JVM-side",
+    ),
+    (
+        "sim_ann_ivf_pq",
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "IVF-PQ: encode and ADC scoring are vectorized MapInPandas; "
+        "candidates come from the cell equi-join (partition-pruned scan "
+        "at scale); probe vectors broadcast to the shortlist rerank",
+    ),
 ]
 
 
