@@ -37,6 +37,13 @@ def _pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_cache(df: DataFrame) -> DataFrame:
+    """persist() a frame that multiple downstream subtrees re-evaluate,
+    registered for release_rank_caches() — the query-local caching idiom
+    (iterative graph loops, multi-reference edge lists)."""
+    return _pin(df.persist())
+
+
 def release_rank_caches() -> int:
     """Unpersist every pinned frame; safe once downstream results are
     materialized.  Returns the number released."""

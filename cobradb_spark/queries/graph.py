@@ -93,7 +93,11 @@ SELECT node AS part_id, pr AS pagerank FROM r{_ITERS}
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
+    from cobradb_spark.operators.rank import pin_cache
+
+    # the edge list is re-joined every iteration — cache it once or the
+    # basket self-join + distinct re-executes per iteration
+    edges = pin_cache(_copurchase_edges(spark, sf_dir))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     n_df = deg.agg(F.count("*").cast("double").alias("n"))
     base = deg.crossJoin(F.broadcast(n_df))
@@ -153,7 +157,11 @@ FROM stats s, edge_n e, tri t
     tags=("graph",),
 )
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
+    from cobradb_spark.operators.rank import pin_cache
+
+    # edges feeds und (x2), deg (x3) and the wedge join's two sides —
+    # uncached, the basket self-join + distinct re-executes ~5x
+    edges = pin_cache(_copurchase_edges(spark, sf_dir))
     und = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
@@ -227,7 +235,9 @@ SELECT a1.src AS part_id, n_1hop, n_2hop FROM a1 JOIN a2 USING (src)
     tags=("graph",),
 )
 def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
+    from cobradb_spark.operators.rank import pin_cache
+
+    edges = pin_cache(_copurchase_edges(spark, sf_dir))
     probes = edges.filter(F.col("src") % 50 == 0)
     h1 = probes.select("src", "dst")
     h2 = (
@@ -283,9 +293,9 @@ FROM scored ORDER BY jaccard DESC, a, b LIMIT 50
     tags=("graph",),
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from cobradb_spark.operators.rank import pin_cache
 
-    edges = _copurchase_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = pin_cache(_copurchase_edges(spark, sf_dir))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     nbrs = edges.groupBy("dst").agg(F.sort_array(F.collect_set("src")).alias("ns"))
     pairs = nbrs.select(

@@ -322,3 +322,22 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
         else:
             spark.conf.set(key, old)
     assert default_res == rocks_res and len(default_res) > 0
+
+
+def test_stage_parquet_batch_moves_every_part(spark, tmp_path):
+    """Multi-partition staging writes must land ALL part files in the
+    stream source dir (round-3 ADVICE: moving only part[0] silently
+    dropped the other partitions' rows)."""
+    from cobradb_spark.operators.streams import stage_parquet_batch
+
+    df = spark.range(10_000).repartition(8).withColumnRenamed("id", "v")
+    src = str(tmp_path / "src")
+    n_parts = stage_parquet_batch(df, src, "b1")
+    assert n_parts == 8
+    import os
+
+    staged = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(staged) == 8
+    back = spark.read.parquet(src)
+    assert back.count() == 10_000
+    assert back.agg({"v": "sum"}).first()[0] == 10_000 * 9_999 // 2
