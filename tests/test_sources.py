@@ -59,3 +59,62 @@ def test_pysink_manifest_lists_exactly_committed_parts(spark, sf_dir, tmp_path):
         spark, path, "n_nationkey int, n_name string, n_regionkey int"
     )
     assert back.count() == src.count()
+
+
+def test_events_ts_tripwire_signatures(spark):
+    """The load-time sanity gate fires on unit-error SIGNATURES (epoch
+    collapse / absurd future / ~1000x span inflation) but passes a
+    legitimate single-day dataset (round-3 ADVICE: the old 1-day span
+    floor rejected those)."""
+    import datetime as dt
+
+    import pytest
+
+    from cobradb_spark import io as cio
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(1, lo), (2, hi)], "event_id long, ts timestamp_ntz"
+        )
+
+    # legitimate single-day span: must PASS now
+    cio._assert_events_ts_sane(
+        frame(dt.datetime(2024, 5, 1, 9), dt.datetime(2024, 5, 1, 17)), "/tmp/ok1"
+    )
+    # epoch collapse (us read as ns divides by 1000 -> everything ~1970)
+    with pytest.raises(ValueError, match="implausible"):
+        cio._assert_events_ts_sane(
+            frame(dt.datetime(1970, 1, 1), dt.datetime(1970, 1, 31)), "/tmp/bad1"
+        )
+    # absurd future (ns read as us multiplies by 1000)
+    with pytest.raises(ValueError, match="implausible"):
+        cio._assert_events_ts_sane(
+            frame(dt.datetime(3500, 1, 1), dt.datetime(3500, 2, 1)), "/tmp/bad2"
+        )
+    # ~1000x span inflation
+    with pytest.raises(ValueError, match="implausible"):
+        cio._assert_events_ts_sane(
+            frame(dt.datetime(1990, 1, 1), dt.datetime(2080, 1, 1)), "/tmp/bad3"
+        )
+
+
+def test_table_schema_tripwire(spark, tmp_path):
+    """documents/embeddings footer-schema drift is rejected at load."""
+    import pytest
+
+    from cobradb_spark import io as cio
+
+    bad_docs = spark.createDataFrame(
+        [(1, 2, "en", "s", 1)],
+        "doc_id long, text long, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="documents.text"):
+        cio._assert_table_schema_sane(bad_docs, str(tmp_path), "documents")
+    bad_emb = spark.createDataFrame(
+        [(1, "x", 0)], "vec_id long, embedding string, label int"
+    )
+    with pytest.raises(ValueError, match="embeddings.embedding"):
+        cio._assert_table_schema_sane(bad_emb, str(tmp_path), "embeddings")
+    missing = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="missing columns"):
+        cio._assert_table_schema_sane(missing, str(tmp_path), "documents")
