@@ -537,3 +537,110 @@ def profile_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("total"), 6).alias("share"),
         F.round(F.col("n") / (F.col("total") / F.col("n_keys")), 6).alias("ratio_to_avg"),
     )
+
+
+@register(
+    "etl_k_anonymize",
+    oracle="""
+WITH q AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS b1,
+         CAST(floor(c_acctbal / 5000) AS BIGINT) AS b5
+  FROM customer
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_rows FROM q),
+s1 AS (SELECT coalesce(sum(n), 0) AS sup FROM
+       (SELECT count(*) AS n FROM q GROUP BY nat, seg, b1 HAVING count(*) < 5)),
+s2 AS (SELECT coalesce(sum(n), 0) AS sup FROM
+       (SELECT count(*) AS n FROM q GROUP BY nat, seg, b5 HAVING count(*) < 5)),
+s3 AS (SELECT coalesce(sum(n), 0) AS sup FROM
+       (SELECT count(*) AS n FROM q GROUP BY seg, b5 HAVING count(*) < 5)),
+lvl AS (SELECT CASE WHEN s1.sup / tot.total_rows <= 0.05 THEN 1
+                    WHEN s2.sup / tot.total_rows <= 0.05 THEN 2
+                    WHEN s3.sup / tot.total_rows <= 0.05 THEN 3
+                    ELSE 4 END AS level
+        FROM s1, s2, s3, tot),
+g AS (SELECT CASE (SELECT level FROM lvl)
+               WHEN 1 THEN nat WHEN 2 THEN nat ELSE '*' END AS nat,
+             CASE WHEN (SELECT level FROM lvl) <= 3 THEN seg ELSE '*' END AS seg,
+             CASE (SELECT level FROM lvl)
+               WHEN 1 THEN 'B1:' || CAST(b1 AS VARCHAR)
+               WHEN 2 THEN 'B5:' || CAST(b5 AS VARCHAR)
+               WHEN 3 THEN 'B5:' || CAST(b5 AS VARCHAR)
+               ELSE '*' END AS bal_bucket
+      FROM q),
+counts AS (SELECT nat, seg, bal_bucket, CAST(count(*) AS BIGINT) AS n
+           FROM g GROUP BY 1, 2, 3)
+SELECT CAST((SELECT level FROM lvl) AS INT) AS level, nat, seg, bal_bucket,
+       CASE WHEN n >= 5 THEN nat ELSE '*' END AS rel_nat,
+       CASE WHEN n >= 5 THEN seg ELSE '*' END AS rel_seg,
+       CASE WHEN n >= 5 THEN bal_bucket ELSE '*' END AS rel_bucket,
+       n
+FROM counts
+""",
+    doc="k-anonymity (k=5) by Samarati global recoding + suppression — the "
+    "privacy gate a training-data release runs before shipping tabular "
+    "quasi-identifiers. Generalization ladder on customer "
+    "(nation, segment, acctbal): L1 = $1000 balance buckets, L2 = $5000 "
+    "buckets, L3 = drop nation; the released level is the FINEST whose "
+    "small-group (< k) row fraction is within the 5%% suppression "
+    "budget, decided from three metadata-scale aggregates (one tiny "
+    "collect each — never a data-scale driver move). Groups still under "
+    "k at the chosen level release as '*' (suppressed); every "
+    "non-suppressed released tuple is shared by >= k customers. The "
+    "level decision and the released partition are both deterministic, "
+    "so the full output hash-matches the oracle's identical CTE ladder.",
+    tags=("mlprep",),
+)
+def etl_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, BUDGET = 5, 0.05
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b1"),
+        F.floor(F.col("c_acctbal") / 5000).cast("long").alias("b5"),
+    )
+    total = q.count()
+
+    def suppressed(*cols):
+        return (
+            q.groupBy(*cols)
+            .count()
+            .filter(F.col("count") < K)
+            .agg(F.coalesce(F.sum("count"), F.lit(0)))
+            .first()[0]
+        )
+
+    sups = [
+        suppressed("nat", "seg", "b1"),
+        suppressed("nat", "seg", "b5"),
+        suppressed("seg", "b5"),
+    ]
+    level = next((i + 1 for i, s in enumerate(sups) if s / total <= BUDGET), 4)
+
+    star = F.lit("*")
+    if level == 1:
+        nat, seg, bucket = F.col("nat"), F.col("seg"), F.concat(F.lit("B1:"), "b1")
+    elif level == 2:
+        nat, seg, bucket = F.col("nat"), F.col("seg"), F.concat(F.lit("B5:"), "b5")
+    elif level == 3:
+        nat, seg, bucket = star, F.col("seg"), F.concat(F.lit("B5:"), "b5")
+    else:
+        nat, seg, bucket = star, star, star
+    counts = (
+        q.select(nat.alias("nat"), seg.alias("seg"), bucket.alias("bal_bucket"))
+        .groupBy("nat", "seg", "bal_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    small = F.col("n") < K
+    return counts.select(
+        F.lit(level).cast("int").alias("level"),
+        "nat",
+        "seg",
+        "bal_bucket",
+        F.when(small, star).otherwise(F.col("nat")).alias("rel_nat"),
+        F.when(small, star).otherwise(F.col("seg")).alias("rel_seg"),
+        F.when(small, star).otherwise(F.col("bal_bucket")).alias("rel_bucket"),
+        "n",
+    )

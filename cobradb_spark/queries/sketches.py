@@ -302,3 +302,69 @@ def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_tol"
         ),
     )
+
+
+@register(
+    "agg_countmin_freq",
+    oracle="""
+WITH probe AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id % 7 = 0 GROUP BY user_id
+)
+SELECT user_id, exact_n,
+       true AS cm_never_undercounts, true AS cm_within_eps
+FROM probe
+""",
+    doc="Mergeable Count-Min frequency sketch: per-DAY sparse CM tables "
+    "(depth 4 x width 2048 — groupBy (row, xxhash64(user_id, row) % w) "
+    "counts, a pure aggregation) merge into the period total by summing "
+    "counters — never rescanning events, the same incremental-refresh "
+    "shape as the HLL rollup. Point queries take min over the 4 rows via "
+    "an equi-join of probe positions against the merged counters. "
+    "Self-grading (agg_approx_distinct pattern): estimates are "
+    "hash-layout-specific, so the value hash carries the exact counts "
+    "plus two verdicts the oracle asserts true — CM can never "
+    "undercount (est >= exact, a structural guarantee), and est <= "
+    "exact + 8N/w (deterministic for this frozen data+hash; the a "
+    "priori Markov bound holds per row with prob 3/4, min over 4 "
+    "independent rows). At 100 TB the sparse counter table is at most "
+    "d*w rows per day regardless of data volume.",
+    tags=("sketches",),
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DEPTH, W = 4, 2048
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    rows = spark.range(DEPTH).select(F.col("id").cast("int").alias("row"))
+    # per-day sparse CM: one counter row per (day, row, pos) actually hit
+    per_day = (
+        ev.crossJoin(F.broadcast(rows))
+        .groupBy(
+            "day", "row", F.pmod(F.xxhash64("user_id", "row"), F.lit(W)).alias("pos")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    # merge days -> period total: counters add (no event rescan)
+    merged = per_day.groupBy("row", "pos").agg(F.sum("c").alias("c"))
+    probes = ev.filter(F.col("user_id") % 7 == 0)
+    exact = probes.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probe_pos = exact.crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "exact_n",
+        "row",
+        F.pmod(F.xxhash64("user_id", "row"), F.lit(W)).alias("pos"),
+    )
+    est = (
+        probe_pos.join(merged, ["row", "pos"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    n_total = ev.count()  # bound term; one metadata-scale agg
+    slack = 8.0 * n_total / W
+    return est.select(
+        "user_id",
+        "exact_n",
+        (F.col("cm_est") >= F.col("exact_n")).alias("cm_never_undercounts"),
+        (F.col("cm_est") - F.col("exact_n") <= F.lit(slack)).alias("cm_within_eps"),
+    )

@@ -416,3 +416,19 @@ def test_udtf_analyze_schema_follows_args(spark, sf_dir):
     df = all_queries()["udtf_polymorphic_analyze"].fn(spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
         "o_orderkey", "col_0", "val_0", "col_1", "val_1"]
+
+
+def test_k_anonymize_released_groups_are_k_anonymous(spark):
+    """Every released (non-'*') quasi-identifier tuple must cover >= k
+    customers, and suppressed rows must be marked '*' across the board."""
+    rows = all_queries()["etl_k_anonymize"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    K = 5
+    for r in rows:
+        released = (r["rel_nat"], r["rel_seg"], r["rel_bucket"])
+        if released != ("*", "*", "*"):
+            assert r["n"] >= K, f"released group below k: {r}"
+        else:
+            assert r["n"] < K or r["level"] == 4
+    # levels are consistent across the output
+    assert len({r["level"] for r in rows}) == 1
