@@ -45,3 +45,18 @@ def test_entry_contract_shapes():
     qmap, omap = E.queries(), E.oracle_sql()
     assert set(omap) <= set(qmap)
     assert len(qmap) >= 60
+
+
+def test_driver_window_keys_are_oracle_carrying():
+    """The correctness driver hash-checks the FIRST 50 queries() entries;
+    a rows-only or unregistered key in that window wastes a driver row
+    (r3 verdict: rotation is part of the verification contract)."""
+    from cobradb_spark import registry
+
+    qs = registry.all_queries()
+    window = list(qs)[:50]
+    assert window == list(registry._DRIVER_PRIORITY), (
+        "driver window must be exactly the rotated priority list"
+    )
+    for name in window:
+        assert qs[name].oracle is not None, f"{name} in driver window without oracle"
