@@ -771,3 +771,55 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.abs("cusum") > 2 * F.col("sigma")).alias("flagged"),
     )
+
+
+@register(
+    "analytics_pattern_match_journeys",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS journey_len,
+       CAST(len(regexp_extract_all(journey, 'v[^e]*c[^e]*p')) AS BIGINT)
+         AS n_conversions,
+       len(regexp_extract_all(journey, 'v[^e]*c[^e]*p')) > 0 AS converted
+FROM j
+""",
+    doc="MATCH_RECOGNIZE-lite event-pattern matching: each user's ordered "
+    "event stream collapses to a journey string (one char per event — "
+    "type initials are distinct in this vocabulary), and conversions = "
+    "non-overlapping matches of view -> click -> purchase with NO error "
+    "in between ('v[^e]*c[^e]*p'). The string build is one groupBy with "
+    "an ordered collect (journey length is bounded per user, not per "
+    "partition); the regex count is a JVM-side scalar — no UDF, no "
+    "per-event state machine. Greedy leftmost counting agrees between "
+    "Spark (java.util.regex) and the oracle (RE2) on this "
+    "backtracking-free pattern; hash-verified at all three sfs.",
+    tags=("analytics",),
+)
+def analytics_pattern_match_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    s = F.struct(
+        F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+    )
+    j = (
+        ev.select("user_id", s.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list("s")), lambda x: x["i"])
+            ).alias("journey")
+        )
+    )
+    n_conv = F.regexp_count("journey", F.lit("v[^e]*c[^e]*p"))
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("journey_len"),
+        n_conv.cast("long").alias("n_conversions"),
+        (n_conv > 0).alias("converted"),
+    )
