@@ -632,3 +632,86 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_manifested_jsonl(
         spark, out, "event_id long, user_id long, event_type string, value double"
     )
+
+
+@register(
+    "stream_cdc_upsert_view",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 13 <> 0
+""",
+    doc="I-ext streaming CDC-maintained snapshot: a change stream of "
+    "I(nsert)/U(pdate)/D(elete) rows replays in two micro-batches "
+    "(batch 1 = initial inserts, batch 2 = updates for keys %7 and "
+    "deletes for keys %13), and foreachBatch applies each batch to a "
+    "versioned parquet snapshot — previous keys not in the batch "
+    "survive, non-D rows upsert, D wins over U inside one batch "
+    "(standard CDC precedence for a key that is updated then dropped). "
+    "The final view must equal the oracle's batch-applied state — the "
+    "streaming half of etl_cdc_apply, and the materialized-view "
+    "maintenance loop a 100 TB warehouse runs continuously (each batch "
+    "touches |batch| + |snapshot| rows, never the raw history).",
+    tags=("streaming",),
+)
+def stream_cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    tmp = scratch_dir("cobradb_cdc_stream_")
+    src = f"{tmp}/src"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    inserts = o.select(F.lit("I").alias("op"), "o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),  # *2 is exact in binary
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    stage_parquet_batch(inserts, src, "b1")
+
+    versions: list[str] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        keys = batch_df.select("o_orderkey").distinct()
+        dele = batch_df.filter(F.col("op") == "D").select("o_orderkey").distinct()
+        upserts = (
+            batch_df.filter(F.col("op") != "D")
+            .join(dele, "o_orderkey", "left_anti")  # D wins inside the batch
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        if versions:
+            prev = sp.read.parquet(versions[-1]).join(keys, "o_orderkey", "left_anti")
+            new = prev.unionByName(upserts)
+        else:
+            new = upserts
+        vdir = f"{tmp}/snap_v{batch_id}"
+        new.write.mode("overwrite").parquet(vdir)
+        versions.append(vdir)
+
+    cdc = (
+        spark.readStream.schema(
+            "op string, o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).parquet(src)
+    )
+    q = cdc.writeStream.outputMode("append").foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+        stage_parquet_batch(updates.unionByName(deletes), src, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(versions[-1]).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
