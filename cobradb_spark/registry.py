@@ -92,7 +92,21 @@ def _load() -> None:
 #   (d) 42 of the 122 never-checked registry keys, oracle-carrying
 #       first: the dedup/sim + text/embed families (this engine's north
 #       star), sketches, analytics, reshape.
-# Remaining ~72 never-checked keys rotate in over r5/r6.
+# Remaining never-checked keys (88 after the r4 window, incl. queries
+# added this round) rotate in over r5/r6 — planned windows:
+#   r5 (oracle-carrying, 50): the 4 new sql_* shapes, dedup_containment_ngram,
+#     agg_countmin_freq, etl_k_anonymize, analytics_pattern_match_journeys,
+#     stream_cdc_upsert_view, stream_python_sink, stream_stream_join,
+#     stream_python_source, stream_sessionize_stateful, stream_trending_topk,
+#     stream_chained_stateful_agg, rollup_hypertable, the agg tail
+#     (stats_higher argminmax weighted_stats listagg_ordered corr_matrix
+#     mode), win tail (cume_dist ewma_smooth islands_ranges
+#     running_distinct), scalars tail (months_between month_diff_exact
+#     bround variant_typed try_safe, set_intersect_except_all), the
+#     multimodal family, and the udf tail.
+#   r6 (~38): etl/rollup/sample/profile/graph families + any r5 spillover;
+#     rows-only keys (minhash, lsh, ivf, ivf_pq) go last — the driver
+#     records only a weaker rows-only line for them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) r3 array-canonicalizer errs, now string-projected
     "agg_collect_synonyms", "array_ops",
