@@ -211,3 +211,17 @@ def test_motion_ppm_walker_handles_mixed_frame_sizes(spark):
     rows = {r.frame_no: r for r in decode_motion_ppm_frames(df, every_n=1).collect()}
     assert set(rows) == {0, 1, 2}
     assert rows[0].r_sum == 10 * 4 and rows[1].r_sum == 20 * 3 and rows[2].r_sum == 30 * 4
+
+
+def test_pin_cache_lifecycle(spark):
+    """pin_cache persists; release_rank_caches unpersists everything pinned
+    (round-3 ADVICE: rank caches accumulated across harness runs)."""
+    from cobradb_spark.operators import rank
+
+    pinned = rank.pin_cache(spark.range(50))
+    assert pinned.count() == 50
+    assert pinned.storageLevel.useMemory
+    released = rank.release_rank_caches()
+    assert released >= 1
+    assert not pinned.storageLevel.useMemory
+    assert rank.release_rank_caches() == 0  # registry drained
