@@ -650,6 +650,30 @@ AUDITS = [
         "candidates come from the cell equi-join (partition-pruned scan "
         "at scale); probe vectors broadcast to the shortlist rerank",
     ),
+    (
+        "agg_countmin_freq",
+        ["partial_count", "partial_sum"],
+        ["CartesianProduct", "BatchEvalPython", "SinglePartition"],
+        "CM sketch tables are pure partial+final aggregations on "
+        "(day, row, hash-position); the day merge sums counters — never "
+        "rescans events; point queries equi-join probe positions",
+    ),
+    (
+        "etl_k_anonymize",
+        ["partial_count", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
+        "each generalization level is one partial+final groupBy; the "
+        "level decision reads three metadata-scale aggregates; the "
+        "released partition is one more hash aggregate — no joins at all",
+    ),
+    (
+        "analytics_pattern_match_journeys",
+        ["partial_", "hashpartitioning(user_id"],
+        ["BatchEvalPython", "CartesianProduct"],
+        "journey strings build in ONE user_id-keyed aggregate (partial "
+        "collect then ordered merge); regex conversion counting is a "
+        "JVM scalar — no UDF, no second shuffle",
+    ),
 ]
 
 
