@@ -92,50 +92,61 @@ def _load() -> None:
 #   (d) 42 of the 122 never-checked registry keys, oracle-carrying
 #       first: the dedup/sim + text/embed families (this engine's north
 #       star), sketches, analytics, reshape.
-# Remaining never-checked keys (88 after the r4 window, incl. queries
-# added this round) rotate in over r5/r6 — planned windows:
-#   r5 (oracle-carrying, 50): the 4 new sql_* shapes, dedup_containment_ngram,
-#     agg_countmin_freq, etl_k_anonymize, analytics_pattern_match_journeys,
-#     stream_cdc_upsert_view, stream_python_sink, stream_stream_join,
-#     stream_python_source, stream_sessionize_stateful, stream_trending_topk,
-#     stream_chained_stateful_agg, rollup_hypertable, the agg tail
-#     (stats_higher argminmax weighted_stats listagg_ordered corr_matrix
-#     mode), win tail (cume_dist ewma_smooth islands_ranges
-#     running_distinct), scalars tail (months_between month_diff_exact
-#     bround variant_typed try_safe, set_intersect_except_all), the
-#     multimodal family, and the udf tail.
-#   r6 (~38): etl/rollup/sample/profile/graph families + any r5 spillover;
-#     rows-only keys (minhash, lsh, ivf, ivf_pq) go last — the driver
-#     records only a weaker rows-only line for them.
+# Round 5 executes the window planned in round 4: 50 oracle-carrying
+# never-checked keys (the r4 verdict's item 1).  After this window the
+# never-checked count drops 88 -> 38 (34 oracle-carrying + the 4
+# rows-only ANN keys).
+#   r6 (~38 + any keys added in r5): etl/rollup/sample/profile/graph
+#     families + any r5 spillover; rows-only keys (minhash, lsh, ivf,
+#     ivf_pq) go LAST — the driver records only a weaker rows-only line
+#     for them, so every oracle-carrying key gets its hash row first.
+#     Planned r6 list: etl_model_load, etl_llm_corpus_pipeline,
+#     etl_cdc_apply, etl_backfill_partition, etl_compact_small_files,
+#     etl_incremental_join_refresh, etl_snapshot_diff, etl_fk_containment,
+#     etl_cascade_delete_plan, rollup_gapfill, etl_scd2_history,
+#     sample_hash_deterministic, sample_stratified, split_train_test,
+#     profile_table, etl_shard_balanced, sample_weighted_bernoulli,
+#     sample_weighted_topk, profile_skew_keys, analytics_path_transitions,
+#     events_changepoint_cusum, rollup_ohlc, etl_incremental_agg,
+#     rollup_interpolate_linear, rollup_growth_mom_yoy,
+#     rollup_rolling_median_7d, etl_zorder_layout, etl_range_partition_plan,
+#     profile_zone_maps, graph_pagerank, graph_triangle_stats,
+#     graph_khop_reach, graph_jaccard_neighbors, graph_degree_distribution,
+#     <any r5-new keys>, then dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
+#     sim_ann_ivf_pq (rows-only, last).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) r3 array-canonicalizer errs, now string-projected
-    "agg_collect_synonyms", "array_ops",
-    # (b) stale r2 err rows, fixed in r3 by the loader repair
-    "scan_jsonl_source", "scan_file_metadata_lineage",
-    "scan_corrupt_tolerant", "join_interval_overlap",
-    # (c) J1/J3 — first-ever driver exposure
-    "dedup_exact_hash", "sim_cosine_topk",
-    # (d) dedup/sim family (J-ext)
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cosine_near",
-    "dedup_sorted_neighborhood", "dedup_url_canonical", "dedup_repeated_spans",
-    "dedup_cluster_cc", "etl_dedup_incremental",
-    # (d) text/embed family
-    "text_lang_id", "text_quality_score", "text_token_count",
-    "text_fingerprint_winnow", "text_feature_hashing", "text_inverted_index",
-    "text_tfidf_topk", "text_repetition_stats", "text_bpe_pair_counts",
-    "text_unigram_perplexity", "embed_quantize_int8", "embed_kmeans_cluster",
-    "str_regexp_extract_all",
-    # (d) sketches
-    "agg_hll_sketch_merge", "join_bloom_prefilter", "agg_heavy_hitters",
-    "agg_bitmap_distinct_rollup", "agg_hll_intersect_estimate",
-    "agg_histogram_quantile_merge",
-    # (d) analytics
-    "sessionize_events", "cohort_retention", "funnel_conversion",
-    "events_anomaly_zscore", "decontam_ngram_overlap", "text_pii_redact",
-    "funnel_time_bounded", "segment_rfm", "analytics_copurchase_pairs",
-    "analytics_rolling_distinct_users", "events_anomaly_mad", "ts_autocorr",
-    # (d) reshape
-    "agg_pivot", "reshape_unpivot", "reshape_transpose",
+    # TPC-H-shape SQL suite additions (r4-new)
+    "sql_large_volume_in_q18", "sql_idle_rich_customers_q22",
+    "sql_waiting_suppliers_q21", "sql_top_supplier_scalar_q15",
+    # r4-new standalone ops
+    "dedup_containment_ngram", "agg_countmin_freq", "etl_k_anonymize",
+    "analytics_pattern_match_journeys",
+    # streaming extension family
+    "stream_cdc_upsert_view", "stream_python_sink", "stream_stream_join",
+    "stream_python_source", "stream_sessionize_stateful",
+    "stream_trending_topk", "stream_chained_stateful_agg",
+    "rollup_hypertable",
+    # aggregates tail
+    "agg_stats_higher", "agg_argminmax", "agg_weighted_stats",
+    "agg_listagg_ordered", "agg_corr_matrix", "agg_mode",
+    # windows tail
+    "win_cume_dist", "win_ewma_smooth", "win_islands_ranges",
+    "win_running_distinct",
+    # scalars / setops tail
+    "set_intersect_except_all", "date_months_between",
+    "date_month_diff_exact", "math_bround", "json_variant_typed",
+    "scalars_try_safe",
+    # multimodal family (binary payload decode via Arrow mapInPandas)
+    "multimodal_decode", "multimodal_audio_decode", "multimodal_image_decode",
+    "multimodal_video_frame_decode", "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    # udf extension tail
+    "udaf_pandas_gmean", "udf_map_in_arrow", "udf_cogrouped_map",
+    "udf_sql_declarative", "udf_arrow_optimized_scalar",
+    "udtf_polymorphic_analyze", "udf_grouped_apply_arrow",
+    # fillers to 50: oracle-carrying etl/agg keys
+    "agg_skew_kurt", "etl_pack_sequences", "etl_corpus_mixture",
+    "etl_table_checksum", "dq_validate_suite",
 )
 
 
