@@ -156,11 +156,19 @@ def ivf_pq_topk(
     dim = centers.shape[1]
     dsub = dim // m
 
-    # bounded training sample of residuals (<= 2048 rows to the driver)
+    # Bounded training sample of residuals (<= 2048 rows to the driver).
+    # Deterministic pick (round-4 ADVICE): an unordered LIMIT returns
+    # arbitrary rows under AQE/partition-layout changes, so codebooks —
+    # and hence recall — would not be reproducible.  Ordering by a seeded
+    # hash of vec_id is a stable pseudo-random sample and plans as a
+    # TakeOrdered heap (no full sort shuffle).
     samp = np.array(
         [
             r["embedding"]
-            for r in assigned.select("embedding").limit(2048).collect()
+            for r in assigned.select("vec_id", "embedding")
+            .orderBy(F.xxhash64(F.lit(seed), "vec_id"), "vec_id")
+            .limit(2048)
+            .collect()
         ],
         dtype=np.float64,
     )

@@ -64,22 +64,23 @@ def _collect_unit_matrix_gated(
     """Collect the corpus only if it fits `limit_bytes` as a float64
     matrix; returns (ids, unit_matrix) or None when over budget.
 
-    Cheaper than estimate-then-collect (a count() is a 2-stage shuffle
-    agg — measurably slower than the narrow collect it guards at bench
-    scale): take one row for the dimension, then LIMIT the collect to
-    budget//row_bytes + 1 rows.  Overflowing the limit by one row proves
-    the corpus is over budget WITHOUT materializing it all; both jobs
-    are narrow (CollectLimit, no shuffle).
+    Cheaper than estimate-then-collect (a count() over the whole corpus
+    is a 2-stage shuffle agg — measurably slower than the narrow collect
+    it guards at bench scale): take one row for the dimension, then probe
+    `limit(max_rows + 1).count()` — a narrow CollectLimit that short-
+    circuits after max_rows + 1 id-only rows WITHOUT pulling any vector
+    data to the driver (round-4 ADVICE: the previous probe collected up
+    to the full budget just to discover the corpus was too big).  Only
+    when the probe proves the corpus fits does the real collect run.
     """
     head = emb.select(id_col, vec_col).limit(1).collect()
     if not head:
         return np.empty(0, dtype=np.int64), np.empty((0, 0))
     dim = len(head[0][1]) or 1
     max_rows = max(limit_bytes // (dim * 8), 1)
-    rows = emb.select(id_col, vec_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    if emb.select(id_col).limit(max_rows + 1).count() > max_rows:
         return None
-    return _rows_to_unit_matrix(rows)
+    return _rows_to_unit_matrix(emb.select(id_col, vec_col).collect())
 
 
 def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -122,16 +123,40 @@ def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "
             pos = np.searchsorted(cids, a_ids)
             valid = (pos < n) & (cids[np.minimum(pos, n - 1)] == a_ids)
             sims[np.flatnonzero(valid), pos[valid]] = -np.inf
-            # Whole-batch top-k in ONE vectorized C call (no per-row
-            # Python loop — r4: the loop body, not the sort algorithm,
-            # was the hot spot).  Stable argsort on -sims is exactly
-            # (sim desc, id asc): columns are already id-ascending, so
-            # equal sims keep id order.  Self rows (-inf) sort last and
-            # are masked off; the mask is prefix-true per row, so rn is
-            # the tiled 1..kk under the same mask.
+            # Whole-batch top-k, O(n) selection instead of a full
+            # O(n log n) row sort (round-4 ADVICE): negate IN-PLACE (no
+            # -sims copy), argpartition the kk smallest (= top cosines),
+            # then stable-sort only the (batch x kk) survivor slab.
+            # Determinism contract is (sim desc, id asc): candidate
+            # columns re-sort by column index (= id ascending) before the
+            # stable value sort, so slab ties keep id order.  argpartition
+            # picks ARBITRARY members of a tie straddling the kk boundary,
+            # so rows where the kk-th value also occurs outside the slab
+            # fall back to the full stable argsort — exact, and rare
+            # (requires bit-equal cosines at the cut).  Self rows are
+            # +inf after negation: they sort last and are masked off; the
+            # mask is prefix-true per row, so rn is the tiled 1..kk under
+            # the same mask.
+            np.negative(sims, out=sims)
             kk = min(k, n)
-            sel = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            if kk < n:
+                cand = np.argpartition(sims, kk - 1, axis=1)[:, :kk]
+                cand.sort(axis=1)
+                cvals = np.take_along_axis(sims, cand, axis=1)
+                kth = cvals.max(axis=1)
+                boundary_tied = (sims == kth[:, None]).sum(axis=1) > (
+                    cvals == kth[:, None]
+                ).sum(axis=1)
+                sel = np.take_along_axis(
+                    cand, np.argsort(cvals, axis=1, kind="stable"), axis=1
+                )
+                if boundary_tied.any():
+                    rows = np.flatnonzero(boundary_tied)
+                    sel[rows] = np.argsort(sims[rows], axis=1, kind="stable")[:, :kk]
+            else:
+                sel = np.argsort(sims, axis=1, kind="stable")
             vals = np.take_along_axis(sims, sel, axis=1)
+            np.negative(vals, out=vals)
             keep = vals != -np.inf
             b = len(a_ids)
             yield pd.DataFrame(

@@ -19,6 +19,8 @@ boundaries happen to fall.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,35 +28,56 @@ from pyspark.sql import functions as F
 # materialized.  The persist is load-bearing for correctness (the offset
 # map is computed from ONE evaluation of the sampled range partitioning;
 # an unpersisted recompute could resample different boundaries), so the
-# frames cannot be unpersisted inside the operator — harnesses call
-# release_rank_caches() after each query's result is collected (round-3
-# ADVICE: segment_rfm ntiles x3 per run were accumulating until LRU).
+# frames cannot be unpersisted inside the operator.
+#
+# RELEASE CONTRACT (round-4 ADVICE — this is module API, not an
+# implementation detail): every pin()/pin_cache() leaks a persisted
+# frame until release_rank_caches() runs.  The three harnesses
+# (__spark_entry__, tools/check.py, bench.py) call it after each query's
+# result is collected; any OTHER caller that materializes its result
+# outside those harnesses must call release_rank_caches() itself once
+# the result is collected.  Guarded by a lock: the registry is shared
+# module state and query builds may race from multiple threads.
 _PINNED: list[DataFrame] = []
+_PINNED_LOCK = threading.Lock()
 
 
-def _pin(df: DataFrame) -> DataFrame:
-    _PINNED.append(df)
+def pin(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for release_rank_caches().
+
+    For frames whose persist() happened inside an operator's own loop
+    (e.g. the surviving frame of an iterate-and-swap label propagation)
+    but must outlive the function until the caller collects."""
+    with _PINNED_LOCK:
+        _PINNED.append(df)
     return df
+
+
+# internal alias kept for the module's own helpers
+_pin = pin
 
 
 def pin_cache(df: DataFrame) -> DataFrame:
     """persist() a frame that multiple downstream subtrees re-evaluate,
     registered for release_rank_caches() — the query-local caching idiom
-    (iterative graph loops, multi-reference edge lists)."""
-    return _pin(df.persist())
+    (iterative graph loops, multi-reference edge lists).  See the
+    RELEASE CONTRACT above: callers outside the standard harnesses must
+    call release_rank_caches() after materializing their result."""
+    return pin(df.persist())
 
 
 def release_rank_caches() -> int:
     """Unpersist every pinned frame; safe once downstream results are
     materialized.  Returns the number released."""
+    with _PINNED_LOCK:
+        drained, _PINNED[:] = _PINNED[:], []
     n = 0
-    for df in _PINNED:
+    for df in drained:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass
-    _PINNED.clear()
     return n
 
 

@@ -37,25 +37,49 @@ def events_stream_dir(sf_dir: str) -> str:
     return tmp
 
 
-def stage_parquet_batch(df: DataFrame, src_dir: str, stem: str) -> int:
+def stage_parquet_batch(
+    df: DataFrame, src_dir: str, stem: str, atomic: bool = False
+) -> int:
     """Write `df` and move EVERY part file into the stream source dir as
     `{stem}_{i}.parquet`; returns the part count.
 
     Moving only part[0] silently drops rows whenever the write fans out
-    to more than one partition (round-3 ADVICE) — the batch must land
-    atomically as a complete file set before the next processAllAvailable
-    so the whole staged batch is visible to the source together.
+    to more than one partition (round-3 ADVICE).
+
+    atomic=True coalesces the batch to ONE part file so it lands in a
+    single same-filesystem rename — the only airtight guarantee a plain
+    file source offers (round-4 ADVICE: with the default ASAP trigger a
+    spontaneous micro-batch can list between per-part renames and split
+    the staged set across micro-batches, breaking batch-scoped semantics
+    like CDC 'D wins inside one batch' or watermark late-row cutoffs).
+    REQUIRED whenever staging happens while the query is already running;
+    the multi-part path remains for pre-start staging, where the set only
+    needs to be complete before start(), not atomic.  Multi-part moves
+    are two-phase regardless (dot-prefixed names first — hidden from the
+    file source — then a tight rename pass) to keep the non-atomic window
+    to bare renames.  In production this staging disappears: a
+    transactional source (Kafka offsets, Delta versions) delivers batches
+    atomically by construction.
     """
     import shutil
 
     os.makedirs(src_dir, exist_ok=True)
     wdir = f"{src_dir}/../_stage_{stem}"
-    df.write.mode("overwrite").parquet(wdir)
+    (df.coalesce(1) if atomic else df).write.mode("overwrite").parquet(wdir)
     parts = sorted(p for p in os.listdir(wdir) if p.endswith(".parquet"))
     if not parts:
         raise RuntimeError(f"staging write produced no part files in {wdir}")
+    if atomic and len(parts) != 1:
+        raise RuntimeError(f"atomic staging expected 1 part file, got {len(parts)}")
+    # phase 1: into the source dir under dot-prefixed (source-invisible)
+    # names — cross-dir moves happen while nothing is listable
     for i, p in enumerate(parts):
-        shutil.move(f"{wdir}/{p}", f"{src_dir}/{stem}_{i}.parquet")
+        shutil.move(f"{wdir}/{p}", f"{src_dir}/.{stem}_{i}.parquet.staging")
+    # phase 2: bare same-dir renames, each one atomic
+    for i in range(len(parts)):
+        os.rename(
+            f"{src_dir}/.{stem}_{i}.parquet.staging", f"{src_dir}/{stem}_{i}.parquet"
+        )
     shutil.rmtree(wdir, ignore_errors=True)
     return len(parts)
 

@@ -9,11 +9,13 @@ for link-graph dedup quality and popularity weighting.
 
 Scale notes:
 - The edge list is built ONCE from a distinct projection of the fact
-  table; every PageRank iteration joins edges against a broadcast rank
-  vector (|V| rows), so the (huge) edge set is NEVER re-shuffled — the
-  only per-iteration shuffle is the partial-aggregated contribution
-  rollup keyed by dst.  Works to tens of millions of nodes; beyond
-  that, pre-partition edges by src once and reuse that partitioning.
+  table; every PageRank iteration joins edges against the |V|-row rank
+  vector, so the (huge) edge set is NEVER re-shuffled.  The rank-vector
+  join is size-gated (_gated): broadcast while |V| fits the shared
+  512 MiB budget, and past it the edge list persists pre-partitioned by
+  src once and each iteration shuffle-joins only the rank vector — the
+  same gate pattern as operators/knn.py, so vertex growth degrades to
+  an extra |V|-row shuffle instead of a driver/executor broadcast OOM.
 - Triangle counting uses degree orientation (each undirected edge
   pointed from its lower-degree endpoint): wedge enumeration from the
   oriented list is O(sum outdeg^2) with outdeg bounded by sqrt(2|E|),
@@ -29,11 +31,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
+from cobradb_spark.operators.knn import BROADCAST_BYTES_LIMIT
 from cobradb_spark.registry import register
 
 _DAMP = 0.85
 _TELEPORT = 0.15
 _ITERS = 3
+
+# Conservative serialized bytes per row of a broadcast vertex frame
+# (long key + 1-2 numeric columns + hash-relation overhead).  With the
+# shared 512 MiB budget this gates the broadcast path at ~8M vertices —
+# past that the rank/degree vectors shuffle-join instead (r4 verdict:
+# an UNGATED O(|V|) broadcast is a driver-OOM cliff at 100x growth).
+_VERTEX_ROW_BYTES = 64
+
+
+def _vertex_budget_rows(limit_bytes: int | None = None) -> int:
+    return (BROADCAST_BYTES_LIMIT if limit_bytes is None else limit_bytes) // _VERTEX_ROW_BYTES
+
+
+def _vertex_count_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on |V| of the co-purchase graph: distinct parts in
+    lineitem.  One narrow distinct-count — far cheaper than building the
+    edge list just to size the gate, and an over-count only errs toward
+    the (safe) shuffle path."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+
+
+def _gated(df: DataFrame, fits: bool) -> DataFrame:
+    """Broadcast a vertex-scale frame only while it fits the budget;
+    above the gate, return it untouched so Catalyst plans a shuffle
+    join on the key — same rows, no driver collect."""
+    return F.broadcast(df) if fits else df
 
 _EDGE_SQL = """
 lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -86,18 +120,36 @@ SELECT node AS part_id, pr AS pagerank FROM r{_ITERS}
 """,
     doc=f"PageRank (damping {_DAMP}, {_ITERS} iterations) over the co-purchase "
     "graph. The graph is symmetric, so every node has out-edges (no dangling "
-    "mass) and total rank stays 1. Each iteration: broadcast the |V|-row rank "
-    "vector into the edge list (edges never re-shuffle), partial-agg the "
-    "contributions by dst, blend with the teleport term. Ranks rounded to 12 "
-    "decimals per iteration on both engines for bit-exact parity.",
+    "mass) and total rank stays 1. Each iteration: join the |V|-row rank "
+    "vector into the edge list, partial-agg the contributions by dst, blend "
+    "with the teleport term. The rank-vector join is SIZE-GATED: broadcast "
+    "while |V| fits the 512 MiB budget (~8M vertices); above it the edge "
+    "list persists pre-partitioned by src once and each iteration "
+    "shuffle-joins only the rank vector — edges never re-shuffle on either "
+    "path, and there is no O(|V|) broadcast cliff at 100x. Ranks rounded to "
+    "12 decimals per iteration on both engines for bit-exact parity.",
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT cached: the unrolled iterations reference an
-    # IDENTICAL edge subtree, so Catalyst plans one shuffle and
-    # ReusedExchange serves every iteration — persist() was A/B-measured
-    # 2-3x SLOWER at sf0.1 (cache serialization + lost codegen/AQE)
-    edges = _copurchase_edges(spark, sf_dir)
+    from cobradb_spark.operators.rank import pin_cache
+
+    # Size gate (r4 verdict): the |V|-row rank vector broadcasts every
+    # iteration ONLY while it fits the budget (~8M vertices).  Above it,
+    # the edge list is persisted pre-partitioned by src ONCE and each
+    # iteration shuffle-joins the (small relative to edges) rank vector
+    # against that fixed layout — the standard Pregel-ish shape: edges
+    # never re-shuffle on either path.
+    fits = _vertex_count_bound(spark, sf_dir) <= _vertex_budget_rows()
+    if fits:
+        # NOT cached on the broadcast path: the unrolled iterations
+        # reference an IDENTICAL edge subtree, so Catalyst plans one
+        # shuffle and ReusedExchange serves every iteration — persist()
+        # was A/B-measured 2-3x SLOWER at sf0.1 (cache serialization +
+        # lost codegen/AQE)
+        edges = _copurchase_edges(spark, sf_dir)
+    else:
+        k = spark.sparkContext.defaultParallelism
+        edges = pin_cache(_copurchase_edges(spark, sf_dir).repartition(k, "src"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     n_df = deg.agg(F.count("*").cast("double").alias("n"))
     base = deg.crossJoin(F.broadcast(n_df))
@@ -105,8 +157,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_ITERS):
         contrib = (
             edges.join(
-                F.broadcast(
-                    ranks.select("node", (F.col("pr") / F.col("outdeg")).alias("c"))
+                _gated(
+                    ranks.select("node", (F.col("pr") / F.col("outdeg")).alias("c")),
+                    fits,
                 ),
                 edges["src"] == F.col("node"),
             )
@@ -114,7 +167,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            base.join(F.broadcast(contrib), base["node"] == contrib["dst"])
+            base.join(_gated(contrib, fits), base["node"] == contrib["dst"])
             .select(
                 "node",
                 "outdeg",
@@ -171,9 +224,10 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    fits = _vertex_count_bound(spark, sf_dir) <= _vertex_budget_rows()
     o = (
-        und.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        und.join(_gated(du, fits), "u")
+        .join(_gated(dv, fits), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
@@ -292,7 +346,8 @@ FROM scored ORDER BY jaccard DESC, a, b LIMIT 50
     "by a narrow map instead of a shuffle join probe. Cost remains "
     "sum(deg^2) over shared endpoints — the skew-bounded wedge count; at "
     "100 TB a hub-degree cap or MinHash pre-filter bounds the hot tail. "
-    "Degrees broadcast for the union size (inclusion-exclusion); the "
+    "Degrees join in for the union size (inclusion-exclusion) via the "
+    "size-gated broadcast (shuffle join past ~8M vertices); the "
     "global top-50 is a TakeOrdered heap with deterministic (a, b) "
     "tie-break. The edge list persists across its two uses (neighbor "
     "lists + degrees are DIFFERENT aggregations, so ReusedExchange "
@@ -319,9 +374,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = pairs.groupBy("a", "b").agg(F.count("*").alias("n_shared"))
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    fits = _vertex_count_bound(spark, sf_dir) <= _vertex_budget_rows()
     scored = (
-        inter.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        inter.join(_gated(da, fits), "a")
+        .join(_gated(db, fits), "b")
         .select(
             F.col("a").alias("part_a"),
             F.col("b").alias("part_b"),

@@ -316,12 +316,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not changed:
             break
     edges.unpersist()
-    from cobradb_spark.operators.rank import _pin
+    from cobradb_spark.operators.rank import pin
 
     # the final labels cache must outlive this function (the caller still
     # has to materialize the result) — hand it to the shared pin registry
     # so harnesses release it after collection
-    _pin(labels)
+    pin(labels)
     return labels.select("doc_id", "component_id")
 
 

@@ -152,7 +152,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_parquet_batch(on_time_raw, f"{tmp}/src", "batch1")
 
     def add_late():
-        stage_parquet_batch(late_raw, f"{tmp}/src", "batch2")
+        stage_parquet_batch(late_raw, f"{tmp}/src", "batch2", atomic=True)
 
     ev = read_events_stream(spark, f"{tmp}/src")
     agg = (
@@ -625,7 +625,7 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        stage_parquet_batch(half2, src, "b2")
+        stage_parquet_batch(half2, src, "b2", atomic=True)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -708,7 +708,7 @@ def stream_cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = cdc.writeStream.outputMode("append").foreachBatch(apply_batch).start()
     try:
         q.processAllAvailable()
-        stage_parquet_batch(updates.unionByName(deletes), src, "b2")
+        stage_parquet_batch(updates.unionByName(deletes), src, "b2", atomic=True)
         q.processAllAvailable()
     finally:
         q.stop()

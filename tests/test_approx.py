@@ -126,3 +126,44 @@ def test_cosine_near_pairs_size_gate(spark, sf_dir):
         assert abs(sim - exact[pair]) < 1e-5
     # bucketed candidate generation may miss pairs, but not most of them
     assert len(lsh) / len(exact) >= 0.8
+
+
+def test_cosine_topk_argpartition_matches_full_sort(spark):
+    """The argpartition top-k kernel must reproduce the full-stable-sort
+    semantics (cos desc, id asc) exactly — including boundary ties, which
+    are forced here by duplicating vectors so several corpus rows have
+    bit-equal cosines straddling the k cut."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8)).round(1)  # coarse values -> exact ties
+    # 40 vectors from only 12 distinct directions: ties everywhere
+    vecs = [base[i % 12] * (1.0 + (i // 12)) for i in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # ONE partition -> one Arrow batch -> the kernel's dgemm has the
+    # identical (40 x 8) @ (8 x 40) shape as the reference below, so tie
+    # candidates are bit-equal in both (different dgemm blocking can
+    # differ in the last bit, which would legitimately reorder ties)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+
+    from cobradb_spark.operators import knn
+
+    got = {
+        (r["a_id"], r["rn"]): (r["b_id"], r["cos_sim"])
+        for r in knn.cosine_topk(emb, 5).collect()
+    }
+
+    ids, mat_n = knn._rows_to_unit_matrix([(i, v) for i, v in rows])
+    sims = mat_n @ mat_n.T
+    np.fill_diagonal(sims, -np.inf)
+    n_tied = 0
+    for a in range(40):
+        row = sims[a]
+        order = np.argsort(-row, kind="stable")  # (cos desc, id asc)
+        kth = row[order[4]]
+        n_tied += int((row == kth).sum() > (row[order[:5]] == kth).sum())
+        for rn, b in enumerate(order[:5], start=1):
+            exp_b, exp_c = int(ids[b]), round(float(row[b]), 6)
+            got_b, got_c = got[(a, rn)]
+            assert (got_b, got_c) == (exp_b, exp_c), (a, rn, got_b, exp_b)
+    assert n_tied > 0  # the fixture must actually exercise the tie fallback

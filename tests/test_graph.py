@@ -55,3 +55,31 @@ def test_triangle_stats_vs_bruteforce(spark, sf_dir):
         edges.groupBy("src").count().agg(F.sum(F.expr("count * (count - 1) / 2"))).first()[0]
     )
     assert sum_wedges >= 3 * row["n_triangles"]
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r[c] for c in cols) for r in sorted(df.select(*cols).collect())]
+
+
+def test_vertex_gate_shuffle_path_identical(spark, sf_dir, monkeypatch):
+    """Forcing the vertex-broadcast gate to 0 routes pagerank through the
+    pinned src-partitioned edge list + per-iteration shuffle join, and
+    triangle/jaccard through plain degree joins — results must be
+    bit-identical to the broadcast path (same rows, same rounding)."""
+    import cobradb_spark.queries.graph as G
+    from cobradb_spark.operators.rank import release_rank_caches
+
+    broadcast_side = {
+        "pagerank": _sorted_rows(G.graph_pagerank(spark, sf_dir)),
+        "triangle": _sorted_rows(G.graph_triangle_stats(spark, sf_dir)),
+        "jaccard": _sorted_rows(G.graph_jaccard_neighbors(spark, sf_dir)),
+    }
+    release_rank_caches()
+    monkeypatch.setattr(G, "BROADCAST_BYTES_LIMIT", 0)
+    try:
+        assert _sorted_rows(G.graph_pagerank(spark, sf_dir)) == broadcast_side["pagerank"]
+        assert _sorted_rows(G.graph_triangle_stats(spark, sf_dir)) == broadcast_side["triangle"]
+        assert _sorted_rows(G.graph_jaccard_neighbors(spark, sf_dir)) == broadcast_side["jaccard"]
+    finally:
+        release_rank_caches()

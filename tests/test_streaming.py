@@ -341,3 +341,21 @@ def test_stage_parquet_batch_moves_every_part(spark, tmp_path):
     back = spark.read.parquet(src)
     assert back.count() == 10_000
     assert back.agg({"v": "sum"}).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_stage_parquet_batch_atomic_single_file(spark, tmp_path):
+    """atomic=True must land the whole batch as ONE part file (single
+    atomic rename — round-4 ADVICE: in-flight staging under the ASAP
+    trigger must never be listable as a partial set)."""
+    from cobradb_spark.operators.streams import stage_parquet_batch
+
+    df = spark.range(5_000).repartition(8).withColumnRenamed("id", "v")
+    src = str(tmp_path / "src")
+    n_parts = stage_parquet_batch(df, src, "b1", atomic=True)
+    assert n_parts == 1
+    import os
+
+    staged = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert staged == ["b1_0.parquet"]
+    assert not [f for f in os.listdir(src) if f.startswith(".")]  # no leftovers
+    assert spark.read.parquet(src).count() == 5_000
