@@ -111,3 +111,44 @@ def test_interval_overlap_join_matches_bruteforce_random(spark):
         ]
         assert len(got) == len(set(got)), f"bw={bw}: duplicate pairs emitted"
         assert set(got) == want, f"bw={bw}: pair set mismatch"
+
+
+def test_fuzzy_blocked_matches_bruteforce_random_strings(spark, tmp_path):
+    """join_fuzzy_blocked's adaptive-boundary PassJoin must equal the
+    brute-force theta join on irregular data: random strings, multiple
+    length classes, heavy shared-substring overlap (small alphabet) —
+    the losslessness claim is split-independent, so it must survive any
+    boundary the sampled-collision DP picks."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "ab0"
+    sup = [(i, "".join(rng.choice(alpha) for _ in range(rng.choice([7, 9, 12]))))
+           for i in range(60)]
+    cus = [(i, "".join(rng.choice(alpha) for _ in range(rng.choice([7, 8, 9, 12, 13]))))
+           for i in range(120)]
+    spark.createDataFrame(sup, "s_suppkey long, s_name string").write.mode(
+        "overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(cus, "c_custkey long, c_name string").write.mode(
+        "overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (sk, ck, lev(sn, cn))
+        for sk, sn in sup for ck, cn in cus if lev(sn, cn) <= 6
+    }
+    from cobradb_spark.queries.joins import join_fuzzy_blocked
+
+    got = {
+        (r["s_suppkey"], r["c_custkey"], r["dist"])
+        for r in join_fuzzy_blocked(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
