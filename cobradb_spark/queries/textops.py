@@ -149,6 +149,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = w.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # NOTE r5: the posting-grouping + HOF pair-explode rewrite that won
+    # for dedup_containment_ngram was A/B-tried here and LOST badly:
+    # word-BIGRAM shingles have high document frequency (common word
+    # pairs), so per-shingle pair explosion concentrates df^2 work into
+    # single hub tasks, while the self-join spreads the same pairs
+    # across shuffle partitions.  Keep the join form for high-df grams.
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -216,13 +222,31 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = w.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Pair generation via posting-list grouping + ordered-pair HOF
+    # explode instead of a sh><sh self-join (r5): the join shuffled the
+    # full 250k-row posting list TWICE (both sides) plus the joined
+    # output; grouping shuffles it ONCE and the x!=y pairs explode from
+    # a narrow map.  Same pair multiset (each doc appears once per
+    # distinct gram), measured df is tiny here (max 4 at sf0.1) so the
+    # explode has no skewed hub task; at 100 TB a df-cap on stop-grams
+    # would bound the hot tail before the explode, same as the jaccard
+    # variant's documented mitigation.
+    lists = (
+        sh.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, x -> "
+                    "transform(filter(ds, y -> y != x), y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select("p.a_id", "p.b_id")
+        .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
     )
     containment = F.col("inter").cast("double") / F.col("n")
