@@ -455,3 +455,359 @@ JOIN rev ON rev.l_suppkey = s.s_suppkey
 WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
 """
     )
+
+
+@register(
+    "sql_forecast_revenue_q6",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape (forecast revenue change) as pure spark.sql: a "
+    "single-table filter + global aggregate. The canonical pushdown "
+    "check: all three predicates and both referenced columns reach the "
+    "parquet scan (PushedFilters on l_shipdate/l_discount/l_quantity; "
+    "ReadSchema = 4 columns), and the whole query is one scan stage plus "
+    "a 1-row final agg — at 100 TB this is bounded by I/O after pruning, "
+    "nothing else.",
+    tags=("flagship",),
+)
+def sql_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q6v")
+    return spark.sql(
+        """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+       count(*) AS n_lines
+FROM lineitem_q6v
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+    )
+
+
+@register(
+    "sql_volume_shipping_q7",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+    doc="TPC-H Q7 shape (volume shipping between two trading nations) as "
+    "pure spark.sql: a 6-table join with a DISJUNCTIVE cross-dimension "
+    "predicate (either direction of the nation pair). The two nation "
+    "dims broadcast twice under different aliases; the disjunction "
+    "cannot push into either scan alone but prunes after the broadcast "
+    "joins, before the wide fact shuffle. Year extraction groups the "
+    "fact without a separate date dim.",
+    tags=("flagship",),
+)
+def sql_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q7v")
+    return spark.sql(
+        """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem_q7v l
+JOIN supplier_q7v s ON s.s_suppkey = l.l_suppkey
+JOIN orders_q7v o ON o.o_orderkey = l.l_orderkey
+JOIN customer_q7v c ON c.c_custkey = o.o_custkey
+JOIN nation_q7v sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation_q7v cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+    )
+
+
+@register(
+    "sql_market_share_q8",
+    oracle="""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         sum(CASE WHEN sn.n_name = 'NATION_3'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS target_vol,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS total_vol
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+  GROUP BY year(o.o_orderdate)
+)
+SELECT o_year,
+       round(CAST(target_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) AS mkt_share
+FROM vol
+""",
+    doc="TPC-H Q8 shape (national market share) as pure spark.sql: an "
+    "8-table snowflake join, share = conditional sum / total sum per "
+    "order year. Volumes accumulate as DECIMAL cents (the q15 trick) so "
+    "the share ratio is bit-identical across engines — a double sum "
+    "could disagree in the last ulp and flip the 6th decimal. All five "
+    "dims broadcast; the single fact shuffle is the year rollup.",
+    tags=("flagship",),
+)
+def sql_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "orders", "customer", "nation", "region", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q8v")
+    return spark.sql(
+        """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         sum(CASE WHEN sn.n_name = 'NATION_3'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS target_vol,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS total_vol
+  FROM lineitem_q8v l
+  JOIN part_q8v p ON p.p_partkey = l.l_partkey
+  JOIN orders_q8v o ON o.o_orderkey = l.l_orderkey
+  JOIN customer_q8v c ON c.c_custkey = o.o_custkey
+  JOIN nation_q8v cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region_q8v r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier_q8v s ON s.s_suppkey = l.l_suppkey
+  JOIN nation_q8v sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+  GROUP BY year(o.o_orderdate)
+)
+SELECT o_year,
+       round(CAST(target_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) AS mkt_share
+FROM vol
+"""
+    )
+
+
+@register(
+    "sql_product_profit_q9",
+    oracle="""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
+                      - CAST(p.p_retailprice AS DECIMAL(18,2)) * 10
+                        * CAST(l.l_quantity AS DECIMAL(18,0))) AS DOUBLE) / 100, 2)
+         AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q9 shape (product-type profit) as pure spark.sql, cost "
+    "modeled as 10% of retail price x quantity (testdata carries no "
+    "ps_supplycost); profit accumulates in DECIMAL cents (the q15 trick "
+    "— a double sum disagreed with the oracle by one cent at a rounding "
+    "boundary). LIKE '%widget%' cannot push as a range but prunes "
+    "the part dim BEFORE its broadcast, shrinking the build side; "
+    "profit rolls up per supplier nation x order year.",
+    tags=("flagship",),
+)
+def sql_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier", "nation", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q9v")
+    return spark.sql(
+        """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
+                      - CAST(p.p_retailprice AS DECIMAL(18,2)) * 10
+                        * CAST(l.l_quantity AS DECIMAL(18,0))) AS DOUBLE) / 100, 2)
+         AS profit
+FROM lineitem_q9v l
+JOIN part_q9v p ON p.p_partkey = l.l_partkey
+JOIN supplier_q9v s ON s.s_suppkey = l.l_suppkey
+JOIN nation_q9v n ON n.n_nationkey = s.s_nationkey
+JOIN orders_q9v o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+    )
+
+
+@register(
+    "sql_promo_revenue_q14",
+    oracle="""
+SELECT round(CAST(100 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END)
+         / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE), 6)
+         AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    doc="TPC-H Q14 shape (promotion effect) as pure spark.sql: one month "
+    "of lineitem joined to the part dim, promo share of revenue as a "
+    "conditional-sum ratio in DECIMAL cents (bit-exact across engines). "
+    "The month range pushes into the fact scan; part broadcasts; the "
+    "result is one row — scan-bound at any scale.",
+    tags=("flagship",),
+)
+def sql_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q14v")
+    return spark.sql(
+        """
+SELECT round(CAST(100 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END)
+         / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE), 6)
+         AS promo_revenue_pct
+FROM lineitem_q14v l JOIN part_q14v p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+"""
+    )
+
+
+@register(
+    "sql_parts_supplier_count_q16",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape (parts/supplier relationship count) as pure "
+    "spark.sql, with lineitem as the part-supplier link (testdata has no "
+    "partsupp table): distinct suppliers per (brand, type, size) for a "
+    "size IN-list, excluding one brand and one type. The <> and IN "
+    "predicates push into the part scan; count(DISTINCT) expands to the "
+    "standard two-level aggregate (distinct pairs first, then count) — "
+    "both levels partial-aggregate map-side.",
+    tags=("flagship",),
+)
+def sql_parts_supplier_count_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q16v")
+    return spark.sql(
+        """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part_q16v p JOIN lineitem_q16v l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+    )
+
+
+@register(
+    "sql_discount_revenue_or_q19",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 shape (discounted revenue, disjunction of conjunction "
+    "bands) as pure spark.sql. The OR-of-ANDs mixes columns from both "
+    "tables, so no single branch pushes whole; Catalyst still extracts "
+    "the COMMON implied predicates per side (brand/size bands into the "
+    "part scan, quantity range into the fact scan) and evaluates the "
+    "residual disjunction after the broadcast join — the pattern for "
+    "complex promotional-rule filters at scale.",
+    tags=("flagship",),
+)
+def sql_discount_revenue_or_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q19v")
+    return spark.sql(
+        """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem_q19v l JOIN part_q19v p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+    )
+
+
+@register(
+    "sql_potential_promotion_q20",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS q97,
+         sum(l_quantity) AS q_all
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+JOIN part p ON p.p_partkey = sh.l_partkey
+WHERE p.p_name LIKE 'small%' AND sh.q97 > 0.5 * sh.q_all
+""",
+    doc="TPC-H Q20 shape (potential part promotion) as pure spark.sql, "
+    "'excess availability' adapted to shipped quantities (no partsupp "
+    "in testdata): suppliers for whom some 'small%' part had more than "
+    "half its all-time volume shipped in 1997. The conditional sum and "
+    "the total ride ONE aggregation over the fact (no second scan, no "
+    "correlated subquery); quantity sums are integer-valued doubles, so "
+    "the > comparison is exact on both engines. The part dim prunes on "
+    "the LIKE prefix (pushes as a >= / < range) before the broadcast "
+    "join; DISTINCT collapses multi-part hits per supplier.",
+    tags=("flagship",),
+)
+def sql_potential_promotion_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q20v")
+    return spark.sql(
+        """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS q97,
+         sum(l_quantity) AS q_all
+  FROM lineitem_q20v
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier_q20v s
+JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+JOIN part_q20v p ON p.p_partkey = sh.l_partkey
+WHERE p.p_name LIKE 'small%' AND sh.q97 > 0.5 * sh.q_all
+"""
+    )

@@ -174,3 +174,50 @@ def profile_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("v_min"),
         F.round(F.max("value"), 6).alias("v_max"),
     )
+
+
+@register(
+    "profile_column_histogram",
+    oracle="""
+WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+b AS (
+  SELECT CAST(least(floor((o.o_totalprice - s.lo) / ((s.hi - s.lo) / 20)), 19)
+              AS BIGINT) AS bucket,
+         s.lo AS lo, s.hi AS hi
+  FROM orders o, s
+)
+SELECT bucket,
+       round(lo + bucket * ((hi - lo) / 20), 6) AS bucket_lo,
+       round(lo + (bucket + 1) * ((hi - lo) / 20), 6) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket, lo, hi
+""",
+    doc="Equi-width 20-bucket histogram of a numeric column — the "
+    "profiling primitive behind data-drift dashboards and partition-size "
+    "planning. Two passes, both scan-bound: a 1-row min/max aggregate "
+    "broadcast back into the bucketing expression (identical float "
+    "arithmetic on both engines — bucket = floor((x - lo) / width), top "
+    "edge clamped into the last bucket), then a partial+final count per "
+    "bucket. At 100 TB the bucket count is fixed, so the second "
+    "aggregate's shuffle is 20 rows per partition regardless of data.",
+    tags=("layout", "profiling"),
+)
+def profile_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("lo") + F.col("bucket") * width, 6).alias("bucket_lo"),
+            F.round(F.col("lo") + (F.col("bucket") + 1) * width, 6).alias("bucket_hi"),
+            "n",
+        )
+    )

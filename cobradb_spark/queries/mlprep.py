@@ -644,3 +644,36 @@ def etl_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(small, star).otherwise(F.col("bal_bucket")).alias("rel_bucket"),
         "n",
     )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle="""
+SELECT event_type, event_id, user_id, rn FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY (event_id * 2654435761) % 4294967296,
+                                     event_id) AS rn
+  FROM events) t
+WHERE rn <= 50
+""",
+    doc="Deterministic fixed-k per-group sample (k = 50 per event_type) — "
+    "the ML-prep primitive for balanced eval/debug slices. Selection "
+    "order is a Knuth multiplicative hash of the unique row id computed "
+    "in exact integer arithmetic, so BOTH engines (and every rerun at "
+    "any partitioning) pick the identical pseudo-random subset — the "
+    "reproducibility property rand()-based sampling lacks. The window "
+    "partitions by group key, so ranking distributes across groups; at "
+    "100 TB with billions of rows per group, the same hash order feeds "
+    "a per-group top-k heap (rank <= k never needs the full sort).",
+    tags=("mlprep",),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hk = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy("event_type").orderBy(hk, "event_id")
+    return (
+        ev.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+    )

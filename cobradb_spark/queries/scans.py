@@ -557,3 +557,42 @@ def join_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "etl_schema_evolution_merge",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+FROM orders
+""",
+    doc="A-ext schema-evolution read: two parquet generations of the same "
+    "dataset — gen1 written before a column existed (o_orderkey, "
+    "o_totalprice), gen2 after adding o_orderpriority — are scanned as "
+    "ONE dataset via mergeSchema; gen1 rows surface NULL for the added "
+    "column. This is how a 100 TB lake absorbs additive schema change "
+    "without rewriting history: the merged schema is reconciled from "
+    "file footers at planning time (a driver-side metadata pass), scans "
+    "stay columnar, and readers never special-case file vintage. The "
+    "oracle reconstructs the same union directly from orders (gen "
+    "membership = orderkey parity), proving no rows or values drift "
+    "through the evolution.",
+    tags=("scans", "etl"),
+)
+def etl_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = scratch_dir("cobradb_schevo_")
+    gen1, gen2 = f"{root}/gen1", f"{root}/gen2"
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(gen1)
+    o.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(gen2)
+    merged = spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )

@@ -360,11 +360,15 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_n")
         .agg(F.min("c").alias("cm_est"))
     )
-    n_total = ev.count()  # bound term; one metadata-scale agg
-    slack = 8.0 * n_total / W
-    return est.select(
+    # bound term N rides the merged counters (each CM row sums to the
+    # event count, so N = sum(c) / DEPTH) — no separate ev.count()
+    # action / extra event scan (r4 verdict item 3)
+    n_total = merged.agg((F.sum("c") / DEPTH).alias("n_total"))
+    return est.crossJoin(F.broadcast(n_total)).select(
         "user_id",
         "exact_n",
         (F.col("cm_est") >= F.col("exact_n")).alias("cm_never_undercounts"),
-        (F.col("cm_est") - F.col("exact_n") <= F.lit(slack)).alias("cm_within_eps"),
+        (F.col("cm_est") - F.col("exact_n") <= F.lit(8.0) * F.col("n_total") / W).alias(
+            "cm_within_eps"
+        ),
     )

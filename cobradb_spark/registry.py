@@ -112,8 +112,15 @@ def _load() -> None:
 #     rollup_rolling_median_7d, etl_zorder_layout, etl_range_partition_plan,
 #     profile_zone_maps, graph_pagerank, graph_triangle_stats,
 #     graph_khop_reach, graph_jaccard_neighbors, graph_degree_distribution,
-#     <any r5-new keys>, then dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
-#     sim_ann_ivf_pq (rows-only, last).
+#     the 12 r5-new keys (sql_forecast_revenue_q6, sql_volume_shipping_q7,
+#     sql_market_share_q8, sql_product_profit_q9, sql_promo_revenue_q14,
+#     sql_parts_supplier_count_q16, sql_discount_revenue_or_q19,
+#     sql_potential_promotion_q20, agg_skew_salted_distinct,
+#     sample_reservoir_per_group, profile_column_histogram,
+#     etl_schema_evolution_merge), then dedup_minhash_near, sim_ann_lsh,
+#     sim_ann_ivf, sim_ann_ivf_pq (rows-only, LAST) — 34 + 12 + 4 = 50,
+#     exactly one more full window; after r6 every registered key has a
+#     driver row.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H-shape SQL suite additions (r4-new)
     "sql_large_volume_in_q18", "sql_idle_rich_customers_q22",

@@ -48,6 +48,43 @@ AUDITS = [
         "dims broadcast; top-10 via per-partition heaps, not a global sort",
     ),
     (
+        "sql_market_share_q8",
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "q8 snowflake: all five dims broadcast, one fact shuffle for the year rollup",
+    ),
+    (
+        "sql_forecast_revenue_q6",
+        ["PushedFilters: ["],
+        ["Exchange hashpartitioning"],
+        "q6: predicates reach the scan; only the 1-row final agg exchanges",
+    ),
+    (
+        "agg_skew_salted_distinct",
+        ["HashAggregate"],
+        ["CartesianProduct"],
+        "two-phase salted distinct: (key, salt) partial then per-key sum",
+    ),
+    (
+        "sample_reservoir_per_group",
+        ["WindowExec", "Exchange hashpartitioning(event_type"],
+        ["Exchange SinglePartition"],
+        "per-group hash-ordered top-k: window partitions by group, never one task",
+    ),
+    (
+        "profile_column_histogram",
+        ["HashAggregate"],
+        ["BroadcastNestedLoopJoin"],
+        "min/max broadcast back into the bucket expr; 20-row final agg",
+    ),
+    (
+        "join_fuzzy_blocked",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+        "adaptive PassJoin: segment-key broadcast hash join with in-stream "
+        "banded-levenshtein verify",
+    ),
+    (
         "join_range_interval",
         [],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
