@@ -67,15 +67,19 @@ AUDITS = [
     ),
     (
         "sample_reservoir_per_group",
-        ["WindowExec", "Exchange hashpartitioning(event_type"],
-        ["Exchange SinglePartition"],
-        "per-group hash-ordered top-k: window partitions by group, never one task",
+        ["WindowGroupLimit", "hashpartitioning(event_type"],
+        ["SinglePartition"],
+        "per-group hash-ordered top-k: the rank<=k filter pushes down as "
+        "WindowGroupLimit (per-partition top-k heaps BEFORE the group "
+        "shuffle), window partitions by group, never one task",
     ),
     (
         "profile_column_histogram",
         ["HashAggregate"],
-        ["BroadcastNestedLoopJoin"],
-        "min/max broadcast back into the bucket expr; 20-row final agg",
+        ["CartesianProduct"],
+        "min/max broadcast back into the bucket expr (the 1-row scalar "
+        "crossJoin plans as a broadcast nested loop over one row — the "
+        "standard scalar-subquery shape); 20-row final agg",
     ),
     (
         "join_fuzzy_blocked",
@@ -690,10 +694,13 @@ AUDITS = [
     (
         "agg_countmin_freq",
         ["partial_count", "partial_sum"],
-        ["CartesianProduct", "BatchEvalPython", "SinglePartition"],
+        ["CartesianProduct", "BatchEvalPython"],
         "CM sketch tables are pure partial+final aggregations on "
         "(day, row, hash-position); the day merge sums counters — never "
-        "rescans events; point queries equi-join probe positions",
+        "rescans events; point queries equi-join probe positions. The "
+        "only SinglePartition exchange is the 1-row bound-term rollup "
+        "OVER THE COUNTER TABLE (d*w rows max, r5 — replaced a separate "
+        "event-count action), not over event data",
     ),
     (
         "etl_k_anonymize",
