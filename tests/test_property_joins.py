@@ -152,3 +152,40 @@ def test_fuzzy_blocked_matches_bruteforce_random_strings(spark, tmp_path):
         for r in join_fuzzy_blocked(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_fuzzy_segment_boundaries_partition_invariants(spark, tmp_path):
+    """Boundaries must exactly tile [1..L] with 7 non-empty contiguous
+    segments per length class, cover every index-side length class, and
+    be identical across calls (deterministic sampling + DP)."""
+    import random
+
+    rng = random.Random(3)
+    sup = [(i, "".join(rng.choice("xyz9") for _ in range(rng.choice([8, 11, 19]))))
+           for i in range(80)]
+    cus = [(i, "".join(rng.choice("xyz9") for _ in range(rng.choice([8, 12, 19]))))
+           for i in range(200)]
+    spark.createDataFrame(sup, "s_suppkey long, s_name string").write.mode(
+        "overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(cus, "c_custkey long, c_name string").write.mode(
+        "overwrite").parquet(str(tmp_path / "customer.parquet"))
+    from cobradb_spark.io import load_tables
+    from cobradb_spark.queries.joins import _fuzzy_segment_boundaries
+
+    s, c = load_tables(spark, str(tmp_path), "supplier", "customer")
+    rows1 = _fuzzy_segment_boundaries(s, c, 6, 7)
+    rows2 = _fuzzy_segment_boundaries(s, c, 6, 7)
+    assert rows1 == rows2  # deterministic
+
+    by_ls = {}
+    for ls, seg_i, st, ln in rows1:
+        by_ls.setdefault(ls, []).append((seg_i, st, ln))
+    assert set(by_ls) == {8, 11, 19}  # every index length class covered
+    for ls, segs in by_ls.items():
+        segs.sort()
+        assert [i for i, _, _ in segs] == list(range(7))
+        nxt = 1
+        for _, st, ln in segs:
+            assert st == nxt and ln >= 1
+            nxt = st + ln
+        assert nxt == ls + 1  # exact tiling of [1..ls]
