@@ -608,7 +608,7 @@ SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
        round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                       * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
                       - CAST(p.p_retailprice AS DECIMAL(18,2)) * 10
-                        * CAST(l.l_quantity AS DECIMAL(18,0))) AS DOUBLE) / 100, 2)
+                        * CAST(l.l_quantity AS DECIMAL(18,0))) AS DOUBLE) / 100, 6)
          AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -622,7 +622,11 @@ GROUP BY n.n_name, year(o.o_orderdate)
     "modeled as 10% of retail price x quantity (testdata carries no "
     "ps_supplycost); profit accumulates in DECIMAL cents (the q15 trick "
     "— a double sum disagreed with the oracle by one cent at a rounding "
-    "boundary). LIKE '%widget%' cannot push as a range but prunes "
+    "boundary), and the output rounds at 6 decimals, NOT 2: the exact "
+    "profit has up to 4 decimal digits, so a 2-decimal round creates "
+    "true half-cent ties where engine rounding modes differ (caught at "
+    "sf0.001), while 6 decimals is tie-free. LIKE '%widget%' cannot "
+    "push as a range but prunes "
     "the part dim BEFORE its broadcast, shrinking the build side; "
     "profit rolls up per supplier nation x order year.",
     tags=("flagship",),
@@ -636,7 +640,7 @@ SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
        round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                       * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))
                       - CAST(p.p_retailprice AS DECIMAL(18,2)) * 10
-                        * CAST(l.l_quantity AS DECIMAL(18,0))) AS DOUBLE) / 100, 2)
+                        * CAST(l.l_quantity AS DECIMAL(18,0))) AS DOUBLE) / 100, 6)
          AS profit
 FROM lineitem_q9v l
 JOIN part_q9v p ON p.p_partkey = l.l_partkey
