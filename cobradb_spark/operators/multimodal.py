@@ -286,3 +286,63 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         "container; at deploy time this becomes mapInPandas over payload "
         f"yielding every {every_n}th decoded frame."
     )
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL baseline JPEG per row (operators/jpeg.py pure-numpy
+    encoder — no imaging library): 16x16, 4:4:4, self-describing Huffman
+    tables, one constant 8x8 luma tile per block with
+    y_b = 28 + 2*((id*7 + b*13) % 101) and neutral chroma.  Even values
+    + DC quant step 16 make the lossy pipeline exact for this content
+    (DC-only blocks), so downstream decode features are SQL-reproducible
+    while the decoder stays fully general."""
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                img = np.zeros((16, 16, 3), dtype=np.uint8)
+                for b in range(4):
+                    v = 28 + 2 * ((int(i) * 7 + b * 13) % 101)
+                    by, bx = (b // 2) * 8, (b % 2) * 8
+                    img[by : by + 8, bx : bx + 8, 0] = v
+                img[:, :, 1] = 128
+                img[:, :, 2] = 128
+                payloads.append(encode_jpeg(img, dc_step=16, ac_step=16))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema="id long, payload binary"
+    )
+
+
+def decode_jpeg_features(df: DataFrame) -> DataFrame:
+    """General baseline-JPEG decode (operators/jpeg.py: segment parse,
+    DHT/DQT build, Huffman scan, dezigzag, dequant, float IDCT,
+    YCbCr->RGB) over Arrow batches; emits per-channel integer sums —
+    nothing collects driver-side, and the decoder accepts any
+    non-subsampled baseline JPEG, not just the fixture's."""
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import decode_jpeg
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                rgb = decode_jpeg(bytes(payload))
+                out["id"].append(i)
+                out["height"].append(rgb.shape[0])
+                out["width"].append(rgb.shape[1])
+                out["r_sum"].append(int(rgb[:, :, 0].astype(np.int64).sum()))
+                out["g_sum"].append(int(rgb[:, :, 1].astype(np.int64).sum()))
+                out["b_sum"].append(int(rgb[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
+    )

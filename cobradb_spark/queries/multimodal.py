@@ -321,3 +321,43 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= 6).select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 28 + 2 * ((doc_id * 7 + b.b * 13) % 101) AS y
+  FROM documents, UNNEST(range(0, 4)) AS b(b)
+)
+SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(64 * sum(y) AS BIGINT) AS r_sum,
+       CAST(64 * sum(y) AS BIGINT) AS g_sum,
+       CAST(64 * sum(y) AS BIGINT) AS b_sum
+FROM g GROUP BY doc_id
+""",
+    doc="REAL compressed-codec decode, no imaging library: one baseline "
+    "4:4:4 JPEG per document (pure-numpy encoder, self-describing "
+    "Huffman tables) decoded by a fully general pure-numpy baseline "
+    "decoder — segment parse, DHT/DQT table build, Huffman-coded MCU "
+    "scan with FF-unstuffing, dezigzag, dequantize, float IDCT, "
+    "YCbCr->RGB — in a separate Arrow-batched mapInPandas stage, "
+    "emitting per-channel sums. The fixture's block-constant even-valued "
+    "luma + DC step 16 make the lossy pipeline bit-exact (DC-only "
+    "blocks), so the oracle replays the generator formula in SQL; "
+    "general lossy content is covered by the encode/decode tolerance "
+    "tests (tests/test_sources.py). This closes the JPEG third of the "
+    "r4 'compressed codecs env-blocked' gap; MP3/H.264 stay stubbed "
+    "(no pure-numpy path of reasonable scope).",
+    tags=("multimodal",),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_features(synthesize_jpeg(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -118,3 +118,57 @@ def test_table_schema_tripwire(spark, tmp_path):
     missing = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="missing columns"):
         cio._assert_table_schema_sane(missing, str(tmp_path), "documents")
+
+
+def test_jpeg_codec_blockconstant_bitexact():
+    """DC-only content (block-constant, even values, DC step 16) must
+    survive the full lossy pipeline bit-exactly — the property the
+    multimodal_jpeg_decode oracle depends on."""
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    img = np.zeros((24, 16, 3), dtype=np.uint8)
+    for by in range(0, 24, 8):
+        for bx in range(0, 16, 8):
+            img[by : by + 8, bx : bx + 8, 0] = int(rng.integers(14, 114)) * 2
+    img[:, :, 1] = 128
+    img[:, :, 2] = 128
+    rgb = decode_jpeg(encode_jpeg(img, dc_step=16, ac_step=16))
+    y = img[:, :, 0]
+    assert (rgb[:, :, 0] == y).all() and (rgb[:, :, 1] == y).all() and (rgb[:, :, 2] == y).all()
+
+
+def test_jpeg_codec_general_content_tolerance():
+    """Arbitrary content through encode->decode stays within a lossy
+    tolerance (exercises AC runs, ZRL, magnitude categories, Huffman
+    paths the bit-exact fixture never hits)."""
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    img = np.zeros((32, 40, 3), dtype=np.uint8)
+    img[:, :, 0] = rng.integers(0, 256, size=(32, 40))
+    img[:, :, 1] = 128
+    img[:, :, 2] = 128
+    out = decode_jpeg(encode_jpeg(img, dc_step=8, ac_step=8))
+    mae = np.abs(out[:, :, 0].astype(float) - img[:, :, 0].astype(float)).mean()
+    assert mae < 4.0
+    # smooth gradient compresses near-losslessly at step 8
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(16, dtype=np.uint8)[None, :] * 8 + 32
+    grad[:, :, 1] = 128
+    grad[:, :, 2] = 128
+    out2 = decode_jpeg(encode_jpeg(grad, dc_step=8, ac_step=8))
+    assert np.abs(out2[:, :, 0].astype(float) - grad[:, :, 0].astype(float)).max() <= 8
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import pytest
+
+    from cobradb_spark.operators.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
