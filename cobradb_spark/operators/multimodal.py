@@ -346,3 +346,57 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
         dec,
         schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
     )
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL 16x16 RGB PNG per row (operators/png.py — stdlib zlib,
+    no imaging library), pixel v = (id + x*3 + y*7 + c*11) % 256 with
+    the scanline filter type cycling y % 5, so decoding exercises every
+    unfilter path (None/Sub/Up/Average/Paeth).  PNG is lossless, so the
+    formula is the exact decoded content — no value constraints needed
+    (unlike the JPEG fixture)."""
+    import numpy as np
+
+    from cobradb_spark.operators.png import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.arange(16)[None, :, None]
+            y = np.arange(16)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            payloads = []
+            for i in pdf["id"]:
+                img = ((int(i) + x * 3 + y * 7 + c * 11) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema="id long, payload binary"
+    )
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """General PNG decode (operators/png.py: chunk walk with CRC checks,
+    multi-IDAT inflate, per-scanline unfiltering, grey/RGB/RGBA) over
+    Arrow batches; emits per-channel integer sums."""
+    import numpy as np
+
+    from cobradb_spark.operators.png import decode_png
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                rgb = decode_png(bytes(payload))
+                out["id"].append(i)
+                out["height"].append(rgb.shape[0])
+                out["width"].append(rgb.shape[1])
+                out["r_sum"].append(int(rgb[:, :, 0].astype(np.int64).sum()))
+                out["g_sum"].append(int(rgb[:, :, 1].astype(np.int64).sum()))
+                out["b_sum"].append(int(rgb[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
+    )

@@ -361,3 +361,43 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_features(synthesize_jpeg(d, id_col="doc_id")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, (doc_id + x.x * 3 + y.y * 7 + c.c * 11) % 256 AS v, c.c AS c
+  FROM documents,
+       UNNEST(range(0, 16)) AS x(x),
+       UNNEST(range(0, 16)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+)
+SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(sum(v) FILTER (c = 0) AS BIGINT) AS r_sum,
+       CAST(sum(v) FILTER (c = 1) AS BIGINT) AS g_sum,
+       CAST(sum(v) FILTER (c = 2) AS BIGINT) AS b_sum
+FROM g GROUP BY doc_id
+""",
+    doc="REAL lossless compressed-image decode from the stdlib: one 16x16 "
+    "RGB PNG per document (operators/png.py — zlib deflate, scanline "
+    "filter type cycling y % 5) decoded by a general pure-numpy PNG "
+    "decoder (CRC-verified chunk walk, multi-IDAT inflate, all five "
+    "unfilter paths, grey/RGB/RGBA) in a separate Arrow-batched "
+    "mapInPandas stage. PNG is lossless, so the full compressed round "
+    "trip is bit-exact against the SQL oracle replaying the pixel "
+    "formula — with the filter cycling, a single hash row certifies "
+    "every decoder filter path. Together with multimodal_jpeg_decode "
+    "this covers both compressed-image families (lossless + lossy).",
+    tags=("multimodal",),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png_features(synthesize_png(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )

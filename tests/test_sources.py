@@ -172,3 +172,41 @@ def test_jpeg_decoder_rejects_unsupported():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_png_codec_lossless_all_filters():
+    """Roundtrip must be bit-exact on odd shapes (every filter type in
+    the y%5 cycle, partial final pixels) and the decoder must handle
+    greyscale and RGBA variants."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cobradb_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16, 3), (7, 13, 3), (9, 32, 3)]:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all(), shape
+
+    def chunk(t, b):
+        c = t + b
+        return struct.pack(">I", len(b)) + c + struct.pack(">I", zlib.crc32(c))
+
+    g = rng.integers(0, 256, size=(5, 6)).astype(np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(5))
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all----")
+    # corrupt a CRC byte
+    bad = bytearray(encode_png(g[:4, :4][..., None].repeat(3, axis=2)))
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
