@@ -596,3 +596,38 @@ def etl_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderpriority",
     )
+
+
+@register(
+    "scan_gzip_jsonl",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events WHERE event_id % 3 = 0
+""",
+    doc="A-ext compressed-text ingestion: a gzip-compressed JSONL landing "
+    "zone (written with Spark's native codec support) scanned back with "
+    "an explicit schema. Gzip is NOT splittable — each .json.gz file is "
+    "one task regardless of size — so the write keeps files bounded "
+    "(repartition before write), which is exactly the at-scale guidance: "
+    "many medium gzip files parallelize, one giant one serializes. The "
+    "oracle reconstructs the same rows from the source table, proving "
+    "no loss or type drift through the compress/decompress round trip.",
+    tags=("scans", "etl"),
+)
+def scan_gzip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    out = scratch_dir("cobradb_gzjson_")
+    (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .repartition(4)  # bounded gzip members: 4 parallel single-task files
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    back = (
+        spark.read.schema("event_id long, user_id long, event_type string, value double")
+        .json(out)
+    )
+    return back.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
