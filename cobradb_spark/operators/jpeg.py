@@ -9,7 +9,8 @@ implements
 
 - a general DECODER (`decode_jpeg`): any baseline, 8-bit, non-subsampled
   (1x1 sampling) JPEG with arbitrary DQT/DHT tables, FF-stuffed entropy
-  stream, single interleaved scan; and
+  stream, DRI/RSTn restart intervals (byte-aligned, DC prediction
+  reset), single interleaved scan; and
 - an ENCODER (`encode_jpeg`) used to synthesize test payloads: writes
   its OWN canonical Huffman tables in DHT (no reliance on the Annex K
   defaults), 4:4:4, quality controlled by the caller's quant tables.
@@ -119,9 +120,13 @@ def encode_jpeg(
     ycbcr: np.ndarray,
     dc_step: int = 16,
     ac_step: int = 16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 YCbCr image (h, w multiples of 8) as a
-    baseline 4:4:4 JFIF byte string with self-describing Huffman tables."""
+    baseline 4:4:4 JFIF byte string with self-describing Huffman tables.
+    restart_interval > 0 writes a DRI segment and emits RSTn markers
+    every N MCUs (byte-aligned, DC predictors reset) — the layout real
+    encoders default to, used to exercise the decoder's restart path."""
     h, w, _ = ycbcr.shape
     assert h % 8 == 0 and w % 8 == 0, "dimensions must be multiples of 8"
     qtab = np.full(64, ac_step, dtype=np.int64)
@@ -140,14 +145,26 @@ def encode_jpeg(
     # our canonical tables, one DC + one AC, shared by all components
     out += _dht_segment(0, 0, _DC_SYMBOLS, 5)
     out += _dht_segment(1, 0, _AC_SYMBOLS, 9)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
     planes = [ycbcr[:, :, c].astype(np.float64) - 128.0 for c in range(3)]
+    mcu_i = 0
+    rst_i = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst_i])
+                rst_i = (rst_i + 1) % 8
+                prev_dc = [0, 0, 0]
+            mcu_i += 1
             for c in range(3):
                 coef = _fdct8x8(planes[c][by : by + 8, bx : bx + 8])
                 q = np.round(coef.reshape(-1)[ZIGZAG] / qtab).astype(np.int64)
@@ -210,6 +227,20 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 restart)."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            if nxt == 0x00:
+                break  # stuffed data byte, not a marker
+            self.pos += 2  # tolerate stray fill bytes
+        raise ValueError("expected RSTn restart marker")
+
 
 def _build_huffman(bits, vals):
     """(length, code) -> symbol from a DHT bits/values spec."""
@@ -250,6 +281,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = []  # (id, qtab_id)
     h = w = 0
     scan_comps = []
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -290,6 +322,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
             for c in range(ns):
@@ -310,8 +344,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     prev_dc = [0] * len(comps)
     qt_by_cid = dict(comps)
     tabs_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    mcu_i = 0
     for by in range(bh):
         for bx in range(bw_):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()  # byte-align, consume RSTn, reset DC prediction
+                prev_dc = [0] * len(comps)
+            mcu_i += 1
             for ci, (cid, tq) in enumerate(comps):
                 dc_t, ac_t = tabs_by_cid[cid]
                 dc_table = htabs[(0, dc_t)]

@@ -80,7 +80,14 @@ def _collect_unit_matrix_gated(
     max_rows = max(limit_bytes // (dim * 8), 1)
     if emb.select(id_col).limit(max_rows + 1).count() > max_rows:
         return None
-    return _rows_to_unit_matrix(emb.select(id_col, vec_col).collect())
+    # the real collect stays structurally bounded too: if the source
+    # grew between the probe and this job (appended partition,
+    # non-deterministic subtree), the limit caps the driver pull and the
+    # overflow row routes to the LSH fallback instead of an OOM
+    rows = emb.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    return _rows_to_unit_matrix(rows)
 
 
 def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

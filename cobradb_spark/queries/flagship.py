@@ -460,7 +460,9 @@ WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
 @register(
     "sql_forecast_revenue_q6",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount * 100 AS DECIMAL(18,0))) AS DOUBLE) / 100, 6)
+         AS forecast_revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -479,7 +481,9 @@ def sql_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q6v")
     return spark.sql(
         """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount * 100 AS DECIMAL(18,0))) AS DOUBLE) / 100, 6)
+         AS forecast_revenue,
        count(*) AS n_lines
 FROM lineitem_q6v
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -493,7 +497,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
     oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -521,7 +527,9 @@ def sql_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue
 FROM lineitem_q7v l
 JOIN supplier_q7v s ON s.s_suppkey = l.l_suppkey
 JOIN orders_q7v o ON o.o_orderkey = l.l_orderkey
@@ -728,7 +736,9 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 @register(
     "sql_discount_revenue_or_q19",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
@@ -752,7 +762,9 @@ def sql_discount_revenue_or_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q19v")
     return spark.sql(
         """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (100 - CAST(l.l_discount * 100 AS DECIMAL(18,0)))) AS DOUBLE) / 100, 6)
+         AS revenue,
        count(*) AS n_lines
 FROM lineitem_q19v l JOIN part_q19v p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5

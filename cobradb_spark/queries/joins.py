@@ -556,6 +556,11 @@ def _fuzzy_segment_boundaries(sup, cust, tau: int, segs: int, sample: int = 512)
     """
     from collections import Counter, defaultdict
 
+    # the index-based shift windows inside segcost assume the PassJoin
+    # relation segs == tau + 1; a mismatch would silently misalign the
+    # probe-side bounds
+    assert segs == tau + 1, (segs, tau)
+
     snames = [
         r[0]
         for r in sup.select("s_name")

@@ -652,7 +652,7 @@ def etl_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, event_id, user_id, rn FROM (
   SELECT event_type, event_id, user_id,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY (event_id * 2654435761) % 4294967296,
+                            ORDER BY ((event_id % 1000003) * 2654435761) % 4294967296,
                                      event_id) AS rn
   FROM events) t
 WHERE rn <= 50
@@ -660,7 +660,9 @@ WHERE rn <= 50
     doc="Deterministic fixed-k per-group sample (k = 50 per event_type) — "
     "the ML-prep primitive for balanced eval/debug slices. Selection "
     "order is a Knuth multiplicative hash of the unique row id computed "
-    "in exact integer arithmetic, so BOTH engines (and every rerun at "
+    "in overflow-safe exact integer arithmetic (id reduced mod a prime "
+    "before the multiply — the raw product would overflow BIGINT past "
+    "id ~3.4e9), so BOTH engines (and every rerun at "
     "any partitioning) pick the identical pseudo-random subset — the "
     "reproducibility property rand()-based sampling lacks. The window "
     "partitions by group key, so ranking distributes across groups; at "
@@ -670,7 +672,14 @@ WHERE rn <= 50
 )
 def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hk = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296))
+    # reduce the id modulo a prime BEFORE the multiply: the raw product
+    # overflows BIGINT past id ~3.4e9, where Spark wraps and DuckDB
+    # errors — the reduced product tops out at ~2.7e15, exact in both
+    # engines at any id; ids sharing a residue order by the id tiebreak
+    hk = F.pmod(
+        F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     w = Window.partitionBy("event_type").orderBy(hk, "event_id")
     return (
         ev.select("event_type", "event_id", "user_id")

@@ -210,3 +210,22 @@ def test_png_codec_lossless_all_filters():
     bad[-5] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn layout (what real encoders default to) must decode to the
+    identical pixels as the marker-free layout — byte alignment, RSTn
+    consumption, and DC-prediction reset all exercised."""
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = np.zeros((32, 24, 3), dtype=np.uint8)
+    img[:, :, 0] = rng.integers(0, 256, size=(32, 24))
+    img[:, :, 1] = 128
+    img[:, :, 2] = 128
+    base = decode_jpeg(encode_jpeg(img, dc_step=8, ac_step=8))
+    for ri in (1, 2, 5):
+        out = decode_jpeg(encode_jpeg(img, dc_step=8, ac_step=8, restart_interval=ri))
+        assert (out == base).all(), ri
