@@ -827,3 +827,76 @@ JOIN part_q20v p ON p.p_partkey = sh.l_partkey
 WHERE p.p_name LIKE 'small%' AND sh.q97 > 0.5 * sh.q_all
 """
     )
+
+
+@register(
+    "sql_shipmode_priority_q12",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12 shape (shipping modes / priority split) as pure "
+    "spark.sql, line status standing in for ship mode (testdata carries "
+    "no l_shipmode): one year of lineitem joined to orders, split into "
+    "high/low-priority conditional counts per status. Two CASE sums in "
+    "one aggregation — one fact pass, no second scan per band; the date "
+    "range pushes into the fact scan.",
+    tags=("flagship",),
+)
+def sql_shipmode_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q12v")
+    return spark.sql(
+        """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders_q12v o JOIN lineitem_q12v l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+"""
+    )
+
+
+@register(
+    "sql_customer_distribution_q13",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (customer order distribution) as pure spark.sql "
+    "— the double-aggregation histogram: orders per customer (LEFT join "
+    "with the filter in the JOIN CONDITION, so zero-order customers "
+    "survive with count 0 — putting it in WHERE would silently drop "
+    "them, the classic outer-join bug), then customers per order-count. "
+    "count(o.o_orderkey) counts non-NULL matches only; both aggregates "
+    "partial+final.",
+    tags=("flagship",),
+)
+def sql_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q13v")
+    return spark.sql(
+        """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer_q13v c LEFT JOIN orders_q13v o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+    )
