@@ -823,3 +823,78 @@ def analytics_pattern_match_journeys(spark: SparkSession, sf_dir: str) -> DataFr
         n_conv.cast("long").alias("n_conversions"),
         (n_conv > 0).alias("converted"),
     )
+
+
+@register(
+    "analytics_attribution_position",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT p.p_id, p.p_value, e.event_type,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY e.ts, e.event_id) AS rn,
+         count(*) OVER (PARTITION BY p.p_id) AS n
+  FROM purchases p JOIN events e
+    ON e.user_id = p.user_id AND e.event_type IN ('view', 'click')
+   AND e.ts < p.p_ts AND e.ts >= p.p_ts - INTERVAL 7 DAY
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(p_value * CASE WHEN n = 1 THEN 1.0
+                                WHEN n = 2 THEN 0.5
+                                WHEN rn = 1 OR rn = n THEN 0.4
+                                ELSE 0.2 / (n - 2) END), 6) AS credited_value
+FROM touches GROUP BY event_type
+""",
+    doc="Multi-touch attribution, U-shaped position credit: each "
+    "purchase's value splits over the user's view/click touchpoints in "
+    "the trailing 7 days — 40% to the first touch, 40% to the last, the "
+    "remaining 20% evenly across the middle (degenerating to 100%/50-50 "
+    "for 1-2 touches) — rolled up to credited value per touch type. "
+    "Shape: a per-user time-banded join (purchases x trailing touches, "
+    "bounded by the window, never all-pairs) feeding two window "
+    "functions partitioned BY PURCHASE (small frames, distributed over "
+    "purchases), then one partial+final aggregate; the tiebreak "
+    "(ts, event_id) makes first/last assignment deterministic. At "
+    "100 TB both sides pre-partition by user_id, so the join is "
+    "co-located and each purchase's frame stays node-local.",
+    tags=("analytics",),
+)
+def analytics_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    credit = F.col("p_value") * (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        joined.select("p_id", "p_value", "event_type", F.col("ts").alias("t_ts"), "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("p_id").orderBy("t_ts", "event_id")),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("p_id")))
+        .select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credited_value"),
+        )
+    )
