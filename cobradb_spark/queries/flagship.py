@@ -900,3 +900,116 @@ SELECT c_count, count(*) AS custdist FROM (
 GROUP BY c_count
 """
     )
+
+
+@register(
+    "sql_min_cost_supplier_q2",
+    oracle="""
+WITH supply AS (
+  SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+  FROM lineitem l
+), cost AS (
+  SELECT sp.partkey, sp.suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supply sp
+  JOIN supplier s ON s.s_suppkey = sp.suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT p.p_partkey, p.p_brand, c.s_name, round(c.s_acctbal, 2) AS s_acctbal,
+       c.n_name
+FROM part p JOIN cost c ON c.partkey = p.p_partkey
+WHERE p.p_size = 10
+  AND c.s_acctbal = (SELECT min(c2.s_acctbal) FROM cost c2
+                     WHERE c2.partkey = p.p_partkey)
+""",
+    doc="TPC-H Q2 shape (minimum-cost supplier) as pure spark.sql, the "
+    "supplier relation derived from lineitem and account balance "
+    "standing in for ps_supplycost (no partsupp in testdata): for "
+    "size-10 parts, the ASIA supplier(s) with the minimum balance per "
+    "part, via a correlated scalar MIN subquery over the same CTE. "
+    "Catalyst decorrelates to one aggregate per partkey joined back — "
+    "no per-row re-aggregation; balance ties keep ALL minimal "
+    "suppliers, exactly like the reference query. With q2 and q11 "
+    "adapted, all 22 classic TPC-H query shapes have registry "
+    "coverage (q1 = the pricing-summary flagship).",
+    tags=("flagship",),
+)
+def sql_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation", "region", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q2v")
+    return spark.sql(
+        """
+WITH supply AS (
+  SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+  FROM lineitem_q2v l
+), cost AS (
+  SELECT sp.partkey, sp.suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supply sp
+  JOIN supplier_q2v s ON s.s_suppkey = sp.suppkey
+  JOIN nation_q2v n ON n.n_nationkey = s.s_nationkey
+  JOIN region_q2v r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT p.p_partkey, p.p_brand, c.s_name, round(c.s_acctbal, 2) AS s_acctbal,
+       c.n_name
+FROM part_q2v p JOIN cost c ON c.partkey = p.p_partkey
+WHERE p.p_size = 10
+  AND c.s_acctbal = (SELECT min(c2.s_acctbal) FROM cost c2
+                     WHERE c2.partkey = p.p_partkey)
+"""
+    )
+
+
+@register(
+    "sql_important_stock_q11",
+    oracle="""
+WITH stock AS (
+  SELECT l.l_partkey AS partkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,0))
+             * CAST(p.p_retailprice AS DECIMAL(18,2))) AS stock_value
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey % 5 = 2
+  GROUP BY l.l_partkey
+)
+SELECT partkey, round(CAST(stock_value AS DOUBLE), 2) AS stock_value
+FROM stock
+WHERE stock_value > (SELECT 1.2 * avg(stock_value) FROM stock)
+""",
+    doc="TPC-H Q11 shape (important stock identification) as pure "
+    "spark.sql, stock value modeled as quantity x retail price over a "
+    "supplier segment (s_nationkey % 5 = 2 — a single nation key can be "
+    "absent at small sfs; no partsupp): parts whose value exceeds 1.2x "
+    "the nation's average (a share-of-total threshold like the "
+    "reference's 0.0001 fraction empties as the part universe grows — "
+    "the avg multiple stays populated at every sf), via an uncorrelated "
+    "scalar subquery over "
+    "the SAME CTE — the aggregate-then-threshold-on-global-share shape. "
+    "Values accumulate in DECIMAL (quantity is integral, price 2dp, so "
+    "products and sums are exact — both the threshold comparison and "
+    "the output survive cross-engine bit-compare without a rounding "
+    "guard); the scalar total broadcasts into the filter.",
+    tags=("flagship",),
+)
+def sql_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q11v")
+    return spark.sql(
+        """
+WITH stock AS (
+  SELECT l.l_partkey AS partkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,0))
+             * CAST(p.p_retailprice AS DECIMAL(18,2))) AS stock_value
+  FROM lineitem_q11v l
+  JOIN part_q11v p ON p.p_partkey = l.l_partkey
+  JOIN supplier_q11v s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey % 5 = 2
+  GROUP BY l.l_partkey
+)
+SELECT partkey, round(CAST(stock_value AS DOUBLE), 2) AS stock_value
+FROM stock
+WHERE stock_value > (SELECT 1.2 * avg(stock_value) FROM stock)
+"""
+    )

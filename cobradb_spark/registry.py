@@ -120,10 +120,11 @@ def _load() -> None:
 #     etl_schema_evolution_merge, multimodal_jpeg_decode,
 #     multimodal_png_decode, scan_gzip_jsonl, sql_shipmode_priority_q12)
 #     — 34 + 16 = 50 oracle-carrying keys; the r7 window head then takes
-#     sql_customer_distribution_q13 and analytics_attribution_position
-#     plus the four rows-only ANN keys (dedup_minhash_near, sim_ann_lsh,
-#     sim_ann_ivf, sim_ann_ivf_pq — the weakest check class goes last),
-#     after which every registered key has a driver row.
+#     sql_customer_distribution_q13, analytics_attribution_position,
+#     sql_min_cost_supplier_q2 and sql_important_stock_q11 plus the four
+#     rows-only ANN keys (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
+#     sim_ann_ivf_pq — the weakest check class goes last), after which
+#     every registered key has a driver row.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H-shape SQL suite additions (r4-new)
     "sql_large_volume_in_q18", "sql_idle_rich_customers_q22",
