@@ -229,3 +229,18 @@ def test_jpeg_restart_markers():
     for ri in (1, 2, 5):
         out = decode_jpeg(encode_jpeg(img, dc_step=8, ac_step=8, restart_interval=ri))
         assert (out == base).all(), ri
+
+
+def test_jpeg_category_magnitude_roundtrip():
+    """Huffman category/magnitude encoding must invert exactly over the
+    full baseline coefficient range (the encoder/decoder pair the
+    bit-exact fixture only exercises at small magnitudes)."""
+    from cobradb_spark.operators.jpeg import _category, _extend, _magnitude_bits
+
+    for v in range(-2047, 2048):
+        s = _category(v)
+        if v == 0:
+            assert s == 0
+            continue
+        assert 1 <= s <= 11
+        assert _extend(_magnitude_bits(v, s), s) == v
