@@ -272,7 +272,21 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline, 8-bit, 1x1-sampled JPEG to (h, w, 3) uint8 RGB
-    (grayscale images replicate into 3 channels)."""
+    (grayscale images replicate into 3 channels).
+
+    Malformed input always raises ValueError (fuzz-tested): low-level
+    parse failures from corrupt bytes (short reads, bad table ids,
+    absurd dimensions) are wrapped so a bad payload in a batch surfaces
+    as one classifiable error, not a random internal exception."""
+    try:
+        return _decode_jpeg_inner(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, MemoryError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -75,7 +75,20 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced greyscale/RGB/RGBA PNG to
-    (h, w, 3) uint8 RGB (alpha dropped, grey replicated)."""
+    (h, w, 3) uint8 RGB (alpha dropped, grey replicated).
+
+    Malformed input always raises ValueError (fuzz-tested): zlib and
+    struct failures from corrupt bytes are wrapped so a bad payload in
+    a batch surfaces as one classifiable error."""
+    try:
+        return _decode_png_inner(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, MemoryError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

@@ -244,3 +244,37 @@ def test_jpeg_category_magnitude_roundtrip():
             continue
         assert 1 <= s <= 11
         assert _extend(_magnitude_bits(v, s), s) == v
+
+
+def test_codecs_fail_clean_on_corrupt_input():
+    """Truncated/corrupted/header-stripped payloads must always raise
+    ValueError — never a raw IndexError/KeyError/zlib.error — so one bad
+    blob in a 100 TB batch is a classifiable record error, not a random
+    internal crash (seeded fuzz, 200 mutations per codec)."""
+    import random
+
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cobradb_spark.operators.png import decode_png, encode_png
+
+    rng = random.Random(7)
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :, 0] = 77
+    img[:, :, 1] = 128
+    img[:, :, 2] = 128
+    for data, dec in ((encode_jpeg(img), decode_jpeg), (encode_png(img), decode_png)):
+        for _ in range(200):
+            b = bytearray(data)
+            op = rng.random()
+            if op < 0.4:
+                b = b[: rng.randrange(1, len(b))]
+            elif op < 0.8:
+                for _ in range(rng.randrange(1, 4)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                b = b[rng.randrange(1, 10):]
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass  # the only acceptable failure mode
