@@ -908,3 +908,82 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_spans"))
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+  WHERE len(ws) >= 2
+), uni AS (
+  SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1
+), lm AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY w1, w2
+), vocab AS (
+  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg
+), scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         round(avg(-ln((l.c12 + 1.0) / (u.c1 + vv.v))), 9) AS nll
+  FROM bg b
+  JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+  JOIN uni u ON u.w1 = b.w1, vocab vv
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(exp(nll), 6) AS perplexity
+FROM scored
+""",
+    doc="Bigram language-model perplexity per document (add-one smoothed "
+    "conditionals p(w2|w1) = (c12+1)/(c1+V), corpus-fit) — the "
+    "context-aware upgrade of text_unigram_perplexity: repetitive "
+    "boilerplate scores LOW (its transitions are predictable) while "
+    "shuffled-word gibberish that fools a unigram LM scores HIGH, which "
+    "is exactly the split a pretraining quality filter needs. Shapes: "
+    "bigram explode from the materialized word array (one pass), two "
+    "frequency aggregates (shuffle = |bigram vocab|), scoring joins "
+    "back on (w1, w2) and w1, per-doc mean NLL. Mean-NLL rounds to 9 "
+    "on both engines before exp so the transcendental re-syncs "
+    "bit-exactly. At 100 TB the LM tables floor rare bigrams "
+    "(df cap) and broadcast, same as the unigram variant.",
+    tags=("textops",),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = (
+        w.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    uni = bg.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    vocab = bg.agg(F.count_distinct("w2").cast("double").alias("v"))
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 9
+            ).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.exp("nll"), 6).alias("perplexity"),
+    )
