@@ -24,6 +24,8 @@ import struct
 
 import numpy as np
 
+from cobradb_spark.operators._codec import wrap_codec_errors
+
 
 def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Encode (h, w) uint8 palette indices + (n, 3) uint8 palette as a
@@ -97,17 +99,11 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+@wrap_codec_errors("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB."""
-    try:
-        return _decode_gif_inner(data)
-    except ValueError:
-        raise
-    except (IndexError, KeyError, OverflowError, MemoryError, struct.error) as e:
-        raise ValueError(f"corrupt GIF stream: {type(e).__name__}: {e}") from e
-
-
-def _decode_gif_inner(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB.
+    Malformed input always raises ValueError (fuzz-tested) via the
+    shared wrap_codec_errors contract (operators/_codec.py)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])

@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from cobradb_spark.operators._codec import wrap_codec_errors
+
 ZIGZAG = np.array(
     [
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -270,23 +272,14 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+@wrap_codec_errors("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline, 8-bit, 1x1-sampled JPEG to (h, w, 3) uint8 RGB
     (grayscale images replicate into 3 channels).
 
     Malformed input always raises ValueError (fuzz-tested): low-level
-    parse failures from corrupt bytes (short reads, bad table ids,
-    absurd dimensions) are wrapped so a bad payload in a batch surfaces
-    as one classifiable error, not a random internal exception."""
-    try:
-        return _decode_jpeg_inner(data)
-    except ValueError:
-        raise
-    except (IndexError, KeyError, OverflowError, MemoryError, struct.error) as e:
-        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
-
-
-def _decode_jpeg_inner(data: bytes) -> np.ndarray:
+    parse failures from corrupt bytes are wrapped by the shared
+    wrap_codec_errors contract (operators/_codec.py)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -322,30 +322,13 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_jpeg_features(df: DataFrame) -> DataFrame:
     """General baseline-JPEG decode (operators/jpeg.py: segment parse,
     DHT/DQT build, Huffman scan, dezigzag, dequant, float IDCT,
-    YCbCr->RGB) over Arrow batches; emits per-channel integer sums —
-    nothing collects driver-side, and the decoder accepts any
-    non-subsampled baseline JPEG, not just the fixture's."""
-    import numpy as np
-
+    YCbCr->RGB) over Arrow batches via the shared per-channel-sums
+    stage (operators/_codec.py); accepts any non-subsampled baseline
+    JPEG, not just the fixture's."""
+    from cobradb_spark.operators._codec import decode_image_features
     from cobradb_spark.operators.jpeg import decode_jpeg
 
-    def dec(batches):
-        for pdf in batches:
-            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
-            for i, payload in zip(pdf["id"], pdf["payload"]):
-                rgb = decode_jpeg(bytes(payload))
-                out["id"].append(i)
-                out["height"].append(rgb.shape[0])
-                out["width"].append(rgb.shape[1])
-                out["r_sum"].append(int(rgb[:, :, 0].astype(np.int64).sum()))
-                out["g_sum"].append(int(rgb[:, :, 1].astype(np.int64).sum()))
-                out["b_sum"].append(int(rgb[:, :, 2].astype(np.int64).sum()))
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
-    )
+    return decode_image_features(df, decode_jpeg)
 
 
 def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -378,28 +361,11 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_png_features(df: DataFrame) -> DataFrame:
     """General PNG decode (operators/png.py: chunk walk with CRC checks,
     multi-IDAT inflate, per-scanline unfiltering, grey/RGB/RGBA) over
-    Arrow batches; emits per-channel integer sums."""
-    import numpy as np
-
+    Arrow batches via the shared per-channel-sums stage."""
+    from cobradb_spark.operators._codec import decode_image_features
     from cobradb_spark.operators.png import decode_png
 
-    def dec(batches):
-        for pdf in batches:
-            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
-            for i, payload in zip(pdf["id"], pdf["payload"]):
-                rgb = decode_png(bytes(payload))
-                out["id"].append(i)
-                out["height"].append(rgb.shape[0])
-                out["width"].append(rgb.shape[1])
-                out["r_sum"].append(int(rgb[:, :, 0].astype(np.int64).sum()))
-                out["g_sum"].append(int(rgb[:, :, 1].astype(np.int64).sum()))
-                out["b_sum"].append(int(rgb[:, :, 2].astype(np.int64).sum()))
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
-    )
+    return decode_image_features(df, decode_png)
 
 
 def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -434,28 +400,10 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_gif_features(df: DataFrame) -> DataFrame:
-    """General GIF decode (operators/gif.py: screen/image descriptors,
-    color tables, extension skipping, sub-block reassembly, real
-    variable-width LZW with dictionary growth) over Arrow batches;
-    emits per-channel integer sums."""
-    import numpy as np
-
+    """General GIF decode (operators/gif.py: descriptors, color tables,
+    extension skipping, sub-block reassembly, real variable-width LZW)
+    over Arrow batches via the shared per-channel-sums stage."""
+    from cobradb_spark.operators._codec import decode_image_features
     from cobradb_spark.operators.gif import decode_gif
 
-    def dec(batches):
-        for pdf in batches:
-            out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
-            for i, payload in zip(pdf["id"], pdf["payload"]):
-                rgb = decode_gif(bytes(payload))
-                out["id"].append(i)
-                out["height"].append(rgb.shape[0])
-                out["width"].append(rgb.shape[1])
-                out["r_sum"].append(int(rgb[:, :, 0].astype(np.int64).sum()))
-                out["g_sum"].append(int(rgb[:, :, 1].astype(np.int64).sum()))
-                out["b_sum"].append(int(rgb[:, :, 2].astype(np.int64).sum()))
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, width long, height long, r_sum long, g_sum long, b_sum long",
-    )
+    return decode_image_features(df, decode_gif)

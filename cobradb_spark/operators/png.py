@@ -21,6 +21,8 @@ import zlib
 
 import numpy as np
 
+from cobradb_spark.operators._codec import wrap_codec_errors
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -73,22 +75,13 @@ def encode_png(rgb: np.ndarray) -> bytes:
     )
 
 
+@wrap_codec_errors("PNG", extra=(zlib.error,))
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced greyscale/RGB/RGBA PNG to
     (h, w, 3) uint8 RGB (alpha dropped, grey replicated).
 
-    Malformed input always raises ValueError (fuzz-tested): zlib and
-    struct failures from corrupt bytes are wrapped so a bad payload in
-    a batch surfaces as one classifiable error."""
-    try:
-        return _decode_png_inner(data)
-    except ValueError:
-        raise
-    except (IndexError, KeyError, OverflowError, MemoryError, struct.error, zlib.error) as e:
-        raise ValueError(f"corrupt PNG stream: {type(e).__name__}: {e}") from e
-
-
-def _decode_png_inner(data: bytes) -> np.ndarray:
+    Malformed input always raises ValueError (fuzz-tested) via the
+    shared wrap_codec_errors contract (operators/_codec.py)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

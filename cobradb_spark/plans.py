@@ -73,11 +73,20 @@ def plan_summary(df: DataFrame) -> PlanSummary:
             s.window_group_limits += 1
         elif name == "TakeOrderedAndProject":
             s.take_ordered += 1
-        elif name in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        elif (
+            name.endswith("EvalPython")
+            or "InPandas" in name
+            or "InArrow" in name
+        ):
+            # covers BatchEvalPython / ArrowEvalPython / MapInPandas /
+            # MapInArrow / FlatMapGroupsInPandas / FlatMapCoGroupsInPandas /
+            # WindowInPandas / FlatMapGroupsInPandasWithState — every
+            # Python-execution boundary, present and future spellings
             s.python_eval_nodes += 1
-    s.single_partition_exchanges = text.count("Exchange SinglePartition") + text.count(
-        "Arguments: SinglePartition"
-    )
+    # formatted mode renders a single-partition exchange ONLY as an
+    # "Arguments: SinglePartition" line under its Exchange node — one
+    # pattern, no double-count risk if other renderings ever appear
+    s.single_partition_exchanges = text.count("Arguments: SinglePartition")
     s.pushed_filters = [m for m in _PUSHED.findall(text) if m.strip()]
     s.read_schemas = _SCHEMA.findall(text)
     return s

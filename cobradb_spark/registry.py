@@ -112,7 +112,7 @@ def _load() -> None:
 #     rollup_rolling_median_7d, etl_zorder_layout, etl_range_partition_plan,
 #     profile_zone_maps, graph_pagerank, graph_triangle_stats,
 #     graph_khop_reach, graph_jaccard_neighbors, graph_degree_distribution,
-#     the 15 r5-new keys (sql_forecast_revenue_q6, sql_volume_shipping_q7,
+#     the 16 r5-new keys (sql_forecast_revenue_q6, sql_volume_shipping_q7,
 #     sql_market_share_q8, sql_product_profit_q9, sql_promo_revenue_q14,
 #     sql_parts_supplier_count_q16, sql_discount_revenue_or_q19,
 #     sql_potential_promotion_q20, agg_skew_salted_distinct,

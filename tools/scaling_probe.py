@@ -89,16 +89,18 @@ def timed(fn, spark, sf, reps=3) -> float:
 
 # Measured context for rows whose ratio needs interpretation — rendered
 # under the table so a reader (or judge) sees the evidence, not just a
-# number.  Keep entries grounded in committed measurements.
+# number.  Entries cite the ROUND they were measured in (they re-emit
+# verbatim on regeneration — if a later probe contradicts one, update
+# or delete the entry rather than letting stale evidence misdirect).
 NOTES = {
     "dedup_containment_ngram": (
-        "work is measured LINEAR (postings 25.2k->250.7k, pair rows "
+        "r5 measurements: work is LINEAR (postings 25.2k->250.7k, pair rows "
         "27.7k->277.8k, max 5-gram df 4 at sf0.1 — nothing to prune); "
         "the ratio above 1x is fixed-overhead amortization at a ~0.4s "
         "baseline, not super-linearity"
     ),
     "join_fuzzy_blocked": (
-        "the TRUE result grows 13.1x on 10x data (2.9k->38k pairs); "
+        "r5 measurement: the TRUE result grows 13.1x on 10x data (2.9k->38k pairs); "
         "runtime growing slower than the output is the best case"
     ),
     "graph_triangle_stats": (
@@ -107,7 +109,7 @@ NOTES = {
         "standard mitigation is in place"
     ),
     "graph_jaccard_neighbors": (
-        "same wedge-bound shape as triangle counting (147.8M wedge rows "
+        "same wedge-bound shape as triangle counting (r5: 147.8M wedge rows "
         "at sf0.1); at 100 TB a hub-degree cap or MinHash prefilter "
         "bounds the hot tail, as the operator docstring prescribes"
     ),
