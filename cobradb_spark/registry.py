@@ -92,73 +92,49 @@ def _load() -> None:
 #   (d) 42 of the 122 never-checked registry keys, oracle-carrying
 #       first: the dedup/sim + text/embed families (this engine's north
 #       star), sketches, analytics, reshape.
-# Round 5 executes the window planned in round 4: 50 oracle-carrying
-# never-checked keys (the r4 verdict's item 1).  After this window the
-# never-checked count drops 88 -> 38 (34 oracle-carrying + the 4
-# rows-only ANN keys).
-#   r6 (~38 + any keys added in r5): etl/rollup/sample/profile/graph
-#     families + any r5 spillover; rows-only keys (minhash, lsh, ivf,
-#     ivf_pq) go LAST — the driver records only a weaker rows-only line
-#     for them, so every oracle-carrying key gets its hash row first.
-#     Planned r6 list: etl_model_load, etl_llm_corpus_pipeline,
-#     etl_cdc_apply, etl_backfill_partition, etl_compact_small_files,
-#     etl_incremental_join_refresh, etl_snapshot_diff, etl_fk_containment,
-#     etl_cascade_delete_plan, rollup_gapfill, etl_scd2_history,
-#     sample_hash_deterministic, sample_stratified, split_train_test,
-#     profile_table, etl_shard_balanced, sample_weighted_bernoulli,
-#     sample_weighted_topk, profile_skew_keys, analytics_path_transitions,
-#     events_changepoint_cusum, rollup_ohlc, etl_incremental_agg,
-#     rollup_interpolate_linear, rollup_growth_mom_yoy,
-#     rollup_rolling_median_7d, etl_zorder_layout, etl_range_partition_plan,
-#     profile_zone_maps, graph_pagerank, graph_triangle_stats,
-#     graph_khop_reach, graph_jaccard_neighbors, graph_degree_distribution,
-#     the 16 r5-new keys (sql_forecast_revenue_q6, sql_volume_shipping_q7,
-#     sql_market_share_q8, sql_product_profit_q9, sql_promo_revenue_q14,
-#     sql_parts_supplier_count_q16, sql_discount_revenue_or_q19,
-#     sql_potential_promotion_q20, agg_skew_salted_distinct,
-#     sample_reservoir_per_group, profile_column_histogram,
-#     etl_schema_evolution_merge, multimodal_jpeg_decode,
-#     multimodal_png_decode, scan_gzip_jsonl, sql_shipmode_priority_q12)
-#     — 34 + 16 = 50 oracle-carrying keys; the r7 window head then takes
-#     sql_customer_distribution_q13, analytics_attribution_position,
-#     sql_min_cost_supplier_q2, sql_important_stock_q11,
-#     text_bigram_perplexity and multimodal_gif_decode plus the four
-#     rows-only ANN keys (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
-#     sim_ann_ivf_pq — the weakest check class goes last), after which
-#     every registered key has a driver row.
+# Round 5 executed the window planned in round 4 (50 oracle-carrying
+# never-checked keys, all green in CORRECTNESS_r05).  Round 6 executes
+# the window planned in round 5: the 34 remaining oracle-carrying
+# never-checked keys (etl/rollup/sample/profile/graph families) + the
+# 16 r5-new keys.  After this window the never-checked count drops
+# 60 -> 10.
+#   r7 window head (planned): sql_customer_distribution_q13,
+#     analytics_attribution_position, sql_min_cost_supplier_q2,
+#     sql_important_stock_q11, text_bigram_perplexity,
+#     multimodal_gif_decode, any r6-new keys, then the four rows-only
+#     ANN keys LAST (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
+#     sim_ann_ivf_pq — the driver records only a weaker rows-only line
+#     for them, so every oracle-carrying key gets its hash row first),
+#     after which every registered key has a driver row.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H-shape SQL suite additions (r4-new)
-    "sql_large_volume_in_q18", "sql_idle_rich_customers_q22",
-    "sql_waiting_suppliers_q21", "sql_top_supplier_scalar_q15",
-    # r4-new standalone ops
-    "dedup_containment_ngram", "agg_countmin_freq", "etl_k_anonymize",
-    "analytics_pattern_match_journeys",
-    # streaming extension family
-    "stream_cdc_upsert_view", "stream_python_sink", "stream_stream_join",
-    "stream_python_source", "stream_sessionize_stateful",
-    "stream_trending_topk", "stream_chained_stateful_agg",
-    "rollup_hypertable",
-    # aggregates tail
-    "agg_stats_higher", "agg_argminmax", "agg_weighted_stats",
-    "agg_listagg_ordered", "agg_corr_matrix", "agg_mode",
-    # windows tail
-    "win_cume_dist", "win_ewma_smooth", "win_islands_ranges",
-    "win_running_distinct",
-    # scalars / setops tail
-    "set_intersect_except_all", "date_months_between",
-    "date_month_diff_exact", "math_bround", "json_variant_typed",
-    "scalars_try_safe",
-    # multimodal family (binary payload decode via Arrow mapInPandas)
-    "multimodal_decode", "multimodal_audio_decode", "multimodal_image_decode",
-    "multimodal_video_frame_decode", "multimodal_frame_sample",
-    "multimodal_phash_dedup",
-    # udf extension tail
-    "udaf_pandas_gmean", "udf_map_in_arrow", "udf_cogrouped_map",
-    "udf_sql_declarative", "udf_arrow_optimized_scalar",
-    "udtf_polymorphic_analyze", "udf_grouped_apply_arrow",
-    # fillers to 50: oracle-carrying etl/agg keys
-    "agg_skew_kurt", "etl_pack_sequences", "etl_corpus_mixture",
-    "etl_table_checksum", "dq_validate_suite",
+    # etl family (never driver-checked before r6)
+    "etl_model_load", "etl_llm_corpus_pipeline", "etl_cdc_apply",
+    "etl_backfill_partition", "etl_compact_small_files",
+    "etl_incremental_join_refresh", "etl_snapshot_diff",
+    "etl_fk_containment", "etl_cascade_delete_plan", "etl_scd2_history",
+    "etl_shard_balanced", "etl_incremental_agg", "etl_zorder_layout",
+    "etl_range_partition_plan",
+    # rollup family
+    "rollup_gapfill", "rollup_ohlc", "rollup_interpolate_linear",
+    "rollup_growth_mom_yoy", "rollup_rolling_median_7d",
+    # sample / split / profile families
+    "sample_hash_deterministic", "sample_stratified", "split_train_test",
+    "sample_weighted_bernoulli", "sample_weighted_topk",
+    "profile_table", "profile_skew_keys", "profile_zone_maps",
+    # analytics / events
+    "analytics_path_transitions", "events_changepoint_cusum",
+    # graph family
+    "graph_pagerank", "graph_triangle_stats", "graph_khop_reach",
+    "graph_jaccard_neighbors", "graph_degree_distribution",
+    # r5-new keys (TPC-H shapes + standalone ops)
+    "sql_forecast_revenue_q6", "sql_volume_shipping_q7",
+    "sql_market_share_q8", "sql_product_profit_q9",
+    "sql_promo_revenue_q14", "sql_parts_supplier_count_q16",
+    "sql_discount_revenue_or_q19", "sql_potential_promotion_q20",
+    "sql_shipmode_priority_q12", "agg_skew_salted_distinct",
+    "sample_reservoir_per_group", "profile_column_histogram",
+    "etl_schema_evolution_merge", "multimodal_jpeg_decode",
+    "multimodal_png_decode", "scan_gzip_jsonl",
 )
 
 
