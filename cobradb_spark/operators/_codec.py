@@ -32,7 +32,11 @@ def wrap_codec_errors(fmt: str, extra: tuple[type[BaseException], ...] = ()):
                 return fn(data)
             except ValueError:
                 raise
-            except (IndexError, KeyError, OverflowError, MemoryError, struct.error, *extra) as e:
+            # MemoryError deliberately NOT wrapped: a decompression bomb
+            # or genuine executor memory pressure must surface as a
+            # resource failure, not be misclassified as per-record
+            # corruption (advisor r5).
+            except (IndexError, KeyError, OverflowError, struct.error, *extra) as e:
                 raise ValueError(f"corrupt {fmt} stream: {type(e).__name__}: {e}") from e
 
         return inner

@@ -12,10 +12,14 @@ Codec coverage in this container (no PIL / librosa / ffmpeg):
     and netpbm P6 RGB images (synthesize_ppm / decode_ppm_features —
     header parse + numpy raster + strided resize).  Both are
     value-hashed end-to-end against SQL oracles.
+  - REAL decode for compressed images: JPEG (operators/jpeg.py —
+    Huffman + dequant + IDCT), PNG (operators/png.py — pure-python
+    zlib inflate + filters), GIF (operators/gif.py — LZW), all
+    numpy/stdlib-only and oracle-checked end-to-end.
   - "fake": deterministic sha256-derived features — the full Spark
     plumbing (schema, batching, partitioning) is real and oracle-checked;
-  - compressed image/audio/video codecs: clearly-marked
-    NotImplementedError stubs where the PIL/librosa/ffmpeg call would go.
+  - compressed AUDIO/VIDEO codecs (MP3, H.264): clearly-marked
+    NotImplementedError stubs where the librosa/ffmpeg call would go.
 """
 
 from __future__ import annotations

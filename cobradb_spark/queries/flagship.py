@@ -966,17 +966,19 @@ WHERE p.p_size = 10
     oracle="""
 WITH stock AS (
   SELECT l.l_partkey AS partkey,
-         sum(CAST(l.l_quantity AS DECIMAL(18,0))
-             * CAST(p.p_retailprice AS DECIMAL(18,2))) AS stock_value
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,0))
+             * CAST(p.p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   WHERE s.s_nationkey % 5 = 2
   GROUP BY l.l_partkey
-)
-SELECT partkey, round(CAST(stock_value AS DOUBLE), 2) AS stock_value
-FROM stock
-WHERE stock_value > (SELECT 1.2 * avg(stock_value) FROM stock)
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+               CAST(count(*) AS BIGINT) AS cnt FROM stock)
+SELECT partkey, round(CAST(cents AS DOUBLE) / 100, 6) AS stock_value
+FROM stock, tot
+WHERE cents * 5 * cnt > tot_cents * 6
 """,
     doc="TPC-H Q11 shape (important stock identification) as pure "
     "spark.sql, stock value modeled as quantity x retail price over a "
@@ -984,13 +986,15 @@ WHERE stock_value > (SELECT 1.2 * avg(stock_value) FROM stock)
     "absent at small sfs; no partsupp): parts whose value exceeds 1.2x "
     "the nation's average (a share-of-total threshold like the "
     "reference's 0.0001 fraction empties as the part universe grows — "
-    "the avg multiple stays populated at every sf), via an uncorrelated "
-    "scalar subquery over "
-    "the SAME CTE — the aggregate-then-threshold-on-global-share shape. "
-    "Values accumulate in DECIMAL (quantity is integral, price 2dp, so "
-    "products and sums are exact — both the threshold comparison and "
-    "the output survive cross-engine bit-compare without a rounding "
-    "guard); the scalar total broadcasts into the filter.",
+    "the avg multiple stays populated at every sf). The threshold is "
+    "evaluated in exact integer-cent arithmetic on BOTH engines: "
+    "stock_value > 1.2*avg rewrites to cents*5*cnt > tot_cents*6, which "
+    "sidesteps the engines' different avg() result domains (Spark avg "
+    "over DECIMAL stays DECIMAL, DuckDB's returns DOUBLE — a part within "
+    "one double ulp of the threshold could flip inclusion; advisor r5). "
+    "Output converts cents to DOUBLE and rounds at 6 (tie-free: the "
+    "exact value has 2 decimals). The 1-row total broadcasts into the "
+    "filter.",
     tags=("flagship",),
 )
 def sql_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,16 +1004,18 @@ def sql_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
 WITH stock AS (
   SELECT l.l_partkey AS partkey,
-         sum(CAST(l.l_quantity AS DECIMAL(18,0))
-             * CAST(p.p_retailprice AS DECIMAL(18,2))) AS stock_value
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,0))
+             * CAST(p.p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
   FROM lineitem_q11v l
   JOIN part_q11v p ON p.p_partkey = l.l_partkey
   JOIN supplier_q11v s ON s.s_suppkey = l.l_suppkey
   WHERE s.s_nationkey % 5 = 2
   GROUP BY l.l_partkey
-)
-SELECT partkey, round(CAST(stock_value AS DOUBLE), 2) AS stock_value
-FROM stock
-WHERE stock_value > (SELECT 1.2 * avg(stock_value) FROM stock)
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+               CAST(count(*) AS BIGINT) AS cnt FROM stock)
+SELECT partkey, round(CAST(cents AS DOUBLE) / 100, 6) AS stock_value
+FROM stock, tot
+WHERE cents * 5 * cnt > tot_cents * 6
 """
     )
