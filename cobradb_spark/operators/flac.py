@@ -1,0 +1,484 @@
+"""Pure-python FLAC subset — the lossless compressed-AUDIO family,
+completing the codec matrix (JPEG = lossy image, PNG/GIF = lossless
+image, WAV = uncompressed audio, FLAC = compressed-lossless audio).
+
+FLAC frames are fixed-predictor (or LPC) residuals under Rice coding
+inside a CRC-guarded bitstream — fully lossless, so like PNG the decode
+is bit-exact by construction and directly SQL-oracle-able.  This module
+implements a genuine subset of the published FLAC format (bit-compatible
+with the spec for the features it covers):
+
+- an ENCODER (`encode_flac`): fLaC marker, STREAMINFO metadata block
+  (including the MD5 of the unencoded samples), fixed-blocksize frames
+  with spec frame headers (14-bit sync, UTF-8-coded frame number,
+  CRC-8) and CRC-16 trailers; per-block best-of FIXED predictor order
+  0-4 chosen by exact Rice cost, CONSTANT and VERBATIM subframes where
+  they win; mono / 16-bit.
+- a DECODER (`decode_flac`): metadata-block walk, all blocksize and
+  sample-rate header encodings, CONSTANT / VERBATIM / FIXED subframes,
+  both Rice residual methods (4- and 5-bit parameters) at any partition
+  order including the verbatim-escape, wasted-bits handling, CRC-8 and
+  CRC-16 verification, and the STREAMINFO MD5 end-to-end integrity
+  check.  LPC subframes and multi-channel streams raise ValueError
+  (documented subset bounds), as does any malformed input (fuzz-tested)
+  via the shared wrap_codec_errors contract.
+
+Scale: encode/decode run inside Arrow-batched mapInPandas over binary
+payload columns — per-row independent work, no shuffle, no driver
+materialization (see queries/multimodal.py:multimodal_flac_decode).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from cobradb_spark.operators._codec import wrap_codec_errors
+
+_SYNC = 0b11111111111110
+_BLOCKSIZE = 256  # encoder's fixed blocksize (multi-frame streams for typical clips)
+
+# diff^k reconstruction coefficients: x[i] = r[i] + sum(c_j * x[i-1-j])
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TABLE[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16_TABLE[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _BitWriter:
+    """MSB-first bit packer (FLAC bit order, opposite of GIF's LZW)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (val & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:  # bounded chunks keep the accumulator small
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+class _BitReader:
+    """MSB-first bit reader with chunked unary scan."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
+    def read(self, bits: int) -> int:
+        if bits == 0:
+            return 0
+        self._fill(bits)
+        self.nbits -= bits
+        v = (self.acc >> self.nbits) & ((1 << bits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.nbits == 0:
+                self._fill(1)
+            if self.acc == 0:
+                q += self.nbits
+                self.nbits = 0
+                continue
+            top = self.acc.bit_length()
+            q += self.nbits - top
+            self.nbits = top - 1
+            self.acc &= (1 << self.nbits) - 1
+            return q
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame numbers up to 36 bits):
+    `extra` continuation bytes give (6 - extra) + 6 * extra payload bits."""
+    if n < 0x80:
+        return bytes([n])
+    for extra in range(1, 7):
+        if n.bit_length() <= (6 - extra) + 6 * extra:
+            lead = (0xFF << (7 - extra)) & 0xFF
+            out = [lead | ((n >> (6 * extra)) & ((1 << (6 - extra)) - 1))]
+            for i in range(extra - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large for UTF-8 coding")
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    extra = 0
+    mask = 0x40
+    while first & mask:
+        extra += 1
+        mask >>= 1
+    if extra == 0 or extra > 6:
+        raise ValueError("bad UTF-8-coded frame number")
+    n = first & (mask - 1)
+    for _ in range(extra):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation byte")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, 2 * r, -2 * r - 1)
+
+
+def _rice_cost(u: np.ndarray, m: int) -> int:
+    return int((u >> m).sum()) + len(u) * (m + 1)
+
+
+def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
+    best_m, best_cost = 0, _rice_cost(u, 0)
+    for m in range(1, 15):
+        c = _rice_cost(u, m)
+        if c < best_cost:
+            best_m, best_cost = m, c
+    return best_m, best_cost
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono int16 samples as a spec-subset FLAC stream."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        raise ValueError("cannot encode an empty clip")
+    if x.min() < -32768 or x.max() > 32767:
+        raise ValueError("samples out of int16 range")
+    n_total = len(x)
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    info = _BitWriter()
+    info.write(_BLOCKSIZE, 16)  # min blocksize
+    info.write(_BLOCKSIZE, 16)  # max blocksize
+    info.write(0, 24)  # min framesize unknown
+    info.write(0, 24)  # max framesize unknown
+    info.write(sample_rate, 20)
+    info.write(0, 3)  # channels - 1 (mono)
+    info.write(15, 5)  # bits per sample - 1
+    info.write(n_total, 36)
+    assert info.nbits == 0
+    body = bytes(info.buf) + md5
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body  # last block, type 0
+
+    for frame_no, start in enumerate(range(0, n_total, _BLOCKSIZE)):
+        block = x[start : start + _BLOCKSIZE]
+        out += _encode_frame(block, frame_no)
+    return bytes(out)
+
+
+def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
+    n = len(block)
+    w = _BitWriter()
+    w.write(_SYNC, 14)
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed-blocksize strategy
+    w.write(0b0111, 4)  # blocksize: explicit 16-bit at header end
+    w.write(0b0000, 4)  # sample rate: from STREAMINFO
+    w.write(0b0000, 4)  # channel assignment: mono
+    w.write(0b100, 3)  # 16 bits per sample
+    w.write(0, 1)  # reserved
+    for b in _utf8_number(frame_no):
+        w.write(b, 8)
+    w.write(n - 1, 16)
+    assert w.nbits == 0
+    w.write(_crc8(bytes(w.buf)), 8)
+
+    _write_subframe(w, block)
+    w.align()
+    w.write(_crc16(bytes(w.buf)), 16)
+    return bytes(w.buf)
+
+
+def _write_subframe(w: _BitWriter, block: np.ndarray) -> None:
+    n = len(block)
+    if n > 1 and (block == block[0]).all():
+        w.write(0, 1)
+        w.write(0b000000, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(int(block[0]), 16)
+        return
+    # pick the cheapest FIXED order by exact Rice cost (order capped by n-1)
+    best = None
+    for k in range(0, min(5, n)):
+        resid = np.diff(block, n=k) if k else block
+        m, cost = _best_rice_param(_zigzag(resid))
+        total = 16 * k + 2 + 4 + 4 + cost  # warmup + method + part order + param
+        if best is None or total < best[0]:
+            best = (total, k, m, resid)
+    total, k, m, resid = best
+    if total >= 16 * n:
+        w.write(0, 1)
+        w.write(0b000001, 6)  # VERBATIM
+        w.write(0, 1)
+        for v in block:
+            w.write(int(v), 16)
+        return
+    w.write(0, 1)
+    w.write(0b001000 | k, 6)  # FIXED, order k
+    w.write(0, 1)  # no wasted bits
+    for v in block[:k]:
+        w.write(int(v), 16)
+    w.write(0b00, 2)  # partitioned-Rice, 4-bit parameters
+    w.write(0, 4)  # partition order 0
+    w.write(m, 4)
+    for u in _zigzag(resid):
+        u = int(u)
+        w.write_unary(u >> m)
+        if m:
+            w.write(u & ((1 << m) - 1), m)
+
+
+_BLOCKSIZE_CODES = {0b0001: 192, **{c: 576 << (c - 2) for c in range(2, 6)},
+                    **{c: 256 << (c - 8) for c in range(8, 16)}}
+_RATE_CODES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+               7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+
+@wrap_codec_errors("FLAC")
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono FLAC-subset stream to (int64 samples, sample_rate).
+    Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5; malformed input
+    raises ValueError (shared wrap_codec_errors contract)."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (bad marker)")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = data[pos : pos + 4]
+        if len(hdr) < 4:
+            raise ValueError("truncated metadata block header")
+        last = bool(hdr[0] & 0x80)
+        btype = hdr[0] & 0x7F
+        blen = int.from_bytes(hdr[1:4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("missing or malformed STREAMINFO")
+    si = _BitReader(streaminfo)
+    si.read(16)  # min blocksize
+    si.read(16)  # max blocksize
+    si.read(24)  # min framesize
+    si.read(24)  # max framesize
+    rate = si.read(20)
+    channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    n_total = si.read(36)
+    md5 = streaminfo[18:34]
+    if channels != 1:
+        raise ValueError(f"subset decoder is mono-only ({channels} channels)")
+    if bps != 16:
+        raise ValueError(f"subset decoder is 16-bit-only ({bps} bps)")
+    if rate == 0:
+        raise ValueError("invalid sample rate 0")
+
+    samples: list[np.ndarray] = []
+    got = 0
+    while got < n_total:
+        block, pos = _decode_frame(data, pos, rate, bps)
+        samples.append(block)
+        got += len(block)
+    if got != n_total:
+        raise ValueError("decoded sample count exceeds STREAMINFO total")
+    x = np.concatenate(samples) if samples else np.empty(0, dtype=np.int64)
+    if md5 != bytes(16) and hashlib.md5(x.astype("<i2").tobytes()).digest() != md5:
+        raise ValueError("STREAMINFO MD5 mismatch (corrupt audio data)")
+    return x, rate
+
+
+def _decode_frame(data: bytes, pos: int, si_rate: int, bps: int) -> tuple[np.ndarray, int]:
+    br = _BitReader(data, pos)
+    if br.read(14) != _SYNC:
+        raise ValueError("lost frame sync")
+    if br.read(1):
+        raise ValueError("reserved frame-header bit set")
+    br.read(1)  # blocking strategy
+    bs_code = br.read(4)
+    rate_code = br.read(4)
+    chan = br.read(4)
+    size_code = br.read(3)
+    if br.read(1):
+        raise ValueError("reserved frame-header bit set")
+    if chan != 0:
+        raise ValueError("subset decoder is mono-only")
+    if size_code not in (0b000, 0b100):
+        raise ValueError(f"unsupported sample-size code {size_code:03b}")
+    _read_utf8_number(br)
+    if bs_code == 0b0110:
+        blocksize = br.read(8) + 1
+    elif bs_code == 0b0111:
+        blocksize = br.read(16) + 1
+    elif bs_code in _BLOCKSIZE_CODES:
+        blocksize = _BLOCKSIZE_CODES[bs_code]
+    else:
+        raise ValueError(f"invalid blocksize code {bs_code:04b}")
+    if rate_code == 0b0000:
+        pass  # from STREAMINFO
+    elif rate_code in _RATE_CODES:
+        if _RATE_CODES[rate_code] != si_rate:
+            raise ValueError("frame sample rate contradicts STREAMINFO")
+    elif rate_code == 0b1100:
+        br.read(8)
+    elif rate_code in (0b1101, 0b1110):
+        br.read(16)
+    else:
+        raise ValueError("invalid sample-rate code 1111")
+    header_len = br.pos - pos
+    if _crc8(data[pos : pos + header_len]) != br.read(8):
+        raise ValueError("frame header CRC-8 mismatch")
+
+    block = _decode_subframe(br, blocksize, bps)
+
+    br.align()
+    frame_len = br.pos - pos
+    crc = br.read(16)
+    if _crc16(data[pos : pos + frame_len]) != crc:
+        raise ValueError("frame CRC-16 mismatch")
+    return block, br.pos
+
+
+def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if stype == 0b000000:  # CONSTANT
+        x = np.full(n, br.read_signed(eff), dtype=np.int64)
+    elif stype == 0b000001:  # VERBATIM
+        x = np.array([br.read_signed(eff) for _ in range(n)], dtype=np.int64)
+    elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        k = stype & 0x07
+        if k > n:
+            raise ValueError("predictor order exceeds blocksize")
+        warmup = np.array([br.read_signed(eff) for _ in range(k)], dtype=np.int64)
+        resid = _decode_residual(br, n, k)
+        x = _integrate_fixed(warmup, resid, k)
+    elif stype & 0b100000:
+        raise ValueError("LPC subframes outside the implemented subset")
+    else:
+        raise ValueError(f"reserved subframe type {stype:06b}")
+    return x << wasted
+
+
+def _decode_residual(br: _BitReader, n: int, k: int) -> np.ndarray:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved residual coding method {method:02b}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    n_part = 1 << porder
+    if n % n_part:
+        raise ValueError("blocksize not divisible by partition count")
+    out = np.empty(n - k, dtype=np.int64)
+    idx = 0
+    for p in range(n_part):
+        count = n // n_part - (k if p == 0 else 0)
+        if count < 0:
+            raise ValueError("predictor order exceeds first partition")
+        m = br.read(pbits)
+        if m == escape:
+            raw_bits = br.read(5)
+            for i in range(count):
+                out[idx + i] = br.read_signed(raw_bits) if raw_bits else 0
+        else:
+            for i in range(count):
+                u = (br.read_unary() << m) | br.read(m)
+                out[idx + i] = (u >> 1) ^ -(u & 1)
+        idx += count
+    return out
+
+
+def _integrate_fixed(warmup: np.ndarray, resid: np.ndarray, k: int) -> np.ndarray:
+    """Invert diff^k via k cumulative sums seeded from the warmup."""
+    if k == 0:
+        return resid.copy()
+    diffs = [warmup]
+    for _ in range(k):
+        diffs.append(np.diff(diffs[-1]))
+    cur = resid
+    for j in range(k - 1, -1, -1):
+        first = diffs[j][0]
+        cur = np.concatenate([[first], first + np.cumsum(cur)])
+    return cur

@@ -156,6 +156,65 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL FLAC stream per row (operators/flac.py — pure numpy/stdlib
+    encoder: STREAMINFO + MD5, CRC-guarded frames, best-of FIXED
+    predictors with Rice coding).  Same deterministic PCM as the WAV
+    fixture (n = 800 + id % 100 at 8 kHz, s_i = ((id*31 + i*7) % 65536)
+    - 32768), so the decode oracle is shared with multimodal_audio_decode;
+    the 256-sample blocksize yields multi-frame streams that exercise
+    frame sequencing and the short final frame."""
+    import numpy as np
+
+    from cobradb_spark.operators.flac import encode_flac
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                n = 800 + int(did) % 100
+                i = np.arange(n, dtype=np.int64)
+                samples = (int(did) * 31 + i * 7) % 65536 - 32768
+                payloads.append(encode_flac(samples, 8000))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_flac_features(df: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode (operators/flac.py: metadata walk,
+    frame sync + CRC-8/CRC-16 verification, Rice residual decode, fixed-
+    predictor integration, STREAMINFO MD5 check) over Arrow batches,
+    emitting the same integer-exact sample statistics as the WAV path so
+    the whole compressed round trip hash-checks against one SQL oracle."""
+    import numpy as np
+
+    from cobradb_spark.operators.flac import decode_flac
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "n_samples": [],
+                "s_min": [], "s_max": [], "s_sum": [], "ss_sum": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                samples, rate = decode_flac(bytes(payload))
+                out["id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["s_min"].append(int(samples.min()))
+                out["s_max"].append(int(samples.max()))
+                out["s_sum"].append(int(samples.sum()))
+                out["ss_sum"].append(int((samples * samples).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        decode,
+        schema="id long, sample_rate long, n_samples long, "
+        "s_min long, s_max long, s_sum long, ss_sum long",
+    )
+
+
 PPM_W, PPM_H = 16, 16
 
 

@@ -441,3 +441,43 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_features(synthesize_gif(d, id_col="doc_id")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "multimodal_flac_decode",
+    oracle="""
+WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n FROM documents),
+s AS (
+  SELECT d.doc_id, d.n, ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+  FROM d, UNNEST(range(0, d.n)) AS t(i)
+)
+SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max,
+       CAST(sum(v) AS BIGINT) AS s_sum, CAST(sum(v * v) AS BIGINT) AS ss_sum
+FROM s GROUP BY doc_id, n
+""",
+    doc="REAL compressed-AUDIO decode, no codec library: one FLAC-subset "
+    "stream per document (operators/flac.py — STREAMINFO with sample MD5, "
+    "CRC-8/CRC-16-guarded frames at 256-sample blocksize, best-of FIXED "
+    "predictors order 0-4 with exact-cost Rice coding; ~8x smaller than "
+    "the raw PCM on this fixture) decoded by a general pure-python FLAC "
+    "decoder (frame sync, all blocksize/rate header encodings, CONSTANT/"
+    "VERBATIM/FIXED subframes, both Rice methods at any partition order, "
+    "wasted bits, CRC and MD5 verification) in a separate Arrow-batched "
+    "mapInPandas stage. FLAC is lossless, so the full compressed round "
+    "trip is bit-exact against the same SQL oracle as the WAV path — "
+    "closing the compressed-audio third of the codec matrix (JPEG lossy "
+    "image, PNG/GIF lossless image, FLAC lossless audio); only lossy "
+    "audio/video (MP3, H.264) remain documented stubs.",
+    tags=("multimodal",),
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_flac_features,
+        synthesize_flac,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_flac_features(synthesize_flac(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -101,11 +101,12 @@ def _load() -> None:
 #   r7 window head (planned): sql_customer_distribution_q13,
 #     analytics_attribution_position, sql_min_cost_supplier_q2,
 #     sql_important_stock_q11, text_bigram_perplexity,
-#     multimodal_gif_decode, any r6-new keys, then the four rows-only
-#     ANN keys LAST (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
-#     sim_ann_ivf_pq — the driver records only a weaker rows-only line
-#     for them, so every oracle-carrying key gets its hash row first),
-#     after which every registered key has a driver row.
+#     multimodal_gif_decode, the r6-new keys (multimodal_flac_decode,
+#     ...), then the four rows-only ANN keys LAST (dedup_minhash_near,
+#     sim_ann_lsh, sim_ann_ivf, sim_ann_ivf_pq — the driver records only
+#     a weaker rows-only line for them, so every oracle-carrying key
+#     gets its hash row first), after which every registered key has a
+#     driver row.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # etl family (never driver-checked before r6)
     "etl_model_load", "etl_llm_corpus_pipeline", "etl_cdc_apply",

@@ -315,3 +315,54 @@ def test_gif_codec_lossless_and_clean_errors():
             decode_gif(bytes(b))
         except ValueError:
             pass
+
+
+def test_flac_codec_lossless_and_clean_errors():
+    """FLAC-subset roundtrips bit-exactly across content classes (noise,
+    ramps, constants, sine — exercising CONSTANT/VERBATIM/FIXED subframe
+    selection), actually compresses predictable content, and corrupt
+    input only ever raises ValueError (CRC-8/CRC-16/MD5 guards)."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(-32768, 32768, 900),           # noise -> VERBATIM-ish
+        (np.arange(700) * 13 - 5000) % 65536 - 32768,  # ramp -> FIXED order 1+
+        np.full(513, -12345),                        # CONSTANT subframe
+        (3000 * np.sin(np.arange(4096) / 5)).astype(np.int64),
+        np.array([42]),                              # single-sample clip
+        rng.integers(-5, 5, 256),                    # exactly one block
+    ]
+    for s in cases:
+        dec, rate = decode_flac(encode_flac(s, 8000))
+        assert rate == 8000
+        assert (dec == s).all()
+
+    # compression: the smooth signal must beat raw PCM by a clear margin
+    smooth = (3000 * np.sin(np.arange(4096) / 5)).astype(np.int64)
+    assert len(encode_flac(smooth)) < 2 * len(smooth) * 0.6
+
+    with pytest.raises(ValueError):
+        decode_flac(b"NOTFLAC-------")
+    r = random.Random(5)
+    data = encode_flac((np.arange(800) * 7) % 65536 - 32768)
+    clean = decode_flac(data)[0]
+    for _ in range(200):
+        b = bytearray(data)
+        if r.random() < 0.5:
+            b = b[: r.randrange(1, len(b))]
+        else:
+            for _ in range(r.randrange(1, 4)):
+                b[r.randrange(len(b))] = r.randrange(256)
+        try:
+            out, _ = decode_flac(bytes(b))
+            # undetected mutations must still decode to the exact samples
+            # (flips in non-audio STREAMINFO fields like min/max framesize)
+            assert (out == clean).all()
+        except ValueError:
+            pass
