@@ -52,3 +52,64 @@ def test_scalar_aggregate_allowance(spark, sf_dir):
     with pytest.raises(PlanAssertionError):
         assert_scale_safe(df)
     assert_scale_safe(df, max_single_partition_exchanges=1)
+
+
+def test_cbo_catalog_stats_drive_join_reorder(spark, sf_dir):
+    """SURVEY §4.2's CBO path, exercised end-to-end: ANALYZE TABLE
+    populates catalog statistics, and with spark.sql.cbo.enabled +
+    joinReorder the optimizer re-orders a 4-table join by cost instead
+    of syntactic order.  Parquet TEMP VIEWS cannot carry catalog stats
+    (no catalog entry to attach them to), so the test materializes real
+    catalog tables first — the same step a 100 TB deployment runs after
+    each load.  The syntactic order deliberately interposes an unkeyed
+    customer join between lineitem and orders; the cost-based reorderer
+    moves the PK-FK lineitem-orders pair first."""
+    import re
+
+    db = "cbo_test_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        for t in ("lineitem", "orders", "customer", "nation"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
+                "overwrite"
+            ).saveAsTable(f"{db}.{t}")
+            spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS")
+            spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+        stats = (
+            spark.sql(f"DESC EXTENDED {db}.lineitem")
+            .filter("col_name = 'Statistics'")
+            .collect()
+        )
+        assert stats and "rows" in stats[0].data_type  # ANALYZE populated rowCount
+
+        q = f"""
+        SELECT n.n_name, count(*) AS cnt
+        FROM {db}.lineitem l
+        JOIN {db}.customer c ON c.c_custkey = l.l_orderkey % 1500
+        JOIN {db}.orders o ON o.o_orderkey = l.l_orderkey
+        JOIN {db}.nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+
+        def leaf_order(cbo: bool) -> list[str]:
+            spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            return re.findall(rf"Relation spark_catalog\.{db}\.(\w+)", plan)
+
+        order_off, order_on = leaf_order(False), leaf_order(True)
+        assert order_off == ["lineitem", "customer", "orders", "nation"]
+        assert order_on != order_off  # the reorderer actually fired
+        # cost-based order joins the keyed lineitem-orders pair before customer
+        assert order_on.index("orders") < order_on.index("customer")
+        # results are order-independent: same rows either way
+        rows_on = sorted(map(tuple, spark.sql(q).collect()))
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        rows_off = sorted(map(tuple, spark.sql(q).collect()))
+        assert rows_on == rows_off and rows_on
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
