@@ -7,9 +7,16 @@ warmup (codegen/JIT), then 3 timed runs, median reported.  Results are
 materialized through the noop sink so the full plan executes without
 collect/serialization cost.
 
+A second track (r5 verdict item 8) covers the full 22-shape TPC-H-style
+SQL suite (q1 = the agg_basic pricing summary + the 21 sql_* keys), so
+regressions outside the six headline queries surface in the per-round
+artifact too.  Same warmup + 3-run-median protocol per query; the suite
+total lands in `tpch_suite_seconds` / per-query in `tpch_queries`.
+
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
-   "queries": {...}, "sf": ...}
+   "queries": {...}, "sf": ...,
+   "tpch_suite_seconds": M, "tpch_queries": {...}}
 """
 
 from __future__ import annotations
@@ -40,13 +47,9 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
-    qs = registry.all_queries()
+def _timed_suite(spark, qs, sf_dir, labels: dict[str, str]) -> dict[str, float]:
     results: dict[str, float] = {}
-    for label, name in HEADLINE.items():
+    for label, name in labels.items():
         fn = qs[name].fn
         materialize(fn(spark, sf_dir))  # warmup: codegen + page cache
         release_rank_caches()
@@ -57,7 +60,21 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             release_rank_caches()
         results[label] = round(statistics.median(times), 4)
+    return results
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = registry.all_queries()
+    results = _timed_suite(spark, qs, sf_dir, HEADLINE)
     total = round(sum(results.values()), 4)
+    # 22-shape TPC-H track: q1's shape is the agg_basic pricing summary;
+    # the rest are the sql_* flagship keys.
+    tpch_labels = {"q1": "agg_basic"}
+    tpch_labels.update({n: n for n in sorted(qs) if n.startswith("sql_")})
+    tpch = _timed_suite(spark, qs, sf_dir, tpch_labels)
     print(
         json.dumps(
             {
@@ -66,6 +83,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf),
+                "tpch_suite_seconds": round(sum(tpch.values()), 4),
+                "tpch_queries": tpch,
             }
         )
     )
