@@ -463,3 +463,146 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_df))
         .select("degree", "n_nodes", F.round(F.col("n_nodes") / F.col("n"), 6).alias("frac"))
     )
+
+
+# Support threshold for the strong-co-purchase edge set: pairs sharing
+# >= 2 orders.  At 2+ the graph is sparse (3.6k edges / 5.9k nodes at
+# sf0.1) and its components are the "duplicate cluster" shape a dedup
+# pipeline consumes (pairs -> groups -> keep one per group).
+_CC_MIN_SUPPORT = 2
+_CC_MAX_ITERS = 50
+
+_CC_EDGE_SQL = f"""
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+strong AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2
+           HAVING count(*) >= {_CC_MIN_SUPPORT}),
+nodes AS (SELECT p1 AS n FROM strong UNION SELECT p2 FROM strong),
+edges AS (SELECT p1 AS src, p2 AS dst FROM strong
+          UNION ALL SELECT p2, p1 FROM strong)
+"""
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_CC_EDGE_SQL},
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS part_id, min(dst) AS comp_id FROM reach GROUP BY src),
+sizes AS (SELECT comp_id, CAST(count(*) AS BIGINT) AS comp_size
+          FROM comp GROUP BY comp_id)
+SELECT c.part_id, c.comp_id, s.comp_size
+FROM comp c JOIN sizes s USING (comp_id)
+""",
+    doc="Connected components of the strong co-purchase graph (part pairs "
+    f"sharing >= {_CC_MIN_SUPPORT} orders) — the missing middle of a dedup "
+    "pipeline: near-dup PAIRS (minhash/simhash/phash emit edges) become "
+    "duplicate GROUPS (components) from which one representative survives. "
+    "Algorithm: iterative min-label propagation with path halving — each "
+    "round takes the min component id over self + neighbors (one join + "
+    "partial-agg on the pinned, pre-partitioned edge list), then jumps "
+    "comp <- comp[comp] (a self-join on the |V|-row label table), so label "
+    "trees halve every round and convergence is O(log diameter) rounds, "
+    "checked by a changed-row count and loudly bounded at "
+    f"{_CC_MAX_ITERS} iterations. Labels localCheckpoint every round: "
+    "persist() alone caches DATA but the LOGICAL plan still nests (the "
+    "halving self-join doubles it per round — measured 2s/4.9s/28s/429s "
+    "analysis blowup by round 4 at sf0.01), so the lineage itself must "
+    "be truncated — the iterative-loop discipline Spark needs; edges "
+    "never re-shuffle. The oracle computes "
+    "the same components via DuckDB's recursive transitive closure, "
+    "feasible because strong edges are sparse. Output: (part_id, min-id "
+    "component label, component size) — all integers, hash-exact. At "
+    "100 TB the same loop runs unchanged: every round is one shuffle join "
+    "+ one hash agg over edge/label tables, no driver state beyond the "
+    "changed-count scalar.",
+    tags=("graph",),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    strong = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _CC_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    edges = pin_cache(
+        strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+            strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    # localCheckpoint (eager) truncates the LOGICAL lineage each round —
+    # persist() alone is not enough: the halving self-join references the
+    # previous round's plan twice, so the un-truncated plan doubles per
+    # round and Catalyst analysis time grows exponentially (measured
+    # 2s/4.9s/28s/429s per round by round 4 at sf0.01 with persist-only).
+    labels = (
+        edges.select(F.col("src").alias("n")).distinct()
+        .select("n", F.col("n").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["n"])
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["n"] == F.col("n2"), "left")
+            .select(
+                "n",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # path halving: comp <- comp's own current label
+        l2 = stepped.select(
+            F.col("n").alias("cn"), F.col("comp").alias("ccomp")
+        )
+        jumped = (
+            stepped.join(l2, stepped["comp"] == l2["cn"])
+            .select("n", F.col("ccomp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "n")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+        )
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("n").alias("part_id"),
+            F.col("comp").alias("comp_id"),
+            "comp_size",
+        )
+    )

@@ -83,3 +83,56 @@ def test_vertex_gate_shuffle_path_identical(spark, sf_dir, monkeypatch):
         assert _sorted_rows(G.graph_jaccard_neighbors(spark, sf_dir)) == broadcast_side["jaccard"]
     finally:
         release_rank_caches()
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Independent ground truth: a driver-side union-find over the same
+    strong-pair edge list must produce identical components (same
+    partition of nodes, same min-id labels, same sizes)."""
+    from cobradb_spark.queries.graph import (
+        _CC_MIN_SUPPORT,
+        graph_connected_components,
+    )
+    from cobradb_spark.io import load_table
+    from cobradb_spark.operators.rank import release_rank_caches
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1 :]:
+                support[(p1, p2)] += 1
+    edges = [e for e, s in support.items() if s >= _CC_MIN_SUPPORT]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    sizes = Counter(truth.values())
+
+    out = graph_connected_components(spark, sf_dir).collect()
+    release_rank_caches()
+    assert len(out) == len(truth)
+    for r in out:
+        assert truth[r.part_id] == r.comp_id
+        assert sizes[r.comp_id] == r.comp_size
