@@ -401,10 +401,11 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embed_kmeans_cluster",
-    oracle="""
-WITH e AS (
+# Two-round Lloyd assignment as DuckDB CTEs (k=8, seeds = 8 lowest
+# vec_ids, per-iteration rounding matching operators/kmeans.py) — shared
+# by embed_kmeans_cluster and dedup_semantic_cluster.
+_KMEANS_ASSIGN_SQL = """
+e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
@@ -426,6 +427,13 @@ d2 AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.x) * (e.x - c.x)), 9) AS d
 a2 AS (SELECT vec_id, cid, d,
               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
        FROM d2)
+"""
+
+
+@register(
+    "embed_kmeans_cluster",
+    oracle=f"""
+WITH {_KMEANS_ASSIGN_SQL}
 SELECT vec_id, cid AS cluster, round(d, 6) AS sqdist FROM a2 WHERE rn = 1
 """,
     doc="Lloyd k-means (k=8, 2 assignment rounds, seeds = 8 lowest vec_ids) "
@@ -442,6 +450,94 @@ def embed_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.operators.kmeans import kmeans_assign
 
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+WITH {_KMEANS_ASSIGN_SQL},
+assign AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ca.cluster,
+         sum(a.x * b.x) AS dot
+  FROM e a
+  JOIN assign ca ON ca.vec_id = a.vec_id
+  JOIN assign cb ON cb.cluster = ca.cluster
+  JOIN e b ON b.vec_id = cb.vec_id AND b.i = a.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+),
+near AS (
+  SELECT d.b_id AS dropped_id, d.cluster, d.a_id,
+         d.dot / (na.nrm * nb.nrm) AS cos
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a_id
+  JOIN norms nb ON nb.vec_id = d.b_id
+  WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+)
+SELECT dropped_id, cluster,
+       CAST(min(a_id) AS BIGINT) AS kept_id,
+       CAST(count(*) AS BIGINT) AS n_near,
+       round(max(cos), 6) AS max_cos
+FROM near GROUP BY dropped_id, cluster
+""",
+    doc="Semantic deduplication (SemDeDup shape): k-means-cluster the "
+    "embeddings (shared operators/kmeans.py kernel, k=8, 2 rounds, "
+    "deterministic seeds), then search near-duplicates (cosine >= 0.4) "
+    "ONLY within each cluster — the scale story: candidate generation is "
+    "bucketed by cluster, so pair cost is sum over clusters of |c|^2 "
+    "instead of n^2, and the self-join co-partitions on the cluster key "
+    "in one shuffle. Emits the prune list: each dropped vector (the "
+    "higher id of a near pair) with its lowest-id kept partner, its "
+    "near-partner count, and the max cosine as evidence; min-id-survives "
+    "matches the other dedup families. Cosine is a JVM zip_with/aggregate "
+    "fold over float32-exact double products — no UDF. At 100 TB: k "
+    "scales as n/target-cluster-size, and a mega-cluster (skewed k-means) "
+    "would be recursively re-clustered or capped before pairing — the "
+    "same discipline as the hub cap in graph_jaccard_neighbors.",
+    tags=("mlprep", "dedup"),
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster")
+    ex = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    vc = ex.join(assign, "vec_id")
+    a = vc.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster",
+    )
+    b = vc.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("cluster").alias("cluster_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b")) & (F.col("a_id") < F.col("b_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    near = pairs.select(
+        F.col("b_id").alias("dropped_id"), "cluster", "a_id", cos.alias("cos")
+    ).filter(F.col("cos") >= 0.4)
+    return near.groupBy("dropped_id", "cluster").agg(
+        F.min("a_id").alias("kept_id"),
+        F.count("*").alias("n_near"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
 
 
 @register(
