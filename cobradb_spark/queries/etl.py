@@ -824,3 +824,105 @@ def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(persisted, "sig", "left").select(
         "doc_id", "sig", F.coalesce(~F.col("seen"), F.lit(True)).alias("is_new")
     )
+
+
+_DSIR_BUCKETS = 64
+_DSIR_KEEP_FRAC = 0.2
+
+
+@register(
+    "etl_importance_resample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w FROM documents
+),
+tok AS (SELECT doc_id, lang, w FROM toks WHERE w <> ''),
+b AS (SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT)
+                  % {_DSIR_BUCKETS} AS BIGINT) AS bkt
+      FROM tok),
+src AS (SELECT bkt, count(*) AS s FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, count(*) AS t FROM b WHERE lang = 'en' GROUP BY bkt),
+tot AS (SELECT (SELECT count(*) FROM b) AS s_all,
+               (SELECT count(*) FROM b WHERE lang = 'en') AS t_all),
+lam AS (SELECT src.bkt,
+               ln((COALESCE(tgt.t, 0) + 1.0) / (tot.t_all + {_DSIR_BUCKETS}))
+             - ln((src.s + 1.0) / (tot.s_all + {_DSIR_BUCKETS})) AS lam
+        FROM src LEFT JOIN tgt ON tgt.bkt = src.bkt, tot),
+scored AS (SELECT b.doc_id, min(b.lang) AS lang,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  round(avg(lam.lam), 6) AS score
+           FROM b JOIN lam ON lam.bkt = b.bkt GROUP BY b.doc_id),
+k AS (SELECT CAST(ceil({_DSIR_KEEP_FRAC} * count(*)) AS BIGINT) AS k
+      FROM documents),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+           FROM scored)
+SELECT doc_id, lang, n_tokens, score
+FROM ranked, k WHERE rn <= k.k
+""",
+    doc="Data-selection-by-importance-resampling (DSIR shape): estimate "
+    f"per-document importance weights from hashed word features ({_DSIR_BUCKETS} "
+    "md5 buckets), target = the 'en' slice, source = the whole corpus, "
+    "smoothed log-ratio lambda per bucket, per-doc score = mean lambda of "
+    "its tokens; keep the top "
+    f"{int(_DSIR_KEEP_FRAC * 100)}% by (score, doc_id).  Spark shape: "
+    "token explode -> two partial-agg bucket count tables -> the "
+    f"{_DSIR_BUCKETS}-row lambda table BROADCASTS into the token stream "
+    "(no shuffle on the fact side beyond the per-doc agg), and the "
+    "deterministic top-k materializes as TakeOrderedAndProject (k from a "
+    "single count scalar), never a global single-partition window. "
+    "Deterministic: no RNG, md5 bucketing, rerun-stable membership — the "
+    "rank-based analogue of DSIR's Gumbel sampling. At 100 TB the lambda "
+    "table stays tiny (bucket-count-sized) and every heavy stage is a "
+    "map-side-combining hash agg.",
+    tags=("etl", "mlprep"),
+)
+def etl_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    k = int(-(-_DSIR_KEEP_FRAC * n_docs // 1))  # ceil
+    tok = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+    )
+    bkt = tok.withColumn(
+        "bkt",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        % _DSIR_BUCKETS,
+    ).select("doc_id", "lang", "bkt")
+    src = bkt.groupBy("bkt").agg(F.count("*").alias("s"))
+    tgt = (
+        bkt.filter(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count("*").alias("t"))
+    )
+    tot = bkt.agg(
+        F.count("*").alias("s_all"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_all"),
+    )
+    lam = (
+        src.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            (
+                F.log((F.coalesce("t", F.lit(0)) + F.lit(1.0)) / (F.col("t_all") + _DSIR_BUCKETS))
+                - F.log((F.col("s") + F.lit(1.0)) / (F.col("s_all") + _DSIR_BUCKETS))
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        bkt.join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lam"), 6).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+        .select("doc_id", "lang", "n_tokens", "score")
+    )
