@@ -113,3 +113,51 @@ def test_cbo_catalog_stats_drive_join_reorder(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """SURVEY §4's runtime-filter path: when a shuffle join has a
+    selective creation side, Spark injects a Bloom filter that prunes
+    the probe side BEFORE the shuffle (bloom_filter_agg on the filtered
+    dim, might_contain on the fact scan). On a real cluster the size
+    thresholds gate this to big probe sides; the test lowers the
+    application-side threshold because sf-test files are tiny — the
+    mechanism, not the sizing, is what's asserted."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "bloom_filter_agg" in plan  # built on the selective dim side
+        assert "might_contain" in plan  # applied on the fact probe side
+        assert j.collect()  # and the filtered join still returns rows
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
