@@ -987,3 +987,131 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round(F.exp("nll"), 6).alias("perplexity"),
     )
+
+
+_BPE_RULES = 8
+
+_BPE_APPLY_ORACLE = """
+WITH RECURSIVE
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+),
+pc AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT unnest(list_transform(range(1, length(word)),
+                      i -> substr(word, i, 2))) AS pair, freq FROM wf)
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 8
+),
+rules AS (
+  SELECT substr(pair, 1, 1) AS ra, substr(pair, 2, 1) AS rb,
+         row_number() OVER (ORDER BY n DESC, pair) AS rrank
+  FROM pc
+),
+apply AS (
+  SELECT word, freq,
+         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                                i -> substr(word, i, 1)), ' ') || ' ' AS toks
+  FROM wf
+  UNION ALL
+  SELECT word, freq,
+         substr(toks, 1, best.pos - 1) || ' ' || best.merged || ' '
+           || substr(toks, best.pos + best.patlen)
+  FROM (
+    SELECT word, freq, toks,
+           (SELECT struct_pack(
+                pos := strpos(ap.toks, ' ' || r.ra || ' ' || r.rb || ' '),
+                patlen := length(r.ra) + length(r.rb) + 3,
+                merged := r.ra || r.rb)
+            FROM rules r
+            WHERE strpos(ap.toks, ' ' || r.ra || ' ' || r.rb || ' ') > 0
+            ORDER BY r.rrank LIMIT 1) AS best
+    FROM apply ap
+  ) WHERE best IS NOT NULL
+),
+final AS (
+  SELECT word, freq, toks FROM apply ap
+  WHERE NOT EXISTS (SELECT 1 FROM rules r
+                    WHERE strpos(ap.toks, ' ' || r.ra || ' ' || r.rb || ' ') > 0)
+),
+tokens AS (SELECT unnest(str_split(trim(toks), ' ')) AS token, freq FROM final)
+SELECT token, CAST(sum(freq) AS BIGINT) AS n_occ
+FROM tokens GROUP BY token
+"""
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_BPE_APPLY_ORACLE,
+    doc="BPE tokenizer APPLICATION — the other half of text_bpe_pair_counts' "
+    f"training step: the top-{_BPE_RULES} character-pair merges (by corpus-"
+    "weighted count, pair-text tie-break) become a ranked merge table, and "
+    "every distinct word re-tokenizes by the deterministic greedy rule "
+    "'merge the LEFTMOST occurrence of the lowest-rank applicable pair, "
+    "re-evaluate' until no rule applies — the rank-priority semantics of "
+    "standard BPE encoders, pinned to one explicit tie-order so both "
+    "engines replay it exactly.  Output: corpus token-frequency table "
+    "after merging.  Spark shape: work is bounded by |vocab| (the distinct-"
+    "word collapse, as in training); the 8-row merge table collects to the "
+    "driver (O(1), like kmeans seeds) and broadcasts into an Arrow-batched "
+    "mapInPandas that runs the merge loop per word; token stats are one "
+    "hash agg.  The oracle replays the IDENTICAL algorithm as a DuckDB "
+    "recursive CTE over the spaced-token string (leftmost strpos, min-rank "
+    "arg-pick, single splice per step) — an iterative algorithm made "
+    "SQL-checkable.  At 100 TB: vocab stays ~10^6, the apply is "
+    "embarrassingly parallel, and a real deployment would loop "
+    "train->apply per merge round with the same two stages.",
+    tags=("textops", "llm"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_RULES)
+        .collect()
+    )
+    rules = [(r["pair"][0], r["pair"][1]) for r in top]  # rank = list order
+
+    def apply_merges(batches):
+        for pdf in batches:
+            out_tok, out_freq = [], []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                toks = list(word)
+                while True:
+                    best = None  # (rank, leftmost position)
+                    for rank, (ra, rb) in enumerate(rules):
+                        for j in range(len(toks) - 1):
+                            if toks[j] == ra and toks[j + 1] == rb:
+                                if best is None or rank < best[0]:
+                                    best = (rank, j)
+                                break
+                    if best is None:
+                        break
+                    j = best[1]
+                    toks[j : j + 2] = [toks[j] + toks[j + 1]]
+                out_tok.extend(toks)
+                out_freq.extend([freq] * len(toks))
+            yield pd.DataFrame({"token": out_tok, "freq": out_freq})
+
+    toks = wf.mapInPandas(apply_merges, schema="token string, freq long")
+    return toks.groupBy("token").agg(F.sum("freq").cast("long").alias("n_occ"))
