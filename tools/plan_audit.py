@@ -718,6 +718,46 @@ AUDITS = [
         "collect then ordered merge); regex conversion counting is a "
         "JVM scalar — no UDF, no second shuffle",
     ),
+    (
+        "dedup_semantic_cluster",
+        ["BroadcastHashJoin", "SortMergeJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "SemDeDup shape: kmeans assignment joins broadcast; candidate "
+        "pairs come from the cluster-key EQUI self-join (bucketed, never "
+        "all-pairs); cosine is a JVM zip_with fold, no UDF",
+    ),
+    (
+        "etl_importance_resample",
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "the 64-row lambda table broadcasts into the token stream; the "
+        "deterministic top-20% is a TakeOrdered heap, not a global "
+        "single-partition window (the 1-row totals cross-join is the "
+        "legitimate BroadcastNestedLoopJoin of a scalar)",
+    ),
+    (
+        "text_bpe_apply",
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "work bounded by |vocab| (distinct-word collapse before the "
+        "merge loop); the Arrow-batched merge UDF feeds one partial+final "
+        "token aggregate",
+    ),
+    (
+        "multimodal_flac_decode",
+        ["MapInPandas", "Scan parquet"],
+        ["Exchange", "CartesianProduct"],
+        "synthesize and decode are back-to-back Arrow-batched narrow "
+        "stages — zero shuffles, nothing driver-side",
+    ),
+    (
+        "graph_connected_components",
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "final labels join their component sizes; the iterative rounds "
+        "behind the localCheckpoint each ran one edge-label join + one "
+        "hash agg (audited in code, queries/graph.py)",
+    ),
 ]
 
 
