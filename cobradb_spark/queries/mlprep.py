@@ -782,3 +782,4 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 50)
     )
+
