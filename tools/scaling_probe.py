@@ -65,6 +65,12 @@ PROBES = [
     "sample_reservoir_per_group",
     "profile_column_histogram",
     "etl_schema_evolution_merge",
+    # r6 additions
+    "graph_connected_components",
+    "dedup_semantic_cluster",
+    "etl_importance_resample",
+    "text_bpe_apply",
+    "multimodal_flac_decode",
 ]
 
 
@@ -116,6 +122,13 @@ NOTES = {
         "total XML bytes ~4.10MB->41.6MB (each 10.0-10.1x on 10x data); "
         "parse cost is per-byte inside mapInPandas with no cross-doc "
         "state. The sub-10x time ratio is fixed-overhead amortization"
+    ),
+    "multimodal_flac_decode": (
+        "work is linear by construction (one ~850-sample encode+decode per "
+        "document, docs 500 -> 5000 on 10x data); the ~2 ms/doc cost is the "
+        "pure-python bit-level Rice coder running inside Arrow-parallel "
+        "mapInPandas tasks — the time ratio tracks doc count, not a "
+        "super-linear stage"
     ),
     "graph_triangle_stats": (
         "wedge count is intrinsically super-linear in data (sum deg^2); "
