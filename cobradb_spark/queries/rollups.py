@@ -362,3 +362,131 @@ def rollup_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.round(F.expr("percentile(x, 0.5)").over(w), 6).alias("med7"),
     )
+
+
+_LTTB_K = 20  # output points per series (first + 18 buckets + last)
+
+
+@register(
+    "rollup_downsample_lttb",
+    oracle=f"""
+WITH RECURSIVE
+pts AS (
+  SELECT event_type, ts, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+big AS (SELECT * FROM pts WHERE n > {_LTTB_K}),
+mid AS (
+  SELECT event_type, ts, value, event_id,
+         ((r - 2) * {_LTTB_K - 2}) // (n - 2) AS b
+  FROM big WHERE r >= 2 AND r <= n - 1
+),
+anch AS (
+  SELECT event_type, b - 1 AS i, ts, value FROM (
+    SELECT event_type, b, ts, value,
+           row_number() OVER (PARTITION BY event_type, b
+                              ORDER BY ts, event_id) AS rb,
+           count(*) OVER (PARTITION BY event_type, b) AS cb
+    FROM mid) t
+  WHERE rb = (cb + 1) // 2 AND b >= 1
+  UNION ALL
+  SELECT event_type, {_LTTB_K - 3}, ts, value FROM big WHERE r = n
+),
+sel AS (
+  SELECT event_type, CAST(0 AS BIGINT) AS i, ts, value FROM big WHERE r = 1
+  UNION ALL
+  SELECT event_type, i + 1, best.ts, best.value
+  FROM (
+    SELECT s.event_type, s.i,
+           (SELECT struct_pack(ts := m.ts, value := m.value)
+            FROM mid m, anch a
+            WHERE m.event_type = s.event_type AND m.b = s.i
+              AND a.event_type = s.event_type AND a.i = s.i
+            ORDER BY abs((CAST(epoch_us(s.ts) AS DOUBLE)
+                          - CAST(epoch_us(a.ts) AS DOUBLE)) * (m.value - s.value)
+                       - (CAST(epoch_us(s.ts) AS DOUBLE)
+                          - CAST(epoch_us(m.ts) AS DOUBLE)) * (s.value - a.value)) DESC,
+                     m.ts, m.event_id
+            LIMIT 1) AS best
+    FROM sel s WHERE s.i <= {_LTTB_K - 3}
+  ) WHERE best IS NOT NULL
+)
+SELECT event_type, i AS sel_idx, ts, value FROM sel
+UNION ALL
+SELECT event_type, CAST({_LTTB_K - 1} AS BIGINT), ts, value FROM big WHERE r = n
+""",
+    doc=f"Perceptual time-series downsampling to {_LTTB_K} points per series "
+    "— the Largest-Triangle-Three-Buckets shape (Steinarsson 2013) that "
+    "dashboard/observability stores run before rendering.  Deterministic "
+    "variant: the next-bucket ANCHOR is the bucket's median-rank point "
+    "rather than its mean (an aggregate mean's float summation order is "
+    "engine-dependent; a ranked point is bit-identical everywhere), and "
+    "the triangle-area argmax ties break on (ts, event_id).  Bucket "
+    "boundaries are exact integer arithmetic ((r-2)*(K-2)) // (n-2).  "
+    "Selection is sequential by construction (each pick depends on the "
+    "previous), so Spark runs it per-series via applyInPandas — series "
+    "are the unit of parallelism, the right grain at 100 TB where series "
+    "count >> cores; the oracle replays the identical greedy recursion "
+    "as a DuckDB recursive CTE (leftmost-max correlated pick per step), "
+    "the BPE-apply pattern.  Series with <= K points are excluded "
+    "(documented; none at test sfs).",
+    tags=("rollups", "timeseries"),
+)
+def rollup_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    k = _LTTB_K
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= k:
+            return pd.DataFrame(
+                {"event_type": [], "sel_idx": [], "ts": [], "value": []}
+            )
+        x = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy().astype(
+            np.float64
+        )
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        # middle rows (0-based positions 1..n-2) -> bucket ((r-2)*(k-2))//(n-2)
+        pos = np.arange(1, n - 1)
+        b = ((pos - 1) * (k - 2)) // (n - 2)
+        # anchors: for i < k-3 the median-rank point of bucket i+1; for
+        # i = k-3 the final point
+        anchor = {}
+        for i in range(k - 3):
+            members = pos[b == i + 1]
+            anchor[i] = members[(len(members) + 1) // 2 - 1]
+        out_idx = [0]
+        cur = 0
+        for i in range(k - 2):
+            members = pos[b == i]
+            if i < k - 3:
+                ax, av = x[anchor[i]], v[anchor[i]]
+            else:
+                ax, av = x[n - 1], v[n - 1]
+            areas = np.abs(
+                (x[cur] - ax) * (v[members] - v[cur])
+                - (x[cur] - x[members]) * (v[cur] - av)
+            )
+            cur = int(members[int(np.argmax(areas))])  # first max = (ts, id) tiebreak
+            out_idx.append(cur)
+        out_idx.append(n - 1)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[:1].repeat(k).to_numpy(),
+                "sel_idx": np.arange(k, dtype=np.int64),
+                "ts": pdf["ts"].iloc[out_idx].to_numpy(),
+                "value": pdf["value"].iloc[out_idx].to_numpy(),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    return e.groupBy("event_type").applyInPandas(
+        downsample, schema="event_type string, sel_idx long, ts timestamp, value double"
+    )
