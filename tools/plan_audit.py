@@ -751,6 +751,14 @@ AUDITS = [
         "stages — zero shuffles, nothing driver-side",
     ),
     (
+        "rollup_downsample_lttb",
+        ["FlatMapGroupsInPandas", "hashpartitioning(event_type"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "sequential LTTB selection runs per series inside one Arrow "
+        "grouped-map stage; ONE shuffle on the series key is the whole "
+        "data movement",
+    ),
+    (
         "graph_connected_components",
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

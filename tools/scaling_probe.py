@@ -71,6 +71,7 @@ PROBES = [
     "etl_importance_resample",
     "text_bpe_apply",
     "multimodal_flac_decode",
+    "rollup_downsample_lttb",
 ]
 
 
