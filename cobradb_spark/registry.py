@@ -112,6 +112,20 @@ def _load() -> None:
 #     after which every registered key has a driver row; fill the window
 #     tail with re-checks of the oldest driver evidence (r2-era scans/
 #     joins rows).
+# The planned r7 window head (see comment above) as data, so tests can
+# assert every planned name is actually registered — a typo here would
+# otherwise surface only as a KeyError during the r7 rotation.
+_R7_PLANNED_HEAD: tuple[str, ...] = (
+    "sql_customer_distribution_q13", "analytics_attribution_position",
+    "sql_min_cost_supplier_q2", "sql_important_stock_q11",
+    "text_bigram_perplexity", "multimodal_gif_decode",
+    "multimodal_flac_decode", "dedup_semantic_cluster",
+    "graph_connected_components", "etl_importance_resample",
+    "text_bpe_apply", "rollup_downsample_lttb",
+    # rows-only ANN keys go LAST in the r7 window
+    "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
+)
+
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # etl family (never driver-checked before r6)
     "etl_model_load", "etl_llm_corpus_pipeline", "etl_cdc_apply",
