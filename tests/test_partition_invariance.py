@@ -1,0 +1,60 @@
+"""Partitioning-invariance property: a distributed operator's RESULT
+must not depend on how the data happens to be partitioned — the classic
+failure is an unordered collect_list / first() / rank tie that changes
+with task count.  Each probe key runs under the engine default
+(spark.sql.shuffle.partitions = 32) and again under 7, and the sorted
+row multisets must match exactly.  Keys chosen for partition-order
+exposure: ordered collects, distributed ranks, driver-loop iteratives,
+per-group sampling, the BPE merge loop (rule table from a TakeOrdered),
+and global top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cobradb_spark import registry
+from cobradb_spark.operators.rank import release_rank_caches
+
+PROBE_KEYS = [
+    "agg_collect_synonyms",
+    "agg_listagg_ordered",
+    "agg_first_last_ordered",
+    "sample_reservoir_per_group",
+    "etl_shard_balanced",
+    "topk_global",
+    "win_running_distinct",
+    "graph_connected_components",
+    "text_bpe_apply",
+    "dedup_sorted_neighborhood",
+]
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("key", PROBE_KEYS)
+def test_result_invariant_under_shuffle_partitioning(spark, sf_dir, key):
+    fn = registry.get_query(key).fn
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        base = _canon(fn(spark, sf_dir).collect())
+        release_rank_caches()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = _canon(fn(spark, sf_dir).collect())
+        release_rank_caches()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert base, f"{key} returned no rows"
+    assert base == alt, f"{key} result depends on shuffle partition count"
