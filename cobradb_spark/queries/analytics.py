@@ -898,3 +898,97 @@ def analytics_attribution_position(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("credit"), 6).alias("credited_value"),
         )
     )
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+@register(
+    "events_forecast_holt",
+    oracle=f"""
+WITH RECURSIVE
+grid AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+holt AS (
+  SELECT event_type, t, n, CAST(y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.t, i.n,
+         round({_HOLT_ALPHA} * i.y + {1 - _HOLT_ALPHA} * (h.l + h.b), 9),
+         round({_HOLT_BETA}
+               * (round({_HOLT_ALPHA} * i.y
+                        + {1 - _HOLT_ALPHA} * (h.l + h.b), 9) - h.l)
+               + {1 - _HOLT_BETA} * h.b, 9)
+  FROM holt h JOIN idx i ON i.event_type = h.event_type AND i.t = h.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+       round(l + b, 6) AS f1, round(l + 2 * b, 6) AS f2,
+       round(l + 3 * b, 6) AS f3
+FROM holt WHERE t = n
+""",
+    doc="Holt linear (level + trend) exponential smoothing over the daily "
+    f"per-type value series (alpha={_HOLT_ALPHA}, beta={_HOLT_BETA}), with "
+    "1/2/3-step-ahead forecasts — the capacity-planning recurrence next to "
+    "the CUSUM/z-score detectors. The recurrence is sequential by "
+    "definition (l_t, b_t depend on l_t-1, b_t-1), so Spark reduces events "
+    "to the tiny (type, day) grid FIRST (one partial-agg shuffle — the "
+    "fact table never reaches Python) and replays the recurrence per "
+    "series via applyInPandas; series are the parallelism grain. Both "
+    "iterates round at 9 each step (the pagerank re-sync trick) and the "
+    "per-step rounding uses floor(x*1e9+0.5) half-away semantics matching "
+    "DuckDB/Spark round for the python side. Oracle = the identical "
+    "recurrence as a DuckDB recursive CTE over the day-indexed grid. "
+    "Initialization: l_1 = y_1, b_1 = 0 (documented; trend warms up in "
+    "~1/beta steps). Gaps in the day grid advance the recurrence one "
+    "OBSERVATION, not one calendar day (observation-indexed Holt).",
+    tags=("analytics", "timeseries"),
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    a, bta = _HOLT_ALPHA, _HOLT_BETA
+
+    def _round(x: float, p: int) -> float:
+        scale = 10.0 ** p
+        return float(np.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        l, b = float(y[0]), 0.0
+        for t in range(1, len(y)):
+            l_new = _round(a * y[t] + (1 - a) * (l + b), 9)
+            b = _round(bta * (l_new - l) + (1 - bta) * b, 9)
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[:1],
+                "n_days": [len(y)],
+                "level": [l],
+                "trend": [b],
+                "f1": [_round(l + b, 6)],
+                "f2": [_round(l + 2 * b, 6)],
+                "f3": [_round(l + 3 * b, 6)],
+            }
+        )
+
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    return grid.groupBy("event_type").applyInPandas(
+        holt,
+        schema="event_type string, n_days long, level double, trend double, "
+        "f1 double, f2 double, f3 double",
+    )

@@ -98,14 +98,14 @@ def _load() -> None:
 # never-checked keys (etl/rollup/sample/profile/graph families) + the
 # 16 r5-new keys.  After this window the never-checked count drops
 # 60 -> 10.
-#   r7 window head (planned, 16 keys): the 6 remaining never-checked
+#   r7 window head (planned, 17 keys): the 6 remaining never-checked
 #     r5-era keys (sql_customer_distribution_q13,
 #     analytics_attribution_position, sql_min_cost_supplier_q2,
 #     sql_important_stock_q11, text_bigram_perplexity,
 #     multimodal_gif_decode), the 6 r6-new keys (multimodal_flac_decode,
 #     dedup_semantic_cluster, graph_connected_components,
-#     etl_importance_resample, text_bpe_apply, rollup_downsample_lttb),
-#     then the four rows-only
+#     etl_importance_resample, text_bpe_apply, rollup_downsample_lttb,
+#     events_forecast_holt), then the four rows-only
 #     ANN keys LAST (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
 #     sim_ann_ivf_pq — the driver records only a weaker rows-only line
 #     for them, so every oracle-carrying key gets its hash row first),
@@ -121,7 +121,7 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "text_bigram_perplexity", "multimodal_gif_decode",
     "multimodal_flac_decode", "dedup_semantic_cluster",
     "graph_connected_components", "etl_importance_resample",
-    "text_bpe_apply", "rollup_downsample_lttb",
+    "text_bpe_apply", "rollup_downsample_lttb", "events_forecast_holt",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )
