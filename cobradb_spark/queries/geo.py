@@ -1,0 +1,396 @@
+"""Geospatial operators: grid-blocked distance joins, nearest-neighbor
+assignment, geohash encoding, track length, and bounding-box/centroid
+aggregation.
+
+The fixtures carry no coordinate columns, so every op derives a
+deterministic synthetic position from an integer key with pure
+arithmetic — `((key % 1000003) * SALT) % RANGE / 10000.0 - OFFSET` —
+the same expression in Spark and in the DuckDB oracle, so both engines
+produce bit-identical doubles (the mod-before-multiply keeps the
+product inside BIGINT on any realistic key domain; see the overflow
+rule in the oracle-parity notes).
+
+Scale pattern (the standard distributed spatial-join design): never a
+cross join.  Points are bucketed into fixed-size grid cells
+(cell = floor(coord / R)); the probe side explodes to its 3x3 cell
+neighborhood and the join is a plain equi-join on the cell key, so a
+radius-R search touches only the 9 cells that can contain a match.
+At 100 TB the build side partitions by cell key, the constant x9
+explode factor is shuffle-neutral, and dense-cell skew is AQE's
+skew-join case (same posture as join_skew_salted).  Distances use
+only +, -, *, sqrt — all IEEE-correctly-rounded, hence cross-engine
+bit-identical (no libm trig in any hashed output; haversine would be
+the production formula for true geodesics but sin/cos are not
+correctly-rounded, so the planar metric is what the exactness
+contract can carry).
+
+Float-sum discipline: any SUM over per-row doubles (track length,
+centroid) is quantized into an exact domain first — `floor(x * 1e9)`
+into BIGINT nanos, or a DECIMAL(14,4) cast for the exactly-4-decimal
+coordinates — so the aggregation is exact and order-independent
+(double sums are not associative; parallel partial aggregation would
+otherwise make the last bits partition-count-dependent).  floor, not
+round: Spark's round(double, n) works on the shortest decimal repr
+while DuckDB rounds the binary value, so they can disagree by one ulp
+on irrational inputs — floor(x * 1e9) is a pure double multiply +
+floor, both IEEE-exact, hence engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.registry import register
+
+# Radius (planar degrees) and grid cell size.  Cell == R, so the 3x3
+# neighborhood is exactly the set of cells that can hold a point within
+# R of the probe.  25.0 keeps the result non-degenerate at sf0.001
+# (10 suppliers on the whole plane) while staying selective at sf0.1.
+_R = 25.0
+
+# key -> synthetic coordinate, identical text in Spark and DuckDB.
+# The CAST to DOUBLE before the division is load-bearing: Spark parses
+# the 10000.0 literal as DECIMAL, so without it the whole derivation
+# (and every distance downstream) would run in exact DECIMAL on Spark
+# but binary DOUBLE in DuckDB — low-bit mismatches that flip 6-dp
+# rounding (the q11 cross-engine-domain lesson).  With both sides in
+# DOUBLE, every op downstream (+, -, *, /, sqrt, floor) is IEEE
+# correctly-rounded, hence bit-identical — which is why the distance
+# outputs below are NOT rounded at all.
+_LAT = "CAST((({k} % 1000003) * {salt}) % 1800000 AS DOUBLE) / 10000.0 - 90.0"
+_LON = "CAST((({k} % 1000003) * {salt}) % 3600000 AS DOUBLE) / 10000.0 - 180.0"
+
+_C_LAT = _LAT.format(k="c_custkey", salt=9973)
+_C_LON = _LON.format(k="c_custkey", salt=7919)
+_S_LAT = _LAT.format(k="s_suppkey", salt=6007)
+_S_LON = _LON.format(k="s_suppkey", salt=4391)
+_E_LAT = _LAT.format(k="event_id", salt=9973)
+_E_LON = _LON.format(k="event_id", salt=7919)
+
+
+def _points(spark: SparkSession, sf_dir: str):
+    """(customer points with cell, supplier points with cell)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_C_LAT).alias("c_lat"),
+        F.expr(_C_LON).alias("c_lon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_S_LAT).alias("s_lat"),
+        F.expr(_S_LON).alias("s_lon"),
+    )
+    c = c.withColumn("cla", F.floor(F.col("c_lat") / _R).cast("int")).withColumn(
+        "clo", F.floor(F.col("c_lon") / _R).cast("int")
+    )
+    s = s.withColumn("sla", F.floor(F.col("s_lat") / _R).cast("int")).withColumn(
+        "slo", F.floor(F.col("s_lon") / _R).cast("int")
+    )
+    return c, s
+
+
+def _radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, s_suppkey, d2) for all pairs within planar distance R,
+    via the 3x3-cell equi-join — the shared kernel of the radius join
+    and the nearest-neighbor ops."""
+    c, s = _points(spark, sf_dir)
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    cx = (
+        c.withColumn("dla", F.explode(offs))
+        .withColumn("dlo", F.explode(offs))
+        .withColumn("jla", F.col("cla") + F.col("dla"))
+        .withColumn("jlo", F.col("clo") + F.col("dlo"))
+    )
+    d2 = (F.col("c_lat") - F.col("s_lat")) * (F.col("c_lat") - F.col("s_lat")) + (
+        F.col("c_lon") - F.col("s_lon")
+    ) * (F.col("c_lon") - F.col("s_lon"))
+    return (
+        cx.join(s, (F.col("jla") == F.col("sla")) & (F.col("jlo") == F.col("slo")))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(_R * _R))
+        .select("c_custkey", "s_suppkey", "d2")
+    )
+
+
+# Shared oracle CTE prelude: derived points, cells, 3x3 explode, pairs.
+_ORACLE_PAIRS = f"""
+WITH c AS (
+  SELECT c_custkey, {_C_LAT} AS c_lat, {_C_LON} AS c_lon FROM customer
+), s AS (
+  SELECT s_suppkey, {_S_LAT} AS s_lat, {_S_LON} AS s_lon FROM supplier
+), cc AS (
+  SELECT *, CAST(floor(c_lat / {_R}) AS INT) AS cla,
+            CAST(floor(c_lon / {_R}) AS INT) AS clo FROM c
+), ss AS (
+  SELECT *, CAST(floor(s_lat / {_R}) AS INT) AS sla,
+            CAST(floor(s_lon / {_R}) AS INT) AS slo FROM s
+), cx AS (
+  SELECT cc.*, o1.d AS dla, o2.d AS dlo
+  FROM cc, (VALUES (-1), (0), (1)) o1(d), (VALUES (-1), (0), (1)) o2(d)
+), pairs AS (
+  SELECT cx.c_custkey, ss.s_suppkey,
+         (cx.c_lat - ss.s_lat) * (cx.c_lat - ss.s_lat)
+         + (cx.c_lon - ss.s_lon) * (cx.c_lon - ss.s_lon) AS d2
+  FROM cx JOIN ss ON cx.cla + cx.dla = ss.sla AND cx.clo + cx.dlo = ss.slo
+  WHERE (cx.c_lat - ss.s_lat) * (cx.c_lat - ss.s_lat)
+        + (cx.c_lon - ss.s_lon) * (cx.c_lon - ss.s_lon) <= {_R * _R}
+)
+"""
+
+
+@register(
+    "geo_grid_radius_join",
+    oracle=_ORACLE_PAIRS
+    + """
+, g AS (
+  SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_within,
+         min(sqrt(d2)) AS min_dist
+  FROM pairs GROUP BY c_custkey
+)
+SELECT c.c_custkey, CAST(coalesce(g.n_within, 0) AS BIGINT) AS n_within,
+       g.min_dist
+FROM c LEFT JOIN g USING (c_custkey)
+""",
+    doc="Spatial radius join: for every customer, how many suppliers lie "
+    "within planar distance R=25 and how close is the nearest — grid-cell "
+    "blocked (cell = floor(coord/R), probe explodes to its 3x3 "
+    "neighborhood, plain equi-join on cell key), never a cross join. "
+    "Customers with an empty neighborhood are kept via a left join "
+    "(n_within = 0). At 100 TB the build side partitions by cell and "
+    "dense-cell skew is AQE's skew-join case.",
+)
+def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, _ = _points(spark, sf_dir)
+    g = (
+        _radius_pairs(spark, sf_dir)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_within"),
+            F.min(F.sqrt("d2")).alias("min_dist"),
+        )
+    )
+    return c.select("c_custkey").join(g, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce("n_within", F.lit(0)).cast("bigint").alias("n_within"),
+        "min_dist",
+    )
+
+
+@register(
+    "geo_nearest_neighbor",
+    oracle=_ORACLE_PAIRS
+    + """
+, rnk AS (
+  SELECT c_custkey, s_suppkey, d2,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY d2, s_suppkey) AS rn
+  FROM pairs
+)
+SELECT c_custkey, s_suppkey AS nearest_suppkey, sqrt(d2) AS dist
+FROM rnk WHERE rn = 1
+""",
+    doc="Bounded nearest-neighbor assignment: each customer's closest "
+    "supplier within radius R (kNN k=1 with a radius bound — the bound is "
+    "what keeps the search local: only the 3x3 cell neighborhood is "
+    "probed, so there is no global top-1 shuffle). Deterministic "
+    "tie-break on (d2, s_suppkey). Customers with no supplier within R "
+    "drop out (radius-bounded semantics).",
+)
+def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        _radius_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.sqrt("d2").alias("dist"),
+        )
+    )
+
+
+# --- geohash: Morton bit-spread, identical constants both engines ----
+# Spread a 20-bit int so its bits land on even positions of a 40-bit
+# word (the classic Morton-code magic sequence, here on BIGINT).
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _spread_sql(x: str, shift_fmt: str) -> str:
+    """Bit-spread expression; shift_fmt abstracts shiftleft(x,n) (Spark)
+    vs (x << n) (DuckDB)."""
+    for n, mask in _SPREAD:
+        x = f"(({x} | {shift_fmt.format(x=x, n=n)}) & {mask})"
+        shift_fmt = shift_fmt  # same operator at every step
+    return x
+
+
+def _geohash_sql(lat: str, lon: str, spark_side: bool) -> str:
+    """40-bit geohash-8 from derived lat/lon, as one SQL expression."""
+    shl = "shiftleft({x}, {n})" if spark_side else "({x} << {n})"
+    shr = "shiftright({x}, {n})" if spark_side else "({x} >> {n})"
+    lat20 = f"CAST(floor(({lat} + 90.0) / 180.0 * 1048576.0) AS BIGINT)"
+    lon20 = f"CAST(floor(({lon} + 180.0) / 360.0 * 1048576.0) AS BIGINT)"
+    sl = _spread_sql(lat20, shl)
+    so = _spread_sql(lon20, shl)
+    morton = f"({shl.format(x=so, n=1)} | {sl})"
+    chars = []
+    for i in range(8):
+        idx = f"(CAST(({shr.format(x=morton, n=35 - 5 * i)}) & 31 AS INT) + 1)"
+        chars.append(f"substr('{_B32}', {idx}, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+@register(
+    "geo_geohash_encode",
+    oracle=f"""
+SELECT c_custkey,
+       {_geohash_sql(_C_LAT, _C_LON, spark_side=False)} AS geohash,
+       substr({_geohash_sql(_C_LAT, _C_LON, spark_side=False)}, 1, 4) AS gh4
+FROM customer
+""",
+    doc="Geohash-8 encoding entirely in integer expressions: 20-bit "
+    "lat/lon quantization, Morton bit-spread (the 5-step magic-mask "
+    "sequence) to interleave lon/lat with lon at the MSB per the geohash "
+    "spec, then base32 via 5-bit substr lookups. No UDF — the whole "
+    "encode stays inside whole-stage codegen, so at 100 TB it is a "
+    "map-only scan (the standard spatial bucketing key for Z-order "
+    "layout, range pruning, and prefix-join blocking).",
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gh = _geohash_sql(_C_LAT, _C_LON, spark_side=True)
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(gh).alias("geohash"),
+        F.expr(f"substr({gh}, 1, 4)").alias("gh4"),
+    )
+
+
+@register(
+    "geo_track_length",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_E_LAT} AS lat, {_E_LON} AS lon
+  FROM events
+), seg AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT user_id,
+         CAST(floor(sqrt((lat - plat) * (lat - plat)
+                         + (lon - plon) * (lon - plon))
+                    * 1000000000.0) AS BIGINT) AS step_nano
+  FROM seg WHERE plat IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_points,
+       CAST(sum(step_nano) AS DOUBLE) / 1000000000.0 AS track_len
+FROM d GROUP BY user_id
+""",
+    doc="Per-user track length: order each user's events by (ts, "
+    "event_id), lag to the previous point, sum planar segment lengths. "
+    "Float-sum discipline: each segment is quantized to BIGINT nanos via "
+    "floor(dist * 1e9) — multiply and floor are IEEE-exact, so both "
+    "engines produce the identical integer — and summed exactly, so the "
+    "result does not depend on partial-aggregation order (a raw double "
+    "sum would make the hash partition-count-dependent). One shuffle on "
+    "user_id serves both the window and the final group-by.",
+)
+def geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(_E_LAT).alias("lat"),
+        F.expr(_E_LON).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    step_nano = F.floor(
+        F.sqrt(
+            (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat"))
+            + (F.col("lon") - F.col("plon")) * (F.col("lon") - F.col("plon"))
+        )
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    return (
+        seg.select("user_id", step_nano.alias("step_nano"))
+        .groupBy("user_id")
+        .agg(
+            (F.count("*") + F.lit(1)).cast("bigint").alias("n_points"),
+            (F.sum("step_nano").cast("double") / F.lit(1000000000.0)).alias(
+                "track_len"
+            ),
+        )
+    )
+
+
+@register(
+    "geo_bbox_centroid",
+    oracle=f"""
+WITH c AS (
+  SELECT c_nationkey, {_C_LAT} AS lat, {_C_LON} AS lon FROM customer
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       min(c.lat) AS min_lat, max(c.lat) AS max_lat,
+       min(c.lon) AS min_lon, max(c.lon) AS max_lon,
+       CAST(sum(CAST(c.lat AS DECIMAL(14, 4))) AS DOUBLE)
+           / count(*) AS centroid_lat,
+       CAST(sum(CAST(c.lon AS DECIMAL(14, 4))) AS DOUBLE)
+           / count(*) AS centroid_lon
+FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="Per-nation bounding box and centroid of customer positions: "
+    "min/max are order-free (identical doubles, no rounding needed); "
+    "the centroid mean goes through DECIMAL(14,4) sums (the derived "
+    "coordinates have exactly 4 decimal digits, so the cast is exact and "
+    "the sum order-independent) with the divide done once in double at "
+    "the end — unrounded, since both engines divide identical values. "
+    "Nation is a broadcast dim; the aggregation is a map-side-combinable "
+    "single shuffle on nationkey — the cheapest possible shape at 100 TB.",
+)
+def geo_bbox_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(_C_LAT).alias("lat"),
+        F.expr(_C_LON).alias("lon"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+            (
+                F.sum(F.col("lat").cast("decimal(14,4)")).cast("double")
+                / F.count("*")
+            ).alias("centroid_lat"),
+            (
+                F.sum(F.col("lon").cast("decimal(14,4)")).cast("double")
+                / F.count("*")
+            ).alias("centroid_lon"),
+        )
+    )

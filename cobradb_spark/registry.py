@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.rollups",
     "cobradb_spark.queries.layout",
     "cobradb_spark.queries.graph",
+    "cobradb_spark.queries.geo",
 )
 
 

@@ -766,6 +766,30 @@ AUDITS = [
         "behind the localCheckpoint each ran one edge-label join + one "
         "hash agg (audited in code, queries/graph.py)",
     ),
+    (
+        "geo_grid_radius_join",
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "the radius search is an equi-join on the grid-cell key (probe "
+        "side exploded x9 to its 3x3 neighborhood) — a spatial join with "
+        "NO nested loop; distance filter applies post-join on cell-local "
+        "candidates only",
+    ),
+    (
+        "geo_nearest_neighbor",
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "kNN k=1 with a radius bound: candidates come from the 3x3 cell "
+        "equi-join, the argmin is a per-customer window rank — no global "
+        "top-1 shuffle, no nested loop",
+    ),
+    (
+        "geo_geohash_encode",
+        ["Scan parquet", "Project"],
+        ["Exchange", "BatchEvalPython", "CartesianProduct"],
+        "Morton bit-spread + base32 lookup entirely in codegen'd integer "
+        "expressions: a map-only scan with ZERO shuffles and no Python",
+    ),
 ]
 
 
