@@ -992,3 +992,100 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_days long, level double, trend double, "
         "f1 double, f2 double, f3 double",
     )
+
+
+_STL_HALF = 12  # centered trend frame: 11 preceding + current + 12 following
+
+
+@register(
+    "events_stl_decompose",
+    oracle=f"""
+WITH grid AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+         count(*) AS n_ticks
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hour, sum_cents, n_ticks,
+         CAST(sum_cents AS DOUBLE) / 100.0 / n_ticks AS observed,
+         CAST(sum(sum_cents) OVER w AS DOUBLE) / 100.0
+             / CAST(sum(n_ticks) OVER w AS DOUBLE) AS trend
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_STL_HALF - 1} PRECEDING
+                        AND {_STL_HALF} FOLLOWING)
+), d AS (
+  SELECT *, observed - trend AS detrended,
+         CAST(floor((observed - trend) * 1000000000.0 + 0.5) AS BIGINT)
+             AS dn,
+         date_part('hour', hour) AS hod
+  FROM t
+), seas AS (
+  SELECT event_type, hod,
+         CAST(sum(dn) AS DOUBLE) / 1000000000.0 / count(*) AS seasonal
+  FROM d GROUP BY 1, 2
+)
+SELECT d.event_type, d.hour, d.observed, d.trend,
+       seas.seasonal, d.detrended - seas.seasonal AS residual
+FROM d JOIN seas ON d.event_type = seas.event_type AND d.hod = seas.hod
+""",
+    doc="Seasonal-trend decomposition (STL-shaped, moving-average "
+    "variant) of the hourly mean value per event_type: trend = centered "
+    f"{2 * _STL_HALF}-observation tick-weighted moving average, seasonal "
+    "= mean detrended value per hour-of-day, residual = the rest. "
+    "Exactness design: the raw fact rows reduce to BIGINT-cent "
+    "(sum_cents, n_ticks) hourly state FIRST — one partial-agg shuffle, "
+    "and the centered trend frame then sums exact integers (float frame "
+    "sums differ across engines: segment trees vs sequential); the "
+    "seasonal group mean quantizes detrended to nanos for the same "
+    "reason. The seasonal profile is |types| x 24 rows — a broadcast "
+    "join back onto the grid. At 100 TB the decomposition cost is the "
+    "one grid shuffle; everything after runs on the tiny rollup (the "
+    "continuous-aggregate pattern shared with rollup_hypertable).",
+    tags=("analytics", "timeseries"),
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_STL_HALF - 1), _STL_HALF)
+    )
+    t = grid.select(
+        "event_type",
+        "hour",
+        (F.col("sum_cents").cast("double") / 100.0 / F.col("n_ticks")).alias(
+            "observed"
+        ),
+        (
+            F.sum("sum_cents").over(w).cast("double")
+            / 100.0
+            / F.sum("n_ticks").over(w).cast("double")
+        ).alias("trend"),
+    )
+    d = t.withColumn("detrended", F.col("observed") - F.col("trend")).withColumn(
+        "dn",
+        F.floor(F.col("detrended") * 1000000000.0 + 0.5).cast("bigint"),
+    ).withColumn("hod", F.hour("hour"))
+    seas = d.groupBy("event_type", "hod").agg(
+        (F.sum("dn").cast("double") / 1000000000.0 / F.count("*")).alias(
+            "seasonal"
+        )
+    )
+    return d.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "hour",
+        "observed",
+        "trend",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )

@@ -337,3 +337,87 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+_OLS_WIN = 50  # rolling-frame width (rows)
+
+
+@register(
+    "win_rolling_ols_slope",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS x
+  FROM events
+), s AS (
+  SELECT event_type, ts, event_id, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN {_OLS_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, CAST(x AS BIGINT) AS x, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+       (CAST(sy AS DOUBLE) / 100.0
+        - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+FROM s WHERE n >= 2
+""",
+    doc=f"Rolling {_OLS_WIN}-row ordinary-least-squares trend per event "
+    "series: slope and intercept of value vs observation index from the "
+    "closed form (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2). Exactness design: value "
+    "is quantized to BIGINT cents and x is the window row_number, so all "
+    "four frame sums are exact integers — no float accumulation anywhere "
+    "— and the one double division at the end is engine-identical "
+    "(a raw double frame sum would differ: DuckDB aggregates frames via "
+    "segment trees, Spark sequentially). One shuffle on event_type "
+    "serves the numbering and all frame sums; at 100 TB series are the "
+    "parallelism grain and each frame is node-local (the standard "
+    "streaming-telemetry trend kernel).",
+    tags=("window", "timeseries"),
+)
+def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = e.withColumn("x", F.row_number().over(wo))
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-(_OLS_WIN - 1), 0)
+    )
+    s = pts.select(
+        "event_type",
+        "event_id",
+        "x",
+        "y",
+        F.count("*").over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(100.0)
+    return s.select(
+        "event_type",
+        "event_id",
+        F.col("x").cast("bigint").alias("x"),
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") / F.lit(100.0) - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )

@@ -790,6 +790,22 @@ AUDITS = [
         "Morton bit-spread + base32 lookup entirely in codegen'd integer "
         "expressions: a map-only scan with ZERO shuffles and no Python",
     ),
+    (
+        "win_rolling_ols_slope",
+        ["Window", "EXCHANGES<=1"],
+        ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
+        "ONE shuffle on event_type serves the row numbering and all four "
+        "integer frame sums; the OLS closed form is pure codegen "
+        "arithmetic on top",
+    ),
+    (
+        "events_stl_decompose",
+        ["HashAggregate", "Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "facts reduce to the hourly integer grid first (partial+final "
+        "agg); trend window and seasonal group run on the rollup; the "
+        "|types|x24 seasonal profile broadcasts back",
+    ),
 ]
 
 
