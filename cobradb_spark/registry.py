@@ -123,6 +123,10 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "multimodal_flac_decode", "dedup_semantic_cluster",
     "graph_connected_components", "etl_importance_resample",
     "text_bpe_apply", "rollup_downsample_lttb", "events_forecast_holt",
+    # r6-continuation keys (geo family + time-series), all oracle-carrying
+    "geo_grid_radius_join", "geo_nearest_neighbor", "geo_geohash_encode",
+    "geo_track_length", "geo_bbox_centroid",
+    "win_rolling_ols_slope", "events_stl_decompose",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )

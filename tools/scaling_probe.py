@@ -72,6 +72,12 @@ PROBES = [
     "text_bpe_apply",
     "multimodal_flac_decode",
     "rollup_downsample_lttb",
+    # r6-continuation additions (geo + time-series)
+    "geo_grid_radius_join",
+    "geo_nearest_neighbor",
+    "geo_track_length",
+    "win_rolling_ols_slope",
+    "events_stl_decompose",
 ]
 
 
