@@ -783,3 +783,161 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
     )
 
+
+
+# --- embed_pca_power: distributed PCA, exact cross-engine integers ---
+_PCA_K = 120  # fixed power-iteration rounds (both engines replay the same K)
+_PCA_D = 64  # embedding dimensionality (asserted at runtime)
+
+
+def _pca_oracle() -> str:
+    """Generate the chained-CTE oracle: integer covariance + K unrolled
+    max-normalized power-iteration steps (no recursion — K is fixed, so
+    the loop unrolls to static SQL)."""
+    steps = []
+    for t in range(1, _PCA_K + 1):
+        steps.append(f"""
+y{t} AS MATERIALIZED (
+  SELECT c.j, sum(c.c * v.v) AS y
+  FROM cov c JOIN it{t - 1} v ON c.k = v.j GROUP BY c.j
+),
+it{t} AS MATERIALIZED (
+  SELECT j, (y * 1000000) // (SELECT max(abs(y)) FROM y{t}) AS v FROM y{t}
+),""")
+    last = f"it{_PCA_K}"
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, a.j AS j, CAST(a.xj AS DOUBLE) AS xj
+  FROM embeddings,
+       LATERAL (SELECT generate_subscripts(embedding, 1) AS j,
+                       unnest(embedding) AS xj) a
+),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+b AS MATERIALIZED (
+  SELECT j, CAST(sum(CAST(floor(xj * 1000000.0) AS BIGINT)) AS HUGEINT) AS bj
+  FROM x GROUP BY j
+),
+a2 AS MATERIALIZED (
+  SELECT p.j AS j, q.j AS k,
+         CAST(sum(CAST(floor(p.xj * q.xj * 1000000000000.0) AS BIGINT))
+              AS HUGEINT) AS ajk
+  FROM x p JOIN x q ON p.vec_id = q.vec_id
+  GROUP BY p.j, q.j
+),
+cov AS MATERIALIZED (
+  SELECT a2.j, a2.k,
+         a2.ajk * (SELECT n FROM nn) - b1.bj * b2.bj AS c
+  FROM a2 JOIN b b1 ON a2.j = b1.j JOIN b b2 ON a2.k = b2.j
+),
+it0 AS MATERIALIZED (SELECT j, CAST(1000000 AS HUGEINT) AS v FROM b),
+{"".join(steps)}
+vt AS (SELECT sum(v * v) AS vtv FROM {last}),
+ray AS (
+  SELECT sum(v1.v * c.c * v2.v) AS lq
+  FROM cov c JOIN {last} v1 ON c.j = v1.j JOIN {last} v2 ON c.k = v2.j
+),
+tr AS (SELECT sum(c) AS tr FROM cov WHERE j = k)
+SELECT v.j AS dim,
+       CAST(v.v AS DOUBLE) / 1000000.0 AS loading,
+       CAST(ray.lq AS DOUBLE) / CAST(vt.vtv AS DOUBLE)
+           / CAST(nn.n * nn.n AS DOUBLE) / 1000000000000.0 AS eigenvalue,
+       CAST(ray.lq AS DOUBLE) / CAST(vt.vtv AS DOUBLE)
+           / CAST(tr.tr AS DOUBLE) AS explained_ratio
+FROM {last} v, vt, ray, tr, nn
+"""
+
+
+@register(
+    "embed_pca_power",
+    oracle=_pca_oracle(),
+    doc=f"Distributed PCA (top principal component) over the embedding "
+    "table: ONE Arrow-batched partial-reduction pass builds the exact "
+    "integer covariance grid (per-element floor(x_j*x_k*1e12) partials "
+    "summed in BIGINT, mean term via floor(x_j*1e6) sums), then "
+    f"{_PCA_K} rounds of max-normalized power iteration run on the "
+    f"constant-size {_PCA_D}x{_PCA_D} grid in exact arbitrary-precision "
+    "integer arithmetic (loadings held as 1e6-scale integers, "
+    "truncating division — both engines replay the identical sequence, "
+    "so the result is hash-exact without any convergence assumption). "
+    "Outputs per-dimension loadings plus the Rayleigh eigenvalue and "
+    "explained-variance ratio. Scale posture: the data-sized work is "
+    "one mapInPandas reduction emitting d^2 rows per batch — at 100 TB "
+    "(billions of vectors) the shuffle is d^2 x num_batches regardless "
+    "of row count, and the iteration cost is O(K d^2) constant — the "
+    "classic tall-skinny covariance-PCA decomposition. The oracle "
+    "unrolls the K iterations as chained CTEs over HUGEINT (int128; "
+    "magnitudes proven bounded: |cov| <= 4e18, |y| <= 2.6e26, "
+    "|rayleigh| <= 1.6e37 < 2^127).",
+    tags=("mlprep", "embedding"),
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    d = _PCA_D
+
+    def partials(batches):
+        for pdf in batches:
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            assert emb.shape[1] == d, f"expected dim {d}, got {emb.shape[1]}"
+            # per-element floor BEFORE the sum: the quantization is part
+            # of the op's definition, mirrored in the oracle
+            a = np.floor(emb[:, :, None] * emb[:, None, :] * 1e12).astype(
+                np.int64
+            ).sum(axis=0)
+            b = np.floor(emb * 1e6).astype(np.int64).sum(axis=0)
+            jj, kk = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+            out = pd.DataFrame(
+                {"j": jj.ravel(), "k": kk.ravel(), "val": a.ravel()}
+            )
+            brow = pd.DataFrame({"j": np.arange(1, d + 1), "k": -1, "val": b})
+            nrow = pd.DataFrame({"j": [-1], "k": [-1], "val": [len(pdf)]})
+            yield pd.concat([out, brow, nrow], ignore_index=True)
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    grid = (
+        e.mapInPandas(partials, schema="j int, k int, val long")
+        .groupBy("j", "k")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # bounded: d^2 + d + 1 rows, constant in data size
+    )
+    a = {}
+    b = {}
+    n = 0
+    for r in grid:
+        if r["j"] == -1:
+            n = int(r["val"])
+        elif r["k"] == -1:
+            b[r["j"]] = int(r["val"])
+        else:
+            a[(r["j"], r["k"])] = int(r["val"])
+    cov = {
+        (j, k): a[(j, k)] * n - b[j] * b[k]
+        for j in range(1, d + 1)
+        for k in range(1, d + 1)
+    }
+
+    def tdiv(x: int, y: int) -> int:  # truncating division (SQL // on ints)
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    v = [10**6] * d  # it0
+    for _ in range(_PCA_K):
+        y = [sum(cov[(j, k)] * v[k - 1] for k in range(1, d + 1)) for j in range(1, d + 1)]
+        m = max(abs(t) for t in y)
+        v = [tdiv(t * 10**6, m) for t in y]
+    vtv = sum(t * t for t in v)
+    lq = sum(
+        v[j - 1] * cov[(j, k)] * v[k - 1]
+        for j in range(1, d + 1)
+        for k in range(1, d + 1)
+    )
+    tr = sum(cov[(j, j)] for j in range(1, d + 1))
+    eig = float(lq) / float(vtv) / float(n * n) / 1e12
+    ratio = float(lq) / float(vtv) / float(tr)
+    rows = [
+        (j, float(v[j - 1]) / 1e6, eig, ratio) for j in range(1, d + 1)
+    ]
+    return spark.createDataFrame(
+        rows, schema="dim int, loading double, eigenvalue double, explained_ratio double"
+    )

@@ -16,7 +16,8 @@ ALLOWED_TABLES = {
 # DISTINCT FROM <operand>", whose right side is a column, not a table.
 _FROM_RE = re.compile(r"\b(?<!DISTINCT )(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
 _CTE_RE = re.compile(
-    r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([a-zA-Z0-9_,\s]*\))?\s+AS\s*\(", re.IGNORECASE
+    r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([a-zA-Z0-9_,\s]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
+    re.IGNORECASE
 )
 
 

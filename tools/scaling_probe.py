@@ -78,6 +78,7 @@ PROBES = [
     "geo_track_length",
     "win_rolling_ols_slope",
     "events_stl_decompose",
+    "embed_pca_power",
 ]
 
 
