@@ -609,3 +609,112 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "comp_size",
         )
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Chained-CTE oracle: K synchronous plurality-vote rounds over the
+    strong co-purchase edges (fixed K — both engines replay the same
+    sequence, so no convergence test is needed for parity)."""
+    steps = []
+    for t in range(1, _LPA_ROUNDS + 1):
+        steps.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT e.dst AS n, v.lab, count(*) AS c
+  FROM edges e JOIN it{t - 1} v ON e.src = v.n GROUP BY e.dst, v.lab
+),
+it{t} AS MATERIALIZED (
+  SELECT n, lab FROM (
+    SELECT n, lab,
+           row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+    FROM s{t}
+  ) WHERE rn = 1
+),""")
+    last = f"it{_LPA_ROUNDS}"
+    return f"""
+WITH {_CC_EDGE_SQL},
+it0 AS (SELECT n, n AS lab FROM nodes),
+{"".join(steps)}
+sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
+          FROM {last} GROUP BY lab)
+SELECT v.n AS part_id, v.lab AS community, s.comm_size
+FROM {last} v JOIN sizes s USING (lab)
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Community detection by synchronous label propagation over the "
+    "strong co-purchase graph (same edges as graph_connected_components, "
+    f"which finds CONNECTIVITY classes; LPA finds DENSITY communities "
+    f"inside them). {_LPA_ROUNDS} fixed rounds: every node adopts the "
+    "plurality label among its neighbors' current labels, ties broken by "
+    "smallest label — fully deterministic, so fixed-round replay is "
+    "hash-exact cross-engine with no convergence assumption (the classic "
+    "LPA instability under ties is pinned by the (count DESC, label) "
+    "rank). Each round is ONE shuffle join of the pinned edge list "
+    "against the |V|-row label table + one (node,label) partial-agg + "
+    "one per-node window argmax; labels localCheckpoint each round (the "
+    "iterative-loop lineage discipline — persist alone lets the logical "
+    "plan double per round). At 100 TB: edges never re-shuffle, rounds "
+    "are O(|E|) each, and K is a constant.",
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+    from pyspark.sql import Window
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    strong = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _CC_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    edges = pin_cache(
+        strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+            strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("lab"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("n2").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges["src"] == labels["n"])
+            .groupBy(F.col("dst").alias("n2"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("n"), "lab")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count("*").cast("bigint").alias("comm_size")
+    )
+    return labels.join(sizes, "lab").select(
+        F.col("n").alias("part_id"),
+        F.col("lab").alias("community"),
+        "comm_size",
+    )

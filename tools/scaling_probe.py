@@ -79,6 +79,7 @@ PROBES = [
     "win_rolling_ols_slope",
     "events_stl_decompose",
     "embed_pca_power",
+    "graph_label_propagation",
 ]
 
 
