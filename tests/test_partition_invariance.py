@@ -29,6 +29,15 @@ PROBE_KEYS = [
     "graph_connected_components",
     "text_bpe_apply",
     "dedup_sorted_neighborhood",
+    # r6-continuation keys with partition-order exposure: integer-sum
+    # discipline (track length, OLS, STL), the PCA partial reduction,
+    # the LPA driver loop, and the blocked spatial argmin
+    "geo_track_length",
+    "geo_nearest_neighbor",
+    "win_rolling_ols_slope",
+    "events_stl_decompose",
+    "embed_pca_power",
+    "graph_label_propagation",
 ]
 
 
