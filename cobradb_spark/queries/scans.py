@@ -631,3 +631,106 @@ def scan_gzip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
+
+
+@register(
+    "scan_timetravel_log",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+v1 AS (SELECT event_type, c FROM cents WHERE event_id % 3 IN (0, 1)),
+v2 AS (SELECT event_type, c FROM cents WHERE event_id % 3 = 1
+       UNION ALL
+       SELECT event_type, c FROM cents
+       WHERE event_id % 3 = 0 AND c >= 5000),
+g1 AS (SELECT 1 AS version, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(c) AS BIGINT) AS sum_cents
+       FROM v1 GROUP BY event_type),
+g2 AS (SELECT 2 AS version, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(c) AS BIGINT) AS sum_cents
+       FROM v2 GROUP BY event_type)
+SELECT * FROM g1 UNION ALL SELECT * FROM g2
+""",
+    doc="Time travel over a minimal transaction-log table format (the "
+    "lakehouse mechanism behind Delta/Iceberg snapshots, built from "
+    "first principles): the op materializes a table directory whose "
+    "_log/ holds ordered JSON commit files of add/remove file actions — "
+    "commit 0 adds batch A (event_id%3==0), commit 1 adds batch B "
+    "(event_id%3==1), commit 2 REWRITES A as A' (rows with >= 5000 "
+    "cents), i.e. a delete executed as remove+add — then reads snapshots "
+    "v1 (A+B) and v2 (B+A') by replaying the log up to each version and "
+    "scanning exactly the active file set. Snapshot isolation = file "
+    "pruning: a reader pinned at v1 never sees commit 2's rewrite. The "
+    "log is O(commits) driver-side JSON (bounded metadata, like any "
+    "table format); the data path is ordinary parquet scans of the "
+    "active files. At 100 TB the same replay serves incremental readers "
+    "(diff of active sets between versions — the CDC feed "
+    "etl_cdc_apply/stream_cdc_upsert_view consume). Oracle recomputes "
+    "both snapshot semantics directly from the source table.",
+    tags=("scan", "etl"),
+)
+def scan_timetravel_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    root = scratch_dir("cobradb_tlog_")
+    log_dir = os.path.join(root, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def _write_part(name: str, df: DataFrame) -> str:
+        path = os.path.join(root, name)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    a = _write_part("part-a", ev.filter(F.col("event_id") % 3 == 0))
+    b = _write_part("part-b", ev.filter(F.col("event_id") % 3 == 1))
+    a2 = _write_part(
+        "part-a2",
+        ev.filter((F.col("event_id") % 3 == 0) & (F.col("c") >= 5000)),
+    )
+    commits = [
+        [{"action": "add", "path": a}],
+        [{"action": "add", "path": b}],
+        [{"action": "remove", "path": a}, {"action": "add", "path": a2}],
+    ]
+    for v, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{v:06d}.json"), "w") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+
+    def _snapshot(version: int) -> list[str]:
+        """Replay the log through `version`: the active file set."""
+        active: list[str] = []
+        logs = sorted(os.listdir(log_dir))[: version + 1]
+        assert len(logs) == version + 1, f"missing commits for v{version}"
+        for name in logs:
+            for line in open(os.path.join(log_dir, name)):
+                act = json.loads(line)
+                if act["action"] == "add":
+                    active.append(act["path"])
+                else:
+                    active.remove(act["path"])
+        return active
+
+    outs = []
+    for version in (1, 2):
+        snap = spark.read.parquet(*_snapshot(version))
+        outs.append(
+            snap.groupBy("event_type").agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("c").cast("bigint").alias("sum_cents"),
+            ).select(
+                F.lit(version).alias("version"),
+                "event_type",
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    return outs[0].unionAll(outs[1])

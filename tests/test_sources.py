@@ -366,3 +366,39 @@ def test_flac_codec_lossless_and_clean_errors():
             assert (out == clean).all()
         except ValueError:
             pass
+
+
+def test_timetravel_snapshots_isolate_the_rewrite(spark, sf_dir):
+    """v1 must include ALL of batch A; v2 only A's >=5000-cent rows —
+    i.e. a reader pinned at v1 is unaffected by commit 2's rewrite."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    got = {
+        (r["version"], r["event_type"]): (r["n_rows"], r["sum_cents"])
+        for r in get_query("scan_timetravel_log").fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    v1 = ev.filter(F.col("event_id") % 3 <= 1)
+    v2 = ev.filter(
+        (F.col("event_id") % 3 == 1)
+        | ((F.col("event_id") % 3 == 0) & (F.col("c") >= 5000))
+    )
+    for version, df in ((1, v1), (2, v2)):
+        expect = {
+            r["event_type"]: (r["n"], r["s"])
+            for r in df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+            .collect()
+        }
+        assert {t: v for (ver, t), v in got.items() if ver == version} == expect
+    # the rewrite dropped something at v2 (non-degenerate delete)
+    n1 = sum(v[0] for (ver, _), v in got.items() if ver == 1)
+    n2 = sum(v[0] for (ver, _), v in got.items() if ver == 2)
+    assert n2 < n1
