@@ -926,3 +926,87 @@ def etl_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .select("doc_id", "lang", "n_tokens", "score")
     )
+
+
+@register(
+    "etl_curriculum_order",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         n_chars * 1000 // ws_tokens AS difficulty_milli,
+         CAST(CAST(concat('0x', substr(md5(concat('cur1',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)
+             AS shuffle_key
+  FROM d
+), staged AS (
+  SELECT *, ntile(4) OVER (ORDER BY difficulty_milli, doc_id) AS stage
+  FROM feat
+), interleaved AS (
+  SELECT *, row_number() OVER (PARTITION BY stage, source
+                               ORDER BY shuffle_key, doc_id) AS r
+  FROM staged
+)
+SELECT doc_id, source, CAST(stage AS BIGINT) AS stage, difficulty_milli,
+       CAST(row_number() OVER (ORDER BY stage, r, source, doc_id)
+            AS BIGINT) AS curriculum_pos
+FROM interleaved
+""",
+    doc="Curriculum scheduling for LLM training: every document gets an "
+    "exact global training position — easy-to-hard stages (ntile(4) by "
+    "difficulty = integer milli-chars-per-token), and WITHIN each stage "
+    "a deterministic shuffle (md5 key) interleaved round-robin across "
+    "sources (order by per-(stage,source) rank first), so no stage "
+    "opens with a single-source clump. Scale posture: BOTH "
+    "rank-the-world steps (the ntile staging and the final position) "
+    "use the distributed closed form from operators/rank.py — "
+    "repartitionByRange + per-partition offsets — never a "
+    "single-partition window; the interleave rank partitions by "
+    "(stage, source), which is fine-grained. The md5 shuffle key makes "
+    "the epoch order reproducible without RNG state (re-runs and "
+    "resumed jobs agree) — the same property the deterministic "
+    "samplers rely on. Oracle: identical semantics via plain SQL "
+    "windows (single-node DuckDB has no partition cliff).",
+    tags=("etl", "llm"),
+)
+def etl_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_ntile, global_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+    )
+    h = F.md5(F.concat(F.lit("cur1"), F.col("doc_id").cast("string")))
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.expr("div(n_chars * 1000, ws_tokens)").alias("difficulty_milli"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("shuffle_key"),
+    )
+    staged = global_ntile(
+        feat,
+        [F.col("difficulty_milli"), F.col("doc_id")],
+        4,
+        "stage",
+    )
+    from pyspark.sql import Window
+
+    wi = Window.partitionBy("stage", "source").orderBy("shuffle_key", "doc_id")
+    inter = staged.withColumn("r", F.row_number().over(wi))
+    ranked = global_rank(
+        inter,
+        [F.col("stage"), F.col("r"), F.col("source"), F.col("doc_id")],
+        "curriculum_pos",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("stage").cast("bigint").alias("stage"),
+        "difficulty_milli",
+        F.col("curriculum_pos").cast("bigint").alias("curriculum_pos"),
+    )

@@ -205,3 +205,41 @@ def test_pack_sequences_invariants(spark, sf_dir):
     for pack_id, filled in by_pack.items():
         if pack_id != last:
             assert filled == budget  # (3) dense packing
+
+
+def test_curriculum_order_properties(spark, sf_dir):
+    """Positions are a permutation of 1..n; stages are monotone in
+    (difficulty, doc_id); within a stage the order is r-major (the
+    per-(stage,source) rank), which is what interleaves sources."""
+    from collections import defaultdict
+
+    from cobradb_spark.registry import get_query
+
+    rows = sorted(
+        get_query("etl_curriculum_order").fn(spark, sf_dir).collect(),
+        key=lambda r: r["curriculum_pos"],
+    )
+    n = len(rows)
+    assert [r["curriculum_pos"] for r in rows] == list(range(1, n + 1))
+    # stage monotone in (difficulty, doc_id)
+    marks = [(r["stage"], (r["difficulty_milli"], r["doc_id"])) for r in rows]
+    by_stage = defaultdict(list)
+    for s, key in marks:
+        by_stage[s].append(key)
+    stages = sorted(by_stage)
+    assert stages == [1, 2, 3, 4]
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) < min(by_stage[b])
+    # r-major order within a stage (=> round-robin source interleave):
+    # replaying per-source counters over the stage sequence must yield a
+    # non-decreasing r sequence
+    per_stage_r = defaultdict(list)
+    for row in rows:
+        per_stage_r[row["stage"]].append(row)
+    for s, seq in per_stage_r.items():
+        rs = []
+        counts = defaultdict(int)
+        for row in seq:
+            counts[row["source"]] += 1
+            rs.append(counts[row["source"]])
+        assert rs == sorted(rs), f"stage {s} not r-major interleaved"

@@ -80,6 +80,7 @@ PROBES = [
     "events_stl_decompose",
     "embed_pca_power",
     "graph_label_propagation",
+    "etl_curriculum_order",
 ]
 
 
