@@ -505,3 +505,91 @@ def agg_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phase1.groupBy("event_type").agg(
         F.sum("d").cast("long").alias("n_users")
     )
+
+
+_QUANTILES = (0.5, 0.9, 0.99, 0.999)
+
+
+@register(
+    "agg_quantile_exact_global",
+    oracle=f"""
+WITH v AS (
+  SELECT l_extendedprice AS x,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rn
+  FROM lineitem
+), nn AS (SELECT count(*) AS n FROM lineitem),
+qs(q) AS (VALUES {", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILES)}),
+t AS (
+  SELECT q,
+         CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS lo,
+         q * (n - 1) - floor(q * (n - 1)) AS f
+  FROM qs, nn
+), sel AS (
+  SELECT t.q, t.f, a.x AS xlo, b.x AS xhi
+  FROM t JOIN v a ON a.rn = t.lo
+       LEFT JOIN v b ON b.rn = t.lo + 1
+), res AS (
+  SELECT q, xlo + f * (coalesce(xhi, xlo) - xlo) AS val FROM sel
+)
+SELECT CAST(nn.n AS BIGINT) AS n_rows,
+       {", ".join(f"max(CASE WHEN q = CAST({q} AS DOUBLE) THEN val END) AS p{str(q)[2:]}" for q in _QUANTILES)}
+FROM res, nn GROUP BY nn.n
+""",
+    doc="Exact GLOBAL quantiles (p5/p9/p99/p999 of l_extendedprice) by "
+    "distributed rank selection — the scale complement to the per-group "
+    "agg_percentiles: a global exact quantile normally needs a full "
+    "sort into one task or a per-group collect; here the distributed "
+    "row_number closed form (operators/rank.py: repartitionByRange + "
+    "per-partition offsets) ranks the world in parallel, only the <=8 "
+    "rows at the target ranks are fetched, and the linear interpolation "
+    "runs on those. Both engines evaluate the IDENTICAL explicit "
+    "formula xlo + f*(xhi - xlo) with f = q*(n-1) - floor(q*(n-1)) "
+    "(percentile_cont's internal association is not pinned by the "
+    "standard, so the oracle avoids it). At 100 TB: one range shuffle + "
+    "a K-row fetch, versus the single-partition-sort cliff.",
+    tags=("agg",),
+)
+def agg_quantile_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from cobradb_spark.operators.rank import (
+        global_rank_with_total,
+        release_rank_caches,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"), "l_orderkey", "l_linenumber"
+    )
+    ranked, n = global_rank_with_total(
+        li, [F.col("x"), F.col("l_orderkey"), F.col("l_linenumber")], "rn"
+    )
+    targets = {}
+    need = set()
+    for q in _QUANTILES:
+        lo = math.floor(q * (n - 1)) + 1
+        f = q * (n - 1) - math.floor(q * (n - 1))
+        targets[q] = (lo, f)
+        need.add(lo)
+        if lo + 1 <= n:
+            need.add(lo + 1)
+    got = {
+        r["rn"]: r["x"]
+        for r in ranked.filter(F.col("rn").isin(sorted(need)))
+        .select("rn", "x")
+        .collect()  # bounded: at most 2 * len(_QUANTILES) rows
+    }
+    release_rank_caches()
+    out = {}
+    for q, (lo, f) in targets.items():
+        xlo = got[lo]
+        xhi = got.get(lo + 1, xlo)
+        out[q] = xlo + f * (xhi - xlo)
+    row = [int(n)] + [out[q] for q in _QUANTILES]
+    cols = ["n_rows"] + [f"p{str(q)[2:]}" for q in _QUANTILES]
+    return spark.createDataFrame(
+        [tuple(row)],
+        schema=", ".join(
+            [f"{cols[0]} long"] + [f"{c} double" for c in cols[1:]]
+        ),
+    )

@@ -243,3 +243,26 @@ def test_curriculum_order_properties(spark, sf_dir):
             counts[row["source"]] += 1
             rs.append(counts[row["source"]])
         assert rs == sorted(rs), f"stage {s} not r-major interleaved"
+
+
+def test_global_quantiles_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    xs = np.sort(
+        np.array(
+            [
+                r["l_extendedprice"]
+                for r in load_table(spark, sf_dir, "lineitem")
+                .select("l_extendedprice")
+                .collect()
+            ]
+        )
+    )
+    row = get_query("agg_quantile_exact_global").fn(spark, sf_dir).first()
+    assert row["n_rows"] == len(xs)
+    for q, col in ((0.5, "p5"), (0.9, "p9"), (0.99, "p99"), (0.999, "p999")):
+        expect = np.percentile(xs, q * 100, method="linear")
+        assert abs(row[col] - expect) < 1e-9 * max(1.0, abs(expect)), (q, row[col], expect)

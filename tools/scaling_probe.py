@@ -81,6 +81,7 @@ PROBES = [
     "embed_pca_power",
     "graph_label_propagation",
     "etl_curriculum_order",
+    "agg_quantile_exact_global",
 ]
 
 
