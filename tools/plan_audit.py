@@ -806,6 +806,31 @@ AUDITS = [
         "agg); trend window and seasonal group run on the rollup; the "
         "|types|x24 seasonal profile broadcasts back",
     ),
+    (
+        "graph_label_propagation",
+        ["HashAggregate", "Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "final sizes join reads the localCheckpoint'd label table "
+        "(ExistingRDD = truncated lineage, the iterative-loop "
+        "discipline); each LPA round was one edge-label join + one "
+        "(node,label) partial-agg + a per-node window argmax",
+    ),
+    (
+        "etl_curriculum_order",
+        ["Window", "rangepartitioning("],
+        ["CartesianProduct", "BatchEvalPython"],
+        "both rank-the-world steps are the distributed closed form: "
+        "range repartition + per-partition offsets, windows partitioned "
+        "by pid / (stage,source) — no single-partition window",
+    ),
+    (
+        "scan_timetravel_log",
+        ["Scan parquet", "HashAggregate", "Union"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "each snapshot is an ordinary pruned parquet scan of its active "
+        "file set (log replay is bounded driver-side metadata); "
+        "versioned aggregates union",
+    ),
 ]
 
 
