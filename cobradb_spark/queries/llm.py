@@ -396,3 +396,98 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "score", "rn")
     )
+
+
+# --- sim_maxsim_late_interaction: ColBERT-style MaxSim retrieval ------
+_MAXSIM_NQ = 5   # query set: vec_id <= 4 (deterministic, present at all sfs)
+_MAXSIM_K = 3    # results per query
+_MAXSIM_T = 8    # token sub-vectors per embedding (8 tokens x 8 dims)
+
+
+def _maxsim_expr(qcol: str, dcol: str, spark_side: bool) -> str:
+    """MaxSim(q, d) = sum_t max_tau dot(q_t, d_tau), fully unrolled with
+    FIXED left-to-right association so both engines compute bit-identical
+    doubles (the sum order of a float dot product is not associative)."""
+    cast = (
+        "CAST(element_at({col}, {i}) AS DOUBLE)"
+        if spark_side
+        else "CAST({col}[{i}] AS DOUBLE)"
+    )
+
+    def dot(t: int, tau: int) -> str:
+        terms = [
+            f"{cast.format(col=qcol, i=8 * t + i)} * "
+            f"{cast.format(col=dcol, i=8 * tau + i)}"
+            for i in range(1, 9)
+        ]
+        e = terms[0]
+        for x in terms[1:]:
+            e = f"({e} + {x})"
+        return e
+
+    per_t = [
+        "greatest(" + ", ".join(dot(t, tau) for tau in range(_MAXSIM_T)) + ")"
+        for t in range(_MAXSIM_T)
+    ]
+    e = per_t[0]
+    for x in per_t[1:]:
+        e = f"({e} + {x})"
+    return e
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <= {_MAXSIM_NQ - 1}
+), d AS (
+  SELECT vec_id AS d_id, embedding AS de FROM embeddings
+), scored AS (
+  SELECT q_id, d_id, {_maxsim_expr("qe", "de", spark_side=False)} AS score
+  FROM q, d WHERE d_id <> q_id
+), rnk AS (
+  SELECT q_id, d_id, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, d_id) AS rank
+  FROM scored
+)
+SELECT q_id, d_id, CAST(rank AS BIGINT) AS rank, score
+FROM rnk WHERE rank <= {_MAXSIM_K}
+""",
+    doc="Late-interaction retrieval (the ColBERT MaxSim shape): each "
+    f"embedding is treated as {_MAXSIM_T} token sub-vectors of 8 dims; "
+    "score(q, d) = sum over query tokens of the MAX dot product against "
+    "any doc token — the interaction that single-vector cosine "
+    "(sim_cosine_topk) cannot express, scored here for a fixed "
+    f"{_MAXSIM_NQ}-query set with top-{_MAXSIM_K} per query. "
+    "Execution: the tiny query side broadcasts and the scoring is a "
+    "map-only pass over the doc side (per-doc cost is a constant "
+    "64-dot-product block, fully unrolled into codegen'd arithmetic "
+    "with FIXED association so both engines produce bit-identical "
+    "doubles — no UDF, no rounding needed); per-query top-k via "
+    "window rank. At 100 TB this is the late-interaction re-rank "
+    "stage: candidates come from the ANN family, and the broadcast-Q "
+    "pattern scales with |Q|, not corpus size.",
+    tags=("llm", "similarity"),
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= _MAXSIM_NQ - 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    d = e.select(F.col("vec_id").alias("d_id"), F.col("embedding").alias("de"))
+    scored = (
+        q.crossJoin(d)  # |Q| x n with |Q| fixed: a broadcast map-only pass
+        .filter(F.col("d_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "d_id",
+            F.expr(_maxsim_expr("qe", "de", spark_side=True)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("d_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAXSIM_K)
+        .select("q_id", "d_id", F.col("rank").cast("bigint").alias("rank"), "score")
+    )

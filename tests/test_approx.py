@@ -167,3 +167,37 @@ def test_cosine_topk_argpartition_matches_full_sort(spark):
             got_b, got_c = got[(a, rn)]
             assert (got_b, got_c) == (exp_b, exp_c), (a, rn, got_b, exp_b)
     assert n_tied > 0  # the fixture must actually exercise the tie fallback
+
+
+def test_maxsim_matches_numpy(spark, sf_dir):
+    """MaxSim semantics vs a numpy reference: score = sum over query
+    tokens of the max dot against any doc token (8x8-dim reshape)."""
+    import numpy as np
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64).reshape(8, 8)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    rows = get_query("sim_maxsim_late_interaction").fn(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 queries x top-3
+    for q in range(5):
+        scores = {
+            d: float((emb[q] @ emb[d].T).max(axis=1).sum())
+            for d in emb
+            if d != q
+        }
+        expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+        got = [
+            (r["d_id"], r["score"])
+            for r in sorted(
+                (x for x in rows if x["q_id"] == q), key=lambda x: x["rank"]
+            )
+        ]
+        assert [d for d, _ in got] == expect
+        for d, s in got:
+            assert abs(s - scores[d]) < 1e-9

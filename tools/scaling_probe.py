@@ -82,6 +82,7 @@ PROBES = [
     "graph_label_propagation",
     "etl_curriculum_order",
     "agg_quantile_exact_global",
+    "sim_maxsim_late_interaction",
 ]
 
 
