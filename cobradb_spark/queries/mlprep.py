@@ -941,3 +941,97 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="dim int, loading double, eigenvalue double, explained_ratio double"
     )
+
+
+@register(
+    "profile_corpus_report",
+    oracle="""
+WITH d AS (
+  SELECT source, lang, n_chars,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         md5(text) AS h
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_docs
+  FROM d GROUP BY source
+), lang_counts AS (
+  SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang
+), lang_stats AS (
+  SELECT source, CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM lang_counts GROUP BY source
+), top_lang AS (
+  SELECT source, lang
+  FROM (SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lang_counts)
+  WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.total_chars,
+       p.total_tokens * 1000 // p.n_docs AS tokens_per_doc_milli,
+       1000000 - (l.sum_sq * 1000000) // (p.n_docs * p.n_docs)
+           AS lang_gini_ppm,
+       t.lang AS top_lang, p.dup_docs
+FROM per_doc p JOIN lang_stats l USING (source)
+     JOIN top_lang t USING (source)
+""",
+    doc="Per-source dataset card (the corpus report a training run ships "
+    "with): document/char/token counts, exact-duplicate count (docs "
+    "minus distinct md5), plurality language, and language concentration "
+    "as Gini impurity in exact integer ppm — 1e6 - sum(c^2)*1e6 // n^2. "
+    "Gini instead of entropy is deliberate: it is pure integer "
+    "arithmetic, while entropy needs ln(), which is NOT IEEE "
+    "correctly-rounded and can differ between engines by an ulp. "
+    "Execution: one (source) partial-agg pass over doc-level facts plus "
+    "one (source, lang) rollup re-aggregated to sum-of-squares — both "
+    "map-side combinable; the distinct-hash count shuffles (source, h) "
+    "once. At 100 TB every stat here is a mergeable per-shard state "
+    "(counts, sums, hash sets via the dedup family) — the report "
+    "composes from shard summaries without a second corpus pass.",
+    tags=("profile", "llm"),
+)
+def profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.md5("text").alias("h"),
+    )
+    per_doc = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+        (F.count("*") - F.count_distinct("h")).cast("bigint").alias("dup_docs"),
+    )
+    lang_counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    lang_stats = lang_counts.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang"))
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_doc.join(lang_stats, "source")
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr("div(total_tokens * 1000, n_docs)").alias(
+                "tokens_per_doc_milli"
+            ),
+            F.expr("1000000 - div(sum_sq * 1000000, n_docs * n_docs)").alias(
+                "lang_gini_ppm"
+            ),
+            "top_lang",
+            "dup_docs",
+        )
+    )

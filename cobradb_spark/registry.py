@@ -129,7 +129,7 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "win_rolling_ols_slope", "events_stl_decompose", "embed_pca_power",
     "graph_label_propagation", "scan_timetravel_log",
     "etl_curriculum_order", "agg_quantile_exact_global",
-    "sim_maxsim_late_interaction",
+    "sim_maxsim_late_interaction", "profile_corpus_report",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )
