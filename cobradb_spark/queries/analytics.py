@@ -1089,3 +1089,108 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         (F.col("detrended") - F.col("seasonal")).alias("residual"),
     )
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M = 0.5, 0.3, 0.4, 7
+
+
+@register(
+    "events_forecast_holt_winters",
+    oracle=f"""
+WITH RECURSIVE
+grid AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM grid
+),
+hw AS (
+  SELECT event_type, t, n, CAST(y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+         [CAST(0 AS DOUBLE) FOR _ IN range({_HW_M})] AS s
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.t, i.n,
+         round({_HW_ALPHA} * (i.y - h.s[1])
+               + {1 - _HW_ALPHA} * (h.l + h.b), 9),
+         round({_HW_BETA}
+               * (round({_HW_ALPHA} * (i.y - h.s[1])
+                        + {1 - _HW_ALPHA} * (h.l + h.b), 9) - h.l)
+               + {1 - _HW_BETA} * h.b, 9),
+         list_append(h.s[2:{_HW_M}],
+           round({_HW_GAMMA}
+                 * (i.y - round({_HW_ALPHA} * (i.y - h.s[1])
+                          + {1 - _HW_ALPHA} * (h.l + h.b), 9))
+                 + {1 - _HW_GAMMA} * h.s[1], 9))
+  FROM hw h JOIN idx i ON i.event_type = h.event_type AND i.t = h.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+       round(l + b + s[1], 6) AS f1,
+       round(l + 2 * b + s[2], 6) AS f2,
+       round(l + 3 * b + s[3], 6) AS f3
+FROM hw WHERE t = n
+""",
+    doc="Holt-Winters additive triple smoothing (level + trend + "
+    f"season-{_HW_M}, alpha={_HW_ALPHA}, beta={_HW_BETA}, "
+    f"gamma={_HW_GAMMA}) over the daily per-type value series — the "
+    "seasonal completion of events_forecast_holt. Zero-initialized "
+    "seasonals (l_1 = y_1, b_1 = 0, s = zeros; the seasonal profile "
+    "warms up through gamma) keep the recurrence defined for any series "
+    "length >= 2 and fully deterministic. Both engines replay the "
+    "identical per-step round-9 iterates (the pagerank re-sync trick); "
+    "the DuckDB oracle carries the m-period seasonal STATE as a list "
+    "column through the recursive CTE (slice + append per step). Spark "
+    "reduces events to the tiny (type, day) grid first — one "
+    "partial-agg shuffle, the fact table never reaches Python — and "
+    "replays per series via applyInPandas; 1/2/3-step forecasts add "
+    "the final seasonal indices. At 100 TB: series are the parallelism "
+    "grain, state is O(m) per series.",
+    tags=("analytics", "timeseries"),
+)
+def events_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    a, bta, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+
+    def _round(x: float, p: int) -> float:
+        scale = 10.0 ** p
+        return float(np.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1))
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        l, b = float(y[0]), 0.0
+        s = [0.0] * m
+        for t in range(1, len(y)):
+            l_new = _round(a * (y[t] - s[0]) + (1 - a) * (l + b), 9)
+            b = _round(bta * (l_new - l) + (1 - bta) * b, 9)
+            s_new = _round(g * (y[t] - l_new) + (1 - g) * s[0], 9)
+            s = s[1:] + [s_new]
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[:1],
+                "n_days": [len(y)],
+                "level": [l],
+                "trend": [b],
+                "f1": [_round(l + b + s[0], 6)],
+                "f2": [_round(l + 2 * b + s[1], 6)],
+                "f3": [_round(l + 3 * b + s[2], 6)],
+            }
+        )
+
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    return grid.groupBy("event_type").applyInPandas(
+        hw,
+        schema="event_type string, n_days long, level double, trend double, "
+        "f1 double, f2 double, f3 double",
+    )

@@ -70,3 +70,55 @@ def test_stl_reconstruction_and_seasonal_constancy(spark, sf_dir):
     # the seasonal profile is small by design: |types| x <=24
     n_types = len({k[0] for k in seasonal_by_key})
     assert len(seasonal_by_key) <= n_types * 24
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir):
+    """Replay the exact HW recurrence (zero-init seasonals, per-step
+    round-9) in pure Python from the daily grid and require identical
+    level/trend and f1-f3 = level + h*trend + seasonal index."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.queries.analytics import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_M,
+    )
+    from cobradb_spark.registry import get_query
+
+    def _round(x, p):
+        scale = 10.0 ** p
+        return float(np.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1))
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    got = {
+        r["event_type"]: r
+        for r in get_query("events_forecast_holt_winters").fn(spark, sf_dir).collect()
+    }
+    for etype, pts in series.items():
+        pts.sort()
+        y = [v for _, v in pts]
+        l, b = float(y[0]), 0.0
+        s = [0.0] * _HW_M
+        for t in range(1, len(y)):
+            l_new = _round(_HW_ALPHA * (y[t] - s[0]) + (1 - _HW_ALPHA) * (l + b), 9)
+            b = _round(_HW_BETA * (l_new - l) + (1 - _HW_BETA) * b, 9)
+            s_new = _round(_HW_GAMMA * (y[t] - l_new) + (1 - _HW_GAMMA) * s[0], 9)
+            s = s[1:] + [s_new]
+            l = l_new
+        r = got[etype]
+        assert r["n_days"] == len(y)
+        assert r["level"] == l and r["trend"] == b
+        assert r["f1"] == _round(l + b + s[0], 6)
+        assert r["f2"] == _round(l + 2 * b + s[1], 6)
+        assert r["f3"] == _round(l + 3 * b + s[2], 6)
