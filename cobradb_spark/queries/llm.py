@@ -477,7 +477,8 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = e.select(F.col("vec_id").alias("d_id"), F.col("embedding").alias("de"))
     scored = (
-        q.crossJoin(d)  # |Q| x n with |Q| fixed: a broadcast map-only pass
+        d.crossJoin(F.broadcast(q))  # the tiny |Q| side broadcasts: a
+        # map-only pass over the doc side (BuildRight = q)
         .filter(F.col("d_id") != F.col("q_id"))
         .select(
             "q_id",
