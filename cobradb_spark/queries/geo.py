@@ -230,7 +230,6 @@ def _spread_sql(x: str, shift_fmt: str) -> str:
     vs (x << n) (DuckDB)."""
     for n, mask in _SPREAD:
         x = f"(({x} | {shift_fmt.format(x=x, n=n)}) & {mask})"
-        shift_fmt = shift_fmt  # same operator at every step
     return x
 
 

@@ -1115,3 +1115,70 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = wf.mapInPandas(apply_merges, schema="token string, freq long")
     return toks.groupBy("token").agg(F.sum("freq").cast("long").alias("n_occ"))
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48  # tokens per chunk / stride (25% overlap)
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok,
+         generate_subscripts(
+           range(0, greatest(CAST(ceil(CAST(greatest(len(w) - {_CHUNK_SIZE}, 0) AS DOUBLE)
+                                        / {_CHUNK_STRIDE}) AS BIGINT) + 1, 1)), 1) - 1
+             AS chunk_id
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(w[chunk_id * {_CHUNK_STRIDE} + 1 :
+                         chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')
+           AS chunk_text,
+       CAST(least(n_tok - chunk_id * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS BIGINT)
+           AS chunk_tokens
+FROM spans
+""",
+    doc=f"Sliding-window chunking for RAG / pretraining prep: each "
+    f"document splits into {_CHUNK_SIZE}-token chunks at stride "
+    f"{_CHUNK_STRIDE} (25% overlap), chunk count = "
+    "ceil(max(n_tok - size, 0) / stride) + 1 so the tail is always "
+    "covered and every doc yields >= 1 chunk. Pure JVM-side array ops — "
+    "split once, then explode over chunk indices and slice the shared "
+    "token array (no per-chunk re-tokenize, no Python); a narrow "
+    "row-growth map with zero shuffles, embarrassingly parallel at any "
+    "scale. The chunk grain here is what the embedding / ANN / MaxSim "
+    "family consumes downstream.",
+    tags=("text", "llm"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_tok = F.size("w").cast("bigint")
+    n_chunks = (
+        F.ceil(
+            F.greatest(n_tok - _CHUNK_SIZE, F.lit(0)).cast("double")
+            / _CHUNK_STRIDE
+        ).cast("bigint")
+        + 1
+    )
+    spans = d.select(
+        "doc_id",
+        "w",
+        n_tok.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE
+    return spans.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(
+            F.slice("w", start + 1, F.lit(_CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+        F.least(F.col("n_tok") - start, F.lit(_CHUNK_SIZE))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )

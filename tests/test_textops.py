@@ -113,3 +113,40 @@ def test_ivf_pq_recall_vs_exact(spark, sf_dir):
     # same nprobe=2/nlist=8 coarse recall ceiling as sim_ann_ivf; PQ's
     # ADC shortlist (100 >> 10) + exact rerank should not lose more
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_chunk_sliding_covers_every_token(spark, sf_dir):
+    """Chunk windows tile each doc: chunk k spans tokens
+    [k*stride, k*stride + size); the union covers [0, n_tok) and the
+    text of each chunk equals the corresponding token slice."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.queries.textops import _CHUNK_SIZE, _CHUNK_STRIDE
+    from cobradb_spark.registry import get_query
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = get_query("text_chunk_sliding").fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, toks in docs.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        n = len(toks)
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        covered = 0
+        for c in chunks:
+            lo = c["chunk_id"] * _CHUNK_STRIDE
+            expect = toks[lo : lo + _CHUNK_SIZE]
+            assert c["chunk_text"] == " ".join(expect)
+            assert c["chunk_tokens"] == len(expect)
+            covered = max(covered, lo + len(expect))
+        assert covered == n  # tail always covered
+        last_lo = (len(chunks) - 1) * _CHUNK_STRIDE
+        assert last_lo < n  # no empty trailing chunk

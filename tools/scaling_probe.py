@@ -83,6 +83,7 @@ PROBES = [
     "etl_curriculum_order",
     "agg_quantile_exact_global",
     "sim_maxsim_late_interaction",
+    "text_chunk_sliding",
 ]
 
 
