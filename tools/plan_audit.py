@@ -831,6 +831,23 @@ AUDITS = [
         "file set (log replay is bounded driver-side metadata); "
         "versioned aggregates union",
     ),
+    (
+        "sim_maxsim_late_interaction",
+        ["BroadcastNestedLoopJoin Cross BuildRight", "WindowGroupLimit"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "the nested-loop join is INTENDED here: BuildRight broadcasts "
+        "the 5-row query set, so scoring is a map-only pass over docs "
+        "(cost scales with |Q|, not corpus); top-k pushes down as "
+        "WindowGroupLimit per-partition heaps",
+    ),
+    (
+        "text_chunk_sliding",
+        ["Generate", "Scan parquet"],
+        ["Exchange", "BatchEvalPython", "CartesianProduct"],
+        "chunking is a zero-shuffle narrow map: split once, explode "
+        "chunk indices, slice the shared token array — row growth "
+        "without data movement",
+    ),
 ]
 
 
