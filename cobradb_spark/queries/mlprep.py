@@ -881,11 +881,18 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             assert emb.shape[1] == d, f"expected dim {d}, got {emb.shape[1]}"
             # per-element floor BEFORE the sum: the quantization is part
-            # of the op's definition, mirrored in the oracle
-            a = np.floor(emb[:, :, None] * emb[:, None, :] * 1e12).astype(
-                np.int64
-            ).sum(axis=0)
-            b = np.floor(emb * 1e6).astype(np.int64).sum(axis=0)
+            # of the op's definition, mirrored in the oracle.  Chunked:
+            # the rows x d x d outer-product tensor would be ~330 MB at
+            # the default 10k-row Arrow batch — 512-row blocks bound the
+            # peak at ~17 MB without changing the exact integer sums.
+            a = np.zeros((d, d), dtype=np.int64)
+            b = np.zeros(d, dtype=np.int64)
+            for lo in range(0, emb.shape[0], 512):
+                blk = emb[lo : lo + 512]
+                a += np.floor(blk[:, :, None] * blk[:, None, :] * 1e12).astype(
+                    np.int64
+                ).sum(axis=0)
+                b += np.floor(blk * 1e6).astype(np.int64).sum(axis=0)
             jj, kk = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
             out = pd.DataFrame(
                 {"j": jj.ravel(), "k": kk.ravel(), "val": a.ravel()}
