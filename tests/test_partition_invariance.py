@@ -38,6 +38,10 @@ PROBE_KEYS = [
     "events_stl_decompose",
     "embed_pca_power",
     "graph_label_propagation",
+    "etl_curriculum_order",
+    "agg_quantile_exact_global",
+    "sim_maxsim_late_interaction",
+    "text_chunk_sliding",
 ]
 
 
