@@ -715,3 +715,107 @@ def stream_cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(versions[-1]).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@register(
+    "stream_track_accumulate",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(((event_id % 1000003) * 9973) % 1800000 AS DOUBLE)
+             / 10000.0 - 90.0 AS lat,
+         CAST(((event_id % 1000003) * 7919) % 3600000 AS DOUBLE)
+             / 10000.0 - 180.0 AS lon
+  FROM events
+), seg AS (
+  SELECT user_id, ts, event_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), stepped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN plat IS NULL THEN 0
+              ELSE CAST(floor(sqrt((lat - plat) * (lat - plat)
+                                   + (lon - plon) * (lon - plon))
+                              * 1000000000.0) AS BIGINT) END AS step_nano
+  FROM seg
+)
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS n_points,
+       CAST(sum(step_nano) OVER w AS BIGINT) AS track_nano
+FROM stepped
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+    doc="Streaming stateful geo-track accumulation "
+    "(applyInPandasWithState): per-user state carries the last point "
+    "and running totals; every arriving event emits its running "
+    "(n_points, track_nano) — a per-event CDC of the state, so the "
+    "output is independent of micro-batch boundaries (unlike "
+    "batch-scoped snapshots). Segments quantize to BIGINT nanos via "
+    "floor(dist * 1e9) — the same exact-integer discipline as the batch "
+    "geo_track_length — so stream (incremental) and batch (window-sum) "
+    "computations are bit-identical; the oracle is the batch running "
+    "sum over (ts, event_id) order. State is one (event_id, totals) "
+    "tuple per user — bounded regardless of stream length. The "
+    "coordinates re-derive from the stored last event_id (exact "
+    "integers), never from accumulated floats. Caveat (inherent to any "
+    "path accumulation): the track is the path in ARRIVAL order — the "
+    "file source delivers in-order here; an out-of-order production "
+    "source would need watermarked reordering upstream (the "
+    "stream_watermark_late pattern) before this operator.",
+)
+def stream_track_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cobradb_spark.operators.streams import (
+        events_stream_dir,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def _pos(event_id: int):
+        lat = ((event_id % 1000003) * 9973) % 1800000 / 10000.0 - 90.0
+        lon = ((event_id % 1000003) * 7919) % 3600000 / 10000.0 - 180.0
+        return lat, lon
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            last_id, n, tot = state.get
+        else:
+            last_id, n, tot = None, 0, 0
+        out_ids, out_n, out_tot = [], [], []
+        for eid in rows["event_id"].astype("int64").tolist():
+            if last_id is not None:
+                plat, plon = _pos(last_id)
+                lat, lon = _pos(eid)
+                d = math.sqrt((lat - plat) ** 2 + (lon - plon) ** 2)
+                tot += math.floor(d * 1e9)
+            n += 1
+            last_id = eid
+            out_ids.append(eid)
+            out_n.append(n)
+            out_tot.append(tot)
+        state.update((last_id, n, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "n_points": out_n,
+                "track_nano": out_tot,
+            }
+        )
+
+    path = events_stream_dir(sf_dir)
+    ev = read_events_stream(spark, path).select("user_id", "ts", "event_id")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, n_points long, "
+        "track_nano long",
+        stateStructType="last_id long, n long, tot long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append")
