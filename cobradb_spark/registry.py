@@ -99,20 +99,17 @@ def _load() -> None:
 # never-checked keys (etl/rollup/sample/profile/graph families) + the
 # 16 r5-new keys.  After this window the never-checked count drops
 # 60 -> 10.
-#   r7 window head (planned, 17 keys): the 6 remaining never-checked
-#     r5-era keys (sql_customer_distribution_q13,
-#     analytics_attribution_position, sql_min_cost_supplier_q2,
-#     sql_important_stock_q11, text_bigram_perplexity,
-#     multimodal_gif_decode), the 6 r6-new keys (multimodal_flac_decode,
-#     dedup_semantic_cluster, graph_connected_components,
-#     etl_importance_resample, text_bpe_apply, rollup_downsample_lttb,
-#     events_forecast_holt), then the four rows-only
-#     ANN keys LAST (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf,
-#     sim_ann_ivf_pq — the driver records only a weaker rows-only line
-#     for them, so every oracle-carrying key gets its hash row first),
-#     after which every registered key has a driver row; fill the window
-#     tail with re-checks of the oldest driver evidence (r2-era scans/
-#     joins rows).
+#   r7 window head (planned, 34 keys — see _R7_PLANNED_HEAD below): the
+#     6 remaining never-checked r5-era keys, the 7 r6-new keys, the 17
+#     r6-continuation keys (geo/time-series/PCA/LPA/time-travel/
+#     curriculum/quantile/MaxSim/corpus-report/Holt-Winters/chunking/
+#     stream-track), then the four rows-only ANN keys LAST
+#     (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf, sim_ann_ivf_pq —
+#     the driver records only a weaker rows-only line for them, so
+#     every oracle-carrying key gets its hash row first), after which
+#     every registered key has a driver row; fill the remaining 16
+#     window slots with re-checks of the oldest driver evidence
+#     (r2-era scans/joins rows).
 # The planned r7 window head (see comment above) as data, so tests can
 # assert every planned name is actually registered — a typo here would
 # otherwise surface only as a KeyError during the r7 rotation.
