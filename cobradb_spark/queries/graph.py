@@ -718,3 +718,84 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("community"),
         "comm_size",
     )
+
+
+_BFS_MAX_DEPTH = 64
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+WITH RECURSIVE {_EDGE_SQL},
+src0 AS (SELECT src AS s FROM (SELECT src, count(*) AS c FROM edges
+         GROUP BY src) ORDER BY c DESC, src LIMIT 1),
+walk AS (
+  SELECT s AS node, 0 AS dist FROM src0
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_BFS_MAX_DEPTH}
+),
+lvl AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
+SELECT l.node AS part_id, l.dist,
+       CAST(count(*) OVER (PARTITION BY l.dist) AS BIGINT) AS level_size
+FROM lvl l
+""",
+    doc="Single-source BFS levels over the (plain) co-purchase graph: "
+    "exact hop distance from the maximum-degree node (the hub; ties "
+    "broken by id, so the source is deterministic AND sits in a "
+    "non-degenerate component at every sf) to every node it reaches, "
+    "plus per-level frontier sizes — the distance labeling "
+    "that complements reach counts (graph_khop_reach), components "
+    "(graph_connected_components), and communities "
+    "(graph_label_propagation). Spark runs FRONTIER-based BFS: only the "
+    "nodes discovered in round k join the edge list in round k+1 (work "
+    "per round tracks the frontier, not |V|), visited set and frontier "
+    "localCheckpoint each round (the iterative-lineage discipline), "
+    f"loudly bounded at {_BFS_MAX_DEPTH} rounds. The oracle's recursive "
+    "closure must carry (node, dist) pairs and min-aggregate at the end "
+    f"— cycles would reverberate forever, so the same {_BFS_MAX_DEPTH} "
+    "depth bound terminates it; the Spark loop asserts convergence "
+    "strictly below the bound, which makes the bound semantics-free. "
+    "At 100 TB each round is one frontier-edge equi-join + one anti-join "
+    "against visited — the textbook Pregel superstep as DataFrames.",
+    tags=("graph",),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cobradb_spark.operators.rank import pin_cache
+
+    edges = pin_cache(_copurchase_edges(spark, sf_dir))
+    source = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("src"))
+        .first()["src"]
+    )
+    visited = spark.createDataFrame(
+        [(int(source), 0)], schema="node long, dist int"
+    ).localCheckpoint()
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node").withColumnRenamed("node", "v"),
+                  F.col("node") == F.col("v"), "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(f"BFS did not converge within {_BFS_MAX_DEPTH} rounds")
+    w = Window.partitionBy("dist")
+    return visited.select(
+        F.col("node").alias("part_id"),
+        F.col("dist").cast("bigint").alias("dist"),
+        F.count("*").over(w).cast("bigint").alias("level_size"),
+    )

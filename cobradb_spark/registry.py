@@ -100,10 +100,10 @@ def _load() -> None:
 # 16 r5-new keys.  After this window the never-checked count drops
 # 60 -> 10.
 #   r7 window head (planned, 34 keys — see _R7_PLANNED_HEAD below): the
-#     6 remaining never-checked r5-era keys, the 7 r6-new keys, the 17
+#     6 remaining never-checked r5-era keys, the 7 r6-new keys, the 18
 #     r6-continuation keys (geo/time-series/PCA/LPA/time-travel/
 #     curriculum/quantile/MaxSim/corpus-report/Holt-Winters/chunking/
-#     stream-track), then the four rows-only ANN keys LAST
+#     stream-track/BFS), then the four rows-only ANN keys LAST
 #     (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf, sim_ann_ivf_pq —
 #     the driver records only a weaker rows-only line for them, so
 #     every oracle-carrying key gets its hash row first), after which
@@ -128,7 +128,7 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "etl_curriculum_order", "agg_quantile_exact_global",
     "sim_maxsim_late_interaction", "profile_corpus_report",
     "events_forecast_holt_winters", "text_chunk_sliding",
-    "stream_track_accumulate",
+    "stream_track_accumulate", "graph_bfs_levels",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )

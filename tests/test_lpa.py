@@ -66,3 +66,35 @@ def test_lpa_matches_python_replay(spark, sf_dir):
     # label, while sf0.01 yields 349 communities and sf0.1 yields 4784
     # (measured) — so only sanity-check the labeling is a partition
     assert sum(sizes.values()) == len(labels)
+
+
+def test_bfs_levels_match_python_replay(spark, sf_dir):
+    """Exact BFS distances from the max-degree hub, replayed in pure
+    Python over the plain co-purchase edge list."""
+    from collections import defaultdict, deque
+
+    from cobradb_spark.queries.graph import _copurchase_edges
+    from cobradb_spark.registry import get_query
+
+    nbrs = defaultdict(set)
+    deg = defaultdict(int)
+    for r in _copurchase_edges(spark, sf_dir).collect():
+        nbrs[r["src"]].add(r["dst"])
+        deg[r["src"]] += 1
+    source = min(deg, key=lambda n: (-deg[n], n))
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in nbrs[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    sizes = defaultdict(int)
+    for d in dist.values():
+        sizes[d] += 1
+    got = {
+        r["part_id"]: (r["dist"], r["level_size"])
+        for r in get_query("graph_bfs_levels").fn(spark, sf_dir).collect()
+    }
+    assert got == {n: (d, sizes[d]) for n, d in dist.items()}

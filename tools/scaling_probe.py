@@ -84,6 +84,7 @@ PROBES = [
     "agg_quantile_exact_global",
     "sim_maxsim_late_interaction",
     "text_chunk_sliding",
+    "graph_bfs_levels",
 ]
 
 
