@@ -886,3 +886,128 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_NTZ_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe,
+         CASE WHEN event_type IN ('view', 'click') THEN event_id END AS cand_id,
+         CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts) END
+             AS cand_us
+  FROM events
+  WHERE event_type IN ('purchase', 'view', 'click')
+), bw AS (
+  SELECT *,
+         last_value(cand_id IGNORE NULLS) OVER w AS b_id,
+         last_value(cand_us IGNORE NULLS) OVER w AS b_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+               ROWS UNBOUNDED PRECEDING)
+), fw AS (
+  SELECT *,
+         last_value(cand_id IGNORE NULLS) OVER w2 AS f_id,
+         last_value(cand_us IGNORE NULLS) OVER w2 AS f_us
+  FROM bw
+  WINDOW w2 AS (PARTITION BY user_id
+                ORDER BY ts DESC, is_probe DESC, event_id DESC
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id,
+       CASE WHEN f_id IS NULL THEN b_id
+            WHEN b_id IS NULL THEN f_id
+            WHEN epoch_us(ts) - b_us <= f_us - epoch_us(ts) THEN b_id
+            ELSE f_id END AS nearest_id,
+       CASE WHEN f_id IS NULL THEN epoch_us(ts) - b_us
+            WHEN b_id IS NULL THEN f_us - epoch_us(ts)
+            WHEN epoch_us(ts) - b_us <= f_us - epoch_us(ts)
+                 THEN epoch_us(ts) - b_us
+            ELSE f_us - epoch_us(ts) END AS delta_us
+FROM fw
+WHERE is_probe = 1 AND (b_id IS NOT NULL OR f_id IS NOT NULL)
+""",
+    doc="Bidirectional nearest-event join (as-of in BOTH directions): "
+    "each purchase matches its temporally closest view/click by the same "
+    "user — backward OR forward, whichever |delta t| is smaller, ties to "
+    "the backward match (the earlier event). The classic sensor/event "
+    "alignment join that plain as-of (latest-at-or-before) cannot "
+    "express. Same scale shape as join_asof: the union+window trick — "
+    "tag candidate rows, ONE shuffle on user_id serves an ascending and "
+    "a descending last_value(IGNORE NULLS) window — never a pairwise "
+    "comparison; deltas compare in exact integer microseconds. "
+    "Same-timestamp candidates sort before probes ascending (delta 0 "
+    "counts as backward) and after probes descending, so both windows "
+    "see them.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # tz-free epoch micros: NTZ-to-NTZ diff (unix_micros would force a
+    # session-timezone cast; a diff against the NTZ epoch never consults
+    # the timezone, matching DuckDB's epoch_us on naive timestamps)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_probe"),
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_id")
+        ).alias("cand_id"),
+        F.when(
+            F.col("event_type").isin("view", "click"),
+            F.expr(_NTZ_US),
+        ).alias("cand_us"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_probe").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = tagged.select(
+        "*",
+        F.last("cand_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("cand_us", ignorenulls=True).over(wb).alias("b_us"),
+        F.last("cand_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.last("cand_us", ignorenulls=True).over(wf).alias("f_us"),
+    )
+    us = F.expr(_NTZ_US)
+    b_delta = us - F.col("b_us")
+    f_delta = F.col("f_us") - us
+    nearest = (
+        F.when(F.col("f_id").isNull(), F.col("b_id"))
+        .when(F.col("b_id").isNull(), F.col("f_id"))
+        .when(b_delta <= f_delta, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+    )
+    delta = (
+        F.when(F.col("f_id").isNull(), b_delta)
+        .when(F.col("b_id").isNull(), f_delta)
+        .when(b_delta <= f_delta, b_delta)
+        .otherwise(f_delta)
+    )
+    return (
+        x.filter(
+            (F.col("is_probe") == 1)
+            & (F.col("b_id").isNotNull() | F.col("f_id").isNotNull())
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            nearest.alias("nearest_id"),
+            delta.alias("delta_us"),
+        )
+    )

@@ -189,3 +189,48 @@ def test_fuzzy_segment_boundaries_partition_invariants(spark, tmp_path):
             assert st == nxt and ln >= 1
             nxt = st + ln
         assert nxt == ls + 1  # exact tiling of [1..ls]
+
+
+def test_asof_nearest_is_true_argmin(spark, sf_dir):
+    """Brute-force at sf0.001: for every purchase the matched candidate
+    is the true min-|delta| view/click of that user, ties backward."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    cands = {}
+    probes = []
+    for r in ev:
+        if r["event_type"] == "purchase":
+            probes.append(r)
+        else:
+            cands.setdefault(r["user_id"], []).append(r)
+    got = {
+        r["purchase_id"]: (r["nearest_id"], r["delta_us"])
+        for r in get_query("join_asof_nearest").fn(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for p in probes:
+        cs = cands.get(p["user_id"], [])
+        if not cs:
+            assert p["event_id"] not in got
+            continue
+        best = None
+        for c in cs:
+            from datetime import timedelta
+
+            d_us = (c["ts"] - p["ts"]) // timedelta(microseconds=1)
+            backward = d_us <= 0
+            key = (abs(d_us), 0 if backward else 1, c["event_id"])
+            if best is None or key < best[0]:
+                best = (key, c["event_id"], abs(d_us))
+        assert got[p["event_id"]] == (best[1], best[2]), p["event_id"]
+        n_checked += 1
+    assert n_checked > 50
