@@ -1194,3 +1194,62 @@ def events_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_days long, level double, trend double, "
         "f1 double, f2 double, f3 double",
     )
+
+
+_BURST_WINDOW_S = 86400  # trailing 24 h
+_BURST_MIN = 5
+
+
+@register(
+    "events_rate_burst",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                           RANGE BETWEEN {_BURST_WINDOW_S} PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+           AS n_trailing,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                           RANGE BETWEEN {_BURST_WINDOW_S} PRECEDING
+                                     AND CURRENT ROW)
+            >= {_BURST_MIN} AS BIGINT) AS is_burst
+FROM t
+""",
+    doc="Trailing-window rate / burst detection: for every event, the "
+    f"count of that user's events in the trailing {_BURST_WINDOW_S}-second "
+    f"window (RANGE frame over exact integer epoch seconds), flagged "
+    f"when >= {_BURST_MIN} — the rate-limiting / abuse-detection "
+    "primitive next to the value-based anomaly detectors. RANGE (not "
+    "ROWS) is the point: the frame is defined by TIME distance, so "
+    "same-second events share a frame and gaps shrink it — and the "
+    "whole thing is one shuffle on user_id with a sorted range-frame "
+    "scan per partition, linear at any scale. Epoch seconds computed "
+    "tz-free (NTZ diff) so a foreign session's timezone cannot shift "
+    "frame boundaries.",
+    tags=("analytics", "events"),
+)
+def events_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ts_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_s.alias("ts_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-_BURST_WINDOW_S, 0)
+    )
+    n = F.count("*").over(w)
+    return t.select(
+        "user_id",
+        "event_id",
+        n.cast("bigint").alias("n_trailing"),
+        (n >= _BURST_MIN).cast("bigint").alias("is_burst"),
+    )
