@@ -1010,3 +1010,75 @@ def etl_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty_milli",
         F.col("curriculum_pos").cast("bigint").alias("curriculum_pos"),
     )
+
+
+@register(
+    "etl_late_arriving_dim",
+    oracle="""
+WITH joined AS (
+  SELECT o.o_orderkey,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         n.n_name,
+         CASE WHEN c.c_custkey % 10 = 0 THEN 1 ELSE 0 END AS was_late
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(was_late) AS BIGINT) AS n_repaired,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM joined GROUP BY n_name
+""",
+    doc="Late-arriving-dimension repair (the warehouse pattern CDC/SCD2/"
+    "backfill don't cover): at load time a tenth of the customer "
+    "dimension (c_custkey % 10 = 0) has not arrived, so those orders "
+    "land against a placeholder; when the late dim rows arrive, ONLY "
+    "the placeholder subset re-joins — the repair scan is proportional "
+    "to the unresolved rows, never a full fact rescan (the at-scale "
+    "point: placeholders are a tiny filtered subset, and the late-dim "
+    "side is small enough to broadcast). The final per-nation rollup "
+    "counts how many orders were repaired and proves totals equal the "
+    "all-dims-on-time join (the oracle computes exactly that with a "
+    "was_late flag). Money accumulates as integer cents.",
+    tags=("etl",),
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    early = c.filter(F.col("c_custkey") % 10 != 0)
+    late = c.filter(F.col("c_custkey") % 10 == 0)
+
+    # load time: left join against the dims that have arrived
+    loaded = o.join(
+        F.broadcast(early), o["o_custkey"] == early["c_custkey"], "left"
+    ).select(
+        "o_orderkey", "o_custkey", "cents", "c_nationkey",
+        F.lit(0).alias("was_late"),
+    )
+    resolved = loaded.filter(F.col("c_nationkey").isNotNull())
+    placeholders = loaded.filter(F.col("c_nationkey").isNull()).drop(
+        "c_nationkey", "was_late"
+    )
+    # repair: ONLY the placeholder subset re-joins the late arrivals
+    repaired = placeholders.join(
+        F.broadcast(late), placeholders["o_custkey"] == late["c_custkey"]
+    ).select(
+        "o_orderkey", "o_custkey", "cents", "c_nationkey",
+        F.lit(1).alias("was_late"),
+    )
+    full = resolved.unionByName(repaired)
+    return (
+        full.join(F.broadcast(n), full["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("was_late").cast("bigint").alias("n_repaired"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
