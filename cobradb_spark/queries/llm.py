@@ -492,3 +492,96 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MAXSIM_K)
         .select("q_id", "d_id", F.col("rank").cast("bigint").alias("rank"), "score")
     )
+
+
+# --- embed_binary_hamming_topk: 1-bit quantization + Hamming search ---
+_BHAM_NQ, _BHAM_K = 5, 3
+
+
+def _sign_pack_expr(col: str, spark_side: bool) -> str:
+    """Pack sign bits of the 64 dims into ONE BIGINT: bit i set iff
+    embedding[i+1] >= 0. Bit 63 is dim 64's sign, set by multiplying by
+    BIGINT-min (DuckDB overflow-checks a plain 1 << 63). Unrolled OR
+    chain, identical structure both sides."""
+    at = (
+        f"element_at({col}, {{i}})" if spark_side else f"{col}[{{i}}]"
+    )
+    shl = "shiftleft({x}, {n})" if spark_side else "({x} << {n})"
+    terms = []
+    for i in range(1, 65):
+        bit = f"CAST({at.format(i=i)} >= 0 AS BIGINT)"
+        if i == 1:
+            terms.append(bit)
+        elif i == 64:
+            # DuckDB overflow-checks (1 << 63); setting the sign bit via
+            # multiplication by BIGINT-min is exact in both engines
+            terms.append(f"({bit} * CAST(-9223372036854775808 AS BIGINT))")
+        else:
+            terms.append(shl.format(x=bit, n=i - 1))
+    e = terms[0]
+    for t in terms[1:]:
+        e = f"({e} | {t})"
+    return e
+
+
+@register(
+    "embed_binary_hamming_topk",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, {_sign_pack_expr("embedding", spark_side=False)} AS s
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, s AS qs FROM sig WHERE vec_id <= {_BHAM_NQ - 1}
+), scored AS (
+  SELECT q_id, sig.vec_id AS d_id,
+         CAST(bit_count(xor(qs, sig.s)) AS BIGINT) AS hamming
+  FROM q, sig WHERE sig.vec_id <> q_id
+), rnk AS (
+  SELECT q_id, d_id, hamming,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY hamming, d_id) AS rank
+  FROM scored
+)
+SELECT q_id, d_id, CAST(rank AS BIGINT) AS rank, hamming
+FROM rnk WHERE rank <= {_BHAM_K}
+""",
+    doc="Binary embedding quantization + Hamming-distance retrieval: each "
+    "64-dim vector collapses to ONE BIGINT of sign bits (the 1-bit "
+    "quantization behind binary-embedding search — 32x smaller than "
+    "float32, and XOR+popcount distance), then top-3 per query by "
+    "Hamming distance with deterministic (distance, id) ranking. "
+    "Everything is exact integer arithmetic — signature, XOR, "
+    "bit_count — inside whole-stage codegen; the signature build is a "
+    "map-only scan and the query side broadcasts (same posture as "
+    "MaxSim). At 100 TB binary signatures are the cheap FIRST filter "
+    "stage: 8 bytes/vector scans at memory bandwidth, and survivors "
+    "re-rank through int8 (embed_quantize_int8), ANN (sim_ann_*), or "
+    "late-interaction (MaxSim) stages.",
+    tags=("llm", "embedding"),
+)
+def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.expr(_sign_pack_expr("embedding", spark_side=True)).alias("s"),
+    )
+    q = sig.filter(F.col("vec_id") <= _BHAM_NQ - 1).select(
+        F.col("vec_id").alias("q_id"), F.col("s").alias("qs")
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("d_id"),
+            F.bit_count(F.col("qs").bitwiseXOR(F.col("s")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "d_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BHAM_K)
+        .select("q_id", "d_id", F.col("rank").cast("bigint").alias("rank"), "hamming")
+    )

@@ -201,3 +201,36 @@ def test_maxsim_matches_numpy(spark, sf_dir):
         assert [d for d, _ in got] == expect
         for d, s in got:
             assert abs(s - scores[d]) < 1e-9
+
+
+def test_binary_hamming_matches_numpy(spark, sf_dir):
+    """Signature and ranking vs a numpy reference (sign-bit packing +
+    XOR popcount), including the BIGINT-min top-bit trick."""
+    import numpy as np
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    sig = {
+        v: sum(1 << i for i in range(64) if emb[v][i] >= 0) for v in emb
+    }
+    rows = get_query("embed_binary_hamming_topk").fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    for q in range(5):
+        ham = {d: bin(sig[q] ^ sig[d]).count("1") for d in sig if d != q}
+        expect = sorted(ham, key=lambda d: (ham[d], d))[:3]
+        got = [
+            (r["d_id"], r["hamming"])
+            for r in sorted(
+                (x for x in rows if x["q_id"] == q), key=lambda x: x["rank"]
+            )
+        ]
+        assert [d for d, _ in got] == expect
+        for d, h in got:
+            assert h == ham[d]
