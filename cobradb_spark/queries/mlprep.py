@@ -1042,3 +1042,61 @@ def profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_docs",
         )
     )
+
+
+@register(
+    "mlprep_target_encode",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y_cents
+  FROM orders
+), g AS (
+  SELECT cat, CAST(sum(y_cents) AS BIGINT) AS cat_sum,
+         CAST(count(*) AS BIGINT) AS cat_n
+  FROM t GROUP BY cat
+)
+SELECT t.o_orderkey, t.cat,
+       CASE WHEN g.cat_n > 1
+            THEN CAST(g.cat_sum - t.y_cents AS DOUBLE)
+                 / CAST(g.cat_n - 1 AS DOUBLE) / 100.0
+            END AS loo_mean,
+       g.cat_n
+FROM t JOIN g USING (cat)
+""",
+    doc="Leave-one-out target encoding (the leakage-safe categorical "
+    "featurization): each order's o_orderpriority encodes as the mean "
+    "target (total price) of all OTHER rows in its category — "
+    "(cat_sum - y_i) / (cat_n - 1) — so a row never sees its own label "
+    "(plain mean encoding leaks the target into the feature). The "
+    "category sums accumulate as exact integer cents, so the one double "
+    "division at the end is engine-identical; singleton categories "
+    "yield NULL (no peers to average). Execution: one partial-agg "
+    "shuffle builds the per-category state, which re-joins the facts — "
+    "at 100 TB the state is |categories| rows and broadcasts, making "
+    "the encode a map-only second pass.",
+    tags=("mlprep",),
+)
+def mlprep_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("y_cents"),
+    )
+    g = t.groupBy("cat").agg(
+        F.sum("y_cents").cast("bigint").alias("cat_sum"),
+        F.count("*").cast("bigint").alias("cat_n"),
+    )
+    return t.join(F.broadcast(g), "cat").select(
+        "o_orderkey",
+        "cat",
+        F.when(
+            F.col("cat_n") > 1,
+            (F.col("cat_sum") - F.col("y_cents")).cast("double")
+            / (F.col("cat_n") - 1).cast("double")
+            / F.lit(100.0),
+        ).alias("loo_mean"),
+        "cat_n",
+    )
