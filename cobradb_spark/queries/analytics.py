@@ -1253,3 +1253,80 @@ def events_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_trailing"),
         (n >= _BURST_MIN).cast("bigint").alias("is_burst"),
     )
+
+
+@register(
+    "analytics_audience_overlap",
+    oracle="""
+WITH seg AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM seg GROUP BY 1
+)
+SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 1000000 // (sa.n + sb.n - count(*)) AS BIGINT)
+           AS jaccard_ppm
+FROM seg a
+JOIN seg b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN sizes sa ON sa.event_type = a.event_type
+JOIN sizes sb ON sb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type, sa.n, sb.n
+""",
+    doc="Exact audience-overlap matrix: for every pair of event-type "
+    "segments, the exact intersection of user sets plus Jaccard "
+    "similarity in integer ppm (count*1e6 // union — pure integer "
+    "arithmetic, no float set-similarity). The segment membership table "
+    "is the DISTINCT (type, user) projection — ONE shuffle — and the "
+    "pairwise overlap is a self-equi-join on user_id (each user "
+    "contributes |their types| choose 2 pair rows, bounded by the "
+    "segment-count constant, never a cross join). This is the EXACT "
+    "companion to the sketched overlap (agg_hll_intersect_estimate): "
+    "at 100 TB you run the sketch first and this exact join on the "
+    "segment pairs that matter.",
+    tags=("analytics",),
+)
+def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = seg.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = seg.alias("a")
+    b = seg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("seg_a"),
+            F.col("b.event_type").alias("seg_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("ta"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("tb"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), pairs["seg_a"] == sa["ta"])
+        .join(F.broadcast(sb), pairs["seg_b"] == sb["tb"])
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.expr(
+                "CAST(n_overlap * 1000000 div (n_a + n_b - n_overlap) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
