@@ -85,6 +85,12 @@ PROBES = [
     "sim_maxsim_late_interaction",
     "text_chunk_sliding",
     "graph_bfs_levels",
+    "join_asof_nearest",
+    "events_rate_burst",
+    "etl_late_arriving_dim",
+    "embed_binary_hamming_topk",
+    "mlprep_target_encode",
+    "analytics_audience_overlap",
 ]
 
 
