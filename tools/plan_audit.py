@@ -848,6 +848,43 @@ AUDITS = [
         "chunk indices, slice the shared token array — row growth "
         "without data movement",
     ),
+    (
+        "join_asof_nearest",
+        ["Window", "EXCHANGES<=1"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "bidirectional nearest-event join is the union+window trick: ONE "
+        "shuffle on user_id serves the ascending and descending "
+        "last_value windows — no pairwise comparison ever",
+    ),
+    (
+        "events_rate_burst",
+        ["Window", "EXCHANGES<=1"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "trailing RANGE frame over integer epoch seconds: one shuffle on "
+        "user_id, sorted range scan per partition",
+    ),
+    (
+        "etl_late_arriving_dim",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "early dims, late dims, and nation all broadcast; the repair "
+        "join's probe side is the filtered placeholder subset only",
+    ),
+    (
+        "embed_binary_hamming_topk",
+        ["BroadcastNestedLoopJoin Cross BuildRight", "WindowGroupLimit"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "like MaxSim, the nested loop is INTENDED: the 5-signature query "
+        "side broadcasts (BuildRight) and the XOR/popcount scoring is a "
+        "map-only pass; top-k pushes down as WindowGroupLimit",
+    ),
+    (
+        "mlprep_target_encode",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-category state builds with map-side combine and broadcasts "
+        "back — the encode is a map-only second pass",
+    ),
 ]
 
 
