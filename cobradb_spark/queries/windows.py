@@ -421,3 +421,92 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept"),
     )
+
+
+_CORR_WIN = 24  # rolling frame (hours) over the aligned hourly pair series
+
+
+@register(
+    "win_rolling_corr",
+    oracle=f"""
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+), pair AS (
+  SELECT v.hour, v.cents AS x, c.cents AS y
+  FROM (SELECT hour, cents FROM g WHERE event_type = 'view') v
+  JOIN (SELECT hour, cents FROM g WHERE event_type = 'click') c
+    USING (hour)
+), s AS (
+  SELECT hour, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM pair
+  WINDOW w AS (ORDER BY hour
+               ROWS BETWEEN {_CORR_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hour, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+            END AS rolling_corr
+FROM s
+""",
+    doc=f"Rolling {_CORR_WIN}-observation Pearson correlation between "
+    "the hourly view-value and click-value series — the co-movement "
+    "monitor next to the rolling OLS trend. Same exactness discipline: "
+    "both series quantize to BIGINT cents at the hourly grid (one "
+    "partial-agg shuffle + one equi-join aligns them), all five frame "
+    "sums are exact integers, and the closed form "
+    "(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) does ONE "
+    "double division over a correctly-rounded sqrt — engine-identical "
+    "with no rounding. Degenerate frames (n < 2 or zero variance) "
+    "yield NULL rather than a fake value. The aligned pair grid is "
+    "tiny; at 100 TB the cost is the grid reduction, and the series "
+    "key generalizes to any (metric_a, metric_b) pair partition.",
+    tags=("window", "timeseries"),
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    v = g.filter(F.col("event_type") == "view").select(
+        "hour", F.col("cents").alias("x")
+    )
+    c = g.filter(F.col("event_type") == "click").select(
+        F.col("hour").alias("h2"), F.col("cents").alias("y")
+    )
+    pair = v.join(c, v["hour"] == c["h2"]).select("hour", "x", "y")
+    w = Window.orderBy("hour").rowsBetween(-(_CORR_WIN - 1), 0)
+    s = pair.select(
+        "hour",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "hour",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            num / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ).alias("rolling_corr"),
+    )
