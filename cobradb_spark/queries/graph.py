@@ -799,3 +799,101 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").cast("bigint").alias("dist"),
         F.count("*").over(w).cast("bigint").alias("level_size"),
     )
+
+
+_WALK_STEPS = 8
+
+
+def _walk_hash_sql(walk: str, step: int, node: str, spark_side: bool) -> str:
+    """Deterministic 60-bit step hash from (walk_id, step, node) — the
+    md5-bucket trick, so 'randomness' is reproducible and engine-equal."""
+    concat = f"concat('wk', CAST({walk} AS VARCHAR), ':', CAST({step} AS VARCHAR), ':', CAST({node} AS VARCHAR))"
+    if spark_side:
+        concat = concat.replace("AS VARCHAR", "AS STRING")
+        return f"CAST(conv(substring(md5({concat}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(CAST(concat('0x', substr(md5({concat}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _walks_oracle() -> str:
+    steps = []
+    for t in range(1, _WALK_STEPS + 1):
+        h = _walk_hash_sql("w.walk_id", t, "w.node", spark_side=False)
+        steps.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT w.walk_id, {t} AS step,
+         a.nbrs[CAST({h} % len(a.nbrs) AS BIGINT) + 1] AS node
+  FROM w{t - 1} w JOIN adj a ON a.src = w.node
+),""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM w{t}" for t in range(_WALK_STEPS + 1)
+    )
+    return f"""
+WITH {_EDGE_SQL},
+adj AS MATERIALIZED (
+  SELECT src, list(dst ORDER BY dst) AS nbrs FROM edges GROUP BY src
+),
+w0 AS (SELECT src AS walk_id, 0 AS step, src AS node FROM adj
+       WHERE src % 50 = 0),
+{"".join(steps)}
+all_steps AS ({union})
+SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM all_steps
+"""
+
+
+@register(
+    "graph_random_walks",
+    oracle=_walks_oracle(),
+    doc=f"Deterministic random walks ({_WALK_STEPS} steps from every "
+    "probe node, src % 50 = 0) over the co-purchase graph — the "
+    "DeepWalk/node2vec corpus-generation step that feeds graph "
+    "embeddings. 'Random' is a reproducible 60-bit md5 hash of "
+    "(walk_id, step, current node) indexing into the SORTED neighbor "
+    "list — no RNG state, so re-runs, both engines, and resumed jobs "
+    "agree exactly (the same property as the deterministic samplers). "
+    "Execution: adjacency lists build once (one groupBy with "
+    "sort_array canonicalizing collect_list's nondeterministic order); "
+    "each step is ONE equi-join of the walker frontier against "
+    "adjacency — walkers never enumerate neighborhoods, they "
+    "element_at into them. At 100 TB walkers partition by current "
+    "node, the join co-locates with adjacency, and steps are the "
+    "Pregel supersteps; the symmetric graph has no dead ends "
+    "(every node keeps degree >= 1 by construction).",
+    tags=("graph", "llm"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = pin_cache(
+        edges.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+    )
+    walks = (
+        adj.filter(F.col("src") % 50 == 0)
+        .select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("node"),
+        )
+        .localCheckpoint()
+    )
+    frontier = walks
+    for t in range(1, _WALK_STEPS + 1):
+        h = _walk_hash_sql("walk_id", t, "node", spark_side=True)
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.expr(
+                    f"nbrs[CAST({h} % size(nbrs) AS INT)]"
+                ).alias("node"),
+            )
+            .localCheckpoint()
+        )
+        walks = walks.unionByName(nxt)
+        frontier = nxt
+    return walks.select(
+        "walk_id", F.col("step").cast("bigint").alias("step"), "node"
+    )
