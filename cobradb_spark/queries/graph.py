@@ -897,3 +897,106 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.select(
         "walk_id", F.col("step").cast("bigint").alias("step"), "node"
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_iter_sql() -> str:
+    parts = []
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(f"""
+ar{i} AS MATERIALIZED (
+  SELECT b.pk AS pk, CAST(sum(h.s) AS BIGINT) AS raw FROM bip b
+  JOIN h{i - 1} h ON h.ck = b.ck GROUP BY b.pk
+),
+a{i} AS MATERIALIZED (
+  SELECT pk, (raw * 1000000) // (SELECT max(raw) FROM ar{i}) AS s FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT b.ck AS ck, CAST(sum(a.s) AS BIGINT) AS raw FROM bip b
+  JOIN a{i} a ON a.pk = b.pk GROUP BY b.ck
+),
+h{i} AS MATERIALIZED (
+  SELECT ck, (raw * 1000000) // (SELECT max(raw) FROM hr{i}) AS s FROM hr{i}
+),""")
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_scores",
+    oracle=f"""
+WITH bip AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+h0 AS (SELECT DISTINCT ck, CAST(1000000 AS BIGINT) AS s FROM bip),
+{_hits_iter_sql()}
+sel AS (
+  SELECT 'customer' AS side, ck AS id, s FROM h{_HITS_ITERS}
+  UNION ALL
+  SELECT 'part', pk, s FROM a{_HITS_ITERS}
+)
+SELECT side, id, CAST(s AS DOUBLE) / 1000000.0 AS score FROM sel
+""",
+    doc=f"HITS hubs-and-authorities ({_HITS_ITERS} iterations) on the "
+    "DIRECTED bipartite customer->part purchase graph — the classic "
+    "formulation where the two scores mean different things: customers "
+    "are hubs (breadth of purchasing), parts are authorities (bought by "
+    "strong hubs). On the undirected co-purchase graph HITS would "
+    "degenerate to one eigenvector, which is why this op directs the "
+    "edges (and why it complements graph_pagerank rather than repeating "
+    "it). Each half-iteration is one shuffle join of the score vector "
+    "into the pinned edge list + a partial agg — the pagerank shape — "
+    "with the EXACT-INTEGER discipline end-to-end: scores live as "
+    "1e6-scale integers, sums are exact BIGINT (order-independent — "
+    "round-12 double re-sync was measured insufficient here: 9/35k "
+    "rows flipped a low bit at sf0.1), and max-normalization is a "
+    "truncating integer division (max-norm instead of L2 because max "
+    "is order-free while an L2 sum is not). Overflow-safe while "
+    "max-degree x 1e12 < 2^63 (~9M peers), documented bound.",
+    tags=("graph",),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bip = pin_cache(
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    h = bip.select("ck").distinct().select(
+        "ck", F.lit(1000000).cast("bigint").alias("s")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            bip.join(h, "ck")
+            .groupBy("pk")
+            .agg(F.sum("s").cast("bigint").alias("raw"))
+        )
+        amax = ar.agg(F.max("raw").alias("m"))
+        a = (
+            ar.crossJoin(F.broadcast(amax))
+            .select("pk", F.expr("div(raw * 1000000, m)").alias("s"))
+            .localCheckpoint()
+        )
+        hr = (
+            bip.join(a, "pk")
+            .groupBy("ck")
+            .agg(F.sum("s").cast("bigint").alias("raw"))
+        )
+        hmax = hr.agg(F.max("raw").alias("m"))
+        h = (
+            hr.crossJoin(F.broadcast(hmax))
+            .select("ck", F.expr("div(raw * 1000000, m)").alias("s"))
+            .localCheckpoint()
+        )
+    score = (F.col("s").cast("double") / F.lit(1000000.0)).alias("score")
+    return h.select(
+        F.lit("customer").alias("side"), F.col("ck").alias("id"), score
+    ).unionByName(
+        a.select(F.lit("part").alias("side"), F.col("pk").alias("id"), score)
+    )

@@ -98,3 +98,52 @@ def test_bfs_levels_match_python_replay(spark, sf_dir):
         for r in get_query("graph_bfs_levels").fn(spark, sf_dir).collect()
     }
     assert got == {n: (d, sizes[d]) for n, d in dist.items()}
+
+
+def test_hits_matches_python_replay(spark, sf_dir):
+    """Replay the exact-integer HITS recurrence (1e6-scale scores,
+    BIGINT sums, truncating-division max-norm) in pure Python over the
+    bipartite purchase edges."""
+    from collections import defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.queries.graph import _HITS_ITERS
+    from cobradb_spark.registry import get_query
+
+    o = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    bip = set()
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        if r["l_orderkey"] in o:
+            bip.add((o[r["l_orderkey"]], r["l_partkey"]))
+
+    h = {ck: 10**6 for ck, _ in bip}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        raw_a = defaultdict(int)
+        for ck, pk in bip:
+            raw_a[pk] += h[ck]
+        m = max(raw_a.values())
+        a = {pk: (v * 10**6) // m for pk, v in raw_a.items()}
+        raw_h = defaultdict(int)
+        for ck, pk in bip:
+            raw_h[ck] += a[pk]
+        m = max(raw_h.values())
+        h = {ck: (v * 10**6) // m for ck, v in raw_h.items()}
+    got = {
+        (r["side"], r["id"]): r["score"]
+        for r in get_query("graph_hits_scores").fn(spark, sf_dir).collect()
+    }
+    expect = {("customer", ck): s / 1e6 for ck, s in h.items()}
+    expect.update({("part", pk): s / 1e6 for pk, s in a.items()})
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], k
