@@ -91,6 +91,9 @@ PROBES = [
     "embed_binary_hamming_topk",
     "mlprep_target_encode",
     "analytics_audience_overlap",
+    "win_rolling_corr",
+    "graph_random_walks",
+    "graph_hits_scores",
 ]
 
 
