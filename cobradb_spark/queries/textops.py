@@ -1182,3 +1182,130 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_tokens"),
     )
+
+
+_RAKE_STOP = ("a", "the")
+_RAKE_K = 3
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, u.w, u.pos
+  FROM documents,
+       LATERAL (SELECT unnest(str_split(text, ' ')) AS w,
+                       generate_subscripts(str_split(text, ' '), 1) AS pos) u
+), marked AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END AS is_stop,
+         sum(CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS pid
+  FROM toks
+), words AS (
+  SELECT doc_id, pid, pos, w FROM marked WHERE is_stop = 0
+), phrases AS (
+  SELECT doc_id, pid,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM words GROUP BY doc_id, pid
+), wstat AS (
+  SELECT wd.w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS deg
+  FROM words wd JOIN phrases p USING (doc_id, pid)
+  GROUP BY wd.w
+), wscore AS (
+  SELECT w, deg * 1000000 // freq AS ppm FROM wstat
+), pscore AS (
+  SELECT wd.doc_id, wd.pid, CAST(sum(ws.ppm) AS BIGINT) AS score_ppm
+  FROM words wd JOIN wscore ws USING (w)
+  GROUP BY wd.doc_id, wd.pid
+), dedup AS (
+  SELECT p.doc_id, p.phrase, max(s.score_ppm) AS score_ppm
+  FROM phrases p JOIN pscore s USING (doc_id, pid)
+  GROUP BY p.doc_id, p.phrase
+), rnk AS (
+  SELECT doc_id, phrase, score_ppm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_ppm DESC, phrase) AS rank
+  FROM dedup
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_ppm
+FROM rnk WHERE rank <= {_RAKE_K}
+""",
+    doc="RAKE keyphrase extraction (Rose et al.'s rapid automatic "
+    "keyword extraction): candidate phrases are maximal stopword-free "
+    "token runs; each word scores degree/frequency over the corpus "
+    "(degree = summed length of phrases containing it), a phrase scores "
+    "the sum of its words, and each doc keeps its top-3 phrases with "
+    "deterministic (score, phrase) ranking. All scoring is exact "
+    "integer ppm (deg*1e6 // freq — no float division anywhere), so "
+    "the hash gate is exact. Execution: phrase segmentation is a "
+    "running stopword count per doc (one window), word stats are one "
+    "(word) rollup joined back broadcast-style, and phrase text "
+    "canonicalizes via ordered string_agg / sorted collect — every "
+    "stage map-side-combinable; at 100 TB the only corpus-global state "
+    "is the |vocab|-row word-score table.",
+    tags=("text", "llm"),
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    is_stop = F.col("w").isin(*_RAKE_STOP).cast("int")
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = toks.select(
+        "doc_id", "pos", "w", is_stop.alias("is_stop"),
+        F.sum(is_stop).over(wp).alias("pid"),
+    )
+    words = marked.filter(F.col("is_stop") == 0).select(
+        "doc_id", "pid", "pos", "w"
+    )
+    phrases = words.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    wstat = (
+        words.join(phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select("w", F.expr("div(deg * 1000000, freq)").alias("ppm"))
+    pscore = (
+        words.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("ppm").cast("bigint").alias("score_ppm"))
+    )
+    dedup = (
+        phrases.join(pscore, ["doc_id", "pid"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.max("score_ppm").alias("score_ppm"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase")
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RAKE_K)
+        .select(
+            "doc_id", F.col("rank").cast("bigint").alias("rank"),
+            "phrase", "score_ppm",
+        )
+    )
