@@ -150,3 +150,51 @@ def test_chunk_sliding_covers_every_token(spark, sf_dir):
         assert covered == n  # tail always covered
         last_lo = (len(chunks) - 1) * _CHUNK_STRIDE
         assert last_lo < n  # no empty trailing chunk
+
+
+def test_rake_matches_python_replay(spark, sf_dir):
+    """Replay RAKE exactly in pure Python: phrase segmentation on
+    stopwords, integer-ppm degree/frequency word scores, summed phrase
+    scores, deterministic top-3."""
+    from collections import defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.queries.textops import _RAKE_K, _RAKE_STOP
+    from cobradb_spark.registry import get_query
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    phrases = {}  # (doc, pid) -> [words]
+    for doc_id, toks in docs.items():
+        pid = 0
+        for w in toks:
+            if w in _RAKE_STOP:
+                pid += 1
+            else:
+                phrases.setdefault((doc_id, pid), []).append(w)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for ws in phrases.values():
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    ppm = {w: (deg[w] * 10**6) // freq[w] for w in freq}
+    by_doc = defaultdict(dict)
+    for (doc_id, _), ws in phrases.items():
+        text = " ".join(ws)
+        score = sum(ppm[w] for w in ws)
+        by_doc[doc_id][text] = score  # identical text => identical score
+    expect = {}
+    for doc_id, d in by_doc.items():
+        top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_K]
+        expect[doc_id] = [(i + 1, t, s) for i, (t, s) in enumerate(top)]
+    got = defaultdict(list)
+    for r in get_query("text_keyphrase_rake").fn(spark, sf_dir).collect():
+        got[r["doc_id"]].append((r["rank"], r["phrase"], r["score_ppm"]))
+    for doc_id in got:
+        got[doc_id].sort()
+    assert dict(got) == expect
