@@ -1309,3 +1309,93 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phrase", "score_ppm",
         )
     )
+
+
+@register(
+    "dedup_span_excise",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 40
+), p AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS pos, text
+  FROM d
+), sh AS (
+  SELECT doc_id, pos, {_H_DUCK.format(c="substr(text, pos::INT, 40)")} AS h
+  FROM p
+), freq AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) > 1
+), dup AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN freq USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+), spans AS (
+  SELECT doc_id, island, max(pos) - min(pos) + 40 AS span_chars
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS dup_spans,
+       CAST(sum(span_chars) AS BIGINT) AS dup_chars,
+       CAST(max(span_chars) AS BIGINT) AS max_span
+FROM spans GROUP BY doc_id
+ORDER BY dup_chars DESC, doc_id LIMIT 200
+""",
+    doc="Exact-substring excision planning (Lee et al., 'Deduplicating "
+    "Training Data Makes Language Models Better', the ExactSubstr pass): "
+    "every 40-char window of every document is hashed (60-bit md5, "
+    "bit-identical in both engines); windows whose hash occurs more than "
+    "once in the corpus (cross- OR intra-document) mark their positions "
+    "duplicated; per document, overlapping-or-adjacent duplicated windows "
+    "merge into maximal excisable spans (gaps-and-islands over positions: "
+    "a new island starts when pos - prev > 40).  Output per doc: span "
+    "count, total excisable chars, longest span — exactly the cut list a "
+    "production ExactSubstr dedup applies.  Differs from "
+    "dedup_repeated_spans (strided detection signal) by dense coverage "
+    "and by producing merged interval extents.  Scale: the shingle emit "
+    "is one row per char (linear in corpus bytes); the 8-byte hash keeps "
+    "the duplicate-frequency shuffle narrow; frequency uses groupBy "
+    "(map-side partial agg, skew-safe) joined back by hash rather than a "
+    "count-over-window that would hot-spot a pathological shingle; island "
+    "merge windows partition per doc_id (bounded by doc length); the "
+    "top-200 is TakeOrdered, never a global sort.  A 60-bit collision "
+    "would merge two distinct shingles; at 2^60 keyspace the corpus "
+    "would need ~2^30 distinct shingles (a petabyte of text) for a "
+    "measurable false-positive rate, and the oracle shares the identical "
+    "hash so cross-engine parity is unaffected.",
+    tags=("textops", "llm"),
+)
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 39)).alias("pos"),
+        "text",
+    ).select("doc_id", "pos", _H_SPARK(F.expr("substring(text, pos, 40)")).alias("h"))
+    freq = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
+    dup = sh.join(freq, "h").select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(wdoc))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 40), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(wdoc))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + 40).alias("span_chars")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("dup_spans"),
+            F.sum("span_chars").cast("bigint").alias("dup_chars"),
+            F.max("span_chars").cast("bigint").alias("max_span"),
+        )
+        .orderBy(F.col("dup_chars").desc(), "doc_id")
+        .limit(200)
+    )

@@ -99,15 +99,17 @@ def _load() -> None:
 # never-checked keys (etl/rollup/sample/profile/graph families) + the
 # 16 r5-new keys.  After this window the never-checked count drops
 # 60 -> 10.
-#   r7 window head (planned, 34 keys — see _R7_PLANNED_HEAD below): the
-#     6 remaining never-checked r5-era keys, the 7 r6-new keys, the 18
+#   r7 window head (planned, 46 keys — see _R7_PLANNED_HEAD below): the
+#     6 remaining never-checked r5-era keys, the 7 r6-new keys, the
 #     r6-continuation keys (geo/time-series/PCA/LPA/time-travel/
 #     curriculum/quantile/MaxSim/corpus-report/Holt-Winters/chunking/
-#     stream-track/BFS), then the four rows-only ANN keys LAST
+#     stream-track/BFS/asof-nearest/rate-burst/late-dim/hamming/
+#     target-encode/overlap/rolling-corr/walks/HITS/RAKE/span-excise),
+#     then the four rows-only ANN keys LAST
 #     (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf, sim_ann_ivf_pq —
 #     the driver records only a weaker rows-only line for them, so
 #     every oracle-carrying key gets its hash row first), after which
-#     every registered key has a driver row; fill the remaining 16
+#     every registered key has a driver row; fill the remaining 4
 #     window slots with re-checks of the oldest driver evidence
 #     (r2-era scans/joins rows).
 # The planned r7 window head (see comment above) as data, so tests can
@@ -131,6 +133,7 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "stream_track_accumulate", "graph_bfs_levels", "join_asof_nearest", "events_rate_burst", "etl_late_arriving_dim",
     "embed_binary_hamming_topk", "mlprep_target_encode",
     "analytics_audience_overlap", "win_rolling_corr", "graph_random_walks", "graph_hits_scores", "text_keyphrase_rake",
+    "dedup_span_excise",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )

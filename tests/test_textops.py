@@ -198,3 +198,47 @@ def test_rake_matches_python_replay(spark, sf_dir):
     for doc_id in got:
         got[doc_id].sort()
     assert dict(got) == expect
+
+
+def test_span_excise_matches_python_replay(spark, sf_dir):
+    """Replay ExactSubstr excision in pure Python: every 40-char window,
+    corpus-wide occurrence counts (cross- AND intra-doc), duplicated
+    positions merged into maximal spans (gap > 40 starts a new island)."""
+    from collections import defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    K = 40
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if len(r["text"]) >= K
+    }
+    count = defaultdict(int)
+    for text in docs.values():
+        for i in range(len(text) - K + 1):
+            count[text[i : i + K]] += 1
+    expect = {}
+    for doc_id, text in docs.items():
+        dup = [i + 1 for i in range(len(text) - K + 1) if count[text[i : i + K]] > 1]
+        if not dup:
+            continue
+        spans = []
+        lo = hi = dup[0]
+        for p in dup[1:]:
+            if p - hi > K:
+                spans.append(hi - lo + K)
+                lo = p
+            hi = p
+        spans.append(hi - lo + K)
+        expect[doc_id] = (len(spans), sum(spans), max(spans))
+    got = {
+        r["doc_id"]: (r["dup_spans"], r["dup_chars"], r["max_span"])
+        for r in get_query("dedup_span_excise").fn(spark, sf_dir).collect()
+    }
+    # top-200 limit: at test scale every excisable doc fits the limit
+    assert len(expect) <= 200
+    assert got == expect

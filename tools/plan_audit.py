@@ -885,6 +885,15 @@ AUDITS = [
         "per-category state builds with map-side combine and broadcasts "
         "back — the encode is a map-only second pass",
     ),
+    (
+        "dedup_span_excise",
+        ["TakeOrderedAndProject", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "shingle frequency aggregates with map-side combine (skew-safe, "
+        "vs a count-over-window that would hot-spot a viral shingle); "
+        "duplicated positions join back by 8-byte hash; top-200 is "
+        "TakeOrdered, never a global sort",
+    ),
 ]
 
 

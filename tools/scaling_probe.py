@@ -94,6 +94,7 @@ PROBES = [
     "win_rolling_corr",
     "graph_random_walks",
     "graph_hits_scores",
+    "dedup_span_excise",
 ]
 
 
