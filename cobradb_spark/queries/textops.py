@@ -1399,3 +1399,140 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_chars").desc(), "doc_id")
         .limit(200)
     )
+
+
+# BM25 constants: k1=1.2, b=0.75.  With integer corpus stats
+# (L = total tokens, N = docs, dl = doc tokens, tf) the Robertson tf
+# saturation term rewrites to the exact integer rational
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#     = 22*tf*L / (10*tf*L + 3*L + 9*dl*N)          [avgdl = L/N]
+# so the only float in the whole score is the idf ln(), quantized once
+# per matched term to floor(ln(x)*1e6).  Both engines build the ln
+# argument from the same integers via IEEE-exact +/÷, so the input
+# double is bit-identical; a cross-engine flip would need the two
+# libm ln results to straddle a 1e-6 floor boundary (~1e-9 per term).
+_BM25_NQ = 5  # query docs: doc_id <= 4 (present at every sf)
+_BM25_K = 5   # results per query
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS l_tot
+  FROM dl
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM words
+  WHERE doc_id < {_BM25_NQ}
+), idf AS (
+  SELECT term, CAST(floor(ln(
+           (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_ppm
+  FROM df CROSS JOIN corpus
+), contrib AS (
+  SELECT q.query_id, t.doc_id,
+         (i.idf_ppm * ((22 * t.tf * c.l_tot * 1000000)
+                       // (10 * t.tf * c.l_tot + 3 * c.l_tot + 9 * d.dl * c.n_docs)))
+           // 1000000 AS contrib_ppm
+  FROM qterms q
+  JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+  JOIN idf i ON i.term = q.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN corpus c
+), scored AS (
+  SELECT query_id, doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
+  FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ppm DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_ppm
+FROM ranked WHERE rank <= {_BM25_K}
+""",
+    doc="BM25 'more-like-this' retrieval (Robertson-Spärck Jones "
+    "Okapi BM25, k1=1.2 b=0.75): each of the first 5 documents acts as "
+    "a query (its distinct terms), every other document scores "
+    "sum_t idf(t) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)), top-5 docs "
+    "per query.  The saturation term is computed as the EXACT integer "
+    "rational 22*tf*L/(10*tf*L+3*L+9*dl*N) (avgdl never materialized "
+    "as a float), idf quantizes once per term to floor(ln*1e6), and "
+    "per-term contributions multiply/sum in BIGINT ppm — the total is "
+    "order-independent, so the driver hash is exact.  Differs from "
+    "text_tfidf_topk (per-doc keyword extraction, no retrieval) by "
+    "being query-against-corpus ranking with length normalization.  "
+    "Scale: tf/df/dl are one shuffle each over (doc,term)/(term)/(doc); "
+    "the query term set is O(query_count * doc_len) rows and "
+    "broadcasts; scoring joins stream the posting lists of only the "
+    "query terms (inverted-index access pattern — corpus rows without "
+    "matching terms never shuffle); top-5 per query is "
+    "WindowGroupLimit, never a global sort.  BIGINT headroom: "
+    "22*tf*L*1e6 needs tf*L < 4e11 — at true 100 TB corpus scale "
+    "(L~1e13) the ppm scaling drops to 1e3 or the product widens to "
+    "DECIMAL(38,0) on both engines.",
+    tags=("textops", "llm"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("l_tot"),
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = (
+        words.filter(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    idf = df.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.floor(
+            F.log(
+                ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf_ppm"),
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf.join(qterms.select("term").distinct(), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "div(idf_ppm * div(22 * tf * l_tot * 1000000, "
+                "10 * tf * l_tot + 3 * l_tot + 9 * dl * n_docs), 1000000)"
+            ).alias("contrib_ppm"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_ppm").cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_ppm").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_ppm")
+    )

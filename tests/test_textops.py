@@ -242,3 +242,51 @@ def test_span_excise_matches_python_replay(spark, sf_dir):
     # top-200 limit: at test scale every excisable doc fits the limit
     assert len(expect) <= 200
     assert got == expect
+
+
+def test_bm25_matches_python_replay(spark, sf_dir):
+    """Replay BM25 in pure Python with exact integer arithmetic (and
+    math.log for the single quantized float), verifying the rational
+    rewrite 22*tf*L/(10*tf*L+3*L+9*dl*N) of the k1=1.2/b=0.75
+    saturation term and the ppm quantization pipeline."""
+    import math
+    from collections import Counter, defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    tf = {d: Counter(ws) for d, ws in docs.items()}
+    dl = {d: len(ws) for d, ws in docs.items()}
+    n_docs, l_tot = len(docs), sum(dl.values())
+    df = Counter(t for c in tf.values() for t in c)
+    idf = {
+        t: math.floor(
+            math.log((n_docs - v + 0.5) / (v + 0.5) + 1.0) * 1000000
+        )
+        for t, v in df.items()
+    }
+    expect = {}
+    for q in range(5):
+        scores = defaultdict(int)
+        for t in set(docs[q]):
+            for d, c in tf.items():
+                if d == q or t not in c:
+                    continue
+                sat = (22 * c[t] * l_tot * 1000000) // (
+                    10 * c[t] * l_tot + 3 * l_tot + 9 * dl[d] * n_docs
+                )
+                scores[d] += (idf[t] * sat) // 1000000
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rank, (d, s) in enumerate(top, 1):
+            expect[(q, rank)] = (d, s)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_ppm"])
+        for r in get_query("text_bm25_topk").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -886,6 +886,15 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "text_bm25_topk",
+        ["WindowGroupLimit", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "query terms and the term->idf table broadcast (inverted-index "
+        "access: only posting lists of query terms shuffle); per-query "
+        "top-5 prunes with WindowGroupLimit; the only nested loop is "
+        "the 1-row corpus-stats broadcast",
+    ),
+    (
         "dedup_span_excise",
         ["TakeOrderedAndProject", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

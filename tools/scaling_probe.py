@@ -95,6 +95,7 @@ PROBES = [
     "graph_random_walks",
     "graph_hits_scores",
     "dedup_span_excise",
+    "text_bm25_topk",
 ]
 
 
