@@ -1000,3 +1000,119 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         a.select(F.lit("part").alias("side"), F.col("pk").alias("id"), score)
     )
+
+
+_KCORE_K = 2       # peel threshold: the 2-core (iterative leaf stripping)
+_KCORE_ROUNDS = 8  # fixed synchronous rounds; fixpoint at <=6 on all sfs
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE oracle: fixed synchronous peel rounds over the strong
+    co-purchase graph; every round keeps nodes with >= K surviving
+    neighbors.  MATERIALIZED per the iteration-oracle discipline (DuckDB
+    otherwise re-inlines the chain exponentially)."""
+    steps = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT e.src AS n FROM edges e
+  JOIN s{t - 1} a ON e.src = a.n JOIN s{t - 1} b ON e.dst = b.n
+  GROUP BY e.src HAVING count(*) >= {_KCORE_K}
+),""")
+    last = f"s{_KCORE_ROUNDS}"
+    return f"""
+WITH {_CC_EDGE_SQL},
+s0 AS (SELECT n FROM nodes),
+{"".join(steps)}
+fin AS MATERIALIZED (
+  SELECT e.src AS n, CAST(count(*) AS BIGINT) AS core_deg
+  FROM edges e
+  JOIN {last} a ON e.src = a.n JOIN {last} b ON e.dst = b.n
+  GROUP BY e.src
+)
+SELECT n AS part_id, core_deg,
+       CAST(count(*) OVER () AS BIGINT) AS core_size
+FROM fin
+"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition by synchronous peeling (Matula-Beck "
+    f"iterative degree pruning) of the strong co-purchase graph, k="
+    f"{_KCORE_K}: every round simultaneously removes nodes whose degree "
+    "within the surviving subgraph is below k; survivors after "
+    f"{_KCORE_ROUNDS} fixed rounds report their in-core degree and the "
+    "core size.  Complements graph_connected_components (connectivity) "
+    "and graph_label_propagation (communities) with the density spine: "
+    "the 2-core is the graph minus its recursively-stripped tree "
+    "fringe.  Fixed-round synchronous semantics make the replay "
+    "hash-exact cross-engine with no convergence assumption; a pytest "
+    "asserts the peel actually reaches its fixpoint within the bound "
+    "at every test sf (<=6 rounds observed), so the bound is "
+    "semantics-free there.  Each Spark round is two semi-joins of the "
+    "pinned edge list against the survivor set (src AND dst surviving) "
+    "+ one partial-agg degree count; survivors localCheckpoint per "
+    "round (iterative-lineage discipline — persist alone doubles the "
+    "plan per round).  At 100 TB: edges never re-shuffle after the "
+    "pin, rounds cost O(|E_surviving|) and shrink monotonically, and "
+    "the survivor set is the only cross-round state.",
+    tags=("graph",),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    strong = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _CC_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    edges = pin_cache(
+        strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+            strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    surv = edges.select(F.col("src").alias("n")).distinct().localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            edges.join(surv, edges["src"] == surv["n"], "left_semi")
+            .join(
+                surv.select(F.col("n").alias("n2")),
+                edges["dst"] == F.col("n2"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("n"))
+            .localCheckpoint()
+        )
+    fin = (
+        edges.join(surv, edges["src"] == surv["n"], "left_semi")
+        .join(
+            surv.select(F.col("n").alias("n2")),
+            edges["dst"] == F.col("n2"),
+            "left_semi",
+        )
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+    )
+    size = fin.agg(F.count("*").cast("bigint").alias("core_size"))
+    return fin.crossJoin(F.broadcast(size)).select(
+        F.col("src").alias("part_id"), "core_deg", "core_size"
+    )

@@ -136,3 +136,57 @@ def test_connected_components_match_union_find(spark, sf_dir):
     for r in out:
         assert truth[r.part_id] == r.comp_id
         assert sizes[r.comp_id] == r.comp_size
+
+
+def test_kcore_peel_reaches_fixpoint_and_matches_python(spark, sf_dir):
+    """Pure-Python synchronous peel replay: asserts (a) the fixpoint is
+    reached strictly within _KCORE_ROUNDS (so the fixed bound is
+    semantics-free at test scale — survivors ARE the true 2-core) and
+    (b) the Spark survivors/degrees match exactly."""
+    from collections import Counter, defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.operators.rank import release_rank_caches
+    from cobradb_spark.queries.graph import (
+        _CC_MIN_SUPPORT,
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore_peel,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1 :]:
+                support[(p1, p2)] += 1
+    adj = defaultdict(set)
+    for (p1, p2), s in support.items():
+        if s >= _CC_MIN_SUPPORT:
+            adj[p1].add(p2)
+            adj[p2].add(p1)
+    surv = set(adj)
+    rounds = 0
+    while True:
+        nxt = {n for n in surv if len(adj[n] & surv) >= _KCORE_K}
+        rounds += 1
+        if nxt == surv:
+            break
+        surv = nxt
+    assert rounds <= _KCORE_ROUNDS, "peel must converge within the bound"
+    expect = {n: len(adj[n] & surv) for n in surv}
+
+    out = graph_kcore_peel(spark, sf_dir).collect()
+    release_rank_caches()
+    got = {r.part_id: r.core_deg for r in out}
+    assert got == expect
+    assert all(r.core_size == len(expect) for r in out)

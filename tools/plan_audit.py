@@ -886,6 +886,15 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "graph_kcore_peel",
+        ["LeftSemi", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "each peel round is two semi-joins of the pinned edge list "
+        "against the shrinking survivor set + one map-side-combined "
+        "degree count; survivors localCheckpoint per round so the plan "
+        "stays constant-depth across rounds",
+    ),
+    (
         "text_bm25_topk",
         ["WindowGroupLimit", "BroadcastHashJoin"],
         ["CartesianProduct", "BatchEvalPython"],

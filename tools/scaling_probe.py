@@ -96,6 +96,7 @@ PROBES = [
     "graph_hits_scores",
     "dedup_span_excise",
     "text_bm25_topk",
+    "graph_kcore_peel",
 ]
 
 
