@@ -510,3 +510,107 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.sqrt(vx.cast("double") * vy.cast("double")),
         ).alias("rolling_corr"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+WITH flow AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+         END AS delta_micros
+  FROM events
+), run AS (
+  SELECT user_id, ts, event_id,
+         sum(delta_micros) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS balance
+  FROM flow
+), bal AS (
+  SELECT user_id, ts, event_id, balance,
+         max(balance) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+  FROM run
+), dd AS (
+  SELECT user_id, ts, event_id, balance, peak - balance AS drawdown,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY peak - balance DESC, ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         last_value(balance) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS final_micros
+  FROM bal
+)
+SELECT user_id, drawdown AS max_dd_micros, ts AS trough_ts,
+       final_micros, CAST(n_events AS BIGINT) AS n_events
+FROM dd WHERE rn = 1
+""",
+    doc="Maximum drawdown per user over the signed engagement balance "
+    "(purchase/signup credit value, click/view/error debit it): running "
+    "balance, running peak, drawdown = peak - balance; each user "
+    "reports the deepest drawdown, the timestamp of its (first) trough, "
+    "the final balance, and event count.  The classic risk metric over "
+    "a per-key ordered stream, exact because amounts quantize to BIGINT "
+    "micros BEFORE any accumulation (floor(v*1e6+0.5) — identical "
+    "double math both engines) so running sums are order-exact integer "
+    "arithmetic and ties in the trough rank are impossible to "
+    "mis-order (deterministic (dd DESC, ts, event_id) key).  Scale: "
+    "ONE shuffle on user_id serves every window (running sum, running "
+    "max-of-sum, rank, count — all share the partition key); no join, "
+    "no global sort; at 100 TB per-user series are bounded and the "
+    "partition count tracks users, the textbook windowed-analytics "
+    "shape.",
+    tags=("windows",),
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    flow = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), micros)
+        .otherwise(-micros)
+        .alias("delta_micros"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    run = flow.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta_micros").over(w).alias("balance"),
+    )
+    bal = run.withColumn("peak", F.max("balance").over(w))
+    dd = bal.select(
+        "user_id",
+        "ts",
+        (F.col("peak") - F.col("balance")).alias("drawdown"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                (F.col("peak") - F.col("balance")).desc(), "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).cast("bigint").alias("n_events"),
+        F.last("balance").over(wall).alias("final_micros"),
+    )
+    return dd.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("drawdown").alias("max_dd_micros"),
+        F.col("ts").alias("trough_ts"),
+        "final_micros",
+        "n_events",
+    )

@@ -886,6 +886,14 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "win_max_drawdown",
+        ["Window"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "one user_id shuffle serves every window stage (running sum, "
+        "running peak, trough rank, count) — no join anywhere in the "
+        "plan",
+    ),
+    (
         "graph_kcore_peel",
         ["LeftSemi", "partial_count"],
         ["CartesianProduct", "BatchEvalPython"],

@@ -97,6 +97,7 @@ PROBES = [
     "dedup_span_excise",
     "text_bm25_topk",
     "graph_kcore_peel",
+    "win_max_drawdown",
 ]
 
 
