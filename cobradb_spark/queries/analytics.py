@@ -1330,3 +1330,112 @@ def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+_RULE_MIN_SUPPORT = 2  # same pair floor as analytics_copurchase_pairs
+_RULE_TOP = 100
+
+
+@register(
+    "analytics_basket_rules",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
+), sup1 AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS sup12
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_RULE_MIN_SUPPORT}
+), rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, sup12 FROM pairs
+  UNION ALL
+  SELECT p2, p1, sup12 FROM pairs
+), scored AS (
+  SELECT r.antecedent, r.consequent, r.sup12,
+         sa.sup AS sup_ante, sc.sup AS sup_cons,
+         r.sup12 * 1000000 // sa.sup AS confidence_ppm,
+         r.sup12 * n.n_baskets * 1000000 // (sa.sup * sc.sup) AS lift_ppm
+  FROM rules r
+  JOIN sup1 sa ON sa.l_partkey = r.antecedent
+  JOIN sup1 sc ON sc.l_partkey = r.consequent
+  CROSS JOIN n
+)
+SELECT antecedent, consequent, sup12, sup_ante, sup_cons,
+       confidence_ppm, lift_ppm
+FROM scored
+ORDER BY lift_ppm DESC, antecedent, consequent LIMIT {_RULE_TOP}
+""",
+    doc="Association-rule mining (Agrawal-Srikant support/confidence/"
+    "lift) over order baskets: directional rules antecedent->consequent "
+    f"from pairs with support >= {_RULE_MIN_SUPPORT}, confidence = "
+    "P(cons|ante), lift = P(ante,cons)/(P(ante)P(cons)), both as exact "
+    "integer ppm (truncating div over BIGINT counts — no float "
+    f"anywhere), top-{_RULE_TOP} by (lift, rule).  Extends "
+    "analytics_copurchase_pairs (co-occurrence counts only) with the "
+    "normalized rule metrics a recommender actually ranks by.  Scale: "
+    "the pair join co-locates on l_orderkey (one shuffle both sides "
+    "read); item supports are a dimension-sized rollup that broadcasts "
+    "to the rule scoring (two BroadcastHashJoins, no shuffle of the "
+    "pair table); the basket count is a 1-row broadcast; top-100 is "
+    "TakeOrdered, never a global sort.  Pair blow-up is quadratic in "
+    "basket size, not data size (mega-basket capping documented at "
+    "analytics_copurchase_pairs).",
+    tags=("analytics",),
+)
+def analytics_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    sup1 = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("sup"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").cast("long").alias("sup12"))
+        .filter(F.col("sup12") >= _RULE_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "sup12"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "sup12"
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(sup1.select(F.col("l_partkey").alias("antecedent"),
+                                    F.col("sup").alias("sup_ante"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(sup1.select(F.col("l_partkey").alias("consequent"),
+                                    F.col("sup").alias("sup_cons"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "sup12",
+            "sup_ante",
+            "sup_cons",
+            F.expr("div(sup12 * 1000000, sup_ante)").alias("confidence_ppm"),
+            F.expr("div(sup12 * n_baskets * 1000000, sup_ante * sup_cons)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), "antecedent", "consequent"
+    ).limit(_RULE_TOP)

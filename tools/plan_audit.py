@@ -886,6 +886,14 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "analytics_basket_rules",
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "item supports broadcast to the rule scoring (pair table never "
+        "re-shuffles after the basket-key join); the only nested loop "
+        "is the 1-row basket-count broadcast; top-100 is TakeOrdered",
+    ),
+    (
         "win_max_drawdown",
         ["Window"],
         ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],

@@ -98,6 +98,7 @@ PROBES = [
     "text_bm25_topk",
     "graph_kcore_peel",
     "win_max_drawdown",
+    "analytics_basket_rules",
 ]
 
 
