@@ -1536,3 +1536,108 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_K)
         .select("query_id", "rank", "doc_id", "score_ppm")
     )
+
+
+_PMI_MAX_GAP = 3   # co-occurrence window: pairs (i, i+d), 1 <= d <= 3
+_PMI_MIN_C12 = 5   # collocation floor
+_PMI_TOP = 200
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id,
+           unnest(str_split(text, ' ')) AS w,
+           generate_subscripts(str_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+), pairs AS (
+  {" UNION ALL ".join(
+    f'''SELECT w AS w1,
+        lead(w, {d}) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks'''
+    for d in range(1, _PMI_MAX_GAP + 1)
+  )}
+), pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT CAST(sum(c12) AS BIGINT) AS t_pairs FROM pc
+), m1 AS (
+  SELECT w1 AS w, CAST(sum(c12) AS BIGINT) AS c FROM pc GROUP BY 1
+), m2 AS (
+  SELECT w2 AS w, CAST(sum(c12) AS BIGINT) AS c FROM pc GROUP BY 1
+), scored AS (
+  SELECT pc.w1, pc.w2, pc.c12, m1.c AS c1, m2.c AS c2,
+         CAST(floor(ln(CAST(pc.c12 * t.t_pairs AS DOUBLE)
+                       / CAST(m1.c * m2.c AS DOUBLE)) * 1000000) AS BIGINT)
+           AS pmi_ppm
+  FROM pc JOIN m1 ON m1.w = pc.w1 JOIN m2 ON m2.w = pc.w2 CROSS JOIN t
+  WHERE pc.c12 >= {_PMI_MIN_C12}
+)
+SELECT w1, w2, c12, c1, c2, pmi_ppm
+FROM scored ORDER BY pmi_ppm DESC, w1, w2 LIMIT {_PMI_TOP}
+""",
+    doc="Collocation extraction by pointwise mutual information (Church-"
+    f"Hanks association ratio) over directional skip-window pairs: every "
+    f"(token_i, token_j) with 1 <= j-i <= {_PMI_MAX_GAP} inside a "
+    "document counts once; PMI = ln(c12*T / (c1*c2)) over the PAIR "
+    "distribution (marginals = summed pair counts by left/right slot), "
+    f"floor-quantized to ppm, floor c12 >= {_PMI_MIN_C12}, top-"
+    f"{_PMI_TOP} by (pmi, pair).  The ln argument is ONE exact-BIGINT "
+    "ratio cast through a single correctly-rounded double division, so "
+    "the input to ln is bit-identical cross-engine (a flip needs libm "
+    "ulp disagreement to straddle a 1e-6 floor boundary).  Scale: pair "
+    "generation is JOIN-FREE — one doc_id shuffle, one window sort, "
+    f"{_PMI_MAX_GAP} lead() columns in a single Window pass (vs the "
+    "naive positions self-join); pair counts and both marginals are "
+    "map-side-combinable rollups; marginals are vocab-sized and "
+    "broadcast back; top-200 is TakeOrdered.  BIGINT headroom: "
+    "c12*T < 9e18 holds to ~1e9-pair corpora per c12=1e0.9 — at 100 TB "
+    "quantize T by thousands or widen to DECIMAL(38,0) on both "
+    "engines (documented, same discipline as text_bm25_topk).",
+    tags=("textops", "llm"),
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        F.col("w").alias("w1"),
+        F.array(
+            *[F.lead("w", d).over(wdoc) for d in range(1, _PMI_MAX_GAP + 1)]
+        ).alias("ws"),
+    )
+    pairs = leads.select(
+        "w1", F.explode("ws").alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    t = pc.agg(F.sum("c12").cast("long").alias("t_pairs"))
+    m1 = pc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    m2 = pc.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    scored = (
+        pc.filter(F.col("c12") >= _PMI_MIN_C12)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.floor(
+                F.log(
+                    (F.col("c12") * F.col("t_pairs")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ppm").desc(), "w1", "w2").limit(_PMI_TOP)

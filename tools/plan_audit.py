@@ -886,6 +886,14 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "text_cooccurrence_pmi",
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "pair generation is join-free (one doc_id window pass emits all "
+        "three lead offsets); marginals are vocab-sized rollups that "
+        "broadcast back; top-200 is TakeOrdered",
+    ),
+    (
         "analytics_basket_rules",
         ["TakeOrderedAndProject", "BroadcastHashJoin"],
         ["CartesianProduct", "BatchEvalPython"],

@@ -99,6 +99,7 @@ PROBES = [
     "graph_kcore_peel",
     "win_max_drawdown",
     "analytics_basket_rules",
+    "text_cooccurrence_pmi",
 ]
 
 
