@@ -1641,3 +1641,76 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_ppm").desc(), "w1", "w2").limit(_PMI_TOP)
+
+
+_VOCAB_TOP = 500       # emitted head of the frequency-ranked vocabulary
+_VOCAB_COVER_PPM = 950000  # prefix-coverage target: 95%
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(str_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt
+), ranked AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cnt
+  FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, w, cnt,
+       cum_cnt * 1000000 // tot.total AS cum_ppm,
+       CAST(CASE WHEN (cum_cnt - cnt) * 1000000 < {_VOCAB_COVER_PPM} * tot.total
+                 THEN 1 ELSE 0 END AS BIGINT) AS in_cover95
+FROM ranked CROSS JOIN tot
+WHERE rank <= {_VOCAB_TOP}
+""",
+    doc="Tokenizer vocabulary build with coverage accounting (the "
+    "word-level analogue of a BPE/unigram vocab-size sweep): corpus "
+    "word counts ranked by (freq DESC, word), cumulative corpus "
+    f"coverage in exact ppm, and a flag marking the minimal prefix "
+    f"that reaches {_VOCAB_COVER_PPM / 10000:.0f}% coverage (a word is "
+    "in the prefix iff coverage BEFORE it is still below target — "
+    "exact integer cross-multiplication, no division in the "
+    f"predicate).  Emits the top-{_VOCAB_TOP} head.  Scale: the count "
+    "is one map-side-combinable (word) rollup; ranking a vocabulary "
+    "is DIMENSION-scale work (vocab cardinality, not corpus rows — "
+    "~1e5-1e6 entries at any corpus size), so the global-order window "
+    "runs on a table that fits one partition by construction; the "
+    "corpus-size total is a 1-row broadcast.  At 100 TB only the word "
+    "rollup touches the fact table.",
+    tags=("textops", "llm"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("total"))
+    wg = Window.orderBy(F.col("cnt").desc(), "w")
+    ranked = cnt.select(
+        "w",
+        "cnt",
+        F.row_number().over(wg).cast("long").alias("rank"),
+        F.sum("cnt").over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cnt"),
+    ).filter(F.col("rank") <= _VOCAB_TOP)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "w",
+        "cnt",
+        F.expr("div(cum_cnt * 1000000, total)").alias("cum_ppm"),
+        F.when(
+            (F.col("cum_cnt") - F.col("cnt")) * 1000000
+            < F.lit(_VOCAB_COVER_PPM) * F.col("total"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("in_cover95"),
+    )

@@ -886,6 +886,14 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "text_vocab_coverage",
+        ["Window", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "only the word rollup (map-side combined) touches corpus rows; "
+        "the global-order window ranks the dimension-scale vocabulary "
+        "and the corpus total is a 1-row broadcast",
+    ),
+    (
         "text_cooccurrence_pmi",
         ["TakeOrderedAndProject", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],

@@ -100,6 +100,7 @@ PROBES = [
     "win_max_drawdown",
     "analytics_basket_rules",
     "text_cooccurrence_pmi",
+    "text_vocab_coverage",
 ]
 
 
