@@ -1100,3 +1100,128 @@ def mlprep_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loo_mean"),
         "cat_n",
     )
+
+
+_PSI_BINS = 10     # fixed-width value bins: least(9, floor(value/50))
+_PSI_WIDTH = 50.0  # value spans ~0..500 at every sf
+
+
+@register(
+    "profile_psi_drift",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS e FROM events
+), span AS (
+  SELECT (CAST(min(e) AS BIGINT) + CAST(max(e) AS BIGINT)) // 2 AS mid FROM ev
+), binned AS (
+  SELECT event_type,
+         least({_PSI_BINS - 1}, CAST(floor(value / {_PSI_WIDTH}) AS BIGINT)) AS bin,
+         CASE WHEN e < span.mid THEN 1 ELSE 0 END AS first_half
+  FROM ev CROSS JOIN span
+), grid AS (
+  SELECT DISTINCT event_type FROM binned
+), bins AS (
+  SELECT g.event_type, b.bin
+  FROM grid g CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
+), counts AS (
+  SELECT bins.event_type, bins.bin,
+         CAST(coalesce(sum(CASE WHEN first_half = 1 THEN 1 END), 0) + 1 AS BIGINT) AS c1s,
+         CAST(coalesce(sum(CASE WHEN first_half = 0 THEN 1 END), 0) + 1 AS BIGINT) AS c2s
+  FROM bins LEFT JOIN binned
+    ON binned.event_type = bins.event_type AND binned.bin = bins.bin
+  GROUP BY 1, 2
+), tots AS (
+  SELECT event_type, CAST(sum(c1s) AS BIGINT) AS t1s, CAST(sum(c2s) AS BIGINT) AS t2s
+  FROM counts GROUP BY 1
+), contrib AS (
+  SELECT c.event_type,
+         CAST(floor(
+           (CAST(c.c1s * t.t2s - c.c2s * t.t1s AS DOUBLE)
+            / CAST(t.t1s * t.t2s AS DOUBLE))
+           * ln(CAST(c.c1s * t.t2s AS DOUBLE) / CAST(c.c2s * t.t1s AS DOUBLE))
+           * 1000000000) AS BIGINT) AS part_e9
+  FROM counts c JOIN tots t USING (event_type)
+)
+SELECT c.event_type,
+       t.t1s - {_PSI_BINS} AS n_first, t.t2s - {_PSI_BINS} AS n_second,
+       CAST(sum(c.part_e9) AS BIGINT) AS psi_e9
+FROM contrib c JOIN tots t USING (event_type)
+GROUP BY 1, t.t1s, t.t2s
+""",
+    doc="Population-stability-index drift detection (the standard "
+    "model-monitoring metric): events split into first/second time "
+    "halves at the integer-micros midpoint of the observed span, "
+    f"values histogrammed into {_PSI_BINS} fixed-width bins (width "
+    f"{_PSI_WIDTH:.0f} — NO global sort-based deciles, so binning is "
+    "embarrassingly parallel), PSI = sum_bins (p-q)*ln(p/q) with "
+    "Laplace +1 smoothing per (event_type, bin) so empty bins are "
+    "well-defined.  Both ln argument and (p-q) reduce to SINGLE "
+    "correctly-rounded divisions of exact BIGINT cross-products, each "
+    "bin's term floor-quantizes to 1e-9 units, and the per-type PSI is "
+    "an order-independent BIGINT sum of 10 terms — hash-exact "
+    "cross-engine.  Scale: one partial-agg pass builds the (type, bin, "
+    "half) counts (the span midpoint is a 1-row broadcast); the dense "
+    "type x bin grid and all scoring run on KB-sized aggregates.  "
+    "PSI > 0.2 (psi_e9 > 2e8) is the conventional investigate "
+    "threshold.",
+    tags=("profile",),
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("e")
+    )
+    span = ev.agg(F.expr("div(min(e) + max(e), 2)").alias("mid"))
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(F.col("value") / F.lit(_PSI_WIDTH)).cast("long"),
+        ).alias("bin"),
+        F.when(F.col("e") < F.col("mid"), 1).otherwise(0).alias("first_half"),
+    )
+    grid = binned.select("event_type").distinct().crossJoin(
+        spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    )
+    raw = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("first_half") == 1, 1)).alias("c1"),
+        F.sum(F.when(F.col("first_half") == 0, 1)).alias("c2"),
+    )
+    counts = (
+        grid.join(raw, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("long").alias("c1s"),
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("long").alias("c2s"),
+        )
+    )
+    tots = counts.groupBy("event_type").agg(
+        F.sum("c1s").cast("long").alias("t1s"),
+        F.sum("c2s").cast("long").alias("t2s"),
+    )
+    contrib = counts.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "t1s",
+        "t2s",
+        F.floor(
+            (
+                (F.col("c1s") * F.col("t2s") - F.col("c2s") * F.col("t1s")).cast("double")
+                / (F.col("t1s") * F.col("t2s")).cast("double")
+            )
+            * F.log(
+                (F.col("c1s") * F.col("t2s")).cast("double")
+                / (F.col("c2s") * F.col("t1s")).cast("double")
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("part_e9"),
+    )
+    return contrib.groupBy("event_type", "t1s", "t2s").agg(
+        F.sum("part_e9").cast("bigint").alias("psi_e9")
+    ).select(
+        "event_type",
+        (F.col("t1s") - _PSI_BINS).alias("n_first"),
+        (F.col("t2s") - _PSI_BINS).alias("n_second"),
+        "psi_e9",
+    )

@@ -886,6 +886,15 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "profile_psi_drift",
+        ["partial_sum", "BroadcastHashJoin"],
+        ["SortMergeJoin", "BatchEvalPython", "Window"],
+        "one map-side-combined pass builds (type, bin, half) counts; "
+        "the span midpoint is a 1-row broadcast; grid fill and PSI "
+        "scoring run on KB-sized aggregates — no sort-based deciles "
+        "anywhere",
+    ),
+    (
         "text_vocab_coverage",
         ["Window", "partial_count"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],

@@ -101,6 +101,7 @@ PROBES = [
     "analytics_basket_rules",
     "text_cooccurrence_pmi",
     "text_vocab_coverage",
+    "profile_psi_drift",
 ]
 
 
