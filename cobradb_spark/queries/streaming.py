@@ -819,3 +819,123 @@ def stream_track_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "append")
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       round(p.value, 6) AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+    doc="I-ext stream-stream LEFT OUTER interval join: every view emits, "
+    "paired with purchases by the same user within the next 30 minutes "
+    "or with NULLs once the watermark proves no match can arrive.  The "
+    "outer side is the hard half of streaming joins — NULL rows may "
+    "only emit on state EVICTION (watermark passes view_ts + 30min), "
+    "never eagerly, or re-deliveries would contradict them.  The "
+    "replay stages all events as batch 1, then TWO sentinel rounds 3h+ "
+    "past max(ts) on non-matchable user_ids (one row per side per "
+    "round, so BOTH per-stream watermarks — and hence the min-of-"
+    "inputs global watermark — advance past every real view's expiry; "
+    "round 2 exists because eviction applies the watermark learned "
+    "from the PREVIOUS batch, so a final micro-batch must run under "
+    "the advanced one); sentinels are filtered from the output.  Oracle "
+    "= the same interval join as batch LEFT JOIN over all real events "
+    "(the sentinel construction makes stream and batch agree exactly). "
+    "State at 100 TB: bounded to the watermark horizon per key on both "
+    "sides — eviction is what makes an infinite outer join runnable at "
+    "all.",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    tmp = scratch_dir("cobradb_sso_")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_parquet_batch(raw, f"{tmp}/src", "batch1")
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    flush_ns = (
+        (int(max_ts) + 3 * 3600 * 10**9)
+        if ts_is_long
+        else (int(max_ts.timestamp() * 10**6) + 3 * 3600 * 10**6)
+    )
+    step = 3 * 3600 * (10**9 if ts_is_long else 10**6)
+
+    def sentinel_batch(n: int):
+        # eviction applies the watermark learned from the PREVIOUS batch,
+        # so two sentinel rounds are needed: round 1 advances the
+        # watermark past every real view's expiry, round 2 triggers the
+        # micro-batch that flushes under it.
+        s = spark.createDataFrame(
+            [
+                (-(2 * n - 1), flush_ns + (n - 1) * step, -1, "view", 0.0, "{}"),
+                (-(2 * n), flush_ns + (n - 1) * step, -2, "purchase", 0.0, "{}"),
+            ],
+            schema="event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        if not ts_is_long:
+            s = s.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        # The staged file MUST carry the exact on-disk schema of batch 1
+        # (e.g. TIMESTAMP_NTZ ts): the file source reads every file with
+        # one fixed schema, and a mismatched sentinel file decodes as
+        # ZERO rows — silently freezing the watermark.
+        s = s.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in raw.schema.fields]
+        )
+
+        def hook():
+            stage_parquet_batch(s, f"{tmp}/src", f"batch{n + 1}", atomic=True)
+
+        return hook
+
+    views = (
+        read_events_stream(spark, f"{tmp}/src")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, f"{tmp}/src")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("view_ts"))
+        & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    # NO sentinel filter inside the streaming query: any deterministic
+    # predicate on left-side columns is pushed down to the parquet scan,
+    # where it would drop the sentinel rows BEFORE the watermark node and
+    # freeze the watermark (observed: 8 trailing views never flushed).
+    # Sentinels are constructed to emit nothing within the replayed
+    # batches (non-matching user_ids; their own expiry stays above the
+    # final watermark), and the memory-sink result is batch data, so the
+    # guard filter applies there, after the stream completes.
+    out = j.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.round("p_value", 6).alias("p_value"),
+    )
+    return run_to_memory(
+        out, "append", process_batches=[sentinel_batch(1), sentinel_batch(2)]
+    ).filter(F.col("user_id") >= 0)
