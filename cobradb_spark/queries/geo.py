@@ -393,3 +393,92 @@ def geo_bbox_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_lon"),
         )
     )
+
+
+# Fixed test polygon on the INTEGER lattice (pre-division units of the
+# synthetic coordinate derivation: x in [0, 3.6e6), y in [0, 1.8e6)) —
+# a non-convex pentagon covering the middle of the plane.  Integer
+# vertices make every ray-casting predicate exact BIGINT arithmetic
+# (max |product| ~ 3.6e6 * 1.8e6 = 6.5e12, far inside 64-bit).
+_POLY = (
+    (200000, 100000),
+    (1400000, 600000),  # reflex vertex -> non-convex, exercises parity
+    (3000000, 600000),
+    (2400000, 1500000),
+    (800000, 1300000),
+)
+_IX = "(({k} % 1000003) * {salt}) % 3600000"
+_IY = "(({k} % 1000003) * {salt}) % 1800000"
+
+
+def _crossing_terms(px: str, py: str) -> list[str]:
+    """Half-open crossing-number terms, one per polygon edge, identical
+    SQL text for Spark and DuckDB.  Edge (x1,y1)-(x2,y2) crosses the
+    upward ray from (px,py) iff the edge spans py half-openly and the
+    point lies strictly left of the edge at height py — the sign test
+    (t > 0) == (y2 > y1) with t the exact integer cross product."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        t = f"(({x2} - {x1}) * ({py} - {y1}) - ({px} - {x1}) * ({y2} - {y1}))"
+        spans = f"(({y1} <= {py}) <> ({y2} <= {py}))"
+        left = f"({t} {'>' if y2 > y1 else '<'} 0)"
+        terms.append(f"CASE WHEN {spans} AND {left} THEN 1 ELSE 0 END")
+    return terms
+
+
+@register(
+    "geo_polygon_contains",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_IX.format(k="c_custkey", salt=7919)} AS px,
+         {_IY.format(k="c_custkey", salt=9973)} AS py
+  FROM customer
+), flagged AS (
+  SELECT c_custkey, c_mktsegment,
+         ({" + ".join(_crossing_terms("px", "py"))}) % 2 AS inside
+  FROM pts
+)
+SELECT c_mktsegment,
+       CAST(sum(inside) AS BIGINT) AS n_inside,
+       CAST(count(*) - sum(inside) AS BIGINT) AS n_outside,
+       CAST(sum(CASE WHEN inside = 1 THEN c_custkey ELSE 0 END) AS BIGINT)
+         AS inside_key_sum
+FROM flagged GROUP BY 1
+""",
+    doc="Point-in-polygon gating (the geofence primitive missing from "
+    "the grid/radius family): customers at synthetic lattice positions "
+    "are tested against a fixed NON-CONVEX pentagon by the half-open "
+    "crossing-number rule, with every edge predicate an exact-BIGINT "
+    "cross product on the integer lattice (no division, no doubles, no "
+    "epsilon — boundary cases are decided deterministically by the "
+    "half-open span test, so both engines agree bit-for-bit).  Output "
+    "is per-market-segment inside/outside counts plus an inside-key "
+    "checksum.  Scale: pure map-side arithmetic (5 fused CASE terms "
+    "inside WholeStageCodegen) + one map-side-combinable rollup on a "
+    "5-value key — no join, no window, no shuffle beyond the final "
+    "1-row-per-segment agg; a P-polygon variant broadcasts the vertex "
+    "table and unrolls per-edge terms the same way.",
+    tags=("geo",),
+)
+def geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(_IX.format(k="c_custkey", salt=7919)).alias("px"),
+        F.expr(_IY.format(k="c_custkey", salt=9973)).alias("py"),
+    )
+    inside = (
+        F.expr(" + ".join(_crossing_terms("px", "py"))) % 2
+    ).alias("inside")
+    flagged = c.select("c_custkey", "c_mktsegment", inside)
+    return flagged.groupBy("c_mktsegment").agg(
+        F.sum("inside").cast("bigint").alias("n_inside"),
+        (F.count("*") - F.sum("inside")).cast("bigint").alias("n_outside"),
+        F.sum(F.when(F.col("inside") == 1, F.col("c_custkey")).otherwise(0))
+        .cast("bigint")
+        .alias("inside_key_sum"),
+    )

@@ -158,3 +158,45 @@ def test_nearest_neighbor_is_argmin_of_pairs(spark, sf_dir):
     assert set(got) == set(best)
     for ck, (d2, sk) in best.items():
         assert got[ck] == (sk, math.sqrt(d2))
+
+
+def test_polygon_contains_matches_python_replay(spark, sf_dir):
+    """Replay the crossing-number test in pure Python over the same
+    integer lattice, and assert the polygon actually splits the data
+    (both inside and outside non-empty) so the op isn't vacuous."""
+    from cobradb_spark.io import load_table
+    from cobradb_spark.queries.geo import _POLY
+    from cobradb_spark.registry import get_query
+
+    def inside(px, py):
+        n, cross = len(_POLY), 0
+        for i in range(n):
+            x1, y1 = _POLY[i]
+            x2, y2 = _POLY[(i + 1) % n]
+            if (y1 <= py) != (y2 <= py):
+                t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (t > 0) == (y2 > y1):
+                    cross += 1
+        return cross % 2
+
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    expect = {}
+    for r in rows:
+        k = r.c_custkey
+        px = ((k % 1000003) * 7919) % 3600000
+        py = ((k % 1000003) * 9973) % 1800000
+        seg = expect.setdefault(r.c_mktsegment, [0, 0, 0])
+        if inside(px, py):
+            seg[0] += 1
+            seg[2] += k
+        else:
+            seg[1] += 1
+    got = {
+        r.c_mktsegment: [r.n_inside, r.n_outside, r.inside_key_sum]
+        for r in get_query("geo_polygon_contains").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in expect.values()) > 0
+    assert sum(v[1] for v in expect.values()) > 0

@@ -886,6 +886,14 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "geo_polygon_contains",
+        ["partial_sum"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window", "BatchEvalPython", "Exchange hashpartitioning(c_custkey"],
+        "pure map-side integer ray-casting fused into WholeStageCodegen; "
+        "the only shuffle is the final 5-segment rollup",
+    ),
+    (
         "profile_psi_drift",
         ["partial_sum", "BroadcastHashJoin"],
         ["SortMergeJoin", "BatchEvalPython", "Window"],

@@ -102,6 +102,7 @@ PROBES = [
     "text_cooccurrence_pmi",
     "text_vocab_coverage",
     "profile_psi_drift",
+    "geo_polygon_contains",
 ]
 
 
