@@ -614,3 +614,83 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_micros",
         "n_events",
     )
+
+
+# Hampel identifier: rolling median +/- k*1.4826*MAD, k=3, over a 7-row
+# centered window per user.  All state is exact integers: cents double
+# to half-cents so the 7-row median is integer-exact (median of ints is
+# int-or-half), deviations double again so the MAD is integer-exact in
+# quarter-cents, and the threshold 3*1.4826 = 44478/10000 applies by
+# integer cross-multiplication.
+_HAMPEL_SCALE = 44478  # 3 * 1.4826 * 10000
+
+
+@register(
+    "win_hampel_outliers",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT user_id, ts, event_id, cents,
+         CAST(median(2 * cents) OVER w AS BIGINT) AS med2
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dev AS (
+  SELECT user_id, ts, event_id, cents, med2,
+         abs(2 * cents - med2) AS dev2
+  FROM med
+), mad AS (
+  SELECT user_id, ts, event_id, cents, med2, dev2,
+         CAST(median(2 * dev2) OVER w AS BIGINT) AS mad4
+  FROM dev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT user_id, event_id, ts, cents, med2, mad4
+FROM mad
+WHERE 2 * dev2 * 10000 > {_HAMPEL_SCALE} * mad4
+""",
+    doc="Hampel outlier identifier (rolling median +/- 3*1.4826*MAD, "
+    "the robust local filter sensor pipelines run where global z-scores "
+    "fail under level shifts — complements events_anomaly_zscore/mad, "
+    "which are GLOBAL per-type detectors): per user, 7-row centered "
+    "rolling median and rolling MAD over the cents-quantized value "
+    "series, flagging points whose deviation exceeds the scaled MAD.  "
+    "Exactness: half-cent doubling makes the integer-median exact, "
+    "quarter-cent doubling makes the MAD exact, and the 1.4826 "
+    "consistency constant applies as the integer ratio 44478/10000 by "
+    "cross-multiplication — every value and comparison BIGINT, "
+    "hash-exact cross-engine (both engines interpolate even-window "
+    "medians identically, verified).  Scale: ONE user_id shuffle "
+    "serves both window passes (identical partitioning+ordering — the "
+    "second Window reuses the first's sort); windowed exact median "
+    "over a 7-row frame is O(frame log frame) per row with bounded "
+    "memory; no join anywhere.",
+    tags=("windows",),
+)
+def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    med = s.withColumn(
+        "med2", F.expr("percentile(2 * cents, 0.5)").over(w).cast("long")
+    )
+    dev = med.withColumn("dev2", F.abs(2 * F.col("cents") - F.col("med2")))
+    mad = dev.withColumn(
+        "mad4", F.expr("percentile(2 * dev2, 0.5)").over(w).cast("long")
+    )
+    return mad.filter(
+        2 * F.col("dev2") * 10000 > F.lit(_HAMPEL_SCALE) * F.col("mad4")
+    ).select("user_id", "event_id", "ts", "cents", "med2", "mad4")

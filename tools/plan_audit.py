@@ -886,6 +886,15 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "win_hampel_outliers",
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython"],
+        "both rolling-median passes share one user_id "
+        "partitioning+ordering (the second Window reuses the first's "
+        "sort); no join anywhere in the plan",
+    ),
+    (
         "geo_polygon_contains",
         ["partial_sum"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",

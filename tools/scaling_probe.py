@@ -103,6 +103,7 @@ PROBES = [
     "text_vocab_coverage",
     "profile_psi_drift",
     "geo_polygon_contains",
+    "win_hampel_outliers",
 ]
 
 
