@@ -1439,3 +1439,105 @@ def analytics_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_ppm").desc(), "antecedent", "consequent"
     ).limit(_RULE_TOP)
+
+
+_XCORR_MAX_LAG = 12  # hourly lags swept: click series shifted 0..12h
+
+
+@register(
+    "events_cross_correlation",
+    oracle=f"""
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+), x AS (SELECT hour, cents FROM g WHERE event_type = 'view'),
+y AS (SELECT hour, cents FROM g WHERE event_type = 'click'),
+lags AS (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag),
+pair AS (
+  SELECT l.lag, x.cents AS xv, y.cents AS yv
+  FROM lags l
+  JOIN x ON TRUE
+  JOIN y ON y.hour = x.hour + to_hours(l.lag)
+), s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(xv * xv) AS BIGINT) AS sxx,
+         CAST(sum(yv * yv) AS BIGINT) AS syy,
+         CAST(sum(xv * yv) AS BIGINT) AS sxy
+  FROM pair GROUP BY 1
+)
+SELECT lag, n,
+       CAST(floor(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+         * 1000000) AS BIGINT) AS corr_ppm
+FROM s WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+ORDER BY lag
+""",
+    doc="Cross-correlation lag sweep (signal-alignment / lead-lag "
+    "detection between two metric streams): hourly cents-quantized "
+    f"view and click series, Pearson correlation at every click lag "
+    f"0..{_XCORR_MAX_LAG}h, reported as floor-ppm.  All sums are exact "
+    "BIGINT; the final score is BIGINT->DOUBLE casts through one "
+    "multiply, one sqrt, one divide — every step IEEE "
+    "correctly-rounded, hence bit-identical cross-engine even though "
+    "the intermediate moments exceed 2^53 (cast rounding is correctly "
+    "rounded too, identically).  Degenerate lags (constant series) "
+    "drop via the exact integer variance guards.  Scale: the hourly "
+    "rollup is the only pass over raw events (map-side combinable); "
+    "the lag sweep runs on the SERIES (dimension-scale: hours, not "
+    "events) via an equi-join on the shifted hour key — at 100 TB the "
+    "series for a year is 8760 rows per metric regardless of event "
+    "volume.",
+    tags=("analytics",),
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    g = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    x = g.filter(F.col("event_type") == "view").select("hour", F.col("cents").alias("xv"))
+    y = g.filter(F.col("event_type") == "click").select(
+        F.col("hour").alias("yhour"), F.col("cents").alias("yv")
+    )
+    lags = spark.range(_XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    pair = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "jhour",
+            F.timestamp_micros(
+                F.unix_micros(F.col("hour")) + F.col("lag") * F.lit(3600000000)
+            ),
+        )
+        .join(y, F.col("yhour") == F.col("jhour"))
+    )
+    s = pair.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        s.filter((F.col("n") >= 2) & (dx > 0) & (dy > 0))
+        .select(
+            "lag",
+            "n",
+            F.floor(num / F.sqrt(dx.cast("double") * dy.cast("double")) * 1000000)
+            .cast("long")
+            .alias("corr_ppm"),
+        )
+        .orderBy("lag")
+    )

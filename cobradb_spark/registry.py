@@ -136,7 +136,7 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "dedup_span_excise", "text_bm25_topk", "graph_kcore_peel",
     "win_max_drawdown", "analytics_basket_rules", "text_cooccurrence_pmi",
     "text_vocab_coverage", "profile_psi_drift", "stream_stream_outer_join",
-    "geo_polygon_contains", "win_hampel_outliers",
+    "geo_polygon_contains", "win_hampel_outliers", "events_cross_correlation",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )

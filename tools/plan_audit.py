@@ -886,6 +886,15 @@ AUDITS = [
         "back — the encode is a map-only second pass",
     ),
     (
+        "events_cross_correlation",
+        ["partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "one map-side-combined hourly rollup is the only pass over raw "
+        "events; the 13-row lag table broadcasts onto the "
+        "dimension-scale series and the shifted-hour match is a "
+        "broadcast equi-join",
+    ),
+    (
         "win_hampel_outliers",
         ["Window"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",

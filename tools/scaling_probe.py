@@ -104,6 +104,7 @@ PROBES = [
     "profile_psi_drift",
     "geo_polygon_contains",
     "win_hampel_outliers",
+    "events_cross_correlation",
 ]
 
 
