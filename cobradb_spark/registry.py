@@ -99,19 +99,22 @@ def _load() -> None:
 # never-checked keys (etl/rollup/sample/profile/graph families) + the
 # 16 r5-new keys.  After this window the never-checked count drops
 # 60 -> 10.
-#   r7 window head (planned, 46 keys — see _R7_PLANNED_HEAD below): the
-#     6 remaining never-checked r5-era keys, the 7 r6-new keys, the
-#     r6-continuation keys (geo/time-series/PCA/LPA/time-travel/
-#     curriculum/quantile/MaxSim/corpus-report/Holt-Winters/chunking/
-#     stream-track/BFS/asof-nearest/rate-burst/late-dim/hamming/
-#     target-encode/overlap/rolling-corr/walks/HITS/RAKE/span-excise),
-#     then the four rows-only ANN keys LAST
-#     (dedup_minhash_near, sim_ann_lsh, sim_ann_ivf, sim_ann_ivf_pq —
-#     the driver records only a weaker rows-only line for them, so
-#     every oracle-carrying key gets its hash row first), after which
-#     every registered key has a driver row; fill the remaining 4
-#     window slots with re-checks of the oldest driver evidence
-#     (r2-era scans/joins rows).
+#   r7 plan (see _R7_PLANNED_HEAD below, 57 keys — every registered key
+#     with no driver row anywhere in CORRECTNESS_r01-r05 and outside the
+#     r6 window; tools-verified count): the 6 remaining never-checked
+#     r5-era keys, the 7 r6-new keys, the r6-continuation keys
+#     (geo/time-series/PCA/LPA/time-travel/curriculum/quantile/MaxSim/
+#     corpus-report/Holt-Winters/chunking/stream-track/BFS/asof-nearest/
+#     rate-burst/late-dim/hamming/target-encode/overlap/rolling-corr/
+#     walks/HITS/RAKE/span-excise/BM25/kcore/drawdown/basket-rules/PMI/
+#     vocab/PSI/outer-join/polygon/hampel/xcorr), then the four
+#     rows-only ANN keys LAST (dedup_minhash_near, sim_ann_lsh,
+#     sim_ann_ivf, sim_ann_ivf_pq — the driver records only a weaker
+#     rows-only line for them, so oracle-carrying keys get their hash
+#     rows first).  The head now exceeds one window: the r7 rotation
+#     takes the FIRST 50; the tail (last 3 oracle-carrying + 4 ANN)
+#     heads the r8 window, whose remaining ~43 slots re-check the
+#     oldest driver evidence (r2-era scans/filters/joins rows).
 # The planned r7 window head (see comment above) as data, so tests can
 # assert every planned name is actually registered — a typo here would
 # otherwise surface only as a KeyError during the r7 rotation.
@@ -137,6 +140,7 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "win_max_drawdown", "analytics_basket_rules", "text_cooccurrence_pmi",
     "text_vocab_coverage", "profile_psi_drift", "stream_stream_outer_join",
     "geo_polygon_contains", "win_hampel_outliers", "events_cross_correlation",
+    "stream_transform_with_state",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )
