@@ -42,6 +42,16 @@ PROBE_KEYS = [
     "agg_quantile_exact_global",
     "sim_maxsim_late_interaction",
     "text_chunk_sliding",
+    # round-6 late-continuation keys with partition-order exposure:
+    # integer-ppm sums joined from broadcast stats (BM25/PMI), the
+    # k-core driver loop, the span-merge windows, and the exact-moment
+    # lag sweep
+    "text_bm25_topk",
+    "text_cooccurrence_pmi",
+    "graph_kcore_peel",
+    "dedup_span_excise",
+    "events_cross_correlation",
+    "win_hampel_outliers",
 ]
 
 
