@@ -372,3 +372,127 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cm_within_eps"
         ),
     )
+
+
+@register(
+    "agg_kmv_theta_sketch",
+    oracle="""
+WITH o AS (SELECT o_orderpriority AS seg, o_custkey FROM orders GROUP BY 1, 2),
+h AS (SELECT seg,
+             CAST(CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS h
+      FROM o),
+rk AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS r FROM h),
+kth AS (SELECT seg, max(h) AS h_k, CAST(count(*) AS BIGINT) AS k_eff
+        FROM rk WHERE r <= 64 GROUP BY seg),
+ex AS (SELECT seg, CAST(count(*) AS BIGINT) AS exact_distinct FROM o GROUP BY seg),
+per_seg AS (
+  SELECT seg,
+         CASE WHEN k_eff < 64 THEN k_eff
+              ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)) AS BIGINT)
+         END AS est_distinct,
+         exact_distinct
+  FROM kth JOIN ex USING (seg)),
+mem AS (SELECT h, count(*) AS nseg FROM h
+        WHERE seg IN ('1-URGENT', '2-HIGH') GROUP BY h),
+uk AS (SELECT h, nseg FROM mem ORDER BY h LIMIT 64),
+th AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS u_eff FROM uk),
+mcnt AS (SELECT CAST(count(*) FILTER (WHERE nseg = 2 AND h < theta) AS BIGINT) AS m
+         FROM uk, th),
+exin AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM mem WHERE nseg = 2),
+inter AS (
+  SELECT 'INTERSECT(1-URGENT,2-HIGH)' AS seg,
+         CASE WHEN u_eff < 64 THEN exact_distinct
+              ELSE CAST(floor(CAST(m AS DOUBLE) * 1152921504606846976.0
+                              / CAST(theta AS DOUBLE)) AS BIGINT)
+         END AS est_distinct,
+         exact_distinct
+  FROM mcnt, th, exin)
+SELECT * FROM per_seg UNION ALL SELECT * FROM inter
+""",
+    doc="KMV/Theta distinct sketch (k=64 minimum md5 values, the Apache "
+    "DataSketches theta model re-derived from the published KMV "
+    "estimator): per-priority-segment distinct-customer estimates "
+    "est = (k-1)*2^60/h_(k), PLUS the operation HLL cannot do directly — "
+    "a SET-INTERSECTION estimate from the retained samples (theta = kth "
+    "smallest hash of the union; m = sample hashes below theta present "
+    "in both segments; est = m*2^60/theta).  Unlike the HLL/CMS keys "
+    "(hash-layout-specific, self-grading), the KMV sketch is "
+    "deterministic under the shared md5-60-bit convention, so estimates "
+    "hash EXACT cross-engine; exact distinct counts ride along so the "
+    "row itself exhibits the accuracy.  All float steps are "
+    "correctly-rounded singles (one cast, one multiply of "
+    "exactly-representable constants, one divide, one floor) — "
+    "engine-identical by IEEE-754.  Scale posture: per-segment k-smallest "
+    "is a streaming window over DISTINCT keys (dedup shuffle first); the "
+    "union top-k is TakeOrderedAndProject (never a global sort "
+    "materialization); at 100 TB pre-filter h < c*k*2^60/approx_distinct "
+    "so the sort sees O(k) survivors per segment, and the k-row sketches "
+    "themselves merge without rescanning facts — the same mergeability "
+    "contract as the HLL rollup.  Fewer-than-k distincts degrade to "
+    "exact mode (the sketch retains everything) via the CASE guard.",
+    tags=("sketches",),
+)
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = 64
+    TWO60 = 1152921504606846976.0  # 2^60, exactly representable
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("seg"), "o_custkey")
+        .distinct()
+    )
+    h = o.select(
+        "seg",
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    rk = h.withColumn("r", F.row_number().over(Window.partitionBy("seg").orderBy("h")))
+    kth = (
+        rk.filter(F.col("r") <= K)
+        .groupBy("seg")
+        .agg(F.max("h").alias("h_k"), F.count("*").cast("long").alias("k_eff"))
+    )
+    ex = o.groupBy("seg").agg(F.count("*").cast("long").alias("exact_distinct"))
+    per_seg = kth.join(ex, "seg").select(
+        "seg",
+        F.when(F.col("k_eff") < K, F.col("k_eff"))
+        .otherwise(
+            F.floor(F.lit((K - 1) * TWO60) / F.col("h_k").cast("double")).cast("long")
+        )
+        .alias("est_distinct"),
+        "exact_distinct",
+    )
+    mem = (
+        h.filter(F.col("seg").isin("1-URGENT", "2-HIGH"))
+        .groupBy("h")
+        .agg(F.count("*").alias("nseg"))
+    )
+    uk = mem.orderBy("h").limit(K)  # TakeOrderedAndProject: k rows, no global sort
+    th = uk.agg(F.max("h").alias("theta"), F.count("*").cast("long").alias("u_eff"))
+    mcnt = uk.crossJoin(F.broadcast(th)).agg(
+        F.sum(
+            F.when((F.col("nseg") == 2) & (F.col("h") < F.col("theta")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("m"),
+        F.first("theta").alias("theta"),
+        F.first("u_eff").alias("u_eff"),
+    )
+    exin = mem.filter(F.col("nseg") == 2).agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    inter = mcnt.crossJoin(F.broadcast(exin)).select(
+        F.lit("INTERSECT(1-URGENT,2-HIGH)").alias("seg"),
+        F.when(F.col("u_eff") < K, F.col("exact_distinct"))
+        .otherwise(
+            F.floor(
+                F.col("m").cast("double") * F.lit(TWO60) / F.col("theta").cast("double")
+            ).cast("long")
+        )
+        .alias("est_distinct"),
+        "exact_distinct",
+    )
+    return per_seg.unionAll(inter)

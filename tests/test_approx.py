@@ -234,3 +234,41 @@ def test_binary_hamming_matches_numpy(spark, sf_dir):
         assert [d for d, _ in got] == expect
         for d, h in got:
             assert h == ham[d]
+
+
+def test_kmv_theta_sketch_error_bound_and_replay(spark, sf_dir):
+    """KMV contract: every estimate within the 4/sqrt(k) tail bound of
+    exact (k=64 -> 50%; observed error is ~10-15%), and a pure-Python
+    replay of the estimator over the same md5 hashes reproduces each
+    returned row bit-for-bit (pins the k-th-smallest / theta / floor
+    conventions against silent drift)."""
+    import hashlib
+
+    out = registry.get_query("agg_kmv_theta_sketch").fn(spark, sf_dir).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.exact_distinct > 0
+        assert abs(r.est_distinct - r.exact_distinct) <= 0.5 * r.exact_distinct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_custkey"
+    ).distinct().collect()
+    K, TWO60 = 64, float(1 << 60)
+    segs: dict[str, set[int]] = {}
+    for row in orders:
+        h = int(hashlib.md5(str(row.o_custkey).encode()).hexdigest()[:15], 16)
+        segs.setdefault(row.o_orderpriority, set()).add(h)
+    expect = {}
+    for seg, hs in segs.items():
+        ks = sorted(hs)[:K]
+        est = len(ks) if len(ks) < K else int((K - 1) * TWO60 / ks[-1])
+        expect[seg] = (est, len(hs))
+    union = segs["1-URGENT"] | segs["2-HIGH"]
+    both = segs["1-URGENT"] & segs["2-HIGH"]
+    uk = sorted(union)[:K]
+    theta = uk[-1]
+    m = sum(1 for h in uk if h in both and h < theta)
+    est_i = len(both) if len(uk) < K else int(m * TWO60 / theta)
+    expect["INTERSECT(1-URGENT,2-HIGH)"] = (est_i, len(both))
+    got = {r.seg: (r.est_distinct, r.exact_distinct) for r in out}
+    assert got == expect
