@@ -470,3 +470,48 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
     from cobradb_spark.operators.gif import decode_gif
 
     return decode_image_features(df, decode_gif)
+
+
+def synthesize_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid MPEG-1 Layer III stream per row (operators/mp3.py):
+    VBR frame schedule touching all 14 bitrate rows, all three MPEG-1
+    sample rates across the corpus, padding-bit alternation, and an
+    ID3v2.3 tag on every 4th document — real headers, deterministic
+    filler payload (header-level indexing never reads payload bytes)."""
+    from cobradb_spark.operators.mp3 import encode_mp3
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [encode_mp3(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def index_mp3_features(df: DataFrame) -> DataFrame:
+    """REAL MP3 frame-header walk (operators/mp3.py: ID3v2 syncsafe skip,
+    per-frame sync + table validation, bitrate/rate/pad length
+    arithmetic, exact-EOF landing) over Arrow batches — the metadata
+    pass an audio-ingest pipeline runs before any PCM decode."""
+    from cobradb_spark.operators.mp3 import index_mp3
+
+    cols = (
+        "n_frames", "sample_rate", "duration_us", "bitrate_sum_kbps",
+        "n_bitrates", "audio_bytes", "id3_bytes",
+    )
+
+    def idx(batches):
+        for pdf in batches:
+            rows = [index_mp3(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        idx,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )

@@ -481,3 +481,59 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_flac_features(synthesize_flac(d, id_col="doc_id")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "multimodal_mp3_frame_index",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS sr_idx, 8 + doc_id % 8 AS n,
+         CASE WHEN doc_id % 4 = 0 THEN 10 + 32 + doc_id % 64 ELSE 0 END AS id3
+  FROM documents),
+fr AS (
+  SELECT d.doc_id, d.id3,
+         list_extract([44100, 48000, 32000], d.sr_idx + 1) AS sr,
+         list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                      CAST(1 + (d.doc_id * 7 + t.i * 13) % 14 AS INTEGER)) AS kbps,
+         (d.doc_id + t.i) % 2 AS pad
+  FROM d, UNNEST(range(0, d.n)) AS t(i)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, CAST(sr AS BIGINT) AS sample_rate,
+         CAST(sum(kbps) AS BIGINT) AS bitrate_sum_kbps,
+         CAST(count(DISTINCT kbps) AS BIGINT) AS n_bitrates,
+         CAST(sum(144000 * kbps // sr + pad) AS BIGINT) AS audio_bytes,
+         CAST(max(id3) AS BIGINT) AS id3_bytes
+  FROM fr GROUP BY doc_id, sr)
+SELECT doc_id, n_frames, sample_rate,
+       CAST(n_frames * 1152 * 1000000 // sample_rate AS BIGINT) AS duration_us,
+       bitrate_sum_kbps, n_bitrates, audio_bytes, id3_bytes
+FROM agg
+""",
+    doc="REAL MP3 stream indexing from the published MPEG-1 Layer III "
+    "header layout (operators/mp3.py): one spec-valid VBR stream per "
+    "document (all 14 bitrate-table rows, all three MPEG-1 sample rates "
+    "across the corpus, padding-bit alternation, ID3v2.3 tags on every "
+    "4th doc) walked by a general frame indexer — syncword + version/"
+    "layer validation, table lookups, floor(144*bitrate/rate)+pad length "
+    "arithmetic, syncsafe ID3v2 skip, exact-EOF landing — emitting the "
+    "metadata an audio-ingest pipeline needs BEFORE any PCM decode: "
+    "frame count, duration, bitrate profile, VBR spread, container "
+    "offsets.  Header arithmetic is integer-exact, so the whole index "
+    "hash-checks against a SQL replay of the frame schedule; full "
+    "Huffman/IMDCT PCM decode remains the documented stub (the honest "
+    "boundary: indexing is implementable from the spec, synthesis of "
+    "the psychoacoustic bit reservoir is not in scope).  Scale posture: "
+    "Arrow mapInPandas over the payload column, nothing driver-side, "
+    "output one row per document.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        index_mp3_features,
+        synthesize_mp3,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return index_mp3_features(synthesize_mp3(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )

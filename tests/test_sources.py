@@ -402,3 +402,77 @@ def test_timetravel_snapshots_isolate_the_rewrite(spark, sf_dir):
     n1 = sum(v[0] for (ver, _), v in got.items() if ver == 1)
     n2 = sum(v[0] for (ver, _), v in got.items() if ver == 2)
     assert n2 < n1
+
+
+def test_mp3_index_walk_and_clean_errors():
+    """MP3 frame indexer: (a) a pure-Python replay of the synthesis
+    schedule predicts every index field (pins the header arithmetic);
+    (b) payload-byte mutations never change the index (headers are the
+    only bytes a header-level pass may read); (c) truncation and header
+    corruption only ever raise ValueError; (d) non-MPEG1/LayerIII and
+    bad-table headers are rejected with typed messages."""
+    import random
+
+    import pytest
+
+    from cobradb_spark.operators.mp3 import (
+        BITRATE_KBPS,
+        SAMPLE_RATE,
+        encode_mp3,
+        frame_length,
+        index_mp3,
+    )
+
+    for did in (0, 1, 2, 3, 4, 17, 255, 9999):
+        ix = index_mp3(encode_mp3(did))
+        n = 8 + did % 8
+        sr = SAMPLE_RATE[did % 3]
+        kbps = [BITRATE_KBPS[1 + (did * 7 + i * 13) % 14] for i in range(n)]
+        pads = [(did + i) % 2 for i in range(n)]
+        id3 = 10 + 32 + did % 64 if did % 4 == 0 else 0
+        assert ix["n_frames"] == n
+        assert ix["sample_rate"] == sr
+        assert ix["duration_us"] == n * 1152 * 1_000_000 // sr
+        assert ix["bitrate_sum_kbps"] == sum(kbps)
+        assert ix["n_bitrates"] == len(set(kbps))
+        assert ix["id3_bytes"] == id3
+        assert ix["audio_bytes"] == sum(
+            frame_length(1 + (did * 7 + i * 13) % 14, did % 3, pads[i])
+            for i in range(n)
+        )
+
+    rng = random.Random(11)
+    base = encode_mp3(42)
+    ref = index_mp3(base)
+    for _ in range(200):
+        b = bytearray(base)
+        if rng.random() < 0.5:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            assert index_mp3(bytes(b)) is not None
+        except ValueError:
+            pass
+    # payload-only mutation: index must be IDENTICAL (never silently drift)
+    for _ in range(50):
+        b = bytearray(encode_mp3(42))
+        # doc 42 has no ID3 tag; its first frame is 32 kbps @ 44100, pad 0
+        # -> 104 bytes, payload bytes [4, 104)
+        pos = 4 + rng.randrange(100)
+        b[pos] ^= 0xFF
+        assert index_mp3(bytes(b)) == ref
+
+    with pytest.raises(ValueError, match="no frames"):
+        index_mp3(b"")
+    with pytest.raises(ValueError, match="lost sync"):
+        index_mp3(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="not MPEG-1"):
+        index_mp3(bytes((0xFF, 0xE2, 0x92, 0xC4)))  # version=00 (MPEG-2.5)
+    with pytest.raises(ValueError, match="not Layer III"):
+        index_mp3(bytes((0xFF, 0xFD, 0x92, 0xC4)))  # layer bits 10 = Layer II
+    with pytest.raises(ValueError, match="bitrate index"):
+        index_mp3(bytes((0xFF, 0xFB, 0xF2, 0xC4)))  # bitrate idx 15
+    with pytest.raises(ValueError, match="reserved sample-rate"):
+        index_mp3(bytes((0xFF, 0xFB, 0x9C, 0xC4)))  # sr idx 3
