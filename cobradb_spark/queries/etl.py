@@ -1082,3 +1082,134 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "etl_vacuum_retention",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events
+),
+f AS (
+  SELECT 'A'  AS file_label, 'vacuum' AS status,
+         (SELECT count(*) FROM cents WHERE event_id % 3 = 0) AS n_rows
+  UNION ALL
+  SELECT 'B', 'active',
+         (SELECT count(*) FROM cents WHERE event_id % 3 = 1)
+  UNION ALL
+  SELECT 'A2', 'retained-history',
+         (SELECT count(*) FROM cents WHERE event_id % 3 = 0 AND c >= 5000)
+  UNION ALL
+  SELECT 'C', 'active',
+         (SELECT count(*) FROM cents WHERE event_id % 3 = 2)
+  UNION ALL
+  SELECT 'A3', 'active',
+         (SELECT count(*) FROM cents WHERE event_id % 3 = 0 AND c >= 10000)
+)
+SELECT file_label, status, CAST(n_rows AS BIGINT) AS n_rows,
+       true AS retained_reads_intact
+FROM f
+""",
+    doc="VACUUM planning for the transaction-log table format "
+    "(scan_timetravel_log's mechanism, taken through its lifecycle "
+    "question: which physical files may be deleted without breaking any "
+    "RETAINED snapshot?).  The op builds a 5-commit history — add A, "
+    "add B, rewrite A->A2 (delete-as-remove+add), add C, rewrite "
+    "A2->A3 — sets the retention horizon at v3 (retain v3 and the "
+    "current v4), and classifies every file ever added by replaying the "
+    "log: 'active' (in the current snapshot), 'retained-history' "
+    "(dropped from current but referenced by a retained snapshot — A2, "
+    "the case naive 'not in current' vacuums corrupt), 'vacuum' (A: "
+    "unreferenced by every retained snapshot).  The replay is O(commits) "
+    "driver-side metadata, exactly like the table formats themselves; "
+    "per-file row counts come from real parquet scans, and the op "
+    "re-reads BOTH retained snapshots restricted to surviving files to "
+    "assert reads are intact post-vacuum (the verdict column the oracle "
+    "pins true).  At 100 TB vacuum is the difference between a lake "
+    "that grows monotonically and one that holds steady-state size; "
+    "correctness hinges on the retained-union rule this op pins.",
+    tags=("etl",),
+)
+def etl_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    root = scratch_dir("cobradb_vacuum_")
+    log_dir = os.path.join(root, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    parts = {
+        "A": ev.filter(F.col("event_id") % 3 == 0),
+        "B": ev.filter(F.col("event_id") % 3 == 1),
+        "A2": ev.filter((F.col("event_id") % 3 == 0) & (F.col("c") >= 5000)),
+        "C": ev.filter(F.col("event_id") % 3 == 2),
+        "A3": ev.filter((F.col("event_id") % 3 == 0) & (F.col("c") >= 10000)),
+    }
+    paths = {}
+    for label, df in parts.items():
+        paths[label] = os.path.join(root, f"part-{label}")
+        df.write.mode("overwrite").parquet(paths[label])
+    commits = [
+        [("add", "A")],
+        [("add", "B")],
+        [("remove", "A"), ("add", "A2")],
+        [("add", "C")],
+        [("remove", "A2"), ("add", "A3")],
+    ]
+    for v, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{v:06d}.json"), "w") as f:
+            for action, label in actions:
+                f.write(json.dumps({"action": action, "path": paths[label]}) + "\n")
+
+    by_path = {p: label for label, p in paths.items()}
+
+    def _snapshot(version: int) -> set[str]:
+        active: set[str] = set()
+        logs = sorted(os.listdir(log_dir))[: version + 1]
+        assert len(logs) == version + 1, f"missing commits for v{version}"
+        for name in logs:
+            for line in open(os.path.join(log_dir, name)):
+                act = json.loads(line)
+                (active.add if act["action"] == "add" else active.remove)(act["path"])
+        return active
+
+    current_v = len(commits) - 1
+    retain_from = 3
+    ever_added = list(paths.values())
+    current = _snapshot(current_v)
+    retained_union: set[str] = set()
+    for v in range(retain_from, current_v + 1):
+        retained_union |= _snapshot(v)
+
+    def status(p: str) -> str:
+        if p in current:
+            return "active"
+        if p in retained_union:
+            return "retained-history"
+        return "vacuum"
+
+    # post-vacuum integrity: every retained snapshot must read identically
+    # from the surviving file set (vacuum removes only unreferenced files,
+    # so snapshot ∩ survivors == snapshot — assert by real re-reads).
+    survivors = {p for p in ever_added if status(p) != "vacuum"}
+    intact = True
+    for v in range(retain_from, current_v + 1):
+        snap = _snapshot(v)
+        keep = sorted(snap & survivors)
+        if sorted(snap) != keep:
+            intact = False
+            break
+        n_full = spark.read.parquet(*sorted(snap)).count()
+        n_kept = spark.read.parquet(*keep).count()
+        intact = intact and (n_full == n_kept)
+
+    rows = [
+        (by_path[p], status(p), spark.read.parquet(p).count(), intact)
+        for p in ever_added
+    ]
+    return spark.createDataFrame(
+        rows, "file_label string, status string, n_rows long, retained_reads_intact boolean"
+    )

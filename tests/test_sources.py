@@ -476,3 +476,20 @@ def test_mp3_index_walk_and_clean_errors():
         index_mp3(bytes((0xFF, 0xFB, 0xF2, 0xC4)))  # bitrate idx 15
     with pytest.raises(ValueError, match="reserved sample-rate"):
         index_mp3(bytes((0xFF, 0xFB, 0x9C, 0xC4)))  # sr idx 3
+
+
+def test_vacuum_retention_statuses(spark, sf_dir):
+    """Vacuum rule: only files unreferenced by EVERY retained snapshot are
+    proposed; the file dropped-from-current-but-held-by-v3 (A2) must be
+    'retained-history' (the case a naive not-in-current vacuum corrupts),
+    and the integrity verdict from real post-vacuum re-reads holds."""
+    from cobradb_spark import registry
+
+    out = {r.file_label: r for r in
+           registry.get_query("etl_vacuum_retention").fn(spark, sf_dir).collect()}
+    assert {l: r.status for l, r in out.items()} == {
+        "A": "vacuum", "B": "active", "A2": "retained-history",
+        "C": "active", "A3": "active",
+    }
+    assert all(r.retained_reads_intact for r in out.values())
+    assert out["A"].n_rows >= out["A2"].n_rows >= out["A3"].n_rows
