@@ -221,3 +221,95 @@ def profile_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# Benford first-digit expectations log10(1+1/d), hardcoded as integer ppm
+# so NO engine evaluates a logarithm (ln/log10 are not correctly-rounded
+# cross-engine); both sides share these constants verbatim.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD_PPM)
+) + " END"
+
+
+@register(
+    "profile_benford_deviation",
+    oracle=f"""
+WITH src AS (
+  SELECT 'l_extendedprice' AS metric,
+         CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+g AS (SELECT metric, digit, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1, 2),
+t AS (SELECT metric, CAST(sum(n) AS BIGINT) AS total FROM g GROUP BY metric)
+SELECT metric, digit, n,
+       CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_SQL_CASE} AS BIGINT) AS exp_ppm,
+       CAST(abs(n * 1000000 // total - {_BENFORD_SQL_CASE}) AS BIGINT) AS abs_dev_ppm
+FROM g JOIN t USING (metric)
+""",
+    doc="Benford first-significant-digit profiling (the fraud/data-quality "
+    "screen auditors run on financial columns): first digit of the exact "
+    "integer cents of l_extendedprice and o_totalprice, observed "
+    "frequency as truncating-division ppm, against the published Benford "
+    "expectation log10(1+1/d) — hardcoded as shared integer-ppm "
+    "constants so neither engine evaluates a logarithm (ln/log10 are "
+    "not correctly-rounded cross-engine, the profile_corpus_report "
+    "lesson).  TPC-H prices are uniform-ish, so the deviations are "
+    "LARGE — which is precisely what the screen reports: synthetic data "
+    "fails Benford, and the abs_dev_ppm column quantifies it per digit. "
+    "Scale posture: digit extraction is a narrow map (string head of a "
+    "BIGINT — engine-identical), then one 18-group partial agg; the "
+    "2-row totals broadcast back.  Entirely JVM-side, no Python.",
+    tags=("profile",),
+)
+def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("l_extendedprice").alias("metric"),
+        F.substring(
+            (F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")).cast(
+                "string"
+            ),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("o_totalprice").alias("metric"),
+        F.substring(
+            (F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")).cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit"),
+    )
+    g = o.unionByName(li).groupBy("metric", "digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = g.groupBy("metric").agg(F.sum("n").cast("bigint").alias("total"))
+    exp_ppm = F.coalesce(
+        *[
+            F.when(F.col("digit") == d + 1, F.lit(p))
+            for d, p in enumerate(_BENFORD_PPM)
+        ]
+    ).cast("bigint")
+    obs_ppm = F.expr("div(n * 1000000, total)")
+    return (
+        g.join(F.broadcast(t), "metric")
+        .select(
+            "metric",
+            "digit",
+            "n",
+            obs_ppm.alias("obs_ppm"),
+            exp_ppm.alias("exp_ppm"),
+            F.abs(obs_ppm - exp_ppm).cast("bigint").alias("abs_dev_ppm"),
+        )
+    )

@@ -62,3 +62,28 @@ def test_znorm_known_values(spark):
         (1, -0.7071), (1, 0.7071),
         (2, -0.8321), (2, -0.2774), (2, 1.1094),
     ]
+
+
+def test_benford_constants_and_completeness(spark, sf_dir):
+    """Benford ppm constants equal round(1e6*log10(1+1/d)) (recomputed
+    here with math.log10 — the engines never evaluate a log), each
+    metric covers all 9 digits exactly once, and ppm columns are
+    internally consistent (obs sums to ~1e6, dev = |obs-exp|)."""
+    import math
+
+    from cobradb_spark import registry
+    from cobradb_spark.queries.layout import _BENFORD_PPM
+
+    for d, p in enumerate(_BENFORD_PPM, start=1):
+        assert p == round(1_000_000 * math.log10(1 + 1 / d))
+
+    rows = registry.get_query("profile_benford_deviation").fn(spark, sf_dir).collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r.metric, []).append(r)
+        assert r.exp_ppm == _BENFORD_PPM[r.digit - 1]
+        assert r.abs_dev_ppm == abs(r.obs_ppm - r.exp_ppm)
+    for metric, rs in by_metric.items():
+        assert sorted(r.digit for r in rs) == list(range(1, 10)), metric
+        s = sum(r.obs_ppm for r in rs)
+        assert 1_000_000 - 9 <= s <= 1_000_000  # truncating division undershoot
