@@ -1651,3 +1651,119 @@ SELECT a.arm, a.n_units, a.x_sum_cents, a.y_sum_cents, t.theta_ppm,
               - CAST(t.sx AS DOUBLE) / (100.0 * t.n)) AS mean_y_cuped
 FROM a CROSS JOIN t
 """)
+
+
+@register(
+    "analytics_survival_km",
+    oracle="""
+WITH RECURSIVE
+per AS (
+  SELECT o_custkey, min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+  FROM orders GROUP BY o_custkey
+),
+study AS (SELECT max(last_d) AS study_end FROM per),
+subj AS (
+  SELECT CASE WHEN date_diff('day', last_d, study_end) > 365 THEN 1 ELSE 0 END AS ev,
+         CASE WHEN date_diff('day', last_d, study_end) > 365
+              THEN date_diff('day', first_d, last_d)
+              ELSE date_diff('day', first_d, study_end) END AS dur
+  FROM per, study
+),
+agg AS (
+  SELECT CAST(dur AS BIGINT) AS t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM subj GROUP BY dur
+),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM agg),
+idx AS (
+  SELECT t, d, c, row_number() OVER (ORDER BY t) AS i,
+         CAST(n - coalesce(sum(d + c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_risk
+  FROM agg, tot
+),
+km AS (
+  SELECT i, t, d, c, n_risk,
+         CASE WHEN d > 0 THEN CAST(1000000 * (n_risk - d) // n_risk AS BIGINT)
+              ELSE CAST(1000000 AS BIGINT) END AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.t, x.d, x.c, x.n_risk,
+         CASE WHEN x.d > 0 THEN CAST(k.s * (x.n_risk - x.d) // x.n_risk AS BIGINT)
+              ELSE k.s END
+  FROM km k JOIN idx x ON x.i = k.i + 1
+)
+SELECT t AS t_days, n_risk, d AS d_events, c AS c_censored, s AS surv_ppm
+FROM km WHERE d > 0
+""",
+    doc="Kaplan-Meier survival curve for customer churn (the published "
+    "product-limit estimator): subjects are customers, duration = days "
+    "from first order to last order (churn event: no activity in the "
+    "study's final 365 days) or to study end (censored).  S(t) is the "
+    "sequential product PROD(1 - d_t/n_t) pinned as an integer-ppm "
+    "truncating-division recurrence — s' = s*(n-d) div n — so both "
+    "engines replay the identical integer sequence (the HITS/pagerank "
+    "discipline; no float product ordering can drift).  Spark reduces "
+    "orders to one row per customer (one partial-agg shuffle), then to "
+    "the O(distinct-durations) KM grid — bounded by the calendar span "
+    "(~2.4k rows) REGARDLESS of fact volume — and replays the "
+    "recurrence in a single-group applyInPandas over that reduced grid "
+    "(documented: the grid, not the data, is the sequential grain; "
+    "at-risk counts come from a cumulative window, not a rescan). "
+    "Oracle = the identical recurrence as a DuckDB recursive CTE. "
+    "Rows emitted at event times only, with at-risk/event/censor counts "
+    "so the curve is audit-ready (the clinical-table convention).",
+    tags=("analytics", "timeseries"),
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_d"), F.max("o_orderdate").alias("last_d"))
+    )
+    study = per.agg(F.max("last_d").alias("study_end"))
+    subj = per.crossJoin(F.broadcast(study)).select(
+        F.when(F.datediff("study_end", "last_d") > 365, 1).otherwise(0).alias("ev"),
+        F.when(
+            F.datediff("study_end", "last_d") > 365,
+            F.datediff("last_d", "first_d"),
+        )
+        .otherwise(F.datediff("study_end", "first_d"))
+        .alias("dur"),
+    )
+    agg = subj.groupBy(F.col("dur").cast("bigint").alias("t")).agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+
+    def km(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        ts = [int(x) for x in pdf["t"]]
+        ds = [int(x) for x in pdf["d"]]
+        cs = [int(x) for x in pdf["c"]]
+        n = sum(ds) + sum(cs)
+        out = {"t_days": [], "n_risk": [], "d_events": [], "c_censored": [],
+               "surv_ppm": []}
+        s, at_risk = 1_000_000, n
+        for t, d, c in zip(ts, ds, cs):
+            if d > 0:
+                s = s * (at_risk - d) // at_risk
+                out["t_days"].append(t)
+                out["n_risk"].append(at_risk)
+                out["d_events"].append(d)
+                out["c_censored"].append(c)
+                out["surv_ppm"].append(s)
+            at_risk -= d + c
+        return pd.DataFrame(out)
+
+    return (
+        agg.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            km,
+            schema="t_days long, n_risk long, d_events long, c_censored long, "
+            "surv_ppm long",
+        )
+    )

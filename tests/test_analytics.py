@@ -142,3 +142,48 @@ def test_cuped_theta_and_adjustment_match_numpy(spark, sf_dir):
     # ESTIMATOR's variance in expectation; any single realization's
     # adjusted gap can exceed the raw gap.)
     assert 0 < got_theta < 5_000_000
+
+
+def test_km_curve_properties_and_replay(spark, sf_dir):
+    """Kaplan-Meier pins: surv_ppm is non-increasing and in (0, 1e6];
+    n_risk strictly decreases across emitted event times; a pure-Python
+    replay from the raw orders table reproduces every row exactly."""
+    from cobradb_spark import registry
+
+    rows = sorted(
+        registry.get_query("analytics_survival_km").fn(spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows
+    last_s, last_n = 1_000_000, None
+    for r in rows:
+        assert 0 < r.surv_ppm <= last_s
+        assert r.d_events > 0
+        if last_n is not None:
+            assert r.n_risk < last_n
+        last_s, last_n = r.surv_ppm, r.n_risk
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    per = {}
+    for r in orders:
+        f, l = per.get(r.o_custkey, (r.o_orderdate, r.o_orderdate))
+        per[r.o_custkey] = (min(f, r.o_orderdate), max(l, r.o_orderdate))
+    study_end = max(l for _, l in per.values())
+    grid = {}
+    for f, l in per.values():
+        churned = (study_end - l).days > 365
+        dur = (l - f).days if churned else (study_end - f).days
+        d, c = grid.get(dur, (0, 0))
+        grid[dur] = (d + churned, c + (not churned))
+    s, at_risk = 1_000_000, len(per)
+    expect = []
+    for t in sorted(grid):
+        d, c = grid[t]
+        if d > 0:
+            s = s * (at_risk - d) // at_risk
+            expect.append((t, at_risk, d, c, s))
+        at_risk -= d + c
+    got = [(r.t_days, r.n_risk, r.d_events, r.c_censored, r.surv_ppm) for r in rows]
+    assert got == expect
