@@ -515,3 +515,111 @@ def index_mp3_features(df: DataFrame) -> DataFrame:
         idx,
         schema="id long, " + ", ".join(f"{k} long" for k in cols),
     )
+
+
+def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One SubRip (.srt) subtitle file per row — the caption sidecar of a
+    video corpus: n = 5 + id % 6 cues, cue i spanning
+    [i*2000 + id%500, +1200 + (id*7 + i*13) % 800) ms, 1 + (id+i) % 2
+    text lines of 3 + (id + 2i + line) % 4 words.  Spec-shaped blocks
+    (index line, 'HH:MM:SS,mmm --> HH:MM:SS,mmm' range, text, blank
+    separator) with CRLF line endings on every 3rd document so the
+    parser's \\r tolerance is exercised."""
+
+    def _fmt(ms: int) -> str:
+        s, ms = divmod(ms, 1000)
+        m, s = divmod(s, 60)
+        h, m = divmod(m, 60)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    def _one(did: int) -> str:
+        blocks = []
+        n = 5 + did % 6
+        for i in range(n):
+            start = i * 2000 + did % 500
+            end = start + 1200 + (did * 7 + i * 13) % 800
+            lines = [
+                " ".join(
+                    f"w{did % 50}t{i}l{ln}k{k}"
+                    for k in range(3 + (did + 2 * i + ln) % 4)
+                )
+                for ln in range(1 + (did + i) % 2)
+            ]
+            blocks.append(f"{i + 1}\n{_fmt(start)} --> {_fmt(end)}\n" + "\n".join(lines))
+        text = "\n\n".join(blocks) + "\n"
+        if did % 3 == 0:
+            text = text.replace("\n", "\r\n")
+        return text
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [_one(int(d)).encode("utf-8") for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def parse_srt_cues(df: DataFrame) -> DataFrame:
+    """General SubRip parser over Arrow batches: blank-line block split,
+    integer index line, strict 'HH:MM:SS,mmm --> HH:MM:SS,mmm' range
+    (regex), CR tolerance, multi-line cue text; emits one row per cue
+    with millisecond timings and word counts — the alignment grain a
+    video-caption pipeline joins against frame timestamps.  Malformed
+    blocks raise ValueError (classifiable record errors, the codec
+    discipline)."""
+    import re
+
+    ts = r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    rng = re.compile(rf"^{ts} --> {ts}$")
+
+    def _ms(h: str, m: str, s: str, ms: str) -> int:
+        return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms)
+
+    def parse(data: bytes) -> list[tuple[int, int, int, int, int]]:
+        text = data.decode("utf-8").replace("\r\n", "\n")
+        cues = []
+        for block in text.split("\n\n"):
+            block = block.strip("\n")
+            if not block:
+                continue
+            lines = block.split("\n")
+            if len(lines) < 3:
+                raise ValueError("corrupt srt: block under 3 lines")
+            if not lines[0].isdigit():
+                raise ValueError(f"corrupt srt: bad index line {lines[0]!r}")
+            m = rng.match(lines[1])
+            if not m:
+                raise ValueError(f"corrupt srt: bad time range {lines[1]!r}")
+            g = m.groups()
+            start, end = _ms(*g[:4]), _ms(*g[4:])
+            if end <= start:
+                raise ValueError("corrupt srt: non-positive cue duration")
+            words = sum(len(ln.split()) for ln in lines[2:])
+            cues.append((int(lines[0]), start, end, len(lines) - 2, words))
+        if not cues:
+            raise ValueError("corrupt srt: no cues")
+        return cues
+
+    def run(batches):
+        for pdf in batches:
+            out = {"id": [], "cue_idx": [], "start_ms": [], "end_ms": [],
+                   "n_lines": [], "n_words": []}
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                for idx, start, end, n_lines, n_words in parse(bytes(payload)):
+                    out["id"].append(did)
+                    out["cue_idx"].append(idx)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(end)
+                    out["n_lines"].append(n_lines)
+                    out["n_words"].append(n_words)
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        run,
+        schema="id long, cue_idx long, start_ms long, end_ms long, "
+        "n_lines long, n_words long",
+    )

@@ -537,3 +537,45 @@ def multimodal_mp3_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_mp3_features(synthesize_mp3(d, id_col="doc_id")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "multimodal_srt_parse",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, t.i AS i
+  FROM documents, UNNEST(range(0, 5 + doc_id % 6)) AS t(i)),
+l AS (
+  SELECT doc_id, i, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(3 + (doc_id + 2 * i + ln.ln) % 4) AS BIGINT) AS n_words
+  FROM c, UNNEST(range(0, 1 + (doc_id + i) % 2)) AS ln(ln)
+  GROUP BY doc_id, i)
+SELECT doc_id, CAST(i + 1 AS BIGINT) AS cue_idx,
+       CAST(i * 2000 + doc_id % 500 AS BIGINT) AS start_ms,
+       CAST(i * 2000 + doc_id % 500 + 1200 + (doc_id * 7 + i * 13) % 800
+            AS BIGINT) AS end_ms,
+       n_lines, n_words
+FROM l
+""",
+    doc="SubRip (.srt) subtitle parsing — the caption sidecar of a video "
+    "corpus, parsed to the per-cue alignment grain (cue index, "
+    "millisecond start/end, line and word counts) that caption-to-frame "
+    "alignment joins against multimodal_frame_sample timestamps.  The "
+    "parser (operators/multimodal.py parse_srt_cues) is a general "
+    "SubRip reader: blank-line block split, integer index line, strict "
+    "'HH:MM:SS,mmm --> HH:MM:SS,mmm' regex with ms arithmetic, CRLF "
+    "tolerance (every 3rd fixture doc is CRLF-encoded), multi-line cue "
+    "text, typed ValueError on malformed blocks.  Fixtures are "
+    "spec-shaped SRT files synthesized per document; all fields are "
+    "integer-exact so the full parse hash-checks against a SQL replay "
+    "of the cue schedule.  Scale posture: Arrow mapInPandas over the "
+    "payload column, one output row per cue, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import parse_srt_cues, synthesize_srt
+
+    d = load_table(spark, sf_dir, "documents")
+    return parse_srt_cues(synthesize_srt(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )

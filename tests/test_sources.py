@@ -493,3 +493,52 @@ def test_vacuum_retention_statuses(spark, sf_dir):
     }
     assert all(r.retained_reads_intact for r in out.values())
     assert out["A"].n_rows >= out["A2"].n_rows >= out["A3"].n_rows
+
+
+def test_srt_parser_general_and_clean_errors():
+    """The SRT parser handles hand-written real-world shapes the
+    synthesizer never emits (hour-scale timestamps, 3-line cues, CRLF,
+    trailing blank blocks) and raises typed ValueError on malformed
+    index/range/duration/empty inputs."""
+    import pandas as pd
+    import pytest
+
+    # exercise the inner parse through a tiny fake batch runner
+    from cobradb_spark.operators import multimodal as mm
+
+    class _FakeDF:
+        def __init__(self, payloads):
+            self._pdf = pd.DataFrame(
+                {"id": list(range(len(payloads))), "payload": payloads}
+            )
+
+        def select(self, *cols):
+            return self
+
+        def mapInPandas(self, fn, schema):
+            return pd.concat(list(fn([self._pdf])), ignore_index=True)
+
+    srt = (
+        "1\n01:02:03,500 --> 01:02:05,000\nhello world\n\n"
+        "2\n01:02:06,000 --> 01:02:07,250\na b c\nd e\nf\n\n"
+    ).encode()
+    out = mm.parse_srt_cues(_FakeDF([srt]))
+    assert list(out.cue_idx) == [1, 2]
+    assert list(out.start_ms) == [3723500, 3726000]
+    assert list(out.end_ms) == [3725000, 3727250]
+    assert list(out.n_lines) == [1, 3]
+    assert list(out.n_words) == [2, 6]
+
+    crlf = srt.replace(b"\n", b"\r\n")
+    out2 = mm.parse_srt_cues(_FakeDF([crlf]))
+    assert out.drop(columns="id").equals(out2.drop(columns="id"))
+
+    for bad, msg in [
+        (b"", "no cues"),
+        (b"x\n00:00:00,000 --> 00:00:01,000\nhi\n\n", "bad index"),
+        (b"1\n00:00:00.000 --> 00:00:01,000\nhi\n\n", "bad time range"),
+        (b"1\n00:00:02,000 --> 00:00:01,000\nhi\n\n", "non-positive"),
+        (b"1\n00:00:00,000 --> 00:00:01,000\n\n", "under 3 lines"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            mm.parse_srt_cues(_FakeDF([bad]))
