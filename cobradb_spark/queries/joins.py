@@ -1011,3 +1011,80 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta.alias("delta_us"),
         )
     )
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, t.v AS version,
+         t.v * (400 + c_custkey % 200) AS start_day,
+         CASE WHEN t.v < c_custkey % 3
+              THEN (t.v + 1) * (400 + c_custkey % 200) END AS end_day,
+         (c_custkey * 7 + t.v * 13) % 5 AS segment
+  FROM customer, UNNEST(range(0, 1 + c_custkey % 3)) AS t(v)),
+fact AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS order_day
+  FROM orders)
+SELECT f.o_orderkey, f.o_custkey, CAST(f.order_day AS BIGINT) AS order_day,
+       CAST(d.version AS BIGINT) AS version, CAST(d.segment AS BIGINT) AS segment
+FROM fact f JOIN dim d
+  ON d.c_custkey = f.o_custkey
+ AND d.start_day <= f.order_day
+ AND (d.end_day IS NULL OR f.order_day < d.end_day)
+""",
+    doc="Point-in-time join against an SCD2 dimension — the warehouse "
+    "staple the plain interval join (C7) doesn't pin: each fact row must "
+    "match EXACTLY the version whose half-open effective range "
+    "[start_day, end_day) covers the fact's date.  The dimension is a "
+    "synthesized customer-segment history (1-3 versions per customer, "
+    "deterministic closed-form effective ranges — no window needed to "
+    "derive end_day, and ranges partition the timeline so uniqueness is "
+    "structural).  All temporal arithmetic runs on integer days since "
+    "the epoch date (datediff on both engines) — no DATE-typed columns, "
+    "no interval arithmetic, no timezone surface.  Scale posture: this "
+    "is an EQUI-join on the dimension key with the range as a join "
+    "residual — Spark hash-partitions both sides on custkey and "
+    "evaluates the 1-3 candidate versions per probe inline; never a "
+    "range-only join, never a broadcast of the (large) dimension "
+    "history.  The per-key version fan-in is bounded (SCD2 dims change "
+    "slowly), so the residual adds O(versions) work per fact row at any "
+    "data size.",
+    tags=("joins",),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), F.col("c_custkey") % 3)).alias("version"),
+    ).select(
+        "c_custkey",
+        "version",
+        (F.col("version") * (F.lit(400) + F.col("c_custkey") % 200)).alias("start_day"),
+        F.when(
+            F.col("version") < F.col("c_custkey") % 3,
+            (F.col("version") + 1) * (F.lit(400) + F.col("c_custkey") % 200),
+        ).alias("end_day"),
+        ((F.col("c_custkey") * 7 + F.col("version") * 13) % 5).alias("segment"),
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias(
+            "order_day"
+        ),
+    )
+    j = fact.join(
+        dim,
+        (dim["c_custkey"] == fact["o_custkey"])
+        & (dim["start_day"] <= fact["order_day"])
+        & (dim["end_day"].isNull() | (fact["order_day"] < dim["end_day"])),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("order_day").cast("bigint").alias("order_day"),
+        F.col("version").cast("bigint").alias("version"),
+        F.col("segment").cast("bigint").alias("segment"),
+    )

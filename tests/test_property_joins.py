@@ -234,3 +234,30 @@ def test_asof_nearest_is_true_argmin(spark, sf_dir):
         assert got[p["event_id"]] == (best[1], best[2]), p["event_id"]
         n_checked += 1
     assert n_checked > 50
+
+
+def test_pit_scd2_exactly_one_version_per_fact(spark, sf_dir):
+    """PIT contract: half-open [start_day, end_day) version ranges
+    partition the timeline, so every order matches EXACTLY one dimension
+    version, the matched range really covers the order date, and the
+    physical join is an equi-hash join on the key (range only as
+    residual — never a nested-loop range join)."""
+    from cobradb_spark import registry
+
+    q = registry.get_query("join_point_in_time_scd2").fn
+    df = q(spark, sf_dir)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert df.count() == n_orders  # one match per fact, none dropped
+    assert df.select("o_orderkey").distinct().count() == n_orders
+
+    for r in df.limit(200).collect():
+        period = 400 + r.o_custkey % 200
+        k = 1 + r.o_custkey % 3
+        assert 0 <= r.version < k
+        start = r.version * period
+        assert start <= r.order_day
+        if r.version < k - 1:
+            assert r.order_day < (r.version + 1) * period
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in plan and "NestedLoop" not in plan
