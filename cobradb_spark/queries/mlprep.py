@@ -1225,3 +1225,79 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t2s") - _PSI_BINS).alias("n_second"),
         "psi_e9",
     )
+
+
+@register(
+    "mlprep_calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT o_orderkey,
+         CAST(CAST(concat('0x', substr(md5(concat('cal', CAST(o_orderkey AS VARCHAR))),
+              1, 15)) AS UBIGINT) AS BIGINT) % 1000000 AS score_ppm,
+         CAST(CAST(concat('0x', substr(md5(concat('lab', CAST(o_orderkey AS VARCHAR))),
+              1, 15)) AS UBIGINT) AS BIGINT) % 1000000 AS noise_ppm
+  FROM orders),
+lab AS (
+  SELECT score_ppm,
+         CASE WHEN score_ppm * 3 + noise_ppm > 1500000 THEN 1 ELSE 0 END AS y,
+         score_ppm // 100000 AS bin
+  FROM scored)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS outcome_rate_ppm,
+       CAST(abs(sum(score_ppm) // count(*) - sum(y) * 1000000 // count(*))
+            AS BIGINT) AS abs_gap_ppm
+FROM lab GROUP BY bin
+""",
+    doc="Model-calibration reliability bins (the ECE diagram's data): a "
+    "deterministic scored population (md5-derived score in ppm, outcome "
+    "label correlated with the score through a second independent hash "
+    "— the same seeded-hash discipline as the samplers, so reruns and "
+    "engines agree bit-for-bit) bucketed into 10 equal-width score "
+    "bins; per bin the mean predicted score vs the realized outcome "
+    "rate, both as truncating-division ppm, plus their absolute gap "
+    "(the per-bin ECE term).  Equal-width binning means the bin id is "
+    "a pure projection — ONE partial-agg shuffle of 10 groups total, "
+    "no rank/ntile pass — which is the right calibration shape at "
+    "100 TB (equal-frequency bins would need a distributed quantile "
+    "pass first; that exists separately as agg_quantile_exact_global).",
+    tags=("mlprep",),
+)
+def mlprep_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    key = F.col("o_orderkey").cast("string")
+
+    def h(seed: str) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 15), 16, 10)
+            .cast("long")
+            % 1000000
+        )
+
+    scored = o.select(
+        h("cal").alias("score_ppm"),
+        h("lab").alias("noise_ppm"),
+    ).select(
+        "score_ppm",
+        F.when(F.col("score_ppm") * 3 + F.col("noise_ppm") > 1500000, 1)
+        .otherwise(0)
+        .alias("y"),
+        F.expr("div(score_ppm, 100000)").alias("bin"),
+    )
+    return (
+        scored.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("div(sum(score_ppm), count(*))").alias("mean_score_ppm"),
+            F.expr("div(sum(y) * 1000000, count(*))").alias("outcome_rate_ppm"),
+        )
+        .select(
+            "bin",
+            "n",
+            "mean_score_ppm",
+            "outcome_rate_ppm",
+            F.abs(F.col("mean_score_ppm") - F.col("outcome_rate_ppm"))
+            .cast("bigint")
+            .alias("abs_gap_ppm"),
+        )
+    )

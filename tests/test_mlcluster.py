@@ -432,3 +432,27 @@ def test_k_anonymize_released_groups_are_k_anonymous(spark):
             assert r["n"] < K or r["level"] == 4
     # levels are consistent across the output
     assert len({r["level"] for r in rows}) == 1
+
+
+def test_calibration_bins_monotone_and_consistent(spark, sf_dir):
+    """Reliability-bin pins: 10 bins covering the score axis, counts sum
+    to the population, mean score sits inside its bin, and because the
+    label is monotone-correlated with the score by construction the
+    outcome rate is non-decreasing across bins (strictly increasing
+    through the mixed-bin middle of the ramp)."""
+    rows = sorted(
+        all_queries()["mlprep_calibration_bins"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(10))
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n for r in rows) == n_orders
+    for r in rows:
+        assert r.bin * 100000 <= r.mean_score_ppm < (r.bin + 1) * 100000
+        assert 0 <= r.outcome_rate_ppm <= 1000000
+        assert r.abs_gap_ppm == abs(r.mean_score_ppm - r.outcome_rate_ppm)
+    rates = [r.outcome_rate_ppm for r in rows]
+    assert rates == sorted(rates)
+    # label = [score*3 + noise > 1.5e6]: bins below 1/6 are all-negative,
+    # bins above 1/2 all-positive
+    assert rates[0] == 0 and rates[-1] == 1000000
