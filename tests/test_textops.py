@@ -290,3 +290,28 @@ def test_bm25_matches_python_replay(spark, sf_dir):
         for r in get_query("text_bm25_topk").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_aho_corasick_matches_regex_and_patterns_border_free():
+    """The automaton's all-matches counts equal regex lookahead counts on
+    random text over a hostile alphabet (including overlapping-pattern
+    dictionaries), and every registered lexicon word is border-free —
+    the property that makes the replace-count oracle provably exact."""
+    import random
+    import re
+
+    from cobradb_spark.operators.ahocorasick import AhoCorasick
+    from cobradb_spark.queries.textops import _AC_PATTERNS
+
+    for p in _AC_PATTERNS:
+        for k in range(1, len(p)):
+            assert p[:k] != p[-k:], f"{p!r} has a border of length {k}"
+
+    pats = list(_AC_PATTERNS) + ["aa", "aba", "abab"]
+    ac = AhoCorasick(pats)
+    rnd = random.Random(17)
+    for _ in range(200):
+        text = "".join(rnd.choice("abgkertvs l") for _ in range(rnd.randrange(120)))
+        got = ac.count_matches(text)
+        want = [len(re.findall(f"(?={re.escape(p)})", text)) for p in pats]
+        assert got == want
