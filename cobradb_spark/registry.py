@@ -141,6 +141,12 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "text_vocab_coverage", "profile_psi_drift", "stream_stream_outer_join",
     "geo_polygon_contains", "win_hampel_outliers", "events_cross_correlation",
     "stream_transform_with_state",
+    # r6 second-continuation keys, all oracle-carrying
+    "agg_kmv_theta_sketch", "multimodal_mp3_frame_index",
+    "analytics_ab_cuped", "etl_vacuum_retention",
+    "profile_benford_deviation", "analytics_survival_km",
+    "multimodal_srt_parse", "join_point_in_time_scd2",
+    "mlprep_calibration_bins", "text_dictionary_match",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )

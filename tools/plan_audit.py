@@ -979,6 +979,78 @@ AUDITS = [
         "duplicated positions join back by 8-byte hash; top-200 is "
         "TakeOrdered, never a global sort",
     ),
+    (
+        "agg_kmv_theta_sketch",
+        ["TakeOrderedAndProject", "Window", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "per-segment k-smallest is a streaming window over distinct "
+        "hashes; the union top-64 is TakeOrdered (never a global sort); "
+        "the only nested loops are 1-row theta/count broadcasts",
+    ),
+    (
+        "multimodal_mp3_frame_index",
+        ["MapInPandas"],
+        ["Exchange hashpartitioning", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython"],
+        "synthesize + index are chained Arrow mapInPandas stages over "
+        "the payload column — zero shuffles, one row out per document",
+    ),
+    (
+        "multimodal_srt_parse",
+        ["MapInPandas"],
+        ["Exchange hashpartitioning", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython"],
+        "cue parsing is a pure Arrow map over payloads; the per-cue "
+        "fan-out happens inside the batch, never via join/explode",
+    ),
+    (
+        "analytics_ab_cuped",
+        ["partial_sum"],
+        ["BatchEvalPython", "CartesianProduct", "Window", "SortMergeJoin"],
+        "one custkey partial-agg shuffle reduces facts to units; theta "
+        "and arm stats are KB-sized aggregates joined by 1-row "
+        "broadcasts — a single fact pass end-to-end",
+    ),
+    (
+        "profile_benford_deviation",
+        ["partial_count", "BroadcastHashJoin"],
+        ["SortMergeJoin", "Window", "BatchEvalPython", "CartesianProduct"],
+        "digit extraction fuses into the scan projection; one 18-group "
+        "map-side-combined agg; the 2-row totals broadcast back",
+    ),
+    (
+        "analytics_survival_km",
+        ["FlatMapGroupsInPandas", "partial_min"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "orders reduce to one row per customer (map-side combined), the "
+        "KM grid is O(distinct durations), and only that reduced grid "
+        "enters the single-group pandas recurrence; study-end is a "
+        "1-row broadcast",
+    ),
+    (
+        "join_point_in_time_scd2",
+        ["HashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython"],
+        "the PIT match is an EQUI-hash join on custkey with the "
+        "effective-range predicate as join residual — never a "
+        "range-driven nested loop",
+    ),
+    (
+        "mlprep_calibration_bins",
+        ["partial_sum", "partial_count"],
+        ["Window", "SortMergeJoin", "BatchEvalPython", "CartesianProduct",
+         "Exchange rangepartitioning"],
+        "equal-width bin ids are pure projections; one 10-group "
+        "map-side-combined agg — no rank/ntile pass anywhere",
+    ),
+    (
+        "text_dictionary_match",
+        ["MapInPandas", "partial_sum"],
+        ["SortMergeJoin", "Window", "CartesianProduct", "BatchEvalPython"],
+        "the automaton scans Arrow batches and emits 14-row partials "
+        "per batch; the final agg reduces partials, never documents",
+    ),
 ]
 
 

@@ -105,6 +105,16 @@ PROBES = [
     "geo_polygon_contains",
     "win_hampel_outliers",
     "events_cross_correlation",
+    # r6 second-continuation additions
+    "agg_kmv_theta_sketch",
+    "multimodal_mp3_frame_index",
+    "analytics_ab_cuped",
+    "profile_benford_deviation",
+    "analytics_survival_km",
+    "multimodal_srt_parse",
+    "join_point_in_time_scd2",
+    "mlprep_calibration_bins",
+    "text_dictionary_match",
 ]
 
 
