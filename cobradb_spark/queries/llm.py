@@ -585,3 +585,80 @@ def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BHAM_K)
         .select("q_id", "d_id", F.col("rank").cast("bigint").alias("rank"), "hamming")
     )
+
+
+_MRL_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+         sum(CASE WHEN a.i <= 32
+                  THEN CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) END) AS dot_h
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), norms AS (
+  SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm,
+         sqrt(sum(CASE WHEN i <= 32
+                       THEN CAST(v AS DOUBLE) * CAST(v AS DOUBLE) END)) AS nrm_h
+  FROM ex GROUP BY 1
+), full_rank AS (
+  SELECT d.a_id, d.b_id,
+         row_number() OVER (PARTITION BY d.a_id
+             ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.b_id) AS rn
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a_id
+  JOIN norms nb ON nb.vec_id = d.b_id
+), half_rank AS (
+  SELECT d.a_id, d.b_id,
+         row_number() OVER (PARTITION BY d.a_id
+             ORDER BY d.dot_h / (na.nrm_h * nb.nrm_h) DESC, d.b_id) AS rn
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a_id
+  JOIN norms nb ON nb.vec_id = d.b_id
+)
+SELECT f.a_id AS vec_id,
+       CAST(count(h.b_id) AS BIGINT) AS n_overlap
+FROM (SELECT * FROM full_rank WHERE rn <= 5) f
+LEFT JOIN (SELECT * FROM half_rank WHERE rn <= 5) h
+  ON h.a_id = f.a_id AND h.b_id = f.b_id
+GROUP BY f.a_id
+"""
+
+
+@register(
+    "embed_matryoshka_overlap",
+    oracle=_MRL_ORACLE,
+    doc="Matryoshka-representation evaluation (the MRL question: how much "
+    "retrieval survives truncating the embedding to its prefix?): exact "
+    "top-5 cosine neighbor sets at full 64 dims and at the 32-dim "
+    "prefix, overlap counted per vector — the measurement that decides "
+    "whether a corpus can serve ANN from half-width vectors (2x memory "
+    "and bandwidth) with acceptable recall.  Both sets come from the "
+    "SAME gated broadcast-BLAS kernel as sim_cosine_topk (operators/"
+    "knn.py — exact, deterministic (cos DESC, id) tie-break, loud "
+    "LSH/IVF pointer past the 512 MiB gate), run once on the full "
+    "vectors and once on the sliced prefix; the overlap join is then a "
+    "tiny (n x 5)-row equi-join.  At 100 TB the kernel swaps for the "
+    "ANN candidate paths per the gate contract; the overlap harness is "
+    "unchanged.  Oracle replays both rankings with index-limited sums.",
+    tags=("llm", "embed"),
+)
+def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.knn import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = cosine_topk(emb, k=5).select("a_id", "b_id")
+    half = cosine_topk(
+        emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")), k=5
+    ).select(F.col("a_id").alias("h_a"), F.col("b_id").alias("h_b"))
+    return (
+        full.join(
+            half,
+            (F.col("a_id") == F.col("h_a")) & (F.col("b_id") == F.col("h_b")),
+            "left",
+        )
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.count("h_b").cast("bigint").alias("n_overlap"))
+    )

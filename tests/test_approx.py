@@ -272,3 +272,18 @@ def test_kmv_theta_sketch_error_bound_and_replay(spark, sf_dir):
     expect["INTERSECT(1-URGENT,2-HIGH)"] = (est_i, len(both))
     got = {r.seg: (r.est_distinct, r.exact_distinct) for r in out}
     assert got == expect
+
+
+def test_matryoshka_overlap_bounds_and_signal(spark, sf_dir):
+    """MRL harness pins: overlap in [0,5] per vector, and the 32-dim
+    prefix retains real signal — mean top-5 overlap must beat the
+    hypergeometric chance level (5 matches among n-1 candidates ~ 25/(n-1)
+    expected, i.e. <0.06 at sf0.01) by a wide margin."""
+    rows = registry.get_query("embed_matryoshka_overlap").fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        assert 0 <= r.n_overlap <= 5
+    mean = sum(r.n_overlap for r in rows) / n
+    chance = 25.0 / max(n - 1, 1)
+    assert mean > max(10 * chance, 0.5), (mean, chance)
