@@ -1790,3 +1790,90 @@ def text_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("n_occurrences").cast("bigint").alias("n_occurrences"),
     )
+
+
+_UNI_VARIANTS_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'caf' || chr(101) || chr(769)
+  WHEN 1 THEN chr(65) || chr(778) || 'mas'
+  WHEN 2 THEN chr(117) || chr(776) || 'ber'
+  ELSE 'plain' END"""
+
+
+@register(
+    "text_unicode_canonicalize",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+           || ' ' || {_UNI_VARIANTS_SQL} AS s
+  FROM documents),
+n AS (SELECT doc_id, s, nfc_normalize(s) AS c FROM base)
+SELECT doc_id, CAST(length(s) AS BIGINT) AS chars_before,
+       CAST(length(c) AS BIGINT) AS chars_after,
+       s <> c AS changed, md5(c) AS canon_md5
+FROM n
+""",
+    doc="Unicode NFC canonicalization — the dedup-hygiene pass a "
+    "multilingual corpus needs before ANY hash-based dedup: visually "
+    "identical strings with decomposed combining sequences (e+U+0301 vs "
+    "é) hash differently and silently split duplicate classes.  The "
+    "fixture injects decomposed sequences (combining acute/ring/"
+    "diaeresis) into a per-doc prefix; Spark normalizes via "
+    "unicodedata.normalize('NFC') in an Arrow mapInPandas stage "
+    "(deterministic, stdlib — no ICU dependency) and re-hashes "
+    "JVM-side; DuckDB replays with its native nfc_normalize, so the "
+    "hash-EXACT match certifies the two independent NFC "
+    "implementations agree on every fixture row (both implement "
+    "UAX #15).  Character counts before/after expose exactly which "
+    "rows composed.  Scale posture: pure narrow map, zero shuffles; "
+    "the changed flag lets the 100-TB pipeline route only affected "
+    "documents to re-hashing.",
+    tags=("text",),
+)
+def text_unicode_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    # DECOMPOSED sequences as explicit escapes (an editor that
+    # NFC-normalizes source text must not be able to silently
+    # compose the fixture): e+U+0301, A+U+030A, u+U+0308.
+    variants = {
+        0: "caf" + "e\u0301",
+        1: "A\u030Amas",
+        2: "u\u0308ber",
+        3: "plain",
+    }
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            F.lit(" "),
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in variants.items() for x in kv]
+                ),
+                (F.col("doc_id") % 4).cast("int"),
+            ),
+        ).alias("s"),
+    )
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "s": pdf["s"],
+                    "c": [unicodedata.normalize("NFC", s) for s in pdf["s"]],
+                }
+            )
+
+    out = d.mapInPandas(norm, schema="doc_id long, s string, c string")
+    return out.select(
+        "doc_id",
+        F.length("s").cast("bigint").alias("chars_before"),
+        F.length("c").cast("bigint").alias("chars_after"),
+        (F.col("s") != F.col("c")).alias("changed"),
+        F.md5(F.encode("c", "UTF-8")).alias("canon_md5"),
+    )

@@ -315,3 +315,26 @@ def test_aho_corasick_matches_regex_and_patterns_border_free():
         got = ac.count_matches(text)
         want = [len(re.findall(f"(?={re.escape(p)})", text)) for p in pats]
         assert got == want
+
+
+def test_unicode_canonicalize_fixture_is_decomposed_and_flags_right(spark, sf_dir):
+    """The injected sequences must be genuinely decomposed (chars shrink
+    by exactly 1 on NFC for variants 0-2), 'plain' docs are unchanged,
+    and Python NFC (the engine path) agrees with unicodedata on each
+    variant string."""
+    import unicodedata
+
+    from cobradb_spark import registry
+
+    rows = registry.get_query("text_unicode_canonicalize").fn(spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id % 4 == 3:
+            assert not r.changed and r.chars_before == r.chars_after
+        else:
+            assert r.changed and r.chars_before - r.chars_after == 1
+
+    for v, n_before in [("caf" + "e\u0301", 5), ("A\u030Amas", 5),
+                        ("u\u0308ber", 5)]:
+        assert len(v) == n_before
+        c = unicodedata.normalize("NFC", v)
+        assert len(c) == n_before - 1 and c != v
