@@ -734,3 +734,51 @@ def scan_timetravel_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+@register(
+    "scan_fixedwidth",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) AS total_cents,
+       o_orderpriority
+FROM orders
+""",
+    doc="Fixed-width (COBOL-copybook-style) text ingestion — the legacy "
+    "mainframe exchange format that still feeds real lakes: orders "
+    "render to 48-byte records (zero-padded numerics, space-padded "
+    "text, positions 1-10/11-20/21/22-33/34-48) via format_string, land "
+    "as plain text, and are re-parsed by POSITION — substring slices, "
+    "rtrim, numeric casts — with no delimiter anywhere.  The round trip "
+    "must reproduce the source table exactly (the oracle reads orders "
+    "directly), proving the copybook offsets, padding, and sign-free "
+    "numeric conventions survive both directions.  Scale posture: text "
+    "lines are splittable, the parse is a narrow projection fused into "
+    "the scan, and the writer repartitions to bounded files; the "
+    "slice-and-cast pattern is exactly how a 100 TB EBCDIC-converted "
+    "feed is unpacked in place.",
+    tags=("scans", "etl"),
+)
+def scan_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.format_string(
+            "%010d%010d%1s%012d%-15s",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    )
+    out = scratch_dir("cobradb_fixw_")
+    lines.repartition(4).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    v = F.col("value")
+    return back.select(
+        F.substring(v, 1, 10).cast("bigint").alias("o_orderkey"),
+        F.substring(v, 11, 10).cast("bigint").alias("o_custkey"),
+        F.substring(v, 21, 1).alias("o_orderstatus"),
+        F.substring(v, 22, 12).cast("bigint").alias("total_cents"),
+        F.rtrim(F.substring(v, 34, 15)).alias("o_orderpriority"),
+    )

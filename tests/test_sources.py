@@ -542,3 +542,27 @@ def test_srt_parser_general_and_clean_errors():
     ]:
         with pytest.raises(ValueError, match=msg):
             mm.parse_srt_cues(_FakeDF([bad]))
+
+
+def test_fixedwidth_records_are_truly_fixed(spark, sf_dir):
+    """Every rendered record must be exactly 48 chars (copybook contract:
+    10+10+1+12+15) before the newline — a variable-width record would
+    silently corrupt positional parsing downstream."""
+    from cobradb_spark import registry
+    from cobradb_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.format_string(
+            "%010d%010d%1s%012d%-15s",
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+            "o_orderpriority",
+        ).alias("v")
+    )
+    bad = lines.filter(F.length("v") != 48).count()
+    assert bad == 0
+    out = registry.get_query("scan_fixedwidth").fn(spark, sf_dir)
+    assert out.count() == o.count()
+    assert out.filter(F.col("o_orderpriority").endswith(" ")).count() == 0
