@@ -9,6 +9,8 @@ result cross-checked against the native H1 formulation.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -480,3 +482,41 @@ def udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInArrow(
         centroid, schema="label int, n long, c0 double, c1 double"
     )
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'table', ''))) // 5
+            + (length(text) - length(replace(text, 'value', ''))) // 5
+            AS BIGINT) AS lexicon_hits
+FROM documents
+""",
+    doc="K-ext iterator-form pandas UDF (Iterator[pd.Series] -> "
+    "Iterator[pd.Series], SCALAR_ITER): the API whose point is "
+    "per-task EXPENSIVE INITIALIZATION — here an Aho-Corasick automaton "
+    "(operators/ahocorasick.py) built ONCE before the batch loop and "
+    "reused across every Arrow batch in the partition, the pattern used "
+    "for loading a tokenizer/model once per executor task instead of "
+    "once per batch (the plain SCALAR form gives no once-per-task "
+    "hook).  Counts hits of a 2-word lexicon per document; both words "
+    "are border-free so the replace-count oracle is provably exact "
+    "(text_dictionary_match's argument).  Plan shows ArrowEvalPython "
+    "with one Python worker init per task.",
+    tags=("udfs",),
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def lexicon_hits(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # once-per-task init: the automaton outlives every batch below
+        from cobradb_spark.operators.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(["table", "value"])
+        for s in batches:
+            yield pd.Series([sum(ac.count_matches(t)) for t in s], dtype="int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lexicon_hits(F.col("text")).alias("lexicon_hits"))
