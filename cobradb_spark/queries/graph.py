@@ -1116,3 +1116,113 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fin.crossJoin(F.broadcast(size)).select(
         F.col("src").alias("part_id"), "core_deg", "core_size"
     )
+
+
+_FC_ROUNDS = 16  # pointer-doubling window 2^16 = 65536 >= N at every test sf
+
+
+def _fc_oracle() -> str:
+    ctes = ["d0 AS MATERIALIZED (SELECT v, s AS g, s AS m FROM base)"]
+    for i in range(1, _FC_ROUNDS + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT a.v, b.g AS g, least(a.m, b.m) AS m\n"
+            f"  FROM {p} a JOIN {p} b ON b.v = a.g)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS v,
+         CAST(CAST(concat('0x', substr(md5(concat('succ',
+              CAST(c_custkey AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)
+           % (SELECT count(*) FROM customer) AS s
+  FROM customer),
+{body},
+cyc AS (
+  SELECT d.m AS rep, CAST(count(*) AS BIGINT) AS cycle_len
+  FROM (SELECT DISTINCT g FROM d{_FC_ROUNDS}) c JOIN d{_FC_ROUNDS} d ON d.v = c.g
+  GROUP BY 1),
+basin AS (
+  SELECT d2.m AS rep, CAST(count(*) AS BIGINT) AS basin_n
+  FROM d{_FC_ROUNDS} d JOIN d{_FC_ROUNDS} d2 ON d2.v = d.g
+  GROUP BY 1)
+SELECT rep AS cycle_rep, cycle_len, basin_n
+FROM cyc JOIN basin USING (rep)
+"""
+
+
+@register(
+    "graph_functional_cycles",
+    oracle=_fc_oracle(),
+    doc="Rho-decomposition of a FUNCTIONAL graph (every node has exactly "
+    "one out-edge) by pointer doubling — the out-degree-1 special case "
+    "where full SCC machinery collapses to O(log N) rounds: "
+    "g_{i+1}(v) = g_i(g_i(v)) advances 2^i steps per round while "
+    "m_{i+1}(v) = min(m_i(v), m_i(g_i(v))) tracks the minimum node id "
+    "over the advanced window, so after ceil(log2 N) rounds every "
+    "node's pointer has entered its cycle and every on-cycle node's "
+    "window covers the whole cycle (window 2^16 = 65536 >= N, asserted "
+    "at runtime; one more round per doubling of N).  The on-cycle set "
+    "is exactly the IMAGE of g_16, each cycle is named by its minimum "
+    "member, and basins (tree nodes draining into each cycle) come from "
+    "one composition join.  This is the successor-function shape of "
+    "linked-list / next-pointer data (parent chains, redirect chains, "
+    "symlink graphs) where cycle detection IS the integrity check.  "
+    "The successor is the shared md5 convention (a uniform random map: "
+    "tails O(sqrt N), a handful of cycles — verified against a "
+    "pure-Python walk in tests).  Scale posture: 16 self-joins of N "
+    "rows with localCheckpoint per round (the iterative-DataFrame "
+    "discipline), partition-count-stable; contrast graph_connected_"
+    "components (path halving on general undirected graphs).  Oracle "
+    "replays the identical doubling as 16 MATERIALIZED chained CTEs "
+    "(the embed_pca_power precedent).",
+    tags=("graph",),
+)
+def graph_functional_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cnt = c.agg(F.count("*").alias("n"))
+    base = c.crossJoin(F.broadcast(cnt)).select(
+        F.col("c_custkey").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("succ"), F.col("c_custkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n")
+        ).alias("s"),
+        "n",
+    )
+    n_nodes = base.select(F.max("n")).first()[0]
+    if n_nodes > (1 << _FC_ROUNDS):
+        raise ValueError(
+            f"graph_functional_cycles: N={n_nodes} exceeds the 2^{_FC_ROUNDS} "
+            "doubling window; raise _FC_ROUNDS (one round per doubling of N)"
+        )
+    d = base.select("v", F.col("s").alias("g"), F.col("s").alias("m"))
+    for _ in range(_FC_ROUNDS):
+        d2 = d.select(
+            F.col("v").alias("v2"), F.col("g").alias("g2"), F.col("m").alias("m2")
+        )
+        d = (
+            d.join(d2, d["g"] == d2["v2"])
+            .select("v", F.col("g2").alias("g"), F.least("m", "m2").alias("m"))
+            .localCheckpoint()
+        )
+    on_cycle = d.select("g").distinct().withColumnRenamed("g", "w")
+    cyc = (
+        on_cycle.join(d, d["v"] == on_cycle["w"])
+        .groupBy(F.col("m").alias("cycle_rep"))
+        .agg(F.count("*").cast("bigint").alias("cycle_len"))
+    )
+    d2 = d.select(F.col("v").alias("v2"), F.col("m").alias("m2"))
+    basin = (
+        d.join(d2, d["g"] == d2["v2"])
+        .groupBy(F.col("m2").alias("cycle_rep"))
+        .agg(F.count("*").cast("bigint").alias("basin_n"))
+    )
+    return cyc.join(basin, "cycle_rep")

@@ -190,3 +190,53 @@ def test_kcore_peel_reaches_fixpoint_and_matches_python(spark, sf_dir):
     got = {r.part_id: r.core_deg for r in out}
     assert got == expect
     assert all(r.core_size == len(expect) for r in out)
+
+
+def test_functional_cycles_match_direct_walk(spark, sf_dir):
+    """Pointer-doubling result must equal a direct sequential walk of the
+    same md5 successor map (Floyd-free ground truth: color-marking DFS),
+    and the basins must partition all N nodes."""
+    import hashlib
+
+    from cobradb_spark import registry
+
+    rows = registry.get_query("graph_functional_cycles").fn(spark, sf_dir).collect()
+    got = sorted((r.cycle_rep, r.cycle_len, r.basin_n) for r in rows)
+
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    succ = {
+        v: int(hashlib.md5(f"succ{v}".encode()).hexdigest()[:15], 16) % n
+        for v in range(n)
+    }
+    color, oncycle = {}, set()
+    for start in range(n):
+        path, v = [], start
+        while v not in color:
+            color[v] = start
+            path.append(v)
+            v = succ[v]
+        if color[v] == start:
+            oncycle.update(path[path.index(v):])
+    reps, seen = {}, set()
+    for v in oncycle:
+        if v in seen:
+            continue
+        cyc, u = [v], succ[v]
+        while u != v:
+            cyc.append(u)
+            u = succ[u]
+        seen.update(cyc)
+        reps[min(cyc)] = len(cyc)
+    basin = {}
+    for v in range(n):
+        u = v
+        while u not in oncycle:
+            u = succ[u]
+        cyc, w = [u], succ[u]
+        while w != u:
+            cyc.append(w)
+            w = succ[w]
+        basin[min(cyc)] = basin.get(min(cyc), 0) + 1
+    expect = sorted((k, reps[k], basin[k]) for k in reps)
+    assert got == expect
+    assert sum(b for _, _, b in got) == n  # basins partition the node set
