@@ -147,6 +147,8 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "profile_benford_deviation", "analytics_survival_km",
     "multimodal_srt_parse", "join_point_in_time_scd2",
     "mlprep_calibration_bins", "text_dictionary_match",
+    "embed_matryoshka_overlap", "text_unicode_canonicalize",
+    "scan_fixedwidth", "udf_pandas_scalar_iter", "graph_functional_cycles",
     # rows-only ANN keys go LAST in the r7 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )

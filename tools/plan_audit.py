@@ -1051,6 +1051,44 @@ AUDITS = [
         "the automaton scans Arrow batches and emits 14-row partials "
         "per batch; the final agg reduces partials, never documents",
     ),
+    (
+        "embed_matryoshka_overlap",
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "both rankings come from the gated broadcast-BLAS kernel (Arrow "
+        "map, no shuffle); the overlap join runs on (n x 5)-row heads",
+    ),
+    (
+        "text_unicode_canonicalize",
+        ["MapInPandas"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "CartesianProduct",
+         "BatchEvalPython", "Window"],
+        "NFC + re-hash is a pure narrow map over documents — zero "
+        "shuffles end-to-end",
+    ),
+    (
+        "scan_fixedwidth",
+        ["substring"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "Window",
+         "Exchange hashpartitioning"],
+        "positional slicing fuses into the text scan's projection; the "
+        "parse is shuffle-free",
+    ),
+    (
+        "udf_pandas_scalar_iter",
+        ["ArrowEvalPython"],
+        ["BatchEvalPython", "Exchange hashpartitioning", "SortMergeJoin"],
+        "iterator-form pandas UDF: one Arrow python worker per task with "
+        "once-per-task automaton init; never row-pickled",
+    ),
+    (
+        "graph_functional_cycles",
+        ["HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "post-doubling stage: image/cycle/basin joins read the round-16 "
+        "localCheckpoint (constant plan depth — the iterative-DataFrame "
+        "discipline), never the 16-round lineage",
+    ),
 ]
 
 

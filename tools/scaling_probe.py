@@ -115,6 +115,11 @@ PROBES = [
     "join_point_in_time_scd2",
     "mlprep_calibration_bins",
     "text_dictionary_match",
+    "embed_matryoshka_overlap",
+    "text_unicode_canonicalize",
+    "scan_fixedwidth",
+    "udf_pandas_scalar_iter",
+    "graph_functional_cycles",
 ]
 
 
