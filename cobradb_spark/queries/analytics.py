@@ -1767,3 +1767,77 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surv_ppm long",
         )
     )
+
+
+_RATIO_CORE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(count(*) AS BIGINT) AS n_ord,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y_dol
+  FROM {orders} GROUP BY o_custkey),
+armed AS (
+  SELECT cust, n_ord, y_dol,
+         CASE WHEN {hash_expr} % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+  FROM per_cust),
+g AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(y_dol) AS BIGINT) AS sy, CAST(sum(n_ord) AS BIGINT) AS sn,
+         CAST(sum(y_dol * y_dol) AS BIGINT) AS syy,
+         CAST(sum(n_ord * n_ord) AS BIGINT) AS snn,
+         CAST(sum(y_dol * n_ord) AS BIGINT) AS syn
+  FROM armed GROUP BY arm),
+d AS (
+  SELECT arm, nu, sy, sn,
+         CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS ratio,
+         CAST(sn AS DOUBLE) / CAST(nu AS DOUBLE) AS mean_n,
+         (CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(nu AS DOUBLE))
+           / CAST(nu - 1 AS DOUBLE) AS vy,
+         (CAST(snn AS DOUBLE)
+            - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nu AS DOUBLE))
+           / CAST(nu - 1 AS DOUBLE) AS vn,
+         (CAST(syn AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nu AS DOUBLE))
+           / CAST(nu - 1 AS DOUBLE) AS cyn
+  FROM g),
+s AS (
+  SELECT arm, nu, sn AS n_orders, sy AS revenue_dollars, ratio,
+         sqrt((vy + ratio * ratio * vn - 2.0 * ratio * cyn)
+              / CAST(nu AS DOUBLE)) / mean_n AS se
+  FROM d)
+SELECT arm, nu AS n_units, n_orders, revenue_dollars, ratio, se,
+       ratio - 1.96 * se AS ci_lo, ratio + 1.96 * se AS ci_hi
+FROM s"""
+
+_RATIO_HASH_DUCK = ("CAST(CAST(concat('0x', substr(md5(concat('cuped', "
+                    "CAST(cust AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)")
+_RATIO_HASH_SPARK = ("CAST(conv(substring(md5(concat('cuped', "
+                     "CAST(cust AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+
+
+@register(
+    "analytics_ratio_delta_ci",
+    oracle=_RATIO_CORE_SQL.format(orders="orders", hash_expr=_RATIO_HASH_DUCK),
+    doc="Delta-method confidence interval for a RATIO metric (revenue "
+    "per order) with customer-level clustering — the experimentation "
+    "readout naive per-row variance gets WRONG because orders within a "
+    "customer are correlated (the published linearization: var(Y/N) ~ "
+    "(var_y + R^2 var_n - 2R cov)/(n mean_n^2) over cluster totals).  "
+    "Shares the CUPED arm assignment (same seeded md5), truncates "
+    "revenue to integer dollars via explicit floor() — pinned because "
+    "Spark's double->bigint CAST truncates while DuckDB's ROUNDS — "
+    "so every moment sum stays BIGINT-exact "
+    "(cents would push sum(y^2) past 2^63 into the engines' different "
+    "128-bit-to-double casts); the variance algebra then runs in "
+    "doubles derived from exact sums with the IDENTICAL literal "
+    "expression on both engines (one cast per sum, pinned association, "
+    "correctly-rounded sqrt) — deliberately unrounded, the geo "
+    "discipline.  Scale posture: one custkey partial-agg shuffle to "
+    "cluster totals, one 2-group moment agg; a single fact pass.",
+    tags=("analytics",),
+)
+def analytics_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ratio_v")
+    return spark.sql(
+        _RATIO_CORE_SQL.format(orders="orders_ratio_v", hash_expr=_RATIO_HASH_SPARK)
+    )

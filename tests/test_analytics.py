@@ -187,3 +187,43 @@ def test_km_curve_properties_and_replay(spark, sf_dir):
         at_risk -= d + c
     got = [(r.t_days, r.n_risk, r.d_events, r.c_censored, r.surv_ppm) for r in rows]
     assert got == expect
+
+
+def test_ratio_delta_ci_matches_numpy(spark, sf_dir):
+    """Delta-method pins: ratio/se/CI per arm equal the numpy replay of
+    the cluster-level linearization, and the CI actually brackets the
+    point estimate with positive width."""
+    import hashlib
+
+    import numpy as np
+
+    from cobradb_spark import registry
+
+    out = {r.arm: r for r in
+           registry.get_query("analytics_ratio_delta_ci").fn(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    per = {}
+    for r in orders:
+        n, y = per.get(r.o_custkey, (0, 0))
+        per[r.o_custkey] = (n + 1, y + int(np.floor(r.o_totalprice)))
+    for arm in ("control", "treatment"):
+        sel = [
+            per[c] for c in per
+            if (int(hashlib.md5(f"cuped{c}".encode()).hexdigest()[:15], 16) % 2 == 0)
+            == (arm == "control")
+        ]
+        ns = np.array([s[0] for s in sel], dtype=np.float64)
+        ys = np.array([s[1] for s in sel], dtype=np.float64)
+        nu = len(sel)
+        ratio = ys.sum() / ns.sum()
+        vy, vn = ys.var(ddof=1), ns.var(ddof=1)
+        cyn = np.cov(ys, ns, ddof=1)[0, 1]
+        se = np.sqrt((vy + ratio**2 * vn - 2 * ratio * cyn) / nu) / ns.mean()
+        r = out[arm]
+        assert r.n_units == nu
+        assert abs(r.ratio - ratio) < 1e-9 * ratio
+        assert abs(r.se - se) < 1e-6 * se
+        assert r.ci_lo < r.ratio < r.ci_hi
+        assert abs((r.ci_hi - r.ci_lo) - 2 * 1.96 * r.se) < 1e-9
