@@ -782,3 +782,63 @@ def scan_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(v, 22, 12).cast("bigint").alias("total_cents"),
         F.rtrim(F.substring(v, 34, 15)).alias("o_orderpriority"),
     )
+
+
+_CSV_HOSTILE_DUCK = """CASE p_partkey % 4
+  WHEN 0 THEN p_name
+  WHEN 1 THEN p_name || ',embedded,delims'
+  WHEN 2 THEN p_name || ' says ' || chr(34) || 'quoted' || chr(34)
+  ELSE p_name || chr(10) || 'second line' END"""
+
+
+@register(
+    "sink_csv_quoted_roundtrip",
+    oracle=f"""
+SELECT p_partkey, {_CSV_HOSTILE_DUCK} AS payload,
+       CAST(length({_CSV_HOSTILE_DUCK}) AS BIGINT) AS n_chars
+FROM part
+""",
+    doc="CSV round trip under HOSTILE content — embedded delimiters, "
+    "embedded double quotes, and embedded NEWLINES (the three classic "
+    "CSV corruption vectors): per-part payloads exercise all three, "
+    "written with quoting+doubled-quote escaping (RFC 4180 semantics) "
+    "and read back with multiLine + explicit schema.  The round trip "
+    "must reproduce every byte (the oracle recomputes the payloads from "
+    "part directly), proving the writer's quoting and the reader's "
+    "quote-aware record splitting agree — the failure mode this pins is "
+    "a newline-bearing field silently becoming two records.  Scale "
+    "note, stated loudly: multiLine CSV is NOT splittable (quote state "
+    "can't be resumed mid-file), so each file is one task — the writer "
+    "repartitions to bounded files, and the 100-TB guidance is to land "
+    "hostile text in parquet and keep CSV only at the edges.",
+    tags=("scans", "etl"),
+)
+def sink_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    payload = (
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_name"))
+        .when(F.col("p_partkey") % 4 == 1, F.concat("p_name", F.lit(",embedded,delims")))
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.concat("p_name", F.lit(' says "quoted"')),
+        )
+        .otherwise(F.concat("p_name", F.lit("\nsecond line")))
+    )
+    src = p.select("p_partkey", payload.alias("payload"))
+    out = scratch_dir("cobradb_csvq_")
+    (
+        src.repartition(4)
+        .write.mode("overwrite")
+        .option("quoteAll", "true")
+        .option("escape", '"')  # RFC 4180: quotes escape by doubling
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("p_partkey long, payload string")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.select(
+        "p_partkey", "payload", F.length("payload").cast("bigint").alias("n_chars")
+    )

@@ -566,3 +566,16 @@ def test_fixedwidth_records_are_truly_fixed(spark, sf_dir):
     out = registry.get_query("scan_fixedwidth").fn(spark, sf_dir)
     assert out.count() == o.count()
     assert out.filter(F.col("o_orderpriority").endswith(" ")).count() == 0
+
+
+def test_csv_hostile_roundtrip_record_count(spark, sf_dir):
+    """The newline-bearing quarter of payloads must NOT inflate the
+    record count (the corruption this op pins), and a naive read
+    WITHOUT multiLine demonstrates why the option matters."""
+    from cobradb_spark import registry
+
+    out = registry.get_query("sink_csv_quoted_roundtrip").fn(spark, sf_dir)
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert out.count() == n_parts
+    embedded_nl = out.filter(F.col("payload").contains("\nsecond line")).count()
+    assert embedded_nl == out.filter("p_partkey % 4 = 3").count() > 0
