@@ -52,6 +52,15 @@ PROBE_KEYS = [
     "dedup_span_excise",
     "events_cross_correlation",
     "win_hampel_outliers",
+    # second-continuation keys with partition-order exposure: the KMV
+    # k-smallest rank + TakeOrdered union, the KM sequential grid
+    # recurrence, the pointer-doubling join loop, the dual-kernel MRL
+    # rankings, and the per-batch partial counts of the automaton scan
+    "agg_kmv_theta_sketch",
+    "analytics_survival_km",
+    "graph_functional_cycles",
+    "embed_matryoshka_overlap",
+    "text_dictionary_match",
 ]
 
 
