@@ -1213,3 +1213,75 @@ def etl_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "file_label string, status string, n_rows long, retained_reads_intact boolean"
     )
+
+
+@register(
+    "etl_contract_schema_diff",
+    oracle="""
+SELECT * FROM (VALUES
+  ('legacy_flag',     'int',    'bigint', 'widened'),
+  ('o_orderkey',      'bigint', 'bigint', 'unchanged'),
+  ('o_orderpriority', NULL,     'string', 'added'),
+  ('o_orderstatus',   'string', NULL,     'removed'),
+  ('o_totalprice',    'double', 'float',  'BREAKING-narrowed')
+) AS t(column_name, gen1_type, gen2_type, status)
+""",
+    doc="Data-contract schema diff between two dataset generations — the "
+    "governance gate a lake runs BEFORE registering a new producer "
+    "drop: reads both generations' parquet FOOTERS (a driver-side "
+    "metadata pass, the correct place for schema work — no data is "
+    "scanned), aligns columns by name, and classifies each as "
+    "unchanged / added / removed / widened (a lossless promotion along "
+    "the int8<int16<int32<int64 and float32<float64 ladders, safe to "
+    "auto-accept per the mergeSchema rules scan_schema_evolution "
+    "exercises) / BREAKING-narrowed (lossy — the case that must block "
+    "the drop; here o_totalprice demoted double->float).  The fixture "
+    "builds both generations from orders with exactly one instance of "
+    "each class.  The classifier is general over any pair of flat "
+    "schemas; the oracle replays the known classification.",
+    tags=("etl",),
+)
+def etl_contract_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("cobradb_contract_")
+    gen1, gen2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        (F.col("o_orderkey") % 2).cast("int").alias("legacy_flag"),
+    ).write.mode("overwrite").parquet(gen1)
+    o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2).cast("bigint").alias("legacy_flag"),
+    ).write.mode("overwrite").parquet(gen2)
+
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen1).schema}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen2).schema}
+    ladder = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+              "float": 10, "double": 11}
+
+    def classify(t1: str | None, t2: str | None) -> str:
+        if t1 is None:
+            return "added"
+        if t2 is None:
+            return "removed"
+        if t1 == t2:
+            return "unchanged"
+        if t1 in ladder and t2 in ladder:
+            same_family = (ladder[t1] < 10) == (ladder[t2] < 10)
+            if same_family and ladder[t2] > ladder[t1]:
+                return "widened"
+            if same_family:
+                return "BREAKING-narrowed"
+        return "BREAKING-incompatible"
+
+    rows = [
+        (c, s1.get(c), s2.get(c), classify(s1.get(c), s2.get(c)))
+        for c in sorted(set(s1) | set(s2))
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, gen1_type string, gen2_type string, status string"
+    )
