@@ -93,55 +93,30 @@ def _load() -> None:
 #   (d) 42 of the 122 never-checked registry keys, oracle-carrying
 #       first: the dedup/sim + text/embed families (this engine's north
 #       star), sketches, analytics, reshape.
-# Round 5 executed the window planned in round 4 (50 oracle-carrying
-# never-checked keys, all green in CORRECTNESS_r05).  Round 6 executes
-# the window planned in round 5: the 34 remaining oracle-carrying
-# never-checked keys (etl/rollup/sample/profile/graph families) + the
-# 16 r5-new keys.  After this window the never-checked count drops
-# 60 -> 10.
-#   r7 plan (see _R7_PLANNED_HEAD below, 57 keys — every registered key
-#     with no driver row anywhere in CORRECTNESS_r01-r05 and outside the
-#     r6 window; tools-verified count): the 6 remaining never-checked
-#     r5-era keys, the 7 r6-new keys, the r6-continuation keys
-#     (geo/time-series/PCA/LPA/time-travel/curriculum/quantile/MaxSim/
-#     corpus-report/Holt-Winters/chunking/stream-track/BFS/asof-nearest/
-#     rate-burst/late-dim/hamming/target-encode/overlap/rolling-corr/
-#     walks/HITS/RAKE/span-excise/BM25/kcore/drawdown/basket-rules/PMI/
-#     vocab/PSI/outer-join/polygon/hampel/xcorr), then the four
-#     rows-only ANN keys LAST (dedup_minhash_near, sim_ann_lsh,
-#     sim_ann_ivf, sim_ann_ivf_pq — the driver records only a weaker
-#     rows-only line for them, so oracle-carrying keys get their hash
-#     rows first).  The head now exceeds one window: the r7 rotation
-#     takes the FIRST 50; the tail (last 3 oracle-carrying + 4 ANN)
-#     heads the r8 window, whose remaining ~43 slots re-check the
-#     oldest driver evidence (r2-era scans/filters/joins rows).
-# The planned r7 window head (see comment above) as data, so tests can
-# assert every planned name is actually registered — a typo here would
-# otherwise surface only as a KeyError during the r7 rotation.
-_R7_PLANNED_HEAD: tuple[str, ...] = (
-    "sql_customer_distribution_q13", "analytics_attribution_position",
-    "sql_min_cost_supplier_q2", "sql_important_stock_q11",
-    "text_bigram_perplexity", "multimodal_gif_decode",
-    "multimodal_flac_decode", "dedup_semantic_cluster",
-    "graph_connected_components", "etl_importance_resample",
-    "text_bpe_apply", "rollup_downsample_lttb", "events_forecast_holt",
-    # r6-continuation keys (geo family + time-series), all oracle-carrying
-    "geo_grid_radius_join", "geo_nearest_neighbor", "geo_geohash_encode",
-    "geo_track_length", "geo_bbox_centroid",
-    "win_rolling_ols_slope", "events_stl_decompose", "embed_pca_power",
-    "graph_label_propagation", "scan_timetravel_log",
-    "etl_curriculum_order", "agg_quantile_exact_global",
-    "sim_maxsim_late_interaction", "profile_corpus_report",
-    "events_forecast_holt_winters", "text_chunk_sliding",
-    "stream_track_accumulate", "graph_bfs_levels", "join_asof_nearest", "events_rate_burst", "etl_late_arriving_dim",
-    "embed_binary_hamming_topk", "mlprep_target_encode",
-    "analytics_audience_overlap", "win_rolling_corr", "graph_random_walks", "graph_hits_scores", "text_keyphrase_rake",
-    "dedup_span_excise", "text_bm25_topk", "graph_kcore_peel",
-    "win_max_drawdown", "analytics_basket_rules", "text_cooccurrence_pmi",
-    "text_vocab_coverage", "profile_psi_drift", "stream_stream_outer_join",
+# Round 5 executed the window planned in round 4; round 6 executed the
+# window planned in round 5 (etl/rollup/sample/profile/graph + r5-new,
+# all green in CORRECTNESS_r06).  Round 7 executes the FIRST 50 names of
+# the r6-staged `_R7_PLANNED_HEAD` (73 names total — every key with no
+# driver row in CORRECTNESS_r01-r06): that is the `_DRIVER_PRIORITY`
+# below, verbatim, all oracle-carrying.
+#   r8 plan (see _R8_PLANNED_HEAD below, 50 keys): the 23-name tail of
+#     the r7 staging that did not fit this window — 19 oracle-carrying
+#     keys (geo_polygon_contains .. graph_functional_cycles) followed by
+#     the four rows-only ANN keys — plus 27 re-checks of the OLDEST
+#     driver evidence (r2-era flagship/scan/join rows, untouched since
+#     CORRECTNESS_r02; re-checking guards against silent regressions in
+#     code that has since been refactored).  Oracle-carrying keys first,
+#     the four ANN rows-only keys LAST (the driver records only a weaker
+#     rows-only line for them).  NOTE for the r8 rotation: the window
+#     test test_driver_window_keys_are_oracle_carrying must then be
+#     relaxed to allow exactly those four trailing ANN keys.
+# The planned r8 window as data, so tests can assert every planned name
+# is actually registered — a typo here would otherwise surface only as a
+# KeyError during the r8 rotation.
+_R8_PLANNED_HEAD: tuple[str, ...] = (
+    # r7-staging tail: oracle-carrying keys that did not fit the r7 window
     "geo_polygon_contains", "win_hampel_outliers", "events_cross_correlation",
     "stream_transform_with_state",
-    # r6 second-continuation keys, all oracle-carrying
     "agg_kmv_theta_sketch", "multimodal_mp3_frame_index",
     "analytics_ab_cuped", "etl_vacuum_retention",
     "profile_benford_deviation", "analytics_survival_km",
@@ -149,39 +124,45 @@ _R7_PLANNED_HEAD: tuple[str, ...] = (
     "mlprep_calibration_bins", "text_dictionary_match",
     "embed_matryoshka_overlap", "text_unicode_canonicalize",
     "scan_fixedwidth", "udf_pandas_scalar_iter", "graph_functional_cycles",
-    # rows-only ANN keys go LAST in the r7 window
+    # oldest-evidence re-checks (r2-era rows, CORRECTNESS_r02 order)
+    "join_topn_flagship", "sql_returned_revenue", "sql_shipping_priority_q3",
+    "sql_local_supplier_volume_q5", "sql_order_priority_exists_q4",
+    "sql_small_quantity_scalar_q17", "scan_parquet",
+    "scan_projection_pushdown", "scan_csv_tsv", "scan_json_lines",
+    "sink_parquet_partitioned", "scan_jsonl_source", "sink_orc_roundtrip",
+    "merge_upsert", "scan_nested_ingest", "scan_python_datasource",
+    "scan_observed_metrics", "sink_python_datasource",
+    "scan_partition_pruning", "scan_schema_evolution",
+    "scan_file_metadata_lineage", "scan_binaryfile_ingest",
+    "scan_corrupt_tolerant", "join_dpp_partition_pruning",
+    "join_range_interval", "join_asof", "join_skew_salted",
+    # rows-only ANN keys go LAST in the r8 window
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )
 
+# The executed r7 window: first 50 names of the r6-staged plan, verbatim.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # etl family (never driver-checked before r6)
-    "etl_model_load", "etl_llm_corpus_pipeline", "etl_cdc_apply",
-    "etl_backfill_partition", "etl_compact_small_files",
-    "etl_incremental_join_refresh", "etl_snapshot_diff",
-    "etl_fk_containment", "etl_cascade_delete_plan", "etl_scd2_history",
-    "etl_shard_balanced", "etl_incremental_agg", "etl_zorder_layout",
-    "etl_range_partition_plan",
-    # rollup family
-    "rollup_gapfill", "rollup_ohlc", "rollup_interpolate_linear",
-    "rollup_growth_mom_yoy", "rollup_rolling_median_7d",
-    # sample / split / profile families
-    "sample_hash_deterministic", "sample_stratified", "split_train_test",
-    "sample_weighted_bernoulli", "sample_weighted_topk",
-    "profile_table", "profile_skew_keys", "profile_zone_maps",
-    # analytics / events
-    "analytics_path_transitions", "events_changepoint_cusum",
-    # graph family
-    "graph_pagerank", "graph_triangle_stats", "graph_khop_reach",
-    "graph_jaccard_neighbors", "graph_degree_distribution",
-    # r5-new keys (TPC-H shapes + standalone ops)
-    "sql_forecast_revenue_q6", "sql_volume_shipping_q7",
-    "sql_market_share_q8", "sql_product_profit_q9",
-    "sql_promo_revenue_q14", "sql_parts_supplier_count_q16",
-    "sql_discount_revenue_or_q19", "sql_potential_promotion_q20",
-    "sql_shipmode_priority_q12", "agg_skew_salted_distinct",
-    "sample_reservoir_per_group", "profile_column_histogram",
-    "etl_schema_evolution_merge", "multimodal_jpeg_decode",
-    "multimodal_png_decode", "scan_gzip_jsonl",
+    "sql_customer_distribution_q13", "analytics_attribution_position",
+    "sql_min_cost_supplier_q2", "sql_important_stock_q11",
+    "text_bigram_perplexity", "multimodal_gif_decode",
+    "multimodal_flac_decode", "dedup_semantic_cluster",
+    "graph_connected_components", "etl_importance_resample",
+    "text_bpe_apply", "rollup_downsample_lttb", "events_forecast_holt",
+    "geo_grid_radius_join", "geo_nearest_neighbor", "geo_geohash_encode",
+    "geo_track_length", "geo_bbox_centroid",
+    "win_rolling_ols_slope", "events_stl_decompose", "embed_pca_power",
+    "graph_label_propagation", "scan_timetravel_log",
+    "etl_curriculum_order", "agg_quantile_exact_global",
+    "sim_maxsim_late_interaction", "profile_corpus_report",
+    "events_forecast_holt_winters", "text_chunk_sliding",
+    "stream_track_accumulate", "graph_bfs_levels", "join_asof_nearest",
+    "events_rate_burst", "etl_late_arriving_dim",
+    "embed_binary_hamming_topk", "mlprep_target_encode",
+    "analytics_audience_overlap", "win_rolling_corr",
+    "graph_random_walks", "graph_hits_scores", "text_keyphrase_rake",
+    "dedup_span_excise", "text_bm25_topk", "graph_kcore_peel",
+    "win_max_drawdown", "analytics_basket_rules", "text_cooccurrence_pmi",
+    "text_vocab_coverage", "profile_psi_drift", "stream_stream_outer_join",
 )
 
 

@@ -63,20 +63,22 @@ def test_driver_window_keys_are_oracle_carrying():
         assert qs[name].oracle is not None, f"{name} in driver window without oracle"
 
 
-def test_r7_planned_window_names_are_registered():
+def test_r8_planned_window_names_are_registered():
     """The planned next-round rotation list must not rot: every name in
-    _R7_PLANNED_HEAD exists in the registry, the oracle-carrying ones
-    precede the rows-only ANN tail, and none are already in the current
-    window (they'd waste a driver slot twice)."""
+    _R8_PLANNED_HEAD exists in the registry, the oracle-carrying ones
+    precede the rows-only ANN tail, it fills exactly one 50-slot driver
+    window, and none are already in the current window (they'd waste a
+    driver slot twice)."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    missing = [n for n in registry._R7_PLANNED_HEAD if n not in qs]
-    assert not missing, f"planned r7 names not registered: {missing}"
-    rows_only = [n for n in registry._R7_PLANNED_HEAD if qs[n].oracle is None]
+    assert len(registry._R8_PLANNED_HEAD) == 50
+    missing = [n for n in registry._R8_PLANNED_HEAD if n not in qs]
+    assert not missing, f"planned r8 names not registered: {missing}"
+    rows_only = [n for n in registry._R8_PLANNED_HEAD if qs[n].oracle is None]
     assert rows_only == ["dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf",
                          "sim_ann_ivf_pq"]
-    tail = registry._R7_PLANNED_HEAD[-4:]
+    tail = registry._R8_PLANNED_HEAD[-4:]
     assert list(tail) == rows_only, "rows-only keys must close the window"
-    overlap = set(registry._R7_PLANNED_HEAD) & set(registry._DRIVER_PRIORITY)
-    assert not overlap, f"planned r7 keys already in the r6 window: {overlap}"
+    overlap = set(registry._R8_PLANNED_HEAD) & set(registry._DRIVER_PRIORITY)
+    assert not overlap, f"planned r8 keys already in the r7 window: {overlap}"
