@@ -927,12 +927,21 @@ WHERE p.p_size = 10
     "supplier relation derived from lineitem and account balance "
     "standing in for ps_supplycost (no partsupp in testdata): for "
     "size-10 parts, the ASIA supplier(s) with the minimum balance per "
-    "part, via a correlated scalar MIN subquery over the same CTE. "
-    "Catalyst decorrelates to one aggregate per partkey joined back — "
-    "no per-row re-aggregation; balance ties keep ALL minimal "
-    "suppliers, exactly like the reference query. With q2 and q11 "
-    "adapted, all 22 classic TPC-H query shapes have registry "
-    "coverage (q1 = the pricing-summary flagship).",
+    "part. The oracle keeps the reference's correlated-scalar-MIN "
+    "formulation; the Spark side deliberately does NOT — Spark inlines "
+    "(never materializes) CTEs, so `cost` referenced twice ran its "
+    "whole join tree twice (r6 verdict: 9 parquet scans, zero "
+    "ReusedExchange — the lineitem DISTINCT, the priciest stage, "
+    "executed twice). Instead: ONE `cost` evaluation, broadcast-joined "
+    "to the p_size=10 part slice FIRST (restricting cost before the "
+    "min is sound — the per-part min never crosses partkeys), then "
+    "min(s_acctbal) OVER (PARTITION BY partkey) + equality filter. "
+    "Balance ties keep ALL minimal suppliers, exactly like the "
+    "reference query; the partkey window shuffle replaces the "
+    "decorrelated aggregate's join-back shuffle, net one lineitem "
+    "scan subtree. With q2 and q11 adapted, all 22 classic TPC-H "
+    "query shapes have registry coverage (q1 = the pricing-summary "
+    "flagship).",
     tags=("flagship",),
 )
 def sql_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,12 +960,14 @@ WITH supply AS (
   JOIN region_q2v r ON r.r_regionkey = n.n_regionkey
   WHERE r.r_name = 'ASIA'
 )
-SELECT p.p_partkey, p.p_brand, c.s_name, round(c.s_acctbal, 2) AS s_acctbal,
-       c.n_name
-FROM part_q2v p JOIN cost c ON c.partkey = p.p_partkey
-WHERE p.p_size = 10
-  AND c.s_acctbal = (SELECT min(c2.s_acctbal) FROM cost c2
-                     WHERE c2.partkey = p.p_partkey)
+SELECT p_partkey, p_brand, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+FROM (
+  SELECT p.p_partkey, p.p_brand, c.s_name, c.s_acctbal, c.n_name,
+         min(c.s_acctbal) OVER (PARTITION BY c.partkey) AS min_bal
+  FROM part_q2v p JOIN cost c ON c.partkey = p.p_partkey
+  WHERE p.p_size = 10
+) ranked
+WHERE s_acctbal = min_bal
 """
     )
 

@@ -372,28 +372,105 @@ FROM s WHERE n >= 2
     doc=f"Rolling {_OLS_WIN}-row ordinary-least-squares trend per event "
     "series: slope and intercept of value vs observation index from the "
     "closed form (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2). Exactness design: value "
-    "is quantized to BIGINT cents and x is the window row_number, so all "
-    "four frame sums are exact integers — no float accumulation anywhere "
-    "— and the one double division at the end is engine-identical "
-    "(a raw double frame sum would differ: DuckDB aggregates frames via "
-    "segment trees, Spark sequentially). One shuffle on event_type "
-    "serves the numbering and all frame sums; at 100 TB series are the "
-    "parallelism grain and each frame is node-local (the standard "
-    "streaming-telemetry trend kernel).",
+    "is quantized to BIGINT cents and x is the per-series row_number, so "
+    "all four frame sums are exact integers — no float accumulation "
+    "anywhere — and the one double division at the end is engine-"
+    "identical (a raw double frame sum would differ: DuckDB aggregates "
+    "frames via segment trees, Spark sequentially). Scale design (r6 "
+    "verdict: a window PARTITIONed BY event_type alone funnels the "
+    "stream into 5 tasks): the series is RANGE-CHUNKED with the "
+    "operators/rank.py machinery — repartitionByRange on (event_type, "
+    "ts, event_id), per-(chunk, type) counts to the driver (K x |types| "
+    "tiny rows) yield exact global x offsets, and each chunk receives "
+    f"the previous chunks' {_OLS_WIN - 1}-row tails as carry-in copies "
+    "so every rolling frame is complete INSIDE its (chunk, type) "
+    "window partition; carry rows are dropped from the output. "
+    "Parallelism grain = range chunk x type (defaultParallelism "
+    "chunks), never the whole series; result is boundary-invariant "
+    "and hash-identical to the single-window formulation the oracle "
+    "keeps.",
     tags=("window", "timeseries"),
 )
 def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin
+
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
         "event_id",
         F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("y"),
     )
-    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    pts = e.withColumn("x", F.row_number().over(wo))
+    k = max(spark.sparkContext.defaultParallelism, 2)
+    tagged = pin(
+        e.repartitionByRange(k, "event_type", "ts", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # Bounded collect: K x |event types| count rows (parallelism x 5),
+    # data-size-independent — the rank.py offset pattern per series.
+    cnts = {
+        (r["_pid"], r["event_type"]): r["count"]
+        for r in tagged.groupBy("_pid", "event_type").count().collect()
+    }
+    types = sorted({t for _, t in cnts})
+    offsets: dict[tuple[int, str], int] = {}
+    carry_map: list[tuple[int, str, int]] = []  # (src_pid, type, dst_pid)
+    for t in types:
+        pids = sorted(p for p, tt in cnts if tt == t)
+        run = 0
+        for i, p in enumerate(pids):
+            offsets[(p, t)] = run
+            run += cnts[(p, t)]
+            # dst chunk p needs the last _OLS_WIN-1 series rows from
+            # earlier chunks; walk back until enough rows accumulate.
+            need = _OLS_WIN - 1
+            j = i - 1
+            while j >= 0 and need > 0:
+                carry_map.append((pids[j], t, p))
+                need -= cnts[(pids[j], t)]
+                j -= 1
+    okey = F.concat_ws("|", F.col("_pid").cast("string"), F.col("event_type"))
+    off_expr = F.create_map(
+        *[F.lit(v) for (p, t), off in offsets.items() for v in (f"{p}|{t}", off)]
+    )
+    wloc = Window.partitionBy("_pid", "event_type").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("_pid", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    base = tagged.select(
+        "_pid",
+        "event_type",
+        "ts",
+        "event_id",
+        "y",
+        (off_expr[okey] + F.row_number().over(wloc)).cast("long").alias("x"),
+        F.row_number().over(wdesc).alias("_rnd"),
+    )
+    real = base.select(
+        F.col("_pid").alias("_dst"), "event_type", "ts", "event_id", "y", "x",
+        F.lit(0).alias("_carry"),
+    )
+    map_df = spark.createDataFrame(
+        carry_map, "src_pid INT, event_type STRING, _dst INT"
+    )
+    carried = (
+        base.filter(F.col("_rnd") <= _OLS_WIN - 1)
+        .join(
+            F.broadcast(map_df),
+            on=[
+                base["_pid"] == map_df["src_pid"],
+                base["event_type"] == map_df["event_type"],
+            ],
+        )
+        .select(
+            map_df["_dst"], base["event_type"], "ts", "event_id", "y", "x",
+            F.lit(1).alias("_carry"),
+        )
+    )
+    pts = real.unionByName(carried)
     wf = (
-        Window.partitionBy("event_type")
-        .orderBy("x")
+        Window.partitionBy("_dst", "event_type")
+        .orderBy("ts", "event_id")
         .rowsBetween(-(_OLS_WIN - 1), 0)
     )
     s = pts.select(
@@ -401,12 +478,13 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "x",
         "y",
+        "_carry",
         F.count("*").over(wf).alias("n"),
         F.sum("x").over(wf).alias("sx"),
         F.sum("y").over(wf).alias("sy"),
         F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
-    ).filter(F.col("n") >= 2)
+    ).filter((F.col("_carry") == 0) & (F.col("n") >= 2))
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope = num / den / F.lit(100.0)
