@@ -1567,8 +1567,8 @@ armed AS (
 g AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         sum(CAST(x * y AS HUGEINT)) AS sxy,
-         sum(CAST(x * x AS HUGEINT)) AS sxx
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
   FROM armed),
 t AS (
   SELECT n, sx,
@@ -1595,8 +1595,11 @@ FROM a CROSS JOIN t
     "under reruns, no RNG state), the pre-period spend X (orders before "
     "1998-01-01, exact cents) is the covariate for the post-period "
     "metric Y, theta = cov(X,Y)/var(X) is computed POOLED across arms "
-    "from exact integer sums (products fit BIGINT per customer, sums "
-    "carry 128-bit: DECIMAL(38,0) in Spark, HUGEINT in DuckDB) and "
+    "from exact integer sums (each x,y is cast 128-bit BEFORE the "
+    "multiply — a BIGINT product of two multi-billion-cent customer "
+    "totals would wrap silently in non-ANSI Spark while DuckDB errors; "
+    "DECIMAL(19,0)x(19,0)->DECIMAL(38,0) in Spark, HUGEINT in DuckDB, "
+    "both exact since each factor fits 19 digits) and "
     "pinned as a truncating-division ppm integer — both engines "
     "truncate toward zero, verified — so the only float steps are the "
     "final correctly-rounded means (deliberately unrounded doubles, the "
@@ -1629,8 +1632,8 @@ armed AS (
 g AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
   FROM armed),
 t AS (
   SELECT n, sx,
@@ -1782,9 +1785,9 @@ armed AS (
 g AS (
   SELECT arm, CAST(count(*) AS BIGINT) AS nu,
          CAST(sum(y_dol) AS BIGINT) AS sy, CAST(sum(n_ord) AS BIGINT) AS sn,
-         CAST(sum(y_dol * y_dol) AS BIGINT) AS syy,
-         CAST(sum(n_ord * n_ord) AS BIGINT) AS snn,
-         CAST(sum(y_dol * n_ord) AS BIGINT) AS syn
+         sum(CAST(y_dol AS DECIMAL(19,0)) * CAST(y_dol AS DECIMAL(19,0))) AS syy,
+         sum(CAST(n_ord AS DECIMAL(19,0)) * CAST(n_ord AS DECIMAL(19,0))) AS snn,
+         sum(CAST(y_dol AS DECIMAL(19,0)) * CAST(n_ord AS DECIMAL(19,0))) AS syn
   FROM armed GROUP BY arm),
 d AS (
   SELECT arm, nu, sy, sn,
@@ -1825,10 +1828,14 @@ _RATIO_HASH_SPARK = ("CAST(conv(substring(md5(concat('cuped', "
     "(var_y + R^2 var_n - 2R cov)/(n mean_n^2) over cluster totals).  "
     "Shares the CUPED arm assignment (same seeded md5), truncates "
     "revenue to integer dollars via explicit floor() — pinned because "
-    "Spark's double->bigint CAST truncates while DuckDB's ROUNDS — "
-    "so every moment sum stays BIGINT-exact "
-    "(cents would push sum(y^2) past 2^63 into the engines' different "
-    "128-bit-to-double casts); the variance algebra then runs in "
+    "Spark's double->bigint CAST truncates while DuckDB's ROUNDS. "
+    "Second-moment sums (syy/snn/syn) cast each factor to "
+    "DECIMAL(19,0) BEFORE the multiply: per-customer y_dol^2 terms "
+    "summed over 1e7+ customers exceed 2^63 around sf50-100, where "
+    "non-ANSI Spark would wrap silently while DuckDB errors — the "
+    "DECIMAL(38,0) product+sum is exact on both engines at any SF "
+    "(worst case at extreme scale is a 1-ulp decimal->double cast "
+    "divergence, never a wrong integer); the variance algebra runs in "
     "doubles derived from exact sums with the IDENTICAL literal "
     "expression on both engines (one cast per sum, pinned association, "
     "correctly-rounded sqrt) — deliberately unrounded, the geo "

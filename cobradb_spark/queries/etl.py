@@ -1123,9 +1123,10 @@ FROM f
     "unreferenced by every retained snapshot).  The replay is O(commits) "
     "driver-side metadata, exactly like the table formats themselves; "
     "per-file row counts come from real parquet scans, and the op "
-    "re-reads BOTH retained snapshots restricted to surviving files to "
-    "assert reads are intact post-vacuum (the verdict column the oracle "
-    "pins true).  At 100 TB vacuum is the difference between a lake "
+    "PHYSICALLY DELETES the vacuum-status files then re-reads every "
+    "retained snapshot from disk, asserting post-delete row counts "
+    "match the pre-vacuum capture (the verdict column the oracle pins "
+    "true) — a wrong vacuum set fails the read, not just set algebra.  At 100 TB vacuum is the difference between a lake "
     "that grows monotonically and one that holds steady-state size; "
     "correctness hinges on the retained-union rule this op pins.",
     tags=("etl",),
@@ -1191,28 +1192,63 @@ def etl_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             return "retained-history"
         return "vacuum"
 
-    # post-vacuum integrity: every retained snapshot must read identically
-    # from the surviving file set (vacuum removes only unreferenced files,
-    # so snapshot ∩ survivors == snapshot — assert by real re-reads).
-    survivors = {p for p in ever_added if status(p) != "vacuum"}
+    # Post-vacuum integrity, tested by ACTUALLY DELETING the
+    # vacuum-status files: capture every retained snapshot's row count
+    # (and each file's) while all files still exist, physically rmtree
+    # the vacuum set, then re-read each retained snapshot from disk.
+    # If the retained-union rule ever marked a referenced file as
+    # vacuum, the post-delete read would fail or shrink — the verdict
+    # column can no longer be decided by the set algebra alone.
+    import shutil
+
+    pre_file_rows = {p: spark.read.parquet(p).count() for p in ever_added}
+    pre_snap_rows = {
+        v: spark.read.parquet(*sorted(_snapshot(v))).count()
+        for v in range(retain_from, current_v + 1)
+    }
+    for p in ever_added:
+        if status(p) == "vacuum":
+            shutil.rmtree(p)
     intact = True
     for v in range(retain_from, current_v + 1):
-        snap = _snapshot(v)
-        keep = sorted(snap & survivors)
-        if sorted(snap) != keep:
+        try:
+            post = spark.read.parquet(*sorted(_snapshot(v))).count()
+        except Exception:
             intact = False
             break
-        n_full = spark.read.parquet(*sorted(snap)).count()
-        n_kept = spark.read.parquet(*keep).count()
-        intact = intact and (n_full == n_kept)
+        intact = intact and (post == pre_snap_rows[v])
 
     rows = [
-        (by_path[p], status(p), spark.read.parquet(p).count(), intact)
-        for p in ever_added
+        (by_path[p], status(p), pre_file_rows[p], intact) for p in ever_added
     ]
     return spark.createDataFrame(
         rows, "file_label string, status string, n_rows long, retained_reads_intact boolean"
     )
+
+
+# Lossless-promotion ladders for the contract classifier: within a
+# family (integers <10, floats >=10) a strictly increasing rank is a
+# safe widening; any other typed change is breaking.
+_SCHEMA_LADDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                  "float": 10, "double": 11}
+
+
+def classify_schema_change(t1: str | None, t2: str | None) -> str:
+    """Classify a column's gen1->gen2 type change for the data contract
+    gate (module-scope so tests exercise THIS classifier, not a copy)."""
+    if t1 is None:
+        return "added"
+    if t2 is None:
+        return "removed"
+    if t1 == t2:
+        return "unchanged"
+    if t1 in _SCHEMA_LADDER and t2 in _SCHEMA_LADDER:
+        same_family = (_SCHEMA_LADDER[t1] < 10) == (_SCHEMA_LADDER[t2] < 10)
+        if same_family and _SCHEMA_LADDER[t2] > _SCHEMA_LADDER[t1]:
+            return "widened"
+        if same_family:
+            return "BREAKING-narrowed"
+    return "BREAKING-incompatible"
 
 
 @register(
@@ -1260,26 +1296,8 @@ def etl_contract_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen1).schema}
     s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen2).schema}
-    ladder = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
-              "float": 10, "double": 11}
-
-    def classify(t1: str | None, t2: str | None) -> str:
-        if t1 is None:
-            return "added"
-        if t2 is None:
-            return "removed"
-        if t1 == t2:
-            return "unchanged"
-        if t1 in ladder and t2 in ladder:
-            same_family = (ladder[t1] < 10) == (ladder[t2] < 10)
-            if same_family and ladder[t2] > ladder[t1]:
-                return "widened"
-            if same_family:
-                return "BREAKING-narrowed"
-        return "BREAKING-incompatible"
-
     rows = [
-        (c, s1.get(c), s2.get(c), classify(s1.get(c), s2.get(c)))
+        (c, s1.get(c), s2.get(c), classify_schema_change(s1.get(c), s2.get(c)))
         for c in sorted(set(s1) | set(s2))
     ]
     return spark.createDataFrame(

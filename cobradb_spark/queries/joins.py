@@ -1025,7 +1025,8 @@ WITH dim AS (
   FROM customer, UNNEST(range(0, 1 + c_custkey % 3)) AS t(v)),
 fact AS (
   SELECT o_orderkey, o_custkey,
-         date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS order_day
+         date_diff('day', (SELECT min(o_orderdate) FROM orders),
+                   o_orderdate) AS order_day
   FROM orders)
 SELECT f.o_orderkey, f.o_custkey, CAST(f.order_day AS BIGINT) AS order_day,
        CAST(d.version AS BIGINT) AS version, CAST(d.segment AS BIGINT) AS segment
@@ -1042,7 +1043,10 @@ FROM fact f JOIN dim d
     "deterministic closed-form effective ranges — no window needed to "
     "derive end_day, and ranges partition the timeline so uniqueness is "
     "structural).  All temporal arithmetic runs on integer days since "
-    "the epoch date (datediff on both engines) — no DATE-typed columns, "
+    "min(o_orderdate) — the epoch is DERIVED (broadcast 1-row MIN "
+    "aggregate / scalar subquery), not hardcoded, so order_day is "
+    "always >= 0 and no fixture's date range can silently drop facts "
+    "— (datediff on both engines), no DATE-typed columns, "
     "no interval arithmetic, no timezone surface.  Scale posture: this "
     "is an EQUI-join on the dimension key with the range as a join "
     "residual — Spark hash-partitions both sides on custkey and "
@@ -1068,12 +1072,16 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("end_day"),
         ((F.col("c_custkey") * 7 + F.col("version") * 13) % 5).alias("segment"),
     )
-    fact = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders")
+    # Epoch = min(o_orderdate), not a hardcoded date: a fixture whose
+    # dates start earlier than the assumed epoch would make order_day
+    # negative and silently drop facts from every SCD2 version.
+    # Bounded collect: single 1-row global MIN aggregate.
+    epoch = orders.agg(F.min("o_orderdate")).collect()[0][0]
+    fact = orders.select(
         "o_orderkey",
         "o_custkey",
-        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias(
-            "order_day"
-        ),
+        F.datediff("o_orderdate", F.lit(epoch)).alias("order_day"),
     )
     j = fact.join(
         dim,

@@ -230,31 +230,9 @@ def test_pin_cache_lifecycle(spark):
 def test_schema_diff_classifier_general_cases():
     """The contract classifier itself (not the fixture): widening is
     one-directional per numeric family, cross-family and narrowing are
-    BREAKING, presence changes classify as added/removed."""
-    from cobradb_spark.queries.etl import etl_contract_schema_diff  # noqa: F401  (import side effect: registry)
-    import cobradb_spark.queries.etl as etl_mod
-    import inspect
-
-    # re-derive the inner classifier deterministically
-    src = inspect.getsource(etl_mod)
-    assert "BREAKING-narrowed" in src
-    ladder = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
-              "float": 10, "double": 11}
-
-    def classify(t1, t2):
-        if t1 is None:
-            return "added"
-        if t2 is None:
-            return "removed"
-        if t1 == t2:
-            return "unchanged"
-        if t1 in ladder and t2 in ladder:
-            same_family = (ladder[t1] < 10) == (ladder[t2] < 10)
-            if same_family and ladder[t2] > ladder[t1]:
-                return "widened"
-            if same_family:
-                return "BREAKING-narrowed"
-        return "BREAKING-incompatible"
+    BREAKING, presence changes classify as added/removed.  Imports the
+    production classifier — a regression in it fails HERE."""
+    from cobradb_spark.queries.etl import classify_schema_change as classify
 
     assert classify("int", "bigint") == "widened"
     assert classify("bigint", "int") == "BREAKING-narrowed"
