@@ -437,14 +437,20 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdesc = Window.partitionBy("_pid", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    base = tagged.select(
-        "_pid",
-        "event_type",
-        "ts",
-        "event_id",
-        "y",
-        (off_expr[okey] + F.row_number().over(wloc)).cast("long").alias("x"),
-        F.row_number().over(wdesc).alias("_rnd"),
+    from cobradb_spark.operators.rank import pin_cache
+
+    # pinned: the real branch and the carry branch below both read this
+    # windowed subtree — caching it keeps one window pass + one exchange
+    base = pin_cache(
+        tagged.select(
+            "_pid",
+            "event_type",
+            "ts",
+            "event_id",
+            "y",
+            (off_expr[okey] + F.row_number().over(wloc)).cast("long").alias("x"),
+            F.row_number().over(wdesc).alias("_rnd"),
+        )
     )
     real = base.select(
         F.col("_pid").alias("_dst"), "event_type", "ts", "event_id", "y", "x",

@@ -792,11 +792,16 @@ AUDITS = [
     ),
     (
         "win_rolling_ols_slope",
-        ["Window", "EXCHANGES<=1"],
+        ["rangepartitioning", "hashpartitioning(_dst", "BroadcastExchange"],
         ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
-        "ONE shuffle on event_type serves the row numbering and all four "
-        "integer frame sums; the OLS closed form is pure codegen "
-        "arithmetic on top",
+        "r7 range-chunked rewrite (the r6 verdict flagged the old "
+        "event_type-only grain: 5 tasks regardless of data size): the "
+        "series is range-partitioned into defaultParallelism chunks, "
+        "exact global x offsets come from a bounded KxTypes count "
+        "collect, the (WIN-1)-row carry tails join via a broadcast map, "
+        "and the frame window partitions by (chunk, type) — "
+        "parallelism follows chunks, never the 5-value type key; the "
+        "OLS closed form stays pure codegen arithmetic",
     ),
     (
         "events_stl_decompose",
@@ -1089,6 +1094,96 @@ AUDITS = [
         "localCheckpoint (constant plan depth — the iterative-DataFrame "
         "discipline), never the 16-round lineage",
     ),
+    # ---- the 10 TPC-H shapes the r6 audit pass missed (q2 q7 q9 q11
+    # q12 q13 q14 q16 q19 q20) — with these, all 22 classic shapes have
+    # PLANS.md entries asserting their documented plan property.
+    (
+        "sql_min_cost_supplier_q2",
+        ["BroadcastHashJoin", "Window", "SCANS<=5"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q2 (r7 rewrite): ONE evaluation of the heavy cost subtree — 5 "
+        "scans total, a single lineitem scan (the r6 correlated-scalar "
+        "form ran the whole CTE twice: 9 scans, zero ReusedExchange); "
+        "per-part minimum via min() OVER (PARTITION BY partkey), dims "
+        "broadcast",
+    ),
+    (
+        "sql_volume_shipping_q7",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q7 bi-nation volume: both nation maps and both dim sides "
+        "broadcast (5 BroadcastHashJoins), the fact table crosses the "
+        "wire once for the (nation, nation, year) partial+final rollup",
+    ),
+    (
+        "sql_product_profit_q9",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q9 profit: part/supplier/nation/orders dims all broadcast onto "
+        "the lineitem scan; profit aggregates partial+final on "
+        "(nation, year) — one fact shuffle",
+    ),
+    (
+        "sql_important_stock_q11",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "Q11 important stock: the group rollup and the global threshold "
+        "are both partial+final; the 1-row threshold re-enters as a "
+        "broadcast scalar (the single BroadcastNestedLoopJoin over ONE "
+        "row — the standard scalar-subquery shape, not a data-scale "
+        "nested loop); nation/supplier dims broadcast",
+    ),
+    (
+        "sql_shipmode_priority_q12",
+        ["BroadcastHashJoin", "partial_sum", "PushedFilters: ["],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q12 shipmode: the shipmode/date predicates reach the lineitem "
+        "scan, orders joins broadcast-side, priority counts are "
+        "conditional partial+final sums on the 2-group shipmode key",
+    ),
+    (
+        "sql_customer_distribution_q13",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q13 distribution: customer LEFT-joins the comment-filtered "
+        "orders broadcast-side; per-customer counts then the count-of-"
+        "counts histogram are two partial+final aggregates",
+    ),
+    (
+        "sql_promo_revenue_q14",
+        ["BroadcastHashJoin", "partial_sum", "PushedFilters: ["],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q14 promo revenue: the shipdate window reaches the lineitem "
+        "scan, part broadcasts, and the promo ratio reduces to a 1-row "
+        "conditional partial+final sum (the one SinglePartition is that "
+        "scalar finalize)",
+    ),
+    (
+        "sql_parts_supplier_count_q16",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q16 supplier count: the NOT-IN complaint set and the part "
+        "attributes both broadcast; the distinct-supplier count per "
+        "(brand, type, size) is a two-level partial+final aggregate",
+    ),
+    (
+        "sql_discount_revenue_or_q19",
+        ["BroadcastHashJoin", "partial_sum", "PushedFilters: ["],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q19 disjunctive brand/container/quantity: the OR-of-ANDs "
+        "residual evaluates inside a broadcast hash join on l_partkey "
+        "(common-key conjunct extracted), never a nested loop; revenue "
+        "is a 1-row partial+final sum",
+    ),
+    (
+        "sql_potential_promotion_q20",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q20 potential promotion: the half-stock threshold aggregates "
+        "lineitem partial+final per (partkey, suppkey) and the "
+        "part-name/supplier filters broadcast — suppliers qualify via "
+        "equi-joins only",
+    ),
 ]
 
 
@@ -1113,6 +1208,18 @@ def main() -> int:
                 )
                 if n > int(frag.split("<=")[1]):
                     failures.append(f"{name}: {n} exchanges, wanted {frag}")
+                continue
+            if frag.startswith("SCANS<="):
+                # count scan operators in the numbered detail section —
+                # pins subtree-reuse properties (e.g. q2's single
+                # evaluation of its cost CTE)
+                n = sum(
+                    1
+                    for l in plan.splitlines()
+                    if l.strip().startswith("(") and "Scan parquet" in l
+                )
+                if n > int(frag.split("<=")[1]):
+                    failures.append(f"{name}: {n} scans, wanted {frag}")
                 continue
             if frag not in plan:
                 failures.append(f"{name}: expected {frag!r} in plan")
