@@ -184,6 +184,28 @@ NOTES = {
         "degree orientation bounds it by sqrt(2|E|) per vertex — the "
         "standard mitigation is in place"
     ),
+    "dedup_span_excise": (
+        "r7 measurement: work is LINEAR — 40-char shingle rows "
+        "129.7k->1.291M (9.95x on 10x data), duplicated-shingle rows "
+        "11.6k->118.4k (10.2x; collision frequency is data-intrinsic). "
+        "The 6.8x time ratio is BELOW the 10x work growth; the heavy "
+        "constant is the per-position substring hash, fully JVM-side"
+    ),
+    "multimodal_mp3_frame_index": (
+        "r7 measurement: work is LINEAR by construction and by count — "
+        "frames walked 5,742->57,500 (10.0x on 10x data), audio bytes "
+        "2.76MB->27.7MB (10.0x), ID3 bytes 8.9k->89.9k; the header walk "
+        "is per-byte inside Arrow mapInPandas with no cross-doc state. "
+        "The 6.0x time ratio is sub-linear amortization of the Python "
+        "per-doc walker"
+    ),
+    "join_point_in_time_scd2": (
+        "r7 measurement: work is LINEAR — custkey equi-join candidate "
+        "rows 30.1k->299.8k (9.98x on 10x data), SCD2 version rows "
+        "3k->30k (10.0x); the 1-3-versions-per-key residual bound holds "
+        "at any scale, so per-fact work is O(versions)=O(1). The 5.2x "
+        "time ratio is fixed-overhead amortization at a 0.3s baseline"
+    ),
     "graph_jaccard_neighbors": (
         "r6: hub-degree cap (deg <= 96) landed — shared endpoints above the "
         "cap are excluded before wedge generation, cutting sf0.1 wedge rows "
