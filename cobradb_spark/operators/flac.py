@@ -96,6 +96,27 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bitarray(self, bits: np.ndarray) -> None:
+        """Bulk-append a uint8 0/1 array (MSB-first stream order): the
+        whole-byte prefix goes through np.packbits (MSB-first, matching
+        FLAC bit order), only the <=7 pending/trailing bits loop."""
+        if len(bits) == 0:
+            return
+        if self.nbits:
+            pend = np.array(
+                [(self.acc >> (self.nbits - 1 - j)) & 1 for j in range(self.nbits)],
+                dtype=np.uint8,
+            )
+            bits = np.concatenate([pend, bits])
+            self.acc = 0
+            self.nbits = 0
+        n8 = len(bits) & ~7
+        if n8:
+            self.buf += np.packbits(bits[:n8]).tobytes()
+        for b in bits[n8:]:
+            self.acc = (self.acc << 1) | int(b)
+            self.nbits += 1
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
@@ -152,6 +173,125 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
+    @property
+    def bit_pos(self) -> int:
+        """Absolute bit offset of the next unread bit."""
+        return self.pos * 8 - self.nbits
+
+    def seek_bits(self, e: int) -> None:
+        """Position the reader at absolute bit offset e (used to rejoin
+        the sequential reader after a vectorized segment)."""
+        self.pos = e >> 3
+        self.acc = 0
+        self.nbits = 0
+        if e & 7:
+            self.read(e & 7)
+
+
+class _BitCache:
+    """Per-stream vectorized view of the bitstream for batch Rice /
+    fixed-width decoding: the unpacked bit array, prefix one-counts,
+    sorted one-positions, and per-width sliding-window field values.
+    All lazily built and cached for the lifetime of one decode call."""
+
+    __slots__ = ("bits", "cnt1", "ones", "_win", "_jump")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.cnt1 = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(self.bits, dtype=np.int64)]
+        )
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self._win = {}
+        self._jump = {}
+
+    def win(self, width: int) -> np.ndarray:
+        """win(w)[p] = integer value of bits[p:p+w] (MSB-first)."""
+        w = self._win.get(width)
+        if w is None:
+            b = self.bits
+            n = len(b) - width + 1
+            if n <= 0:
+                w = np.zeros(0, dtype=np.int64)
+            else:
+                w = np.zeros(n, dtype=np.int64)
+                for j in range(width):
+                    w = (w << 1) | b[j : j + n]
+            self._win[width] = w
+        return w
+
+    def jump(self, m: int) -> np.ndarray:
+        """jump(m)[j] = index of the NEXT Rice terminator after the one
+        at ones[j], for remainder width m: skip the terminator itself
+        plus every 1-bit inside its m remainder bits.  The sentinel slot
+        len(ones) is a fixed point so truncated streams converge there
+        instead of indexing out of range."""
+        F = self._jump.get(m)
+        if F is None:
+            n1 = len(self.ones)
+            hi = np.minimum(self.ones + 1 + m, len(self.bits))
+            F = np.arange(1, n1 + 1) + (self.cnt1[hi] - self.cnt1[self.ones + 1])
+            F = np.concatenate([np.minimum(F, n1), [n1]])
+            self._jump[m] = F
+        return F
+
+
+def _rice_decode_block(
+    cache: _BitCache, p: int, m: int, count: int
+) -> tuple[np.ndarray, int]:
+    """Decode `count` Rice(m) values starting at absolute bit p, fully
+    vectorized: terminator indices come from iterating the jump map with
+    pointer doubling (O(count log count) array work, no per-sample
+    Python), remainders from the sliding-window field cache.  Returns
+    (zigzag-decoded residuals, end bit position)."""
+    if count == 0:
+        return np.empty(0, dtype=np.int64), p
+    ones = cache.ones
+    n1 = len(ones)
+    j0 = int(np.searchsorted(ones, p))
+    if j0 >= n1:
+        raise ValueError("truncated FLAC bitstream")
+    F = cache.jump(m)
+    idx = np.empty(count, dtype=np.int64)
+    idx[0] = j0
+    done = 1
+    while done < count:
+        take = min(done, count - done)
+        idx[done : done + take] = F[idx[:take]]
+        done += take
+        if done < count:
+            F = F[F]  # square the jump map: F becomes F^(2^level)
+    if idx[-1] >= n1:
+        raise ValueError("truncated FLAC bitstream")
+    t = ones[idx]
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = p
+    if count > 1:
+        starts[1:] = t[:-1] + 1 + m
+    q = t - starts
+    end = int(t[-1]) + 1 + m
+    if m:
+        if end > len(cache.bits):
+            raise ValueError("truncated FLAC bitstream")
+        u = (q << m) | cache.win(m)[t + 1]
+    else:
+        u = q
+    return (u >> 1) ^ -(u & 1), end
+
+
+def _fixed_decode_block(
+    cache: _BitCache, p: int, width: int, count: int
+) -> tuple[np.ndarray, int]:
+    """Decode `count` signed fixed-width fields starting at bit p."""
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.int64), p
+    end = p + width * count
+    if end > len(cache.bits):
+        raise ValueError("truncated FLAC bitstream")
+    vals = cache.win(width)[p + width * np.arange(count, dtype=np.int64)]
+    sign = np.int64(1) << (width - 1)
+    return np.where(vals >= sign, vals - (np.int64(1) << width), vals), end
+
 
 def _utf8_number(n: int) -> bytes:
     """FLAC's UTF-8-style coded number (frame numbers up to 36 bits):
@@ -196,13 +336,15 @@ def _rice_cost(u: np.ndarray, m: int) -> int:
     return int((u >> m).sum()) + len(u) * (m + 1)
 
 
+_RICE_MS = np.arange(15, dtype=np.int64)
+
+
 def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
-    best_m, best_cost = 0, _rice_cost(u, 0)
-    for m in range(1, 15):
-        c = _rice_cost(u, m)
-        if c < best_cost:
-            best_m, best_cost = m, c
-    return best_m, best_cost
+    # all 15 candidate costs in one broadcast pass; ties keep the
+    # smallest m (argmin is first-match), matching the scalar loop
+    costs = (u[None, :] >> _RICE_MS[:, None]).sum(axis=1) + len(u) * (_RICE_MS + 1)
+    m = int(np.argmin(costs))
+    return m, int(costs[m])
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -279,8 +421,11 @@ def _write_subframe(w: _BitWriter, block: np.ndarray) -> None:
         w.write(0, 1)
         w.write(0b000001, 6)  # VERBATIM
         w.write(0, 1)
-        for v in block:
-            w.write(int(v), 16)
+        vals = block.astype(np.int64) & 0xFFFF
+        vbits = np.zeros(16 * n, dtype=np.uint8)
+        for j in range(16):
+            vbits[j::16] = (vals >> (15 - j)) & 1
+        w.write_bitarray(vbits)
         return
     w.write(0, 1)
     w.write(0b001000 | k, 6)  # FIXED, order k
@@ -290,11 +435,20 @@ def _write_subframe(w: _BitWriter, block: np.ndarray) -> None:
     w.write(0b00, 2)  # partitioned-Rice, 4-bit parameters
     w.write(0, 4)  # partition order 0
     w.write(m, 4)
-    for u in _zigzag(resid):
-        u = int(u)
-        w.write_unary(u >> m)
-        if m:
-            w.write(u & ((1 << m) - 1), m)
+    # Vectorized Rice: each value u emits (u>>m) zeros, a 1 terminator,
+    # then the m low bits — laid out directly into one bit array (the
+    # per-sample write_unary loop was the encoder's hot spot).
+    u = _zigzag(resid).astype(np.int64)
+    q = u >> m
+    blen = q + 1 + m
+    starts = np.zeros(len(u), dtype=np.int64)
+    np.cumsum(blen[:-1], out=starts[1:])
+    rbits = np.zeros(int(starts[-1] + blen[-1]), dtype=np.uint8)
+    term = starts + q
+    rbits[term] = 1
+    for j in range(m):
+        rbits[term + 1 + j] = ((u >> (m - 1 - j)) & 1).astype(np.uint8)
+    w.write_bitarray(rbits)
 
 
 _BLOCKSIZE_CODES = {0b0001: 192, **{c: 576 << (c - 2) for c in range(2, 6)},
@@ -350,8 +504,9 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 
     samples: list[np.ndarray] = []
     got = 0
+    cache = _BitCache(data)
     while got < n_total:
-        block, pos = _decode_frame(data, pos, rate, bps)
+        block, pos = _decode_frame(data, pos, rate, bps, cache)
         samples.append(block)
         got += len(block)
     if got != n_total:
@@ -362,7 +517,9 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
-def _decode_frame(data: bytes, pos: int, si_rate: int, bps: int) -> tuple[np.ndarray, int]:
+def _decode_frame(
+    data: bytes, pos: int, si_rate: int, bps: int, cache: _BitCache
+) -> tuple[np.ndarray, int]:
     br = _BitReader(data, pos)
     if br.read(14) != _SYNC:
         raise ValueError("lost frame sync")
@@ -403,7 +560,7 @@ def _decode_frame(data: bytes, pos: int, si_rate: int, bps: int) -> tuple[np.nda
     if _crc8(data[pos : pos + header_len]) != br.read(8):
         raise ValueError("frame header CRC-8 mismatch")
 
-    block = _decode_subframe(br, blocksize, bps)
+    block = _decode_subframe(br, blocksize, bps, cache)
 
     br.align()
     frame_len = br.pos - pos
@@ -413,7 +570,9 @@ def _decode_frame(data: bytes, pos: int, si_rate: int, bps: int) -> tuple[np.nda
     return block, br.pos
 
 
-def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
+def _decode_subframe(
+    br: _BitReader, n: int, bps: int, cache: _BitCache
+) -> np.ndarray:
     if br.read(1):
         raise ValueError("subframe padding bit set")
     stype = br.read(6)
@@ -426,13 +585,14 @@ def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
     if stype == 0b000000:  # CONSTANT
         x = np.full(n, br.read_signed(eff), dtype=np.int64)
     elif stype == 0b000001:  # VERBATIM
-        x = np.array([br.read_signed(eff) for _ in range(n)], dtype=np.int64)
+        x, end = _fixed_decode_block(cache, br.bit_pos, eff, n)
+        br.seek_bits(end)
     elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
         k = stype & 0x07
         if k > n:
             raise ValueError("predictor order exceeds blocksize")
         warmup = np.array([br.read_signed(eff) for _ in range(k)], dtype=np.int64)
-        resid = _decode_residual(br, n, k)
+        resid = _decode_residual(br, n, k, cache)
         x = _integrate_fixed(warmup, resid, k)
     elif stype & 0b100000:
         raise ValueError("LPC subframes outside the implemented subset")
@@ -441,7 +601,9 @@ def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
     return x << wasted
 
 
-def _decode_residual(br: _BitReader, n: int, k: int) -> np.ndarray:
+def _decode_residual(
+    br: _BitReader, n: int, k: int, cache: _BitCache
+) -> np.ndarray:
     method = br.read(2)
     if method not in (0, 1):
         raise ValueError(f"reserved residual coding method {method:02b}")
@@ -460,12 +622,11 @@ def _decode_residual(br: _BitReader, n: int, k: int) -> np.ndarray:
         m = br.read(pbits)
         if m == escape:
             raw_bits = br.read(5)
-            for i in range(count):
-                out[idx + i] = br.read_signed(raw_bits) if raw_bits else 0
+            vals, end = _fixed_decode_block(cache, br.bit_pos, raw_bits, count)
         else:
-            for i in range(count):
-                u = (br.read_unary() << m) | br.read(m)
-                out[idx + i] = (u >> 1) ^ -(u & 1)
+            vals, end = _rice_decode_block(cache, br.bit_pos, m, count)
+        br.seek_bits(end)
+        out[idx : idx + count] = vals
         idx += count
     return out
 

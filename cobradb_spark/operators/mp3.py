@@ -20,6 +20,8 @@ rates, and an ID3v2.3 prefix on every 4th document.
 
 from __future__ import annotations
 
+import numpy as np
+
 # Published MPEG-1 Layer III tables (index 0 = "free", 15 = invalid).
 BITRATE_KBPS = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
 SAMPLE_RATE = [44100, 48000, 32000, 0]
@@ -58,7 +60,8 @@ def encode_mp3(doc_id: int) -> bytes:
     if doc_id % 4 == 0:
         tag = 32 + doc_id % 64
         out += b"ID3" + bytes((3, 0, 0)) + _syncsafe(tag)
-        out += bytes((doc_id + j) % 0x70 for j in range(tag))  # <0x80: never false-syncs
+        # <0x80: never false-syncs
+        out += (((doc_id + np.arange(tag)) % 0x70).astype(np.uint8)).tobytes()
     sr_idx = doc_id % 3
     n = 8 + doc_id % 8
     for i in range(n):
@@ -66,7 +69,9 @@ def encode_mp3(doc_id: int) -> bytes:
         pad = (doc_id + i) % 2
         flen = frame_length(br_idx, sr_idx, pad)
         out += _frame_header(br_idx, sr_idx, pad)
-        out += bytes((doc_id * 3 + i * 5 + j) % 256 for j in range(flen - 4))
+        out += ((doc_id * 3 + i * 5 + np.arange(flen - 4)) % 256).astype(
+            np.uint8
+        ).tobytes()
     return bytes(out)
 
 
