@@ -1401,6 +1401,201 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XS_L = 50  # ExactSubstr gram length (Lee et al. use 50 BPE tokens; chars here)
+
+
+@register(
+    "dedup_exactsubstr_cut",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {_XS_L}
+), p AS (
+  SELECT doc_id, unnest(generate_series(1, n - {_XS_L - 1})) AS pos, text
+  FROM d
+), g AS (
+  SELECT doc_id, pos, substr(text, pos::INT, {_XS_L}) AS gram FROM p
+), freq AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+), dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_XS_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {_XS_L - 1} AS e
+  FROM isl GROUP BY doc_id, island
+), sp AS (
+  SELECT doc_id, s, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC) AS rdesc
+  FROM spans
+), segs AS (
+  SELECT doc_id, coalesce(prev_e + 1, 1) AS b, s - 1 AS f FROM sp
+  UNION ALL
+  SELECT sp.doc_id, sp.e + 1 AS b, d.n AS f FROM sp JOIN d USING (doc_id)
+  WHERE sp.rdesc = 1
+), segtext AS (
+  SELECT segs.doc_id,
+         string_agg(substr(d.text, segs.b::INT, (segs.f - segs.b + 1)::INT),
+                    '' ORDER BY segs.b) AS cleaned
+  FROM segs JOIN d USING (doc_id) WHERE segs.f >= segs.b
+  GROUP BY segs.doc_id
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_spans, a.removed_chars,
+       CAST(d.n - a.removed_chars AS BIGINT) AS cleaned_len,
+       md5(coalesce(st.cleaned, '')) AS cleaned_md5
+FROM agg a JOIN d USING (doc_id) LEFT JOIN segtext st USING (doc_id)
+ORDER BY a.removed_chars DESC, a.doc_id LIMIT 200
+""",
+    doc="Cross-document ExactSubstr dedup with REAL excision (Lee et "
+    "al., 'Deduplicating Training Data Makes Language Models Better' — "
+    f"the full cut, not just the plan): every {_XS_L}-char gram that "
+    "occurs more than once in the corpus (cross- OR intra-document) "
+    "marks its span; per doc, overlapping-or-adjacent spans merge "
+    "(island break when pos - prev > L, the union-contiguity rule "
+    "dedup_span_excise established), the surviving text segments are "
+    "reassembled IN ORDER, and the output pins doc_id, span count, "
+    "removed chars, cleaned length, and md5 of the cleaned text — so "
+    "the oracle verifies the excision itself, not merely the span "
+    "arithmetic.  Exactness: unlike the 60-bit-hash span planner, "
+    "duplicate detection here is EXACT string equality — a two-phase "
+    "plan (hash-candidate prefilter, then exact-gram verify on the "
+    "candidate set) makes the corpus-wide gram comparison "
+    "collision-proof while only ever shuffling 8-byte hashes for the "
+    "full position stream; the L-char gram strings shuffle ONLY for "
+    "positions whose hash collides (the candidate set).  The fixed-L "
+    "gram group is semantically equivalent to the suffix-array "
+    "formulation's 'suffix pair with LCP >= L' test (a duplicated "
+    "substring of length >= L exists at p iff the L-gram at p repeats), "
+    "so no global suffix sort is needed — the sequential algorithm's "
+    "sort is an implementation artifact Spark replaces with one "
+    "hash-partitioned groupBy.  Scale: gram emit is one row per char "
+    "(linear); the candidate-hash set broadcasts when under 2M entries "
+    "(size-gated, driver-counted) and degrades to an equi-join on the "
+    "8-byte hash otherwise; segment reassembly touches only docs that "
+    "actually lose a span; top-200 is TakeOrdered.",
+    tags=("textops", "llm"),
+)
+def dedup_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = _XS_L
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= L)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    ph = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (L - 1))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"substring(text, pos, {L})").alias("gram"),
+    ).withColumn("h", F.xxhash64("gram"))
+    # Phase 1: candidate hashes (8-byte shuffle only — partial counts,
+    # never the gram strings).  xxhash64, not the cross-engine md5
+    # helper: the hash is ONLY a prefilter here (exactness comes from
+    # the phase-2 string verify), so the engine's fastest native hash
+    # wins and no oracle parity is required.
+    from cobradb_spark.operators.rank import pin_cache
+
+    cand_h = pin_cache(
+        ph.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    )
+    # Bounded driver scalar: one count of the candidate-hash set decides
+    # broadcast vs shuffle join (the knn.py size-gate discipline); it
+    # also materializes the pinned candidate-hash cache.
+    n_cand = cand_h.count()
+    if n_cand <= 2_000_000:
+        cand_h = F.broadcast(cand_h)
+    # pinned: the candidate set (bounded by the corpus duplicate rate,
+    # orders below the position stream) feeds both the exact-verify
+    # groupBy and the dup join — caching stops the full gram-hash scan
+    # from re-executing per consumer
+    cand = pin_cache(ph.join(cand_h, "h").select("doc_id", "pos", "gram"))
+    # Phase 2: exact verify — gram strings shuffle only for candidates.
+    gfreq = (
+        cand.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
+    )
+    dup = cand.join(gfreq, "gram").select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(wdoc))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(wdoc))
+    )
+    # pinned: spans (one row per merged island) feed the segment
+    # reassembly AND the per-doc aggregate
+    spans = pin_cache(
+        isl.groupBy("doc_id", "island").agg(
+            F.min("pos").alias("s"), (F.max("pos") + (L - 1)).alias("e")
+        )
+    )
+    wsp = Window.partitionBy("doc_id").orderBy("s")
+    wspd = Window.partitionBy("doc_id").orderBy(F.col("s").desc())
+    sp = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.lag("e").over(wsp).alias("prev_e"),
+        F.row_number().over(wspd).alias("rdesc"),
+    )
+    segs = sp.select(
+        "doc_id", F.coalesce(F.col("prev_e") + 1, F.lit(1)).alias("b"),
+        (F.col("s") - 1).alias("f"),
+    ).unionByName(
+        sp.filter(F.col("rdesc") == 1)
+        .join(d.select("doc_id", "n"), "doc_id")
+        .select("doc_id", (F.col("e") + 1).alias("b"), F.col("n").alias("f"))
+    )
+    segtext = (
+        segs.filter(F.col("f") >= F.col("b"))
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "b", F.expr("substring(text, b, f - b + 1)").alias("seg"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("cleaned")
+        )
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("removed_chars"),
+    )
+    return (
+        agg.join(d.select("doc_id", "n"), "doc_id")
+        .join(segtext, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "removed_chars",
+            (F.col("n") - F.col("removed_chars")).cast("bigint").alias("cleaned_len"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy(F.col("removed_chars").desc(), "doc_id")
+        .limit(200)
+    )
+
+
 # BM25 constants: k1=1.2, b=0.75.  With integer corpus stats
 # (L = total tokens, N = docs, dl = doc tokens, tf) the Robertson tf
 # saturation term rewrites to the exact integer rational

@@ -1094,6 +1094,15 @@ AUDITS = [
         "localCheckpoint (constant plan depth — the iterative-DataFrame "
         "discipline), never the 16-round lineage",
     ),
+    (
+        "dedup_exactsubstr_cut",
+        ["partial_count", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "ExactSubstr cut: the full position stream shuffles only 8-byte "
+        "xxhash partial counts; L-char gram strings move only for the "
+        "hash-candidate set (size-gated broadcast), exact verify is a "
+        "string groupBy on candidates, top-200 is a heap",
+    ),
     # ---- the 10 TPC-H shapes the r6 audit pass missed (q2 q7 q9 q11
     # q12 q13 q14 q16 q19 q20) — with these, all 22 classic shapes have
     # PLANS.md entries asserting their documented plan property.

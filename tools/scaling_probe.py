@@ -120,6 +120,8 @@ PROBES = [
     "scan_fixedwidth",
     "udf_pandas_scalar_iter",
     "graph_functional_cycles",
+    # r7 additions
+    "dedup_exactsubstr_cut",
 ]
 
 
