@@ -1313,19 +1313,18 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_span_excise",
-    oracle=f"""
+    oracle="""
 WITH d AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= 40
 ), p AS (
   SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS pos, text
   FROM d
-), sh AS (
-  SELECT doc_id, pos, {_H_DUCK.format(c="substr(text, pos::INT, 40)")} AS h
-  FROM p
+), g AS (
+  SELECT doc_id, pos, substr(text, pos::INT, 40) AS gram FROM p
 ), freq AS (
-  SELECT h FROM sh GROUP BY h HAVING count(*) > 1
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
 ), dup AS (
-  SELECT sh.doc_id, sh.pos FROM sh JOIN freq USING (h)
+  SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)
 ), isl AS (
   SELECT doc_id, pos,
          sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
@@ -1346,37 +1345,37 @@ ORDER BY dup_chars DESC, doc_id LIMIT 200
 """,
     doc="Exact-substring excision planning (Lee et al., 'Deduplicating "
     "Training Data Makes Language Models Better', the ExactSubstr pass): "
-    "every 40-char window of every document is hashed (60-bit md5, "
-    "bit-identical in both engines); windows whose hash occurs more than "
-    "once in the corpus (cross- OR intra-document) mark their positions "
-    "duplicated; per document, overlapping-or-adjacent duplicated windows "
-    "merge into maximal excisable spans (gaps-and-islands over positions: "
-    "a new island starts when pos - prev > 40).  Output per doc: span "
-    "count, total excisable chars, longest span — exactly the cut list a "
-    "production ExactSubstr dedup applies.  Differs from "
-    "dedup_repeated_spans (strided detection signal) by dense coverage "
-    "and by producing merged interval extents.  Scale: the shingle emit "
-    "is one row per char (linear in corpus bytes); the 8-byte hash keeps "
-    "the duplicate-frequency shuffle narrow; frequency uses groupBy "
-    "(map-side partial agg, skew-safe) joined back by hash rather than a "
+    "every 40-char window whose text occurs more than once in the corpus "
+    "(cross- OR intra-document) marks its position duplicated; per "
+    "document, overlapping-or-adjacent duplicated windows merge into "
+    "maximal excisable spans (gaps-and-islands over positions: a new "
+    "island starts when pos - prev > 40).  Output per doc: span count, "
+    "total excisable chars, longest span — exactly the cut list a "
+    "production ExactSubstr dedup applies (dedup_exactsubstr_cut performs "
+    "the cut itself at L=50).  Differs from dedup_repeated_spans (strided "
+    "detection signal) by dense coverage and by producing merged interval "
+    "extents.  Duplicate detection is EXACT string equality via the "
+    "shared two-phase plan (_exact_dup_positions): an xxhash64 prefilter "
+    "shuffles only 8-byte hashes for the full position stream, and the "
+    "40-char gram strings move only for the hash-candidate set — "
+    "collision-proof, unlike the r3-era 60-bit-md5 formulation this "
+    "replaced (identical results on collision-free data, ~2x faster: the "
+    "md5 bignum-conv per position was the op's dominant constant and ran "
+    "twice, once per consumer of the shingle stream).  Scale: the gram "
+    "emit is one row per char (linear in corpus bytes); frequency uses "
+    "groupBy (map-side partial agg, skew-safe) joined back rather than a "
     "count-over-window that would hot-spot a pathological shingle; island "
     "merge windows partition per doc_id (bounded by doc length); the "
-    "top-200 is TakeOrdered, never a global sort.  A 60-bit collision "
-    "would merge two distinct shingles; at 2^60 keyspace the corpus "
-    "would need ~2^30 distinct shingles (a petabyte of text) for a "
-    "measurable false-positive rate, and the oracle shares the identical "
-    "hash so cross-engine parity is unaffected.",
+    "top-200 is TakeOrdered, never a global sort.",
     tags=("textops", "llm"),
 )
 def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
-    sh = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 39)).alias("pos"),
-        "text",
-    ).select("doc_id", "pos", _H_SPARK(F.expr("substring(text, pos, 40)")).alias("h"))
-    freq = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
-    dup = sh.join(freq, "h").select("doc_id", "pos")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 40)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    dup = _exact_dup_positions(d, 40)
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         dup.withColumn("prev", F.lag("pos").over(wdoc))
@@ -1402,6 +1401,52 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _XS_L = 50  # ExactSubstr gram length (Lee et al. use 50 BPE tokens; chars here)
+
+
+def _exact_dup_positions(d: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos) of every L-char gram that occurs more than once
+    corpus-wide — EXACT string equality, found by a two-phase plan that
+    never shuffles gram strings for the full position stream.
+
+    Phase 1 hashes every gram with the engine's fastest native hash
+    (xxhash64 — it is ONLY a prefilter, so no cross-engine parity is
+    required) and aggregates 8-byte hashes with map-side partial
+    counts.  Phase 2 moves the L-char strings only for positions whose
+    hash repeats (the candidate set, bounded by the corpus duplicate
+    rate) and verifies with an exact string groupBy — collision-proof.
+    The candidate-hash set broadcasts when under 2M entries
+    (size-gated, driver-counted) and degrades to an equi-join on the
+    8-byte hash otherwise.  `d` must carry doc_id, text, n=length(text)
+    with n >= L already enforced.  Shared by dedup_span_excise (L=40,
+    span planning) and dedup_exactsubstr_cut (L=50, real excision).
+    """
+    from cobradb_spark.operators.rank import pin_cache
+
+    ph = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (L - 1))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"substring(text, pos, {L})").alias("gram"),
+    ).withColumn("h", F.xxhash64("gram"))
+    cand_h = pin_cache(
+        ph.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    )
+    # Bounded driver scalar: one count of the candidate-hash set decides
+    # broadcast vs shuffle join (the knn.py size-gate discipline); it
+    # also materializes the pinned candidate-hash cache.
+    if cand_h.count() <= 2_000_000:
+        cand_h = F.broadcast(cand_h)
+    # pinned: the candidate set (orders below the position stream)
+    # feeds both the exact-verify groupBy and the dup join — caching
+    # stops the full gram-hash scan from re-executing per consumer
+    cand = pin_cache(ph.join(cand_h, "h").select("doc_id", "pos", "gram"))
+    gfreq = (
+        cand.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
+    )
+    return cand.join(gfreq, "gram").select("doc_id", "pos")
 
 
 @register(
@@ -1492,41 +1537,9 @@ def dedup_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= L)
         .select("doc_id", "text", F.length("text").alias("n"))
     )
-    ph = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n") - (L - 1))).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(f"substring(text, pos, {L})").alias("gram"),
-    ).withColumn("h", F.xxhash64("gram"))
-    # Phase 1: candidate hashes (8-byte shuffle only — partial counts,
-    # never the gram strings).  xxhash64, not the cross-engine md5
-    # helper: the hash is ONLY a prefilter here (exactness comes from
-    # the phase-2 string verify), so the engine's fastest native hash
-    # wins and no oracle parity is required.
     from cobradb_spark.operators.rank import pin_cache
 
-    cand_h = pin_cache(
-        ph.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    )
-    # Bounded driver scalar: one count of the candidate-hash set decides
-    # broadcast vs shuffle join (the knn.py size-gate discipline); it
-    # also materializes the pinned candidate-hash cache.
-    n_cand = cand_h.count()
-    if n_cand <= 2_000_000:
-        cand_h = F.broadcast(cand_h)
-    # pinned: the candidate set (bounded by the corpus duplicate rate,
-    # orders below the position stream) feeds both the exact-verify
-    # groupBy and the dup join — caching stops the full gram-hash scan
-    # from re-executing per consumer
-    cand = pin_cache(ph.join(cand_h, "h").select("doc_id", "pos", "gram"))
-    # Phase 2: exact verify — gram strings shuffle only for candidates.
-    gfreq = (
-        cand.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
-    )
-    dup = cand.join(gfreq, "gram").select("doc_id", "pos")
+    dup = _exact_dup_positions(d, L)
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         dup.withColumn("prev", F.lag("pos").over(wdoc))

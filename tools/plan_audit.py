@@ -979,10 +979,11 @@ AUDITS = [
         "dedup_span_excise",
         ["TakeOrderedAndProject", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
-        "shingle frequency aggregates with map-side combine (skew-safe, "
-        "vs a count-over-window that would hot-spot a viral shingle); "
-        "duplicated positions join back by 8-byte hash; top-200 is "
-        "TakeOrdered, never a global sort",
+        "shared two-phase exact-gram plan (_exact_dup_positions): shingle "
+        "frequency aggregates 8-byte xxhash partial counts with map-side "
+        "combine (skew-safe, vs a count-over-window that would hot-spot "
+        "a viral shingle); gram strings move only for the hash-candidate "
+        "set; top-200 is TakeOrdered, never a global sort",
     ),
     (
         "agg_kmv_theta_sketch",
