@@ -156,6 +156,59 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resample_wav_pcm(df: DataFrame) -> DataFrame:
+    """REAL audio resample, exact integer arithmetic: parse the RIFF/WAV
+    container, then linearly resample the int16 PCM from 8 kHz to 12 kHz
+    (ratio 3:2) in fixed point.  Output sample j sits at source position
+    2j/3: with i = (2j)//3 and fr = (2j) % 3, the DENOMINATOR-SCALED
+    sample is out3[j] = v[i]*(3-fr) + v[i+1]*fr — three times the
+    interpolated value, kept integer so the whole decode->resample path
+    is bit-exact and SQL-replayable (no float resampler drift).
+    n_out = floor(3*(n-1)/2) + 1 (every output position whose source
+    index stays in range).  Emits integer stats of the scaled signal."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def resample(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "src_rate": [], "dst_rate": [],
+                "n_in": [], "n_out": [],
+                "o_min": [], "o_max": [], "o_sum": [], "oo_sum": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    rate, n = w.getframerate(), w.getnframes()
+                    v = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+                j = np.arange((3 * (n - 1)) // 2 + 1, dtype=np.int64)
+                num = 2 * j
+                i = num // 3
+                fr = num % 3
+                # fr > 0 implies i + 1 <= n - 1 (else 2j would exceed
+                # 3(n-1)); the clip only feeds positions where fr == 0
+                vip = v[np.minimum(i + 1, n - 1)]
+                out3 = v[i] * (3 - fr) + vip * fr
+                out["id"].append(did)
+                out["src_rate"].append(rate)
+                out["dst_rate"].append(rate * 3 // 2)
+                out["n_in"].append(n)
+                out["n_out"].append(len(j))
+                out["o_min"].append(int(out3.min()))
+                out["o_max"].append(int(out3.max()))
+                out["o_sum"].append(int(out3.sum()))
+                out["oo_sum"].append(int((out3 * out3).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        resample,
+        schema="id long, src_rate long, dst_rate long, n_in long, "
+        "n_out long, o_min long, o_max long, o_sum long, oo_sum long",
+    )
+
+
 def synthesize_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One REAL FLAC stream per row (operators/flac.py — pure numpy/stdlib
     encoder: STREAMINFO + MD5, CRC-guarded frames, best-of FIXED

@@ -1848,3 +1848,61 @@ def analytics_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RATIO_CORE_SQL.format(orders="orders_ratio_v", hash_expr=_RATIO_HASH_SPARK)
     )
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), t AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, sum(n) AS row_total FROM t GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+       CAST(t.n * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+FROM t JOIN tot USING (prev_type)
+ORDER BY t.prev_type, t.next_type
+""",
+    doc="First-order Markov transition matrix over user event journeys: "
+    "each user's stream is ordered by (ts, event_id) — the journey "
+    "discipline analytics_pattern_match_journeys established — and every "
+    "consecutive (prev_type -> next_type) pair is counted corpus-wide, "
+    "with the row-conditional transition probability in exact integer "
+    "ppm (floor division on both engines).  This is the behavioral "
+    "model behind next-action prediction, anomalous-session scoring, "
+    "and journey simulation — the aggregate complement of the "
+    "pattern-match (which finds specific paths) and funnel (which fixes "
+    "the path a priori) operators.  Scale: the lag window partitions by "
+    "user_id (millions of independent series — the parallelism grain is "
+    "the user, never the clock), the transition count collapses to "
+    "|types|^2 rows with map-side partials, and the row-total join is "
+    "against a <=|types|-row frame that AQE broadcasts; nothing in the "
+    "plan grows faster than the event scan.",
+    tags=("analytics",),
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("div(n * 1000000, row_total)").cast("bigint").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -801,6 +801,141 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_MAX_ROUNDS = 12
+_SSSP_INF = 1 << 60  # sentinel far above any reachable distance (w <= 7)
+
+_WEIGHTED_EDGE_SQL = """
+lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+ew AS (SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+       GROUP BY a.pk, b.pk),
+edges AS (SELECT src, dst, CAST(greatest(1, 8 - c) AS BIGINT) AS w FROM ew)
+"""
+
+
+def _sssp_iter_sql() -> str:
+    """Unrolled synchronous Bellman-Ford rounds.  MATERIALIZED is load-
+    bearing (the embed_pca_power lesson): d_i is referenced twice (by
+    c_{i+1} and d_{i+1}) and a non-materialized chain re-evaluates
+    exponentially."""
+    parts = []
+    for i in range(1, _SSSP_MAX_ROUNDS + 1):
+        p = f"d{i - 1}"
+        parts.append(
+            f"""
+c{i} AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+        FROM edges e JOIN {p} d ON e.src = d.node GROUP BY e.dst),
+d{i} AS MATERIALIZED (
+  SELECT coalesce(a.node, b.node) AS node,
+         least(coalesce(a.dist, {_SSSP_INF}), coalesce(b.nd, {_SSSP_INF}))
+           AS dist
+  FROM {p} a FULL JOIN c{i} b ON a.node = b.node)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=f"""
+WITH {_WEIGHTED_EDGE_SQL},
+src0 AS (SELECT src AS s FROM (SELECT src, count(*) AS c FROM edges
+         GROUP BY src) ORDER BY c DESC, src LIMIT 1),
+d0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src0),
+{_sssp_iter_sql()}
+SELECT node AS part_id, CAST(dist AS BIGINT) AS dist
+FROM d{_SSSP_MAX_ROUNDS} ORDER BY part_id
+""",
+    doc="Weighted single-source shortest paths over the co-purchase "
+    "graph: edge weight w = max(1, 8 - shared_orders) in [1, 7], so "
+    "frequently co-purchased parts are 'closer' — the weighted "
+    "completion of graph_bfs_levels (hop distance) and the substrate "
+    "for related-item ranking.  Source = the max-degree hub (ties by "
+    "id, the BFS rule).  Spark runs FRONTIER Bellman-Ford: each round "
+    "relaxes edges out of only the nodes whose distance improved last "
+    "round (work tracks the changing frontier, not |V|), merges via a "
+    "full-outer least(), and localCheckpoints both frames (the "
+    "iterative-lineage discipline); convergence is asserted strictly "
+    f"below the {_SSSP_MAX_ROUNDS}-round bound, which makes the bound "
+    "semantics-free.  The oracle unrolls the same relaxation as "
+    "synchronous rounds (frontier relaxation at round r equals "
+    "synchronous round r, and min-relaxation is idempotent past the "
+    "fixed point, so the fixed round count is exact) over MATERIALIZED "
+    "chained CTEs.  All arithmetic is BIGINT — no float drift.  Scale: "
+    "the weighted edge list builds once (one groupBy over the pair "
+    "join, degree-bounded like every co-purchase op) and is pinned "
+    "pre-partitioned by src; each round shuffle-joins only the "
+    "frontier, and the frontier/distance frames are size-gated "
+    "broadcasts (pagerank's _gated rule) with the pre-partitioned "
+    "shuffle fallback past ~8M vertices.",
+    tags=("graph",),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    ew = (
+        lp.alias("a")
+        .join(lp.alias("b"), "ok")
+        .filter(F.col("a.pk") != F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(F.lit(1), F.lit(8) - F.col("c")).cast("bigint").alias("w"),
+        )
+    )
+    fits = _vertex_count_bound(spark, sf_dir) <= _vertex_budget_rows()
+    # pinned (unlike pagerank's broadcast path): localCheckpoint makes
+    # every round a separate action, so without the pin the edge
+    # subtree would recompute once per round
+    k = spark.sparkContext.defaultParallelism
+    edges = pin_cache(ew if fits else ew.repartition(k, "src"))
+    source = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("src"))
+        .first()["src"]
+    )  # bounded collect: one row (the deterministic hub)
+    dist = spark.createDataFrame(
+        [(int(source), 0)], schema="node long, dist long"
+    ).localCheckpoint()
+    improved = dist
+    for _ in range(1, _SSSP_MAX_ROUNDS + 1):
+        cand = (
+            edges.join(_gated(improved, fits), edges["src"] == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        m = dist.join(cand, "node", "full_outer").localCheckpoint()
+        improved = (
+            m.filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = m.select(
+            "node",
+            F.least(
+                F.coalesce(F.col("dist"), F.col("nd")),
+                F.coalesce(F.col("nd"), F.col("dist")),
+            ).alias("dist"),
+        ).localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"SSSP did not converge within {_SSSP_MAX_ROUNDS} rounds"
+        )
+    return dist.select(
+        F.col("node").alias("part_id"), F.col("dist").cast("bigint").alias("dist")
+    ).orderBy("part_id")
+
+
 _WALK_STEPS = 8
 
 

@@ -1301,3 +1301,63 @@ def mlprep_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_gap_ppm"),
         )
     )
+
+
+@register(
+    "mlprep_group_kfold",
+    oracle=f"""
+WITH folds AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+         {_bucket_sql('o_custkey', 'kf')} % 5 AS fold
+  FROM orders
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(*) FILTER (o_orderstatus = 'F') * 1000000 // count(*)
+         AS BIGINT) AS f_rate_ppm
+FROM folds GROUP BY fold ORDER BY fold
+""",
+    doc="Leakage-safe group k-fold assignment: every ORDER lands in the "
+    "fold of its CUSTOMER (fold = md5-bucket(custkey) % 5), so no "
+    "customer's orders ever straddle a train/validation boundary — the "
+    "group-split discipline that prevents entity leakage when rows of "
+    "one entity are correlated (the classic k-fold-on-rows mistake).  "
+    "Membership is derived from the key alone (md5-bucket, the "
+    "sample_hash_deterministic trick): reproducible under reruns, "
+    "storable nowhere, computable partition-locally on both the train "
+    "and serving side.  Output per fold: group count, row count, exact "
+    "label-ish balance diagnostics (total cents, status-F rate in ppm "
+    "with floor division on both engines) — the balance check a split "
+    "report needs.  Disjointness is structural (a function of the key "
+    "cannot give one group two folds); tests/test_operators.py asserts "
+    "it empirically against a row-level 5-fold split of the same data.  "
+    "Scale: one narrow map for the fold column (no shuffle, pushes "
+    "below joins) + one 5-group aggregate with map-side partials; "
+    "count(DISTINCT custkey) per fold is the only wide stage and "
+    "Spark's single-distinct rewrite handles it in two exchanges.",
+    tags=("mlprep",),
+)
+def mlprep_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    folds = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (_bucket("o_custkey", "kf") % 5).alias("fold"),
+    )
+    return (
+        folds.groupBy(F.col("fold").cast("bigint").alias("fold"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_groups"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr(
+                "div(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+                " * 1000000, count(*))"
+            ).alias("f_rate_ppm"),
+        )
+        .orderBy("fold")
+    )

@@ -13,6 +13,7 @@ from cobradb_spark.operators.multimodal import (
     decode_motion_ppm_frames,
     decode_ppm_features,
     decode_wav_features,
+    resample_wav_pcm,
     synthesize_motion_ppm,
     synthesize_ppm,
     synthesize_wav,
@@ -87,6 +88,50 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     wavs = synthesize_wav(d, id_col="doc_id")
     return decode_wav_features(wavs).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle="""
+WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n FROM documents),
+j AS (
+  SELECT d.doc_id, d.n, (2 * t.j) // 3 AS i, (2 * t.j) % 3 AS fr
+  FROM d, UNNEST(range(0, (3 * (d.n - 1)) // 2 + 1)) AS t(j)
+),
+o AS (
+  SELECT doc_id, n,
+         (((doc_id * 31 + i * 7) % 65536) - 32768) * (3 - fr)
+       + CASE WHEN fr > 0
+              THEN (((doc_id * 31 + (i + 1) * 7) % 65536) - 32768) * fr
+              ELSE 0 END AS o3
+  FROM j
+)
+SELECT doc_id, CAST(8000 AS BIGINT) AS src_rate,
+       CAST(12000 AS BIGINT) AS dst_rate,
+       CAST(n AS BIGINT) AS n_in, CAST(count(*) AS BIGINT) AS n_out,
+       CAST(min(o3) AS BIGINT) AS o_min, CAST(max(o3) AS BIGINT) AS o_max,
+       CAST(sum(o3) AS BIGINT) AS o_sum, CAST(sum(o3 * o3) AS BIGINT) AS oo_sum
+FROM o GROUP BY doc_id, n
+""",
+    doc="REAL audio resample, no DSP library: the WAV fixture is decoded "
+    "(RIFF chunk walk, PCM frombuffer) and linearly resampled 8 kHz -> "
+    "12 kHz in EXACT fixed-point integer arithmetic — output position j "
+    "sits at source position 2j/3, and the denominator-scaled sample "
+    "out3[j] = v[i]*(3-fr) + v[i+1]*fr (i = 2j//3, fr = 2j%3) stays "
+    "integer, so the full decode->interpolate path value-hashes against "
+    "a SQL replay with no float-resampler tolerance.  This is the "
+    "sample-rate-normalization step an audio training pipeline runs "
+    "before feature extraction; the brief's decode/resize/frame-sample "
+    "trio gets its audio analogue.  Scale: synth and resample are both "
+    "partition-local mapInPandas stages (numpy over Arrow batches, work "
+    "linear in samples per doc); no shuffle until the 9-column per-doc "
+    "stat rows.",
+    tags=("multimodal",),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wavs = synthesize_wav(d, id_col="doc_id")
+    return resample_wav_pcm(wavs).withColumnRenamed("id", "doc_id")
 
 
 @register(

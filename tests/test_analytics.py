@@ -227,3 +227,44 @@ def test_ratio_delta_ci_matches_numpy(spark, sf_dir):
         assert abs(r.se - se) < 1e-6 * se
         assert r.ci_lo < r.ratio < r.ci_hi
         assert abs((r.ci_hi - r.ci_lo) - 2 * 1.96 * r.se) < 1e-9
+
+
+def test_markov_transitions_python_replay(spark, sf_dir):
+    """Replay the transition matrix in pure Python: per-user streams
+    ordered by (ts, event_id), corpus-wide (prev, next) counts, floor-div
+    ppm probabilities."""
+    from collections import defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in rows:
+        streams[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts = defaultdict(int)
+    for s in streams.values():
+        s.sort(key=lambda x: (x[0], x[1]))
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            counts[(a, b)] += 1
+    totals = defaultdict(int)
+    for (a, _), n in counts.items():
+        totals[a] += n
+    expect = {
+        (a, b): (n, n * 1000000 // totals[a]) for (a, b), n in counts.items()
+    }
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p_ppm"])
+        for r in get_query("analytics_markov_transitions").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # probabilities per prev row must sum to ~1e6 (floor-div remainder < types)
+    by_prev = defaultdict(int)
+    for (a, _), (_, p) in got.items():
+        by_prev[a] += p
+    for a, tot in by_prev.items():
+        assert 1000000 - len([1 for (x, _) in got if x == a]) < tot <= 1000000

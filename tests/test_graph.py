@@ -240,3 +240,48 @@ def test_functional_cycles_match_direct_walk(spark, sf_dir):
     expect = sorted((k, reps[k], basin[k]) for k in reps)
     assert got == expect
     assert sum(b for _, _, b in got) == n  # basins partition the node set
+
+
+def test_sssp_weighted_matches_dijkstra(spark, sf_dir):
+    """graph_sssp_weighted (frontier Bellman-Ford, oracle-checked against
+    an unrolled synchronous replay) must equal an INDEPENDENT algorithm:
+    heap Dijkstra over the same weighted edges in pure Python."""
+    import heapq
+
+    from cobradb_spark.queries.graph import graph_sssp_weighted
+    from cobradb_spark.io import load_table
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pairs = {}
+    orders = {}
+    for r in lp.collect():
+        orders.setdefault(r["ok"], []).append(r["pk"])
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    adj = {}
+    for (a, b), c in pairs.items():
+        adj.setdefault(a, []).append((b, max(1, 8 - c)))
+    source = max(adj, key=lambda n: (len(adj[n]), -n))
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    got = {
+        r["part_id"]: r["dist"]
+        for r in graph_sssp_weighted(spark, sf_dir).collect()
+    }
+    assert got == dist

@@ -243,3 +243,82 @@ def test_schema_diff_classifier_general_cases():
     assert classify(None, "string") == "added"
     assert classify("string", None) == "removed"
     assert classify("string", "string") == "unchanged"
+
+
+def test_wav_resampler_exact_linear_interpolation(spark):
+    """resample_wav_pcm on a hand-built WAV: the 3:2 upsample of a pure
+    linear ramp must be exactly linear in the scaled domain (out3[j] =
+    3 * ramp(2j/3)), and the general case must match a direct replay of
+    the fixed-point formula."""
+    import io
+    import wave
+
+    from cobradb_spark.operators.multimodal import resample_wav_pcm
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+            )
+        return buf.getvalue()
+
+    ramp = [3 * k for k in range(10)]  # v_i = 3i -> out3[j] = 3 * 2j = 6j
+    jagged = [0, 100, -100, 32767, -32768, 5]
+    df = spark.createDataFrame(
+        [(1, wav(ramp)), (2, wav(jagged))], "id long, payload binary"
+    )
+    rows = {r.id: r for r in resample_wav_pcm(df).collect()}
+
+    r1 = rows[1]
+    n_out = (3 * (len(ramp) - 1)) // 2 + 1
+    assert (r1.src_rate, r1.dst_rate, r1.n_in, r1.n_out) == (8000, 12000, len(ramp), n_out)
+    expect1 = [6 * j for j in range(n_out)]
+    assert (r1.o_min, r1.o_max) == (min(expect1), max(expect1))
+    assert r1.o_sum == sum(expect1)
+    assert r1.oo_sum == sum(x * x for x in expect1)
+
+    def replay(v):
+        out = []
+        for j in range((3 * (len(v) - 1)) // 2 + 1):
+            i, fr = (2 * j) // 3, (2 * j) % 3
+            out.append(v[i] * (3 - fr) + (v[i + 1] if fr else 0) * fr)
+        return out
+
+    r2 = rows[2]
+    expect2 = replay(jagged)
+    assert r2.n_out == len(expect2)
+    assert (r2.o_min, r2.o_max, r2.o_sum) == (min(expect2), max(expect2), sum(expect2))
+    assert r2.oo_sum == sum(x * x for x in expect2)
+
+
+def test_group_kfold_disjoint_and_complete(spark, sf_dir):
+    """The group k-fold split must put every customer in exactly one fold
+    (no entity leakage), cover every order, and match an independent
+    row-level recomputation of fold membership."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.queries.mlprep import _bucket, mlprep_group_kfold
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.select(
+        "o_custkey", (_bucket("o_custkey", "kf") % 5).alias("fold")
+    )
+    # structural leakage check, asserted empirically: one fold per group
+    n_multi = (
+        per_cust.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_multi == 0
+    got = {r["fold"]: r for r in mlprep_group_kfold(spark, sf_dir).collect()}
+    assert set(got) == set(range(5))
+    assert sum(r["n_rows"] for r in got.values()) == o.count()
+    assert sum(r["n_groups"] for r in got.values()) == (
+        o.select("o_custkey").distinct().count()
+    )

@@ -1096,6 +1096,40 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "graph_sssp_weighted",
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "the returned distances read the converged-round localCheckpoint "
+        "(ExistingRDD = truncated lineage, the iterative-loop "
+        "discipline); each Bellman-Ford round was one frontier-edge "
+        "equi-join + a per-dst partial min + a full-outer least() merge",
+    ),
+    (
+        "mlprep_group_kfold",
+        ["partial_", "Exchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "fold assignment is a narrow md5-bucket map (no shuffle); the "
+        "5-fold rollup partial-aggregates map-side and the per-fold "
+        "distinct-customer count uses Spark's single-distinct rewrite",
+    ),
+    (
+        "analytics_markov_transitions",
+        ["Window", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "the lag window partitions by user_id (per-user series are the "
+        "parallelism grain); transitions collapse to |types|^2 rows with "
+        "map-side partials; the row-total join is on a tiny frame",
+    ),
+    (
+        "multimodal_audio_resample",
+        ["MapInPandas"],
+        ["SinglePartition", "Exchange"],
+        "WAV synthesize and fixed-point resample are back-to-back "
+        "Arrow-batched MapInPandas stages with ZERO shuffles — blobs "
+        "never leave their partition, only per-doc stat rows exist "
+        "downstream",
+    ),
+    (
         "dedup_exactsubstr_cut",
         ["partial_count", "TakeOrderedAndProject"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

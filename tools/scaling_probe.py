@@ -122,6 +122,10 @@ PROBES = [
     "graph_functional_cycles",
     # r7 additions
     "dedup_exactsubstr_cut",
+    "graph_sssp_weighted",
+    "mlprep_group_kfold",
+    "analytics_markov_transitions",
+    "multimodal_audio_resample",
 ]
 
 
