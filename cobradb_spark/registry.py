@@ -140,6 +140,16 @@ _R8_PLANNED_HEAD: tuple[str, ...] = (
     "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
 )
 
+# Queued for the r9 window (r7-new keys; no driver rows yet, all
+# tri-scale oracle-EXACT in the r7 sweeps): dedup_exactsubstr_cut,
+# graph_sssp_weighted, mlprep_group_kfold, analytics_markov_transitions,
+# multimodal_audio_resample — plus whatever r8 adds and the next tranche
+# of oldest-evidence re-checks.
+_R9_QUEUE: tuple[str, ...] = (
+    "dedup_exactsubstr_cut", "graph_sssp_weighted", "mlprep_group_kfold",
+    "analytics_markov_transitions", "multimodal_audio_resample",
+)
+
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_customer_distribution_q13", "analytics_attribution_position",

@@ -61,6 +61,12 @@ PROBE_KEYS = [
     "graph_functional_cycles",
     "embed_matryoshka_overlap",
     "text_dictionary_match",
+    # r7 keys with partition-order exposure: the two-phase exact-gram
+    # candidate machinery (size-gated broadcast + pinned caches), the
+    # frontier Bellman-Ford driver loop, and the journey lag window
+    "dedup_exactsubstr_cut",
+    "graph_sssp_weighted",
+    "analytics_markov_transitions",
 ]
 
 

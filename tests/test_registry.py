@@ -82,3 +82,19 @@ def test_r8_planned_window_names_are_registered():
     assert list(tail) == rows_only, "rows-only keys must close the window"
     overlap = set(registry._R8_PLANNED_HEAD) & set(registry._DRIVER_PRIORITY)
     assert not overlap, f"planned r8 keys already in the r7 window: {overlap}"
+
+
+def test_r9_queue_names_are_registered_and_new():
+    """The r9 queue (r7-new keys with no driver rows) must not rot:
+    every name registered, oracle-carrying, and in neither the executed
+    r7 window nor the staged r8 window."""
+    from cobradb_spark import registry
+
+    qs = registry.all_queries()
+    missing = [n for n in registry._R9_QUEUE if n not in qs]
+    assert not missing, f"queued r9 names not registered: {missing}"
+    for n in registry._R9_QUEUE:
+        assert qs[n].oracle is not None, f"{n} queued without oracle"
+    taken = set(registry._DRIVER_PRIORITY) | set(registry._R8_PLANNED_HEAD)
+    overlap = set(registry._R9_QUEUE) & taken
+    assert not overlap, f"r9-queued keys already windowed: {overlap}"
