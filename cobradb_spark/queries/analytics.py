@@ -1906,3 +1906,105 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+WITH grid AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+         lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS season
+  FROM grid
+), m AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_days,
+         CAST(count(*) FILTER (t > n - 7) AS BIGINT) AS n_holdout,
+         CAST(sum(CASE WHEN t > n - 7 THEN abs(cents - season) END)
+              AS BIGINT) AS sae_cents,
+         CAST(count(*) FILTER (t <= n - 7 AND prev IS NOT NULL)
+              AS BIGINT) AS n_scale,
+         CAST(sum(CASE WHEN t <= n - 7 AND prev IS NOT NULL
+                       THEN abs(cents - prev) END) AS BIGINT) AS scale_cents
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, n_days, n_holdout, sae_cents, scale_cents,
+       CAST(CAST(sae_cents AS HUGEINT) * n_scale * 1000000
+            // (CAST(n_holdout AS HUGEINT) * scale_cents) AS BIGINT)
+         AS mase_ppm
+FROM m ORDER BY event_type
+""",
+    doc="Forecast backtest with exact integer scoring: per event type, "
+    "the daily cent grid is split into train and a 7-day holdout (the "
+    "last 7 grid days by rank), each holdout day is forecast by "
+    "SEASONAL NAIVE (the value 7 grid days earlier — always a train "
+    "observation for a 7-day holdout), and accuracy is reported as "
+    "MASE in exact integer ppm: (holdout MAE) / (train one-step naive "
+    "MAE), the scale-free benchmark metric every forecast evaluation "
+    "starts from (Hyndman-Koehler).  MASE < 1e6 ppm beats the naive "
+    "baseline.  All error sums are BIGINT cents; the ratio multiplies "
+    "through 128-bit intermediates (DECIMAL(38,0) / HUGEINT) with "
+    "truncating division — both engines verified truncate-toward-zero "
+    "(the ab_cuped discipline), so no float enters the metric.  This "
+    "is the evaluation harness next to the forecasters "
+    "(events_forecast_holt / _holt_winters): they produce predictions, "
+    "this scores a prediction rule against ground truth without "
+    "leaking holdout data into the scale term.  Scale: one partial-agg "
+    "shuffle reduces facts to the O(types x days) grid; the lag "
+    "windows and the final rollup run on that reduced grid — fact "
+    "volume never reaches a window.",
+    tags=("analytics", "timeseries"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    grid = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    idx = grid.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.lag("cents").over(w).alias("prev"),
+        F.lag("cents", 7).over(w).alias("season"),
+    )
+    hold = F.col("t") > F.col("n") - 7
+    train_step = (F.col("t") <= F.col("n") - 7) & F.col("prev").isNotNull()
+    m = idx.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(hold.cast("long")).cast("bigint").alias("n_holdout"),
+        F.sum(F.when(hold, F.abs(F.col("cents") - F.col("season"))))
+        .cast("bigint")
+        .alias("sae_cents"),
+        F.sum(train_step.cast("long")).cast("bigint").alias("n_scale"),
+        F.sum(F.when(train_step, F.abs(F.col("cents") - F.col("prev"))))
+        .cast("bigint")
+        .alias("scale_cents"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        "n_holdout",
+        "sae_cents",
+        "scale_cents",
+        F.expr(
+            "CAST(div(CAST(sae_cents AS DECIMAL(38,0)) * n_scale * 1000000, "
+            "CAST(n_holdout AS DECIMAL(38,0)) * scale_cents) AS BIGINT)"
+        ).alias("mase_ppm"),
+    ).orderBy("event_type")

@@ -1303,3 +1303,101 @@ def etl_contract_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, gen1_type string, gen2_type string, status string"
     )
+
+
+@register(
+    "etl_incremental_agg_retract",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 <> 0
+), cdc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 >= 7 THEN 'D'
+              WHEN o_orderkey % 3 = 0  THEN 'I'
+              ELSE 'U' END AS op,
+         CASE WHEN o_orderkey % 10 >= 7 OR o_orderkey % 3 = 0
+              THEN o_orderstatus ELSE 'P' END AS o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+), applied AS (
+  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         coalesce(c.cents, b.cents) AS cents
+  FROM base b FULL JOIN cdc c ON b.o_orderkey = c.o_orderkey
+  WHERE NOT coalesce(c.op = 'D', FALSE)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="Retraction-aware incremental aggregate maintenance: a "
+    "materialized per-status (count, exact-cents sum) state absorbs a "
+    "CDC batch containing DELETES and CROSS-GROUP UPDATES (updates move "
+    "rows to status 'P', so the old group must shrink while the new one "
+    "grows) without re-aggregating history — the capability "
+    "etl_incremental_agg's insert-only merge cannot express.  Every "
+    "touched key contributes a retraction row (-1, -old_cents) against "
+    "its OLD group and, unless deleted, an insertion row (+1, "
+    "+new_cents) into its NEW group; state' = state + deltas in one "
+    "5-group aggregate.  Only abelian-group aggregates (count/sum/avg) "
+    "are maintainable this way — min/max are deliberately absent "
+    "because a retraction can evict the current extremum, forcing a "
+    "per-group rescan (the monotone-aggregate caveat every incremental "
+    "view engine documents).  The oracle re-aggregates the CDC-applied "
+    "table from scratch (the etl_cdc_apply MERGE semantics verbatim); "
+    "equality proves the delta path is lossless.  Scale: history is "
+    "never rescanned — old values for touched keys come from one "
+    "key-equi join of the (small) change log against the base (a "
+    "broadcast at realistic log sizes, a point lookup in a real state "
+    "store), and the delta stream collapses map-side before touching "
+    "the |groups|-row state.",
+    tags=("etl",),
+)
+def etl_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    cdc = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 >= 7, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.when(
+            (F.col("o_orderkey") % 10 >= 7) | (F.col("o_orderkey") % 3 == 0),
+            F.col("o_orderstatus"),
+        )
+        .otherwise(F.lit("P"))
+        .alias("o_orderstatus"),
+        (cents * 2).alias("cents"),
+    )
+    # the 'already materialized' state (in production: read back, never
+    # recomputed — recomputed here only to build the fixture)
+    state = base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("dn"), F.sum("cents").alias("dcents")
+    )
+    # retractions: every cdc key present in base pulls its OLD version
+    # out of its OLD group (one key-equi join against the base — the
+    # only history access, broadcastable at realistic log sizes)
+    retract = base.join(F.broadcast(cdc.select("o_orderkey")), "o_orderkey").select(
+        "o_orderstatus", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dcents")
+    )
+    # insertions: every non-delete cdc row lands in its NEW group
+    insert = cdc.filter(F.col("op") != "D").select(
+        "o_orderstatus", F.lit(1).alias("dn"), F.col("cents").alias("dcents")
+    )
+    return (
+        state.unionByName(retract)
+        .unionByName(insert)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n"),
+            F.sum("dcents").cast("bigint").alias("total_cents"),
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("o_orderstatus")
+    )

@@ -268,3 +268,42 @@ def test_markov_transitions_python_replay(spark, sf_dir):
         by_prev[a] += p
     for a, tot in by_prev.items():
         assert 1000000 - len([1 for (x, _) in got if x == a]) < tot <= 1000000
+
+
+def test_forecast_backtest_python_replay(spark, sf_dir):
+    """Replay the seasonal-naive backtest in pure Python: daily cent
+    grid, last-7-rank holdout, |y_t - y_{t-7}| holdout errors,
+    |y_t - y_{t-1}| train scale, truncating-division MASE ppm."""
+    from collections import defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    grid = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        day = r["ts"].date()
+        # round-half-even like both engines' round(value * 100)
+        grid[r["event_type"]][day] += round(r["value"] * 100)
+    expect = {}
+    for et, days in grid.items():
+        y = [c for _, c in sorted(days.items())]
+        n = len(y)
+        sae = sum(abs(y[t] - y[t - 7]) for t in range(n - 7, n))
+        scale = sum(abs(y[t] - y[t - 1]) for t in range(1, n - 7))
+        n_scale = n - 8
+        expect[et] = (
+            n, 7, sae, scale, (sae * n_scale * 1000000) // (7 * scale)
+        )
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["n_holdout"], r["sae_cents"], r["scale_cents"],
+            r["mase_ppm"],
+        )
+        for r in get_query("events_forecast_backtest").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

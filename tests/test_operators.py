@@ -322,3 +322,56 @@ def test_group_kfold_disjoint_and_complete(spark, sf_dir):
     assert sum(r["n_groups"] for r in got.values()) == (
         o.select("o_custkey").distinct().count()
     )
+
+
+def test_incremental_agg_retract_matches_full_recompute(spark, sf_dir):
+    """The delta-maintained state must equal a from-scratch Spark
+    re-aggregation of the CDC-applied table (engine-internal check,
+    independent of the DuckDB oracle), and the cross-group move must
+    actually be exercised (status 'P' gains rows vs the base state)."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    cdc = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 >= 7, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.when(
+            (F.col("o_orderkey") % 10 >= 7) | (F.col("o_orderkey") % 3 == 0),
+            F.col("o_orderstatus"),
+        )
+        .otherwise(F.lit("P"))
+        .alias("o_orderstatus"),
+        (cents * 2).alias("cents"),
+    )
+    applied = (
+        base.alias("b")
+        .join(cdc.alias("c"), F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full")
+        .filter(~F.coalesce(F.col("c.op") == "D", F.lit(False)))
+        .select(
+            F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias("st"),
+            F.coalesce(F.col("c.cents"), F.col("b.cents")).alias("cents"),
+        )
+    )
+    expect = {
+        r["st"]: (r["n"], r["tc"])
+        for r in applied.groupBy("st")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("tc"))
+        .collect()
+    }
+    got = {
+        r["o_orderstatus"]: (r["n"], r["total_cents"])
+        for r in get_query("etl_incremental_agg_retract").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    base_p = base.filter(F.col("o_orderstatus") == "P").count()
+    assert got.get("P", (0, 0))[0] > base_p  # cross-group moves happened

@@ -1096,6 +1096,23 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "events_forecast_backtest",
+        ["Window", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "facts reduce to the O(types x days) cent grid with map-side "
+        "partials BEFORE any window; the lag windows and the MASE "
+        "rollup run on the reduced grid, partitioned by event_type",
+    ),
+    (
+        "etl_incremental_agg_retract",
+        ["partial_", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "retraction maintenance: old versions of touched keys come from "
+        "ONE broadcast key-equi join of the change log against the base "
+        "(history never rescanned for the delta), and the +-1 delta "
+        "stream partial-aggregates map-side before the 5-row state merge",
+    ),
+    (
         "graph_sssp_weighted",
         ["Scan ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

@@ -126,6 +126,8 @@ PROBES = [
     "mlprep_group_kfold",
     "analytics_markov_transitions",
     "multimodal_audio_resample",
+    "etl_incremental_agg_retract",
+    "events_forecast_backtest",
 ]
 
 
