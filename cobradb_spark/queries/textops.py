@@ -2085,3 +2085,133 @@ def text_unicode_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") != F.col("c")).alias("changed"),
         F.md5(F.encode("c", "UTF-8")).alias("canon_md5"),
     )
+
+
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled iterative BPE training rounds: each round counts
+    adjacent token pairs over the CURRENT tokenization (overlapping
+    occurrences included — the standard zip(word, word[1:]) count),
+    picks the most frequent pair (ties by pair string), and merges it
+    non-overlapping left-to-right via string replace over the
+    space-delimited token string (replace() scans past each
+    replacement, which IS the greedy BPE merge — the text_bpe_apply
+    oracle's trick).  MATERIALIZED is load-bearing: v_i and b_i are
+    each referenced twice downstream."""
+    parts = []
+    for i in range(1, _BPE_TRAIN_ROUNDS + 1):
+        p = f"v{i - 1}"
+        parts.append(
+            f"""
+p{i} AS (
+  SELECT t[j] || ' ' || t[j + 1] AS pair, freq
+  FROM (SELECT str_split(trim(s), ' ') AS t, freq FROM {p}),
+       UNNEST(range(1, len(t))) AS u(j)
+),
+b{i} AS MATERIALIZED (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+  FROM p{i} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(s, ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS s
+  FROM {p}, b{i} b
+)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "text_bpe_train",
+    oracle=f"""
+WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2 GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s
+  FROM wf
+),
+{_bpe_train_oracle()}
+SELECT * FROM (
+  {" UNION ALL ".join(f"SELECT CAST({i} AS BIGINT) AS rank, pair, n FROM b{i}" for i in range(1, _BPE_TRAIN_ROUNDS + 1))}
+) ORDER BY rank
+""",
+    doc=f"TRUE iterative BPE training (Sennrich et al. 2016), "
+    f"{_BPE_TRAIN_ROUNDS} merge rounds: unlike text_bpe_apply's merge "
+    "table (the top pairs of the INITIAL count — a one-shot "
+    "approximation), each round here re-counts adjacent token pairs "
+    "over the CURRENT tokenization, selects the most frequent pair "
+    "(ties by pair string), and merges it into every word before the "
+    "next count — so merge k sees the vocabulary merge k-1 produced, "
+    "the property that makes BPE BPE.  Output: the ordered merge "
+    "table (rank, pair, selection-time count).  Pair occurrences are "
+    "counted overlapping (zip(tokens, tokens[1:]), the reference "
+    "implementation's count) while the merge itself is greedy "
+    "non-overlapping left-to-right — expressed in Spark as an exact "
+    "array fold (F.aggregate: the merged token can never re-match its "
+    "own left constituent, so the fold IS the standard merge) and in "
+    "the oracle as string replace over the space-delimited token "
+    "string.  Scale: the corpus-scale stage is ONE distinct-word "
+    "count (facts touched once); every training round is O(|vocab|) "
+    "— pair counts partial-aggregate map-side, the 1-row argmax is a "
+    "bounded driver pull, the merge is a narrow map over the pinned "
+    "vocab (localCheckpoint per round, the iterative-lineage "
+    "discipline).  On a 1e6-word real vocabulary each round is a "
+    "sub-second distributed pass; nothing rescans the corpus.",
+    tags=("textops", "llm"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    ).localCheckpoint()
+    ranks = []
+    for rank in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pair_col = F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        )
+        best = (
+            vocab.select(F.explode(pair_col).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )  # bounded driver pull: exactly one row per training round
+        left, right = best["pair"].split(" ")
+        merged = left + right
+        ranks.append((rank, best["pair"], best["n"]))
+        new_toks = F.aggregate(
+            F.col("toks"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (t == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        vocab = vocab.select("word", "freq", new_toks.alias("toks")).localCheckpoint()
+    return spark.createDataFrame(
+        ranks, schema="rank long, pair string, n long"
+    ).orderBy("rank")

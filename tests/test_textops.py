@@ -396,3 +396,45 @@ def test_exactsubstr_cut_matches_python_replay(spark, sf_dir):
     assert len(expect) <= 200  # top-200 limit never truncates at test scale
     assert got == expect
     assert expect  # fixture actually contains duplicated 50-grams
+
+
+def test_bpe_train_matches_reference_trainer(spark, sf_dir):
+    """Replay iterative BPE training with the reference algorithm
+    (Sennrich et al.: count adjacent pairs over the current
+    tokenization with overlaps, merge the argmax non-overlapping
+    left-to-right, repeat) and require the full merge table to match."""
+    from collections import Counter, defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    words = defaultdict(int)
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in r["text"].split(" "):
+            if len(w) >= 2:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    expect = []
+    for rank in range(1, 9):
+        counts = Counter()
+        for w, toks in vocab.items():
+            f = words[w]
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += f
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expect.append((rank, f"{left} {right}", n))
+        for w, toks in vocab.items():
+            out = []
+            for t in toks:
+                if out and out[-1] == left and t == right:
+                    out[-1] = left + right
+                else:
+                    out.append(t)
+            vocab[w] = out
+    got = [
+        (r["rank"], r["pair"], r["n"])
+        for r in get_query("text_bpe_train").fn(spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -1096,6 +1096,17 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "text_bpe_train",
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "the returned frame is the 8-row merge table assembled from the "
+        "per-round 1-row argmax pulls, so the visible plan is a local "
+        "scan; the training rounds themselves execute eagerly with the "
+        "text_bpe_pair_counts plan shape (partial_sum pair counts over "
+        "the localCheckpoint'd O(|vocab|) token table, TakeOrdered "
+        "argmax, narrow array-fold merge)",
+    ),
+    (
         "events_forecast_backtest",
         ["Window", "partial_sum"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

@@ -128,6 +128,7 @@ PROBES = [
     "multimodal_audio_resample",
     "etl_incremental_agg_retract",
     "events_forecast_backtest",
+    "text_bpe_train",
 ]
 
 
