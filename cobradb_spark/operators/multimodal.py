@@ -156,6 +156,44 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     )
 
 
+def decode_motion_ppm_scene_sads(df: DataFrame) -> DataFrame:
+    """REAL inter-frame difference extraction: walk the concatenated-P6
+    container (headers parsed, frame size derived), decode EVERY frame,
+    and emit the sum of absolute pixel differences (SAD) between each
+    frame and its predecessor — the scene-change signal a video
+    pipeline thresholds to pick keyframes (content-adaptive sampling,
+    vs decode_motion_ppm_frames' fixed stride).  Integer-exact: uint8
+    rasters widened to int64 before the subtraction."""
+    import numpy as np
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"id": [], "frame_no": [], "sad": []}
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                off, frame_no, prev = 0, 0, None
+                while off < len(payload):
+                    assert payload[off : off + 2] == b"P6"
+                    p1 = payload.index(b"\n", off)
+                    p2 = payload.index(b"\n", p1 + 1)
+                    p3 = payload.index(b"\n", p2 + 1)
+                    w, h = (int(v) for v in payload[p1 + 1 : p2].split())
+                    assert payload[p2 + 1 : p3] == b"255"
+                    raster = payload[p3 + 1 : p3 + 1 + w * h * 3]
+                    off = p3 + 1 + w * h * 3
+                    img = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        out["id"].append(did)
+                        out["frame_no"].append(frame_no)
+                        out["sad"].append(int(np.abs(img - prev).sum()))
+                    prev = img
+                    frame_no += 1
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        decode, schema="id long, frame_no long, sad long"
+    )
+
+
 def resample_wav_pcm(df: DataFrame) -> DataFrame:
     """REAL audio resample, exact integer arithmetic: parse the RIFF/WAV
     container, then linearly resample the int16 PCM from 8 kHz to 12 kHz

@@ -205,6 +205,68 @@ def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_scene_cut_keyframes",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, f.f AS frame_no,
+         abs((doc_id + 31 * f.f + x.x * 3 + y.y * 7 + c.c * 11) % 256
+           - (doc_id + 31 * (f.f - 1) + x.x * 3 + y.y * 7 + c.c * 11) % 256)
+           AS d
+  FROM documents,
+       UNNEST(range(1, 8 + doc_id % 5)) AS f(f),
+       UNNEST(range(0, 8)) AS x(x),
+       UNNEST(range(0, 8)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+), sad AS (
+  SELECT doc_id, frame_no, CAST(sum(d) AS BIGINT) AS sad
+  FROM px GROUP BY doc_id, frame_no
+), th AS (
+  SELECT doc_id, sum(sad) AS tot, count(*) AS n FROM sad GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.frame_no AS BIGINT) AS frame_no, s.sad,
+       s.sad * th.n > th.tot AS is_cut
+FROM sad s JOIN th USING (doc_id)
+ORDER BY s.doc_id, s.frame_no
+""",
+    doc="Content-adaptive keyframe selection (scene-cut detection): the "
+    "motion-PPM container is walked frame by frame, EVERY frame is "
+    "decoded, and the sum of absolute pixel differences (SAD) against "
+    "the predecessor is computed integer-exactly inside the Arrow "
+    "mapInPandas walker; a frame is flagged a cut when its SAD exceeds "
+    "the per-video mean (sad * n > total — integer cross-multiplication, "
+    "no division), which is the shot-boundary heuristic real pipelines "
+    "threshold before handing keyframes to expensive downstream models. "
+    "Complements multimodal_video_frame_decode's FIXED-stride sampling "
+    "with the adaptive variant; the oracle replays pixel deltas, SAD, "
+    "and the threshold in SQL, value-hashing the whole decode->diff-> "
+    "select path.  Scale: the walker is partition-local and linear in "
+    "container bytes (one previous-frame buffer of state); the per-video "
+    "mean is a tiny per-doc aggregate joined back broadcast-style; "
+    "nothing shuffles until the per-frame SAD rows.",
+    tags=("multimodal",),
+)
+def multimodal_scene_cut_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import decode_motion_ppm_scene_sads
+
+    d = load_table(spark, sf_dir, "documents")
+    vids = synthesize_motion_ppm(d, id_col="doc_id")
+    sads = decode_motion_ppm_scene_sads(vids).withColumnRenamed("id", "doc_id")
+    th = sads.groupBy("doc_id").agg(
+        F.sum("sad").alias("tot"), F.count("*").alias("n")
+    )
+    return (
+        sads.join(th, "doc_id")
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            F.col("sad").cast("bigint").alias("sad"),
+            (F.col("sad") * F.col("n") > F.col("tot")).alias("is_cut"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
 WITH frames AS (

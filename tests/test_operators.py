@@ -375,3 +375,22 @@ def test_incremental_agg_retract_matches_full_recompute(spark, sf_dir):
     assert got == expect
     base_p = base.filter(F.col("o_orderstatus") == "P").count()
     assert got.get("P", (0, 0))[0] > base_p  # cross-group moves happened
+
+
+def test_scene_sad_walker_handbuilt_container(spark):
+    """decode_motion_ppm_scene_sads on a hand-built 3-frame container
+    (dims parsed from headers, not assumed): identical consecutive
+    frames give SAD 0, a full black->white jump gives exactly
+    w*h*3*255."""
+    import numpy as np
+
+    from cobradb_spark.operators.multimodal import decode_motion_ppm_scene_sads
+
+    w, h = 4, 2
+    header = f"P6\n{w} {h}\n255\n".encode()
+    f0 = header + bytes([0] * (w * h * 3))
+    f1 = header + bytes([0] * (w * h * 3))
+    f2 = header + bytes([255] * (w * h * 3))
+    df = spark.createDataFrame([(9, f0 + f1 + f2)], "id long, payload binary")
+    rows = {r.frame_no: r.sad for r in decode_motion_ppm_scene_sads(df).collect()}
+    assert rows == {1: 0, 2: w * h * 3 * 255}

@@ -63,10 +63,13 @@ PROBE_KEYS = [
     "text_dictionary_match",
     # r7 keys with partition-order exposure: the two-phase exact-gram
     # candidate machinery (size-gated broadcast + pinned caches), the
-    # frontier Bellman-Ford driver loop, and the journey lag window
+    # frontier Bellman-Ford driver loop, the journey lag window, the
+    # BPE trainer's per-round argmax pulls, and the retraction deltas
     "dedup_exactsubstr_cut",
     "graph_sssp_weighted",
     "analytics_markov_transitions",
+    "text_bpe_train",
+    "etl_incremental_agg_retract",
 ]
 
 

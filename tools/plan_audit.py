@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "multimodal_scene_cut_keyframes",
+        ["MapInPandas", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "the container walk + inter-frame SAD is one partition-local "
+        "Arrow MapInPandas stage (one previous-frame buffer of state); "
+        "the per-video mean threshold is a tiny per-doc aggregate "
+        "hash-joined back; only per-frame SAD rows ever shuffle",
+    ),
+    (
         "text_bpe_train",
         ["Scan ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

@@ -129,6 +129,7 @@ PROBES = [
     "etl_incremental_agg_retract",
     "events_forecast_backtest",
     "text_bpe_train",
+    "multimodal_scene_cut_keyframes",
 ]
 
 
