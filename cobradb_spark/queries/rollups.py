@@ -490,3 +490,98 @@ def rollup_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         downsample, schema="event_type string, sel_idx long, ts timestamp, value double"
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "rollup_state_duration",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS s_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS e_us
+  FROM events
+), iv AS (
+  SELECT event_type, s_us, e_us FROM e WHERE e_us IS NOT NULL
+), d AS (
+  SELECT event_type, s_us, e_us,
+         unnest(generate_series(s_us // {_DAY_US}, e_us // {_DAY_US})) AS day
+  FROM iv
+), o AS (
+  SELECT event_type, day,
+         least(e_us, (day + 1) * {_DAY_US})
+           - greatest(s_us, day * {_DAY_US}) AS dur
+  FROM d
+)
+SELECT event_type, CAST(day AS BIGINT) AS epoch_day,
+       CAST(sum(dur) AS BIGINT) AS state_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM o WHERE dur > 0 GROUP BY event_type, day ORDER BY event_type, day
+""",
+    doc="Daily time-in-state accounting (interval apportionment): each "
+    "user's stream defines state intervals — the user is 'in' the state "
+    "of an event from that event until their next one (status-change "
+    "semantics; the final open interval is excluded) — and every "
+    "interval is SPLIT across the UTC day boundaries it spans, "
+    "apportioning exact integer microseconds to each day "
+    "(least/greatest clamp per day, [start, end) convention so "
+    "boundary-aligned ends contribute zero to the next day).  Output "
+    "per (state, epoch day): total occupied microseconds and the "
+    "number of contributing intervals — the state-occupancy rollup "
+    "behind uptime reports, SLA attribution, and billing proration, "
+    "and the missing interval shape next to join_range_interval "
+    "(point-in-interval) and join_interval_overlap (interval-interval). "
+    "All arithmetic is BIGINT epoch micros (unix_micros == epoch_us, "
+    "the events-family idiom); day identity is integer floor division "
+    "— no date/timezone function whose semantics could diverge.  "
+    "Scale: the lead window partitions by user_id (per-user series are "
+    "the parallelism grain); the day explode fans out one row per "
+    "(interval, day spanned) — bounded by the calendar retention "
+    "window, linear in intervals for bounded gaps; the rollup "
+    "partial-aggregates map-side to O(states x days) rows.",
+    tags=("rollups", "timeseries"),
+)
+def rollup_state_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            us.alias("s_us"),
+        )
+        .withColumn("e_us", F.lead("s_us").over(w))
+        .filter(F.col("e_us").isNotNull())
+        .select("event_type", "s_us", "e_us")
+    )
+    d = iv.select(
+        "event_type",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_DAY_US}"), F.expr(f"e_us div {_DAY_US}")
+            )
+        ).alias("day"),
+    )
+    o = d.select(
+        "event_type",
+        "day",
+        (
+            F.least(F.col("e_us"), (F.col("day") + 1) * _DAY_US)
+            - F.greatest(F.col("s_us"), F.col("day") * _DAY_US)
+        ).alias("dur"),
+    ).filter(F.col("dur") > 0)
+    return (
+        o.groupBy("event_type", F.col("day").cast("bigint").alias("epoch_day"))
+        .agg(
+            F.sum("dur").cast("bigint").alias("state_us"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("event_type", "epoch_day")
+    )

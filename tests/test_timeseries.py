@@ -163,3 +163,36 @@ def test_rolling_corr_matches_numpy(spark, sf_dir):
         else:
             assert corr is None
     assert checked > 40  # sf0.001 has 46 aligned pair hours
+
+
+def test_state_duration_conserves_time_and_splits_at_midnight(spark, sf_dir):
+    """Apportionment must neither create nor destroy time: the summed
+    per-day state_us must equal the summed raw interval lengths; and a
+    crafted midnight-spanning interval must split exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    raw_total = (
+        e.select("user_id", "ts", "event_id", us.alias("s"))
+        .withColumn("e", F.lead("s").over(w))
+        .filter(F.col("e").isNotNull())
+        .agg(F.sum(F.col("e") - F.col("s")).alias("t"))
+        .first()["t"]
+    )
+    out = get_query("rollup_state_duration").fn(spark, sf_dir)
+    assert out.agg(F.sum("state_us")).first()[0] == raw_total
+
+    # midnight split: interval from 23:00 day 0 to 01:00 day 1
+    DAY = 86_400_000_000
+    s, t = 23 * 3_600_000_000, DAY + 3_600_000_000
+    days = list(range(s // DAY, t // DAY + 1))
+    parts = [
+        min(t, (d + 1) * DAY) - max(s, d * DAY) for d in days
+    ]
+    assert parts == [3_600_000_000, 3_600_000_000] and sum(parts) == t - s

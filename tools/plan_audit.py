@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "rollup_state_duration",
+        ["Window", "partial_sum", "hashpartitioning(user_id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "the lead window partitions by user_id (per-user series, never "
+        "one task); the day explode is a narrow map; the occupancy "
+        "rollup partial-aggregates map-side to O(states x days) rows",
+    ),
+    (
         "multimodal_scene_cut_keyframes",
         ["MapInPandas", "partial_sum"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],

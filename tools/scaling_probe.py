@@ -130,6 +130,7 @@ PROBES = [
     "events_forecast_backtest",
     "text_bpe_train",
     "multimodal_scene_cut_keyframes",
+    "rollup_state_duration",
 ]
 
 
