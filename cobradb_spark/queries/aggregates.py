@@ -593,3 +593,69 @@ def agg_quantile_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             [f"{cols[0]} long"] + [f"{c} double" for c in cols[1:]]
         ),
     )
+
+
+@register(
+    "agg_median_exact_pergroup",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag || '/' || l_linestatus AS grp, l_extendedprice AS x,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM lineitem
+)
+SELECT grp, CAST(max(n) AS BIGINT) AS n_rows, sum(x) / count(*) AS median
+FROM v WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+GROUP BY grp ORDER BY grp
+""",
+    doc="Exact PER-GROUP median (l_extendedprice by returnflag/linestatus) "
+    "via distributed rank selection — the per-group companion of "
+    "agg_quantile_exact_global, and the aggregation approx_percentile "
+    "users reach for when the tolerance must be zero.  The middle ranks "
+    "(n+1)//2 and n//2+1 coincide for odd n (one selected row) and "
+    "bracket the midpoint for even n (two rows); median = sum/count "
+    "over the selected rows, which is float-deterministic because a "
+    "sum of at most TWO doubles has no association order (IEEE addition "
+    "is commutative) — no percentile_cont, whose interpolation "
+    "association the SQL standard leaves open.  The total order "
+    "(value, orderkey, linenumber) is fully deterministic, so both "
+    "engines select identical rows.  Scale: ONE hash shuffle on the "
+    "group key serves the rank window, the count window, and the final "
+    "rollup (superset-key reuse, the sessionize discipline); <= 2 rows "
+    "per group survive the filter before the |groups|-row aggregate — "
+    "fact volume never reaches the final stage.",
+    tags=("aggregates",),
+)
+def agg_median_exact_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wg = Window.partitionBy("l_returnflag", "l_linestatus")
+    v = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").alias("x"),
+        F.row_number()
+        .over(wg.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    sel = v.filter(
+        (F.col("rn") == F.expr("div(n + 1, 2)"))
+        | (F.col("rn") == F.expr("div(n, 2) + 1"))
+    )
+    # group by the WINDOW's own key columns (not the derived grp string)
+    # so the rollup reuses the window shuffle; grp is re-derived after
+    return (
+        sel.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            (F.sum("x") / F.count("*")).alias("median"),
+        )
+        .select(
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("grp"),
+            "n_rows",
+            "median",
+        )
+        .orderBy("grp")
+    )

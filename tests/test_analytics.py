@@ -307,3 +307,30 @@ def test_forecast_backtest_python_replay(spark, sf_dir):
         for r in get_query("events_forecast_backtest").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_median_exact_pergroup_matches_numpy(spark, sf_dir):
+    """The rank-selected per-group median must equal numpy's exact
+    median of the same values (linear-interpolation midpoint)."""
+    import numpy as np
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(f"{r[0]}/{r[1]}", []).append(r[2])
+    got = {
+        r["grp"]: (r["n_rows"], r["median"])
+        for r in get_query("agg_median_exact_pergroup").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for g, vals in groups.items():
+        n, med = got[g]
+        assert n == len(vals)
+        assert med == float(np.median(np.array(vals)))

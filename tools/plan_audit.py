@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "agg_median_exact_pergroup",
+        ["Window", "hashpartitioning(l_returnflag", "EXCHANGES<=2"],
+        ["CartesianProduct", "SinglePartition", "BatchEvalPython"],
+        "ONE data shuffle on the group key serves the rank window, the "
+        "count window, and the final rollup (the second exchange is the "
+        "6-row output sort); <= 2 rows per group survive the middle-rank "
+        "filter before the |groups|-row aggregate",
+    ),
+    (
         "rollup_state_duration",
         ["Window", "partial_sum", "hashpartitioning(user_id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",

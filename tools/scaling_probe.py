@@ -131,6 +131,7 @@ PROBES = [
     "text_bpe_train",
     "multimodal_scene_cut_keyframes",
     "rollup_state_duration",
+    "agg_median_exact_pergroup",
 ]
 
 
