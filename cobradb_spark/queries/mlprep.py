@@ -1361,3 +1361,68 @@ def mlprep_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "etl_l_diversity_check",
+    oracle="""
+WITH j AS (
+  SELECT CAST(c.c_nationkey AS VARCHAR) AS nat, c.c_mktsegment AS seg,
+         o.o_orderpriority AS sens
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT nat, seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct,
+       count(DISTINCT sens) >= 3 AS diverse,
+       CAST(count(*) - count(*) FILTER (sens = (
+         SELECT s FROM (SELECT sens AS s, count(*) AS c FROM j j2
+                        WHERE j2.nat = j.nat AND j2.seg = j.seg
+                        GROUP BY sens ORDER BY c DESC, s LIMIT 1)
+       )) AS BIGINT) AS n_not_mode
+FROM j GROUP BY nat, seg ORDER BY nat, seg
+""",
+    doc="Distinct l-diversity audit (Machanavajjhala et al.) — the "
+    "privacy check AFTER k-anonymity: a quasi-identifier equivalence "
+    "class that is large enough for k-anonymity can still leak if every "
+    "member shares the same SENSITIVE value (the homogeneity attack).  "
+    "Equivalence classes are the (nation, segment) quasi-identifier "
+    "pairs of etl_k_anonymize's ladder; the sensitive attribute is the "
+    "member orders' priority.  Per class: row count, the number of "
+    "distinct sensitive values (l), the l >= 3 verdict, and the count "
+    "of rows NOT carrying the class's plurality value (0 means the "
+    "class is perfectly homogeneous — one disclosure reveals everyone; "
+    "the deterministic plurality tie-break is (count DESC, value)).  "
+    "Scale: one key-equi join (customer dim broadcasts), one class "
+    "aggregate with Spark's single-distinct rewrite, and a plurality "
+    "window over the O(classes x |sensitive|) reduced frame — fact "
+    "volume reaches exactly one shuffle.",
+    tags=("mlprep",),
+)
+def etl_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("sens")
+    )
+    j = o.join(F.broadcast(c), "ck").select("nat", "seg", "sens")
+    per_val = j.groupBy("nat", "seg", "sens").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("nat", "seg").orderBy(
+        F.col("c").desc(), F.col("sens")
+    )
+    return (
+        per_val.withColumn("rk", F.row_number().over(w))
+        .groupBy("nat", "seg")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("l_distinct"),
+            (F.count("*") >= 3).alias("diverse"),
+            (F.sum("c") - F.max(F.when(F.col("rk") == 1, F.col("c"))))
+            .cast("bigint")
+            .alias("n_not_mode"),
+        )
+        .orderBy("nat", "seg")
+    )

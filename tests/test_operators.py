@@ -394,3 +394,38 @@ def test_scene_sad_walker_handbuilt_container(spark):
     df = spark.createDataFrame([(9, f0 + f1 + f2)], "id long, payload binary")
     rows = {r.frame_no: r.sad for r in decode_motion_ppm_scene_sads(df).collect()}
     assert rows == {1: 0, 2: w * h * 3 * 255}
+
+
+def test_l_diversity_python_replay(spark, sf_dir):
+    """Replay distinct l-diversity in pure Python: per (nation, segment)
+    class, distinct sensitive count, l>=3 verdict, and rows outside the
+    plurality value (ties by (count desc, value))."""
+    from collections import Counter, defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    cust = {
+        r["c_custkey"]: (str(r["c_nationkey"]), r["c_mktsegment"])
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .collect()
+    }
+    classes = defaultdict(Counter)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .collect()
+    ):
+        if r["o_custkey"] in cust:
+            classes[cust[r["o_custkey"]]][r["o_orderpriority"]] += 1
+    expect = {}
+    for k, cnt in classes.items():
+        n = sum(cnt.values())
+        mode_n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[1]
+        expect[k] = (n, len(cnt), len(cnt) >= 3, n - mode_n)
+    got = {
+        (r["nat"], r["seg"]): (r["n_rows"], r["l_distinct"], r["diverse"], r["n_not_mode"])
+        for r in get_query("etl_l_diversity_check").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "etl_l_diversity_check",
+        ["BroadcastHashJoin", "Window", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BatchEvalPython"],
+        "the customer dim broadcasts into the fact join; the class "
+        "aggregate partial-counts map-side; the plurality window runs "
+        "over the O(classes x |sensitive|) reduced frame",
+    ),
+    (
         "agg_median_exact_pergroup",
         ["Window", "hashpartitioning(l_returnflag", "EXCHANGES<=2"],
         ["CartesianProduct", "SinglePartition", "BatchEvalPython"],

@@ -132,6 +132,7 @@ PROBES = [
     "multimodal_scene_cut_keyframes",
     "rollup_state_duration",
     "agg_median_exact_pergroup",
+    "etl_l_diversity_check",
 ]
 
 
