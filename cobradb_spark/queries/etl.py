@@ -1401,3 +1401,86 @@ def etl_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "etl_bitemporal_snapshot",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+v AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate AS rec,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_orderdate + INTERVAL 30 DAY,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 2
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+b AS (
+  SELECT 'minus_60' AS belief, m - INTERVAL 60 DAY AS bd FROM mx
+  UNION ALL
+  SELECT 'latest' AS belief, m AS bd FROM mx
+),
+snap AS (
+  SELECT b.belief, v.o_orderkey, v.o_orderstatus,
+         max_by(v.cents, v.rec) AS cents
+  FROM v JOIN b ON v.rec <= b.bd
+  GROUP BY b.belief, v.o_orderkey, v.o_orderstatus
+)
+SELECT belief, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM snap GROUP BY belief, o_orderstatus ORDER BY belief, o_orderstatus
+""",
+    doc="Bitemporal (transaction-time) snapshot — 'what did we believe "
+    "on date B': every order has a version recorded at its order date, "
+    "and a deterministic subset (key % 7 = 0) receives a RESTATEMENT "
+    "recorded 30 days later (doubled cents, same valid entity); the "
+    "report reconstructs the per-status totals AS BELIEVED at two "
+    "transaction-time cutoffs (max order date minus 60 days, and "
+    "latest — both DERIVED from the data, the SCD2-epoch lesson), "
+    "taking each order's latest version recorded on or before the "
+    "belief date via max_by(cents, rec).  Corrections visibly move the "
+    "totals between the two snapshots while history stays replayable — "
+    "the audit/restatement semantics SCD2 (valid time) alone cannot "
+    "answer, completing the temporal family (SCD2 history, PIT join, "
+    "time-travel log).  Scale: the belief table is 2 rows (broadcast "
+    "into the version stream — the intended tiny-side nested-loop, the "
+    "MaxSim precedent); version selection is one hash aggregate keyed "
+    "(belief, order) with map-side partials; the final rollup is "
+    "O(beliefs x statuses).",
+    tags=("etl",),
+)
+def etl_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("rec"),
+        cents.alias("cents"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("rec"),
+            (cents * 2).alias("cents"),
+        )
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    b = mx.select(
+        F.lit("minus_60").alias("belief"),
+        (F.col("m") - F.expr("INTERVAL 60 DAY")).alias("bd"),
+    ).unionByName(mx.select(F.lit("latest").alias("belief"), F.col("m").alias("bd")))
+    snap = (
+        v.join(F.broadcast(b), F.col("rec") <= F.col("bd"))
+        .groupBy("belief", "o_orderkey", "o_orderstatus")
+        .agg(F.expr("max_by(cents, rec)").alias("cents"))
+    )
+    return (
+        snap.groupBy("belief", "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("belief", "o_orderstatus")
+    )

@@ -151,7 +151,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "etl_incremental_agg_retract", "events_forecast_backtest",
     "text_bpe_train", "multimodal_scene_cut_keyframes",
     "rollup_state_duration", "agg_median_exact_pergroup",
-    "etl_l_diversity_check",
+    "etl_l_diversity_check", "etl_bitemporal_snapshot",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

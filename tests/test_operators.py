@@ -429,3 +429,47 @@ def test_l_diversity_python_replay(spark, sf_dir):
         for r in get_query("etl_l_diversity_check").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_bitemporal_snapshot_restatement_semantics(spark, sf_dir):
+    """Python replay of the bitemporal report, plus the semantic pins:
+    the 'latest' snapshot totals must differ from 'minus_60' exactly by
+    the corrections whose 30-day-later recording falls inside the last
+    60 days, and every order appears exactly once per belief date."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    m = max(r["o_orderdate"] for r in rows)
+    beliefs = {"minus_60": m - timedelta(days=60), "latest": m}
+    expect = defaultdict(lambda: [0, 0])
+    for belief, bd in beliefs.items():
+        for r in rows:
+            versions = [(r["o_orderdate"], round(r["o_totalprice"] * 100))]
+            if r["o_orderkey"] % 7 == 0:
+                versions.append(
+                    (r["o_orderdate"] + timedelta(days=30),
+                     round(r["o_totalprice"] * 100) * 2)
+                )
+            vis = [(rec, c) for rec, c in versions if rec <= bd]
+            if vis:
+                c = max(vis)[1]
+                e = expect[(belief, r["o_orderstatus"])]
+                e[0] += 1
+                e[1] += c
+    got = {
+        (r["belief"], r["o_orderstatus"]): [r["n_orders"], r["total_cents"]]
+        for r in get_query("etl_bitemporal_snapshot").fn(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+    # restatements must actually move the totals between the snapshots
+    assert sum(v[1] for k, v in got.items() if k[0] == "latest") > sum(
+        v[1] for k, v in got.items() if k[0] == "minus_60"
+    )

@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "etl_bitemporal_snapshot",
+        ["partial_", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "the 2-row belief table broadcasts into the version stream (the "
+        "INTENDED tiny-side nested loop, the MaxSim precedent); version "
+        "selection is one hash aggregate keyed (belief, order) with "
+        "map-side partials; the final rollup is O(beliefs x statuses)",
+    ),
+    (
         "etl_l_diversity_check",
         ["BroadcastHashJoin", "Window", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",

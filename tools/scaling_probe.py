@@ -133,6 +133,7 @@ PROBES = [
     "rollup_state_duration",
     "agg_median_exact_pergroup",
     "etl_l_diversity_check",
+    "etl_bitemporal_snapshot",
 ]
 
 
