@@ -801,6 +801,107 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_iter_sql() -> str:
+    """Unrolled personalized-PageRank rounds: teleport mass goes ONLY to
+    the source node (seed), not uniformly — contributions LEFT-join so
+    zero-rank nodes stay in the vector."""
+    parts = []
+    prev = "p0"
+    for i in range(1, _ITERS + 1):
+        parts.append(
+            f"""
+pc{i} AS (SELECT e.dst AS node, sum(r.pr / r.outdeg) AS c
+        FROM edges e JOIN {prev} r ON e.src = r.node AND r.pr > 0
+        GROUP BY e.dst),
+p{i} AS (SELECT d.node, d.outdeg, d.seed,
+        round({_TELEPORT} * d.seed + {_DAMP} * coalesce(c.c, 0), 12) AS pr
+        FROM pdeg d LEFT JOIN pc{i} c USING (node))"""
+        )
+        prev = f"p{i}"
+    return ",".join(parts)
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=f"""
+WITH {_EDGE_SQL},
+src0 AS (SELECT src AS s FROM (SELECT src, count(*) AS c FROM edges
+         GROUP BY src) ORDER BY c DESC, src LIMIT 1),
+pdeg AS (SELECT src AS node, count(*) AS outdeg,
+                CASE WHEN src = (SELECT s FROM src0) THEN 1.0 ELSE 0.0 END
+                  AS seed
+         FROM edges GROUP BY src),
+p0 AS (SELECT node, outdeg, seed, seed AS pr FROM pdeg),
+{{_PPR_ITERS}}
+SELECT node AS part_id, pr AS ppr FROM p{_ITERS} WHERE pr > 0
+""".replace("{_PPR_ITERS}", _ppr_iter_sql()),
+    doc=f"Personalized PageRank (damping {_DAMP}, {_ITERS} iterations, "
+    "teleport mass entirely on the max-degree hub — the BFS/SSSP source "
+    "rule): random walks restart at the SEED, so scores rank nodes by "
+    "proximity-weighted connectivity TO THAT NODE — the related-items / "
+    "local-relevance variant of graph_pagerank's global centrality, and "
+    "the standard recommendation primitive on co-occurrence graphs.  "
+    "Same engine discipline as pagerank: per-iteration 12-decimal "
+    "re-sync for cross-engine float parity, contributions LEFT-join so "
+    "the vector stays complete (a node can gain rank in round k+1 from "
+    "a neighbor that first gained rank in round k), zero-rank sources "
+    "are filtered BEFORE the contribution join (frontier sparsity — "
+    "early rounds touch only the seed's neighborhood), and the rank "
+    "vector is size-gated broadcast with the pre-partitioned shuffle "
+    "fallback past ~8M vertices.  Output: nodes with positive mass "
+    f"(the seed's {_ITERS}-hop neighborhood).",
+    tags=("graph",),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
+    fits = _vertex_count_bound(spark, sf_dir) <= _vertex_budget_rows()
+    if fits:
+        edges = _copurchase_edges(spark, sf_dir)
+    else:
+        k = spark.sparkContext.defaultParallelism
+        edges = pin_cache(_copurchase_edges(spark, sf_dir).repartition(k, "src"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    source = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("node")).first()["node"]
+    )  # bounded collect: the deterministic hub seed
+    base = deg.select(
+        "node",
+        "outdeg",
+        F.when(F.col("node") == int(source), 1.0).otherwise(0.0).alias("seed"),
+    )
+    ranks = base.select("node", "outdeg", "seed", F.col("seed").alias("pr"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(
+                _gated(
+                    ranks.filter(F.col("pr") > 0).select(
+                        "node", (F.col("pr") / F.col("outdeg")).alias("c")
+                    ),
+                    fits,
+                ),
+                edges["src"] == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = base.join(
+            _gated(contrib, fits), base["node"] == contrib["dst"], "left"
+        ).select(
+            base["node"],
+            "outdeg",
+            "seed",
+            F.round(
+                F.lit(_TELEPORT) * F.col("seed")
+                + F.lit(_DAMP) * F.coalesce(F.col("c"), F.lit(0.0)),
+                12,
+            ).alias("pr"),
+        )
+    return ranks.filter(F.col("pr") > 0).select(
+        F.col("node").alias("part_id"), F.col("pr").alias("ppr")
+    )
+
+
 _SSSP_MAX_ROUNDS = 12
 _SSSP_INF = 1 << 60  # sentinel far above any reachable distance (w <= 7)
 

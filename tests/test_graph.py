@@ -285,3 +285,33 @@ def test_sssp_weighted_matches_dijkstra(spark, sf_dir):
         for r in graph_sssp_weighted(spark, sf_dir).collect()
     }
     assert got == dist
+
+
+def test_personalized_pagerank_seed_locality(spark, sf_dir):
+    """Semantic pins for PPR: the seed (max-degree hub) holds the top
+    score (teleport re-injects all restart mass there); total mass
+    never exceeds 1 + rounding slack; and positive mass reaches exactly
+    the seed's <=3-hop out-neighborhood (the iteration count)."""
+    from cobradb_spark.queries.graph import (
+        _copurchase_edges,
+        graph_personalized_pagerank,
+    )
+
+    rows = graph_personalized_pagerank(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["ppr"] for r in rows)
+    assert total <= 1.0 + len(rows) * 5e-13 + 1e-9
+    by_node = {r["part_id"]: r["ppr"] for r in rows}
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    deg = {}
+    adj = {}
+    for e in edges:
+        deg[e["src"]] = deg.get(e["src"], 0) + 1
+        adj.setdefault(e["src"], set()).add(e["dst"])
+    seed = max(deg, key=lambda n: (deg[n], -n))
+    assert max(by_node, key=by_node.get) == seed
+    reach, frontier = {seed}, {seed}
+    for _ in range(3):
+        frontier = {d for s in frontier for d in adj.get(s, ())}
+        reach |= frontier
+    assert set(by_node) == reach

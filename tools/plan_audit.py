@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "graph_personalized_pagerank",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "each PPR iteration joins the edge list against the BROADCAST "
+        "positive-mass rank vector (frontier sparsity: early rounds "
+        "touch only the seed neighborhood); contributions partial-"
+        "aggregate map-side; edges never re-shuffle on either gate path",
+    ),
+    (
         "etl_bitemporal_snapshot",
         ["partial_", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],

@@ -134,6 +134,7 @@ PROBES = [
     "agg_median_exact_pergroup",
     "etl_l_diversity_check",
     "etl_bitemporal_snapshot",
+    "graph_personalized_pagerank",
 ]
 
 
