@@ -90,6 +90,68 @@ def _collect_unit_matrix_gated(
     return _rows_to_unit_matrix(rows)
 
 
+def cosine_topk_against(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every QUERY vector against a
+    SEPARATE corpus (self excluded when ids coincide).  Returns RAW
+    (a_id, b_id, c, rn) — unrounded, so callers can merge several
+    partial top-k lists and re-rank losslessly before rounding (the
+    incremental-maintenance use).  Same determinism contract as
+    cosine_topk ((sim desc, id asc); full stable argsort — the
+    maintenance path scores against sub-corpora, so the O(n log n) row
+    sort cosine_topk's argpartition avoids is not the bottleneck here).
+    The corpus matrix rides the same broadcast gate."""
+    spark = queries.sparkSession
+    got = _collect_unit_matrix_gated(corpus, id_col, vec_col, BROADCAST_BYTES_LIMIT)
+    if got is None:
+        raise ValueError(
+            f"cosine_topk_against corpus matrix exceeds the "
+            f"{BROADCAST_BYTES_LIMIT >> 20} MiB broadcast budget; bucket the "
+            "corpus (LSH/IVF) and apply this kernel per bucket"
+        )
+    ids, mat_n = got
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def part(batches):
+        cids, cmat = b_ids.value, b_mat.value
+        n = len(cids)
+        for pdf in batches:
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cmat.T
+            a_ids = pdf[id_col].to_numpy()
+            # self-exclusion (ids sorted by the collect; searchsorted
+            # finds each query's own column if present in this corpus)
+            pos = np.searchsorted(cids, a_ids)
+            valid = (pos < n) & (cids[np.minimum(pos, n - 1)] == a_ids)
+            sims[np.flatnonzero(valid), pos[valid]] = -np.inf
+            np.negative(sims, out=sims)
+            kk = min(k, n)
+            sel = np.argsort(sims, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(sims, sel, axis=1)
+            np.negative(vals, out=vals)
+            keep = vals != -np.inf
+            b = len(a_ids)
+            yield pd.DataFrame(
+                {
+                    "a_id": np.repeat(a_ids, kk).reshape(b, kk)[keep],
+                    "b_id": cids[sel][keep],
+                    "c": vals[keep],
+                    "rn": np.tile(np.arange(1, kk + 1), (b, 1))[keep],
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        part, schema="a_id long, b_id long, c double, rn long"
+    )
+
+
 def cosine_topk(emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for every vector against the whole set
     (self excluded).  Returns (a_id, b_id, cos_sim rounded to 6, rn).

@@ -662,3 +662,49 @@ def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.count("h_b").cast("bigint").alias("n_overlap"))
     )
+
+
+@register(
+    "sim_topk_incremental",
+    oracle=_COS_ORACLE,
+    doc="Incremental top-k similarity maintenance: the corpus is split "
+    "into history (90%) and a newly-arrived delta batch (vec_id % 10 == "
+    "0), and the all-pairs top-5 answer over the UNION is maintained "
+    "WITHOUT rescoring history against itself — old queries merge their "
+    "stored top-k-vs-history state with fresh scores against only the "
+    "delta (top-k of a union is the top-k of the partial top-k lists: "
+    "selection is a lattice homomorphism, so the merge is lossless), "
+    "and only the delta's own queries score against the full corpus.  "
+    "The oracle is the FULL from-scratch recompute (sim_cosine_topk's "
+    "oracle verbatim); hash equality proves the incremental path exact "
+    "— the index-maintenance pattern that turns a nightly O(n^2) "
+    "rebuild into an O(n x |delta|) refresh.  Merging re-ranks on RAW "
+    "float scores (cosine_topk_against returns unrounded sims; rounding "
+    "only at output) so 6-decimal display rounding can never misorder "
+    "a boundary tie.  Scale: history-vs-history work (the quadratic "
+    "term) is never redone; both fresh scoring passes ride the gated "
+    "broadcast-BLAS kernel, which per the knn.py contract degrades to "
+    "LSH/IVF bucketed application past the 512 MiB gate.",
+    tags=("llm",),
+)
+def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.knn import cosine_topk_against
+
+    K = 5
+    e = load_table(spark, sf_dir, "embeddings")
+    hist = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    # the 'already materialized' state (in production: read back from the
+    # index store, never recomputed — rebuilt here only to seed the fixture)
+    state = cosine_topk_against(hist, hist, K)
+    inc_old = cosine_topk_against(hist, delta, K)  # old queries x delta only
+    new_q = cosine_topk_against(delta, e, K)  # new queries x full corpus
+    w = Window.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("b_id"))
+    merged_old = (
+        state.unionByName(inc_old)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+    )
+    return merged_old.unionByName(new_q).select(
+        "a_id", "b_id", F.round("c", 6).alias("cos_sim"), "rn"
+    )

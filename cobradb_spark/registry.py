@@ -152,7 +152,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "text_bpe_train", "multimodal_scene_cut_keyframes",
     "rollup_state_duration", "agg_median_exact_pergroup",
     "etl_l_diversity_check", "etl_bitemporal_snapshot",
-    "graph_personalized_pagerank",
+    "graph_personalized_pagerank", "sim_topk_incremental",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

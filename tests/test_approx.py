@@ -287,3 +287,24 @@ def test_matryoshka_overlap_bounds_and_signal(spark, sf_dir):
     mean = sum(r.n_overlap for r in rows) / n
     chance = 25.0 / max(n - 1, 1)
     assert mean > max(10 * chance, 0.5), (mean, chance)
+
+
+def test_incremental_topk_equals_full_rebuild(spark, sf_dir):
+    """The incrementally-maintained top-k must equal the from-scratch
+    cosine_topk over the full corpus, row for row (engine-internal
+    check, independent of the DuckDB oracle)."""
+    from cobradb_spark.io import load_table
+    from cobradb_spark.operators.knn import cosine_topk
+    from cobradb_spark.registry import get_query
+
+    full = {
+        (r["a_id"], r["rn"]): (r["b_id"], r["cos_sim"])
+        for r in cosine_topk(
+            load_table(spark, sf_dir, "embeddings"), k=5
+        ).collect()
+    }
+    inc = {
+        (r["a_id"], r["rn"]): (r["b_id"], r["cos_sim"])
+        for r in get_query("sim_topk_incremental").fn(spark, sf_dir).collect()
+    }
+    assert inc == full

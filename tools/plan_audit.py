@@ -1096,6 +1096,15 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "sim_topk_incremental",
+        ["MapInPandas", "WindowGroupLimit"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "history-vs-history scoring never re-executes: the two fresh "
+        "passes are gated broadcast-BLAS MapInPandas stages, and the "
+        "old-query merge re-ranks <= 2k rows per query with the rank "
+        "filter pushed down as WindowGroupLimit",
+    ),
+    (
         "graph_personalized_pagerank",
         ["BroadcastHashJoin", "partial_sum"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],

@@ -135,6 +135,7 @@ PROBES = [
     "etl_l_diversity_check",
     "etl_bitemporal_snapshot",
     "graph_personalized_pagerank",
+    "sim_topk_incremental",
 ]
 
 
