@@ -2008,3 +2008,50 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_holdout AS DECIMAL(38,0)) * scale_cents) AS BIGINT)"
         ).alias("mase_ppm"),
     ).orderBy("event_type")
+
+
+@register(
+    "analytics_top_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS c,
+         lag(event_type) OVER w AS b,
+         lag(event_type, 2) OVER w AS a
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT a || ' > ' || b || ' > ' || c AS path
+  FROM seq WHERE a IS NOT NULL
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20
+""",
+    doc="Top user paths (depth-3 journey windows): every consecutive "
+    "event-type triple in each user's (ts, event_id)-ordered stream, "
+    "counted corpus-wide, top-20 by frequency — the 'most common paths' "
+    "product-analytics view that complements "
+    "analytics_markov_transitions (first-order aggregate) and "
+    "analytics_pattern_match_journeys (fixed-pattern search) with the "
+    "empirical path-frequency ranking.  Scale: the two lag windows "
+    "share ONE user_id shuffle; triples collapse to at most |types|^3 "
+    "rows with map-side partials; top-20 is TakeOrdered, never a "
+    "global sort.",
+    tags=("analytics",),
+)
+def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type").over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    return (
+        seq.select(F.concat_ws(" > ", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -334,3 +334,33 @@ def test_median_exact_pergroup_matches_numpy(spark, sf_dir):
         n, med = got[g]
         assert n == len(vals)
         assert med == float(np.median(np.array(vals)))
+
+
+def test_top_paths_python_replay(spark, sf_dir):
+    """Replay depth-3 path counting in pure Python on (ts, event_id)-
+    ordered user streams; the top-20 must match with the (n desc, path)
+    tie-break."""
+    from collections import Counter, defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    streams = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        streams[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts = Counter()
+    for s in streams.values():
+        s.sort(key=lambda x: (x[0], x[1]))
+        types = [t for _, _, t in s]
+        for a, b, c in zip(types, types[1:], types[2:]):
+            counts[f"{a} > {b} > {c}"] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["n"])
+        for r in get_query("analytics_top_paths").fn(spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -1096,6 +1096,13 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "analytics_top_paths",
+        ["Window", "partial_count", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "the two lag windows share one user_id shuffle; triples collapse "
+        "to <= |types|^3 rows with map-side partials; top-20 is a heap",
+    ),
+    (
         "sim_topk_incremental",
         ["MapInPandas", "WindowGroupLimit"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],

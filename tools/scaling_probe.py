@@ -136,6 +136,7 @@ PROBES = [
     "etl_bitemporal_snapshot",
     "graph_personalized_pagerank",
     "sim_topk_incremental",
+    "analytics_top_paths",
 ]
 
 
