@@ -708,3 +708,121 @@ def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_old.unionByName(new_q).select(
         "a_id", "b_id", F.round("c", 6).alias("cos_sim"), "rn"
     )
+
+
+# Hashing-trick embedding constants for the composed RAG pipeline: token
+# t contributes sign(t) at dimension dim(t), both from the shared
+# md5-bucket convention so the whole pipeline is SQL-replayable.
+_RAG_DIMS = 64
+_RAG_CHUNK = 32  # tokens per (non-overlapping) chunk
+_RAG_DIM_SPARK = (
+    "CAST(conv(substring(md5(concat('rd', tok)), 1, 15), 16, 10) AS BIGINT) % 64"
+)
+_RAG_SIGN_SPARK = (
+    "1 - 2 * (CAST(conv(substring(md5(concat('rs', tok)), 1, 15), 16, 10) "
+    "AS BIGINT) % 2)"
+)
+_RAG_DIM_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(concat('rd', tok)), 1, 15)) "
+    "AS UBIGINT) % 64 AS BIGINT)"
+)
+_RAG_SIGN_DUCK = (
+    "1 - 2 * CAST(CAST(concat('0x', substr(md5(concat('rs', tok)), 1, 15)) "
+    "AS UBIGINT) % 2 AS BIGINT)"
+)
+
+
+@register(
+    "rag_chunk_index_mips",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, (i - 1) // {_RAG_CHUNK} AS chunk_no, tok
+  FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS tok,
+           generate_subscripts(str_split(text, ' '), 1) AS i
+    FROM documents
+  ) WHERE tok <> ''
+), emb AS (
+  SELECT doc_id, chunk_no, {_RAG_DIM_DUCK} AS dim,
+         CAST(sum({_RAG_SIGN_DUCK}) AS BIGINT) AS val
+  FROM toks GROUP BY doc_id, chunk_no, dim
+  HAVING sum({_RAG_SIGN_DUCK}) <> 0
+), q AS (
+  SELECT doc_id AS q_doc, dim, val FROM emb
+  WHERE doc_id % 100 = 0 AND doc_id < 1000 AND chunk_no = 0
+), dots AS (
+  SELECT q.q_doc, e.doc_id AS n_doc, e.chunk_no AS n_chunk,
+         CAST(sum(q.val * e.val) AS BIGINT) AS dot
+  FROM q JOIN emb e ON e.dim = q.dim AND e.doc_id <> q.q_doc
+  GROUP BY q.q_doc, e.doc_id, e.chunk_no
+), ranked AS (
+  SELECT q_doc, n_doc, n_chunk, dot,
+         row_number() OVER (PARTITION BY q_doc
+                            ORDER BY dot DESC, n_doc, n_chunk) AS rn
+  FROM dots
+)
+SELECT q_doc, n_doc, n_chunk, dot, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3 ORDER BY q_doc, rn
+""",
+    doc="Composed RAG indexing + retrieval pipeline, exact end to end: "
+    f"documents are chunked ({_RAG_CHUNK} tokens, non-overlapping), "
+    "every chunk gets a signed hashing-trick embedding (token t adds "
+    f"sign(t) in {{-1,+1}} at md5-bucket dimension dim(t) of "
+    f"{_RAG_DIMS} — the feature-hashing construction, integer-exact "
+    "and engine-replayable, standing in for a learned encoder with "
+    "identical Spark-side plumbing), and query chunks (chunk 0 of "
+    "every doc_id % 100 == 0) retrieve their top-3 chunks corpus-wide "
+    "by MAXIMUM INNER PRODUCT over the sparse (chunk, dim, val) index "
+    "— one dim-key equi-join, never a dense all-pairs scan, which IS "
+    "how a sparse MIPS index serves at scale (posting lists per "
+    "dimension).  Same-document chunks are excluded (the trivial "
+    "match).  Everything is BIGINT: the whole chunk -> embed -> index "
+    "-> retrieve -> rank dataflow value-hashes against the SQL replay "
+    "with zero float tolerance.  Scale: tokenize+hash is one narrow "
+    "pass; the index build is one (doc, chunk, dim) partial-agg "
+    "shuffle; the tiny query side broadcasts into the posting join; "
+    "top-3 per query is a WindowGroupLimit heap.",
+    tags=("llm",),
+)
+def rag_chunk_index_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "").select(
+        "doc_id",
+        (F.col("pos") / _RAG_CHUNK).cast("long").alias("chunk_no"),
+        "tok",
+    )
+    emb = (
+        toks.select(
+            "doc_id",
+            "chunk_no",
+            F.expr(_RAG_DIM_SPARK).alias("dim"),
+            F.expr(_RAG_SIGN_SPARK).alias("sign"),
+        )
+        .groupBy("doc_id", "chunk_no", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    q = (
+        emb.filter(
+            (F.col("doc_id") % 100 == 0)
+            & (F.col("doc_id") < 1000)
+            & (F.col("chunk_no") == 0)
+        )
+        .select(F.col("doc_id").alias("q_doc"), "dim", F.col("val").alias("qval"))
+    )
+    dots = (
+        emb.join(F.broadcast(q), "dim")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("doc_id").alias("n_doc"), F.col("chunk_no").alias("n_chunk"))
+        .agg(F.sum(F.col("qval") * F.col("val")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.col("dot").desc(), "n_doc", "n_chunk")
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_doc", "n_doc", "n_chunk", "dot", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("q_doc", "rn")
+    )

@@ -153,7 +153,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "rollup_state_duration", "agg_median_exact_pergroup",
     "etl_l_diversity_check", "etl_bitemporal_snapshot",
     "graph_personalized_pagerank", "sim_topk_incremental",
-    "analytics_top_paths",
+    "analytics_top_paths", "rag_chunk_index_mips",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

@@ -308,3 +308,50 @@ def test_incremental_topk_equals_full_rebuild(spark, sf_dir):
         for r in get_query("sim_topk_incremental").fn(spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_rag_mips_python_replay(spark, sf_dir):
+    """Replay the whole RAG pipeline in pure Python: chunking (position
+    among ALL split elements, empties skipped after), signed hashing-
+    trick embeddings, same-doc exclusion, integer MIPS top-3 with the
+    (dot desc, doc, chunk) tie-break."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.registry import get_query
+
+    def bucket(seed, tok, mod):
+        h = hashlib.md5((seed + tok).encode()).hexdigest()
+        return int(h[:15], 16) % mod
+
+    emb = defaultdict(Counter)  # (doc, chunk) -> dim -> val
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        for pos, tok in enumerate(r["text"].split(" ")):
+            if tok == "":
+                continue
+            emb[(r["doc_id"], pos // 32)][bucket("rd", tok, 64)] += (
+                1 - 2 * bucket("rs", tok, 2)
+            )
+    emb = {k: {d: v for d, v in c.items() if v != 0} for k, c in emb.items()}
+    expect = []
+    for (qd, qc), qv in sorted(emb.items()):
+        if qd % 100 != 0 or qd >= 1000 or qc != 0:
+            continue
+        scored = []
+        for (nd, nc), nv in emb.items():
+            if nd == qd:
+                continue
+            dot = sum(val * nv.get(d, 0) for d, val in qv.items())
+            if any(d in nv for d in qv):
+                scored.append((-dot, nd, nc))
+        scored.sort()
+        expect += [
+            (qd, nd, nc, -negdot, rn + 1)
+            for rn, (negdot, nd, nc) in enumerate(scored[:3])
+        ]
+    got = [
+        (r["q_doc"], r["n_doc"], r["n_chunk"], r["dot"], r["rn"])
+        for r in get_query("rag_chunk_index_mips").fn(spark, sf_dir).collect()
+    ]
+    assert got == expect

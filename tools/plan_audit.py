@@ -1096,6 +1096,16 @@ AUDITS = [
         "discipline), never the 16-round lineage",
     ),
     (
+        "rag_chunk_index_mips",
+        ["BroadcastHashJoin", "partial_sum", "WindowGroupLimit"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BatchEvalPython"],
+        "tokenize+hash is a narrow pass; the sparse index builds with "
+        "one (doc, chunk, dim) partial-agg shuffle; the tiny query side "
+        "broadcasts into the dim-posting join (never a dense all-pairs "
+        "scan); top-3 per query pushes down as WindowGroupLimit",
+    ),
+    (
         "analytics_top_paths",
         ["Window", "partial_count", "TakeOrderedAndProject"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],

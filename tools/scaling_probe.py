@@ -137,6 +137,7 @@ PROBES = [
     "graph_personalized_pagerank",
     "sim_topk_incremental",
     "analytics_top_paths",
+    "rag_chunk_index_mips",
 ]
 
 
