@@ -2055,3 +2055,68 @@ def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "analytics_subsequence_support",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b1,
+         lead(event_type, 2) OVER w AS b2,
+         lead(event_type, 3) OVER w AS b3,
+         lead(event_type, 4) OVER w AS b4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), occ AS (
+  SELECT user_id, a, b1 AS b FROM seq WHERE b1 IS NOT NULL
+  UNION ALL SELECT user_id, a, b2 FROM seq WHERE b2 IS NOT NULL
+  UNION ALL SELECT user_id, a, b3 FROM seq WHERE b3 IS NOT NULL
+  UNION ALL SELECT user_id, a, b4 FROM seq WHERE b4 IS NOT NULL
+), per_user AS (
+  SELECT a, b, user_id, CAST(count(*) AS BIGINT) AS k
+  FROM occ GROUP BY a, b, user_id
+)
+SELECT a, b, CAST(sum(k) AS BIGINT) AS n_occ,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY a, b
+""",
+    doc="Gap-bounded sequential-pattern support (PrefixSpan-style length-2 "
+    "patterns): for every ordered event-type pair (a -> b) where b occurs "
+    "1-4 positions after a in the same user's (ts, event_id)-ordered "
+    "journey, the corpus-wide occurrence count and the user support "
+    "(distinct users exhibiting the pattern at least once) — the "
+    "sequence-mining counterpart to analytics_markov_transitions "
+    "(adjacent-only) and analytics_top_paths (contiguous triples): "
+    "skip-gram patterns survive interleaved noise events that break "
+    "contiguous path counts.  Scale: the four lead() columns share ONE "
+    "user_id window shuffle (no self-join — the gap bound G is a "
+    "constant column fan-out of G, not a join blow-up); occurrences "
+    "pre-aggregate per (a, b, user) with map-side partials before the "
+    "|types|^2-row support count, so the exact COUNT(DISTINCT user) "
+    "never shuffles raw occurrence rows twice.",
+    tags=("analytics",),
+)
+def analytics_subsequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        *[F.lead("event_type", d).over(w).alias(f"b{d}") for d in (1, 2, 3, 4)],
+    )
+    occ = None
+    for d in (1, 2, 3, 4):
+        part = seq.filter(F.col(f"b{d}").isNotNull()).select(
+            "user_id", "a", F.col(f"b{d}").alias("b")
+        )
+        occ = part if occ is None else occ.unionByName(part)
+    per_user = occ.groupBy("a", "b", "user_id").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    return per_user.groupBy("a", "b").agg(
+        F.sum("k").cast("bigint").alias("n_occ"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )

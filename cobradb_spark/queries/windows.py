@@ -778,3 +778,101 @@ def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad.filter(
         2 * F.col("dev2") * 10000 > F.lit(_HAMPEL_SCALE) * F.col("mad4")
     ).select("user_id", "event_id", "ts", "cents", "med2", "mad4")
+
+
+_BOLL_WIN = 20  # classic 20-observation Bollinger frame
+
+
+@register(
+    "win_bollinger_bands",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS day,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT priority, day, cents,
+         count(*) OVER w AS n,
+         sum(cents) OVER w AS sx,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY priority ORDER BY day
+               ROWS BETWEEN {_BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT priority, day, cents, n,
+         CAST(n AS HUGEINT) * CAST(cents AS HUGEINT)
+           - CAST(sx AS HUGEINT) AS dev,
+         CAST(n AS HUGEINT) * sxx
+           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS nvar
+  FROM s WHERE n = {_BOLL_WIN}
+)
+SELECT priority, day, cents,
+       (dev > 0 AND dev * dev > 4 * nvar) AS brk_up,
+       (dev < 0 AND dev * dev > 4 * nvar) AS brk_dn
+FROM t
+""",
+    doc="Bollinger-band breakout flags over the daily revenue series per "
+    "order priority: a day breaks out when its total sits more than two "
+    f"rolling standard deviations from the {_BOLL_WIN}-day rolling mean — "
+    "the volatility-banded anomaly monitor next to the z-score/MAD/CUSUM "
+    "detectors (those are global or cumulative; this one is a moving "
+    "local band). Exactness: the band test never materializes mean or "
+    "sigma as floats — x > mean + 2*sigma cross-multiplies to the pure "
+    "integer predicate (n*x - S) > 0 AND (n*x - S)^2 > 4*(n*Sq - S^2) "
+    "over exact cent sums, with the squares in 128-bit intermediates "
+    "(DECIMAL(38,0) on Spark, HUGEINT in DuckDB) so a daily total up to "
+    "~1e17 cents cannot wrap — boolean flags are engine-identical by "
+    "construction, no rounding anywhere. Scale: facts reduce to the "
+    "(priority, day) grid in ONE partial-agg shuffle; the window runs "
+    "on the grid (O(days), data-size-independent), partitioned by the "
+    f"series key. Only full frames emit (n = {_BOLL_WIN}).",
+    tags=("window", "timeseries"),
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(-(_BOLL_WIN - 1), 0)
+    )
+    d38 = "decimal(38,0)"
+    s = daily.select(
+        "priority",
+        "day",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("sx"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
+        .over(w)
+        .alias("sxx"),
+    ).filter(F.col("n") == _BOLL_WIN)
+    dev = (
+        F.col("n").cast(d38) * F.col("cents").cast(d38) - F.col("sx").cast(d38)
+    ).alias("dev")
+    nvar = (
+        F.col("n").cast(d38) * F.col("sxx").cast(d38)
+        - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    ).alias("nvar")
+    t = s.select("priority", "day", "cents", dev, nvar)
+    return t.select(
+        "priority",
+        "day",
+        "cents",
+        ((F.col("dev") > 0) & (F.col("dev") * F.col("dev") > 4 * F.col("nvar"))).alias(
+            "brk_up"
+        ),
+        ((F.col("dev") < 0) & (F.col("dev") * F.col("dev") > 4 * F.col("nvar"))).alias(
+            "brk_dn"
+        ),
+    )
