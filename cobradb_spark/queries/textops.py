@@ -2215,3 +2215,90 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         ranks, schema="rank long, pair string, n long"
     ).orderBy("rank")
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle="""
+WITH w AS (
+  SELECT str_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+  WHERE len(ws) >= 2
+), lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), fw AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1fw
+  FROM lm GROUP BY w1
+), bw AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM lm GROUP BY w2
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM lm
+), top AS (
+  SELECT w1, w2, c12 FROM lm ORDER BY c12 DESC, w1, w2 LIMIT 200
+)
+SELECT top.w1, top.w2, top.c12,
+       CAST((CAST(4 * top.c12 - 3 AS HUGEINT) * tt.t
+             + 3 * CAST(fw.n1fw AS HUGEINT) * bw.n1bw) * 1000000000
+            // (CAST(4 AS HUGEINT) * fw.c1 * tt.t) AS BIGINT) AS p_kn_ppb
+FROM top JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN tt
+""",
+    doc="Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995; "
+    "Chen & Goodman's interpolated form with absolute discount D = 3/4): "
+    "p(w2|w1) = (c12 - D)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/T, where the "
+    "continuation weight counts DISTINCT contexts — the property that "
+    "makes KN the reference n-gram smoother ('francisco' is frequent but "
+    "follows only 'san', so its continuation mass is tiny). Scored for "
+    "the corpus's top-200 bigrams (deterministic (count, w1, w2) order). "
+    "Exactness: D = 3/4 makes every term rational with denominator "
+    "4*c1*T, so the score is the exact 128-bit integer "
+    "floor(((4*c12-3)*T + 3*N1fw*N1bw) * 1e9 / (4*c1*T)) — "
+    "DECIMAL(38,0) on Spark, HUGEINT in DuckDB, truncation identical on "
+    "positives, no float anywhere (observed bigrams have c12 >= 1, so "
+    "the discount max(c12-D, 0) never clips). Scale: ONE (w1,w2) "
+    "shuffle builds the LM table; the forward/backward/total stats are "
+    "aggregates OVER the collapsed table (|bigram vocab|, not corpus "
+    "tokens); the 200-row top side broadcasts into the stat joins.",
+    tags=("textops", "llm"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = w.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    fw = lm.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1fw"),
+    )
+    bw = lm.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1bw"))
+    tt = lm.agg(F.count("*").cast("bigint").alias("t"))
+    top = lm.orderBy(F.col("c12").desc(), "w1", "w2").limit(200)
+    j = (
+        F.broadcast(top)
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    num = (
+        (4 * F.col("c12") - 3).cast("decimal(38,0)") * F.col("t")
+        + F.lit(3).cast("decimal(38,0)") * F.col("n1fw") * F.col("n1bw")
+    ) * F.lit(1000000000)
+    den = F.lit(4).cast("decimal(38,0)") * F.col("c1") * F.col("t")
+    # div(), not decimal `/`: Spark decimal division HALF_UP-rounds at the
+    # derived result scale before any floor(), which can disagree with the
+    # oracle's pure truncating `//` by one ulp; div() truncates like `//`.
+    return j.withColumn("_num", num).withColumn("_den", den).select(
+        "w1",
+        "w2",
+        "c12",
+        F.expr("CAST(div(_num, _den) AS BIGINT)").alias("p_kn_ppb"),
+    )
