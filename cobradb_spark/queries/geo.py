@@ -482,3 +482,230 @@ def geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inside_key_sum"),
     )
+
+
+# --- DBSCAN: clumped synthetic points ------------------------------
+# The uniform _LAT/_LON field has no density structure, so DBSCAN on it
+# is degenerate (one eps fits no scale).  These positions clump
+# customers around 149 lattice centers with a +/-1.5-degree jitter;
+# every 17th key scatters uniformly instead (background noise).  All
+# arithmetic is integer -> one IEEE division, identical both engines.
+_DB_CLUMPS = 149
+_DB_EPS = 1.0
+_DB_MINPTS = 4  # core = >= 4 points within eps, INCLUDING the point itself
+
+_DB_LAT = (
+    f"CASE WHEN {{k}} % 17 = 0 THEN {_LAT.format(k='{k}', salt=3271)} "
+    f"ELSE CAST(({{k}} % {_DB_CLUMPS}) * 9973 % 120 AS DOUBLE) - 59.5 "
+    f"   + CAST((({{k}} % 1000003) * 6007) % 30001 AS DOUBLE) / 10000.0 - 1.5 END"
+)
+_DB_LON = (
+    f"CASE WHEN {{k}} % 17 = 0 THEN {_LON.format(k='{k}', salt=5689)} "
+    f"ELSE CAST(({{k}} % {_DB_CLUMPS}) * 7919 % 300 AS DOUBLE) - 149.5 "
+    f"   + CAST((({{k}} % 1000003) * 4391) % 30001 AS DOUBLE) / 10000.0 - 1.5 END"
+)
+
+_DB_ORACLE_PAIRS = f"""
+WITH p AS (
+  SELECT c_custkey AS id,
+         {_DB_LAT.format(k="c_custkey")} AS lat,
+         {_DB_LON.format(k="c_custkey")} AS lon
+  FROM customer
+), pc AS (
+  SELECT *, CAST(floor(lat / {_DB_EPS}) AS INT) AS cla,
+            CAST(floor(lon / {_DB_EPS}) AS INT) AS clo FROM p
+), px AS (
+  SELECT pc.*, o1.d AS dla, o2.d AS dlo
+  FROM pc, (VALUES (-1), (0), (1)) o1(d), (VALUES (-1), (0), (1)) o2(d)
+), pairs AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM px a JOIN pc b
+    ON a.cla + a.dla = b.cla AND a.clo + a.dlo = b.clo
+  WHERE a.id <> b.id
+    AND (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= {_DB_EPS * _DB_EPS}
+), ncnt AS (
+  SELECT p.id, 1 + coalesce(g.n, 0) AS n_in_eps
+  FROM p LEFT JOIN (SELECT src, count(*) AS n FROM pairs GROUP BY src) g
+    ON g.src = p.id
+), core AS (
+  SELECT id FROM ncnt WHERE n_in_eps >= {_DB_MINPTS}
+), ce AS (
+  SELECT pairs.src, pairs.dst FROM pairs
+  JOIN core x ON x.id = pairs.src JOIN core y ON y.id = pairs.dst
+)
+"""
+
+
+@register(
+    "geo_dbscan_grid",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS id,
+         {_DB_LAT.format(k="c_custkey")} AS lat,
+         {_DB_LON.format(k="c_custkey")} AS lon
+  FROM customer
+), pc AS (
+  SELECT *, CAST(floor(lat / {_DB_EPS}) AS INT) AS cla,
+            CAST(floor(lon / {_DB_EPS}) AS INT) AS clo FROM p
+), px AS (
+  SELECT pc.*, o1.d AS dla, o2.d AS dlo
+  FROM pc, (VALUES (-1), (0), (1)) o1(d), (VALUES (-1), (0), (1)) o2(d)
+), pairs AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM px a JOIN pc b
+    ON a.cla + a.dla = b.cla AND a.clo + a.dlo = b.clo
+  WHERE a.id <> b.id
+    AND (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= {_DB_EPS * _DB_EPS}
+), ncnt AS (
+  SELECT p.id, CAST(1 + coalesce(g.n, 0) AS BIGINT) AS n_in_eps
+  FROM p LEFT JOIN (SELECT src, count(*) AS n FROM pairs GROUP BY src) g
+    ON g.src = p.id
+), core AS (
+  SELECT id FROM ncnt WHERE n_in_eps >= {_DB_MINPTS}
+), ce AS (
+  SELECT pairs.src, pairs.dst FROM pairs
+  JOIN core x ON x.id = pairs.src JOIN core y ON y.id = pairs.dst
+), reach(src, node) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN ce e ON e.src = r.node
+), cluster AS (
+  SELECT src AS id, CAST(min(node) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY src
+), border AS (
+  SELECT pairs.src AS id, min(cl.cluster_id) AS cluster_id
+  FROM pairs JOIN cluster cl ON cl.id = pairs.dst
+  WHERE pairs.src NOT IN (SELECT id FROM core)
+  GROUP BY pairs.src
+)
+SELECT n.id, n.n_in_eps,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(c.cluster_id, b.cluster_id, -1) AS cluster_id
+FROM ncnt n
+LEFT JOIN cluster c ON c.id = n.id
+LEFT JOIN border b ON b.id = n.id
+""",
+    doc="Grid-accelerated DBSCAN (Ester et al. 1996) over clumped "
+    f"synthetic customer positions: eps = {_DB_EPS}, minPts = {_DB_MINPTS} "
+    "(neighborhood count includes the point).  Core points are found "
+    "with the same 3x3-cell equi-join as the radius family (never a "
+    "cross join — a point's eps-ball can only intersect its 9 grid "
+    "cells); clusters are the connected components of the core-core "
+    "eps-graph, computed by hash-min label propagation to fixpoint "
+    "(cluster id = min core key, so labels are order-independent — the "
+    "one deliberate deviation from scan-order DBSCAN, whose border "
+    "assignment depends on visit order: here a border point joins the "
+    "MINIMUM cluster among its core neighbors, a deterministic "
+    "refinement of the same cluster family).  Oracle: identical pair "
+    "generation + recursive-CTE reachability.  Scale: the pair join "
+    "partitions by cell key (dense-cell skew = AQE skew-join case); "
+    "label propagation shuffles only the core-edge list per round with "
+    "localCheckpoint'd frontiers; component diameter is bounded by the "
+    "clump geometry, and rounds stop at convergence.",
+    tags=("geo", "graph"),
+)
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_DB_LAT.format(k="c_custkey")).alias("lat"),
+        F.expr(_DB_LON.format(k="c_custkey")).alias("lon"),
+    )
+    pc = p.withColumn(
+        "cla", F.floor(F.col("lat") / _DB_EPS).cast("int")
+    ).withColumn("clo", F.floor(F.col("lon") / _DB_EPS).cast("int"))
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    px = (
+        pc.withColumn("dla", F.explode(offs))
+        .withColumn("dlo", F.explode(offs))
+        .withColumn("jla", F.col("cla") + F.col("dla"))
+        .withColumn("jlo", F.col("clo") + F.col("dlo"))
+        .select(
+            F.col("id").alias("src"),
+            F.col("lat").alias("alat"),
+            F.col("lon").alias("alon"),
+            "jla",
+            "jlo",
+        )
+    )
+    b = pc.select(
+        F.col("id").alias("dst"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cla").alias("bla"),
+        F.col("clo").alias("blo"),
+    )
+    d2 = (F.col("alat") - F.col("blat")) * (F.col("alat") - F.col("blat")) + (
+        F.col("alon") - F.col("blon")
+    ) * (F.col("alon") - F.col("blon"))
+    # localCheckpoint (eager), not persist: the iterative-lineage
+    # discipline from graph.py — each round must not re-analyze the
+    # grid-join subtree, and the label plan must not grow per round.
+    pairs = (
+        px.join(b, (F.col("jla") == F.col("bla")) & (F.col("jlo") == F.col("blo")))
+        .filter((F.col("src") != F.col("dst")) & (d2 <= F.lit(_DB_EPS * _DB_EPS)))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    ncnt = (
+        p.select("id")
+        .join(pairs.groupBy("src").agg(F.count("*").alias("n")), p["id"] == F.col("src"), "left")
+        .select("id", (1 + F.coalesce("n", F.lit(0))).cast("bigint").alias("n_in_eps"))
+    )
+    core = ncnt.filter(F.col("n_in_eps") >= _DB_MINPTS).select("id").localCheckpoint()
+    ce = (
+        pairs.join(core.withColumnRenamed("id", "src"), "src")
+        .join(core.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    labels = core.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    for _ in range(16):  # clump-bounded diameter; converges in ~4 rounds
+        neigh = (
+            ce.join(labels, ce.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least("cluster_id", F.coalesce("nmin", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+                (F.coalesce("nmin", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new.agg(F.max("_changed")).first()[0]
+        labels = new.select("id", "cluster_id")
+        if not changed:
+            break
+    border = (
+        pairs.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(core.withColumnRenamed("id", "src"), "src", "left_anti")
+        .groupBy("src")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+        .withColumnRenamed("src", "id")
+    )
+    out = (
+        ncnt.join(labels.withColumnRenamed("cluster_id", "c_cluster"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            "id",
+            "n_in_eps",
+            F.when(F.col("c_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("c_cluster", "b_cluster", F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+    return out
