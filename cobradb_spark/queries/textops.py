@@ -2302,3 +2302,78 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c12",
         F.expr("CAST(div(_num, _den) AS BIGINT)").alias("p_kn_ppb"),
     )
+
+
+@register(
+    "text_source_distinctive_terms",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS term FROM documents
+), st AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+  FROM tok WHERE length(term) >= 3 GROUP BY source, term
+), s AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+), t AS (
+  SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
+), n AS (
+  SELECT CAST(sum(c_st) AS BIGINT) AS n_tot FROM st
+), lift AS (
+  SELECT st.source, st.term, st.c_st,
+         CAST(CAST(st.c_st AS HUGEINT) * n.n_tot * 1000000
+              // (CAST(s.n_s AS HUGEINT) * t.c_t) AS BIGINT) AS lift_ppm
+  FROM st JOIN s USING (source) JOIN t USING (term) CROSS JOIN n
+  WHERE st.c_st >= 20
+), rnk AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY lift_ppm DESC, term) AS rn
+  FROM lift
+)
+SELECT source, term, c_st, lift_ppm, CAST(rn AS BIGINT) AS rn
+FROM rnk WHERE rn <= 10
+""",
+    doc="Distinctive terms per corpus source by exact frequency lift: "
+    "lift(term, source) = p(term|source) / p(term), cross-multiplied to "
+    "the 128-bit integer floor(c_st * N * 1e6 / (n_s * c_t)) so the "
+    "score and the (lift, term) ranking are engine-identical with no "
+    "float division — the corpus-slice profiler a data-mixing pipeline "
+    "runs to see what vocabulary a source actually contributes (the "
+    "global-baseline complement of text_tfidf_topk's per-doc weights). "
+    "Terms under 20 source occurrences are noise-gated; top-10 per "
+    "source. Scale: ONE (source, term) shuffle collapses the corpus; "
+    "source totals are a tiny broadcast; the term-baseline join is "
+    "keyed on the collapsed vocab table, never raw tokens; the "
+    "per-source top-10 is a WindowGroupLimit over the collapsed table.",
+    tags=("textops", "llm"),
+)
+def text_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    st = tok.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("c_st")
+    )
+    s = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    n = st.agg(F.sum("c_st").cast("bigint").alias("n_tot"))
+    j = (
+        st.filter(F.col("c_st") >= 20)
+        .join(F.broadcast(s), "source")
+        .join(t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_num",
+            F.col("c_st").cast("decimal(38,0)") * F.col("n_tot") * F.lit(1000000),
+        )
+        .withColumn(
+            "_den", F.col("n_s").cast("decimal(38,0)") * F.col("c_t")
+        )
+        .withColumn("lift_ppm", F.expr("CAST(div(_num, _den) AS BIGINT)"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift_ppm").desc(), "term")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "term", "c_st", "lift_ppm", F.col("rn").cast("bigint").alias("rn"))
+    )
