@@ -496,3 +496,130 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
     )
     return per_seg.unionAll(inter)
+
+
+def _td_compress(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Merging t-digest compression (Dunning & Ertl): fold sorted
+    (mean, weight) centroids into clusters whose weight respects the
+    4*W*q*(1-q)/delta size bound — small clusters at the tails, big in
+    the middle, which is what gives t-digest its tail accuracy."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w, cum = means[0], float(weights[0]), 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q = (cum + cur_w + float(w) / 2.0) / total
+        cap = max(1.0, 4.0 * total * q * (1.0 - q) / delta)
+        if cur_w + w <= cap:
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + w)
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _td_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Estimate the q-quantile from centroids: linear interpolation on
+    the cumulative-weight midpoints (the standard t-digest read-out)."""
+    total = weights.sum()
+    mids = np.cumsum(weights) - weights / 2.0
+    target = q * total
+    if target <= mids[0]:
+        return float(means[0])
+    if target >= mids[-1]:
+        return float(means[-1])
+    hi = int(np.searchsorted(mids, target))
+    lo = hi - 1
+    frac = (target - mids[lo]) / (mids[hi] - mids[lo])
+    return float(means[lo] + frac * (means[hi] - means[lo]))
+
+
+@register(
+    "agg_tdigest_quantile",
+    oracle="""
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p95,
+       true AS td_p50_within_1pct,
+       true AS td_p95_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="t-digest quantile sketch (Dunning & Ertl) — the mergeable "
+    "quantile summary completing the sketch family (HLL distinct, KMV "
+    "theta, Count-Min freq, Misra-Gries heavy hitters, Bloom membership, "
+    "fixed-bin histogram): per-Arrow-batch digests built map-side with "
+    "mapInPandas (delta=200), merged per group by re-compressing the "
+    "union of centroids (delta=100) — constant-size state per partition "
+    "regardless of row count, the 100-TB path where exact percentile() "
+    "needs a per-group global sort. Unlike the fixed-bin histogram, "
+    "bins adapt to the distribution (4*W*q*(1-q)/delta size bound: "
+    "fine at the tails, coarse in the middle). Self-grading, same "
+    "contract as agg_approx_distinct: the estimate is "
+    "partition-layout-dependent, so the hashed output is the EXACT "
+    "interpolated p50/p95 plus deterministic within-1%-relative "
+    "booleans; the oracle asserts the exact values and literal true.",
+    tags=("sketches",),
+)
+def agg_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            for flag, grp in pdf.groupby("l_returnflag"):
+                m, w = _td_compress(
+                    grp["x"].to_numpy(np.float64),
+                    np.ones(len(grp), dtype=np.float64),
+                    delta=200,
+                )
+                yield pd.DataFrame(
+                    {"l_returnflag": flag, "mean": m, "weight": w}
+                )
+
+    cents = li.mapInPandas(
+        partials, schema="l_returnflag string, mean double, weight double"
+    )
+
+    def merge(key, pdf):
+        m, w = _td_compress(
+            pdf["mean"].to_numpy(np.float64),
+            pdf["weight"].to_numpy(np.float64),
+            delta=100,
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": [key[0]],
+                "td_p50": [_td_quantile(m, w, 0.5)],
+                "td_p95": [_td_quantile(m, w, 0.95)],
+            }
+        )
+
+    est = cents.groupBy("l_returnflag").applyInPandas(
+        merge, schema="l_returnflag string, td_p50 double, td_p95 double"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5)").alias("e50"),
+        F.expr("percentile(x, 0.95)").alias("e95"),
+    )
+    return (
+        exact.join(F.broadcast(est), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("e50", 6).alias("p50"),
+            F.round("e95", 6).alias("p95"),
+            (F.abs(F.col("td_p50") - F.col("e50")) / F.col("e50") <= 0.01).alias(
+                "td_p50_within_1pct"
+            ),
+            (F.abs(F.col("td_p95") - F.col("e95")) / F.col("e95") <= 0.01).alias(
+                "td_p95_within_1pct"
+            ),
+        )
+    )

@@ -154,6 +154,10 @@ _R9_QUEUE: tuple[str, ...] = (
     "etl_l_diversity_check", "etl_bitemporal_snapshot",
     "graph_personalized_pagerank", "sim_topk_incremental",
     "analytics_top_paths", "rag_chunk_index_mips",
+    # second r7 session (all tri-scale oracle-EXACT on landing)
+    "win_bollinger_bands", "analytics_subsequence_support",
+    "text_kneser_ney_bigram", "geo_dbscan_grid",
+    "text_source_distinctive_terms", "agg_tdigest_quantile",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

@@ -355,3 +355,41 @@ def test_rag_mips_python_replay(spark, sf_dir):
         for r in get_query("rag_chunk_index_mips").fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_tdigest_kernel_accuracy_and_merge():
+    """t-digest contract: quantile error small on a skewed distribution,
+    and a two-level (partitioned build -> merge) digest agrees with a
+    single-pass digest within the same tolerance."""
+    import numpy as np
+
+    from cobradb_spark.queries.sketches import _td_compress, _td_quantile
+
+    rng = np.random.RandomState(7)
+    x = np.exp(rng.normal(0.0, 1.0, 50_000))  # lognormal: heavy tail
+    exact = {q: float(np.quantile(x, q)) for q in (0.05, 0.5, 0.95, 0.99)}
+
+    # single-pass digest
+    m1, w1 = _td_compress(x, np.ones_like(x), delta=100)
+    # two-level: 8 "partitions" compressed at delta=200, merged at 100
+    parts = [
+        _td_compress(c, np.ones_like(c), delta=200) for c in np.array_split(x, 8)
+    ]
+    m2, w2 = _td_compress(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        delta=100,
+    )
+    assert float(w1.sum()) == float(len(x)) == float(w2.sum())
+    for q, ev in exact.items():
+        for m, w in ((m1, w1), (m2, w2)):
+            assert abs(_td_quantile(m, w, q) - ev) / ev < 0.01, (q, ev)
+
+
+def test_tdigest_query_flags_true_under_repartition(spark, sf_dir):
+    """The self-grading booleans must hold on any partition layout."""
+    out = registry.get_query("agg_tdigest_quantile").fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.td_p50_within_1pct is True
+        assert r.td_p95_within_1pct is True
