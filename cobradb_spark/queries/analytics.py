@@ -2120,3 +2120,55 @@ def analytics_subsequence_support(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("k").cast("bigint").alias("n_occ"),
         F.count("*").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "analytics_new_returning_users",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+)
+SELECT du.day,
+       CAST(count(*) AS BIGINT) AS dau,
+       CAST(count(*) FILTER (WHERE du.day = fs.first_day) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE du.day > fs.first_day) AS BIGINT)
+         AS returning_users
+FROM du JOIN fs USING (user_id)
+GROUP BY du.day
+""",
+    doc="Daily active users split into new vs returning (first-seen day "
+    "per user) — the acquisition-vs-retention headline metric next to "
+    "cohort_retention (which needs a cohort matrix; this is the daily "
+    "scalar product teams chart). Exact counts, no floats. Scale: ONE "
+    "user_id shuffle serves both the first-seen min and the per-day "
+    "presence dedup (same key), then the presence rows join their "
+    "user's first day on the already-partitioned key and collapse to "
+    "the day grid with map-side partials — no window, no second fact "
+    "scan; at 100 TB the presence dedup is the cost and it is exactly "
+    "one exchange.",
+    tags=("analytics",),
+)
+def analytics_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    fs = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    du = e.distinct()
+    return (
+        du.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("dau"),
+            F.count_if(F.col("day") == F.col("first_day"))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count_if(F.col("day") > F.col("first_day"))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )

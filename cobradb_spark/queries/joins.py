@@ -1096,3 +1096,70 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("bigint").alias("version"),
         F.col("segment").cast("bigint").alias("segment"),
     )
+
+
+@register(
+    "join_interval_self_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey AS cust, o_orderkey AS k, o_orderdate AS s,
+         o_orderdate + INTERVAL ((o_orderkey % 20) + 1) DAY AS e
+  FROM orders
+)
+SELECT a.cust,
+       CAST(count(*) AS BIGINT) AS n_conflicts,
+       CAST(sum(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1)
+            AS BIGINT) AS total_overlap_days
+FROM iv a JOIN iv b
+  ON a.cust = b.cust AND a.k < b.k
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.cust
+""",
+    doc="Interval self-overlap detection (the conflict-audit shape: "
+    "double-booked resources, overlapping SCD validity windows): each "
+    "order carries a derived validity interval [orderdate, orderdate + "
+    "1..20 days]; emit, per customer, how many of their order pairs "
+    "overlap in time and the total overlapping days — exact integer "
+    "datediff arithmetic, half-open nothing: inclusive-day overlap = "
+    "datediff(min(ends), max(starts)) + 1. Scale: the self-join is "
+    "keyed on the partition key (cust), so both sides co-partition on "
+    "ONE shuffle and the quadratic term is bounded by per-key group "
+    "size, not table size (the C7 binned-range-join machinery is for "
+    "UNKEYED interval joins; when a natural partition key exists, the "
+    "keyed equi-join IS the right plan); per-key skew is AQE's "
+    "skew-join case.",
+    tags=("joins",),
+)
+def join_interval_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add(
+            F.col("o_orderdate"), ((F.col("o_orderkey") % 20) + 1).cast("int")
+        ).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("a.e"), F.col("b.e")),
+            F.greatest(F.col("a.s"), F.col("b.s")),
+        )
+        + 1
+    )
+    return (
+        j.select(F.col("a.cust").alias("cust"), overlap.alias("d"))
+        .groupBy("cust")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conflicts"),
+            F.sum("d").cast("bigint").alias("total_overlap_days"),
+        )
+    )

@@ -1426,3 +1426,66 @@ def etl_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nat", "seg")
     )
+
+
+@register(
+    "mlprep_undersample_balanced",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus AS cls,
+         md5(concat('us', CAST(o_orderkey AS VARCHAR))) AS draw
+  FROM orders
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY cls ORDER BY draw, o_orderkey) AS rn
+  FROM t
+), nmin AS (
+  SELECT min(n) AS n_min FROM (SELECT count(*) AS n FROM t GROUP BY cls)
+)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM r CROSS JOIN nmin WHERE rn <= n_min
+GROUP BY cls
+""",
+    doc="Class-balanced deterministic undersampling — the imbalanced-"
+    "label ML-prep staple: every class keeps exactly n_min = |smallest "
+    "class| rows, selected by seeded-md5 rank so the sample is "
+    "reproducible from the key alone (rerun-stable, no RNG state, same "
+    "discipline as sample_hash_deterministic). Output is the per-class "
+    "keep count plus an order-independent key checksum so the exact "
+    "membership is value-hashed. Scale: the per-class rank does NOT "
+    "use a |classes|-partition window (the 3-task parallelism trap) — "
+    "it is the exact distributed rank over the (class, draw, key) "
+    "total order (operators/rank.py: range-partition + offset "
+    "prefix-sum) with per-class offsets subtracted from a 3-row "
+    "broadcast; class counts and n_min come from one tiny aggregate "
+    "(bounded collect, |classes| rows).",
+    tags=("mlprep",),
+)
+def mlprep_undersample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("cls"),
+        F.md5(F.concat(F.lit("us"), F.col("o_orderkey").cast("string"))).alias(
+            "draw"
+        ),
+    )
+    # bounded collect: one row per class (|classes| = 3 on this schema)
+    counts = {r.cls: r.n for r in t.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    n_min = min(counts.values())
+    offsets, acc = {}, 0
+    for cls in sorted(counts):
+        offsets[cls] = acc
+        acc += counts[cls]
+    off_map = F.create_map(*[F.lit(x) for co in offsets.items() for x in co])
+    ranked = global_rank(
+        t, [F.col("cls"), F.col("draw"), F.col("o_orderkey")], rank_col="_grk"
+    )
+    kept = ranked.withColumn(
+        "_rn", F.col("_grk") - off_map[F.col("cls")]
+    ).filter(F.col("_rn") <= n_min)
+    return kept.groupBy("cls").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
