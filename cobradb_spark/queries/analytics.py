@@ -2172,3 +2172,86 @@ def analytics_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("returning_users"),
         )
     )
+
+
+_SRM_CRIT_PPM = 3841459  # chi-square(1df) critical value at alpha=0.05, in ppm
+
+
+@register(
+    "analytics_experiment_srm_check",
+    oracle=f"""
+WITH assign AS (
+  SELECT c_custkey,
+         CAST(md5(concat('srm', CAST(c_custkey AS VARCHAR))) AS VARCHAR) AS h
+  FROM customer
+), arms AS (
+  SELECT 'exp_fair' AS experiment,
+         CASE WHEN (CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT)) % 100 < 50
+              THEN 1 ELSE 0 END AS is_control
+  FROM assign
+  UNION ALL
+  SELECT 'exp_mild',
+         CASE WHEN (CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT)) % 100 < 48
+              THEN 1 ELSE 0 END
+  FROM assign
+  UNION ALL
+  SELECT 'exp_bad',
+         CASE WHEN (CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT)) % 100 < 40
+              THEN 1 ELSE 0 END
+  FROM assign
+), g AS (
+  SELECT experiment,
+         CAST(sum(is_control) AS BIGINT) AS n_c,
+         CAST(count(*) - sum(is_control) AS BIGINT) AS n_t
+  FROM arms GROUP BY experiment
+)
+SELECT experiment, n_c, n_t,
+       CAST(CAST((n_c - n_t) AS HUGEINT) * (n_c - n_t) * 1000000
+            // (n_c + n_t) AS BIGINT) AS chi2_ppm,
+       (CAST((n_c - n_t) AS HUGEINT) * (n_c - n_t) * 1000000
+        // (n_c + n_t)) > {_SRM_CRIT_PPM} AS srm_detected
+FROM g
+""",
+    doc="Sample-ratio-mismatch guardrail (the first sanity check every "
+    "experimentation platform runs before reading an A/B result): for "
+    "each experiment's deterministic md5 assignment, the chi-square "
+    "statistic against the planned 50/50 split. For two equal-share "
+    "arms the statistic collapses algebraically to (n_c - n_t)^2 / n, "
+    "so the whole test is exact 128-bit integer arithmetic in ppm "
+    "(floor((d^2 * 1e6)/n) vs the 3.841459 alpha=0.05 critical value "
+    "as the integer 3841459) — no float chi-square anywhere, flags "
+    "engine-identical. Three simulated experiments share one "
+    "assignment-hash scan: a fair 50/50, a mild 48/52 (detected only "
+    "once n is large enough — the power property, visible across scale "
+    "factors), and a broken 40/60. Scale: pure narrow map + one "
+    "3-group partial-agg rollup; no join, no window.",
+    tags=("analytics",),
+)
+def analytics_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.md5(F.concat(F.lit("srm"), F.col("c_custkey").cast("string"))).alias("h")
+    )
+    bucket = F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % 100
+    arms = None
+    for name, share in (("exp_fair", 50), ("exp_mild", 48), ("exp_bad", 40)):
+        part = c.select(
+            F.lit(name).alias("experiment"),
+            F.when(bucket < share, 1).otherwise(0).alias("is_control"),
+        )
+        arms = part if arms is None else arms.unionByName(part)
+    g = arms.groupBy("experiment").agg(
+        F.sum("is_control").cast("bigint").alias("n_c"),
+        (F.count("*") - F.sum("is_control")).cast("bigint").alias("n_t"),
+    )
+    d = F.col("n_c") - F.col("n_t")
+    chi2 = F.expr(
+        "CAST(div(CAST(n_c - n_t AS DECIMAL(38,0)) * (n_c - n_t) * 1000000,"
+        " n_c + n_t) AS BIGINT)"
+    )
+    return g.select(
+        "experiment",
+        "n_c",
+        "n_t",
+        chi2.alias("chi2_ppm"),
+        (chi2 > _SRM_CRIT_PPM).alias("srm_detected"),
+    )

@@ -1489,3 +1489,84 @@ def mlprep_undersample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
     )
+
+
+@register(
+    "mlprep_pit_training_set",
+    oracle="""
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) + INTERVAL 7 DAY AS eff_ts,
+         CAST(count(*) AS BIGINT) AS n_w,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_w
+  FROM events GROUP BY 1, 2
+), snaps AS (
+  SELECT user_id, eff_ts,
+         CAST(sum(n_w) OVER w AS BIGINT) AS feat_n_events,
+         CAST(sum(cents_w) OVER w AS BIGINT) AS feat_cents
+  FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY eff_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ex AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT ex.user_id, ex.event_id, date_trunc('day', ex.ts) AS day,
+       coalesce(s.feat_n_events, 0) AS feat_n_events,
+       coalesce(s.feat_cents, 0) AS feat_cents
+FROM ex ASOF LEFT JOIN snaps s
+  ON ex.user_id = s.user_id AND ex.ts >= s.eff_ts
+""",
+    doc="Point-in-time-correct training-set assembly — the feature-store "
+    "correctness property (no label leakage): weekly per-user feature "
+    "snapshots (cumulative event count and exact spend cents) become "
+    "EFFECTIVE at the start of the NEXT week, and every training "
+    "example (a purchase event) joins the latest snapshot effective "
+    "at-or-before its own timestamp via the engine's as-of composition "
+    "(operators/asof.py: union + one (user, ts) window — one shuffle, "
+    "no nested loop), so a week-k purchase can only see weeks < k. "
+    "First-week purchases get explicit zero features through the LEFT "
+    "as-of. Oracle: DuckDB's NATIVE ASOF LEFT JOIN over the same "
+    "snapshot CTE — the engine's composition is checked against an "
+    "independent built-in as-of implementation, tie semantics "
+    "included. Scale: snapshot build is one user-week partial agg + "
+    "per-user running sum; the as-of union shuffles once on user; "
+    "at 100 TB both stages key on user_id and AQE handles power users.",
+    tags=("mlprep", "joins"),
+)
+def mlprep_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+    from cobradb_spark.operators.asof import asof_join_backward
+
+    e = load_events(spark, sf_dir)
+    wk = e.groupBy(
+        "user_id",
+        F.expr("date_trunc('week', ts) + INTERVAL 7 DAY").alias("eff_ts"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_w"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_w"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eff_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    snaps = wk.select(
+        "user_id",
+        F.col("eff_ts").alias("ts"),
+        F.sum("n_w").over(w).cast("bigint").alias("feat_n_events"),
+        F.sum("cents_w").over(w).cast("bigint").alias("feat_cents"),
+    )
+    ex = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join_backward(
+        ex, snaps, on="ts", by="user_id",
+        right_value_cols=["feat_n_events", "feat_cents"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.coalesce("feat_n_events", F.lit(0)).cast("bigint").alias("feat_n_events"),
+        F.coalesce("feat_cents", F.lit(0)).cast("bigint").alias("feat_cents"),
+    )
