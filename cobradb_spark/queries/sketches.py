@@ -573,16 +573,23 @@ def agg_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partials(batches):
+        # ONE running digest per group per partition (not per Arrow
+        # batch): each batch's values fold into the existing centroids
+        # and re-compress, so task state is O(groups * delta) and the
+        # merge stage receives O(partitions * groups * delta) centroids
+        # regardless of row count — the partial-aggregate shape.
+        state: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             for flag, grp in pdf.groupby("l_returnflag"):
-                m, w = _td_compress(
-                    grp["x"].to_numpy(np.float64),
-                    np.ones(len(grp), dtype=np.float64),
-                    delta=200,
-                )
-                yield pd.DataFrame(
-                    {"l_returnflag": flag, "mean": m, "weight": w}
-                )
+                xs = grp["x"].to_numpy(np.float64)
+                ws = np.ones(len(xs), dtype=np.float64)
+                if flag in state:
+                    pm, pw = state[flag]
+                    xs = np.concatenate([pm, xs])
+                    ws = np.concatenate([pw, ws])
+                state[flag] = _td_compress(xs, ws, delta=200)
+        for flag, (m, w) in state.items():
+            yield pd.DataFrame({"l_returnflag": flag, "mean": m, "weight": w})
 
     cents = li.mapInPandas(
         partials, schema="l_returnflag string, mean double, weight double"

@@ -1336,6 +1336,54 @@ AUDITS = [
         "part-name/supplier filters broadcast — suppliers qualify via "
         "equi-joins only",
     ),
+    (
+        "win_bollinger_bands",
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"],
+        "band test runs on the (priority, day) grid after one partial+final "
+        "agg; the rolling window partitions by the series key, never a "
+        "single-partition sort",
+    ),
+    (
+        "analytics_subsequence_support",
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+        "gap-bounded pairs come from four lead() columns on ONE user window "
+        "— no self-join anywhere in the plan; support is partial+final "
+        "over the collapsed (a, b, user) rows",
+    ),
+    (
+        "text_kneser_ney_bigram",
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "top-200 bigram selection is a per-partition heap; the 200-row top "
+        "side and the 1-row type total broadcast into the stat joins — the "
+        "full vocab table never shuffles twice",
+    ),
+    (
+        "geo_dbscan_grid",
+        ["HashAggregate"],
+        ["CartesianProduct"],
+        "neighbor pairs come from the 3x3 cell equi-join (hash join on the "
+        "cell key), never a cross join; core/border classification is "
+        "partial+final over the pair list",
+    ),
+    (
+        "mlprep_undersample_balanced",
+        ["Window"],
+        ["SinglePartition", "CartesianProduct"],
+        "per-class rank = distributed global rank (range-partition + "
+        "offsets) minus a broadcast per-class offset — a naive "
+        "row_number() PARTITION BY class would serialize into 3 tasks",
+    ),
+    (
+        "mlprep_pit_training_set",
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the as-of feature attach is the union+window composition: one "
+        "user_id exchange serves snapshot build and carry-forward; no "
+        "join operator appears at all",
+    ),
 ]
 
 

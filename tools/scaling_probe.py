@@ -138,6 +138,18 @@ PROBES = [
     "sim_topk_incremental",
     "analytics_top_paths",
     "rag_chunk_index_mips",
+    # r7 second-session additions
+    "win_bollinger_bands",
+    "analytics_subsequence_support",
+    "text_kneser_ney_bigram",
+    "geo_dbscan_grid",
+    "text_source_distinctive_terms",
+    "agg_tdigest_quantile",
+    "analytics_new_returning_users",
+    "mlprep_undersample_balanced",
+    "join_interval_self_overlap",
+    "analytics_experiment_srm_check",
+    "mlprep_pit_training_set",
 ]
 
 
