@@ -2255,3 +2255,78 @@ def analytics_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFram
         chi2.alias("chi2_ppm"),
         (chi2 > _SRM_CRIT_PPM).alias("srm_detected"),
     )
+
+
+@register(
+    "analytics_power_mde",
+    oracle="""
+WITH pc AS (
+  SELECT o.o_custkey AS cust, any_value(c.c_mktsegment) AS seg,
+         CAST(sum(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey
+), g AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sq
+  FROM pc GROUP BY seg
+)
+SELECT seg, n, s AS sum_cents,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       CAST(2.801585 AS DOUBLE)
+         * sqrt(((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                * (CAST(4 AS DOUBLE) / CAST(n AS DOUBLE))) AS mde_abs_cents
+FROM g
+""",
+    doc="Experiment power planning — minimum detectable effect per "
+    "market segment at 80% power / 5% two-sided alpha with a 50/50 "
+    "split: MDE = (z_0.975 + z_0.80) * sqrt(var * 4/n), the third leg "
+    "of the experimentation suite (SRM guardrail, CUPED readout, and "
+    "now the before-you-launch sizing check). Exactness discipline: "
+    "the randomization unit is the customer, per-unit spend reduces to "
+    "exact integer cents, the (n, S, S^2) moments accumulate in "
+    "64/128-bit integers, and ONLY the final expression drops to "
+    "doubles — every double op (cast, *, /, sqrt) is IEEE "
+    "correctly-rounded over identical operand trees on both engines, "
+    "so the unrounded outputs are bit-identical (the geo-family rule; "
+    "the z constant is the same literal cast both sides). Scale: one "
+    "custkey partial-agg shuffle + a broadcast dim join + a 5-row "
+    "rollup — a single fact pass at any SF.",
+    tags=("analytics",),
+)
+def analytics_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pc = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.any_value("c_mktsegment").alias("seg"),
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    g = pc.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    var = (nd * F.col("sq").cast("double") - sd * sd) / (
+        nd * (F.col("n") - 1).cast("double")
+    )
+    return g.select(
+        "seg",
+        "n",
+        F.col("s").alias("sum_cents"),
+        (sd / nd).alias("mean_cents"),
+        (
+            F.lit(2.801585).cast("double")
+            * F.sqrt(var * (F.lit(4).cast("double") / nd))
+        ).alias("mde_abs_cents"),
+    )

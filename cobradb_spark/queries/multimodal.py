@@ -686,3 +686,109 @@ def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_srt_cues(synthesize_srt(d, id_col="doc_id")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n FROM documents),
+fr AS (
+  SELECT d.doc_id, t.i // 160 AS f,
+         ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+  FROM d, UNNEST(range(0, (d.n // 160) * 160)) AS t(i)
+), fe AS (
+  SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e FROM fr GROUP BY doc_id, f
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(e) AS BIGINT) AS te
+  FROM fe GROUP BY doc_id
+), act AS (
+  SELECT fe.doc_id, fe.f
+  FROM fe JOIN tot t USING (doc_id)
+  WHERE fe.e * t.n_frames > t.te
+), isl AS (
+  SELECT doc_id, f,
+         f - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT)
+           AS g
+  FROM act
+), seg AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY doc_id, g
+)
+SELECT t.doc_id, t.n_frames,
+       CAST(coalesce(sum(s.len), 0) AS BIGINT) AS n_active,
+       CAST(count(s.g) AS BIGINT) AS n_segments,
+       CAST(coalesce(max(s.len), 0) AS BIGINT) AS max_run
+FROM tot t LEFT JOIN seg s USING (doc_id)
+GROUP BY t.doc_id, t.n_frames
+""",
+    doc="Energy-based voice-activity detection over the REAL WAV fixture "
+    "(the segmentation step an audio training pipeline runs before "
+    "transcription/feature extraction): the RIFF container is decoded "
+    "(stdlib wave chunk walk, PCM frombuffer), samples split into "
+    "160-sample (20 ms @ 8 kHz) full frames, and a frame is ACTIVE when "
+    "its energy exceeds the doc's mean frame energy — tested by the "
+    "pure-integer cross-multiplication e * n_frames > total_e, so no "
+    "float threshold exists anywhere. Consecutive active frames merge "
+    "into segments (the gaps-and-islands fold, done in numpy inside "
+    "the decode task since a doc's frames are partition-local by "
+    "construction); emitted per doc: frame count, active count, "
+    "segment count, longest run. Oracle replays synth PCM -> frame "
+    "energies -> threshold -> islands entirely in SQL, value-hashing "
+    "the decode+VAD path end to end. Scale: one zero-shuffle "
+    "mapInPandas chain (synth -> decode -> VAD), per-doc linear work, "
+    "rows out = docs.",
+    tags=("multimodal",),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from cobradb_spark.operators.multimodal import synthesize_wav
+
+    d = load_table(spark, sf_dir, "documents")
+    wavs = synthesize_wav(d, id_col="doc_id")
+
+    def vad(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_active": [],
+                "n_segments": [], "max_run": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    samples = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                nf = len(samples) // 160
+                frames = samples[: nf * 160].reshape(nf, 160)
+                e = (frames * frames).sum(axis=1)
+                active = e * nf > e.sum()
+                # islands: run starts where active and previous inactive
+                starts = active & ~np.concatenate(([False], active[:-1]))
+                runs = []
+                run = 0
+                for a in active:
+                    if a:
+                        run += 1
+                    elif run:
+                        runs.append(run)
+                        run = 0
+                if run:
+                    runs.append(run)
+                out["doc_id"].append(did)
+                out["n_frames"].append(nf)
+                out["n_active"].append(int(active.sum()))
+                out["n_segments"].append(int(starts.sum()))
+                out["max_run"].append(max(runs) if runs else 0)
+            yield pd.DataFrame(out)
+
+    return wavs.select("id", "payload").mapInPandas(
+        vad,
+        schema="doc_id long, n_frames long, n_active long, "
+        "n_segments long, max_run long",
+    )

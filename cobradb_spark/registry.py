@@ -158,6 +158,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "win_bollinger_bands", "analytics_subsequence_support",
     "text_kneser_ney_bigram", "geo_dbscan_grid",
     "text_source_distinctive_terms", "agg_tdigest_quantile",
+    "analytics_new_returning_users", "mlprep_undersample_balanced",
+    "join_interval_self_overlap", "analytics_experiment_srm_check",
+    "mlprep_pit_training_set",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.
