@@ -2330,3 +2330,89 @@ def analytics_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(var * (F.lit(4).cast("double") / nd))
         ).alias("mde_abs_cents"),
     )
+
+
+_MIG_SPLIT = "'1998-07-01'"
+_MIG_BAND = (
+    "CASE WHEN {c} = 0 THEN 'none' WHEN {c} < 80000000 THEN 'low' "
+    "WHEN {c} < 160000000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@register(
+    "analytics_value_migration_matrix",
+    oracle=f"""
+WITH pc AS (
+  SELECT c.c_custkey AS cust,
+         CAST(coalesce(sum(CASE WHEN o.o_orderdate < {_MIG_SPLIT}
+                  THEN CAST(o.o_totalprice * 100 AS DECIMAL(18,0)) END), 0)
+              AS BIGINT) AS h1,
+         CAST(coalesce(sum(CASE WHEN o.o_orderdate >= {_MIG_SPLIT}
+                  THEN CAST(o.o_totalprice * 100 AS DECIMAL(18,0)) END), 0)
+              AS BIGINT) AS h2
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT {_MIG_BAND.format(c="h1")} AS band_from,
+       {_MIG_BAND.format(c="h2")} AS band_to,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(h2 - h1) AS BIGINT) AS net_cents_delta
+FROM pc GROUP BY 1, 2
+""",
+    doc="Customer value-migration matrix (the CRM movement report next "
+    "to segment_rfm's static segmentation): each customer's exact spend "
+    "cents in the two halves of the order timeline maps to a fixed "
+    "value band (none/low/mid/high — fixed thresholds, deliberately "
+    "NOT quantiles, so band membership is rerun-stable and needs no "
+    "global rank), and the 4x4 matrix counts who moved where, with the "
+    "net cent delta per cell. Customers with no orders in a half land "
+    "in 'none', so churn (high -> none) and acquisition (none -> any) "
+    "are cells of the same matrix. Exact integers end to end. Scale: "
+    "one custkey partial-agg shuffle + a 16-row rollup; the dim left "
+    "join keeps zero-order customers and broadcasts nothing big.",
+    tags=("analytics",),
+)
+def analytics_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-07-01").cast("timestamp")
+    pc = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy(F.col("c_custkey").alias("cust"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") < split,
+                        (F.col("o_totalprice") * 100).cast("decimal(18,0)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("h1"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= split,
+                        (F.col("o_totalprice") * 100).cast("decimal(18,0)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    band = lambda col: (
+        F.when(F.col(col) == 0, "none")
+        .when(F.col(col) < 80000000, "low")
+        .when(F.col(col) < 160000000, "mid")
+        .otherwise("high")
+    )
+    return pc.groupBy(
+        band("h1").alias("band_from"), band("h2").alias("band_to")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.col("h2") - F.col("h1")).cast("bigint").alias("net_cents_delta"),
+    )

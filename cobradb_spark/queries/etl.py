@@ -1484,3 +1484,61 @@ def etl_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("belief", "o_orderstatus")
     )
+
+
+@register(
+    "etl_scd3_current_previous",
+    oracle="""
+WITH h AS (
+  SELECT o_custkey AS cust, o_orderkey AS k, o_orderdate AS d,
+         o_orderpriority AS val,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+), cur AS (
+  SELECT cust, val AS cur_val FROM h WHERE rn = 1
+), prev AS (
+  SELECT h.cust, h.val AS prev_val, h.d AS prev_seen,
+         row_number() OVER (PARTITION BY h.cust
+                            ORDER BY h.d DESC, h.k DESC) AS prn
+  FROM h JOIN cur USING (cust)
+  WHERE h.val <> cur.cur_val
+)
+SELECT c.cust, c.cur_val,
+       p.prev_val, p.prev_seen
+FROM cur c LEFT JOIN (SELECT * FROM prev WHERE prn = 1) p USING (cust)
+""",
+    doc="SCD type-3 derivation (current + previous attribute columns — "
+    "the 'one step of history' dimension pattern next to the type-2 "
+    "full-history merge in etl_scd2_history): per customer, the "
+    "priority of the latest order is the CURRENT value, and the most "
+    "recent earlier order with a DIFFERENT priority supplies the "
+    "PREVIOUS value and its last-seen date (NULL when the value never "
+    "changed). Deterministic ordering by (date, key) everywhere. "
+    "Scale: both windows and the enrich join share ONE custkey "
+    "shuffle (identical partitioning — the second window reuses the "
+    "first's exchange); no fact rescans.",
+    tags=("etl",),
+)
+def etl_scd3_current_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("val"),
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("d").desc(), F.col("k").desc())
+    h = o.withColumn("rn", F.row_number().over(w))
+    cur = h.filter(F.col("rn") == 1).select("cust", F.col("val").alias("cur_val"))
+    prev = (
+        h.join(cur, "cust")
+        .filter(F.col("val") != F.col("cur_val"))
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") == 1)
+        .select("cust", F.col("val").alias("prev_val"), F.col("d").alias("prev_seen"))
+    )
+    return cur.join(prev, "cust", "left").select(
+        "cust", "cur_val", "prev_val", "prev_seen"
+    )

@@ -2377,3 +2377,74 @@ def text_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") <= 10)
         .select("source", "term", "c_st", "lift_ppm", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+@register(
+    "text_ngram_novelty_rate",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+  WHERE len(ws) >= 5
+), first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+         AS n_novel,
+       CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM g JOIN first_seen f USING (gram)
+GROUP BY g.doc_id
+""",
+    doc="Corpus novelty rate per document: the fraction of a doc's "
+    "DISTINCT word 5-grams that appear for the FIRST time in the corpus "
+    "(first = minimum doc_id, the ingestion-order convention) — the "
+    "marginal-new-content curve a crawl pipeline watches to decide when "
+    "a source is exhausted (novelty collapsing toward 0 means the "
+    "source is re-serving known text; the streaming sibling of the "
+    "ExactSubstr/dedup family's batch view). Exact integer ppm via "
+    "truncating division. Scale: ONE (gram) shuffle computes global "
+    "first-occurrence over the distinct (doc, gram) collapse, the "
+    "join-back is keyed on the same gram partitioning, and the per-doc "
+    "rollup is partial+final — no window, no self-join; at 100 TB the "
+    "gram table is the cost and it is exactly the inverted-index "
+    "shuffle every dedup op here already pays.",
+    tags=("textops", "llm"),
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 5
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ws", i),
+            F.element_at("ws", i + F.lit(1)),
+            F.element_at("ws", i + F.lit(2)),
+            F.element_at("ws", i + F.lit(3)),
+            F.element_at("ws", i + F.lit(4)),
+        ),
+    )
+    g = (
+        w.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = g.join(first_seen, "gram")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.count_if(F.col("first_doc") == F.col("doc_id"))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "CAST(div(count_if(first_doc = doc_id) * 1000000, count(*)) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
