@@ -1462,3 +1462,112 @@ def graph_functional_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("basin_n"))
     )
     return cyc.join(basin, "cycle_rep")
+
+
+@register(
+    "graph_brand_assortativity",
+    oracle=f"""
+WITH {_CC_EDGE_SQL},
+lbl AS (
+  SELECT p_partkey AS n, p_brand AS brand FROM part
+), deg AS (
+  SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM strong
+), intra AS (
+  SELECT a.brand, CAST(count(*) AS BIGINT) AS e_in
+  FROM strong s
+  JOIN lbl a ON a.n = s.p1 JOIN lbl b ON b.n = s.p2
+  WHERE a.brand = b.brand GROUP BY a.brand
+), dsum AS (
+  SELECT l.brand, CAST(sum(d.d) AS BIGINT) AS d_tot,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg d JOIN lbl l USING (n) GROUP BY l.brand
+)
+SELECT ds.brand, ds.n_nodes, ds.d_tot,
+       coalesce(i.e_in, 0) AS e_in,
+       CAST((4 * m.m * coalesce(i.e_in, 0)
+             - CAST(ds.d_tot AS HUGEINT) * ds.d_tot) * 1000000
+            // (CAST(4 AS HUGEINT) * m.m * m.m) AS BIGINT) AS q_contrib_ppm
+FROM dsum ds LEFT JOIN intra i USING (brand) CROSS JOIN m
+""",
+    doc="Attribute assortativity via Newman modularity: does the strong "
+    "co-purchase graph cluster by part BRAND? Per brand community c, "
+    "the modularity contribution e_c/m - (d_c/2m)^2 measures intra-"
+    "brand edge excess over the degree-preserving null model — summed "
+    "over brands it is the partition's modularity Q, the quantity "
+    "community detection maximizes (here evaluated for a GIVEN labeling "
+    "— the assortativity readout; LPA/CC provide discovered labelings "
+    "elsewhere in the family). Exactness: Q's terms are rationals with "
+    "denominator 4m^2, so each contribution is the exact 128-bit "
+    "integer floor((4*m*e_c - d_c^2) * 1e6 / (4*m^2)) — no float "
+    "division. Scale: degrees and intra-edges are two partial-final "
+    "aggregations over the edge list joined to a broadcast-size label "
+    "dim; the 25-row result carries all counts so the hash pins every "
+    "input to Q.",
+    tags=("graph",),
+)
+def graph_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    strong = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _CC_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    lbl = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("n"), F.col("p_brand").alias("brand")
+    )
+    edges = strong.select(F.col("p1").alias("src")).unionAll(
+        strong.select(F.col("p2").alias("src"))
+    )
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    m = strong.agg(F.count("*").cast("bigint").alias("m"))
+    la, lb = lbl.alias("la"), lbl.alias("lb")
+    intra = (
+        strong.join(la, F.col("la.n") == F.col("p1"))
+        .join(lb, F.col("lb.n") == F.col("p2"))
+        .filter(F.col("la.brand") == F.col("lb.brand"))
+        .groupBy(F.col("la.brand").alias("brand"))
+        .agg(F.count("*").cast("bigint").alias("e_in"))
+    )
+    dsum = (
+        deg.join(F.broadcast(lbl), "n")
+        .groupBy("brand")
+        .agg(
+            F.sum("d").cast("bigint").alias("d_tot"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+        )
+    )
+    out = (
+        dsum.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .withColumn("e_in", F.coalesce("e_in", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "_num",
+            (
+                F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("e_in")
+                - F.col("d_tot").cast("decimal(19,0)") * F.col("d_tot").cast("decimal(19,0)")
+            )
+            * F.lit(1000000),
+        )
+        .withColumn(
+            "_den",
+            F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("m"),
+        )
+    )
+    return out.select(
+        "brand",
+        "n_nodes",
+        "d_tot",
+        "e_in",
+        F.expr("CAST(div(_num, _den) AS BIGINT)").alias("q_contrib_ppm"),
+    )
