@@ -2448,3 +2448,186 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(div(count_if(first_doc = doc_id) * 1000000, count(*)) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+_KEEP_DOCS_SQL = """
+  SELECT doc_id, text FROM documents WHERE n_chars >= 80
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' v2 rev' FROM documents
+  WHERE n_chars >= 80 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'draft copy ' || text FROM documents
+  WHERE n_chars >= 80 AND doc_id % 3 = 0
+"""
+
+
+@register(
+    "dedup_near_cluster_keep_best",
+    oracle=f"""
+WITH RECURSIVE docs AS ({_KEEP_DOCS_SQL}),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
+                            ' ', str_split(text, ' ')[i + 2])))
+           AS shingle
+  FROM docs
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 64) ok
+    USING (shingle)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS both
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 2 * i.both >= sa.n + sb.n - i.both
+), ed AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION ALL SELECT doc_b, doc_a FROM near
+), reach(src, node) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.node
+), comp AS (
+  SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY src
+), ranked AS (
+  SELECT c.doc_id, c.cluster_id, length(d.text) AS len,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM comp c JOIN docs d USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, (rn = 1) AS is_keeper
+FROM ranked
+""",
+    doc="The COMPLETE near-dup pipeline in one operator — block, verify, "
+    "cluster, select (what etl_llm_corpus_pipeline does for EXACT dups, "
+    "done here for NEAR dups): the corpus (documents plus two mutated "
+    "generations, so true clusters exist) is blocked by shared word "
+    "bigrams (inverted-index posting join, never all-pairs), candidate "
+    "pairs VERIFY with exact set Jaccard >= 0.5 (cross-multiplied to "
+    "the integer predicate 2*|A∩B| >= |A∪B| — no float threshold), "
+    "verified pairs transitively merge via hash-min label propagation "
+    "(localCheckpoint rounds), and each cluster keeps its BEST member "
+    "(longest text, tie on doc_id) — the survivorship rule a real "
+    "pretraining dedup applies. Blocking uses word TRIgrams with a "
+    "df<=64 stop-shingle cap (capped-Jaccard contract, identical both "
+    "engines) so hot shingles cannot impose df^2 join cost. Every doc "
+    "emits (cluster, size, "
+    "keep/drop), so the decision table is value-hashed end to end "
+    "against the recursive-CTE replay. Scale: posting join cost "
+    "follows shared shingles; CC shuffles only the verified-pair "
+    "list per round; keeper selection is one WindowGroupLimit-shaped "
+    "pass per cluster.",
+    tags=("textops", "llm"),
+)
+def dedup_near_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 80)
+        .select("doc_id", "text")
+    )
+    docs = (
+        base.unionByName(
+            base.filter(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" v2 rev")).alias("text"),
+            )
+        ).unionByName(
+            base.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("draft copy "), "text").alias("text"),
+            )
+        )
+    ).localCheckpoint()
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice("w", i, 3), " "),
+    )
+    sh0 = w.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("shingle"))
+    # stop-shingle df cap: shingles shared by > 64 docs carry no dedup
+    # signal but dominate the posting join's df^2 cost — drop them from
+    # BOTH sides of the contract (capped-Jaccard semantics, mirrored in
+    # the oracle), the documented scale posture of the ngram family.
+    ok = sh0.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= 64
+    ).select("shingle")
+    sh = sh0.join(ok, "shingle").localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("both"))
+    )
+    near = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        # integer Jaccard >= 1/2: 2|A∩B| >= |A∪B|
+        .filter(2 * F.col("both") >= F.col("na") + F.col("nb") - F.col("both"))
+        .select("doc_a", "doc_b")
+    )
+    ed = near.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        near.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(12):  # mutation-family diameter is 2; bound generous
+        neigh = (
+            ed.join(labels, ed.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nmin", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_ch"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new.agg(F.max("_ch")).first()[0]
+        labels = new.select("doc_id", "cluster_id")
+        if not changed:
+            break
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.length("text").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    ranked = (
+        labels.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(wk))
+        .withColumn("cluster_size", F.count("*").over(wc).cast("bigint"))
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("rn") == 1).alias("is_keeper"),
+    )

@@ -160,7 +160,10 @@ _R9_QUEUE: tuple[str, ...] = (
     "text_source_distinctive_terms", "agg_tdigest_quantile",
     "analytics_new_returning_users", "mlprep_undersample_balanced",
     "join_interval_self_overlap", "analytics_experiment_srm_check",
-    "mlprep_pit_training_set",
+    "mlprep_pit_training_set", "multimodal_audio_vad",
+    "analytics_power_mde", "etl_scd3_current_previous",
+    "text_ngram_novelty_rate", "analytics_value_migration_matrix",
+    "graph_brand_assortativity", "dedup_near_cluster_keep_best",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

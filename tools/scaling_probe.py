@@ -150,6 +150,13 @@ PROBES = [
     "join_interval_self_overlap",
     "analytics_experiment_srm_check",
     "mlprep_pit_training_set",
+    "multimodal_audio_vad",
+    "analytics_power_mde",
+    "etl_scd3_current_previous",
+    "text_ngram_novelty_rate",
+    "analytics_value_migration_matrix",
+    "graph_brand_assortativity",
+    "dedup_near_cluster_keep_best",
 ]
 
 
