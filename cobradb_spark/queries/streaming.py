@@ -1085,3 +1085,83 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     return run_to_memory(out, "update")
+
+
+@register(
+    "stream_temporal_dim_enrich",
+    oracle="""
+WITH dim AS (
+  SELECT n_nationkey AS k, n_name, 1 AS version,
+         TIMESTAMP '1900-01-01' AS valid_from,
+         TIMESTAMP '2024-01-16' AS valid_to
+  FROM nation
+  UNION ALL
+  SELECT n_nationkey, n_name, 2,
+         TIMESTAMP '2024-01-16', TIMESTAMP '9999-01-01'
+  FROM nation
+)
+SELECT d.n_name, CAST(d.version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events e
+JOIN dim d ON e.user_id % 25 = d.k
+          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY d.n_name, d.version
+""",
+    doc="Temporal dimension enrich on a STREAM — the streaming half of "
+    "point-in-time correctness (mlprep_pit_training_set is the batch "
+    "half): each streamed event joins the dim VERSION whose validity "
+    "interval contains its event time (stream-static inner join with a "
+    "range conjunct on a broadcast versioned dim — Spark re-reads the "
+    "static side per micro-batch, which is exactly how slowly-changing "
+    "enrichment tables behave in production), so events before the "
+    "2024-01-16 version cut land on version 1 and later ones on "
+    "version 2 of the SAME nation row. Counts and exact cents per "
+    "(name, version) in complete mode; oracle = the batch equivalent "
+    "over the identical UNION-ALL versioned dim, so stream-batch "
+    "parity is value-hashed. Scale: the dim broadcasts (it is the "
+    "small side by construction); the stream never shuffles before "
+    "the keyed rollup.",
+    tags=("streaming",),
+)
+def stream_temporal_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    nation = load_table(spark, sf_dir, "nation")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    v1 = nation.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        F.lit(1).alias("version"),
+        F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
+        cut.alias("valid_to"),
+    )
+    v2 = nation.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        F.lit(2).alias("version"),
+        cut.alias("valid_from"),
+        F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id % 25 == dim.k)
+        & (ev.ts >= dim.valid_from)
+        & (ev.ts < dim.valid_to),
+    )
+    agg = joined.groupBy("n_name", "version").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return run_to_memory(
+        agg.select(
+            "n_name",
+            F.col("version").cast("bigint").alias("version"),
+            "n_events",
+            "cents",
+        ),
+        "complete",
+    )
