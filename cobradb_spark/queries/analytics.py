@@ -2416,3 +2416,55 @@ def analytics_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum(F.col("h2") - F.col("h1")).cast("bigint").alias("net_cents_delta"),
     )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         date_diff('second', lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id), ts)
+           AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 6)
+         AS p50_gap_s,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 6)
+         AS p90_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+    doc="Per-user inter-arrival gap statistics (engagement cadence: how "
+    "often does a user come back) — min/max and interpolated p50/p90 of "
+    "the second-granular gaps between consecutive events, the "
+    "behavioral input to churn models and to sessionize_events' gap "
+    "threshold choice. Gaps are exact integer seconds (date_diff on "
+    "the ordered lag); interpolated percentiles over integers are "
+    "engine-identical doubles (the agg_percentiles precedent), rounded "
+    "at 6dp. Scale: the lag window and the per-user rollup share ONE "
+    "user_id exchange; output is one row per active user.",
+    tags=("analytics", "timeseries"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
+    )

@@ -585,3 +585,42 @@ def rollup_state_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "epoch_day")
     )
+
+
+@register(
+    "rollup_dow_hour_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY 1, 2
+""",
+    doc="Day-of-week x hour-of-day activity heatmap — the standard "
+    "operations dashboard rollup (when is the system busy): event "
+    "count, exact distinct users, exact cents per (dow, hod) cell. "
+    "DuckDB dayofweek (0=Sunday..6) differs from Spark dayofweek "
+    "(1=Sunday..7) by exactly one — the Spark side subtracts 1, an "
+    "engine-semantics note of the kind H5 documents for months. "
+    "Scale: one partial+final rollup to a fixed 168-cell grid; the "
+    "exact distinct is the only shuffle-heavy term and swaps for the "
+    "HLL/bitmap sketches in this family when 100-TB exactness is not "
+    "required.",
+    tags=("rollups",),
+)
+def rollup_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir)
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -164,6 +164,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "analytics_power_mde", "etl_scd3_current_previous",
     "text_ngram_novelty_rate", "analytics_value_migration_matrix",
     "graph_brand_assortativity", "dedup_near_cluster_keep_best",
+    "stream_temporal_dim_enrich", "rollup_dow_hour_heatmap",
+    "events_inter_arrival_stats",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.
