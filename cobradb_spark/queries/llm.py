@@ -826,3 +826,167 @@ def rag_chunk_index_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "n_doc", "n_chunk", "dot", F.col("rn").cast("bigint").alias("rn"))
         .orderBy("q_doc", "rn")
     )
+
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000_000  # 1e12 // (60+rank) keeps 1e10-scale integers
+
+
+@register(
+    "rag_hybrid_rrf_fusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), emb AS (
+  SELECT doc_id, {_RAG_DIM_DUCK} AS dim,
+         CAST(sum({_RAG_SIGN_DUCK}) AS BIGINT) AS val
+  FROM toks GROUP BY doc_id, dim
+  HAVING sum({_RAG_SIGN_DUCK}) <> 0
+), qe AS (
+  SELECT doc_id AS q_doc, dim, val FROM emb
+  WHERE doc_id % 100 = 0 AND doc_id < 1000
+), dense AS (
+  SELECT q_doc, n_doc, rd FROM (
+    SELECT qe.q_doc, e.doc_id AS n_doc,
+           row_number() OVER (PARTITION BY qe.q_doc
+                              ORDER BY sum(qe.val * e.val) DESC, e.doc_id)
+             AS rd
+    FROM qe JOIN emb e ON e.dim = qe.dim AND e.doc_id <> qe.q_doc
+    GROUP BY qe.q_doc, e.doc_id
+  ) WHERE rd <= 20
+), dt AS (
+  SELECT DISTINCT doc_id, tok FROM toks
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+), nn AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks
+), qt AS (
+  SELECT doc_id AS q_doc, tok FROM dt
+  WHERE doc_id % 100 = 0 AND doc_id < 1000
+), sparse AS (
+  SELECT q_doc, n_doc, rs FROM (
+    SELECT qt.q_doc, d.doc_id AS n_doc,
+           row_number() OVER (PARTITION BY qt.q_doc
+                              ORDER BY sum(nn.n // f.df) DESC, d.doc_id) AS rs
+    FROM qt
+    JOIN dt d ON d.tok = qt.tok AND d.doc_id <> qt.q_doc
+    JOIN dfreq f ON f.tok = qt.tok
+    CROSS JOIN nn
+    GROUP BY qt.q_doc, d.doc_id
+  ) WHERE rs <= 20
+), fused AS (
+  SELECT coalesce(de.q_doc, sp.q_doc) AS q_doc,
+         coalesce(de.n_doc, sp.n_doc) AS n_doc,
+         CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + de.rd), 0)
+              + coalesce({_RRF_SCALE} // ({_RRF_K} + sp.rs), 0) AS BIGINT)
+           AS rrf_scaled,
+         CAST(de.rd AS BIGINT) AS dense_rank,
+         CAST(sp.rs AS BIGINT) AS sparse_rank
+  FROM dense de FULL OUTER JOIN sparse sp
+    ON sp.q_doc = de.q_doc AND sp.n_doc = de.n_doc
+)
+SELECT q_doc, n_doc, rrf_scaled, dense_rank, sparse_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_doc
+                               ORDER BY rrf_scaled DESC, n_doc) AS rn
+  FROM fused
+) WHERE rn <= 5
+""",
+    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    "RRF — the standard production pattern fusing a dense vector list "
+    "with a sparse lexical list): the dense leg ranks docs by exact "
+    "inner product over the hashing-trick embedding index (dim-key "
+    "posting join, the rag_chunk_index_mips machinery at doc grain); "
+    "the sparse leg ranks by rarity-weighted term overlap (weight = "
+    "N // df, an integer idf surrogate — deterministic, no ln); each "
+    "leg keeps top-20, and RRF fuses them as floor(1e12/(60+rank)) "
+    "per list (k=60, the published constant; the floor quantization "
+    "is the declared contract, keeping fusion pure-integer), top-5 "
+    "per query emitted with both source ranks (NULL when a doc "
+    "appeared in only one list — visible evidence of why hybrid "
+    "beats either leg alone). Scale: both legs are posting joins "
+    "with the 10-query side broadcast; fusion is a full-outer join "
+    "of two 200-row lists; WindowGroupLimit heaps everywhere.",
+    tags=("llm",),
+)
+def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    emb = (
+        toks.select(
+            "doc_id",
+            F.expr(_RAG_DIM_SPARK).alias("dim"),
+            F.expr(_RAG_SIGN_SPARK).alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    probe = (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 1000)
+    qe = emb.filter(probe).select(
+        F.col("doc_id").alias("q_doc"), "dim", F.col("val").alias("qval")
+    )
+    wd = Window.partitionBy("q_doc").orderBy(F.col("dot").desc(), "n_doc")
+    dense = (
+        emb.join(F.broadcast(qe), "dim")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("doc_id").alias("n_doc"))
+        .agg(F.sum(F.col("qval") * F.col("val")).cast("bigint").alias("dot"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= 20)
+        .select("q_doc", "n_doc", "rd")
+    )
+    dt = toks.distinct()
+    dfreq = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    nn = toks.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    qt = dt.filter(probe).select(F.col("doc_id").alias("q_doc"), "tok")
+    ws = Window.partitionBy("q_doc").orderBy(F.col("score").desc(), "n_doc")
+    sparse = (
+        dt.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("q_doc", F.col("doc_id").alias("n_doc"))
+        .agg(F.sum(F.expr("CAST(div(n, df) AS BIGINT)")).alias("score"))
+        .withColumn("rs", F.row_number().over(ws))
+        .filter(F.col("rs") <= 20)
+        .select("q_doc", "n_doc", "rs")
+    )
+    de, sp = dense.alias("de"), sparse.alias("sp")
+    fused = (
+        de.join(
+            sp,
+            (F.col("de.q_doc") == F.col("sp.q_doc"))
+            & (F.col("de.n_doc") == F.col("sp.n_doc")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("de.q_doc", "sp.q_doc").alias("q_doc"),
+            F.coalesce("de.n_doc", "sp.n_doc").alias("n_doc"),
+            (
+                F.coalesce(
+                    F.expr(f"CAST(div({_RRF_SCALE}, {_RRF_K} + de.rd) AS BIGINT)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"CAST(div({_RRF_SCALE}, {_RRF_K} + sp.rs) AS BIGINT)"),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_scaled"),
+            F.col("de.rd").cast("bigint").alias("dense_rank"),
+            F.col("sp.rs").cast("bigint").alias("sparse_rank"),
+        )
+    )
+    wf = Window.partitionBy("q_doc").orderBy(F.col("rrf_scaled").desc(), "n_doc")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select("q_doc", "n_doc", "rrf_scaled", "dense_rank", "sparse_rank")
+    )
