@@ -990,3 +990,188 @@ def rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_doc", "n_doc", "rrf_scaled", "dense_rank", "sparse_rank")
     )
+
+
+def _mmr_round_sql(k: int) -> str:
+    """One unrolled greedy MMR round as materialized CTEs: penalty =
+    max inner product vs the already-selected set, pick = per-query
+    argmax of rel - penalty (tie on n_doc)."""
+    prev = f"sel{k - 1}"
+    return f"""
+pen{k} AS (
+  SELECT c.q_doc, c.n_doc, max(p.ip) AS mx
+  FROM cand c
+  JOIN cpair p ON p.q_doc = c.q_doc AND p.a = c.n_doc
+  JOIN {prev} s ON s.q_doc = p.q_doc AND s.n_doc = p.b
+  GROUP BY c.q_doc, c.n_doc
+),
+sc{k} AS (
+  SELECT c.q_doc, c.n_doc, c.rel,
+         c.rel - coalesce(p.mx, 0) AS mmr,
+         row_number() OVER (PARTITION BY c.q_doc
+                            ORDER BY c.rel - coalesce(p.mx, 0) DESC, c.n_doc)
+           AS rn
+  FROM cand c
+  LEFT JOIN pen{k} p ON p.q_doc = c.q_doc AND p.n_doc = c.n_doc
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                    WHERE s.q_doc = c.q_doc AND s.n_doc = c.n_doc)
+),
+pick{k} AS (
+  SELECT q_doc, n_doc, rel, mmr, {k} AS pick_rank FROM sc{k} WHERE rn = 1
+),
+sel{k} AS (
+  SELECT q_doc, n_doc, rel, mmr, pick_rank FROM {prev}
+  UNION ALL SELECT q_doc, n_doc, rel, mmr, pick_rank FROM pick{k}
+)"""
+
+
+@register(
+    "sim_mmr_diversified",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), emb AS (
+  SELECT doc_id, {_RAG_DIM_DUCK} AS dim,
+         CAST(sum({_RAG_SIGN_DUCK}) AS BIGINT) AS val
+  FROM toks GROUP BY doc_id, dim
+  HAVING sum({_RAG_SIGN_DUCK}) <> 0
+), qe AS (
+  SELECT doc_id AS q_doc, dim, val FROM emb
+  WHERE doc_id % 100 = 0 AND doc_id < 1000
+), cand AS (
+  SELECT q_doc, n_doc, rel FROM (
+    SELECT qe.q_doc, e.doc_id AS n_doc,
+           CAST(sum(qe.val * e.val) AS BIGINT) AS rel,
+           row_number() OVER (PARTITION BY qe.q_doc
+                              ORDER BY sum(qe.val * e.val) DESC, e.doc_id)
+             AS rd
+    FROM qe JOIN emb e ON e.dim = qe.dim AND e.doc_id <> qe.q_doc
+    GROUP BY qe.q_doc, e.doc_id
+  ) WHERE rd <= 10
+), cpair AS (
+  SELECT ca.q_doc, ca.n_doc AS a, cb.n_doc AS b,
+         CAST(sum(ea.val * eb.val) AS BIGINT) AS ip
+  FROM cand ca JOIN cand cb
+    ON cb.q_doc = ca.q_doc AND cb.n_doc <> ca.n_doc
+  JOIN emb ea ON ea.doc_id = ca.n_doc
+  JOIN emb eb ON eb.doc_id = cb.n_doc AND eb.dim = ea.dim
+  GROUP BY ca.q_doc, ca.n_doc, cb.n_doc
+), sel0(q_doc, n_doc, rel, mmr, pick_rank) AS (
+  SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS INT) WHERE false
+),
+{",".join(_mmr_round_sql(k).lstrip() for k in (1, 2, 3, 4, 5))}
+SELECT q_doc, n_doc, CAST(pick_rank AS BIGINT) AS pick_rank,
+       rel AS rel_dot, mmr AS mmr_score
+FROM sel5
+""",
+    doc="Maximal-marginal-relevance diversified retrieval (Carbonell & "
+    "Goldstein 1998, lambda = 1/2 — the serving-side re-ranker that "
+    "keeps a RAG context window from filling with five copies of the "
+    "same passage): from each query's top-10 inner-product candidates, "
+    "greedily pick 5, each round maximizing rel(c) - max_ip(c, "
+    "already-selected). With lambda = 1/2 the MMR objective "
+    "cross-multiplies to that pure-integer score, so selection is "
+    "exact and engine-identical; the greedy recurrence unrolls as 5 "
+    "materialized CTE rounds in the oracle and 5 DataFrame rounds in "
+    "Spark (identical argmax tie-breaks), value-hashing every pick "
+    "AND its marginal score. Scale: candidate generation is the "
+    "posting-join MIPS; candidate-pair inner products are confined to "
+    "the <= 10 docs per query (a broadcast-size set); each greedy "
+    "round is a WindowGroupLimit argmax over <= 10 rows per query — "
+    "the sequential part is O(k), never corpus-scale.",
+    tags=("llm",),
+)
+def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    emb = (
+        toks.select(
+            "doc_id",
+            F.expr(_RAG_DIM_SPARK).alias("dim"),
+            F.expr(_RAG_SIGN_SPARK).alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    probe = (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 1000)
+    qe = emb.filter(probe).select(
+        F.col("doc_id").alias("q_doc"), "dim", F.col("val").alias("qval")
+    )
+    wd = Window.partitionBy("q_doc").orderBy(F.col("rel").desc(), "n_doc")
+    cand = (
+        emb.join(F.broadcast(qe), "dim")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("doc_id").alias("n_doc"))
+        .agg(F.sum(F.col("qval") * F.col("val")).cast("bigint").alias("rel"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= 10)
+        .select("q_doc", "n_doc", "rel")
+        .localCheckpoint()
+    )
+    ca = cand.select("q_doc", F.col("n_doc").alias("a"))
+    cb = cand.select(F.col("q_doc").alias("qb"), F.col("n_doc").alias("b"))
+    ea = emb.select(F.col("doc_id").alias("a"), "dim", F.col("val").alias("va"))
+    ebr = emb.select(F.col("doc_id").alias("b"), "dim", F.col("val").alias("vb"))
+    cpair = (
+        ca.join(cb, (ca["q_doc"] == cb["qb"]) & (ca["a"] != cb["b"]))
+        .join(ea, "a")
+        .join(ebr, ["b", "dim"])
+        .groupBy("q_doc", "a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("bigint").alias("ip"))
+        .localCheckpoint()
+    )
+    sel = None  # rows: q_doc, n_doc, rel, mmr, pick_rank
+    for k in range(1, 6):
+        if sel is None:
+            pen = None
+            remaining = cand
+        else:
+            pen = (
+                cpair.join(
+                    sel.select(F.col("q_doc").alias("sq"), F.col("n_doc").alias("sb")),
+                    (F.col("q_doc") == F.col("sq")) & (F.col("b") == F.col("sb")),
+                )
+                .groupBy("q_doc", "a")
+                .agg(F.max("ip").alias("mx"))
+                .select(F.col("q_doc").alias("pq"), F.col("a").alias("pn"), "mx")
+            )
+            remaining = cand.join(
+                sel.select(F.col("q_doc").alias("sq"), F.col("n_doc").alias("sn")),
+                (cand["q_doc"] == F.col("sq")) & (cand["n_doc"] == F.col("sn")),
+                "left_anti",
+            )
+        if pen is None:
+            scored = remaining.withColumn("mmr", F.col("rel"))
+        else:
+            scored = remaining.join(
+                pen,
+                (remaining["q_doc"] == pen["pq"]) & (remaining["n_doc"] == pen["pn"]),
+                "left",
+            ).select(
+                "q_doc",
+                "n_doc",
+                "rel",
+                (F.col("rel") - F.coalesce("mx", F.lit(0))).alias("mmr"),
+            )
+        wk = Window.partitionBy("q_doc").orderBy(F.col("mmr").desc(), "n_doc")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("q_doc", "n_doc", "rel", "mmr", F.lit(k).alias("pick_rank"))
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = sel.localCheckpoint()
+    return sel.select(
+        "q_doc",
+        "n_doc",
+        F.col("pick_rank").cast("bigint").alias("pick_rank"),
+        F.col("rel").alias("rel_dot"),
+        F.col("mmr").alias("mmr_score"),
+    )
