@@ -165,7 +165,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "text_ngram_novelty_rate", "analytics_value_migration_matrix",
     "graph_brand_assortativity", "dedup_near_cluster_keep_best",
     "stream_temporal_dim_enrich", "rollup_dow_hour_heatmap",
-    "events_inter_arrival_stats",
+    "events_inter_arrival_stats", "rag_hybrid_rrf_fusion",
+    "sim_mmr_diversified",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

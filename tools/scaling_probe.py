@@ -157,6 +157,11 @@ PROBES = [
     "analytics_value_migration_matrix",
     "graph_brand_assortativity",
     "dedup_near_cluster_keep_best",
+    "stream_temporal_dim_enrich",
+    "rollup_dow_hour_heatmap",
+    "events_inter_arrival_stats",
+    "rag_hybrid_rrf_fusion",
+    "sim_mmr_diversified",
 ]
 
 
