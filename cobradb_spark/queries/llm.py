@@ -839,7 +839,7 @@ WITH toks AS (
   SELECT doc_id, tok
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''
-), emb AS (
+), emb AS MATERIALIZED (
   SELECT doc_id, {_RAG_DIM_DUCK} AS dim,
          CAST(sum({_RAG_SIGN_DUCK}) AS BIGINT) AS val
   FROM toks GROUP BY doc_id, dim
@@ -856,7 +856,7 @@ WITH toks AS (
     FROM qe JOIN emb e ON e.dim = qe.dim AND e.doc_id <> qe.q_doc
     GROUP BY qe.q_doc, e.doc_id
   ) WHERE rd <= 20
-), dt AS (
+), dt AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok FROM toks
 ), dfreq AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
@@ -1019,7 +1019,7 @@ sc{k} AS (
 pick{k} AS (
   SELECT q_doc, n_doc, rel, mmr, {k} AS pick_rank FROM sc{k} WHERE rn = 1
 ),
-sel{k} AS (
+sel{k} AS MATERIALIZED (
   SELECT q_doc, n_doc, rel, mmr, pick_rank FROM {prev}
   UNION ALL SELECT q_doc, n_doc, rel, mmr, pick_rank FROM pick{k}
 )"""
@@ -1032,7 +1032,7 @@ WITH toks AS (
   SELECT doc_id, tok
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''
-), emb AS (
+), emb AS MATERIALIZED (
   SELECT doc_id, {_RAG_DIM_DUCK} AS dim,
          CAST(sum({_RAG_SIGN_DUCK}) AS BIGINT) AS val
   FROM toks GROUP BY doc_id, dim
@@ -1040,7 +1040,7 @@ WITH toks AS (
 ), qe AS (
   SELECT doc_id AS q_doc, dim, val FROM emb
   WHERE doc_id % 100 = 0 AND doc_id < 1000
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT q_doc, n_doc, rel FROM (
     SELECT qe.q_doc, e.doc_id AS n_doc,
            CAST(sum(qe.val * e.val) AS BIGINT) AS rel,
@@ -1050,7 +1050,7 @@ WITH toks AS (
     FROM qe JOIN emb e ON e.dim = qe.dim AND e.doc_id <> qe.q_doc
     GROUP BY qe.q_doc, e.doc_id
   ) WHERE rd <= 10
-), cpair AS (
+), cpair AS MATERIALIZED (
   SELECT ca.q_doc, ca.n_doc AS a, cb.n_doc AS b,
          CAST(sum(ea.val * eb.val) AS BIGINT) AS ip
   FROM cand ca JOIN cand cb
@@ -1113,6 +1113,9 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rd", F.row_number().over(wd))
         .filter(F.col("rd") <= 10)
         .select("q_doc", "n_doc", "rel")
+        # <=10 rows per query: collapse to a handful of partitions so the
+        # five greedy rounds do not pay 32-task scheduling per step
+        .coalesce(2)
         .localCheckpoint()
     )
     ca = cand.select("q_doc", F.col("n_doc").alias("a"))
@@ -1125,6 +1128,7 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ebr, ["b", "dim"])
         .groupBy("q_doc", "a", "b")
         .agg(F.sum(F.col("va") * F.col("vb")).cast("bigint").alias("ip"))
+        .coalesce(2)
         .localCheckpoint()
     )
     sel = None  # rows: q_doc, n_doc, rel, mmr, pick_rank
@@ -1167,7 +1171,7 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_doc", "n_doc", "rel", "mmr", F.lit(k).alias("pick_rank"))
         )
         sel = pick if sel is None else sel.unionByName(pick)
-        sel = sel.localCheckpoint()
+        sel = sel.coalesce(1).localCheckpoint()
     return sel.select(
         "q_doc",
         "n_doc",
