@@ -2468,3 +2468,78 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
         F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
     )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+WITH first_m AS (
+  SELECT o_custkey AS cust, min(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT f.cohort,
+         date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+           AS age_m,
+         CAST(sum(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS cents
+  FROM orders o JOIN first_m f ON f.cust = o.o_custkey
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n FROM first_m GROUP BY 1
+)
+SELECT r.cohort, CAST(r.age_m AS BIGINT) AS age_m, s.cohort_n,
+       CAST(sum(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age_m)
+            AS BIGINT) AS cum_cents,
+       CAST(sum(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age_m)
+            // s.cohort_n AS BIGINT) AS ltv_cents_per_user
+FROM rev r JOIN sizes s USING (cohort)
+""",
+    doc="Cohort LTV curves — cumulative revenue per acquisition cohort by "
+    "months-since-first-order, per-user LTV as exact truncated "
+    "cents-per-user (the finance counterpart of cohort_retention's "
+    "activity matrix: same cohort axis, money instead of presence). "
+    "Exact integer cents end to end; the running sum is a window over "
+    "the (cohort, age) GRID, not raw orders. Scale: one custkey "
+    "shuffle derives cohorts, facts join the broadcast-size cohort "
+    "map and collapse to the grid with map-side partials; the window "
+    "runs on O(cohorts x months) rows regardless of fact count.",
+    tags=("analytics",),
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    first_m = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(first_m, o["o_custkey"] == first_m["cust"])
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("long")
+            .alias("age_m"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    sizes = first_m.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_n")
+    )
+    w = Window.partitionBy("cohort").orderBy("age_m")
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("bigint"))
+        .select(
+            "cohort",
+            F.col("age_m").cast("bigint").alias("age_m"),
+            "cohort_n",
+            "cum_cents",
+            F.expr("CAST(div(cum_cents, cohort_n) AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )

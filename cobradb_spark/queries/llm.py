@@ -1179,3 +1179,96 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("rel_dot"),
         F.col("mmr").alias("mmr_score"),
     )
+
+
+@register(
+    "sim_filtered_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), emb AS MATERIALIZED (
+  SELECT doc_id, {_RAG_DIM_DUCK} AS dim,
+         CAST(sum({_RAG_SIGN_DUCK}) AS BIGINT) AS val
+  FROM toks GROUP BY doc_id, dim
+  HAVING sum({_RAG_SIGN_DUCK}) <> 0
+), meta AS (
+  SELECT doc_id, lang FROM documents
+), qe AS (
+  SELECT e.doc_id AS q_doc, m.lang AS q_lang, e.dim, e.val
+  FROM emb e JOIN meta m USING (doc_id)
+  WHERE e.doc_id % 100 = 0 AND e.doc_id < 1000
+), dots AS (
+  SELECT qe.q_doc, qe.q_lang, e.doc_id AS n_doc,
+         CAST(sum(qe.val * e.val) AS BIGINT) AS dot
+  FROM qe
+  JOIN emb e ON e.dim = qe.dim AND e.doc_id <> qe.q_doc
+  GROUP BY 1, 2, 3
+), filtered AS (
+  SELECT d.q_doc, d.n_doc, d.dot,
+         row_number() OVER (PARTITION BY d.q_doc
+                            ORDER BY d.dot DESC, d.n_doc) AS rn
+  FROM dots d JOIN meta m ON m.doc_id = d.n_doc AND m.lang = d.q_lang
+)
+SELECT q_doc, n_doc, dot, CAST(rn AS BIGINT) AS rn
+FROM filtered WHERE rn <= 5
+""",
+    doc="Filtered vector search (the metadata-constrained ANN every "
+    "production vector store must serve: 'nearest neighbors WHERE "
+    "lang = X' — the filter changes which k results are right, so it "
+    "cannot be bolted on after an unfiltered top-k): each probe "
+    "retrieves its top-5 inner-product neighbors restricted to "
+    "documents sharing the probe's language, via post-filtering the "
+    "posting-join candidate stream BEFORE the per-query heap (the "
+    "pre-filter strategy; at selectivities below ~1% a 100-TB "
+    "deployment flips to partition-pruned per-lang indexes — the "
+    "IVF machinery here already partitions by cell, so the composed "
+    "(lang, cell) key is the scale path). Exact BIGINT dots, "
+    "deterministic (dot, n_doc) order. Scale: one dim-key posting "
+    "join with the probe side broadcast; the lang filter joins a "
+    "broadcast-size metadata dim; WindowGroupLimit per query.",
+    tags=("llm",),
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    emb = (
+        toks.select(
+            "doc_id",
+            F.expr(_RAG_DIM_SPARK).alias("dim"),
+            F.expr(_RAG_SIGN_SPARK).alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    meta = d.select("doc_id", "lang")
+    qe = (
+        emb.join(F.broadcast(meta), "doc_id")
+        .filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 1000))
+        .select(
+            F.col("doc_id").alias("q_doc"),
+            F.col("lang").alias("q_lang"),
+            "dim",
+            F.col("val").alias("qval"),
+        )
+    )
+    dots = (
+        emb.join(F.broadcast(qe), "dim")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", "q_lang", F.col("doc_id").alias("n_doc"))
+        .agg(F.sum(F.col("qval") * F.col("val")).cast("bigint").alias("dot"))
+    )
+    nm = meta.select(F.col("doc_id").alias("n_doc"), F.col("lang").alias("n_lang"))
+    w = Window.partitionBy("q_doc").orderBy(F.col("dot").desc(), "n_doc")
+    return (
+        dots.join(F.broadcast(nm), "n_doc")
+        .filter(F.col("n_lang") == F.col("q_lang"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_doc", "n_doc", "dot", F.col("rn").cast("bigint").alias("rn"))
+    )

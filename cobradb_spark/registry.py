@@ -166,7 +166,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "graph_brand_assortativity", "dedup_near_cluster_keep_best",
     "stream_temporal_dim_enrich", "rollup_dow_hour_heatmap",
     "events_inter_arrival_stats", "rag_hybrid_rrf_fusion",
-    "sim_mmr_diversified",
+    "sim_mmr_diversified", "analytics_cohort_ltv", "sim_filtered_topk",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

@@ -162,6 +162,8 @@ PROBES = [
     "events_inter_arrival_stats",
     "rag_hybrid_rrf_fusion",
     "sim_mmr_diversified",
+    "analytics_cohort_ltv",
+    "sim_filtered_topk",
 ]
 
 
