@@ -1542,3 +1542,38 @@ def etl_scd3_current_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.join(prev, "cust", "left").select(
         "cust", "cur_val", "prev_val", "prev_seen"
     )
+
+
+@register(
+    "etl_surrogate_keys",
+    oracle="""
+SELECT CAST(row_number() OVER (ORDER BY p_brand, p_partkey) AS BIGINT)
+         AS surrogate_key,
+       p_partkey, p_brand
+FROM part
+""",
+    doc="Dense surrogate-key assignment for a dimension build (the "
+    "warehouse-ETL step that replaces natural keys with compact "
+    "monotonically-assigned integers, deterministic under reruns "
+    "because the order is a total one: (brand, natural key)): "
+    "surrogate = exact global row_number over the dimension — computed "
+    "DISTRIBUTED via operators/rank.py (range-partition by the order "
+    "key + per-partition offsets from a tiny count map), never the "
+    "Exchange SinglePartition a naive unpartitioned row_number() "
+    "plans. monotonically_increasing_id() is rejected deliberately: "
+    "its values depend on partition layout (not rerun-stable, not "
+    "dense). Scale: one range-exchange, O(1) driver state.",
+    tags=("etl",),
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ranked = global_rank(
+        p, [F.col("p_brand"), F.col("p_partkey")], rank_col="surrogate_key"
+    )
+    return ranked.select(
+        F.col("surrogate_key").cast("bigint").alias("surrogate_key"),
+        "p_partkey",
+        "p_brand",
+    )

@@ -1570,3 +1570,50 @@ def mlprep_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("feat_n_events", F.lit(0)).cast("bigint").alias("feat_n_events"),
         F.coalesce("feat_cents", F.lit(0)).cast("bigint").alias("feat_cents"),
     )
+
+
+@register(
+    "mlprep_time_split_embargo",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey, o_orderdate,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'train'
+              WHEN o_orderdate >= TIMESTAMP '1998-03-01' THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM orders
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM b GROUP BY split
+""",
+    doc="Temporal train/test split with an embargo gap (the "
+    "leakage-safe alternative to random splits for time-series ML: "
+    "train strictly before the cut, test strictly after cut + embargo, "
+    "the two-month embargo absorbing label look-ahead windows so no "
+    "training label period overlaps the test features — the "
+    "de Prado purged-split idea at dataset grain). Deterministic from "
+    "the timestamp alone (rerun-stable, no RNG); emits per-split row "
+    "counts, date bounds, and an order-independent key checksum so "
+    "membership is value-hashed. Scale: one narrow map + a 3-group "
+    "rollup — membership never shuffles.",
+    tags=("mlprep",),
+)
+def mlprep_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    train_end = F.lit("1998-01-01").cast("timestamp")
+    test_start = F.lit("1998-03-01").cast("timestamp")
+    b = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderdate") < train_end, "train")
+        .when(F.col("o_orderdate") >= test_start, "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    return b.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )

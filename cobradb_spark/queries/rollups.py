@@ -624,3 +624,60 @@ def rollup_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@register(
+    "rollup_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), seg AS (
+  SELECT user_id, cents,
+         date_diff('second', ts, nxt) AS dur_s
+  FROM s WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur_s) AS BIGINT) AS total_s,
+       CAST(sum(cents * dur_s) AS BIGINT) AS weighted_sum,
+       CAST(sum(cents * dur_s) // sum(dur_s) AS BIGINT) AS twap_cents
+FROM seg WHERE dur_s > 0
+GROUP BY user_id
+""",
+    doc="Time-weighted average (TWAP) per user over the irregular event "
+    "stream — each observation holds until the next one, so its weight "
+    "is the integer-second duration of its validity segment (the "
+    "step-function integral finance and sensor pipelines need where a "
+    "plain AVG over-weights bursts of rapid updates). Pure integers: "
+    "cents x seconds sums in BIGINT, the final TWAP as truncating "
+    "division (both engines truncate toward zero, verified). "
+    "Zero-duration segments (same-second updates) drop on both sides. "
+    "Scale: the lead() window and the per-user rollup share ONE "
+    "user_id exchange; the weighted sums combine map-side.",
+    tags=("rollups", "timeseries"),
+)
+def rollup_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias(
+            "dur_s"
+        ),
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("dur_s").cast("bigint").alias("total_s"),
+        F.sum(F.col("cents") * F.col("dur_s")).cast("bigint").alias("weighted_sum"),
+        F.expr(
+            "CAST(div(sum(cents * dur_s), sum(dur_s)) AS BIGINT)"
+        ).alias("twap_cents"),
+    )

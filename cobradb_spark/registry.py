@@ -167,6 +167,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "stream_temporal_dim_enrich", "rollup_dow_hour_heatmap",
     "events_inter_arrival_stats", "rag_hybrid_rrf_fusion",
     "sim_mmr_diversified", "analytics_cohort_ltv", "sim_filtered_topk",
+    "mlprep_time_split_embargo", "rollup_time_weighted_avg",
+    "etl_surrogate_keys",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

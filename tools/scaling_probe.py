@@ -164,6 +164,9 @@ PROBES = [
     "sim_mmr_diversified",
     "analytics_cohort_ltv",
     "sim_filtered_topk",
+    "mlprep_time_split_embargo",
+    "rollup_time_weighted_avg",
+    "etl_surrogate_keys",
 ]
 
 
