@@ -70,6 +70,17 @@ PROBE_KEYS = [
     "analytics_markov_transitions",
     "text_bpe_train",
     "etl_incremental_agg_retract",
+    # r7 second-session keys with partition-order exposure: the greedy
+    # MMR round loop (argmax pulls per round), the hash-min CC loops
+    # (DBSCAN clusters, near-dup keep-best), the distributed per-class
+    # rank, the t-digest per-partition partials (flags must hold under
+    # any layout), and the KN top-200 TakeOrdered selection
+    "sim_mmr_diversified",
+    "geo_dbscan_grid",
+    "dedup_near_cluster_keep_best",
+    "mlprep_undersample_balanced",
+    "agg_tdigest_quantile",
+    "text_kneser_ney_bigram",
 ]
 
 

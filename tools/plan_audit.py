@@ -1384,6 +1384,40 @@ AUDITS = [
         "user_id exchange serves snapshot build and carry-forward; no "
         "join operator appears at all",
     ),
+    (
+        "rag_hybrid_rrf_fusion",
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["CartesianProduct"],
+        "both retrieval legs are posting joins with the 10-query side "
+        "broadcast; every top-k (leg top-20s and the fused top-5) plans "
+        "WindowGroupLimit, never a global sort. The one "
+        "BroadcastNestedLoopJoin is INTENDED: it attaches the 1-row "
+        "corpus-size total to the sparse leg (BuildRight of a single "
+        "row — constant cost at any scale)",
+    ),
+    (
+        "sim_filtered_topk",
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "filtered vector search: the metadata dim and the query side both "
+        "broadcast into the posting join; the lang pre-filter lands before "
+        "the per-query heap",
+    ),
+    (
+        "etl_surrogate_keys",
+        ["Window"],
+        ["SinglePartition"],
+        "dense key assignment through the distributed rank — a naive "
+        "row_number() over the whole dimension would plan Exchange "
+        "SinglePartition here",
+    ),
+    (
+        "analytics_cohort_ltv",
+        ["BroadcastHashJoin", "Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "facts collapse to the (cohort, age) grid with map-side partials "
+        "before the running sum; the cohort map and sizes broadcast",
+    ),
 ]
 
 
