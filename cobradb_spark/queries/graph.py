@@ -88,6 +88,34 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strong_edges_both_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-symmetric strong edge list (part pairs sharing >=
+    _CC_MIN_SUPPORT orders) — the _CC_EDGE_SQL `edges` CTE in DataFrame
+    form, shared by the components/assortativity ops."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    strong = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _CC_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    return strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+        strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+
+
 def _pagerank_iter_sql() -> str:
     """Unrolled per-iteration CTEs mirroring the Spark loop exactly."""
     parts = []
@@ -1570,4 +1598,82 @@ def graph_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_tot",
         "e_in",
         F.expr("CAST(div(_num, _den) AS BIGINT)").alias("q_contrib_ppm"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH {_CC_EDGE_SQL},
+deg AS (
+  SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+), de AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN deg da ON da.n = e.src JOIN deg db ON db.n = e.dst
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM de
+)
+SELECT n AS n_directed_edges, sx AS deg_sum,
+       CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS assortativity
+FROM m
+""",
+    doc="Degree assortativity coefficient (Newman): the Pearson "
+    "correlation of endpoint degrees over the directed-symmetric edge "
+    "list of the strong co-purchase graph — do hubs attach to hubs "
+    "(r > 0, social-network-like) or to leaves (r < 0, "
+    "technological/dependency-like)? The structural summary that "
+    "decides whether degree-oriented algorithms (triangle counting's "
+    "sqrt-bound, the jaccard hub cap) will pay off. Exactness: all "
+    "five moment sums are exact BIGINTs over integer degrees; the "
+    "final correlation is one double expression over identical "
+    "operand trees (IEEE correctly-rounded, engine-identical "
+    "unrounded — the power-MDE discipline). Scale: one degree "
+    "aggregate + two broadcast-size joins back to the edge list + a "
+    "1-row moment rollup; no window, no iteration.",
+    tags=("graph",),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _strong_edges_both_dirs(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("n").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("n").alias("dst"), F.col("d").alias("y"))
+    de = edges.join(da, "src").join(db, "dst").select("x", "y")
+    m = de.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.col("sx").alias("deg_sum"),
+        num.alias("cov_num"),
+        (num / F.sqrt(vx * vy)).alias("assortativity"),
     )

@@ -842,3 +842,54 @@ def sink_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "p_partkey", "payload", F.length("payload").cast("bigint").alias("n_chars")
     )
+
+
+@register(
+    "scan_json_multiline",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= 50 ORDER BY doc_id LIMIT 400
+""",
+    doc="Multi-line JSON reader path (A4's sibling: one pretty-printed "
+    "JSON ARRAY per file instead of one object per line — the shape "
+    "most REST-API dumps and config exports arrive in): the fixture "
+    "writes the filtered documents metadata as indented JSON arrays "
+    "(several files, each a single top-level array spanning many "
+    "lines), reads them back with multiLine=true, and must reproduce "
+    "the source rows exactly. The 100-TB caveat is part of the "
+    "operator's contract and doc: a multiLine JSON file is ONE "
+    "splittable unit (the whole file is a single record boundary "
+    "scope), so the writer side keeps files small and many — exactly "
+    "what this fixture does (8 files) — whereas JSONL splits by line "
+    "and is the at-scale default.",
+    tags=("scans",),
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(400)
+    )
+    tmp = scratch_dir("cobradb_mljson_")
+    path = os.path.join(tmp, "docs_multiline")
+    os.makedirs(path, exist_ok=True)
+    # 8 pretty-printed array files, written deterministically by bucket.
+    # Bounded collect: exactly <= 400 three-column metadata rows (the
+    # LIMIT above IS the bound) — the operator exercises the multiLine
+    # READER; a production writer would partition-write via df.write
+    rows = d.collect()
+    buckets: dict[int, list] = {}
+    for r in rows:
+        buckets.setdefault(r.doc_id % 8, []).append(
+            {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+        )
+    for b, items in sorted(buckets.items()):
+        items.sort(key=lambda x: x["doc_id"])
+        with open(os.path.join(path, f"part-{b}.json"), "w") as f:
+            json.dump(items, f, indent=2)
+    back = spark.read.option("multiLine", "true").json(path)
+    return back.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))

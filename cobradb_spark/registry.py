@@ -168,7 +168,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "events_inter_arrival_stats", "rag_hybrid_rrf_fusion",
     "sim_mmr_diversified", "analytics_cohort_ltv", "sim_filtered_topk",
     "mlprep_time_split_embargo", "rollup_time_weighted_avg",
-    "etl_surrogate_keys",
+    "etl_surrogate_keys", "graph_degree_assortativity",
+    "scan_json_multiline",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

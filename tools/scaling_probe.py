@@ -167,6 +167,8 @@ PROBES = [
     "mlprep_time_split_embargo",
     "rollup_time_weighted_avg",
     "etl_surrogate_keys",
+    "graph_degree_assortativity",
+    "scan_json_multiline",
 ]
 
 
