@@ -792,3 +792,66 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, n_active long, "
         "n_segments long, max_run long",
     )
+
+
+@register(
+    "multimodal_image_channel_hist",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, c.c AS channel,
+         ((d.doc_id + x.x * 3 + y.y * 7 + c.c * 11) % 256) // 16 AS bin
+  FROM documents d,
+       UNNEST(range(0, 16)) AS x(x),
+       UNNEST(range(0, 16)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+)
+SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+       CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, channel, bin
+""",
+    doc="Per-channel intensity histograms from REAL image decode — the "
+    "feature-extraction step beyond decode+resize (channel histograms "
+    "are the classic cheap image descriptor for dedup blocking, "
+    "quality gates and shift detection): each document's 16x16 RGB "
+    "netpbm container is parsed (header walk, raster frombuffer) and "
+    "every pixel lands in one of 16 intensity bins per channel, exact "
+    "integer counts. The oracle regenerates the pixel field in SQL, "
+    "so decode + binning value-hash end to end. Scale: synth and "
+    "histogram are one zero-shuffle mapInPandas chain (np.bincount "
+    "per channel inside the task); only the (doc, channel, bin) "
+    "count rows shuffle for the final rollup — none, actually: the "
+    "counts are emitted already-aggregated per doc.",
+    tags=("multimodal",),
+)
+def multimodal_image_channel_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from cobradb_spark.operators.multimodal import PPM_H, PPM_W, synthesize_ppm
+
+    d = load_table(spark, sf_dir, "documents")
+    imgs = synthesize_ppm(d, id_col="doc_id")
+
+    def hist(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "channel": [], "bin": [], "n_px": []}
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                # parse the P6 header: magic, dims, maxval, then raster
+                parts = payload.split(b"\n", 3)
+                assert parts[0] == b"P6"
+                w, h = (int(v) for v in parts[1].split())
+                assert (w, h) == (PPM_W, PPM_H) and parts[2] == b"255"
+                img = np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+                for ch in range(3):
+                    counts = np.bincount(img[:, :, ch].ravel() // 16, minlength=16)
+                    for b, n in enumerate(counts):
+                        if n:
+                            out["doc_id"].append(did)
+                            out["channel"].append(ch)
+                            out["bin"].append(b)
+                            out["n_px"].append(int(n))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        hist, schema="doc_id long, channel long, bin long, n_px long"
+    )

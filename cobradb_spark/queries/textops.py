@@ -2631,3 +2631,82 @@ def dedup_near_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("rn") == 1).alias("is_keeper"),
     )
+
+
+@register(
+    "text_ocr_noise_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, tok,
+         (length(tok) = 1) AS is_single,
+         (tok <> translate(tok, '0123456789', '')
+          AND lower(tok) <> translate(lower(tok),
+                                      'abcdefghijklmnopqrstuvwxyz', ''))
+           AS is_mixed
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE is_single) AS BIGINT) AS n_single,
+         CAST(count(*) FILTER (WHERE is_mixed) AS BIGINT) AS n_mixed
+  FROM tok GROUP BY doc_id
+), h AS (
+  SELECT d.doc_id,
+         CAST((length(d.text) - length(replace(d.text, '- ', ''))) // 2
+              AS BIGINT) AS n_hyphen_breaks
+  FROM documents d
+)
+SELECT g.doc_id, g.n_tokens, g.n_single, g.n_mixed, h.n_hyphen_breaks,
+       CAST((2 * g.n_mixed + g.n_single + 3 * h.n_hyphen_breaks) * 1000000
+            // g.n_tokens AS BIGINT) AS noise_ppm,
+       ((2 * g.n_mixed + g.n_single + 3 * h.n_hyphen_breaks) * 1000000
+        // g.n_tokens) > 100000 AS is_noisy
+FROM g JOIN h USING (doc_id)
+""",
+    doc="OCR/extraction-noise scoring — the corpus-hygiene signal "
+    "complementing text_quality_score's generic heuristics with the "
+    "three classic digitization artifacts: single-character token "
+    "fallout (broken words), digit-letter mixed tokens ('th3', 'l1ke' "
+    "— confusable-glyph substitutions), and hyphen-space line-break "
+    "residue ('exam- ple'). Deliberately regex-free: every signal is "
+    "translate()/replace()/length() arithmetic, whose semantics are "
+    "byte-identical across engines (regex dialects are not), so the "
+    "weighted noise score (integer ppm, truncating division) and the "
+    "gate boolean value-hash exactly. Scale: one narrow token pass + "
+    "a per-doc rollup; the hyphen counter never tokenizes at all.",
+    tags=("textops", "llm"),
+)
+def text_ocr_noise_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    is_single = F.length("tok") == 1
+    has_digit = F.col("tok") != F.translate("tok", "0123456789", "")
+    has_alpha = F.lower(F.col("tok")) != F.translate(
+        F.lower(F.col("tok")), "abcdefghijklmnopqrstuvwxyz", ""
+    )
+    g = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_if(is_single).cast("bigint").alias("n_single"),
+        F.count_if(has_digit & has_alpha).cast("bigint").alias("n_mixed"),
+    )
+    h = d.select(
+        "doc_id",
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit("- "), F.lit(""))))
+         / 2).cast("bigint").alias("n_hyphen_breaks"),
+    )
+    j = g.join(h, "doc_id").withColumn(
+        "_num",
+        (2 * F.col("n_mixed") + F.col("n_single") + 3 * F.col("n_hyphen_breaks"))
+        * 1000000,
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_single",
+        "n_mixed",
+        "n_hyphen_breaks",
+        F.expr("CAST(div(_num, n_tokens) AS BIGINT)").alias("noise_ppm"),
+        (F.expr("div(_num, n_tokens)") > 100000).alias("is_noisy"),
+    )

@@ -169,7 +169,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "sim_mmr_diversified", "analytics_cohort_ltv", "sim_filtered_topk",
     "mlprep_time_split_embargo", "rollup_time_weighted_avg",
     "etl_surrogate_keys", "graph_degree_assortativity",
-    "scan_json_multiline",
+    "scan_json_multiline", "multimodal_image_channel_hist",
+    "text_ocr_noise_score",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

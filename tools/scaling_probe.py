@@ -169,6 +169,8 @@ PROBES = [
     "etl_surrogate_keys",
     "graph_degree_assortativity",
     "scan_json_multiline",
+    "multimodal_image_channel_hist",
+    "text_ocr_noise_score",
 ]
 
 
