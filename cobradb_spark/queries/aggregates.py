@@ -659,3 +659,63 @@ def agg_median_exact_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "agg_tukey_fences",
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       CAST(count(*) FILTER (WHERE o.o_totalprice
+                             < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT)
+         AS n_low_outliers,
+       CAST(count(*) FILTER (WHERE o.o_totalprice
+                             > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+         AS n_high_outliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY o.o_orderpriority, q.q1, q.q3
+""",
+    doc="Tukey boxplot fences per group — the IQR outlier rule "
+    "(x < Q1 - 1.5*IQR or x > Q3 + 1.5*IQR) behind every boxplot and "
+    "most data-quality range checks; complements the z-score (moment-"
+    "based), MAD (robust global) and Hampel (rolling) detectors with "
+    "the quartile-based batch variant. Two-pass: tiny per-group "
+    "quartiles broadcast back over the facts for the fence counts. "
+    "Exactness: interpolated quartiles over integer-valued doubles "
+    "are engine-identical (agg_percentiles precedent); the fence "
+    "comparison is double arithmetic on identical operand trees. "
+    "Scale: pass 1 is a 5-row aggregate, pass 2 one fact scan with "
+    "a broadcast join — no window over raw facts.",
+    tags=("aggregates",),
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    j = o.join(F.broadcast(q), "o_orderpriority")
+    iqr = F.col("q3") - F.col("q1")
+    return j.groupBy("o_orderpriority", "q1", "q3").agg(
+        F.count_if(F.col("o_totalprice") < F.col("q1") - 1.5 * iqr)
+        .cast("bigint")
+        .alias("n_low_outliers"),
+        F.count_if(F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+        .cast("bigint")
+        .alias("n_high_outliers"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    ).select(
+        "o_orderpriority",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        "n_low_outliers",
+        "n_high_outliers",
+        "n_rows",
+    )

@@ -2543,3 +2543,114 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "analytics_diff_in_diff",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(o_totalprice * 100 AS DECIMAL(18,0)) ELSE 0 END)
+              AS BIGINT) AS pre_c,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN CAST(o_totalprice * 100 AS DECIMAL(18,0)) ELSE 0 END)
+              AS BIGINT) AS post_c
+  FROM orders GROUP BY o_custkey
+), armed AS (
+  SELECT pre_c, post_c,
+         CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('did',
+                   CAST(cust AS VARCHAR))), 1, 15)) AS UBIGINT) % 2 AS BIGINT)
+                   = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM per_cust
+), g AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre_c) AS BIGINT) AS pre_sum,
+         CAST(sum(post_c) AS BIGINT) AS post_sum,
+         CAST(CAST(sum(post_c) AS HUGEINT) * 1000000 // count(*)
+              - CAST(sum(pre_c) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+           AS delta_microcents
+  FROM armed GROUP BY arm
+)
+SELECT g.arm, g.n, g.pre_sum, g.post_sum, g.delta_microcents,
+       CAST(g.delta_microcents
+            - min(CASE WHEN g.arm = 'control' THEN g.delta_microcents END)
+              OVER () AS BIGINT) AS did_vs_control_microcents
+FROM g
+""",
+    doc="Difference-in-differences readout — the fourth leg of the "
+    "experimentation suite (SRM guardrail, power/MDE sizing, CUPED "
+    "variance reduction, and now the quasi-experimental estimator for "
+    "when randomization happened at a time boundary): deterministic "
+    "md5 arms, exact pre/post cent sums per arm, per-arm delta of "
+    "means in truncated microcents (the declared ppm-style "
+    "quantization — each mean is cents*1e6 // n, both engines "
+    "truncate toward zero), and DiD = each arm's delta minus the "
+    "control arm's delta (0 for control by construction; the "
+    "treatment row carries the estimate). Scale: one custkey "
+    "partial-agg shuffle, a 2-row rollup, and a window over 2 rows.",
+    tags=("analytics",),
+)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < split,
+                (F.col("o_totalprice") * 100).cast("decimal(18,0)"),
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
+        .cast("bigint")
+        .alias("pre_c"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= split,
+                (F.col("o_totalprice") * 100).cast("decimal(18,0)"),
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
+        .cast("bigint")
+        .alias("post_c"),
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("did"), F.col("cust").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    g = (
+        per_cust.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pre_c").cast("bigint").alias("pre_sum"),
+            F.sum("post_c").cast("bigint").alias("post_sum"),
+        )
+        .withColumn(
+            "delta_microcents",
+            F.expr(
+                "CAST(div(CAST(post_sum AS DECIMAL(38,0)) * 1000000, n)"
+                " - div(CAST(pre_sum AS DECIMAL(38,0)) * 1000000, n)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy()
+    ctrl = F.min(
+        F.when(F.col("arm") == "control", F.col("delta_microcents"))
+    ).over(w)
+    return g.select(
+        "arm",
+        "n",
+        "pre_sum",
+        "post_sum",
+        "delta_microcents",
+        (F.col("delta_microcents") - ctrl).cast("bigint").alias(
+            "did_vs_control_microcents"
+        ),
+    )

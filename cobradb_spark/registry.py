@@ -170,7 +170,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "mlprep_time_split_embargo", "rollup_time_weighted_avg",
     "etl_surrogate_keys", "graph_degree_assortativity",
     "scan_json_multiline", "multimodal_image_channel_hist",
-    "text_ocr_noise_score",
+    "text_ocr_noise_score", "agg_tukey_fences", "analytics_diff_in_diff",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

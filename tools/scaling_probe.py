@@ -171,6 +171,8 @@ PROBES = [
     "scan_json_multiline",
     "multimodal_image_channel_hist",
     "text_ocr_noise_score",
+    "agg_tukey_fences",
+    "analytics_diff_in_diff",
 ]
 
 
