@@ -2654,3 +2654,70 @@ def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_vs_control_microcents"
         ),
     )
+
+
+@register(
+    "analytics_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, cents,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', day) AS BIGINT) AS x
+  FROM daily
+), slopes AS (
+  SELECT CAST((b.cents - a.cents) * 1000000 // (b.x - a.x) AS BIGINT)
+           AS slope_ppm
+  FROM idx a JOIN idx b ON b.x > a.x
+), med AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(median(2 * slope_ppm) AS BIGINT) AS med2
+  FROM slopes
+)
+SELECT n_pairs, med2 AS theil_sen_slope_2x_microcents_per_day FROM med
+""",
+    doc="Theil-Sen robust trend estimator over the daily revenue grid — "
+    "the median of all pairwise slopes, insensitive to up to ~29% "
+    "outlier days where the OLS slope (win_rolling_ols_slope) is not. "
+    "Exactness: each pairwise slope quantizes to integer "
+    "microcents/day by truncating division (the declared quantization "
+    "— slopes are rationals with heterogeneous denominators, so a "
+    "fixed-grid quantization is what makes a cross-engine-exact "
+    "median possible), and the even-count median interpolation is "
+    "made exact by the half-unit doubling trick (2*slope, the Hampel "
+    "precedent). Scale: the pair join is over the REDUCED day grid "
+    "(O(days^2) pairs, data-size-independent after the one fact "
+    "rollup — 30 days here, ~2.4k at a decade of data: still tiny); "
+    "facts themselves are touched once.",
+    tags=("analytics", "timeseries"),
+)
+def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "cents",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        F.expr(
+            "CAST(div((b.cents - a.cents) * 1000000, b.x - a.x) AS BIGINT)"
+        ).alias("slope_ppm")
+    )
+    return slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("CAST(percentile(2 * slope_ppm, 0.5) AS BIGINT)").alias(
+            "theil_sen_slope_2x_microcents_per_day"
+        ),
+    )

@@ -173,6 +173,7 @@ PROBES = [
     "text_ocr_noise_score",
     "agg_tukey_fences",
     "analytics_diff_in_diff",
+    "analytics_theil_sen_trend",
 ]
 
 
