@@ -719,3 +719,65 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_high_outliers",
         "n_rows",
     )
+
+
+@register(
+    "agg_gini_spend",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, cust) AS BIGINT) AS rk
+  FROM pc
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         sum(CAST(rk AS HUGEINT) * cents) AS rs
+  FROM r
+)
+SELECT n, s AS total_cents,
+       CAST((2 * rs * 1000000 - (CAST(n AS HUGEINT) + 1) * s * 1000000)
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+FROM m
+""",
+    doc="Gini coefficient of customer spend — the inequality summary "
+    "(how concentrated is revenue across customers) via the rank "
+    "formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over "
+    "spend-sorted customers. Exactness: cents and ranks are exact "
+    "integers, the weighted sum accumulates 128-bit, and the "
+    "coefficient lands as one truncating division in ppm — no float "
+    "anywhere. The rank is the exact DISTRIBUTED global row_number "
+    "(operators/rank.py: range-partition + offsets; ties broken by "
+    "cust for a total order), never an Exchange SinglePartition. "
+    "Scale: one custkey partial-agg shuffle + one range-exchange for "
+    "the rank + a 1-row moment rollup.",
+    tags=("aggregates",),
+)
+def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = global_rank(pc, [F.col("cents"), F.col("cust")], rank_col="rk")
+    m = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("rk").cast("decimal(19,0)") * F.col("cents")).alias("rs"),
+    )
+    return m.select(
+        "n",
+        F.col("s").alias("total_cents"),
+        F.expr(
+            "CAST(div(2 * rs * 1000000"
+            " - (CAST(n AS DECIMAL(38,0)) + 1) * s * 1000000,"
+            " CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -1617,3 +1617,73 @@ def mlprep_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("max_date"),
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
     )
+
+
+@register(
+    "mlprep_lorenz_deciles",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents, cust) AS decile
+  FROM pc
+), d AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM r GROUP BY decile
+), t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total FROM d
+)
+SELECT d.decile, d.n_customers, d.cents,
+       CAST(CAST(sum(d.cents) OVER (ORDER BY d.decile) AS HUGEINT)
+            * 1000000 // t.total AS BIGINT) AS cum_share_ppm
+FROM d CROSS JOIN t
+""",
+    doc="Lorenz curve by spend decile — the distribution companion to "
+    "agg_gini_spend (which compresses concentration to one number; "
+    "this shows WHERE it lives: 'the top decile holds 40% of "
+    "revenue'): customers sort into spend deciles via the exact "
+    "distributed ntile (operators/rank.py closed form over the "
+    "range-partitioned rank, never a single-partition window), each "
+    "decile's exact cent total feeds the cumulative-share curve in "
+    "truncated ppm. Scale: one custkey rollup, one range-exchange "
+    "for the rank, a 10-row grid for the running share.",
+    tags=("mlprep", "aggregates"),
+)
+def mlprep_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank_with_total, ntile_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, n = global_rank_with_total(pc, [F.col("cents"), F.col("cust")], "rk")
+    d = (
+        ranked.withColumn("decile", ntile_expr(F.col("rk"), n, 10))
+        .groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    t = d.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = Window.orderBy("decile")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cum", F.sum("cents").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            F.expr(
+                "CAST(div(CAST(cum AS DECIMAL(38,0)) * 1000000, total) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )

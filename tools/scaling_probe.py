@@ -174,6 +174,8 @@ PROBES = [
     "agg_tukey_fences",
     "analytics_diff_in_diff",
     "analytics_theil_sen_trend",
+    "agg_gini_spend",
+    "mlprep_lorenz_deciles",
 ]
 
 
