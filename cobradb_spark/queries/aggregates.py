@@ -781,3 +781,58 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "agg_gini_impurity_category",
+    oracle="""
+WITH c AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT seg, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+  FROM c GROUP BY seg
+)
+SELECT seg, tot AS n_orders,
+       CAST(1000000 - sq * 1000000 // (CAST(tot AS HUGEINT) * tot)
+            AS BIGINT) AS gini_impurity_ppm
+FROM t
+""",
+    doc="Gini impurity of the order-priority mix per market segment — "
+    "the diversity/mixing measure 1 - sum(p_i^2), the split criterion "
+    "decision trees use and the categorical-concentration summary "
+    "dashboards want. Chosen over Shannon entropy DELIBERATELY: "
+    "entropy needs ln(), which is libm (not IEEE-correctly-rounded, "
+    "engines can differ in the last bits), while the impurity is a "
+    "pure rational — 1e6 - sum(n_i^2)*1e6/tot^2 in exact 128-bit "
+    "integer arithmetic, truncating division identical both engines. "
+    "Scale: one (seg, prio) partial-agg rollup over a broadcast dim "
+    "join; the impurity computes on the 25-cell collapsed grid.",
+    tags=("aggregates",),
+)
+def agg_gini_impurity_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("seg").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n")).alias("sq"),
+    )
+    return t.select(
+        "seg",
+        F.col("tot").alias("n_orders"),
+        F.expr(
+            "CAST(1000000 - div(sq * 1000000,"
+            " CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
+        ).alias("gini_impurity_ppm"),
+    )

@@ -893,3 +893,32 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             json.dump(items, f, indent=2)
     back = spark.read.option("multiLine", "true").json(path)
     return back.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@register(
+    "scan_csv_gzip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    doc="Compressed-CSV reader path (A3's codec sibling): the nation dim "
+    "is written as gzip-compressed CSV with a header and read back "
+    "with an explicit schema — must reproduce the source rows exactly. "
+    "The 100-TB note is the operator's point: gzip is NOT a splittable "
+    "codec, so one .csv.gz file = one task regardless of size — the "
+    "writer side must keep files bounded (or use bzip2/zstd-in-parquet "
+    "instead); this fixture's per-partition files are the pattern.",
+    tags=("scans",),
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = scratch_dir("cobradb_csvgz_")
+    path = os.path.join(tmp, "nation_gz")
+    n.write.mode("overwrite").option("header", "true").option(
+        "compression", "gzip"
+    ).csv(path)
+    back = spark.read.option("header", "true").schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).csv(path)
+    return back

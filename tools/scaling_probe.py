@@ -176,6 +176,8 @@ PROBES = [
     "analytics_theil_sen_trend",
     "agg_gini_spend",
     "mlprep_lorenz_deciles",
+    "agg_gini_impurity_category",
+    "scan_csv_gzip",
 ]
 
 
