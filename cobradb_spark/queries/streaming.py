@@ -1165,3 +1165,70 @@ def stream_temporal_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "complete",
     )
+
+
+@register(
+    "stream_tumbling_ohlc",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM events
+)
+SELECT hour,
+       CAST(min_by(cents, ord_key) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max_by(cents, ord_key) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM b GROUP BY hour
+""",
+    doc="Hourly OHLC candles on a STREAM — the market-data/telemetry "
+    "shape rollup_ohlc serves in batch, here as a watermarked tumbling "
+    "window so candles finalize incrementally. Determinism rule: "
+    "open/close are NOT first()/last() (arrival-order-dependent under "
+    "any parallelism) but min_by/max_by over a zero-padded "
+    "(epoch-micros, event_id) string key (a scalar total order both "
+    "engines accept) — the same tiebreaker discipline as batch, which is "
+    "what makes stream-batch parity value-hashable. Exact cents "
+    "everywhere. Scale: one keyed windowed aggregation, state bounded "
+    "by open windows x series (RocksDB-backed beyond memory, verified "
+    "elsewhere in the suite).",
+    tags=("streaming",),
+)
+def stream_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    b = (
+        ev.withColumn(
+            "cents", F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+        )
+        # composite total-order key as a zero-padded string: DuckDB's
+        # min_by/max_by take only scalar keys, and lexicographic order
+        # on the padding equals (ts, event_id) order on both engines
+        .withColumn(
+            "ord_key",
+            F.concat(
+                F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ),
+        )
+        .withWatermark("ts", "1 hour")
+    )
+    agg = b.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.expr("min_by(cents, ord_key)").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.expr("max_by(cents, ord_key)").alias("close_cents"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+    )
+    out = agg.select(
+        F.col("w.start").alias("hour"),
+        F.col("open_cents").cast("bigint").alias("open_cents"),
+        F.col("high_cents").cast("bigint").alias("high_cents"),
+        F.col("low_cents").cast("bigint").alias("low_cents"),
+        F.col("close_cents").cast("bigint").alias("close_cents"),
+        "n_ticks",
+    )
+    return run_to_memory(out, "complete")

@@ -178,6 +178,7 @@ PROBES = [
     "mlprep_lorenz_deciles",
     "agg_gini_impurity_category",
     "scan_csv_gzip",
+    "stream_tumbling_ohlc",
 ]
 
 
