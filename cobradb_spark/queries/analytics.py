@@ -2721,3 +2721,70 @@ def analytics_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope_2x_microcents_per_day"
         ),
     )
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS n_err
+  FROM events GROUP BY 1
+), win AS (
+  SELECT hour, n_total, n_err,
+         CAST(sum(n_total) OVER w6 AS BIGINT) AS t6,
+         CAST(sum(n_err) OVER w6 AS BIGINT) AS e6
+  FROM hourly
+  WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour, n_total, n_err, t6, e6,
+       (n_err * 1000 * 10 > n_total * 144) AS fast_burn_1h,
+       (e6 * 1000 > t6 * 60) AS slow_burn_6h,
+       (n_err * 1000 * 10 > n_total * 144 AND e6 * 1000 > t6 * 60)
+         AS page_alert
+FROM win
+""",
+    doc="SLO error-budget burn-rate alerting (the Google SRE multi-"
+    "window multi-burn-rate pattern for a 99.9% availability SLO): "
+    "hourly error rates from the event stream, a 14.4x budget burn "
+    "over 1 hour (fast) AND a 6x burn over 6 hours (slow) must BOTH "
+    "fire to page — the two-window conjunction that kills both "
+    "flappy-alert noise and slow-leak blindness. Exactness: with "
+    "budget 0.1%, 'rate > 14.4 * budget' cross-multiplies to the "
+    "pure integer predicate err*1000*10 > total*144 (and 6x to "
+    "e6*1000 > t6*60) — no float rates anywhere, flags engine-"
+    "identical. Scale: facts collapse to the hourly grid in one "
+    "partial-agg shuffle; the rolling window runs on O(hours) rows, "
+    "data-size-independent (the win_rolling_corr precedent).",
+    tags=("analytics", "timeseries"),
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count_if(F.col("event_type") == "error").cast("bigint").alias("n_err"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    win = hourly.select(
+        "hour",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).cast("bigint").alias("t6"),
+        F.sum("n_err").over(w6).cast("bigint").alias("e6"),
+    )
+    fast = F.col("n_err") * 1000 * 10 > F.col("n_total") * 144
+    slow = F.col("e6") * 1000 > F.col("t6") * 60
+    return win.select(
+        "hour",
+        "n_total",
+        "n_err",
+        "t6",
+        "e6",
+        fast.alias("fast_burn_1h"),
+        slow.alias("slow_burn_6h"),
+        (fast & slow).alias("page_alert"),
+    )

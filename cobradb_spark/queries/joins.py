@@ -1163,3 +1163,75 @@ def join_interval_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("bigint").alias("total_overlap_days"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH snap AS (
+  SELECT o_custkey AS cust, o_orderdate AS snap_ts,
+         CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS cents,
+         o_orderkey AS snap_key
+  FROM orders
+), probe AS (
+  SELECT o_custkey AS cust, o_orderkey AS probe_key,
+         o_orderdate + INTERVAL 45 DAY AS probe_ts
+  FROM orders WHERE o_orderkey % 7 = 0
+), matched AS (
+  SELECT p.probe_key, p.cust, p.probe_ts, s.snap_ts,
+         CAST(s.cents AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY p.probe_key
+                            ORDER BY s.snap_ts DESC, s.snap_key DESC) AS rn
+  FROM probe p JOIN snap s
+    ON s.cust = p.cust AND s.snap_ts <= p.probe_ts
+)
+SELECT probe_key, cust,
+       CASE WHEN snap_ts >= probe_ts - INTERVAL 30 DAY
+            THEN cents END AS cents,
+       (snap_ts < probe_ts - INTERVAL 30 DAY) AS stale
+FROM matched WHERE rn = 1
+""",
+    doc="As-of join with a staleness tolerance (C8's bounded variant — "
+    "the lookup every risk/serving system actually wants: 'latest "
+    "value at-or-before T, but ONLY if it is fresher than T - 30d; "
+    "otherwise surface staleness rather than silently serving ancient "
+    "data'): probes (every 7th order, shifted +45 days) find their "
+    "customer's latest order at-or-before probe time, and matches "
+    "older than the 30-day tolerance return NULL with an explicit "
+    "stale flag. Deterministic (ts, key) tie-break. Scale: the match "
+    "is the keyed backward scan (one cust shuffle + per-probe argmax "
+    "via WindowGroupLimit); the tolerance is a post-filter on the "
+    "single surviving row, not a join-condition blow-up.",
+    tags=("joins",),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("snap_ts"),
+        (F.col("o_totalprice") * 100).cast("decimal(18,0)").alias("scents"),
+        F.col("o_orderkey").alias("snap_key"),
+    )
+    probe = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_custkey").alias("pcust"),
+        F.col("o_orderkey").alias("probe_key"),
+        F.date_add(F.col("o_orderdate"), 45).alias("probe_ts"),
+    )
+    w = Window.partitionBy("probe_key").orderBy(
+        F.col("snap_ts").desc(), F.col("snap_key").desc()
+    )
+    matched = (
+        probe.join(
+            snap,
+            (snap["cust"] == probe["pcust"]) & (snap["snap_ts"] <= probe["probe_ts"]),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    fresh = F.col("snap_ts") >= F.date_sub(F.col("probe_ts"), 30)
+    return matched.select(
+        "probe_key",
+        F.col("cust"),
+        F.when(fresh, F.col("scents").cast("bigint")).alias("cents"),
+        (~fresh).alias("stale"),
+    )

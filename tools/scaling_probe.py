@@ -179,6 +179,8 @@ PROBES = [
     "agg_gini_impurity_category",
     "scan_csv_gzip",
     "stream_tumbling_ohlc",
+    "join_asof_tolerance",
+    "events_slo_burn_rate",
 ]
 
 
