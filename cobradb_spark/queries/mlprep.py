@@ -1687,3 +1687,83 @@ def mlprep_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_ppm"),
         )
     )
+
+
+@register(
+    "mlprep_nzv_filter",
+    oracle="""
+WITH f AS (
+  SELECT 'o_orderpriority' AS feature, o_orderpriority AS v FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+), vc AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS n
+  FROM f GROUP BY feature, v
+), ranked AS (
+  SELECT feature, n,
+         row_number() OVER (PARTITION BY feature ORDER BY n DESC, v) AS rk
+  FROM vc
+), s AS (
+  SELECT feature, CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_unique
+  FROM vc GROUP BY feature
+)
+SELECT s.feature, s.n_rows, s.n_unique,
+       t1.n AS top1, coalesce(t2.n, 0) AS top2,
+       (CAST(t1.n AS HUGEINT) > 19 * coalesce(t2.n, 0)
+        AND s.n_unique * 100 <= s.n_rows * 10) AS near_zero_variance
+FROM s
+JOIN (SELECT feature, n FROM ranked WHERE rk = 1) t1 USING (feature)
+LEFT JOIN (SELECT feature, n FROM ranked WHERE rk = 2) t2 USING (feature)
+""",
+    doc="Near-zero-variance feature audit (the caret/sklearn "
+    "preprocessing gate: a feature whose most common value dominates "
+    "its second (freq ratio > 19) AND whose unique-value share is "
+    "under 10% carries almost no signal and destabilizes CV folds): "
+    "per categorical feature, row count, distinct count, top-two value "
+    "frequencies, and the pure-integer cross-multiplied verdict. "
+    "Scale: one (feature, value) rollup over a 3-feature unpivot (the "
+    "Expand shape — no per-feature rescans), then a per-feature "
+    "summary; the top-2 extraction is a WindowGroupLimit over the "
+    "tiny collapsed value table.",
+    tags=("mlprep",),
+)
+def mlprep_nzv_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = None
+    for name, col in (
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("order_year", F.year("o_orderdate").cast("string")),
+    ):
+        part = o.select(F.lit(name).alias("feature"), col.alias("v"))
+        f = part if f is None else f.unionByName(part)
+    vc = f.groupBy("feature", "v").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("feature").orderBy(F.col("n").desc(), "v")
+    ranked = vc.withColumn("rk", F.row_number().over(w))
+    s = vc.groupBy("feature").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_unique"),
+    )
+    top1 = ranked.filter(F.col("rk") == 1).select(
+        "feature", F.col("n").alias("top1")
+    )
+    top2 = ranked.filter(F.col("rk") == 2).select(
+        "feature", F.col("n").alias("top2")
+    )
+    j = (
+        s.join(top1, "feature")
+        .join(top2, "feature", "left")
+        .withColumn("top2", F.coalesce("top2", F.lit(0)).cast("bigint"))
+    )
+    return j.select(
+        "feature",
+        "n_rows",
+        "n_unique",
+        "top1",
+        "top2",
+        (
+            (F.col("top1").cast("decimal(38,0)") > 19 * F.col("top2"))
+            & (F.col("n_unique") * 100 <= F.col("n_rows") * 10)
+        ).alias("near_zero_variance"),
+    )

@@ -181,6 +181,7 @@ PROBES = [
     "stream_tumbling_ohlc",
     "join_asof_tolerance",
     "events_slo_burn_rate",
+    "mlprep_nzv_filter",
 ]
 
 
