@@ -1577,3 +1577,86 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_brand",
     )
+
+
+@register(
+    "etl_subject_access_export",
+    oracle="""
+WITH subjects AS (
+  SELECT c_custkey AS subject FROM customer WHERE c_custkey % 293 = 0
+)
+SELECT s.subject, 'customer' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c.c_custkey) AS BIGINT) AS key_checksum
+FROM subjects s JOIN customer c ON c.c_custkey = s.subject
+GROUP BY s.subject
+UNION ALL
+SELECT s.subject, 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(o.o_orderkey) AS BIGINT)
+FROM subjects s JOIN orders o ON o.o_custkey = s.subject
+GROUP BY s.subject
+UNION ALL
+SELECT s.subject, 'lineitem',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(l.l_orderkey * 10 + l.l_linenumber) AS BIGINT)
+FROM subjects s
+JOIN orders o ON o.o_custkey = s.subject
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY s.subject
+""",
+    doc="Subject-access export manifest (the GDPR Article-15 'right of "
+    "access' inventory, and the dual of etl_cascade_delete_plan's "
+    "right-to-erasure impact set): for each data subject, how many "
+    "rows exist in each table of the FK closure (customer -> orders "
+    "-> lineitem) plus an order-independent key checksum per table so "
+    "the export's exact row membership is value-hashed, not just "
+    "counted. Scale: the subject list broadcasts into semi-join-"
+    "shaped probes down the FK chain — each fact table is touched "
+    "once, filtered at the scan by the broadcast keys (runtime filter "
+    "/ DPP at a partitioned deployment); no fact-fact shuffle.",
+    tags=("etl",),
+)
+def etl_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subjects = c.filter(F.col("c_custkey") % 293 == 0).select(
+        F.col("c_custkey").alias("subject")
+    )
+    cust_rows = (
+        c.join(F.broadcast(subjects), c["c_custkey"] == subjects["subject"])
+        .groupBy("subject")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+        )
+        .select("subject", F.lit("customer").alias("table_name"), "n_rows", "key_checksum")
+    )
+    ord_rows = (
+        o.join(F.broadcast(subjects), o["o_custkey"] == subjects["subject"])
+        .groupBy("subject")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        .select("subject", F.lit("orders").alias("table_name"), "n_rows", "key_checksum")
+    )
+    li_rows = (
+        li.join(
+            o.join(F.broadcast(subjects), o["o_custkey"] == subjects["subject"])
+            .select("o_orderkey", "subject"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("subject")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        .select("subject", F.lit("lineitem").alias("table_name"), "n_rows", "key_checksum")
+    )
+    return cust_rows.unionByName(ord_rows).unionByName(li_rows).select(
+        "subject", "table_name", "n_rows", "key_checksum"
+    )

@@ -182,6 +182,7 @@ PROBES = [
     "join_asof_tolerance",
     "events_slo_burn_rate",
     "mlprep_nzv_filter",
+    "etl_subject_access_export",
 ]
 
 
