@@ -836,3 +836,73 @@ def agg_gini_impurity_category(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
         ).alias("gini_impurity_ppm"),
     )
+
+
+@register(
+    "agg_weighted_median_exact",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT flag, cents, w,
+         CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+           AS cum,
+         CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+  FROM g
+)
+SELECT flag, tot AS total_qty,
+       CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM c GROUP BY flag, tot
+""",
+    doc="Exact quantity-weighted median price per return flag (the "
+    "lower weighted median: smallest price whose cumulative quantity "
+    "reaches half the total — the 'typical traded price' robust to "
+    "both price and volume outliers, which the unweighted median and "
+    "the mean both miss). Pure integers: cents prices, BIGINT weight "
+    "sums, the crossing test as 2*cum >= tot. Scale posture: values "
+    "first collapse to the (flag, cents) weight grid (one partial-agg "
+    "shuffle); the cumulative weight then comes from the DISTRIBUTED "
+    "exclusive prefix sum over the (flag, cents) total order "
+    "(operators/rank.py global_prefix_sum: range-partition + offset "
+    "map) plus broadcast per-flag totals — NOT a per-flag running "
+    "window, whose parallelism would be |flags| = 3 tasks over a grid "
+    "that grows with data (the win_rolling_ols lesson).",
+    tags=("aggregates",),
+)
+def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    # exclusive prefix sum over the composite (flag, cents) order;
+    # per-flag inclusive cum = excl_prefix - flag_offset + w
+    ps = global_prefix_sum(g, [F.col("flag"), F.col("cents")], "w", out_col="_ps")
+    # flag offsets and totals: |flags| rows (bounded collect, 3 rows)
+    totals = {
+        r.flag: (r.tot,) for r in g.groupBy("flag").agg(F.sum("w").alias("tot")).collect()
+    }
+    flags = sorted(totals)
+    offsets, acc = {}, 0
+    for fl in flags:
+        offsets[fl] = acc
+        acc += totals[fl][0]
+    off_map = F.create_map(*[F.lit(x) for fo in offsets.items() for x in fo])
+    tot_map = F.create_map(*[F.lit(x) for ft in ((f, totals[f][0]) for f in flags) for x in ft])
+    c = ps.select(
+        "flag",
+        "cents",
+        (F.col("_ps") - off_map[F.col("flag")] + F.col("w")).alias("cum"),
+        tot_map[F.col("flag")].alias("tot"),
+    )
+    return c.groupBy("flag", F.col("tot").cast("bigint").alias("total_qty")).agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents")
+    )

@@ -183,6 +183,7 @@ PROBES = [
     "events_slo_burn_rate",
     "mlprep_nzv_filter",
     "etl_subject_access_export",
+    "agg_weighted_median_exact",
 ]
 
 
