@@ -1660,3 +1660,111 @@ def etl_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust_rows.unionByName(ord_rows).unionByName(li_rows).select(
         "subject", "table_name", "n_rows", "key_checksum"
     )
+
+
+@register(
+    "etl_pseudonymize_consistent",
+    oracle="""
+WITH cmap AS (
+  SELECT c_custkey,
+         substr(md5(concat('pseu-salt-v1:', CAST(c_custkey AS VARCHAR))),
+                1, 16) AS pseudonym
+  FROM customer
+), o AS (
+  SELECT m.pseudonym, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS cents
+  FROM orders o JOIN cmap m ON m.c_custkey = o.o_custkey
+  GROUP BY m.pseudonym
+)
+SELECT m.pseudonym, coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.cents, 0) AS cents
+FROM cmap m LEFT JOIN o USING (pseudonym)
+""",
+    doc="Deterministic pseudonymization with referential consistency — "
+    "the privacy-preserving export pattern (GDPR pseudonymisation, "
+    "Art. 4(5)): the natural key is replaced by a salted-hash token "
+    "(the salt models the separately-kept secret; rotate it and every "
+    "pseudonym changes, which is the re-identification control), and "
+    "the SAME token must appear for the same subject across every "
+    "exported table — here proven by aggregating the orders fact "
+    "under the pseudonym and landing exactly one row per customer "
+    "with their true order count and exact cents. Complements "
+    "etl_k_anonymize (generalization) and text_pii_redact (free-text "
+    "scrubbing) with the keyed-identifier leg. Scale: the token is a "
+    "narrow map on both tables (no lookup-table state to distribute); "
+    "one keyed join + rollup.",
+    tags=("etl",),
+)
+def etl_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    token = lambda col: F.substring(
+        F.md5(F.concat(F.lit("pseu-salt-v1:"), col.cast("string"))), 1, 16
+    )
+    cmap = c.select(token(F.col("c_custkey")).alias("pseudonym"))
+    og = (
+        o.select(
+            token(F.col("o_custkey")).alias("pseudonym"),
+            (F.col("o_totalprice") * 100).cast("decimal(18,0)").alias("c"),
+        )
+        .groupBy("pseudonym")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+    )
+    return cmap.join(og, "pseudonym", "left").select(
+        "pseudonym",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents"),
+    )
+
+
+@register(
+    "etl_one_big_table",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(CAST(o.o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) AS cents,
+       c.c_custkey, c.c_mktsegment, n.n_name AS nation, r.r_name AS region
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+""",
+    doc="'One Big Table' denormalization — the serving-layer "
+    "materialization warehouses export to BI/feature consumers so "
+    "every downstream read is a single scan with zero joins: the "
+    "orders fact widened through the customer -> nation -> region "
+    "snowflake, every dim attached by BROADCAST hash join (asserted "
+    "in the plan audits' star patterns), exact cents. The trade is "
+    "explicit and documented: reads get join-free locality, writes "
+    "pay dim-change amplification — which is why the SCD2/backfill "
+    "ops exist alongside. Scale: one fact pass, three broadcast "
+    "joins, no fact shuffle at all (the output keeps the fact's "
+    "partitioning).",
+    tags=("etl",),
+)
+def etl_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 100)
+            .cast("decimal(18,0)")
+            .cast("bigint")
+            .alias("cents"),
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )

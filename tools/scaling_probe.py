@@ -184,6 +184,8 @@ PROBES = [
     "mlprep_nzv_filter",
     "etl_subject_access_export",
     "agg_weighted_median_exact",
+    "etl_pseudonymize_consistent",
+    "etl_one_big_table",
 ]
 
 
