@@ -2788,3 +2788,55 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         slow.alias("slow_burn_6h"),
         (fast & slow).alias("page_alert"),
     )
+
+
+@register(
+    "events_apdex_score",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE cents <= 5000) AS BIGINT) AS n_satisfied,
+       CAST(count(*) FILTER (WHERE cents > 5000 AND cents <= 20000)
+            AS BIGINT) AS n_tolerating,
+       CAST((2 * count(*) FILTER (WHERE cents <= 5000)
+             + count(*) FILTER (WHERE cents > 5000 AND cents <= 20000))
+            * 1000000 // (2 * count(*)) AS BIGINT) AS apdex_ppm
+FROM b GROUP BY day, event_type
+""",
+    doc="Apdex score per (day, event type) — the standardized "
+    "user-satisfaction index ops teams chart next to SLO burn rates "
+    "(events_slo_burn_rate): with threshold T and tolerance 4T on the "
+    "cents-quantized measure, Apdex = (satisfied + tolerating/2) / n, "
+    "cross-multiplied to the exact integer "
+    "(2*sat + tol)*1e6 / (2*n) — no float ratio, truncation identical "
+    "both engines. Scale: one partial+final rollup to the (day, type) "
+    "grid; the three conditional counts fuse into the same aggregate "
+    "pass (D9 discipline).",
+    tags=("analytics", "timeseries"),
+)
+def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir)
+    b = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    sat = F.count_if(F.col("cents") <= 5000)
+    tol = F.count_if((F.col("cents") > 5000) & (F.col("cents") <= 20000))
+    return b.groupBy("day", "event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        sat.cast("bigint").alias("n_satisfied"),
+        tol.cast("bigint").alias("n_tolerating"),
+        F.expr(
+            "CAST(div((2 * count_if(cents <= 5000)"
+            " + count_if(cents > 5000 AND cents <= 20000)) * 1000000,"
+            " 2 * count(*)) AS BIGINT)"
+        ).alias("apdex_ppm"),
+    )

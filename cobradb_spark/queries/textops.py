@@ -2710,3 +2710,84 @@ def text_ocr_noise_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(div(_num, n_tokens) AS BIGINT)").alias("noise_ppm"),
         (F.expr("div(_num, n_tokens)") > 100000).alias("is_noisy"),
     )
+
+
+@register(
+    "mlprep_confusion_matrix",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_hits_duck(_EN)} AS en_hits,
+         {_hits_duck(_DE)} AS de_hits,
+         {_hits_duck(_ES)} AS es_hits
+  FROM documents
+), pred AS (
+  SELECT lang AS actual,
+         CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0
+                   THEN 'en'
+              WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+              WHEN es_hits > 0 THEN 'es'
+              ELSE 'und' END AS predicted
+  FROM scores
+), cell AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY actual, predicted
+), marg AS (
+  SELECT c.actual, c.predicted, c.n,
+         CAST(sum(c.n) OVER (PARTITION BY c.actual) AS BIGINT) AS n_actual,
+         CAST(sum(c.n) OVER (PARTITION BY c.predicted) AS BIGINT) AS n_pred
+  FROM cell c
+)
+SELECT actual, predicted, n, n_actual, n_pred,
+       CASE WHEN actual = predicted
+            THEN CAST(n * 1000000 // n_pred AS BIGINT) END AS precision_ppm,
+       CASE WHEN actual = predicted
+            THEN CAST(n * 1000000 // n_actual AS BIGINT) END AS recall_ppm
+FROM marg
+""",
+    doc="Classifier confusion matrix with exact per-class precision/"
+    "recall — the evaluation harness every in-pipeline classifier "
+    "needs, instantiated on text_lang_id's stopword language detector "
+    "vs the corpus's ground-truth lang labels: one row per (actual, "
+    "predicted) cell with the cell count, row/column marginals, and "
+    "(on the diagonal) precision = n/col_total and recall = "
+    "n/row_total as truncated integer ppm — no float ratios, "
+    "engine-identical. Scale: predictions are a narrow codegen map "
+    "(the lexicon argmax), the matrix is a |classes|^2 rollup, and "
+    "the marginals are windows over that tiny grid.",
+    tags=("mlprep", "textops"),
+)
+def mlprep_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.registry import get_query
+
+    pred = (
+        get_query("text_lang_id")
+        .fn(spark, sf_dir)
+        .select(F.col("lang").alias("actual"), F.col("lang_pred").alias("predicted"))
+    )
+    cell = pred.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wa = Window.partitionBy("actual")
+    wp = Window.partitionBy("predicted")
+    marg = cell.select(
+        "actual",
+        "predicted",
+        "n",
+        F.sum("n").over(wa).cast("bigint").alias("n_actual"),
+        F.sum("n").over(wp).cast("bigint").alias("n_pred"),
+    )
+    diag = F.col("actual") == F.col("predicted")
+    return marg.select(
+        "actual",
+        "predicted",
+        "n",
+        "n_actual",
+        "n_pred",
+        F.when(diag, F.expr("CAST(div(n * 1000000, n_pred) AS BIGINT)")).alias(
+            "precision_ppm"
+        ),
+        F.when(diag, F.expr("CAST(div(n * 1000000, n_actual) AS BIGINT)")).alias(
+            "recall_ppm"
+        ),
+    )

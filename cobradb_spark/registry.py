@@ -176,6 +176,7 @@ _R9_QUEUE: tuple[str, ...] = (
     "join_asof_tolerance", "events_slo_burn_rate", "mlprep_nzv_filter",
     "etl_subject_access_export", "agg_weighted_median_exact",
     "etl_pseudonymize_consistent", "etl_one_big_table",
+    "events_apdex_score", "mlprep_confusion_matrix",
 )
 
 # The executed r7 window: first 50 names of the r6-staged plan, verbatim.

@@ -186,6 +186,8 @@ PROBES = [
     "agg_weighted_median_exact",
     "etl_pseudonymize_consistent",
     "etl_one_big_table",
+    "events_apdex_score",
+    "mlprep_confusion_matrix",
 ]
 
 
