@@ -843,7 +843,7 @@ def agg_gini_impurity_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT l_returnflag AS flag,
-         CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
   FROM lineitem GROUP BY 1, 2
 ), c AS (
@@ -862,8 +862,10 @@ FROM c GROUP BY flag, tot
     "lower weighted median: smallest price whose cumulative quantity "
     "reaches half the total — the 'typical traded price' robust to "
     "both price and volume outliers, which the unweighted median and "
-    "the mean both miss). Pure integers: cents prices, BIGINT weight "
-    "sums, the crossing test as 2*cum >= tot. Scale posture: values "
+    "the mean both miss). Quantization is floor(x*100.0 + 0.5) on BOTH "
+    "engines (identical double math), then everything downstream is "
+    "integer-exact: BIGINT weight sums, the crossing test as "
+    "2*cum >= tot. Scale posture: values "
     "first collapse to the (flag, cents) weight grid (one partial-agg "
     "shuffle); the cumulative weight then comes from the DISTRIBUTED "
     "exclusive prefix sum over the (flag, cents) total order "
@@ -879,7 +881,13 @@ def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     g = li.groupBy(
         F.col("l_returnflag").alias("flag"),
-        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        # floor(x*100.0 + 0.5): the repo's cents convention on BOTH
+        # engines (r7 ADVICE: DuckDB's CAST rounds-to-nearest while
+        # Spark's cast truncates — ~5.6% of rows landed on different
+        # cents keys; identical double math closes the latent mismatch)
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
     ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
     # exclusive prefix sum over the composite (flag, cents) order;
     # per-flag inclusive cum = excl_prefix - flag_offset + w

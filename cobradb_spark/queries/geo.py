@@ -686,6 +686,15 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.select("id", "cluster_id")
         if not changed:
             break
+    else:
+        # r7 ADVICE: the oracle's recursive CTE always reaches the
+        # fixpoint — a silently-unconverged cap would hash WRONG, not
+        # error.  Fail loudly instead.
+        raise RuntimeError(
+            "geo_dbscan_grid: hash-min label propagation did not "
+            "converge within 16 rounds — raise the round cap (a "
+            "cluster's min-label propagation distance exceeds it)"
+        )
     border = (
         pairs.join(labels.withColumnRenamed("id", "dst"), "dst")
         .join(core.withColumnRenamed("id", "src"), "src", "left_anti")

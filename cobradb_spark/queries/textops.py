@@ -1873,7 +1873,7 @@ WITH words AS (
   FROM cnt
 )
 SELECT CAST(rank AS BIGINT) AS rank, w, cnt,
-       cum_cnt * 1000000 // tot.total AS cum_ppm,
+       CAST(cum_cnt * 1000000 // tot.total AS BIGINT) AS cum_ppm,
        CAST(CASE WHEN (cum_cnt - cnt) * 1000000 < {_VOCAB_COVER_PPM} * tot.total
                  THEN 1 ELSE 0 END AS BIGINT) AS in_cover95
 FROM ranked CROSS JOIN tot
@@ -1886,7 +1886,11 @@ WHERE rank <= {_VOCAB_TOP}
     f"that reaches {_VOCAB_COVER_PPM / 10000:.0f}% coverage (a word is "
     "in the prefix iff coverage BEFORE it is still below target — "
     "exact integer cross-multiplication, no division in the "
-    f"predicate).  Emits the top-{_VOCAB_TOP} head.  Scale: the count "
+    f"predicate).  Emits the top-{_VOCAB_TOP} head.  CORRECTNESS_r07 "
+    "root cause: the oracle's windowed cum_cnt is HUGEINT in DuckDB, "
+    "so cum_ppm surfaced as float64 in pandas while Spark emitted "
+    "int64 — values identical, driver dtype-hash not; cum_ppm is now "
+    "CAST AS BIGINT oracle-side.  Scale: the count "
     "is one map-side-combinable (word) rollup; ranking a vocabulary "
     "is DIMENSION-scale work (vocab cardinality, not corpus rows — "
     "~1e5-1e6 entries at any corpus size), so the global-order window "
@@ -2616,6 +2620,15 @@ def dedup_near_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.select("doc_id", "cluster_id")
         if not changed:
             break
+    else:
+        # r7 ADVICE: the uncapped recursive-CTE oracle always reaches
+        # the fixpoint; exiting unconverged would silently diverge on
+        # any near-dup chain longer than the assumed diameter.
+        raise RuntimeError(
+            "dedup_near_cluster_keep_best: hash-min CC did not converge "
+            "within 12 rounds — raise the round cap (near-dup chain "
+            "diameter exceeds it)"
+        )
     wk = Window.partitionBy("cluster_id").orderBy(
         F.length("text").desc(), "doc_id"
     )

@@ -628,8 +628,10 @@ WITH flow AS (
                                    AND UNBOUNDED FOLLOWING) AS final_micros
   FROM bal
 )
-SELECT user_id, drawdown AS max_dd_micros, ts AS trough_ts,
-       final_micros, CAST(n_events AS BIGINT) AS n_events
+SELECT user_id, CAST(drawdown AS BIGINT) AS max_dd_micros,
+       epoch_us(ts) AS trough_us,
+       CAST(final_micros AS BIGINT) AS final_micros,
+       CAST(n_events AS BIGINT) AS n_events
 FROM dd WHERE rn = 1
 """,
     doc="Maximum drawdown per user over the signed engagement balance "
@@ -641,7 +643,12 @@ FROM dd WHERE rn = 1
     "micros BEFORE any accumulation (floor(v*1e6+0.5) — identical "
     "double math both engines) so running sums are order-exact integer "
     "arithmetic and ties in the trough rank are impossible to "
-    "mis-order (deterministic (dd DESC, ts, event_id) key).  Scale: "
+    "mis-order (deterministic (dd DESC, ts, event_id) key).  "
+    "CORRECTNESS_r07 root cause: DuckDB's windowed sum(BIGINT) is "
+    "HUGEINT, which pandas renders as float64 — values matched but the "
+    "driver's dtype-sensitive hash did not; every HUGEINT-derived "
+    "output is now CAST AS BIGINT and the trough timestamp ships as "
+    "epoch_us to keep the row all-integer.  Scale: "
     "ONE shuffle on user_id serves every window (running sum, running "
     "max-of-sum, rank, count — all share the partition key); no join, "
     "no global sort; at 100 TB per-user series are bounded and the "
@@ -694,7 +701,9 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.filter(F.col("rn") == 1).select(
         "user_id",
         F.col("drawdown").alias("max_dd_micros"),
-        F.col("ts").alias("trough_ts"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("trough_us"),
         "final_micros",
         "n_events",
     )

@@ -9,7 +9,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cobradb_spark.session import get_spark
 
-SF_SMALL = "/root/testdata/sf0.001"
+# r7 ADVICE: every scale path derives from ONE movable root so a
+# relocated testdata tree is a one-env-var change, not a grep.
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMALL = f"{TESTDATA_ROOT}/sf0.001"
+SF_MID = f"{TESTDATA_ROOT}/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -21,3 +25,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_mid() -> str:
+    """sf0.01 — for behavioral-contract tests whose assertions are
+    scale-sensitive (e.g. DBSCAN must see all three roles)."""
+    return SF_MID

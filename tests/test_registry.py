@@ -51,7 +51,10 @@ def test_entry_contract_shapes():
 def test_driver_window_keys_are_oracle_carrying():
     """The correctness driver hash-checks the FIRST 50 queries() entries;
     a rows-only or unregistered key in that window wastes a driver row
-    (r3 verdict: rotation is part of the verification contract)."""
+    (r3 verdict: rotation is part of the verification contract).  The r8
+    window deliberately closes with the four rows-only ANN keys — the
+    only registered keys that can never carry an oracle — so exactly
+    that tail is allowed."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
@@ -59,42 +62,43 @@ def test_driver_window_keys_are_oracle_carrying():
     assert window == list(registry._DRIVER_PRIORITY), (
         "driver window must be exactly the rotated priority list"
     )
-    for name in window:
+    ann_tail = ["dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq"]
+    assert window[-4:] == ann_tail, "rows-only ANN keys must close the window"
+    for name in window[:-4]:
         assert qs[name].oracle is not None, f"{name} in driver window without oracle"
+    # the two r7 hash-mismatch keys lead the window (re-verification first)
+    assert window[:2] == ["win_max_drawdown", "text_vocab_coverage"]
 
 
-def test_r8_planned_window_names_are_registered():
-    """The planned next-round rotation list must not rot: every name in
-    _R8_PLANNED_HEAD exists in the registry, the oracle-carrying ones
-    precede the rows-only ANN tail, it fills exactly one 50-slot driver
-    window, and none are already in the current window (they'd waste a
-    driver slot twice)."""
+def test_r9_planned_window_names_are_registered():
+    """The staged next-round rotation list must not rot: every name in
+    _R9_PLANNED_HEAD exists in the registry, is oracle-carrying, fills
+    exactly one 50-slot driver window, and none are already in the
+    executed r8 window (they'd waste a driver slot twice)."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    assert len(registry._R8_PLANNED_HEAD) == 50
-    missing = [n for n in registry._R8_PLANNED_HEAD if n not in qs]
-    assert not missing, f"planned r8 names not registered: {missing}"
-    rows_only = [n for n in registry._R8_PLANNED_HEAD if qs[n].oracle is None]
-    assert rows_only == ["dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf",
-                         "sim_ann_ivf_pq"]
-    tail = registry._R8_PLANNED_HEAD[-4:]
-    assert list(tail) == rows_only, "rows-only keys must close the window"
-    overlap = set(registry._R8_PLANNED_HEAD) & set(registry._DRIVER_PRIORITY)
-    assert not overlap, f"planned r8 keys already in the r7 window: {overlap}"
+    assert len(registry._R9_PLANNED_HEAD) == 50
+    missing = [n for n in registry._R9_PLANNED_HEAD if n not in qs]
+    assert not missing, f"planned r9 names not registered: {missing}"
+    for n in registry._R9_PLANNED_HEAD:
+        assert qs[n].oracle is not None, f"{n} staged without oracle"
+    overlap = set(registry._R9_PLANNED_HEAD) & set(registry._DRIVER_PRIORITY)
+    assert not overlap, f"planned r9 keys already in the r8 window: {overlap}"
 
 
-def test_r9_queue_names_are_registered_and_new():
-    """The r9 queue (r7-new keys with no driver rows) must not rot:
-    every name registered, oracle-carrying, and in neither the executed
-    r7 window nor the staged r8 window."""
+def test_r10_queue_names_are_registered_and_new():
+    """The r10 backlog must not rot: every name registered,
+    oracle-carrying, and in neither the executed r8 window nor the
+    staged r9 window.  Together the three lists must cover every key
+    that still lacks driver-hash evidence."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    missing = [n for n in registry._R9_QUEUE if n not in qs]
-    assert not missing, f"queued r9 names not registered: {missing}"
-    for n in registry._R9_QUEUE:
+    missing = [n for n in registry._R10_QUEUE if n not in qs]
+    assert not missing, f"queued r10 names not registered: {missing}"
+    for n in registry._R10_QUEUE:
         assert qs[n].oracle is not None, f"{n} queued without oracle"
-    taken = set(registry._DRIVER_PRIORITY) | set(registry._R8_PLANNED_HEAD)
-    overlap = set(registry._R9_QUEUE) & taken
-    assert not overlap, f"r9-queued keys already windowed: {overlap}"
+    taken = set(registry._DRIVER_PRIORITY) | set(registry._R9_PLANNED_HEAD)
+    overlap = set(registry._R10_QUEUE) & taken
+    assert not overlap, f"r10-queued keys already windowed: {overlap}"

@@ -10,16 +10,13 @@ from pyspark.sql import functions as F
 
 from cobradb_spark import registry
 
-SF = "/root/testdata/sf0.01"
-
-
-def test_pit_training_set_has_no_leakage(spark):
+def test_pit_training_set_has_no_leakage(spark, sf_mid):
     """Point-in-time contract: an example's features must equal the
     user's event count/cents STRICTLY BEFORE the Monday of the
     purchase's week — recomputed here from raw events in Python."""
-    out = registry.get_query("mlprep_pit_training_set").fn(spark, SF).collect()
+    out = registry.get_query("mlprep_pit_training_set").fn(spark, sf_mid).collect()
     ev = (
-        spark.read.parquet(f"{SF}/events.parquet")
+        spark.read.parquet(f"{sf_mid}/events.parquet")
         .select("user_id", "event_id", "ts", "value")
         .collect()
     )
@@ -41,8 +38,8 @@ def test_pit_training_set_has_no_leakage(spark):
     assert checked > 50
 
 
-def test_dbscan_role_invariants(spark):
-    out = registry.get_query("geo_dbscan_grid").fn(spark, SF).collect()
+def test_dbscan_role_invariants(spark, sf_mid):
+    out = registry.get_query("geo_dbscan_grid").fn(spark, sf_mid).collect()
     roles = {r.role for r in out}
     assert roles == {"core", "border", "noise"}
     for r in out:
@@ -64,8 +61,8 @@ def test_dbscan_role_invariants(spark):
         assert min(cores) == cid
 
 
-def test_keep_best_exactly_one_keeper_per_cluster(spark):
-    out = registry.get_query("dedup_near_cluster_keep_best").fn(spark, SF).collect()
+def test_keep_best_exactly_one_keeper_per_cluster(spark, sf_mid):
+    out = registry.get_query("dedup_near_cluster_keep_best").fn(spark, sf_mid).collect()
     by_cluster: dict[int, list] = {}
     for r in out:
         by_cluster.setdefault(r.cluster_id, []).append(r)
@@ -83,11 +80,11 @@ def test_keep_best_exactly_one_keeper_per_cluster(spark):
             raise AssertionError(f"base {k} kept over its longer mutation in {cid}")
 
 
-def test_srm_detects_broken_split_not_fair_one(spark):
+def test_srm_detects_broken_split_not_fair_one(spark, sf_mid):
     out = {
         r.experiment: r
         for r in registry.get_query("analytics_experiment_srm_check")
-        .fn(spark, SF)
+        .fn(spark, sf_mid)
         .collect()
     }
     assert out["exp_bad"].srm_detected is True
@@ -96,10 +93,10 @@ def test_srm_detects_broken_split_not_fair_one(spark):
     assert out["exp_bad"].chi2_ppm > out["exp_mild"].chi2_ppm
 
 
-def test_bollinger_flags_match_float_reference(spark):
+def test_bollinger_flags_match_float_reference(spark, sf_mid):
     """The integer cross-multiplied band test must agree with the
     naive float mean/σ formulation (no boundary drift)."""
-    rows = registry.get_query("win_bollinger_bands").fn(spark, SF)
+    rows = registry.get_query("win_bollinger_bands").fn(spark, sf_mid)
     daily = rows.select("priority", "day", "cents").collect()
     series: dict[str, list] = {}
     for r in sorted(daily, key=lambda x: (x.priority, x.day)):

@@ -116,10 +116,36 @@ def _align_near(a_rows: list, b_rows: list) -> bool:
     return not remaining
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Driver-parity dtype bucket.  The driver's value-hash is
+    dtype-sensitive: CORRECTNESS_r07 failed two keys whose VALUES were
+    bit-identical but whose oracle column came back float64 (DuckDB
+    HUGEINT -> pandas float) against Spark's int64.  Local EXACT must
+    therefore require the same dtype CLASS per column, not just equal
+    Python values after int(35486) == float(35486.0) coercion."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "ts"  # unit (ns vs us) is canonicalized by _canon_cell
+    return "obj"
+
+
 def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[str, str]:
     sc, dc = sorted(spark_pd.columns), sorted(duck_pd.columns)
     if sc != dc:
         return "FAIL", f"columns differ: spark={sc} duck={dc}"
+    bad_dt = [
+        (c, str(spark_pd[c].dtype), str(duck_pd[c].dtype))
+        for c in sc
+        if _dtype_class(spark_pd[c]) != _dtype_class(duck_pd[c])
+    ]
+    if bad_dt:
+        return "FAIL", f"dtype class differs (driver hash hazard): {bad_dt}"
     if len(spark_pd) != len(duck_pd):
         return "FAIL", f"row count differs: spark={len(spark_pd)} duck={len(duck_pd)}"
     a, b = canonize(spark_pd), canonize(duck_pd)
