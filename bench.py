@@ -13,10 +13,25 @@ regressions outside the six headline queries surface in the per-round
 artifact too.  Same warmup + 3-run-median protocol per query; the suite
 total lands in `tpch_suite_seconds` / per-query in `tpch_queries`.
 
+A third artifact (r7 verdict item 4) pins environmental drift: two
+consecutive rounds showed uniform ~10-25% slowdowns on UNTOUCHED
+queries (0.58x -> 0.69x headline, 1.07x -> 1.17x TPC-H vs frozen
+numbers measured in different sessions), so a single absolute reading
+is no longer trustworthy as a regression signal.  The `ab` block runs
+an INTERLEAVED A/B — the previous round's frozen commit (git worktree)
+vs HEAD, alternating REF, HEAD, REF, HEAD in fresh JVMs via
+tools/bench_once.py — so both variants see the same machine conditions
+and the ratio is environment-free.  Fail-soft: any git/subprocess
+problem degrades to "ab": {"error": ...} without touching the primary
+numbers.  Tunables: SPARK_GRAFT_AB=0 disables, SPARK_GRAFT_AB_REF
+overrides the frozen commit, SPARK_GRAFT_AB_PAIRS the pair count.
+
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
    "queries": {...}, "sf": ...,
-   "tpch_suite_seconds": M, "tpch_queries": {...}}
+   "tpch_suite_seconds": M, "tpch_queries": {...},
+   "ab": {"ref": sha, "ref_runs": [...], "head_runs": [...],
+          "headline_ratio": r1, "tpch_ratio": r2}}
 """
 
 from __future__ import annotations
@@ -24,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -63,6 +79,62 @@ def _timed_suite(spark, qs, sf_dir, labels: dict[str, str]) -> dict[str, float]:
     return results
 
 
+# The previous round's artifacts commit: its tree carries that round's
+# final engine code, so "REF vs HEAD" is exactly "last round vs now".
+_AB_DEFAULT_REF = "c1f74af"
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _bench_once(repo_root: str, sf_dir: str) -> dict[str, float]:
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "bench_once.py"), repo_root, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def interleaved_ab(sf_dir: str) -> dict:
+    """REF, HEAD, REF, HEAD in fresh JVMs; medians + ratio."""
+    ref = os.environ.get("SPARK_GRAFT_AB_REF", _AB_DEFAULT_REF)
+    pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
+    wt = f"/tmp/bench_ab_{ref}"
+    try:
+        subprocess.run(
+            ["git", "-C", _REPO, "worktree", "add", "--force", "--detach", wt, ref],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            check=True,
+        )
+    except Exception as e:  # noqa: BLE001 — fail-soft by contract
+        return {"error": f"worktree: {e}"}
+    try:
+        ref_runs, head_runs = [], []
+        for _ in range(pairs):
+            ref_runs.append(_bench_once(wt, sf_dir))
+            head_runs.append(_bench_once(_REPO, sf_dir))
+        med = lambda runs, k: statistics.median(r[k] for r in runs)  # noqa: E731
+        return {
+            "ref": ref,
+            "pairs": pairs,
+            "ref_runs": ref_runs,
+            "head_runs": head_runs,
+            "headline_ratio": round(med(head_runs, "headline") / med(ref_runs, "headline"), 4),
+            "tpch_ratio": round(med(head_runs, "tpch") / med(ref_runs, "tpch"), 4),
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"ab run: {e}"}
+    finally:
+        subprocess.run(
+            ["git", "-C", _REPO, "worktree", "remove", "--force", wt],
+            capture_output=True,
+            timeout=60,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,6 +147,12 @@ def main() -> None:
     tpch_labels = {"q1": "agg_basic"}
     tpch_labels.update({n: n for n in sorted(qs) if n.startswith("sql_")})
     tpch = _timed_suite(spark, qs, sf_dir, tpch_labels)
+    spark.stop()  # free the JVM before the A/B subprocesses spin theirs
+    ab = (
+        interleaved_ab(sf_dir)
+        if os.environ.get("SPARK_GRAFT_AB", "1") != "0"
+        else {"error": "disabled"}
+    )
     print(
         json.dumps(
             {
@@ -85,10 +163,10 @@ def main() -> None:
                 "sf": float(sf),
                 "tpch_suite_seconds": round(sum(tpch.values()), 4),
                 "tpch_queries": tpch,
+                "ab": ab,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

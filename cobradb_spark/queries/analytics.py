@@ -1358,7 +1358,8 @@ WITH items AS (
   SELECT r.antecedent, r.consequent, r.sup12,
          sa.sup AS sup_ante, sc.sup AS sup_cons,
          r.sup12 * 1000000 // sa.sup AS confidence_ppm,
-         r.sup12 * n.n_baskets * 1000000 // (sa.sup * sc.sup) AS lift_ppm
+         CAST(CAST(r.sup12 AS HUGEINT) * n.n_baskets * 1000000
+              // (CAST(sa.sup AS HUGEINT) * sc.sup) AS BIGINT) AS lift_ppm
   FROM rules r
   JOIN sup1 sa ON sa.l_partkey = r.antecedent
   JOIN sup1 sc ON sc.l_partkey = r.consequent
@@ -1431,9 +1432,13 @@ def analytics_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sup_ante",
             "sup_cons",
             F.expr("div(sup12 * 1000000, sup_ante)").alias("confidence_ppm"),
-            F.expr("div(sup12 * n_baskets * 1000000, sup_ante * sup_cons)").alias(
-                "lift_ppm"
-            ),
+            # r8 overflow audit: sup12 * n_baskets * 1e6 exceeds BIGINT
+            # once baskets pass ~150M (sf50+) — widen the product, land
+            # back in BIGINT (lift caps far below 2^63)
+            F.expr(
+                "CAST(div(CAST(sup12 AS DECIMAL(38,0)) * n_baskets * 1000000,"
+                " CAST(sup_ante AS DECIMAL(38,0)) * sup_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
     return scored.orderBy(
@@ -1462,18 +1467,19 @@ pair AS (
 ), s AS (
   SELECT lag, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
-         CAST(sum(xv * xv) AS BIGINT) AS sxx,
-         CAST(sum(yv * yv) AS BIGINT) AS syy,
-         CAST(sum(xv * yv) AS BIGINT) AS sxy
+         sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+         sum(CAST(yv AS HUGEINT) * yv) AS syy,
+         sum(CAST(xv AS HUGEINT) * yv) AS sxy
   FROM pair GROUP BY 1
 )
 SELECT lag, n,
        CAST(floor(
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE))
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
          * 1000000) AS BIGINT) AS corr_ppm
-FROM s WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+FROM s WHERE n >= 2 AND n * sxx > CAST(sx AS HUGEINT) * sx
+         AND n * syy > CAST(sy AS HUGEINT) * sy
 ORDER BY lag
 """,
     doc="Cross-correlation lag sweep (signal-alignment / lead-lag "
@@ -1519,17 +1525,31 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(y, F.col("yhour") == F.col("jhour"))
     )
+    # r8 overflow audit: hourly cents sums reach ~4e9 at sf100, so the
+    # per-row squares (~1.6e19) and their sums overflow BIGINT — widen
+    # the moment accumulation to 128-bit (DECIMAL here, HUGEINT in the
+    # oracle); the final corr is the same exact-integer-to-double tree
+    # on both engines, so parity is unchanged.
     s = pair.groupBy("lag").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("xv").cast("long").alias("sx"),
         F.sum("yv").cast("long").alias("sy"),
-        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
-        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
-        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv").cast("decimal(19,0)") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv").cast("decimal(19,0)") * F.col("yv")).alias("syy"),
+        F.sum(F.col("xv").cast("decimal(19,0)") * F.col("yv")).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    num = (
+        F.col("n") * F.col("sxy")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    ).cast("double")
+    dx = (
+        F.col("n") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    )
+    dy = (
+        F.col("n") * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    )
     return (
         s.filter((F.col("n") >= 2) & (dx > 0) & (dy > 0))
         .select(

@@ -1613,9 +1613,9 @@ deg AS (
 ), m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM de
 )
 SELECT n AS n_directed_edges, sx AS deg_sum,
@@ -1653,13 +1653,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("n").alias("src"), F.col("d").alias("x"))
     db = deg.select(F.col("n").alias("dst"), F.col("d").alias("y"))
     de = edges.join(da, "src").join(db, "dst").select("x", "y")
+    # r8 overflow audit: hub-degree squares summed over the edge list
+    # can cross 2^63 on skewed graphs — 128-bit moment accumulation on
+    # both engines (DECIMAL here, HUGEINT in the oracle); the doubles
+    # below convert the same exact integers, so parity is unchanged.
     m = de.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(

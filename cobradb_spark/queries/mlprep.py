@@ -980,7 +980,8 @@ WITH d AS (
 )
 SELECT p.source, p.n_docs, p.total_chars,
        p.total_tokens * 1000 // p.n_docs AS tokens_per_doc_milli,
-       1000000 - (l.sum_sq * 1000000) // (p.n_docs * p.n_docs)
+       CAST(1000000 - CAST(l.sum_sq AS HUGEINT) * 1000000
+                      // (p.n_docs * p.n_docs) AS BIGINT)
            AS lang_gini_ppm,
        t.lang AS top_lang, p.dup_docs
 FROM per_doc p JOIN lang_stats l USING (source)
@@ -1035,9 +1036,12 @@ def profile_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(total_tokens * 1000, n_docs)").alias(
                 "tokens_per_doc_milli"
             ),
-            F.expr("1000000 - div(sum_sq * 1000000, n_docs * n_docs)").alias(
-                "lang_gini_ppm"
-            ),
+            # r8 overflow audit: sum_sq*1e6 crosses 2^63 past ~10M docs
+            # per source — widen the product (128-bit both engines)
+            F.expr(
+                "CAST(1000000 - div(CAST(sum_sq AS DECIMAL(38,0)) * 1000000,"
+                " n_docs * n_docs) AS BIGINT)"
+            ).alias("lang_gini_ppm"),
             "top_lang",
             "dup_docs",
         )

@@ -1649,7 +1649,7 @@ WITH words AS (
   FROM df CROSS JOIN corpus
 ), contrib AS (
   SELECT q.query_id, t.doc_id,
-         (i.idf_ppm * ((22 * t.tf * c.l_tot * 1000000)
+         (i.idf_ppm * ((CAST(22 AS HUGEINT) * t.tf * c.l_tot * 1000000)
                        // (10 * t.tf * c.l_tot + 3 * c.l_tot + 9 * d.dl * c.n_docs)))
            // 1000000 AS contrib_ppm
   FROM qterms q
@@ -1729,9 +1729,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
+            # r8 overflow audit: 22*tf*l_tot*1e6 crosses 2^63 once the
+            # corpus token count passes ~8e9 — widen the saturation
+            # numerator (128-bit both engines); the ratio itself is
+            # back under 2^63 before idf multiplies in.
             F.expr(
-                "div(idf_ppm * div(22 * tf * l_tot * 1000000, "
-                "10 * tf * l_tot + 3 * l_tot + 9 * dl * n_docs), 1000000)"
+                "CAST(div(idf_ppm * div(CAST(22 AS DECIMAL(38,0)) * tf * l_tot"
+                " * 1000000, 10 * tf * l_tot + 3 * l_tot + 9 * dl * n_docs),"
+                " 1000000) AS BIGINT)"
             ).alias("contrib_ppm"),
         )
     )
@@ -1779,8 +1784,9 @@ WITH toks AS (
   SELECT w2 AS w, CAST(sum(c12) AS BIGINT) AS c FROM pc GROUP BY 1
 ), scored AS (
   SELECT pc.w1, pc.w2, pc.c12, m1.c AS c1, m2.c AS c2,
-         CAST(floor(ln(CAST(pc.c12 * t.t_pairs AS DOUBLE)
-                       / CAST(m1.c * m2.c AS DOUBLE)) * 1000000) AS BIGINT)
+         CAST(floor(ln((CAST(pc.c12 AS DOUBLE) * CAST(t.t_pairs AS DOUBLE))
+                       / (CAST(m1.c AS DOUBLE) * CAST(m2.c AS DOUBLE)))
+                    * 1000000) AS BIGINT)
            AS pmi_ppm
   FROM pc JOIN m1 ON m1.w = pc.w1 JOIN m2 ON m2.w = pc.w2 CROSS JOIN t
   WHERE pc.c12 >= {_PMI_MIN_C12}
@@ -1837,10 +1843,15 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c12",
             "c1",
             "c2",
+            # r8 overflow audit: c12*t_pairs in BIGINT crosses 2^63 on
+            # ~8e9-pair corpora — cast each count to double BEFORE the
+            # multiply (same tree both engines: the products are exact
+            # in double far past 2^63's range, and identical trees keep
+            # ln's input bit-identical cross-engine).
             F.floor(
                 F.log(
-                    (F.col("c12") * F.col("t_pairs")).cast("double")
-                    / (F.col("c1") * F.col("c2")).cast("double")
+                    (F.col("c12").cast("double") * F.col("t_pairs").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
                 )
                 * 1000000
             )
