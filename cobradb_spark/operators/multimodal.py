@@ -608,6 +608,53 @@ def index_mp3_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_layer1(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid mono MPEG-1 Layer I stream per row (operators/
+    mp3.py encode_layer1): per-document subband allocation width,
+    scalefactor schedule, and sample codes; per-frame fitted bitrate
+    index.  Real headers, real payload bits — the decoder reads every
+    one of them back."""
+    from cobradb_spark.operators.mp3 import encode_layer1
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [encode_layer1(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_layer1_features(df: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer I subband decode (operators/mp3.py
+    decode_layer1: header/table validation, slot walk, bit-level
+    allocation/scalefactor/sample parsing, exact rational
+    requantization) over Arrow batches.  Emits the integer decode
+    aggregates the SQL oracle replays; the float subband samples are
+    exercised by the unit tests (dyadic-exact on this fixture)."""
+    from cobradb_spark.operators.mp3 import decode_layer1
+
+    cols = (
+        "n_frames", "sample_rate", "n_alloc_total", "sf_idx_sum",
+        "code_sum", "num_sum", "num_sq_sum",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_layer1(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One SubRip (.srt) subtitle file per row — the caption sidecar of a
     video corpus: n = 5 + id % 6 cues, cue i spanning

@@ -164,9 +164,12 @@ _R9_PLANNED_HEAD: tuple[str, ...] = (
 )
 
 # Backlog after the r9 window: 19 never-checked keys (tail of the r7
-# staging order) plus the 2 re-checks deferred from the r8 window.
+# staging order), the 2 re-checks deferred from the r8 window, and keys
+# added in r8+ (multimodal_mp1_subband_decode: the Layer-I subband
+# decoder that closed the last documented multimodal stub).
 # Draining this in r10 gives every oracle-carrying key driver evidence.
 _R10_QUEUE: tuple[str, ...] = (
+    "multimodal_mp1_subband_decode",
     "scan_json_multiline", "multimodal_image_channel_hist",
     "text_ocr_noise_score", "agg_tukey_fences", "analytics_diff_in_diff",
     "analytics_theil_sen_trend", "agg_gini_spend", "mlprep_lorenz_deciles",

@@ -579,3 +579,67 @@ def test_csv_hostile_roundtrip_record_count(spark, sf_dir):
     assert out.count() == n_parts
     embedded_nl = out.filter(F.col("payload").contains("\nsecond line")).count()
     assert embedded_nl == out.filter("p_partkey % 4 = 3").count() > 0
+
+
+def test_layer1_subband_decode_exact_and_clean_errors():
+    """MPEG-1 Layer I decoder contract (operators/mp3.py): (a) the
+    synthesized stream round-trips to the exact dyadic-rational subband
+    samples computed independently from the schedule (the fixture's
+    scalefactor indices are multiples of 3, so sf = 2^(1-k) and every
+    sample is exactly representable); (b) integer decode aggregates
+    match an independent schedule replay; (c) corrupt streams fail
+    loudly, never silently."""
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.mp3 import (
+        SCALEFACTOR,
+        decode_layer1,
+        encode_layer1,
+        layer1_schedule,
+    )
+
+    for did in (0, 1, 2, 3, 5, 12, 42, 100, 257):
+        out = decode_layer1(encode_layer1(did))
+        sch = layer1_schedule(did)
+        assert out["n_frames"] == sch["n_frames"]
+        assert out["n_alloc_total"] == sch["n_frames"] * sch["n_alloc"]
+        # independent replay of every sample, bit-exact float compare
+        want = np.zeros((sch["n_frames"] * 12, 32))
+        code_sum = num_sum = num_sq = 0
+        for f in range(sch["n_frames"]):
+            for sb in range(sch["n_alloc"]):
+                nb = sch["nb"](sb)
+                sf = SCALEFACTOR[sch["sf_idx"](sb)]
+                for t in range(12):
+                    c = sch["code"](f, sb, t)
+                    num = 2 * c + 2 - (1 << nb)
+                    code_sum += c
+                    num_sum += num
+                    num_sq += num * num
+                    want[f * 12 + t, sb] = sf * num / ((1 << nb) - 1)
+        assert out["code_sum"] == code_sum
+        assert out["num_sum"] == num_sum
+        assert out["num_sq_sum"] == num_sq
+        assert np.array_equal(out["subband_samples"], want)  # bit-exact
+        # |s| <= sf_max * 2^nb/(2^nb-1) = 2 * 4/3: the fixture emits the
+        # FULL code space including the top code a conformant encoder
+        # never produces (it decodes past 1.0 by the published formula —
+        # same as libmad's I_sample headroom), so the bound is 8/3.
+        assert np.all(np.abs(out["subband_samples"]) <= 2 * 4 / 3)
+
+    base = encode_layer1(42)
+    with pytest.raises(ValueError):
+        decode_layer1(b"")
+    with pytest.raises(ValueError):
+        decode_layer1(b"\x00" * 16)  # no sync
+    with pytest.raises(ValueError):
+        decode_layer1(base[:-8])  # truncated final frame
+    b = bytearray(base)
+    b[1] = (b[1] & ~0b110) | 0b010  # layer bits -> Layer III
+    with pytest.raises(ValueError):
+        decode_layer1(bytes(b))
+    b = bytearray(base)
+    b[2] = (b[2] & 0x0F) | 0xF0  # forbidden bitrate index 15
+    with pytest.raises(ValueError):
+        decode_layer1(bytes(b))
