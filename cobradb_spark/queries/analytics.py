@@ -2860,3 +2860,264 @@ def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 2 * count(*)) AS BIGINT)"
         ).alias("apdex_ppm"),
     )
+
+
+# Poisson(1) CDF in ppm, shared verbatim by both engines (the Benford
+# discipline: neither engine evaluates exp/factorial) — P(X <= k) for
+# k = 0..6; u_ppm >= 999916 draws multiplicity 7 (P ~ 8e-5, capped).
+_BOOT_POISSON_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+_BOOT_B = 64  # bootstrap replicates
+
+
+def _boot_mult_sql(u: str) -> str:
+    """CASE chain mapping a uniform ppm draw to a Poisson(1) multiplicity
+    — identical text for Spark SQL and DuckDB."""
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_POISSON_CDF_PPM)
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+@register(
+    "analytics_bootstrap_ci",
+    oracle=f"""
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         concat(CAST(l_orderkey AS VARCHAR), '-',
+                CAST(l_linenumber AS VARCHAR)) AS k
+  FROM lineitem
+), drawn AS (
+  SELECT flag, cents, r.r,
+         {_boot_mult_sql(
+             "CAST(CAST(concat('0x', substr(md5(concat(k, '-', "
+             "CAST(r.r AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) "
+             "% 1000000"
+         )} AS m
+  FROM base, UNNEST(range(0, {_BOOT_B})) AS r(r)
+), rep AS (
+  SELECT flag, r, CAST(sum(m) AS BIGINT) AS s_m,
+         CAST(sum(m * cents) AS BIGINT) AS s_mx
+  FROM drawn GROUP BY flag, r
+), means AS (
+  SELECT flag, r,
+         CAST(CAST(s_mx AS HUGEINT) * 1000 // s_m AS BIGINT) AS mean_milli
+  FROM rep WHERE s_m > 0
+), ranked AS (
+  SELECT flag, mean_milli,
+         row_number() OVER (PARTITION BY flag
+                            ORDER BY mean_milli, r) AS rk,
+         count(*) OVER (PARTITION BY flag) AS b_eff
+  FROM means
+), point AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(cents) AS HUGEINT) * 1000 // count(*) AS BIGINT)
+           AS mean_milli
+  FROM base GROUP BY flag
+)
+SELECT p.flag, p.n_rows, CAST(r2.b_eff AS BIGINT) AS b_eff,
+       p.mean_milli,
+       max(CASE WHEN r2.rk = 2 THEN r2.mean_milli END) AS ci_lo_milli,
+       max(CASE WHEN r2.rk = 63 THEN r2.mean_milli END) AS ci_hi_milli
+FROM point p JOIN ranked r2 USING (flag)
+GROUP BY p.flag, p.n_rows, r2.b_eff, p.mean_milli
+""",
+    doc="Distributed Poisson bootstrap CI for the mean (the standard "
+    "resampling trick at cluster scale — Chamandy et al.'s 'Estimating "
+    f"Uncertainty for Massive Data Streams': per replicate r of "
+    f"{_BOOT_B}, each row enters with multiplicity ~ Poisson(1) instead "
+    "of a global n-out-of-n draw, so resampling needs no coordination "
+    "and partial-aggregates map-side).  Draws are DETERMINISTIC under "
+    "the shared md5-60-bit convention (the KMV discipline): u = "
+    "h(key, r) % 1e6 -> multiplicity via the hardcoded Poisson(1) CDF "
+    "ppm table (no engine evaluates exp), so replicate means — exact "
+    "integer milli-cents, truncating 128-bit division — and the "
+    "(2.5%, 97.5%) order-statistic bounds hash EXACT cross-engine.  "
+    "Per flag: row count, replicate count, point mean, and the CI "
+    "bounds (2nd and 63rd order statistics of the 64 replicate means, "
+    "tie-broken by replicate id).  Scale posture: the x64 replicate "
+    "fan-out partial-aggregates to (flag, r) BEFORE any shuffle (one "
+    "map-side-combinable rollup over facts x B); everything after runs "
+    "on the B x |flags| = 192-row frame.",
+    tags=("analytics",),
+)
+def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    drawn = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).withColumn(
+        "m",
+        F.expr(
+            _boot_mult_sql(
+                "conv(substring(md5(concat(k, '-', CAST(r AS STRING))), 1, 15),"
+                " 16, 10) % 1000000"
+            )
+        ),
+    )
+    rep = drawn.groupBy("flag", "r").agg(
+        F.sum("m").cast("bigint").alias("s_m"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("s_mx"),
+    )
+    means = rep.filter(F.col("s_m") > 0).select(
+        "flag",
+        "r",
+        F.expr(
+            "CAST(div(CAST(s_mx AS DECIMAL(38,0)) * 1000, s_m) AS BIGINT)"
+        ).alias("mean_milli"),
+    )
+    wflag = Window.partitionBy("flag")
+    ranked = means.select(
+        "flag",
+        F.col("mean_milli").alias("rep_mean_milli"),
+        F.row_number()
+        .over(wflag.orderBy("mean_milli", "r"))
+        .alias("rk"),
+        F.count("*").over(wflag).cast("bigint").alias("b_eff"),
+    )
+    point = base.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(div(CAST(sum(cents) AS DECIMAL(38,0)) * 1000, count(*))"
+            " AS BIGINT)"
+        ).alias("mean_milli"),
+    )
+    return (
+        point.join(ranked, "flag")
+        .groupBy("flag", "n_rows", "b_eff", "mean_milli")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("rep_mean_milli"))).alias(
+                "ci_lo_milli"
+            ),
+            F.max(F.when(F.col("rk") == 63, F.col("rep_mean_milli"))).alias(
+                "ci_hi_milli"
+            ),
+        )
+    )
+
+
+@register(
+    "analytics_mann_kendall_trend",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', day) AS BIGINT) AS x,
+         cents
+  FROM daily
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM idx a JOIN idx b ON b.x > a.x
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM idx
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM idx GROUP BY cents)
+  WHERE t > 1
+)
+SELECT n.n AS n_days, s.s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS BIGINT)
+         AS var18,
+       CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term > 0 THEN
+         CAST(floor(
+           CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                     WHEN s.s_stat < 0 THEN s.s_stat + 1 ELSE 0 END
+                AS DOUBLE) * 1000000.0
+           / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+                       AS DOUBLE) / 18.0)) AS BIGINT)
+       END AS z_micro
+FROM s CROSS JOIN n CROSS JOIN ties
+""",
+    doc="Mann-Kendall trend test over the daily revenue grid — the "
+    "nonparametric significance companion to analytics_theil_sen_trend "
+    "(same grid, same pair space): S = sum of pairwise sign(x_j - x_i) "
+    "for i < j, the tie-corrected variance 18*Var = n(n-1)(2n+5) - "
+    "sum_t t(t-1)(2t+5) (Kendall 1975), and the continuity-corrected "
+    "z = (S -/+ 1)/sqrt(Var) in floor-micro units.  Exactness: S, n, "
+    "and 18*Var are pure integers; z is BIGINT->DOUBLE casts through "
+    "one divide and one sqrt — IEEE correctly-rounded, identical "
+    "operand trees both engines (the cross-correlation discipline).  "
+    "Scale: facts collapse once to the O(days) grid; the pair join is "
+    "O(days^2) on DIMENSION-scale data (~2.4k days for a decade = ~3M "
+    "sign evaluations, data-size-independent), the theil-sen posture.",
+    tags=("analytics", "timeseries"),
+)
+def analytics_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    idx = daily.select(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("x"),
+        "cents",
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    s = a.join(b, F.col("b.x") > F.col("a.x")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = idx.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        idx.groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("bigint")
+    s_corr = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                var18 > 0,
+                F.floor(
+                    s_corr.cast("double")
+                    * F.lit(1000000.0)
+                    / F.sqrt(var18.cast("double") / F.lit(18.0))
+                ).cast("bigint"),
+            ).alias("z_micro"),
+        )
+    )

@@ -1771,3 +1771,343 @@ def mlprep_nzv_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_unique") * 100 <= F.col("n_rows") * 10)
         ).alias("near_zero_variance"),
     )
+
+
+@register(
+    "mlprep_roc_auc",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), g AS (
+  SELECT prio, cents, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS npos
+  FROM s GROUP BY prio, cents
+), r AS (
+  SELECT prio, cents, n, npos,
+         CAST(coalesce(sum(n) OVER (PARTITION BY prio ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS rank_before
+  FROM g
+), m AS (
+  SELECT prio,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(npos) AS BIGINT) AS n_pos,
+         sum(CAST(npos AS HUGEINT) * (2 * rank_before + n + 1)) AS r2_pos
+  FROM r GROUP BY prio
+)
+SELECT prio, n_rows, n_pos, CAST(n_rows - n_pos AS BIGINT) AS n_neg,
+       CAST((r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+            // (CAST(2 AS HUGEINT) * n_pos * (n_rows - n_pos)) AS BIGINT)
+         AS auc_ppm
+FROM m
+""",
+    doc="Exact ROC-AUC per segment via the Mann-Whitney rank-sum "
+    "identity AUC = (sum of positive-class average ranks - "
+    "n_pos(n_pos+1)/2) / (n_pos*n_neg), tie-corrected by the "
+    "average-rank (midrank) method — ties contribute exactly 1/2, the "
+    "textbook probabilistic AUC.  Scoring o_totalprice cents against "
+    "the o_orderstatus='F' label per o_orderpriority segment (the "
+    "operator contract is the metric, not the model).  Exactness: "
+    "midranks double to integers (the Hampel half-unit trick), so the "
+    "whole statistic is one 128-bit integer expression — "
+    "(sum(npos*(2*rank_before + n + 1)) - n_pos*(n_pos+1)) * 1e6 // "
+    "(2*n_pos*n_neg) — truncating division, no float anywhere.  Scale "
+    "posture: the score collapses to the (segment, cents) grid first "
+    "(one map-side-combinable shuffle over facts); the rank-before "
+    "prefix is the DISTRIBUTED exclusive prefix sum over the "
+    "composite (segment, cents) total order (operators/rank.py "
+    "global_prefix_sum + broadcast 5-row segment offsets — never a "
+    "per-segment window over the price grid), and the final AUC is a "
+    "5-row rollup.  At 100 TB only the grid rollup touches facts — "
+    "the agg_weighted_median_exact posture.",
+    tags=("mlprep",),
+)
+def mlprep_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("prio", "cents").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("npos"),
+    )
+    # DISTRIBUTED exclusive prefix over the composite (prio, cents)
+    # total order + broadcast per-segment offsets (|segments| = 5-row
+    # bounded collect) — not a per-segment running window, whose
+    # parallelism would be |segments| tasks over a grid that grows with
+    # price cardinality (the win_rolling_ols lesson; the
+    # agg_weighted_median_exact pattern).
+    ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_ps")
+    offs = {
+        r_.prio: r_.tot
+        for r_ in g.groupBy("prio").agg(F.sum("n").alias("tot")).collect()
+    }
+    acc, off = 0, {}
+    for p in sorted(offs):
+        off[p] = acc
+        acc += offs[p]
+    off_map = F.create_map(*[F.lit(x) for po in off.items() for x in po])
+    r = ps.withColumn(
+        "rank_before", (F.col("_ps") - off_map[F.col("prio")]).cast("bigint")
+    )
+    m = r.groupBy("prio").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum(
+            (
+                F.col("npos") * (2 * F.col("rank_before") + F.col("n") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("r2_pos"),
+    )
+    return m.select(
+        "prio",
+        "n_rows",
+        "n_pos",
+        (F.col("n_rows") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST(div((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            " * 1000000,"
+            " CAST(2 AS DECIMAL(38,0)) * n_pos * (n_rows - n_pos)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@register(
+    "mlprep_ks_statistic",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), g AS (
+  SELECT prio, cents, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS npos
+  FROM s GROUP BY prio, cents
+), c AS (
+  SELECT prio, cents,
+         CAST(sum(npos) OVER w AS BIGINT) AS cum_pos,
+         CAST(sum(n - npos) OVER w AS BIGINT) AS cum_neg,
+         CAST(sum(npos) OVER (PARTITION BY prio) AS BIGINT) AS n_pos,
+         CAST(sum(n - npos) OVER (PARTITION BY prio) AS BIGINT) AS n_neg
+  FROM g
+  WINDOW w AS (PARTITION BY prio ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT prio, cents, n_pos, n_neg,
+         CAST(abs(CAST(cum_pos AS HUGEINT) * n_neg
+                  - CAST(cum_neg AS HUGEINT) * n_pos) * 1000000
+              // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS d_ppm
+  FROM c
+), rk AS (
+  SELECT prio, cents, n_pos, n_neg, d_ppm,
+         row_number() OVER (PARTITION BY prio
+                            ORDER BY d_ppm DESC, cents) AS rn
+  FROM d
+)
+SELECT prio, n_pos, n_neg, d_ppm AS ks_ppm, cents AS ks_at_cents
+FROM rk WHERE rn = 1
+""",
+    doc="Two-sample Kolmogorov-Smirnov statistic per segment: the "
+    "maximum gap between the positive- and negative-class score CDFs "
+    "(o_totalprice cents vs the o_orderstatus='F' label per "
+    "o_orderpriority) — the standard separation readout next to AUC "
+    "(mlprep_roc_auc), and the drift test run between a training and a "
+    "serving score distribution.  Exactness: the CDF gap at each grid "
+    "point is the 128-bit cross-multiplication "
+    "|cum_pos*n_neg - cum_neg*n_pos|*1e6 // (n_pos*n_neg) — no "
+    "division per class, no float; the argmax score reports the "
+    "decision threshold (first by score on ties — deterministic "
+    "(d DESC, cents) rank).  Scale posture: identical to "
+    "mlprep_roc_auc — one (segment, cents) grid rollup over facts, two "
+    "distributed prefix sums over the grid's composite total order, "
+    "5-row result.",
+    tags=("mlprep",),
+)
+def mlprep_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("prio", "cents").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("npos"),
+    )
+    # Two distributed prefix sums over the composite (prio, cents) order
+    # (n and npos; cum_neg derives) + broadcast 5-row per-segment
+    # offsets/totals — the mlprep_roc_auc / agg_weighted_median_exact
+    # posture, never a per-segment running window over the price grid.
+    ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_psn")
+    ps = global_prefix_sum(
+        ps, [F.col("prio"), F.col("cents")], "npos", out_col="_psp"
+    )
+    tot = {
+        r_.prio: (r_.t_n, r_.t_pos)
+        for r_ in g.groupBy("prio")
+        .agg(F.sum("n").alias("t_n"), F.sum("npos").alias("t_pos"))
+        .collect()
+    }
+    accn = accp = 0
+    offn, offp = {}, {}
+    for p in sorted(tot):
+        offn[p], offp[p] = accn, accp
+        accn += tot[p][0]
+        accp += tot[p][1]
+    offn_m = F.create_map(*[F.lit(x) for po in offn.items() for x in po])
+    offp_m = F.create_map(*[F.lit(x) for po in offp.items() for x in po])
+    npos_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][1])])
+    ntot_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][0])])
+    c = ps.select(
+        "prio",
+        "cents",
+        (F.col("_psp") - offp_m[F.col("prio")] + F.col("npos"))
+        .cast("bigint")
+        .alias("cum_pos"),
+        (
+            (F.col("_psn") - offn_m[F.col("prio")] + F.col("n"))
+            - (F.col("_psp") - offp_m[F.col("prio")] + F.col("npos"))
+        )
+        .cast("bigint")
+        .alias("cum_neg"),
+        npos_m[F.col("prio")].cast("bigint").alias("n_pos"),
+        (ntot_m[F.col("prio")] - npos_m[F.col("prio")]).cast("bigint").alias("n_neg"),
+    )
+    d = c.select(
+        "prio",
+        "cents",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(div(abs(CAST(cum_pos AS DECIMAL(38,0)) * n_neg"
+            " - CAST(cum_neg AS DECIMAL(38,0)) * n_pos) * 1000000,"
+            " CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+        ).alias("d_ppm"),
+    )
+    rk = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("prio").orderBy(F.col("d_ppm").desc(), "cents")
+        ),
+    )
+    return rk.filter(F.col("rn") == 1).select(
+        "prio",
+        "n_pos",
+        "n_neg",
+        F.col("d_ppm").alias("ks_ppm"),
+        F.col("cents").alias("ks_at_cents"),
+    )
+
+
+@register(
+    "etl_t_closeness_check",
+    oracle="""
+WITH j AS (
+  SELECT CAST(c.c_nationkey AS VARCHAR) AS nat, c.c_mktsegment AS seg,
+         o.o_orderpriority AS sens
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), cls AS (
+  SELECT nat, seg, sens, CAST(count(*) AS BIGINT) AS c
+  FROM j GROUP BY nat, seg, sens
+), n_cls AS (
+  SELECT nat, seg, CAST(sum(c) AS BIGINT) AS n FROM cls GROUP BY nat, seg
+), gdist AS (
+  SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM cls GROUP BY sens
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS big_n FROM cls
+), terms AS (
+  SELECT nc.nat, nc.seg, nc.n, t.big_n,
+         abs(CAST(coalesce(cl.c, 0) AS HUGEINT) * t.big_n
+             - CAST(gl.g AS HUGEINT) * nc.n) AS term
+  FROM n_cls nc
+  CROSS JOIN gdist gl
+  CROSS JOIN tot t
+  LEFT JOIN cls cl ON cl.nat = nc.nat AND cl.seg = nc.seg
+                   AND cl.sens = gl.sens
+)
+SELECT nat, seg, n AS n_rows,
+       CAST(sum(term) * 1000000
+            // (CAST(2 AS HUGEINT) * n * big_n) AS BIGINT) AS tvd_ppm,
+       CAST(sum(term) * 1000000
+            // (CAST(2 AS HUGEINT) * n * big_n) AS BIGINT) > 150000
+         AS t_violation
+FROM terms GROUP BY nat, seg, n, big_n ORDER BY nat, seg
+""",
+    doc="t-closeness audit (Li, Li & Venkatasubramanian 2007) — the "
+    "third rung of the privacy ladder after etl_k_anonymize and "
+    "etl_l_diversity_check, over the SAME (nation, segment) "
+    "quasi-identifier classes and order-priority sensitive attribute: "
+    "a class can be large (k-anonymous) and varied (l-diverse) and "
+    "still leak if its sensitive DISTRIBUTION deviates from the "
+    "table-wide one (the skewness attack).  Distance is the exact "
+    "total variation distance — the categorical-attribute instance of "
+    "the paper's EMD — as the 128-bit cross-multiplication "
+    "sum_s |c_s*N - g_s*n| * 1e6 // (2*n*N): no per-class division, "
+    "no float; classes with tvd_ppm > 150000 (t = 0.15, the paper's "
+    "working example) are flagged.  Scale posture: one broadcast dim "
+    "join + one (class, sens) rollup over facts; the distance math "
+    "runs on the O(classes x |sensitive|) reduced frame against a "
+    "broadcast 5-row global distribution and a 1-row total.",
+    tags=("mlprep",),
+)
+def etl_t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("sens")
+    )
+    j = o.join(F.broadcast(c), "ck").select("nat", "seg", "sens")
+    cls = j.groupBy("nat", "seg", "sens").agg(F.count("*").cast("bigint").alias("c"))
+    n_cls = cls.groupBy("nat", "seg").agg(F.sum("c").cast("bigint").alias("n"))
+    glob = cls.groupBy("sens").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = cls.agg(F.sum("c").cast("bigint").alias("big_n"))
+    terms = (
+        n_cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cls, ["nat", "seg", "sens"], "left")
+        .select(
+            "nat",
+            "seg",
+            "n",
+            "big_n",
+            F.abs(
+                F.coalesce("c", F.lit(0)).cast("decimal(19,0)") * F.col("big_n")
+                - F.col("g").cast("decimal(19,0)") * F.col("n")
+            ).alias("term"),
+        )
+    )
+    tvd = F.expr(
+        "CAST(div(sum(term) * 1000000,"
+        " CAST(2 AS DECIMAL(38,0)) * n * big_n) AS BIGINT)"
+    )
+    return (
+        terms.groupBy("nat", "seg", "n", "big_n")
+        .agg(
+            tvd.alias("tvd_ppm"),
+        )
+        .select(
+            "nat",
+            "seg",
+            F.col("n").alias("n_rows"),
+            "tvd_ppm",
+            (F.col("tvd_ppm") > 150000).alias("t_violation"),
+        )
+        .orderBy("nat", "seg")
+    )

@@ -1,0 +1,182 @@
+"""Independent pure-Python replays of the r8 evaluation-stats batch —
+the oracle proves Spark == DuckDB; these prove both == the textbook
+formula computed a third way (no SQL, no Spark expressions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from cobradb_spark import registry
+
+
+def _orders(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice", "o_orderstatus")
+        .collect()
+    )
+
+
+def test_roc_auc_matches_naive_pairwise(spark, sf_dir):
+    """AUC from the rank-sum identity must equal the O(n_pos*n_neg)
+    definition P(score_pos > score_neg) + P(==)/2, cross-multiplied to
+    the same truncating ppm."""
+    rows = _orders(spark, sf_dir)
+    out = {
+        r.prio: r
+        for r in registry.get_query("mlprep_roc_auc").fn(spark, sf_dir).collect()
+    }
+    by_prio = defaultdict(lambda: ([], []))
+    for r in rows:
+        cents = math.floor(r.o_totalprice * 100.0 + 0.5)
+        by_prio[r.o_orderpriority][r.o_orderstatus == "F"].append(cents)
+    for prio, (neg, pos) in by_prio.items():
+        # doubled pair score: 2 per win, 1 per tie (exact integers)
+        neg_c = Counter(neg)
+        wins2 = 0
+        for p in pos:
+            for nv, nc in neg_c.items():
+                if p > nv:
+                    wins2 += 2 * nc
+                elif p == nv:
+                    wins2 += nc
+        want = wins2 * 1_000_000 // (2 * len(pos) * len(neg))
+        got = out[prio]
+        assert got.n_pos == len(pos) and got.n_neg == len(neg)
+        assert got.auc_ppm == want, prio
+
+
+def test_ks_matches_naive_cdf_scan(spark, sf_dir):
+    rows = _orders(spark, sf_dir)
+    out = {
+        r.prio: r
+        for r in registry.get_query("mlprep_ks_statistic")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    by_prio = defaultdict(lambda: ([], []))
+    for r in rows:
+        cents = math.floor(r.o_totalprice * 100.0 + 0.5)
+        by_prio[r.o_orderpriority][r.o_orderstatus == "F"].append(cents)
+    for prio, (neg, pos) in by_prio.items():
+        grid = sorted(set(neg) | set(pos))
+        np_, nn = len(pos), len(neg)
+        best, best_at = -1, None
+        cp = cn = 0
+        pos_c, neg_c = Counter(pos), Counter(neg)
+        for cents in grid:
+            cp += pos_c.get(cents, 0)
+            cn += neg_c.get(cents, 0)
+            d = abs(cp * nn - cn * np_) * 1_000_000 // (np_ * nn)
+            if d > best:
+                best, best_at = d, cents
+        got = out[prio]
+        assert got.ks_ppm == best and got.ks_at_cents == best_at, prio
+
+
+def test_t_closeness_matches_naive_tvd(spark, sf_dir):
+    cust = {
+        r.c_custkey: (str(r.c_nationkey), r.c_mktsegment)
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    cls = Counter()
+    n_cls = Counter()
+    glob = Counter()
+    for r in orders:
+        nat, seg = cust[r.o_custkey]
+        cls[(nat, seg, r.o_orderpriority)] += 1
+        n_cls[(nat, seg)] += 1
+        glob[r.o_orderpriority] += 1
+    big_n = sum(glob.values())
+    out = registry.get_query("etl_t_closeness_check").fn(spark, sf_dir).collect()
+    assert len(out) == len(n_cls)
+    for row in out:
+        key = (row.nat, row.seg)
+        n = n_cls[key]
+        term = sum(
+            abs(cls.get((row.nat, row.seg, s), 0) * big_n - g * n)
+            for s, g in glob.items()
+        )
+        want = term * 1_000_000 // (2 * n * big_n)
+        assert row.n_rows == n
+        assert row.tvd_ppm == want, key
+        assert row.t_violation == (want > 150_000)
+
+
+def test_bootstrap_ci_matches_hash_replay(spark, sf_dir):
+    """Exact replay of the deterministic Poisson bootstrap: same md5
+    draws, same multiplicity table, same order statistics."""
+    cdf = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    B = 64
+    s_m = defaultdict(int)
+    s_mx = defaultdict(int)
+    point_n = Counter()
+    point_sum = Counter()
+    for r in li:
+        cents = math.floor(r.l_extendedprice * 100.0 + 0.5)
+        point_n[r.l_returnflag] += 1
+        point_sum[r.l_returnflag] += cents
+        key = f"{r.l_orderkey}-{r.l_linenumber}"
+        for rep in range(B):
+            h = hashlib.md5(f"{key}-{rep}".encode()).hexdigest()
+            u = int(h[:15], 16) % 1_000_000
+            m = next((k for k, c in enumerate(cdf) if u < c), 7)
+            if m:
+                s_m[(r.l_returnflag, rep)] += m
+                s_mx[(r.l_returnflag, rep)] += m * cents
+    means = defaultdict(list)
+    for (flag, rep), sm in s_m.items():
+        means[flag].append((s_mx[(flag, rep)] * 1000 // sm, rep))
+    out = {
+        r.flag: r
+        for r in registry.get_query("analytics_bootstrap_ci")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for flag, ms in means.items():
+        ms.sort()
+        got = out[flag]
+        assert got.b_eff == len(ms) == B
+        assert got.n_rows == point_n[flag]
+        assert got.mean_milli == point_sum[flag] * 1000 // point_n[flag]
+        assert got.ci_lo_milli == ms[1][0]    # 2nd order statistic
+        assert got.ci_hi_milli == ms[62][0]   # 63rd
+        assert got.ci_lo_milli <= got.mean_milli <= got.ci_hi_milli
+
+
+def test_mann_kendall_matches_naive(spark, sf_dir):
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir).select("ts", "value").collect()
+    daily = Counter()
+    for r in ev:
+        daily[r.ts.date()] += math.floor(r.value * 100.0 + 0.5)
+    xs = [c for _, c in sorted(daily.items())]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    row = (
+        registry.get_query("analytics_mann_kendall_trend")
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert row.n_days == n and row.s_stat == s and row.var18 == var18
+    s_corr = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    want_z = math.floor(s_corr * 1_000_000.0 / math.sqrt(var18 / 18.0))
+    assert row.z_micro == want_z
