@@ -2081,7 +2081,9 @@ def etl_t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         n_cls.crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(tot))
-        .join(cls, ["nat", "seg", "sens"], "left")
+        # classes x |sensitive| is dimension-bounded (quasi-id cardinality,
+        # 125 x 5 here) — broadcast, or AQE leaves a SortMergeJoin
+        .join(F.broadcast(cls), ["nat", "seg", "sens"], "left")
         .select(
             "nat",
             "seg",

@@ -1418,6 +1418,47 @@ AUDITS = [
         "facts collapse to the (cohort, age) grid with map-side partials "
         "before the running sum; the cohort map and sizes broadcast",
     ),
+    (
+        "mlprep_roc_auc",
+        ["partial_sum", "rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "facts collapse once to the (segment, cents) grid (map-side "
+        "combine); rank-before is the DISTRIBUTED range-partitioned "
+        "prefix sum — no per-segment window, no single partition",
+    ),
+    (
+        "mlprep_ks_statistic",
+        ["partial_sum", "rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "same grid posture as mlprep_roc_auc with two distributed "
+        "prefix sums; the argmax rank runs per-segment over the grid",
+    ),
+    (
+        "etl_t_closeness_check",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["SortMergeJoin", "BatchEvalPython"],
+        "customer dim broadcasts into the fact rollup; the TVD math "
+        "joins the class grid against a broadcast 5-row global "
+        "distribution and a 1-row total (the only nested loops)",
+    ),
+    (
+        "analytics_bootstrap_ci",
+        ["Generate", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "the x64 replicate fan-out partial-aggregates to (flag, rep) "
+        "map-side BEFORE the shuffle; order statistics run on the "
+        "192-row replicate frame",
+    ),
+    (
+        "analytics_mann_kendall_trend",
+        ["partial_sum"],
+        ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],
+        "facts collapse once to the O(days) grid; the sign-pair join is "
+        "a nested loop by design on DIMENSION-scale data (the theil-sen "
+        "posture), never over raw events",
+    ),
 ]
 
 

@@ -188,7 +188,52 @@ PROBES = [
     "etl_one_big_table",
     "events_apdex_score",
     "mlprep_confusion_matrix",
+    "multimodal_mp1_subband_decode",
+    "mlprep_roc_auc",
+    "mlprep_ks_statistic",
+    "etl_t_closeness_check",
+    "analytics_bootstrap_ci",
+    "analytics_mann_kendall_trend",
 ]
+
+
+# Static analysis section appended to every generated SCALING.md —
+# the r8 overflow audit is a code-reading result, not a measurement,
+# so regeneration must not lose it.
+_STATIC_FOOTER = """## r8 BIGINT-product overflow audit (r7 VERDICT item 6)
+
+Swept every site multiplying data-magnitude BIGINTs (`grep "AS BIGINT) *",
+"* 1000000", "F.sum(col*col)"` over queries/ — 76 scale-by-ppm sites +
+30 sum-of-product sites). Magnitude model: sf100 ≈ lineitem 600M rows,
+orders 150M, corpus ~8e9 tokens / 5e7 docs, hourly cents sums ~4e9.
+2^63 ≈ 9.2e18. **Six sites could overflow at sf50+; all six widened to
+128-bit on BOTH engines (Spark DECIMAL(38,0) / DuckDB HUGEINT) with
+outputs landing back in BIGINT** — value- and dtype-identical at test
+scales (re-verified EXACT at sf0.01 post-change):
+
+| site | expr | overflow at | fix |
+|---|---|---|---|
+| analytics_basket_rules | sup12 * n_baskets * 1e6 | baskets ≳ 150M | DECIMAL/HUGEINT product |
+| events_cross_correlation | sum(xv²), sx*sy | hourly cents ≳ 3e9 | 128-bit moments, same double tree |
+| text_bm25_topk | 22*tf*l_tot*1e6 | corpus ≳ 8e9 tokens | widen saturation numerator |
+| text_cooccurrence_pmi | c12*t_pairs (BIGINT) | pairs ≳ 8e9 | cast-to-double BEFORE multiply, both engines |
+| profile_corpus_report | sum_sq * 1e6 | source ≳ 10M docs | DECIMAL/HUGEINT product |
+| graph_degree_assortativity | sum(x*y) over edges | hub degree ≳ 3e5 on 1e9 edges | 128-bit moments |
+
+Checked and safe by construction (bounded operands or already 128-bit):
+agg_gini_spend / agg_gini_impurity_category / agg_rank_biserial (DECIMAL
++ HUGEINT since r6/r7), analytics_ab_cuped / analytics_ratio_delta_ci /
+analytics_srm / power_mde / diff_in_diff (DECIMAL since r6),
+analytics_value_migration + mlprep_lorenz_deciles + graph_brand_
+assortativity + text_kneser_ney_bigram + text_source_distinctive_terms
+(DECIMAL(38,0) on landing), count*1e6//count ratio sites (counts ≤ rows
+≤ 6e8 → ≤ 6e14), per-key checksums (etl_subject_access_export: ≤ ~1e3
+rows/subject), embedding dot products (dim-bounded ≤ 64 terms ×
+~1e12/term), RAKE deg*1e6 (deg ≤ 10×freq), vocab cum_cnt*1e6 (≤ 1e16),
+theil-sen cents diffs (daily aggregates ≤ 1e11), hits/pagerank
+normalization (documented bound in graph.py: max-degree × 1e12 < 2^63;
+raise the per-round rescale if a graph exceeds ~9M-degree hubs).
+"""
 
 
 def timed(fn, spark, sf, reps=3) -> float:
@@ -216,6 +261,20 @@ def timed(fn, spark, sf, reps=3) -> float:
 # verbatim on regeneration — if a later probe contradicts one, update
 # or delete the entry rather than letting stale evidence misdirect).
 NOTES = {
+    "multimodal_mp1_subband_decode": (
+        "r8 measurement: work is LINEAR in decoded bits — every document "
+        "carries 3-6 Layer I frames whose bit-level parse and "
+        "requantization dominate; docs scale 10x, frames walked scale "
+        "10x, so ~8x runtime is per-sample decode cost, not a "
+        "super-linear stage (the FLAC/decode family shape)"
+    ),
+    "analytics_bootstrap_ci": (
+        "r8 measurement: work is LINEAR in rows x B — the x64 replicate "
+        "fan-out evaluates one md5 per (row, replicate), 3.8M draws at "
+        "sf0.01 -> 38M at sf0.1; the partial agg keeps the shuffle at "
+        "192 rows regardless, so the ratio is pure map-side hash "
+        "throughput (B is the knob a deployment tunes)"
+    ),
     "dedup_containment_ngram": (
         "r5 measurements: work is LINEAR (postings 25.2k->250.7k, pair rows "
         "27.7k->277.8k, max 5-gram df 4 at sf0.1 — nothing to prune); "
@@ -368,6 +427,7 @@ def main() -> int:
         out += ["", "Measured context for flagged rows:"]
         for n, note in noted:
             out.append(f"- **{n}**: {note}")
+    out += ["", _STATIC_FOOTER]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write("\n".join(out) + "\n")
