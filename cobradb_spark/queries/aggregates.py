@@ -914,3 +914,120 @@ def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weighted_median_cents")
     )
+
+
+@register(
+    "agg_winsorized_trimmed_mean",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT flag, cents, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY flag ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_lo,
+         CAST(sum(n) OVER (PARTITION BY flag) AS BIGINT) AS n_tot
+  FROM g
+), k AS (
+  SELECT flag, cents, n, cum_lo, n_tot,
+         n_tot * 5 // 100 AS k_lo, n_tot - n_tot * 5 // 100 AS k_hi
+  FROM c
+), pieces AS (
+  SELECT flag, n_tot, k_lo, k_hi,
+         sum(CAST(cents AS HUGEINT)
+             * greatest(0, least(cum_lo + n, k_hi) - greatest(cum_lo, k_lo)))
+           AS trim_sum,
+         min(CASE WHEN cum_lo + n >= k_lo + 1 THEN cents END) AS p5_cents,
+         min(CASE WHEN cum_lo + n >= k_hi THEN cents END) AS p95_cents
+  FROM k GROUP BY flag, n_tot, k_lo, k_hi
+)
+SELECT flag, n_tot AS n_rows,
+       CAST(p5_cents AS BIGINT) AS p5_cents,
+       CAST(p95_cents AS BIGINT) AS p95_cents,
+       CAST(trim_sum * 1000 // (k_hi - k_lo) AS BIGINT)
+         AS trimmed_mean_milli,
+       CAST((trim_sum + CAST(k_lo AS HUGEINT) * p5_cents
+             + CAST(n_tot - k_hi AS HUGEINT) * p95_cents) * 1000
+            // n_tot AS BIGINT) AS winsor_mean_milli
+FROM pieces
+""",
+    doc="Winsorized and trimmed means per return flag (the robust "
+    "location pair every metrics pipeline needs next to the exact "
+    "median): trim drops the bottom/top 5% by count, winsorize clamps "
+    "them to the 5th/95th order statistics instead.  Both derive from "
+    "ONE pass over the (flag, cents) weight grid: each grid cell "
+    "occupies ranks (cum_lo, cum_lo+n], so its surviving multiplicity "
+    "inside the trim window [k_lo, k_hi) is the exact integer "
+    "clip max(0, min(cum_lo+n, k_hi) - max(cum_lo, k_lo)) — no "
+    "per-row sort, no percentile approximation, and the order "
+    "statistics p5/p95 fall out of the same cumulative frame as the "
+    "first cell crossing each trim rank.  All arithmetic is 128-bit "
+    "integer with declared milli-cent truncating division.  Scale "
+    "posture: facts collapse once to the value grid (map-side "
+    "combine); the cumulative frame runs over the DISTRIBUTED prefix "
+    "sum (operators/rank.py + broadcast 3-row flag offsets, the "
+    "agg_weighted_median_exact pattern); output is 3 rows.",
+    tags=("aggregates",),
+)
+def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    ps = global_prefix_sum(g, [F.col("flag"), F.col("cents")], "n", out_col="_ps")
+    tots = {
+        r.flag: r.t for r in g.groupBy("flag").agg(F.sum("n").alias("t")).collect()
+    }
+    acc, off = 0, {}
+    for fl in sorted(tots):
+        off[fl] = acc
+        acc += tots[fl]
+    off_m = F.create_map(*[F.lit(x) for fo in off.items() for x in fo])
+    tot_m = F.create_map(*[F.lit(x) for fl in sorted(tots) for x in (fl, tots[fl])])
+    k = ps.select(
+        "flag",
+        "cents",
+        "n",
+        (F.col("_ps") - off_m[F.col("flag")]).cast("bigint").alias("cum_lo"),
+        tot_m[F.col("flag")].cast("bigint").alias("n_tot"),
+    ).withColumn("k_lo", F.expr("n_tot * 5 div 100")).withColumn(
+        "k_hi", F.expr("n_tot - n_tot * 5 div 100")
+    )
+    pieces = k.groupBy("flag", "n_tot", "k_lo", "k_hi").agg(
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.greatest(
+                F.lit(0),
+                F.least(F.col("cum_lo") + F.col("n"), F.col("k_hi"))
+                - F.greatest(F.col("cum_lo"), F.col("k_lo")),
+            )
+        ).alias("trim_sum"),
+        F.min(
+            F.when(F.col("cum_lo") + F.col("n") >= F.col("k_lo") + 1, F.col("cents"))
+        ).alias("p5_cents"),
+        F.min(
+            F.when(F.col("cum_lo") + F.col("n") >= F.col("k_hi"), F.col("cents"))
+        ).alias("p95_cents"),
+    )
+    return pieces.select(
+        "flag",
+        F.col("n_tot").alias("n_rows"),
+        F.col("p5_cents").cast("bigint").alias("p5_cents"),
+        F.col("p95_cents").cast("bigint").alias("p95_cents"),
+        F.expr(
+            "CAST(div(trim_sum * 1000, k_hi - k_lo) AS BIGINT)"
+        ).alias("trimmed_mean_milli"),
+        F.expr(
+            "CAST(div((trim_sum + CAST(k_lo AS DECIMAL(38,0)) * p5_cents"
+            " + CAST(n_tot - k_hi AS DECIMAL(38,0)) * p95_cents) * 1000,"
+            " n_tot) AS BIGINT)"
+        ).alias("winsor_mean_milli"),
+    )

@@ -2113,3 +2113,217 @@ def etl_t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nat", "seg")
     )
+
+
+@register(
+    "mlprep_information_value",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority AS bin,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT) AS n_neg
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS pos_tot,
+         CAST(sum(n_neg) AS BIGINT) AS neg_tot
+  FROM b
+), woe AS (
+  SELECT bin, n_pos, n_neg, pos_tot, neg_tot,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           CAST(floor(ln(CAST(n_pos * neg_tot AS DOUBLE)
+                         / CAST(n_neg * pos_tot AS DOUBLE)) * 1000000)
+                AS BIGINT)
+         END AS woe_micro
+  FROM b CROSS JOIN t
+)
+SELECT bin, n_pos, n_neg, woe_micro,
+       CASE WHEN woe_micro IS NOT NULL THEN
+         CAST(CAST(n_pos * neg_tot - n_neg * pos_tot AS HUGEINT)
+              * woe_micro * 1000
+              // (CAST(pos_tot AS HUGEINT) * neg_tot) AS BIGINT)
+       END AS iv_contrib_nano
+FROM woe
+""",
+    doc="Weight of Evidence and Information Value per feature bin (the "
+    "credit-scoring feature screen; Siddiqi's scorecard formulation): "
+    "WoE_bin = ln(p(bin|pos)/p(bin|neg)) and IV = sum over bins of "
+    "(p(bin|pos) - p(bin|neg)) * WoE — here for the o_orderpriority "
+    "feature against the o_orderstatus='F' label; summing "
+    "iv_contrib_nano gives the feature's IV (>= 0.3 'strong' on "
+    "Siddiqi's ladder).  Exactness: the ln argument is ONE exact "
+    "integer rational (n_pos*neg_tot)/(n_neg*pos_tot) through a single "
+    "correctly-rounded double division (the PMI discipline), floored "
+    "to micro units; the IV contribution then cross-multiplies "
+    "128-bit — (n_pos*neg_tot - n_neg*pos_tot)*woe*1000 // "
+    "(pos_tot*neg_tot) — so every output is a deterministic integer; "
+    "empty half-bins yield NULL (the classic undefined-WoE case) "
+    "rather than a smoothing constant.  Scale posture: one map-side- "
+    "combinable (bin) rollup over facts; the scoring runs on the "
+    "|bins|-row frame against a broadcast 1-row total.",
+    tags=("mlprep",),
+)
+def mlprep_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("bin")).agg(
+        F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_pos"),
+        F.count_if(F.col("o_orderstatus") != "F").cast("bigint").alias("n_neg"),
+    )
+    t = b.agg(
+        F.sum("n_pos").cast("bigint").alias("pos_tot"),
+        F.sum("n_neg").cast("bigint").alias("neg_tot"),
+    )
+    woe = b.crossJoin(F.broadcast(t)).withColumn(
+        "woe_micro",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(
+                F.log(
+                    (F.col("n_pos") * F.col("neg_tot")).cast("double")
+                    / (F.col("n_neg") * F.col("pos_tot")).cast("double")
+                )
+                * 1000000
+            ).cast("bigint"),
+        ),
+    )
+    return woe.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        "woe_micro",
+        F.when(
+            F.col("woe_micro").isNotNull(),
+            F.expr(
+                "CAST(div(CAST(n_pos * neg_tot - n_neg * pos_tot"
+                " AS DECIMAL(38,0)) * woe_micro * 1000,"
+                " CAST(pos_tot AS DECIMAL(38,0)) * neg_tot) AS BIGINT)"
+            ),
+        ).alias("iv_contrib_nano"),
+    )
+
+
+@register(
+    "mlprep_cramers_v",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), cell AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM j GROUP BY a, b
+), ra AS (
+  SELECT a, CAST(sum(obs) AS BIGINT) AS row_n FROM cell GROUP BY a
+), cb AS (
+  SELECT b, CAST(sum(obs) AS BIGINT) AS col_n FROM cell GROUP BY b
+), n AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS big_n,
+         CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+         CAST(count(DISTINCT b) AS BIGINT) AS c_levels
+  FROM cell
+), chi AS (
+  SELECT n.big_n, n.r_levels, n.c_levels,
+         CAST(sum(CAST(floor(
+           CAST(CAST(cell.obs AS HUGEINT) * n.big_n
+                - CAST(ra.row_n AS HUGEINT) * cb.col_n AS DOUBLE)
+           * CAST(CAST(cell.obs AS HUGEINT) * n.big_n
+                  - CAST(ra.row_n AS HUGEINT) * cb.col_n AS DOUBLE)
+           * 1000000.0
+           / (((CAST(n.big_n AS DOUBLE) * CAST(ra.row_n AS DOUBLE))
+               * CAST(cb.col_n AS DOUBLE)) * CAST(n.big_n AS DOUBLE))
+         ) AS BIGINT)) AS BIGINT) AS chi2_ppm
+  FROM cell JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN n
+  GROUP BY n.big_n, n.r_levels, n.c_levels
+)
+SELECT big_n AS n_rows, r_levels, c_levels, chi2_ppm,
+       CAST(floor(sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0
+                       / CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)
+                       / CAST(big_n AS DOUBLE)) * 1000000) AS BIGINT)
+         AS cramers_v_micro
+FROM chi
+""",
+    doc="Cramer's V association between two categorical columns "
+    "(market segment x order priority) — the screening statistic for "
+    "'are these features redundant / is this split confounded': "
+    "chi-square over the contingency table normalized to [0,1] by "
+    "n*min(r-1, c-1).  Exactness: d = obs*N - row*col is exact "
+    "128-bit (the expected count is never materialized), then each "
+    "cell's term floor(d^2*1e6/(N^2*row*col)) is one "
+    "correctly-rounded double chain with pinned associativity — "
+    "identical trees both engines (d^2*1e6 can reach ~5e38 at sf100, "
+    "past both DECIMAL(38) and HUGEINT, so the repo's IEEE discipline "
+    "is the right tool, not wider integers); per-cell floors sum "
+    "order-free, and V is one sqrt over those exact integers.  "
+    "Scale posture: one broadcast "
+    "dim join + one (a, b) cell rollup over facts; margins and the "
+    "statistic run on the r x c = 25-row frame.",
+    tags=("mlprep",),
+)
+def mlprep_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("a")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("b")
+    )
+    cell = (
+        o.join(F.broadcast(c), "ck")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    ra = cell.groupBy("a").agg(F.sum("obs").cast("bigint").alias("row_n"))
+    cb = cell.groupBy("b").agg(F.sum("obs").cast("bigint").alias("col_n"))
+    n = cell.agg(
+        F.sum("obs").cast("bigint").alias("big_n"),
+        F.count_distinct("a").cast("bigint").alias("r_levels"),
+        F.count_distinct("b").cast("bigint").alias("c_levels"),
+    )
+    # d^2 * 1e6 can reach ~5e38 at sf100 — past BOTH DECIMAL(38,0) and
+    # HUGEINT — so the per-cell term uses the repo's IEEE discipline
+    # instead: exact 128-bit d cast once to double, one multiply chain
+    # with pinned associativity, one divide, one floor — identical
+    # trees both engines, then an order-free integer sum.
+    d = (
+        F.col("obs").cast("decimal(19,0)") * F.col("big_n")
+        - F.col("row_n").cast("decimal(19,0)") * F.col("col_n")
+    )
+    chi = (
+        cell.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_d", d.cast("double"))
+        .withColumn(
+            "_term",
+            F.floor(
+                F.col("_d")
+                * F.col("_d")
+                * F.lit(1000000.0)
+                / (
+                    (
+                        F.col("big_n").cast("double")
+                        * F.col("row_n").cast("double")
+                    )
+                    * F.col("col_n").cast("double")
+                    * F.col("big_n").cast("double")
+                )
+            ).cast("bigint"),
+        )
+        .groupBy("big_n", "r_levels", "c_levels")
+        .agg(F.sum("_term").cast("bigint").alias("chi2_ppm"))
+    )
+    return chi.select(
+        F.col("big_n").alias("n_rows"),
+        "r_levels",
+        "c_levels",
+        "chi2_ppm",
+        F.floor(
+            F.sqrt(
+                F.col("chi2_ppm").cast("double")
+                / F.lit(1000000.0)
+                / F.least(F.col("r_levels") - 1, F.col("c_levels") - 1).cast(
+                    "double"
+                )
+                / F.col("big_n").cast("double")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("cramers_v_micro"),
+    )

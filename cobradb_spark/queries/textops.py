@@ -2815,3 +2815,83 @@ def mlprep_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH words AS (
+  SELECT unnest(str_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1
+), rk AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+  FROM cnt
+), pts AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM rk
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts
+)
+SELECT n AS n_vocab,
+       CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         AS zipf_slope_micro,
+       CAST(sx // n AS BIGINT) AS x_bar_micro,
+       CAST(sy // n AS BIGINT) AS y_bar_micro
+FROM m
+""",
+    doc="Zipf's-law fit over the corpus rank-frequency curve: OLS slope "
+    "of ln(freq) on ln(rank) over the FULL vocabulary — the corpus "
+    "health readout (natural text fits slope ~ -1; template spam, "
+    "boilerplate floods, or truncated vocabularies bend it) that "
+    "complements text_vocab_coverage's head-coverage view with a "
+    "whole-distribution shape test.  Exactness: each grid point "
+    "quantizes ln(rank)/ln(freq) to floor-micro FIRST (exact integer "
+    "input through one correctly-rounded libm call and one floor — "
+    "the PMI discipline), so the moment sums are 128-bit integer and "
+    "the slope is one truncating rational; engines divide negatives "
+    "identically (both truncate toward zero — verified r8).  Scale "
+    "posture: only the word rollup touches corpus rows (map-side "
+    "combine); the rank over the vocabulary is the DISTRIBUTED global "
+    "rank (operators/rank.py, no single-partition window) and the "
+    "moments are a 1-row rollup of the vocab grid.",
+    tags=("textops", "llm"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_rank
+
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    rk = global_rank(cnt, [F.col("c").desc(), F.col("w")], rank_col="r")
+    pts = rk.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_vocab"),
+        F.expr(
+            "CAST(div((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000,"
+            " n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("zipf_slope_micro"),
+        F.expr("CAST(div(sx, n) AS BIGINT)").alias("x_bar_micro"),
+        F.expr("CAST(div(sy, n) AS BIGINT)").alias("y_bar_micro"),
+    )

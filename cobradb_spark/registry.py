@@ -172,6 +172,8 @@ _R10_QUEUE: tuple[str, ...] = (
     "multimodal_mp1_subband_decode",
     "mlprep_roc_auc", "mlprep_ks_statistic", "etl_t_closeness_check",
     "analytics_bootstrap_ci", "analytics_mann_kendall_trend",
+    "agg_winsorized_trimmed_mean", "mlprep_information_value",
+    "mlprep_cramers_v", "text_zipf_fit",
     "scan_json_multiline", "multimodal_image_channel_hist",
     "text_ocr_noise_score", "agg_tukey_fences", "analytics_diff_in_diff",
     "analytics_theil_sen_trend", "agg_gini_spend", "mlprep_lorenz_deciles",

@@ -180,3 +180,122 @@ def test_mann_kendall_matches_naive(spark, sf_dir):
     s_corr = s - 1 if s > 0 else s + 1 if s < 0 else 0
     want_z = math.floor(s_corr * 1_000_000.0 / math.sqrt(var18 / 18.0))
     assert row.z_micro == want_z
+
+
+def test_winsorized_trimmed_mean_matches_naive_sort(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    vals = defaultdict(list)
+    for r in li:
+        vals[r.l_returnflag].append(math.floor(r.l_extendedprice * 100.0 + 0.5))
+    out = {
+        r.flag: r
+        for r in registry.get_query("agg_winsorized_trimmed_mean")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for flag, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        k_lo, k_hi = n * 5 // 100, n - n * 5 // 100
+        body = xs[k_lo:k_hi]
+        p5, p95 = xs[k_lo], xs[k_hi - 1]
+        got = out[flag]
+        assert got.n_rows == n
+        assert got.p5_cents == p5 and got.p95_cents == p95
+        assert got.trimmed_mean_milli == sum(body) * 1000 // (k_hi - k_lo)
+        w_sum = sum(body) + k_lo * p5 + (n - k_hi) * p95
+        assert got.winsor_mean_milli == w_sum * 1000 // n
+        # robustness direction: both inside the raw min/max envelope
+        assert xs[0] * 1000 <= got.trimmed_mean_milli <= xs[-1] * 1000
+
+
+def test_information_value_matches_naive(spark, sf_dir):
+    rows = _orders(spark, sf_dir)
+    pos = Counter()
+    neg = Counter()
+    for r in rows:
+        (pos if r.o_orderstatus == "F" else neg)[r.o_orderpriority] += 1
+    pt, nt = sum(pos.values()), sum(neg.values())
+    out = {
+        r.bin: r
+        for r in registry.get_query("mlprep_information_value")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for b in set(pos) | set(neg):
+        got = out[b]
+        assert got.n_pos == pos[b] and got.n_neg == neg[b]
+        if pos[b] and neg[b]:
+            woe = math.floor(
+                math.log((pos[b] * nt) / (neg[b] * pt)) * 1_000_000
+            )
+            assert got.woe_micro == woe
+            num = (pos[b] * nt - neg[b] * pt) * woe * 1000
+            den = pt * nt
+            # both engines truncate toward zero (verified r8)
+            want = abs(num) // den * (1 if num >= 0 else -1)
+            assert got.iv_contrib_nano == want, b
+        else:
+            assert got.woe_micro is None and got.iv_contrib_nano is None
+
+
+def test_cramers_v_matches_naive(spark, sf_dir):
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    cells = Counter()
+    for r in orders:
+        cells[(cust[r.o_custkey], r.o_orderpriority)] += 1
+    ra = Counter()
+    cb = Counter()
+    for (a, b), c in cells.items():
+        ra[a] += c
+        cb[b] += c
+    n = sum(cells.values())
+    chi2 = 0
+    for (a, b), obs in cells.items():
+        d = float(obs * n - ra[a] * cb[b])
+        chi2 += math.floor(
+            d * d * 1_000_000.0 / (((float(n) * ra[a]) * cb[b]) * n)
+        )
+    row = registry.get_query("mlprep_cramers_v").fn(spark, sf_dir).collect()[0]
+    assert row.n_rows == n
+    assert row.r_levels == len(ra) and row.c_levels == len(cb)
+    assert row.chi2_ppm == chi2
+    want_v = math.floor(
+        math.sqrt(chi2 / 1_000_000.0 / min(len(ra) - 1, len(cb) - 1) / n)
+        * 1_000_000
+    )
+    assert row.cramers_v_micro == want_v
+    assert 0 <= row.cramers_v_micro <= 1_000_000
+
+
+def test_zipf_fit_matches_naive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(r.text.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs, ys = [], []
+    for i, (_, c) in enumerate(ranked, start=1):
+        xs.append(math.floor(math.log(float(i)) * 1_000_000))
+        ys.append(math.floor(math.log(float(c)) * 1_000_000))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num = (n * sxy - sx * sy) * 1_000_000
+    den = n * sxx - sx * sx
+    want = abs(num) // den * (1 if num >= 0 else -1)  # trunc toward zero
+    row = registry.get_query("text_zipf_fit").fn(spark, sf_dir).collect()[0]
+    assert row.n_vocab == n
+    assert row.zipf_slope_micro == want
+    assert row.x_bar_micro == sx // n and row.y_bar_micro == sy // n
+    # natural-ish corpus: slope strictly negative
+    assert row.zipf_slope_micro < 0
