@@ -1452,6 +1452,37 @@ AUDITS = [
         "192-row replicate frame",
     ),
     (
+        "agg_winsorized_trimmed_mean",
+        ["partial_count", "rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "facts collapse once to the (flag, cents) grid; the cumulative "
+        "frame is the distributed prefix sum (its Window runs per "
+        "range-partition id, never one partition)",
+    ),
+    (
+        "mlprep_information_value",
+        ["partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "Window"],
+        "one map-side-combinable bin rollup over facts; WoE/IV score on "
+        "the 5-row bin frame against a broadcast 1-row total",
+    ),
+    (
+        "mlprep_cramers_v",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "BatchEvalPython", "Window"],
+        "customer dim broadcasts into the cell rollup; margins and the "
+        "chi-square run on the 25-cell frame (broadcast joins only)",
+    ),
+    (
+        "text_zipf_fit",
+        ["partial_count", "rangepartitioning", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "only the word rollup touches corpus rows; vocabulary rank is "
+        "the distributed global rank; the final SinglePartition exchange "
+        "carries only per-partition moment partials (1 row each)",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

@@ -194,6 +194,10 @@ PROBES = [
     "etl_t_closeness_check",
     "analytics_bootstrap_ci",
     "analytics_mann_kendall_trend",
+    "agg_winsorized_trimmed_mean",
+    "mlprep_information_value",
+    "mlprep_cramers_v",
+    "text_zipf_fit",
 ]
 
 
