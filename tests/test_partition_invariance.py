@@ -81,6 +81,16 @@ PROBE_KEYS = [
     "mlprep_undersample_balanced",
     "agg_tdigest_quantile",
     "text_kneser_ney_bigram",
+    # r8 keys with partition-order exposure: the distributed
+    # prefix-sum grids (rank-before/cum must be layout-free), the
+    # bootstrap's (flag, rep) partial sums + order statistics, the
+    # Layer-I per-batch decode partials, and the global-rank zipf grid
+    "mlprep_roc_auc",
+    "mlprep_ks_statistic",
+    "agg_winsorized_trimmed_mean",
+    "analytics_bootstrap_ci",
+    "text_zipf_fit",
+    "multimodal_mp1_subband_decode",
 ]
 
 
