@@ -148,25 +148,26 @@ def main() -> None:
     tpch_labels.update({n: n for n in sorted(qs) if n.startswith("sql_")})
     tpch = _timed_suite(spark, qs, sf_dir, tpch_labels)
     spark.stop()  # free the JVM before the A/B subprocesses spin theirs
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+        "tpch_suite_seconds": round(sum(tpch.values()), 4),
+        "tpch_queries": tpch,
+    }
+    # Emit the primary numbers IMMEDIATELY (and flush): if a harness
+    # timeout kills the slower A/B phase below, the last complete JSON
+    # line still carries the whole primary benchmark.
+    print(json.dumps(payload), flush=True)
     ab = (
         interleaved_ab(sf_dir)
         if os.environ.get("SPARK_GRAFT_AB", "1") != "0"
         else {"error": "disabled"}
     )
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf),
-                "tpch_suite_seconds": round(sum(tpch.values()), 4),
-                "tpch_queries": tpch,
-                "ab": ab,
-            }
-        )
-    )
+    payload["ab"] = ab
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":
