@@ -1272,3 +1272,212 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_doc", "n_doc", "dot", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graded ANN companions (r8): the four candidate-set ops above are
+# rows-only by design (their row sets are engine/seed-specific, so no SQL
+# oracle can replay them).  Each _graded key converts that into a
+# DRIVER-HASHABLE self-grading verdict, the agg_approx_distinct pattern:
+# compute the ANN result AND the exact answer in the same query, emit the
+# oracle-replayable exact-side counts plus a recall>=threshold boolean
+# with a wide measured margin (thresholds sit >=0.10 below the worst
+# tri-scale measurement recorded in the key docs).  The exact side is a
+# deliberate brute-force over the PROBE SET — O(probes x corpus), the
+# verification harness a 100 TB deployment runs on sampled probes (which
+# is precisely what the fixed vec_id % 100 probe set is).
+# ---------------------------------------------------------------------------
+
+_ANN_GRADED_ORACLE = """
+WITH p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes
+  FROM embeddings WHERE vec_id % 100 = 0
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings
+)
+SELECT p.n_probes, CAST(10 AS BIGINT) AS k,
+       CAST(p.n_probes * least(10, n.n_vec - 1) AS BIGINT) AS n_exact_rows,
+       true AS recall_ok
+FROM p CROSS JOIN n
+"""
+
+
+def _exact_euclid_topk(emb: DataFrame, k: int = 10) -> DataFrame:
+    """Brute-force euclidean top-k over the fixed probe set: broadcast
+    probes against the corpus, JVM higher-order-function distance, one
+    per-probe heap — the ground truth the graded keys compare against."""
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "pe",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("d2").asc(), F.col("neighbor_id"))
+    return (
+        pairs.select("probe_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id")
+    )
+
+
+def _ann_graded(spark: SparkSession, sf_dir: str, ann_fn, thr_permille: int) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = _exact_euclid_topk(emb)
+    ann = ann_fn(spark, sf_dir).select("probe_id", "neighbor_id")
+    n_probes = emb.filter(F.col("vec_id") % 100 == 0).agg(
+        F.count("*").cast("bigint").alias("n_probes")
+    )
+    n_ex = ex.agg(F.count("*").cast("bigint").alias("n_exact_rows"))
+    hits = ann.join(ex, ["probe_id", "neighbor_id"]).agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+    return (
+        n_probes.crossJoin(F.broadcast(n_ex))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_probes",
+            F.lit(10).cast("bigint").alias("k"),
+            "n_exact_rows",
+            (
+                F.col("hits") * 1000 >= F.lit(thr_permille) * F.col("n_exact_rows")
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "sim_ann_lsh_graded",
+    oracle=_ANN_GRADED_ORACLE,
+    doc="Self-grading verdict for sim_ann_lsh (which stays rows-only — "
+    "its row set is bucket-specific): the same LSH top-10 is compared "
+    "in-query against brute-force euclidean top-10 over the probe set, "
+    "and the hash carries the oracle-replayable exact-side counts plus "
+    "macro-recall >= 0.75 (measured 0.96-1.00 across "
+    "sf0.001/0.01/0.1 — threshold sits >=0.2 under the worst "
+    "measurement).  Random-hyperplane hashes are per-vector pure "
+    "functions of seed 42, so the verdict is deterministic and "
+    "partition-invariant.",
+    tags=("llm",),
+)
+def sim_ann_lsh_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_graded(spark, sf_dir, sim_ann_lsh, 750)
+
+
+@register(
+    "sim_ann_ivf_graded",
+    oracle=_ANN_GRADED_ORACLE,
+    doc="Self-grading verdict for sim_ann_ivf: macro-recall >= 0.35 vs "
+    "brute-force euclidean top-10 (measured 0.52-0.68 tri-scale).  The "
+    "modest bar is the honest nprobe=2/nlist=8 coarse-quantizer "
+    "CEILING — the config prunes 6 of 8 cells per query, trading "
+    "recall for a 4x candidate cut; raising nprobe buys recall back "
+    "(the knob a deployment tunes), and the graded key pins that "
+    "ceiling cross-engine instead of leaving the op without any "
+    "driver-hashable signal.",
+    tags=("llm",),
+)
+def sim_ann_ivf_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_graded(spark, sf_dir, sim_ann_ivf, 350)
+
+
+@register(
+    "sim_ann_ivf_pq_graded",
+    oracle=_ANN_GRADED_ORACLE,
+    doc="Self-grading verdict for sim_ann_ivf_pq: macro-recall >= 0.30 "
+    "vs brute-force euclidean top-10 (measured 0.44-0.68 tri-scale; "
+    "PQ's 8-byte codes cost a few points under the same "
+    "nprobe=2/nlist=8 coarse ceiling as sim_ann_ivf, the RAM-for- "
+    "recall trade the operator exists to make).",
+    tags=("llm",),
+)
+def sim_ann_ivf_pq_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_graded(spark, sf_dir, sim_ann_ivf_pq, 300)
+
+
+@register(
+    "dedup_minhash_near_graded",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(str_split(text, ' '), i.i,
+                                    least(i.i + 2, len(str_split(text, ' ')))),
+                         ' ') AS s
+  FROM documents,
+       UNNEST(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1)) AS i(i)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS both
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ex AS (
+  SELECT i.doc_a FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 10 * i.both >= 7 * (sa.n + sb.n - i.both)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok FROM ex
+""",
+    doc="Self-grading verdict for dedup_minhash_near: the LSH candidate "
+    "pairs are compared in-query against the EXACT word-3-gram Jaccard "
+    ">= 0.7 pair set (inverted-index posting join — the "
+    "dedup_ngram_jaccard machinery at the minhash key's own shingle "
+    "definition), and the hash carries the exact pair count (SQL- "
+    "replayed by the oracle) plus pair-recall >= 0.85 (measured 1.00 "
+    "at all three scales: 5 minhash tables at Jaccard 0.7 collide "
+    "with probability ~1).  MinHash signatures are per-row pure "
+    "functions of seed 42 — deterministic, partition-invariant.",
+    tags=("llm",),
+)
+def dedup_minhash_near_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+                    lambda i: F.array_join(F.slice("w", i, 3), " "),
+                )
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("both"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
+        )
+        .filter(10 * F.col("both") >= 7 * (F.col("na") + F.col("nb") - F.col("both")))
+        .select("doc_a", "doc_b")
+    )
+    ann = dedup_minhash_near(spark, sf_dir).select("doc_a", "doc_b")
+    n_ex = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    hits = ann.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+    return n_ex.crossJoin(F.broadcast(hits)).select(
+        "n_exact_pairs",
+        (F.col("hits") * 100 >= F.lit(85) * F.col("n_exact_pairs")).alias("recall_ok"),
+    )
