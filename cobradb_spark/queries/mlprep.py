@@ -2327,3 +2327,115 @@ def mlprep_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cramers_v_micro"),
     )
+
+
+@register(
+    "mlprep_average_precision",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), g AS (
+  SELECT prio, cents, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS npos
+  FROM s GROUP BY prio, cents
+), c AS (
+  SELECT prio, cents, n, npos,
+         CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(npos) OVER w AS BIGINT) AS cum_pos,
+         CAST(sum(npos) OVER (PARTITION BY prio) AS BIGINT) AS n_pos,
+         CAST(sum(n) OVER (PARTITION BY prio) AS BIGINT) AS n_all
+  FROM g
+  WINDOW w AS (PARTITION BY prio ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT prio, n_pos, CAST(n_all - n_pos AS BIGINT) AS n_neg,
+       CAST(n_pos * 1000000 // n_all AS BIGINT) AS prevalence_ppm,
+       CAST(sum(npos * (cum_pos * 1000000 // cum_n)) // n_pos AS BIGINT)
+         AS ap_ppm
+FROM c GROUP BY prio, n_pos, n_all
+""",
+    doc="Average precision (area under the precision-recall curve, step "
+    "interpolation) per segment — the ranking metric that, unlike "
+    "ROC-AUC (mlprep_roc_auc, same grid), is prevalence-sensitive and "
+    "the standard readout for imbalanced retrieval.  Tied scores "
+    "collapse to grid cells; each cell contributes its positive count "
+    "times the precision at the cell's END in score-descending order "
+    "(the whole tie block lands at one rank — deterministic, no "
+    "within-tie order to disagree on).  Exactness: per-cell precision "
+    "quantizes to floor-ppm (declared), contributions are pure BIGINT "
+    "products, and AP = sum // n_pos — no float anywhere; prevalence "
+    "rides along as the no-skill baseline.  Scale posture: the "
+    "mlprep_roc_auc/ks grid pattern — one map-side-combinable "
+    "(segment, cents) rollup over facts, descending cumulative counts "
+    "derived from the DISTRIBUTED ascending prefix sums (cum_desc = "
+    "total - cum_asc_exclusive; no per-segment window over the price "
+    "grid), 5-row result.",
+    tags=("mlprep",),
+)
+def mlprep_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("prio", "cents").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("npos"),
+    )
+    ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_psn")
+    ps = global_prefix_sum(ps, [F.col("prio"), F.col("cents")], "npos", out_col="_psp")
+    tot = {
+        r_.prio: (r_.t_n, r_.t_pos)
+        for r_ in g.groupBy("prio")
+        .agg(F.sum("n").alias("t_n"), F.sum("npos").alias("t_pos"))
+        .collect()
+    }
+    accn = accp = 0
+    offn, offp = {}, {}
+    for p in sorted(tot):
+        offn[p], offp[p] = accn, accp
+        accn += tot[p][0]
+        accp += tot[p][1]
+    offn_m = F.create_map(*[F.lit(x) for po in offn.items() for x in po])
+    offp_m = F.create_map(*[F.lit(x) for po in offp.items() for x in po])
+    npos_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][1])])
+    ntot_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][0])])
+    # descending-inclusive cumulative = segment total - ascending
+    # EXCLUSIVE prefix (rows with a strictly smaller score drop out)
+    c = ps.select(
+        "prio",
+        "npos",
+        (ntot_m[F.col("prio")] - (F.col("_psn") - offn_m[F.col("prio")]))
+        .cast("bigint")
+        .alias("cum_n"),
+        (npos_m[F.col("prio")] - (F.col("_psp") - offp_m[F.col("prio")]))
+        .cast("bigint")
+        .alias("cum_pos"),
+        npos_m[F.col("prio")].cast("bigint").alias("n_pos"),
+        ntot_m[F.col("prio")].cast("bigint").alias("n_all"),
+    )
+    return (
+        c.groupBy("prio", "n_pos", "n_all")
+        .agg(
+            F.sum(
+                F.col("npos") * F.expr("div(cum_pos * 1000000, cum_n)")
+            ).alias("_apsum")
+        )
+        .select(
+            "prio",
+            "n_pos",
+            (F.col("n_all") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+            F.expr("CAST(div(n_pos * 1000000, n_all) AS BIGINT)").alias(
+                "prevalence_ppm"
+            ),
+            F.expr("CAST(div(_apsum, n_pos) AS BIGINT)").alias("ap_ppm"),
+        )
+    )

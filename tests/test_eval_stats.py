@@ -299,3 +299,34 @@ def test_zipf_fit_matches_naive(spark, sf_dir):
     assert row.x_bar_micro == sx // n and row.y_bar_micro == sy // n
     # natural-ish corpus: slope strictly negative
     assert row.zipf_slope_micro < 0
+
+
+def test_average_precision_matches_naive(spark, sf_dir):
+    rows = _orders(spark, sf_dir)
+    out = {
+        r.prio: r
+        for r in registry.get_query("mlprep_average_precision")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    by_prio = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in rows:
+        cents = math.floor(r.o_totalprice * 100.0 + 0.5)
+        cell = by_prio[r.o_orderpriority][cents]
+        cell[0] += 1
+        if r.o_orderstatus == "F":
+            cell[1] += 1
+    for prio, cells in by_prio.items():
+        cum_n = cum_pos = ap_sum = 0
+        for cents in sorted(cells, reverse=True):
+            n, npos = cells[cents]
+            cum_n += n
+            cum_pos += npos
+            ap_sum += npos * (cum_pos * 1_000_000 // cum_n)
+        n_pos = cum_pos
+        got = out[prio]
+        assert got.n_pos == n_pos and got.n_neg == cum_n - n_pos
+        assert got.prevalence_ppm == n_pos * 1_000_000 // cum_n
+        assert got.ap_ppm == ap_sum // n_pos
+        # AP of a weak ranker sits near prevalence, inside [0, 1e6]
+        assert 0 <= got.ap_ppm <= 1_000_000

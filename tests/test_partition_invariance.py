@@ -91,6 +91,7 @@ PROBE_KEYS = [
     "analytics_bootstrap_ci",
     "text_zipf_fit",
     "multimodal_mp1_subband_decode",
+    "mlprep_average_precision",
 ]
 
 

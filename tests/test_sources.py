@@ -643,3 +643,38 @@ def test_layer1_subband_decode_exact_and_clean_errors():
     b[2] = (b[2] & 0x0F) | 0xF0  # forbidden bitrate index 15
     with pytest.raises(ValueError):
         decode_layer1(bytes(b))
+
+
+def test_layer1_decoder_fuzz_never_crashes():
+    """Mutation fuzz (the index_mp3 discipline): flip one byte anywhere
+    in a valid stream, or truncate it — the decoder must either raise
+    ValueError (clean rejection) or return a well-formed decode dict;
+    never an IndexError/struct crash, never a hang."""
+    import numpy as np
+    import pytest  # noqa: F401
+
+    from cobradb_spark.operators.mp3 import decode_layer1, encode_layer1
+
+    base = bytearray(encode_layer1(42))
+    rng = np.random.default_rng(4242)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_layer1(bytes(b))
+            assert out["n_frames"] >= 1
+            assert out["subband_samples"].shape[1] == 32
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    # truncations at every byte boundary of the first frame
+    for cut in range(1, 64):
+        try:
+            decode_layer1(bytes(base[:cut]))
+        except ValueError:
+            pass
+    # payload-bit mutations beyond the headers usually still decode
+    # (samples change, structure does not) — both outcomes must occur
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
