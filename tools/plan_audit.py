@@ -1483,6 +1483,14 @@ AUDITS = [
         "carries only per-partition moment partials (1 row each)",
     ),
     (
+        "mlprep_average_precision",
+        ["partial_sum", "rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "the roc_auc/ks grid posture: facts collapse once, descending "
+        "cumulatives derive from the distributed ascending prefix sums",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

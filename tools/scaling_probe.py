@@ -198,6 +198,7 @@ PROBES = [
     "mlprep_information_value",
     "mlprep_cramers_v",
     "text_zipf_fit",
+    "mlprep_average_precision",
 ]
 
 
