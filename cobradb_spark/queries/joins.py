@@ -1235,3 +1235,71 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("scents").cast("bigint")).alias("cents"),
         (~fresh).alias("stale"),
     )
+
+
+@register(
+    "join_temporal_overlap_duration",
+    oracle="""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + CAST(round(value * 60000000, 0) AS BIGINT) AS hi,
+         event_id
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + CAST(round(value * 60000000, 0) AS BIGINT) AS hi,
+         event_id
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT) AS n_overlapping_pairs,
+       CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+         AS total_overlap_us,
+       CAST(max(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+         AS max_overlap_us
+FROM a JOIN b ON b.user_id = a.user_id
+              AND b.lo < a.hi AND a.lo < b.hi
+GROUP BY a.user_id
+""",
+    doc="Temporal overlap ACCOUNTING between two interval sets per key — "
+    "not just which intervals touch (join_range_interval / "
+    "join_interval_self_overlap find pairs) but for HOW LONG: per "
+    "user, view-activity windows vs error windows, total and max "
+    "overlapped microseconds over all crossing pairs — the billing / "
+    "incident-impact shape ('how much active time was inside an "
+    "outage').  Exactness: interval bounds are exact integer epoch "
+    "micros (the join_range_interval convention), each pair's overlap "
+    "is least(hi)-greatest(lo) in pure BIGINT, and the per-user sums "
+    "are order-free integers.  Scale posture: ONE user_id equi-join "
+    "co-locates both sets (per-user series are bounded, so the "
+    "per-key pair work is bounded); for unbounded-per-key interval "
+    "sets the binned interval machinery (operators/interval.py) is "
+    "the drop-in — the equi-key here plays the role of the bin.",
+    tags=("joins",),
+)
+def join_temporal_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    dur = F.expr("CAST(round(value * 60000000, 0) AS BIGINT)")
+
+    def side(etype: str, prefix: str):
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            us.alias(f"{prefix}_lo"),
+            (us + dur).alias(f"{prefix}_hi"),
+        )
+
+    a, b = side("view", "a"), side("error", "b")
+    overlap = F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("b_lo") < F.col("a_hi")) & (F.col("a_lo") < F.col("b_hi")))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlapping_pairs"),
+            F.sum(overlap).cast("bigint").alias("total_overlap_us"),
+            F.max(overlap).cast("bigint").alias("max_overlap_us"),
+        )
+    )

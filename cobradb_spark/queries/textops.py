@@ -2895,3 +2895,86 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(div(sx, n) AS BIGINT)").alias("x_bar_micro"),
         F.expr("CAST(div(sy, n) AS BIGINT)").alias("y_bar_micro"),
     )
+
+
+@register(
+    "text_burstiness_dispersion",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+), per_doc AS (
+  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE length(w) >= 3 GROUP BY w, doc_id
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
+), per_term AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS freq,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM per_doc GROUP BY w HAVING sum(c) >= 20
+), scored AS (
+  SELECT w, freq, df,
+         CAST((CAST(n.n_docs AS HUGEINT) * sum_sq - CAST(freq AS HUGEINT) * freq)
+              * 1000000
+              // (CAST(freq AS HUGEINT) * (n.n_docs - 1)) AS BIGINT)
+           AS dispersion_ppm
+  FROM per_term CROSS JOIN n
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY dispersion_ppm DESC, w) AS rn
+  FROM scored
+)
+SELECT w, freq, df, dispersion_ppm, CAST(rn AS BIGINT) AS rn
+FROM rk WHERE rn <= 30
+""",
+    doc="Term burstiness by the index of dispersion (variance-to-mean "
+    "ratio over per-document counts, zeros included): D = "
+    "(n*sum(c^2) - freq^2) / (freq*(n-1)) in exact floor-ppm — D ~ 1e6 "
+    "is Poisson scatter (function words), D >> 1e6 marks bursty, "
+    "topic-concentrated terms (Church & Gale's burstiness; the "
+    "corpus-profiling complement to text_source_distinctive_terms' "
+    "between-source lift and text_zipf_fit's global shape).  "
+    "Exactness: zero-count documents enter through the algebraic "
+    "identity (only sum and sum-of-squares over PRESENT rows are "
+    "needed once n is known), products widen to 128-bit (freq^2 can "
+    "pass 2^63 on corpus-scale function words), truncating division, "
+    "deterministic (D DESC, term) top-30.  Scale posture: one "
+    "(term, doc) rollup then one term rollup, both map-side "
+    "combinable; the doc count is a 1-row broadcast; top-30 is "
+    "TakeOrdered — facts touched once.",
+    tags=("textops", "llm"),
+)
+def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_doc = (
+        tok.filter(F.length("w") >= 3)
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = tok.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    per_term = (
+        per_doc.groupBy("w")
+        .agg(
+            F.sum("c").cast("bigint").alias("freq"),
+            F.count("*").cast("bigint").alias("df"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        )
+        .filter(F.col("freq") >= 20)
+    )
+    scored = per_term.crossJoin(F.broadcast(n)).select(
+        "w",
+        "freq",
+        "df",
+        F.expr(
+            "CAST(div((CAST(n_docs AS DECIMAL(38,0)) * sum_sq"
+            " - CAST(freq AS DECIMAL(38,0)) * freq) * 1000000,"
+            " CAST(freq AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)"
+        ).alias("dispersion_ppm"),
+    )
+    w = Window.orderBy(F.col("dispersion_ppm").desc(), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 30)
+        .select("w", "freq", "df", "dispersion_ppm", "rn")
+    )
