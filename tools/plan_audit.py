@@ -1491,6 +1491,22 @@ AUDITS = [
         "cumulatives derive from the distributed ascending prefix sums",
     ),
     (
+        "text_burstiness_dispersion",
+        ["partial_count", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "two map-side-combinable rollups (term-doc, then term); doc "
+        "count is a 1-row broadcast; the rank-limit prunes with "
+        "TakeOrdered(30) FIRST and the Window only numbers those 30 "
+        "survivor rows",
+    ),
+    (
+        "join_temporal_overlap_duration",
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "one user_id equi-join co-locates both interval sets; the "
+        "overlap predicate filters inside the joined partition",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

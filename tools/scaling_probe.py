@@ -199,6 +199,8 @@ PROBES = [
     "mlprep_cramers_v",
     "text_zipf_fit",
     "mlprep_average_precision",
+    "text_burstiness_dispersion",
+    "join_temporal_overlap_duration",
 ]
 
 
