@@ -330,3 +330,88 @@ def test_average_precision_matches_naive(spark, sf_dir):
         assert got.ap_ppm == ap_sum // n_pos
         # AP of a weak ranker sits near prevalence, inside [0, 1e6]
         assert 0 <= got.ap_ppm <= 1_000_000
+
+
+def test_burstiness_matches_naive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    per_doc = Counter()
+    n_docs = len(docs)
+    for r in docs:
+        for w in r.text.split(" "):
+            if len(w) >= 3:
+                per_doc[(w, r.doc_id)] += 1
+    freq = Counter()
+    df = Counter()
+    sum_sq = Counter()
+    for (w, _), c in per_doc.items():
+        freq[w] += c
+        df[w] += 1
+        sum_sq[w] += c * c
+    scored = sorted(
+        (
+            (
+                (n_docs * sum_sq[w] - freq[w] * freq[w])
+                * 1_000_000
+                // (freq[w] * (n_docs - 1)),
+                w,
+            )
+            for w in freq
+            if freq[w] >= 20
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    out = registry.get_query("text_burstiness_dispersion").fn(spark, sf_dir).collect()
+    assert len(out) == min(30, len(scored))
+    for rn, row in enumerate(sorted(out, key=lambda r: r.rn), start=1):
+        d, w = scored[rn - 1]
+        assert row.rn == rn and row.w == w and row.dispersion_ppm == d
+        assert row.freq == freq[w] and row.df == df[w]
+    # bursty head beats the Poisson floor by construction of the fixture
+    assert out[0].dispersion_ppm > 1_000_000
+
+
+def test_overlap_duration_matches_naive(spark, sf_dir):
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    a = defaultdict(list)
+    b = defaultdict(list)
+    for r in ev:
+        lo = int((r.ts - epoch).total_seconds() * 1_000_000)
+        # match the SQL: round(value * 6e7) half-even is irrelevant here
+        # because the engines agree; replay uses the same python round
+        hi = lo + int(round(r.value * 60_000_000))
+        if r.event_type == "view":
+            a[r.user_id].append((lo, hi))
+        elif r.event_type == "error":
+            b[r.user_id].append((lo, hi))
+    out = {
+        r.user_id: r
+        for r in registry.get_query("join_temporal_overlap_duration")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    n_users_expected = 0
+    for u in set(a) & set(b):
+        pairs = [
+            min(ah, bh) - max(al, bl)
+            for (al, ah) in a[u]
+            for (bl, bh) in b[u]
+            if bl < ah and al < bh
+        ]
+        if not pairs:
+            continue
+        n_users_expected += 1
+        got = out[u]
+        assert got.n_overlapping_pairs == len(pairs)
+        assert got.total_overlap_us == sum(pairs)
+        assert got.max_overlap_us == max(pairs)
+        assert got.total_overlap_us > 0
+    assert len(out) == n_users_expected
