@@ -98,9 +98,12 @@ def _bench_once(repo_root: str, sf_dir: str) -> dict[str, float]:
 
 def interleaved_ab(sf_dir: str) -> dict:
     """REF, HEAD, REF, HEAD in fresh JVMs; medians + ratio."""
-    ref = os.environ.get("SPARK_GRAFT_AB_REF", _AB_DEFAULT_REF)
-    pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
-    wt = f"/tmp/bench_ab_{ref}"
+    try:
+        ref = os.environ.get("SPARK_GRAFT_AB_REF", _AB_DEFAULT_REF)
+        pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
+        wt = f"/tmp/bench_ab_{ref}"
+    except Exception as e:  # noqa: BLE001 — fail-soft by contract
+        return {"error": f"ab config: {e}"}
     try:
         subprocess.run(
             ["git", "-C", _REPO, "worktree", "add", "--force", "--detach", wt, ref],

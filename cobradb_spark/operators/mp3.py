@@ -162,7 +162,6 @@ def index_mp3(data: bytes) -> dict:
 LAYER1_BITRATE_KBPS = [
     0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0,
 ]
-LAYER1_SAMPLES_PER_FRAME = 384  # 12 samples x 32 subbands
 
 
 def layer1_frame_slots(bitrate_idx: int, sr_idx: int, pad: int) -> int:

@@ -183,6 +183,76 @@ def global_pct_rank(
     return out.drop(rc) if drop_rank else out
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_cols: dict[str, str],
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Multi-column global_prefix_sum: add one EXCLUSIVE prefix-sum
+    column per (value_col -> out_col) entry in ONE range-partition
+    shuffle and ONE driver collect (r8 review: the KS/AP grid queries
+    were paying two repartitionByRange passes for two prefix columns).
+
+    Same scale contract as global_prefix_sum; `order_cols` must define a
+    TOTAL order."""
+    k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    tagged = _pin(
+        df.repartitionByRange(k, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    aggs = [F.sum(v).alias(v) for v in value_cols]
+    per_pid = {r._pid: r for r in tagged.groupBy("_pid").agg(*aggs).collect()}
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = tagged
+    for v, out_col in value_cols.items():
+        offsets, acc = {}, 0
+        for pid in sorted(per_pid):
+            offsets[pid] = acc
+            acc += per_pid[pid][v] or 0
+        off_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        local = F.coalesce(F.sum(v).over(w), F.lit(0))
+        out = out.withColumn(out_col, (off_map[F.col("_pid")] + local).cast("long"))
+    return out.drop("_pid")
+
+
+def per_group_offsets(
+    g: DataFrame, group_col: str, value_cols: list[str]
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Shared scaffolding for composite-order prefix sums consumed
+    per group (r8 review: five near-identical copies): collect per-group
+    totals for each value column (|groups| tiny rows), derive the
+    EXCLUSIVE offsets in group sort order, and return
+    (offsets[value_col][group], totals[value_col][group]).  Callers wrap
+    them in F.create_map literals."""
+    rows = g.groupBy(group_col).agg(
+        *[F.sum(v).alias(v) for v in value_cols]
+    ).collect()
+    by_group = {r[group_col]: r for r in rows}
+    offsets: dict[str, dict] = {v: {} for v in value_cols}
+    totals: dict[str, dict] = {v: {} for v in value_cols}
+    for v in value_cols:
+        acc = 0
+        for gk in sorted(by_group):
+            offsets[v][gk] = acc
+            tot = by_group[gk][v] or 0
+            totals[v][gk] = tot
+            acc += tot
+    return offsets, totals
+
+
+def lit_map(d: dict) -> Column:
+    """F.create_map literal from a small python dict (broadcast lookup)."""
+    return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_cols: list[Column],

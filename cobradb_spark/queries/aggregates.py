@@ -973,7 +973,11 @@ FROM pieces
     tags=("aggregates",),
 )
 def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import global_prefix_sum
+    from cobradb_spark.operators.rank import (
+        global_prefix_sum,
+        lit_map,
+        per_group_offsets,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     g = li.groupBy(
@@ -983,15 +987,8 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     ).agg(F.count("*").cast("bigint").alias("n"))
     ps = global_prefix_sum(g, [F.col("flag"), F.col("cents")], "n", out_col="_ps")
-    tots = {
-        r.flag: r.t for r in g.groupBy("flag").agg(F.sum("n").alias("t")).collect()
-    }
-    acc, off = 0, {}
-    for fl in sorted(tots):
-        off[fl] = acc
-        acc += tots[fl]
-    off_m = F.create_map(*[F.lit(x) for fo in off.items() for x in fo])
-    tot_m = F.create_map(*[F.lit(x) for fl in sorted(tots) for x in (fl, tots[fl])])
+    off, tot = per_group_offsets(g, "flag", ["n"])
+    off_m, tot_m = lit_map(off["n"]), lit_map(tot["n"])
     k = ps.select(
         "flag",
         "cents",

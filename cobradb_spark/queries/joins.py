@@ -1281,7 +1281,7 @@ def join_temporal_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFram
     from cobradb_spark.io import load_events
 
     ev = load_events(spark, sf_dir)
-    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    us = F.expr(_NTZ_US)  # the module's one epoch-micros convention
     dur = F.expr("CAST(round(value * 60000000, 0) AS BIGINT)")
 
     def side(etype: str, prefix: str):

@@ -1826,7 +1826,11 @@ FROM m
     tags=("mlprep",),
 )
 def mlprep_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import global_prefix_sum
+    from cobradb_spark.operators.rank import (
+        global_prefix_sum,
+        lit_map,
+        per_group_offsets,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     s = o.select(
@@ -1847,25 +1851,20 @@ def mlprep_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # price cardinality (the win_rolling_ols lesson; the
     # agg_weighted_median_exact pattern).
     ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_ps")
-    offs = {
-        r_.prio: r_.tot
-        for r_ in g.groupBy("prio").agg(F.sum("n").alias("tot")).collect()
-    }
-    acc, off = 0, {}
-    for p in sorted(offs):
-        off[p] = acc
-        acc += offs[p]
-    off_map = F.create_map(*[F.lit(x) for po in off.items() for x in po])
+    off, _tot = per_group_offsets(g, "prio", ["n"])
     r = ps.withColumn(
-        "rank_before", (F.col("_ps") - off_map[F.col("prio")]).cast("bigint")
+        "rank_before",
+        (F.col("_ps") - lit_map(off["n"])[F.col("prio")]).cast("bigint"),
     )
     m = r.groupBy("prio").agg(
         F.sum("n").cast("bigint").alias("n_rows"),
         F.sum("npos").cast("bigint").alias("n_pos"),
+        # widen BEFORE the product (oracle does CAST(npos AS HUGEINT)):
+        # npos * 2*rank_before can cross 2^63 on a dense tie cell at
+        # the 100 TB posture — 64-bit-then-cast would overflow first
         F.sum(
-            (
-                F.col("npos") * (2 * F.col("rank_before") + F.col("n") + 1)
-            ).cast("decimal(38,0)")
+            F.col("npos").cast("decimal(19,0)")
+            * (2 * F.col("rank_before") + F.col("n") + 1)
         ).alias("r2_pos"),
     )
     return m.select(
@@ -1934,7 +1933,11 @@ FROM rk WHERE rn = 1
     tags=("mlprep",),
 )
 def mlprep_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import global_prefix_sum
+    from cobradb_spark.operators.rank import (
+        global_prefix_sums,
+        lit_map,
+        per_group_offsets,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     s = o.select(
@@ -1952,26 +1955,12 @@ def mlprep_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n and npos; cum_neg derives) + broadcast 5-row per-segment
     # offsets/totals — the mlprep_roc_auc / agg_weighted_median_exact
     # posture, never a per-segment running window over the price grid.
-    ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_psn")
-    ps = global_prefix_sum(
-        ps, [F.col("prio"), F.col("cents")], "npos", out_col="_psp"
+    ps = global_prefix_sums(
+        g, [F.col("prio"), F.col("cents")], {"n": "_psn", "npos": "_psp"}
     )
-    tot = {
-        r_.prio: (r_.t_n, r_.t_pos)
-        for r_ in g.groupBy("prio")
-        .agg(F.sum("n").alias("t_n"), F.sum("npos").alias("t_pos"))
-        .collect()
-    }
-    accn = accp = 0
-    offn, offp = {}, {}
-    for p in sorted(tot):
-        offn[p], offp[p] = accn, accp
-        accn += tot[p][0]
-        accp += tot[p][1]
-    offn_m = F.create_map(*[F.lit(x) for po in offn.items() for x in po])
-    offp_m = F.create_map(*[F.lit(x) for po in offp.items() for x in po])
-    npos_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][1])])
-    ntot_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][0])])
+    off, tot = per_group_offsets(g, "prio", ["n", "npos"])
+    offn_m, offp_m = lit_map(off["n"]), lit_map(off["npos"])
+    ntot_m, npos_m = lit_map(tot["n"]), lit_map(tot["npos"])
     c = ps.select(
         "prio",
         "cents",
@@ -2130,15 +2119,17 @@ WITH b AS (
 ), woe AS (
   SELECT bin, n_pos, n_neg, pos_tot, neg_tot,
          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-           CAST(floor(ln(CAST(n_pos * neg_tot AS DOUBLE)
-                         / CAST(n_neg * pos_tot AS DOUBLE)) * 1000000)
+           CAST(floor(ln((CAST(n_pos AS DOUBLE) * CAST(neg_tot AS DOUBLE))
+                         / (CAST(n_neg AS DOUBLE) * CAST(pos_tot AS DOUBLE)))
+                      * 1000000)
                 AS BIGINT)
          END AS woe_micro
   FROM b CROSS JOIN t
 )
 SELECT bin, n_pos, n_neg, woe_micro,
        CASE WHEN woe_micro IS NOT NULL THEN
-         CAST(CAST(n_pos * neg_tot - n_neg * pos_tot AS HUGEINT)
+         CAST((CAST(n_pos AS HUGEINT) * neg_tot
+               - CAST(n_neg AS HUGEINT) * pos_tot)
               * woe_micro * 1000
               // (CAST(pos_tot AS HUGEINT) * neg_tot) AS BIGINT)
        END AS iv_contrib_nano
@@ -2176,10 +2167,13 @@ def mlprep_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "woe_micro",
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            # cast-then-multiply (the PMI tree): n_pos*neg_tot in BIGINT
+            # crosses 2^63 at orders ~1.5e11 rows — identical double
+            # trees both engines keep ln's input bit-identical
             F.floor(
                 F.log(
-                    (F.col("n_pos") * F.col("neg_tot")).cast("double")
-                    / (F.col("n_neg") * F.col("pos_tot")).cast("double")
+                    (F.col("n_pos").cast("double") * F.col("neg_tot").cast("double"))
+                    / (F.col("n_neg").cast("double") * F.col("pos_tot").cast("double"))
                 )
                 * 1000000
             ).cast("bigint"),
@@ -2193,8 +2187,9 @@ def mlprep_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("woe_micro").isNotNull(),
             F.expr(
-                "CAST(div(CAST(n_pos * neg_tot - n_neg * pos_tot"
-                " AS DECIMAL(38,0)) * woe_micro * 1000,"
+                "CAST(div((CAST(n_pos AS DECIMAL(38,0)) * neg_tot"
+                " - CAST(n_neg AS DECIMAL(38,0)) * pos_tot)"
+                " * woe_micro * 1000,"
                 " CAST(pos_tot AS DECIMAL(38,0)) * neg_tot) AS BIGINT)"
             ),
         ).alias("iv_contrib_nano"),
@@ -2376,7 +2371,11 @@ FROM c GROUP BY prio, n_pos, n_all
     tags=("mlprep",),
 )
 def mlprep_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import global_prefix_sum
+    from cobradb_spark.operators.rank import (
+        global_prefix_sums,
+        lit_map,
+        per_group_offsets,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     s = o.select(
@@ -2390,24 +2389,12 @@ def mlprep_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("npos"),
     )
-    ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_psn")
-    ps = global_prefix_sum(ps, [F.col("prio"), F.col("cents")], "npos", out_col="_psp")
-    tot = {
-        r_.prio: (r_.t_n, r_.t_pos)
-        for r_ in g.groupBy("prio")
-        .agg(F.sum("n").alias("t_n"), F.sum("npos").alias("t_pos"))
-        .collect()
-    }
-    accn = accp = 0
-    offn, offp = {}, {}
-    for p in sorted(tot):
-        offn[p], offp[p] = accn, accp
-        accn += tot[p][0]
-        accp += tot[p][1]
-    offn_m = F.create_map(*[F.lit(x) for po in offn.items() for x in po])
-    offp_m = F.create_map(*[F.lit(x) for po in offp.items() for x in po])
-    npos_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][1])])
-    ntot_m = F.create_map(*[F.lit(x) for p in sorted(tot) for x in (p, tot[p][0])])
+    ps = global_prefix_sums(
+        g, [F.col("prio"), F.col("cents")], {"n": "_psn", "npos": "_psp"}
+    )
+    off, tot = per_group_offsets(g, "prio", ["n", "npos"])
+    offn_m, offp_m = lit_map(off["n"]), lit_map(off["npos"])
+    ntot_m, npos_m = lit_map(tot["n"]), lit_map(tot["npos"])
     # descending-inclusive cumulative = segment total - ascending
     # EXCLUSIVE prefix (rows with a strictly smaller score drop out)
     c = ps.select(
