@@ -87,3 +87,43 @@ def test_benford_constants_and_completeness(spark, sf_dir):
         assert sorted(r.digit for r in rs) == list(range(1, 10)), metric
         s = sum(r.obs_ppm for r in rs)
         assert 1_000_000 - 9 <= s <= 1_000_000  # truncating division undershoot
+
+
+def test_global_prefix_sums_matches_sequential(spark):
+    """Property: the distributed multi-column prefix sum equals the
+    single-threaded prefix computation for random multisets, any
+    partition count, including duplicate order keys (total order comes
+    from the unique tiebreaker)."""
+    import random
+
+    from cobradb_spark.operators.rank import (
+        global_prefix_sums,
+        release_rank_caches,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(88)
+    for trial, num_parts in [(0, 2), (1, 5), (2, 13)]:
+        n = 80 + trial * 57
+        rows = [
+            (i, rng.randint(0, 9), rng.randint(0, 100), rng.randint(0, 5))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "uid long, grp long, a long, b long")
+        out = global_prefix_sums(
+            df,
+            [F.col("grp"), F.col("uid")],
+            {"a": "pa", "b": "pb"},
+            num_parts=num_parts,
+        ).collect()
+        release_rank_caches()
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        want_a = want_b = 0
+        expect = {}
+        for uid, grp, a, b in ordered:
+            expect[uid] = (want_a, want_b)
+            want_a += a
+            want_b += b
+        for r in out:
+            ea, eb = expect[r.uid]
+            assert (r.pa, r.pb) == (ea, eb), (num_parts, r.uid)
