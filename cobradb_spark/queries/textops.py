@@ -2978,3 +2978,164 @@ def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 30)
         .select("w", "freq", "df", "dispersion_ppm", "rn")
     )
+
+
+_BPE_FERTILITY_ORACLE = """
+WITH RECURSIVE
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+),
+pc AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT unnest(list_transform(range(1, length(word)),
+                      i -> substr(word, i, 2))) AS pair, freq FROM wf)
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 8
+),
+rules AS (
+  SELECT substr(pair, 1, 1) AS ra, substr(pair, 2, 1) AS rb,
+         row_number() OVER (ORDER BY n DESC, pair) AS rrank
+  FROM pc
+),
+apply AS (
+  SELECT word, freq,
+         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                                i -> substr(word, i, 1)), ' ') || ' ' AS toks
+  FROM wf
+  UNION ALL
+  SELECT word, freq,
+         substr(toks, 1, best.pos - 1) || ' ' || best.merged || ' '
+           || substr(toks, best.pos + best.patlen)
+  FROM (
+    SELECT word, freq, toks,
+           (SELECT struct_pack(
+                pos := strpos(ap.toks, ' ' || r.ra || ' ' || r.rb || ' '),
+                patlen := length(r.ra) + length(r.rb) + 3,
+                merged := r.ra || r.rb)
+            FROM rules r
+            WHERE strpos(ap.toks, ' ' || r.ra || ' ' || r.rb || ' ') > 0
+            ORDER BY r.rrank LIMIT 1) AS best
+    FROM apply ap
+  ) WHERE best IS NOT NULL
+),
+final AS (
+  SELECT word, CAST(len(str_split(trim(toks), ' ')) AS BIGINT) AS n_toks
+  FROM apply ap
+  WHERE NOT EXISTS (SELECT 1 FROM rules r
+                    WHERE strpos(ap.toks, ' ' || r.ra || ' ' || r.rb || ' ') > 0)
+),
+swc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(length(word) AS BIGINT) AS n_chars
+  FROM (SELECT source, unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 1
+  GROUP BY source, word
+)
+SELECT swc.source,
+       CAST(sum(swc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(swc.cnt * coalesce(f.n_toks, 1)) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(swc.cnt * coalesce(f.n_toks, 1)) * 1000
+            // sum(swc.cnt) AS BIGINT) AS fertility_milli,
+       CAST(sum(swc.cnt * swc.n_chars) * 1000
+            // sum(swc.cnt * coalesce(f.n_toks, 1)) AS BIGINT)
+         AS chars_per_token_milli
+FROM swc LEFT JOIN final f ON f.word = swc.word
+GROUP BY swc.source
+"""
+
+
+@register(
+    "etl_tokenizer_fertility",
+    oracle=_BPE_FERTILITY_ORACLE,
+    doc="Tokenizer fertility by corpus source — BPE tokens emitted per "
+    "whitespace word, and characters absorbed per BPE token, under the "
+    "SAME trained merge table as text_bpe_apply (top-8 corpus-weighted "
+    "character-pair merges, identical greedy rank-priority application "
+    "— the recursive-CTE oracle replays it verbatim).  Fertility is "
+    "the metric a data-mixing pipeline tracks per source: a source "
+    "whose fertility is high relative to the corpus is being "
+    "fragmented by the tokenizer (out-of-distribution vocabulary) and "
+    "inflates its effective token budget.  Exactness: token counts "
+    "are integers from the deterministic merge, fertility and "
+    "chars-per-token land as exact milli truncating divisions; "
+    "single-character words (unmergeable, outside the training vocab "
+    "filter) count as one token via the COALESCE convention on BOTH "
+    "engines.  Scale posture: the merge apply is |vocab|-bounded "
+    "(distinct words), its result joins back to the (source, word) "
+    "rollup — facts are touched twice total (train pair counts + "
+    "source-word counts), both map-side combinable; the final stats "
+    "are a |sources|-row rollup.",
+    tags=("textops", "llm", "etl"),
+)
+def etl_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_RULES)
+        .collect()
+    )
+    rules = [(r["pair"][0], r["pair"][1]) for r in top]
+
+    def count_tokens(batches):
+        for pdf in batches:
+            n_out = []
+            for word in pdf["word"]:
+                toks = list(word)
+                while True:
+                    best = None
+                    for rank, (ra, rb) in enumerate(rules):
+                        for j in range(len(toks) - 1):
+                            if toks[j] == ra and toks[j + 1] == rb:
+                                if best is None or rank < best[0]:
+                                    best = (rank, j)
+                                break
+                    if best is None:
+                        break
+                    j = best[1]
+                    toks[j : j + 2] = [toks[j] + toks[j + 1]]
+                n_out.append(len(toks))
+            yield pd.DataFrame({"word": pdf["word"], "n_toks": n_out})
+
+    per_word = wf.select("word").mapInPandas(
+        count_tokens, schema="word string, n_toks long"
+    )
+    swc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("n_chars", F.length("word").cast("bigint"))
+    )
+    j = swc.join(per_word, "word", "left").withColumn(
+        "n_toks", F.coalesce("n_toks", F.lit(1)).cast("bigint")
+    )
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_toks")).cast("bigint").alias("n_bpe_tokens"),
+        F.expr(
+            "CAST(div(sum(cnt * n_toks) * 1000, sum(cnt)) AS BIGINT)"
+        ).alias("fertility_milli"),
+        F.expr(
+            "CAST(div(sum(cnt * n_chars) * 1000, sum(cnt * n_toks)) AS BIGINT)"
+        ).alias("chars_per_token_milli"),
+    )
