@@ -1507,6 +1507,14 @@ AUDITS = [
         "overlap predicate filters inside the joined partition",
     ),
     (
+        "etl_tokenizer_fertility",
+        ["partial_count", "MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "merge apply runs |vocab|-bounded in Arrow batches; the token "
+        "table joins back to the (source, word) rollup by broadcast or "
+        "shuffle-hash, never a sort-merge of fact volume",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

@@ -201,6 +201,7 @@ PROBES = [
     "mlprep_average_precision",
     "text_burstiness_dispersion",
     "join_temporal_overlap_duration",
+    "etl_tokenizer_fertility",
 ]
 
 
