@@ -3121,3 +3121,100 @@ def analytics_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_micro"),
         )
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS lo,
+         epoch_us(ts) + CAST(round(value * 60000000, 0) AS BIGINT) AS hi
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), bounds AS (
+  SELECT event_type, lo AS us, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT event_type, hi AS us, CAST(-1 AS BIGINT) AS delta FROM iv
+), run AS (
+  SELECT event_type, us, delta,
+         CAST(sum(delta) OVER (PARTITION BY event_type
+                               ORDER BY us, delta
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS conc
+  FROM bounds
+), pk AS (
+  SELECT event_type, CAST(max(conc) AS BIGINT) AS peak FROM run
+  GROUP BY event_type
+)
+SELECT r.event_type, p.peak AS peak_concurrency,
+       CAST(min(r.us) AS BIGINT) AS peak_first_at_us,
+       CAST(count(*) AS BIGINT) AS n_times_at_peak
+FROM run r JOIN pk p ON p.event_type = r.event_type AND r.conc = p.peak
+GROUP BY r.event_type, p.peak
+""",
+    doc="Peak concurrency per event type via the classic sweep-line: "
+    "each activity interval contributes +1 at its start and -1 at its "
+    "end, and the maximum of the running boundary sum is the largest "
+    "number of simultaneously-open intervals — the capacity-planning "
+    "readout (max concurrent sessions/streams) that windowed counts "
+    "approximate but never answer exactly.  Tie semantics are pinned "
+    "on BOTH engines by the (us, delta ASC) order: a -1 boundary "
+    "processes before a +1 at the same microsecond, i.e. intervals "
+    "are closed-open [lo, hi) and back-to-back intervals do not "
+    "overlap.  Exactness: bounds are integer epoch micros (the "
+    "join_range_interval convention), the running sum is exact "
+    "integer, and the peak's first time / multiplicity come from one "
+    "equi-join against the 3-row peak table.  Scale posture: the "
+    "boundary multiset is 2x events but collapses through the "
+    "DISTRIBUTED composite-order prefix sum (operators/rank.py "
+    "global_prefix_sums + broadcast per-type offsets) — never a "
+    "per-type single-partition window over fact-scale boundaries; "
+    "the peak rollup and join-back are |types|-row work.",
+    tags=("analytics", "timeseries"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+    from cobradb_spark.operators.rank import (
+        global_prefix_sums,
+        lit_map,
+        per_group_offsets,
+    )
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    dur = F.expr("CAST(round(value * 60000000, 0) AS BIGINT)")
+    iv = ev.select("event_type", us.alias("lo"), (us + dur).alias("hi"))
+    bounds = iv.select(
+        "event_type", F.col("lo").alias("us"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("hi").alias("us"), F.lit(-1).cast("bigint").alias("delta")
+        )
+    )
+    # composite (type, us, delta) total order: delta ASC puts the -1
+    # boundary first at a tie (closed-open intervals) — the INCLUSIVE
+    # running sum is the exclusive distributed prefix + the row's delta
+    ps = global_prefix_sums(
+        bounds,
+        [F.col("event_type"), F.col("us"), F.col("delta")],
+        {"delta": "_psd"},
+    )
+    off, _tot = per_group_offsets(bounds, "event_type", ["delta"])
+    run = ps.select(
+        "event_type",
+        "us",
+        (F.col("_psd") - lit_map(off["delta"])[F.col("event_type")] + F.col("delta"))
+        .cast("bigint")
+        .alias("conc"),
+    )
+    pk = run.groupBy("event_type").agg(F.max("conc").cast("bigint").alias("peak"))
+    return (
+        run.join(F.broadcast(pk), "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", F.col("peak").alias("peak_concurrency"))
+        .agg(
+            F.min("us").cast("bigint").alias("peak_first_at_us"),
+            F.count("*").cast("bigint").alias("n_times_at_peak"),
+        )
+    )

@@ -177,7 +177,7 @@ _R10_QUEUE: tuple[str, ...] = (
     "sim_ann_lsh_graded", "sim_ann_ivf_graded", "sim_ann_ivf_pq_graded",
     "dedup_minhash_near_graded", "mlprep_average_precision",
     "text_burstiness_dispersion", "join_temporal_overlap_duration",
-    "etl_tokenizer_fertility",
+    "etl_tokenizer_fertility", "events_peak_concurrency",
     "scan_json_multiline", "multimodal_image_channel_hist",
     "text_ocr_noise_score", "agg_tukey_fences", "analytics_diff_in_diff",
     "analytics_theil_sen_trend", "agg_gini_spend", "mlprep_lorenz_deciles",

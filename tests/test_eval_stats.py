@@ -415,3 +415,43 @@ def test_overlap_duration_matches_naive(spark, sf_dir):
         assert got.max_overlap_us == max(pairs)
         assert got.total_overlap_us > 0
     assert len(out) == n_users_expected
+
+
+def test_peak_concurrency_matches_naive_sweep(spark, sf_dir):
+    from cobradb_spark.io import load_events
+    import datetime as dt
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "ts", "value"
+    ).collect()
+    epoch = dt.datetime(1970, 1, 1)
+    bounds = defaultdict(list)
+    for r in ev:
+        if r.event_type not in ("view", "click", "purchase"):
+            continue
+        lo = int((r.ts - epoch).total_seconds() * 1_000_000)
+        hi = lo + int(round(r.value * 60_000_000))
+        bounds[r.event_type].append((lo, 1))
+        bounds[r.event_type].append((hi, -1))
+    out = {
+        r.event_type: r
+        for r in registry.get_query("events_peak_concurrency")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for et, bs in bounds.items():
+        bs.sort()  # (us, delta): -1 before +1 at a tie — closed-open
+        conc = peak = 0
+        first_at = None
+        n_at = 0
+        for us, d in bs:
+            conc += d
+            if conc > peak:
+                peak, first_at, n_at = conc, us, 1
+            elif conc == peak:
+                n_at += 1
+        got = out[et]
+        assert got.peak_concurrency == peak
+        assert got.peak_first_at_us == first_at
+        assert got.n_times_at_peak == n_at
+        assert peak >= 1

@@ -92,6 +92,7 @@ PROBE_KEYS = [
     "text_zipf_fit",
     "multimodal_mp1_subband_decode",
     "mlprep_average_precision",
+    "events_peak_concurrency",
 ]
 
 

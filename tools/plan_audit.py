@@ -1515,6 +1515,15 @@ AUDITS = [
         "shuffle-hash, never a sort-merge of fact volume",
     ),
     (
+        "events_peak_concurrency",
+        ["partial_max", "rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "the boundary sweep runs through the distributed composite-order "
+        "prefix sum; peak rollup and join-back are |types|-row broadcast "
+        "work — no per-type window over fact-scale boundaries",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

@@ -202,6 +202,7 @@ PROBES = [
     "text_burstiness_dispersion",
     "join_temporal_overlap_duration",
     "etl_tokenizer_fertility",
+    "events_peak_concurrency",
 ]
 
 
