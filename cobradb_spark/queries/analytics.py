@@ -3218,3 +3218,91 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_times_at_peak"),
         )
     )
+
+
+@register(
+    "analytics_price_elasticity",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), pts AS (
+  SELECT flag,
+         CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM g WHERE cents > 0 AND qty > 0
+), m AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts GROUP BY flag
+)
+SELECT flag, n AS n_price_points,
+       CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         AS elasticity_micro,
+       CAST(sx // n AS BIGINT) AS ln_price_bar_micro,
+       CAST(sy // n AS BIGINT) AS ln_qty_bar_micro
+FROM m WHERE n >= 3 AND n * sxx > CAST(sx AS HUGEINT) * sx
+""",
+    doc="Price elasticity of demand per return flag: the log-log OLS "
+    "slope of total quantity on price over the observed price grid — "
+    "elasticity ~ d ln(qty)/d ln(price), the pricing-analytics "
+    "fundamental (|e| > 1 elastic, < 1 inelastic).  Exactness: the "
+    "text_zipf_fit discipline — each grid point quantizes ln(price) / "
+    "ln(qty) to floor-micro FIRST (exact integer input through one "
+    "correctly-rounded libm call), so moments are 128-bit integers "
+    "and the slope is one truncating rational; engines truncate "
+    "negatives identically (pinned r8).  Degenerate flags (fewer than "
+    "3 price points or zero price variance) drop via exact integer "
+    "guards.  Scale posture: facts collapse once to the (flag, cents) "
+    "demand grid (map-side combine); moments are a 3-row rollup of "
+    "the grid — no window, no join.",
+    tags=("analytics",),
+)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    pts = g.filter((F.col("cents") > 0) & (F.col("qty") > 0)).select(
+        "flag",
+        F.floor(F.log(F.col("cents").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("qty").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+    )
+    return (
+        m.filter(
+            (F.col("n") >= 3)
+            & (
+                F.col("n") * F.col("sxx")
+                > F.col("sx").cast("decimal(19,0)") * F.col("sx")
+            )
+        )
+        .select(
+            "flag",
+            F.col("n").alias("n_price_points"),
+            F.expr(
+                "CAST(div((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000,"
+                " n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            ).alias("elasticity_micro"),
+            F.expr("CAST(div(sx, n) AS BIGINT)").alias("ln_price_bar_micro"),
+            F.expr("CAST(div(sy, n) AS BIGINT)").alias("ln_qty_bar_micro"),
+        )
+    )

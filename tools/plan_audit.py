@@ -1524,6 +1524,14 @@ AUDITS = [
         "work — no per-type window over fact-scale boundaries",
     ),
     (
+        "analytics_price_elasticity",
+        ["partial_sum"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "Window",
+         "BroadcastHashJoin"],
+        "facts collapse once to the (flag, cents) demand grid; the "
+        "moment rollup is 3 rows — no window, no join anywhere",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

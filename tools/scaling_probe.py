@@ -203,6 +203,7 @@ PROBES = [
     "join_temporal_overlap_duration",
     "etl_tokenizer_fertility",
     "events_peak_concurrency",
+    "analytics_price_elasticity",
 ]
 
 
