@@ -81,8 +81,27 @@ def _timed_suite(spark, qs, sf_dir, labels: dict[str, str]) -> dict[str, float]:
 
 # The previous round's artifacts commit: its tree carries that round's
 # final engine code, so "REF vs HEAD" is exactly "last round vs now".
-_AB_DEFAULT_REF = "c1f74af"
+# Auto-detected from the driver's "round N: ..." commit convention so
+# the ref rolls forward each round without a manual edit; the hardcoded
+# fallback covers detection failure.
+_AB_FALLBACK_REF = "c1f74af"  # round 7 artifacts
 _REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _detect_prev_round_ref() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "-C", _REPO, "log", "--grep", "^round [0-9]*:",
+             "-n", "1", "--format=%h"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        )
+        ref = out.stdout.strip()
+        return ref or _AB_FALLBACK_REF
+    except Exception:  # noqa: BLE001 — fail-soft by contract
+        return _AB_FALLBACK_REF
 
 
 def _bench_once(repo_root: str, sf_dir: str) -> dict[str, float]:
@@ -99,7 +118,7 @@ def _bench_once(repo_root: str, sf_dir: str) -> dict[str, float]:
 def interleaved_ab(sf_dir: str) -> dict:
     """REF, HEAD, REF, HEAD in fresh JVMs; medians + ratio."""
     try:
-        ref = os.environ.get("SPARK_GRAFT_AB_REF", _AB_DEFAULT_REF)
+        ref = os.environ.get("SPARK_GRAFT_AB_REF") or _detect_prev_round_ref()
         pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
         wt = f"/tmp/bench_ab_{ref}"
     except Exception as e:  # noqa: BLE001 — fail-soft by contract
