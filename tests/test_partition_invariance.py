@@ -93,6 +93,11 @@ PROBE_KEYS = [
     "multimodal_mp1_subband_decode",
     "mlprep_average_precision",
     "events_peak_concurrency",
+    # late-r8 keys: BPE rule table from a TakeOrdered collect, the
+    # burstiness top-30 rank, and the elasticity moment rollup
+    "etl_tokenizer_fertility",
+    "text_burstiness_dispersion",
+    "analytics_price_elasticity",
 ]
 
 
