@@ -3306,3 +3306,155 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(div(sy, n) AS BIGINT)").alias("ln_qty_bar_micro"),
         )
     )
+
+
+@register(
+    "events_stl_strength",
+    oracle=f"""
+WITH grid AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+         count(*) AS n_ticks
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hour, sum_cents, n_ticks,
+         CAST(sum_cents AS DOUBLE) / 100.0 / n_ticks AS observed,
+         CAST(sum(sum_cents) OVER w AS DOUBLE) / 100.0
+             / CAST(sum(n_ticks) OVER w AS DOUBLE) AS trend
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_STL_HALF - 1} PRECEDING
+                        AND {_STL_HALF} FOLLOWING)
+), d AS (
+  SELECT event_type,
+         CAST(floor((observed - trend) * 1000000000.0 + 0.5) AS BIGINT)
+             AS dn,
+         CAST(floor(trend * 1000000000.0 + 0.5) AS BIGINT) AS tn,
+         date_part('hour', hour) AS hod
+  FROM t
+), seas AS (
+  SELECT event_type, hod, CAST(sum(dn) // count(*) AS BIGINT) AS sn
+  FROM d GROUP BY 1, 2
+), comp AS (
+  SELECT d.event_type, d.dn, d.dn - seas.sn AS rn, d.tn + d.dn - seas.sn AS trn
+  FROM d JOIN seas ON d.event_type = seas.event_type AND d.hod = seas.hod
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rn) AS BIGINT) AS s_r, sum(CAST(rn AS HUGEINT) * rn) AS q_r,
+         CAST(sum(dn) AS BIGINT) AS s_d, sum(CAST(dn AS HUGEINT) * dn) AS q_d,
+         CAST(sum(trn) AS BIGINT) AS s_t, sum(CAST(trn AS HUGEINT) * trn) AS q_t
+  FROM comp GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       CAST(greatest(0, 1000000
+            - (n * q_r - CAST(s_r AS HUGEINT) * s_r) * 1000000
+              // (n * q_d - CAST(s_d AS HUGEINT) * s_d)) AS BIGINT)
+         AS f_seasonal_ppm,
+       CAST(greatest(0, 1000000
+            - (n * q_r - CAST(s_r AS HUGEINT) * s_r) * 1000000
+              // (n * q_t - CAST(s_t AS HUGEINT) * s_t)) AS BIGINT)
+         AS f_trend_ppm
+FROM m
+WHERE n * q_d > CAST(s_d AS HUGEINT) * s_d
+  AND n * q_t > CAST(s_t AS HUGEINT) * s_t
+""",
+    doc="Seasonality and trend STRENGTH per event type (Hyndman & "
+    "Athanasopoulos FPP: F_S = max(0, 1 - Var(R)/Var(S+R)), F_T = "
+    "max(0, 1 - Var(R)/Var(T+R))) over the events_stl_decompose "
+    "components — the one-number-per-series diagnostic that decides "
+    "whether seasonal models or trend models are worth fitting, and "
+    "the standard feature pair in forecast-model routing.  Exactness: "
+    "components quantize to integer NANOS before any variance "
+    "(detrended was already nano-quantized in the STL key; the "
+    "seasonal profile becomes its truncating integer mean and the "
+    "trend quantizes the same way), so all variances are 128-bit "
+    "integer moment forms n*sum(x^2) - sum(x)^2 and both strengths "
+    "are exact truncating ppm with integer degeneracy guards.  Scale "
+    "posture: identical to events_stl_decompose — one grid shuffle, "
+    "then |types| x 24 and |types|-row rollups.",
+    tags=("analytics", "timeseries"),
+)
+def events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_STL_HALF - 1), _STL_HALF)
+    )
+    t = grid.select(
+        "event_type",
+        "hour",
+        (F.col("sum_cents").cast("double") / 100.0 / F.col("n_ticks")).alias(
+            "observed"
+        ),
+        (
+            F.sum("sum_cents").over(w).cast("double")
+            / 100.0
+            / F.sum("n_ticks").over(w).cast("double")
+        ).alias("trend"),
+    )
+    d = t.select(
+        "event_type",
+        F.floor((F.col("observed") - F.col("trend")) * 1000000000.0 + 0.5)
+        .cast("bigint")
+        .alias("dn"),
+        F.floor(F.col("trend") * 1000000000.0 + 0.5).cast("bigint").alias("tn"),
+        F.hour("hour").alias("hod"),
+    )
+    seas = d.groupBy("event_type", "hod").agg(
+        F.expr("CAST(div(sum(dn), count(*)) AS BIGINT)").alias("sn")
+    )
+    comp = d.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "dn",
+        (F.col("dn") - F.col("sn")).alias("rn"),
+        (F.col("tn") + F.col("dn") - F.col("sn")).alias("trn"),
+    )
+    m = comp.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rn").cast("bigint").alias("s_r"),
+        F.sum(F.col("rn").cast("decimal(19,0)") * F.col("rn")).alias("q_r"),
+        F.sum("dn").cast("bigint").alias("s_d"),
+        F.sum(F.col("dn").cast("decimal(19,0)") * F.col("dn")).alias("q_d"),
+        F.sum("trn").cast("bigint").alias("s_t"),
+        F.sum(F.col("trn").cast("decimal(19,0)") * F.col("trn")).alias("q_t"),
+    )
+    var_r = F.expr("n * q_r - CAST(s_r AS DECIMAL(38,0)) * s_r")
+    var_d = F.expr("n * q_d - CAST(s_d AS DECIMAL(38,0)) * s_d")
+    var_t = F.expr("n * q_t - CAST(s_t AS DECIMAL(38,0)) * s_t")
+    return (
+        m.filter((var_d > 0) & (var_t > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (
+                    F.lit(1000000)
+                    - F.expr(
+                        "div((n * q_r - CAST(s_r AS DECIMAL(38,0)) * s_r)"
+                        " * 1000000, n * q_d - CAST(s_d AS DECIMAL(38,0)) * s_d)"
+                    )
+                ).cast("bigint"),
+            ).alias("f_seasonal_ppm"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (
+                    F.lit(1000000)
+                    - F.expr(
+                        "div((n * q_r - CAST(s_r AS DECIMAL(38,0)) * s_r)"
+                        " * 1000000, n * q_t - CAST(s_t AS DECIMAL(38,0)) * s_t)"
+                    )
+                ).cast("bigint"),
+            ).alias("f_trend_ppm"),
+        )
+    )

@@ -178,7 +178,7 @@ _R10_QUEUE: tuple[str, ...] = (
     "dedup_minhash_near_graded", "mlprep_average_precision",
     "text_burstiness_dispersion", "join_temporal_overlap_duration",
     "etl_tokenizer_fertility", "events_peak_concurrency",
-    "analytics_price_elasticity",
+    "analytics_price_elasticity", "events_stl_strength",
     "scan_json_multiline", "multimodal_image_channel_hist",
     "text_ocr_noise_score", "agg_tukey_fences", "analytics_diff_in_diff",
     "analytics_theil_sen_trend", "agg_gini_spend", "mlprep_lorenz_deciles",

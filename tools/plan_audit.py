@@ -1532,6 +1532,14 @@ AUDITS = [
         "moment rollup is 3 rows — no window, no join anywhere",
     ),
     (
+        "events_stl_strength",
+        ["Window", "partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "one grid shuffle serves the trend window (the STL shape); the "
+        "24-row seasonal profile broadcasts back and the strength "
+        "moments are a |types|-row rollup",
+    ),
+    (
         "analytics_mann_kendall_trend",
         ["partial_sum"],
         ["SortMergeJoin", "BatchEvalPython", "Exchange hashpartitioning(ts"],

@@ -204,6 +204,7 @@ PROBES = [
     "etl_tokenizer_fertility",
     "events_peak_concurrency",
     "analytics_price_elasticity",
+    "events_stl_strength",
 ]
 
 
