@@ -92,51 +92,25 @@ def _load() -> None:
 # oracle output AS BIGINT, and tools/check.py now fails on dtype-class
 # mismatches so local EXACT implies driver-hashable again).
 #
-# Round 8 window (_DRIVER_PRIORITY below, 50 keys):
-#   (a) the two r7 hash-mismatch keys FIRST, re-windowed after the fix
-#       (done = green CORRECTNESS_r08 rows);
-#   (b) the 19-name oracle-carrying tail of the r7 staging
-#       (geo_polygon_contains .. graph_functional_cycles);
-#   (c) 25 re-checks of the OLDEST driver evidence (r2-era
-#       flagship/scan/join rows, untouched since CORRECTNESS_r02 but
-#       refactored since; scan_csv_tsv and scan_json_lines deferred to
-#       _R10_QUEUE to make room for (a));
-#   (d) the four rows-only ANN keys LAST (the driver records a weaker
-#       rows-only line for them; they close the window by design and
-#       the window test allows exactly this tail).
+# Round 9 window (_DRIVER_PRIORITY below, 50 keys, ALL oracle-carrying
+# — first window with no rows-only tail):
+#   (a) the first 46 keys of the r8-staged _R9_PLANNED_HEAD verbatim
+#       (r8 VERDICT item 1): agg_weighted_median_exact leads because its
+#       quantization changed in r8 (floor(x*100+0.5) on both engines);
+#       analytics_ratio_delta_ci carries the r6 DECIMAL overflow fix;
+#       then the r7-staged queue in its original priority order
+#       (experimentation / RAG / feature-store / geo families first).
+#   (b) the 4 graded ANN companions pulled forward from the r10 backlog
+#       (r8 VERDICT item 2): the approximate family has never had a
+#       driver hash row; the *_graded keys hash the exact-side counts
+#       plus a measured-recall verdict, closing that gap a round early.
+#       The 4 displaced tail keys of the old staging
+#       (mlprep_time_split_embargo, rollup_time_weighted_avg,
+#       etl_surrogate_keys, graph_degree_assortativity) move to the r10
+#       head; the 2 double-staged re-checks (scan_csv_tsv,
+#       scan_json_lines — driver rows since r2/r3) are unstaged so the
+#       backlog is exactly the never-checked set.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "win_max_drawdown", "text_vocab_coverage", "geo_polygon_contains",
-    "win_hampel_outliers", "events_cross_correlation",
-    "stream_transform_with_state", "agg_kmv_theta_sketch",
-    "multimodal_mp3_frame_index", "analytics_ab_cuped",
-    "etl_vacuum_retention", "profile_benford_deviation",
-    "analytics_survival_km", "multimodal_srt_parse",
-    "join_point_in_time_scd2", "mlprep_calibration_bins",
-    "text_dictionary_match", "embed_matryoshka_overlap",
-    "text_unicode_canonicalize", "scan_fixedwidth",
-    "udf_pandas_scalar_iter", "graph_functional_cycles",
-    "join_topn_flagship", "sql_returned_revenue",
-    "sql_shipping_priority_q3", "sql_local_supplier_volume_q5",
-    "sql_order_priority_exists_q4", "sql_small_quantity_scalar_q17",
-    "scan_parquet", "scan_projection_pushdown", "sink_parquet_partitioned",
-    "scan_jsonl_source", "sink_orc_roundtrip", "merge_upsert",
-    "scan_nested_ingest", "scan_python_datasource",
-    "scan_observed_metrics", "sink_python_datasource",
-    "scan_partition_pruning", "scan_schema_evolution",
-    "scan_file_metadata_lineage", "scan_binaryfile_ingest",
-    "scan_corrupt_tolerant", "join_dpp_partition_pruning",
-    "join_range_interval", "join_asof", "join_skew_salted",
-    "dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq",
-)
-
-# Staged r9 window (50 keys, all oracle-carrying, no driver rows yet):
-# agg_weighted_median_exact leads because its quantization changed this
-# round (r7 ADVICE: floor(x*100+0.5) on both engines); then the three
-# stray never-checked keys (analytics_ratio_delta_ci carries the r6
-# DECIMAL overflow fix and deserves driver proof), then the r7-staged
-# queue in its original priority order (experimentation / RAG /
-# feature-store / geo families first — the things a real user hits).
-_R9_PLANNED_HEAD: tuple[str, ...] = (
     "agg_weighted_median_exact", "analytics_ratio_delta_ci",
     "etl_contract_schema_diff", "sink_csv_quoted_roundtrip",
     "dedup_exactsubstr_cut", "graph_sssp_weighted", "mlprep_group_kfold",
@@ -158,24 +132,28 @@ _R9_PLANNED_HEAD: tuple[str, ...] = (
     "dedup_near_cluster_keep_best", "stream_temporal_dim_enrich",
     "rollup_dow_hour_heatmap", "events_inter_arrival_stats",
     "rag_hybrid_rrf_fusion", "sim_mmr_diversified", "analytics_cohort_ltv",
-    "sim_filtered_topk", "mlprep_time_split_embargo",
-    "rollup_time_weighted_avg", "etl_surrogate_keys",
-    "graph_degree_assortativity",
+    "sim_filtered_topk",
+    "sim_ann_lsh_graded", "sim_ann_ivf_graded", "sim_ann_ivf_pq_graded",
+    "dedup_minhash_near_graded",
 )
 
-# Backlog after the r9 window: 19 never-checked keys (tail of the r7
-# staging order), the 2 re-checks deferred from the r8 window, and keys
-# added in r8+ (multimodal_mp1_subband_decode: the Layer-I subband
-# decoder that closed the last documented multimodal stub).
-# Draining this in r10 gives every oracle-carrying key driver evidence.
-_R10_QUEUE: tuple[str, ...] = (
+# Staged r10 window: every key that will still lack a driver hash row
+# after the r9 window executes — the 4 keys displaced from the old r9
+# staging by the graded ANN companions, then the never-checked backlog
+# in its r8 priority order.  Keys ADDED in r9 are appended as they land
+# (tests/test_registry.py recomputes the never-checked set from the
+# CORRECTNESS_r*.json artifacts and asserts this list covers it
+# exactly, so the staging cannot rot).  Draining this in r10 gives
+# every oracle-carrying key driver evidence.
+_R10_PLANNED_HEAD: tuple[str, ...] = (
+    "mlprep_time_split_embargo", "rollup_time_weighted_avg",
+    "etl_surrogate_keys", "graph_degree_assortativity",
     "multimodal_mp1_subband_decode",
     "mlprep_roc_auc", "mlprep_ks_statistic", "etl_t_closeness_check",
     "analytics_bootstrap_ci", "analytics_mann_kendall_trend",
     "agg_winsorized_trimmed_mean", "mlprep_information_value",
     "mlprep_cramers_v", "text_zipf_fit",
-    "sim_ann_lsh_graded", "sim_ann_ivf_graded", "sim_ann_ivf_pq_graded",
-    "dedup_minhash_near_graded", "mlprep_average_precision",
+    "mlprep_average_precision",
     "text_burstiness_dispersion", "join_temporal_overlap_duration",
     "etl_tokenizer_fertility", "events_peak_concurrency",
     "analytics_price_elasticity", "events_stl_strength",
@@ -186,7 +164,6 @@ _R10_QUEUE: tuple[str, ...] = (
     "join_asof_tolerance", "events_slo_burn_rate", "mlprep_nzv_filter",
     "etl_subject_access_export", "etl_pseudonymize_consistent",
     "etl_one_big_table", "events_apdex_score", "mlprep_confusion_matrix",
-    "scan_csv_tsv", "scan_json_lines",
 )
 
 

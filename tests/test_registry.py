@@ -51,10 +51,9 @@ def test_entry_contract_shapes():
 def test_driver_window_keys_are_oracle_carrying():
     """The correctness driver hash-checks the FIRST 50 queries() entries;
     a rows-only or unregistered key in that window wastes a driver row
-    (r3 verdict: rotation is part of the verification contract).  The r8
-    window deliberately closes with the four rows-only ANN keys — the
-    only registered keys that can never carry an oracle — so exactly
-    that tail is allowed."""
+    (r3 verdict: rotation is part of the verification contract).  The r9
+    window is the first with NO rows-only tail: the 4 graded ANN
+    companions (pulled forward per r8 VERDICT item 2) carry oracles."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
@@ -62,43 +61,54 @@ def test_driver_window_keys_are_oracle_carrying():
     assert window == list(registry._DRIVER_PRIORITY), (
         "driver window must be exactly the rotated priority list"
     )
-    ann_tail = ["dedup_minhash_near", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_pq"]
-    assert window[-4:] == ann_tail, "rows-only ANN keys must close the window"
-    for name in window[:-4]:
+    for name in window:
         assert qs[name].oracle is not None, f"{name} in driver window without oracle"
-    # the two r7 hash-mismatch keys lead the window (re-verification first)
-    assert window[:2] == ["win_max_drawdown", "text_vocab_coverage"]
+    # quantization/overflow-fix keys lead the window (re-proof first);
+    # the graded ANN companions close it (first driver hash rows for the
+    # approximate-similarity family)
+    assert window[:2] == ["agg_weighted_median_exact", "analytics_ratio_delta_ci"]
+    assert window[-4:] == [
+        "sim_ann_lsh_graded", "sim_ann_ivf_graded",
+        "sim_ann_ivf_pq_graded", "dedup_minhash_near_graded",
+    ]
 
 
-def test_r9_planned_window_names_are_registered():
-    """The staged next-round rotation list must not rot: every name in
-    _R9_PLANNED_HEAD exists in the registry, is oracle-carrying, fills
-    exactly one 50-slot driver window, and none are already in the
-    executed r8 window (they'd waste a driver slot twice)."""
+def _driver_checked_keys():
+    """Union of keys with any driver row across CORRECTNESS_r*.json."""
+    import json
+    from pathlib import Path
+
+    checked: set[str] = set()
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        checked.update(json.loads(p.read_text()))
+    return checked
+
+
+def test_r10_staging_covers_never_checked_exactly():
+    """r8 VERDICT item 5: the staged r10 list must equal EXACTLY the set
+    of oracle-carrying keys that will still lack driver-hash evidence
+    after the r9 window runs — recomputed from the CORRECTNESS_r*.json
+    artifacts, so neither new keys nor re-shuffles can silently drop a
+    key from the drain path.  (Keys added during r9 must be appended to
+    _R10_PLANNED_HEAD; this test fails if they aren't.)"""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    assert len(registry._R9_PLANNED_HEAD) == 50
-    missing = [n for n in registry._R9_PLANNED_HEAD if n not in qs]
-    assert not missing, f"planned r9 names not registered: {missing}"
-    for n in registry._R9_PLANNED_HEAD:
+    staged = list(registry._R10_PLANNED_HEAD)
+    assert len(staged) == len(set(staged)), "duplicate keys in r10 staging"
+    missing = [n for n in staged if n not in qs]
+    assert not missing, f"staged r10 names not registered: {missing}"
+    for n in staged:
         assert qs[n].oracle is not None, f"{n} staged without oracle"
-    overlap = set(registry._R9_PLANNED_HEAD) & set(registry._DRIVER_PRIORITY)
-    assert not overlap, f"planned r9 keys already in the r8 window: {overlap}"
+    overlap = set(staged) & set(registry._DRIVER_PRIORITY)
+    assert not overlap, f"r10-staged keys already in the r9 window: {overlap}"
 
-
-def test_r10_queue_names_are_registered_and_new():
-    """The r10 backlog must not rot: every name registered,
-    oracle-carrying, and in neither the executed r8 window nor the
-    staged r9 window.  Together the three lists must cover every key
-    that still lacks driver-hash evidence."""
-    from cobradb_spark import registry
-
-    qs = registry.all_queries()
-    missing = [n for n in registry._R10_QUEUE if n not in qs]
-    assert not missing, f"queued r10 names not registered: {missing}"
-    for n in registry._R10_QUEUE:
-        assert qs[n].oracle is not None, f"{n} queued without oracle"
-    taken = set(registry._DRIVER_PRIORITY) | set(registry._R9_PLANNED_HEAD)
-    overlap = set(registry._R10_QUEUE) & taken
-    assert not overlap, f"r10-queued keys already windowed: {overlap}"
+    checked = _driver_checked_keys()
+    after_r9 = checked | set(registry._DRIVER_PRIORITY)
+    never_after_r9 = {
+        n for n, q in qs.items() if q.oracle is not None and n not in after_r9
+    }
+    assert set(staged) == never_after_r9, (
+        f"staging drift: missing={sorted(never_after_r9 - set(staged))} "
+        f"extra={sorted(set(staged) - never_after_r9)}"
+    )
