@@ -26,12 +26,18 @@ problem degrades to "ab": {"error": ...} without touching the primary
 numbers.  Tunables: SPARK_GRAFT_AB=0 disables, SPARK_GRAFT_AB_REF
 overrides the frozen commit, SPARK_GRAFT_AB_PAIRS the pair count.
 
-Prints ONE JSON line:
+Prints TWO JSON lines (last complete line wins): the primary payload
+immediately —
   {"metric": "suite_seconds", "value": N, "unit": "sec",
    "queries": {...}, "sf": ...,
-   "tpch_suite_seconds": M, "tpch_queries": {...},
-   "ab": {"ref": sha, "ref_runs": [...], "head_runs": [...],
-          "headline_ratio": r1, "tpch_ratio": r2}}
+   "tpch_suite_seconds": M, "tpch_queries": {...}}
+— then (unless SPARK_GRAFT_AB=0) the SAME payload re-emitted with the
+`ab` block added:
+  {..., "ab": {"ref": sha, "ref_runs": [...], "head_runs": [...],
+               "headline_ratio": r1, "tpch_ratio": r2}}
+A consumer that reads only the first line gets complete primary numbers
+(the A/B takes minutes and must not delay them); a consumer that reads
+the last line also gets the A/B.
 """
 
 from __future__ import annotations
@@ -89,17 +95,35 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _detect_prev_round_ref() -> str:
+    """Newest 'round N:' artifacts commit that is NOT HEAD itself and
+    whose tree differs from HEAD's.  r8 ADVICE: a re-run after the
+    CURRENT round's artifacts commit lands would otherwise resolve REF
+    to that commit and silently A/B HEAD against itself (ratio ~1.0,
+    masking regressions) — guard on both sha equality and tree
+    equality, falling back to the next-older round commit."""
     try:
         out = subprocess.run(
             ["git", "-C", _REPO, "log", "--grep", "^round [0-9]*:",
-             "-n", "1", "--format=%h"],
+             "-n", "2", "--format=%h"],
             capture_output=True,
             text=True,
             timeout=30,
             check=True,
         )
-        ref = out.stdout.strip()
-        return ref or _AB_FALLBACK_REF
+        head = subprocess.run(
+            ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        for ref in out.stdout.split():
+            if ref == head:
+                continue  # self-compare: take the next-older round
+            same_tree = subprocess.run(
+                ["git", "-C", _REPO, "diff", "--quiet", ref, "HEAD"],
+                capture_output=True, timeout=30,
+            ).returncode == 0
+            if not same_tree:
+                return ref
+        return _AB_FALLBACK_REF
     except Exception:  # noqa: BLE001 — fail-soft by contract
         return _AB_FALLBACK_REF
 

@@ -188,14 +188,22 @@ def global_prefix_sums(
     order_cols: list[Column],
     value_cols: dict[str, str],
     num_parts: int | None = None,
-) -> DataFrame:
+    with_frame_and_totals: bool = False,
+):
     """Multi-column global_prefix_sum: add one EXCLUSIVE prefix-sum
     column per (value_col -> out_col) entry in ONE range-partition
     shuffle and ONE driver collect (r8 review: the KS/AP grid queries
     were paying two repartitionByRange passes for two prefix columns).
 
     Same scale contract as global_prefix_sum; `order_cols` must define a
-    TOTAL order."""
+    TOTAL order.
+
+    with_frame_and_totals=True returns (out, tagged, totals) where
+    `tagged` is the PERSISTED range-partitioned frame (feed it to
+    per_group_offsets so group totals come from the cache, not a second
+    scan of the caller's unpersisted lineage — r8 ADVICE) and `totals`
+    maps value_col -> grand total (the final prefix accumulator, free —
+    callers needing the overall sum pay no extra action)."""
     k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     tagged = _pin(
         df.repartitionByRange(k, *order_cols)
@@ -210,17 +218,22 @@ def global_prefix_sums(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = tagged
+    totals: dict[str, int] = {}
     for v, out_col in value_cols.items():
         offsets, acc = {}, 0
         for pid in sorted(per_pid):
             offsets[pid] = acc
             acc += per_pid[pid][v] or 0
+        totals[v] = acc
         off_map = F.create_map(
             *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
         )
         local = F.coalesce(F.sum(v).over(w), F.lit(0))
         out = out.withColumn(out_col, (off_map[F.col("_pid")] + local).cast("long"))
-    return out.drop("_pid")
+    out = out.drop("_pid")
+    if with_frame_and_totals:
+        return out, tagged, totals
+    return out
 
 
 def per_group_offsets(
@@ -259,7 +272,8 @@ def global_prefix_sum(
     value_col: str,
     out_col: str = "prefix_sum",
     num_parts: int | None = None,
-) -> DataFrame:
+    with_frame: bool = False,
+):
     """Add `out_col` = EXCLUSIVE prefix sum of `value_col` in the total
     order defined by `order_cols`, distributed.
 
@@ -268,6 +282,11 @@ def global_prefix_sum(
     get `global_offset[i] + local running sum`, where the offsets are the
     prefix-summed per-partition totals (K tiny rows to the driver).
     `order_cols` must define a TOTAL order (append a unique tiebreaker).
+
+    with_frame=True returns (out, tagged): `tagged` is the PERSISTED
+    range-partitioned frame — feed it to per_group_offsets so group
+    totals aggregate the cache, not a second pass over the caller's
+    unpersisted lineage (r8 ADVICE).
     """
     k = num_parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     tagged = _pin(
@@ -292,6 +311,9 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
-    return tagged.withColumn(
+    out = tagged.withColumn(
         out_col, (off_map[F.col("_pid")] + local).cast("long")
     ).drop("_pid")
+    if with_frame:
+        return out, tagged
+    return out

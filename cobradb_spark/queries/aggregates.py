@@ -986,8 +986,12 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     ).agg(F.count("*").cast("bigint").alias("n"))
-    ps = global_prefix_sum(g, [F.col("flag"), F.col("cents")], "n", out_col="_ps")
-    off, tot = per_group_offsets(g, "flag", ["n"])
+    ps, tagged = global_prefix_sum(
+        g, [F.col("flag"), F.col("cents")], "n", out_col="_ps", with_frame=True
+    )
+    # group totals come from the PERSISTED range-partitioned frame, not
+    # a second aggregation of g's unpersisted lineage (r8 ADVICE)
+    off, tot = per_group_offsets(tagged, "flag", ["n"])
     off_m, tot_m = lit_map(off["n"]), lit_map(tot["n"])
     k = ps.select(
         "flag",

@@ -2958,9 +2958,14 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "m",
         F.expr(
+            # explicit BIGINT cast before the modulo (repo convention,
+            # graph.py/llm.py md5-bucket sites; r8 ADVICE): conv()
+            # returns STRING, and relying on implicit string%int->long
+            # coercion would silently diverge from the oracle if a
+            # future Spark coerced to double (60-bit values > 2^53)
             _boot_mult_sql(
-                "conv(substring(md5(concat(k, '-', CAST(r AS STRING))), 1, 15),"
-                " 16, 10) % 1000000"
+                "CAST(conv(substring(md5(concat(k, '-', CAST(r AS STRING))), 1, 15),"
+                " 16, 10) AS BIGINT) % 1000000"
             )
         ),
     )
@@ -3195,12 +3200,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite (type, us, delta) total order: delta ASC puts the -1
     # boundary first at a tie (closed-open intervals) — the INCLUSIVE
     # running sum is the exclusive distributed prefix + the row's delta
-    ps = global_prefix_sums(
+    ps, tagged, _tots = global_prefix_sums(
         bounds,
         [F.col("event_type"), F.col("us"), F.col("delta")],
         {"delta": "_psd"},
+        with_frame_and_totals=True,
     )
-    off, _tot = per_group_offsets(bounds, "event_type", ["delta"])
+    # per-type offsets aggregate the persisted frame (r8 ADVICE: not a
+    # second scan of the fact-scale boundary union)
+    off, _tot = per_group_offsets(tagged, "event_type", ["delta"])
     run = ps.select(
         "event_type",
         "us",

@@ -1850,8 +1850,13 @@ def mlprep_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism would be |segments| tasks over a grid that grows with
     # price cardinality (the win_rolling_ols lesson; the
     # agg_weighted_median_exact pattern).
-    ps = global_prefix_sum(g, [F.col("prio"), F.col("cents")], "n", out_col="_ps")
-    off, _tot = per_group_offsets(g, "prio", ["n"])
+    ps, tagged = global_prefix_sum(
+        g, [F.col("prio"), F.col("cents")], "n", out_col="_ps", with_frame=True
+    )
+    # group totals come from the PERSISTED range-partitioned frame, not
+    # a second aggregation of g's unpersisted lineage (r8 ADVICE: the
+    # re-derivation was a second full scan of the fact table)
+    off, _tot = per_group_offsets(tagged, "prio", ["n"])
     r = ps.withColumn(
         "rank_before",
         (F.col("_ps") - lit_map(off["n"])[F.col("prio")]).cast("bigint"),
@@ -1955,10 +1960,15 @@ def mlprep_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n and npos; cum_neg derives) + broadcast 5-row per-segment
     # offsets/totals — the mlprep_roc_auc / agg_weighted_median_exact
     # posture, never a per-segment running window over the price grid.
-    ps = global_prefix_sums(
-        g, [F.col("prio"), F.col("cents")], {"n": "_psn", "npos": "_psp"}
+    ps, tagged, _tots = global_prefix_sums(
+        g,
+        [F.col("prio"), F.col("cents")],
+        {"n": "_psn", "npos": "_psp"},
+        with_frame_and_totals=True,
     )
-    off, tot = per_group_offsets(g, "prio", ["n", "npos"])
+    # per-group totals aggregate the persisted frame (r8 ADVICE: not a
+    # second scan of g's unpersisted lineage)
+    off, tot = per_group_offsets(tagged, "prio", ["n", "npos"])
     offn_m, offp_m = lit_map(off["n"]), lit_map(off["npos"])
     ntot_m, npos_m = lit_map(tot["n"]), lit_map(tot["npos"])
     c = ps.select(
@@ -2389,10 +2399,15 @@ def mlprep_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("npos"),
     )
-    ps = global_prefix_sums(
-        g, [F.col("prio"), F.col("cents")], {"n": "_psn", "npos": "_psp"}
+    ps, tagged, _tots = global_prefix_sums(
+        g,
+        [F.col("prio"), F.col("cents")],
+        {"n": "_psn", "npos": "_psp"},
+        with_frame_and_totals=True,
     )
-    off, tot = per_group_offsets(g, "prio", ["n", "npos"])
+    # per-group totals aggregate the persisted frame (r8 ADVICE: not a
+    # second scan of g's unpersisted lineage)
+    off, tot = per_group_offsets(tagged, "prio", ["n", "npos"])
     offn_m, offp_m = lit_map(off["n"]), lit_map(off["npos"])
     ntot_m, npos_m = lit_map(tot["n"]), lit_map(tot["npos"])
     # descending-inclusive cumulative = segment total - ascending

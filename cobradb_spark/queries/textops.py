@@ -1902,40 +1902,57 @@ WHERE rank <= {_VOCAB_TOP}
     "so cum_ppm surfaced as float64 in pandas while Spark emitted "
     "int64 — values identical, driver dtype-hash not; cum_ppm is now "
     "CAST AS BIGINT oracle-side.  Scale: the count "
-    "is one map-side-combinable (word) rollup; ranking a vocabulary "
-    "is DIMENSION-scale work (vocab cardinality, not corpus rows — "
-    "~1e5-1e6 entries at any corpus size), so the global-order window "
-    "runs on a table that fits one partition by construction; the "
-    "corpus-size total is a 1-row broadcast.  At 100 TB only the word "
-    "rollup touches the fact table.",
+    "is one map-side-combinable (word) rollup; the rank and running "
+    "coverage over the FULL vocabulary run through the distributed "
+    "prefix-sum machinery (operators/rank.py global_prefix_sums — one "
+    "range-partition shuffle, per-partition offsets via a K-row driver "
+    "collect), NOT a single-partition ORDER BY window: r8 review "
+    "flagged that the earlier 'vocab is dimension-scale (~1e5-1e6)' "
+    "defense is false for raw web corpora, where whitespace-token "
+    "vocabularies reach 1e8-1e9 at 100 TB.  Ranking is prefix-count of "
+    "a literal 1 in the same shuffle, so rank + cumulative cost ONE "
+    "pass; the corpus-size total is a 1-row broadcast.",
     tags=("textops", "llm"),
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sums
+
     words = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("w")
     )
     cnt = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
-    tot = cnt.agg(F.sum("cnt").cast("long").alias("total"))
-    wg = Window.orderBy(F.col("cnt").desc(), "w")
-    ranked = cnt.select(
+    pre, _tagged, totals = global_prefix_sums(
+        cnt.withColumn("one", F.lit(1).cast("long")),
+        [F.col("cnt").desc(), F.col("w")],
+        {"one": "rank_before", "cnt": "cum_before"},
+        with_frame_and_totals=True,
+    )
+    # the corpus-size total is the final prefix accumulator — a literal,
+    # not a second word rollup over the documents scan
+    total = int(totals["cnt"])
+    ranked = pre.select(
         "w",
         "cnt",
-        F.row_number().over(wg).cast("long").alias("rank"),
-        F.sum("cnt").over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cnt"),
+        (F.col("rank_before") + 1).alias("rank"),
+        (F.col("cum_before") + F.col("cnt")).alias("cum_cnt"),
     ).filter(F.col("rank") <= _VOCAB_TOP)
-    return ranked.crossJoin(F.broadcast(tot)).select(
+    # widening rule (r8 overflow audit): cum_cnt*1e6 wraps BIGINT at
+    # ~9e12 corpus words, so the products run in DECIMAL(38,0); the
+    # coverage threshold 950000*total is exact Python-int arithmetic
+    # inlined as a DECIMAL literal.  Oracle side is HUGEINT already.
+    thresh = _VOCAB_COVER_PPM * total
+    return ranked.select(
         "rank",
         "w",
         "cnt",
-        F.expr("div(cum_cnt * 1000000, total)").alias("cum_ppm"),
-        F.when(
-            (F.col("cum_cnt") - F.col("cnt")) * 1000000
-            < F.lit(_VOCAB_COVER_PPM) * F.col("total"),
-            1,
-        )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("in_cover95"),
+        F.expr(
+            "CAST(div(CAST(cum_cnt AS DECIMAL(38,0)) * 1000000,"
+            f" CAST({total} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("cum_ppm"),
+        F.expr(
+            "CAST(CASE WHEN CAST(cum_cnt - cnt AS DECIMAL(38,0)) * 1000000"
+            f" < CAST('{thresh}' AS DECIMAL(38,0)) THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("in_cover95"),
     )
 
 
@@ -2972,10 +2989,17 @@ def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(freq AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)"
         ).alias("dispersion_ppm"),
     )
+    # top-30 via orderBy+limit => TakeOrderedAndProject STRUCTURALLY
+    # (per-partition heaps, no global sort); the rank window then only
+    # numbers the 30 survivor rows (profile_skew_keys idiom).  r8 review:
+    # the earlier unpartitioned-window+filter form produced the same
+    # plan, but only through the InferWindowGroupLimit rewrite — an
+    # optimizer behavior the code didn't state.
     w = Window.orderBy(F.col("dispersion_ppm").desc(), "w")
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 30)
+        scored.orderBy(F.col("dispersion_ppm").desc(), "w")
+        .limit(30)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .select("w", "freq", "df", "dispersion_ppm", "rn")
     )
 

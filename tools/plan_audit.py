@@ -18,6 +18,7 @@ assertion fails.  Run: python tools/plan_audit.py
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -927,11 +928,14 @@ AUDITS = [
     ),
     (
         "text_vocab_coverage",
-        ["Window", "partial_count"],
+        ["rangepartitioning", "partial_count"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "only the word rollup (map-side combined) touches corpus rows; "
-        "the global-order window ranks the dimension-scale vocabulary "
-        "and the corpus total is a 1-row broadcast",
+        "rank + running coverage over the FULL vocabulary come from "
+        "global_prefix_sums (ONE range-partition shuffle, per-_pid "
+        "windows) — no single-partition ORDER BY window even at "
+        "web-corpus vocab cardinality (1e8-1e9); the corpus total is a "
+        "1-row broadcast",
     ),
     (
         "text_cooccurrence_pmi",
@@ -1550,6 +1554,52 @@ AUDITS = [
 ]
 
 
+# Standing gate (r8 VERDICT item 8): an unpartitioned Window over
+# UNBOUNDED input funnels every row through one task — the 100 TB cliff
+# the distributed-rank machinery exists to avoid.  Caught structurally
+# for EVERY audited plan (not per-key must_not review): a
+# windowspecdefinition whose first component is already an ORDER column
+# (ASC/DESC marker — no partition columns precede it) is unpartitioned;
+# it is acceptable only when the same plan carries structural evidence
+# the window input is post-limit bounded (TakeOrderedAndProject /
+# GlobalLimit / CollectLimit) or the key is allowlisted below with a
+# justification.
+_UNPARTITIONED_WINDOW_OK: dict[str, str] = {
+    # calendar/spine grids: the window runs over a generated
+    # days/weeks-scale sequence, bounded by construction, no limit node
+    "rollup_calendar_spine": "window over a generated calendar grid",
+    "events_stl_strength": "window over the bounded seasonal-period grid",
+}
+
+
+def _unpartitioned_window_violations(name: str, plan: str) -> list[str]:
+    out: list[str] = []
+    specs = re.findall(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)", plan)
+    def _is_unpartitioned(s: str) -> bool:
+        first = s.split(",", 1)[0]
+        return (
+            " ASC" in first
+            or " DESC" in first
+            or first.strip().startswith("specifiedwindowframe")
+        )
+
+    unpart = [s for s in specs if _is_unpartitioned(s)]
+    if not unpart:
+        return out
+    bounded = any(
+        tok in plan for tok in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+    )
+    if bounded or name in _UNPARTITIONED_WINDOW_OK:
+        return out
+    out.append(
+        f"{name}: unpartitioned Window over input with no structural bound "
+        f"(no TakeOrdered/GlobalLimit in plan; spec: {unpart[0][:80]!r}) — "
+        "use operators/rank.py global_rank/global_prefix_sums or allowlist "
+        "with a justification"
+    )
+    return out
+
+
 def main() -> int:
     spark = get_spark("plan_audit")
     qs = registry.all_queries()
@@ -1589,6 +1639,8 @@ def main() -> int:
         for frag in must_not:
             if frag in plan:
                 failures.append(f"{name}: forbidden {frag!r} present in plan")
+        for msg in _unpartitioned_window_violations(name, plan):
+            failures.append(msg)
         sections.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
 
     header = (
@@ -1598,6 +1650,13 @@ def main() -> int:
         "binned hash join (no nested loop), aggregation is partial+final, "
         "top-k uses TakeOrderedAndProject. Re-generate after plan-affecting "
         "changes.\n\n"
+        "Standing gate (r8 VERDICT item 8): every audited plan is also "
+        "checked structurally for an unpartitioned Window (a "
+        "windowspecdefinition whose first component is already an ORDER "
+        "column) over input with no structural bound (no TakeOrdered/"
+        "GlobalLimit/CollectLimit in the plan) — the single-task 100 TB "
+        "cliff. Exceptions live in _UNPARTITIONED_WINDOW_OK with a "
+        "justification each.\n\n"
         "CBO note (SURVEY §4.2): the cost-based-optimizer path is exercised "
         "by tests/test_plans.py::test_cbo_catalog_stats_drive_join_reorder — "
         "ANALYZE TABLE on real catalog tables populates row/column stats and "
