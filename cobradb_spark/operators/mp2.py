@@ -1,0 +1,345 @@
+"""MPEG-1 Audio Layer II (ISO/IEC 11172-3) subband codec — pure
+NumPy/stdlib, no codec library.
+
+Layer II is Layer I's subband structure with three refinements, all
+implementable exactly from the published spec (no Huffman, no MDCT):
+
+  * per-subband allocation comes from the published bit-allocation
+    tables B.2a (sblimit 27) / B.2b (sblimit 30), selected by
+    (sample rate, per-channel bitrate), with REGION-dependent
+    allocation-field widths (4/4/3/2 bits);
+  * the small quantizers GROUP three consecutive samples into one
+    code word (3 levels -> 5 bits, 5 -> 7, 9 -> 10; v0 + L*v1 + L^2*v2);
+  * scalefactors are shared across the frame's three 12-sample parts
+    under a 2-bit scfsi selector (0: three factors, 1: parts 0,1
+    share, 2: one factor, 3: parts 1,2 share).
+
+Requantization is the spec's s'' = C*(s''' + D) with the Table B.4
+constants, which reduces to ONE exact rational for every quantizer
+(grouped and ungrouped): for L levels and per-sample code v,
+
+    sample = sf * (2*v + 1 - L) / L        (sf = 2 * 2^(-idx/3))
+
+(for ungrouped L = 2^nb - 1 this is Layer I's (2c + 2 - 2^nb)/(2^nb-1);
+for grouped L in {3,5,9} it is (2^nb/L)*(v/2^(nb-1) - 1 + 1/2) — both
+verified symmetric and matching Table B.4's C/D columns).
+
+Honest boundary, same discipline as Layer I (operators/mp3.py): the
+low-rate tables B.2c/B.2d (32/48 kbps) are NOT implemented — the
+decoder raises on them — and the polyphase synthesis window to PCM
+remains out of scope.  Everything through exact requantization is
+real and general over conformant mono streams at 56-192 kbps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cobradb_spark.operators.mp3 import (
+    SAMPLE_RATE,
+    SCALEFACTOR,
+    _BitReader,
+    _BitWriter,
+)
+
+# Layer II bitrate table (header index 1..14), kbps.
+LAYER2_BITRATE_KBPS = [
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0,
+]
+
+# Bit-allocation tables B.2a / B.2b: per REGION, (first_sb, nbal,
+# allocation-index -> levels).  B.2b extends B.2a's last region from
+# subband 26 to 29; the shared regions are identical in the spec.
+_REGION_LEVELS_40 = [  # sb 0-2, nbal=4
+    3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535,
+]
+_REGION_LEVELS_41 = [  # sb 3-10, nbal=4
+    3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535,
+]
+_REGION_LEVELS_3 = [3, 5, 7, 9, 15, 31, 65535]  # sb 11-22, nbal=3
+_REGION_LEVELS_2 = [3, 5, 65535]  # sb 23+, nbal=2
+
+# grouped quantizers: levels -> code-word bits (3 samples per code)
+GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def layer2_sblimit(sr_idx: int, kbps: int) -> int:
+    """Allocation-table selection from the published mapping (mono, so
+    per-channel bitrate == stream bitrate): 48 kHz always uses B.2a;
+    44.1/32 kHz use B.2a up to 80 kbps and B.2b from 96 kbps.  The
+    32/48 kbps low-rate tables (B.2c/B.2d) are the documented
+    unsupported boundary."""
+    if kbps in (32, 48):
+        raise ValueError(
+            "unsupported layer2 stream: low-rate allocation tables "
+            "B.2c/B.2d (32/48 kbps) not implemented"
+        )
+    if sr_idx == 1 or kbps <= 80:  # 48 kHz, or low bitrate at 44.1/32
+        return 27
+    return 30
+
+
+def layer2_nbal(sb: int) -> int:
+    if sb < 3:
+        return 4
+    if sb < 11:
+        return 4
+    if sb < 23:
+        return 3
+    return 2
+
+
+def layer2_levels(sb: int, alloc: int) -> int:
+    """allocation index (>=1) -> quantizer levels for subband sb."""
+    if sb < 3:
+        table = _REGION_LEVELS_40
+    elif sb < 11:
+        table = _REGION_LEVELS_41
+    elif sb < 23:
+        table = _REGION_LEVELS_3
+    else:
+        table = _REGION_LEVELS_2
+    return table[alloc - 1]
+
+
+def layer2_frame_bytes(bitrate_idx: int, sr_idx: int, pad: int) -> int:
+    """Layer II frame length in bytes (slots are 1 byte, unlike
+    Layer I's 4): floor(144 * bitrate / samplerate) + pad."""
+    return 144000 * LAYER2_BITRATE_KBPS[bitrate_idx] // SAMPLE_RATE[sr_idx] + pad
+
+
+def _layer2_header(bitrate_idx: int, sr_idx: int, pad: int) -> bytes:
+    """4-byte MPEG-1 Layer II header: sync=0x7FF, version=11, layer=10
+    (Layer II), no CRC, mono, original."""
+    b0 = 0xFF
+    b1 = 0xE0 | (0b11 << 3) | (0b10 << 1) | 0b1
+    b2 = (bitrate_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b3 = 0xC4
+    return bytes((b0, b1, b2, b3))
+
+
+def layer2_schedule(doc_id: int) -> dict:
+    """Deterministic per-document synthesis schedule, shared by the
+    encoder, the SQL oracle, and the tests.  Mono; sr rotates the three
+    MPEG-1 rates; table B.2b on odd docs at 44.1/32 kHz (48 kHz cannot
+    use B.2b); n_frames = 2 + id%3.  Allocated subbands span all three
+    nbal regions: the first n_low = 2+id%3 subbands, n_mid = 1+id%3
+    from sb 11, n_hi = id%3 from sb 23 — exercising the grouped 3/5/9
+    quantizers, the ungrouped 7/15/31, and all four allocation-field
+    widths.  scfsi = (id+sb)%4 covers all four sharing modes;
+    scalefactor indices are multiples of 3 (dyadic sf) so float subband
+    samples are exact rationals in the tests."""
+    use_b = (doc_id % 2 == 1) and (doc_id % 3 != 1)
+    n_low, n_mid, n_hi = 2 + doc_id % 3, 1 + doc_id % 3, doc_id % 3
+    alloc_sbs = (
+        list(range(n_low))
+        + list(range(11, 11 + n_mid))
+        + list(range(23, 23 + n_hi))
+    )
+
+    def alloc_idx(sb: int) -> int:
+        return 1 + (doc_id + sb) % (2 if sb >= 23 else 4)
+
+    return {
+        "sr_idx": doc_id % 3,
+        "use_b": use_b,
+        "sblimit": 30 if use_b else 27,
+        "n_frames": 2 + doc_id % 3,
+        "alloc_sbs": alloc_sbs,
+        "alloc_idx": alloc_idx,
+        "levels": lambda sb: layer2_levels(sb, alloc_idx(sb)),
+        "scfsi": lambda sb: (doc_id + sb) % 4,
+        "sf_t": lambda sb, j: 3 * ((doc_id + sb + 7 * j) % 21),
+        "code": lambda f, sb, gr, k, L: (
+            doc_id * 11 + f * 7 + sb * 5 + gr * 3 + k
+        )
+        % L,
+    }
+
+
+def _transmitted_sf(scfsi: int, t0: int, t1: int, t2: int) -> list[int]:
+    """Scalefactors actually written to the stream per scfsi mode."""
+    if scfsi == 0:
+        return [t0, t1, t2]
+    if scfsi == 2:
+        return [t0]
+    return [t0, t1]  # modes 1 and 3 transmit two
+
+
+def _applied_sf(scfsi: int, t0: int, t1: int, t2: int) -> list[int]:
+    """Scalefactor index applied to each of the frame's 3 parts."""
+    if scfsi == 0:
+        return [t0, t1, t2]
+    if scfsi == 1:
+        return [t0, t0, t1]
+    if scfsi == 2:
+        return [t0, t0, t0]
+    return [t0, t1, t1]
+
+
+def encode_layer2(doc_id: int) -> bytes:
+    """Spec-valid mono MPEG-1 Layer II stream for one document.  The
+    bitrate index is fitted per frame as the smallest table entry that
+    (a) holds the payload and (b) keeps the decoder's table derivation
+    on the schedule's B.2a/B.2b choice (B.2a at 44.1/32 kHz caps at
+    80 kbps; B.2b starts at 96); fill bits are zero (spec ancillary
+    data)."""
+    sch = layer2_schedule(doc_id)
+    sr_idx, sblimit = sch["sr_idx"], sch["sblimit"]
+    alloc_sbs = sch["alloc_sbs"]
+    if sch["use_b"]:
+        admissible = [i for i in range(1, 15) if LAYER2_BITRATE_KBPS[i] >= 96]
+    elif sr_idx == 1:  # 48 kHz: B.2a at any supported rate
+        admissible = [i for i in range(1, 15) if 56 <= LAYER2_BITRATE_KBPS[i]]
+    else:  # B.2a at 44.1/32 kHz: must stay <= 80 kbps
+        admissible = [
+            i for i in range(1, 15) if 56 <= LAYER2_BITRATE_KBPS[i] <= 80
+        ]
+    out = bytearray()
+    for f in range(sch["n_frames"]):
+        w = _BitWriter()
+        for sb in range(sblimit):
+            w.write(sch["alloc_idx"](sb) if sb in alloc_sbs else 0, layer2_nbal(sb))
+        for sb in alloc_sbs:
+            w.write(sch["scfsi"](sb), 2)
+        for sb in alloc_sbs:
+            t = [sch["sf_t"](sb, j) for j in range(3)]
+            for idx in _transmitted_sf(sch["scfsi"](sb), *t):
+                w.write(idx, 6)
+        for gr in range(12):
+            for sb in alloc_sbs:
+                lv = sch["levels"](sb)
+                v = [sch["code"](f, sb, gr, k, lv) for k in range(3)]
+                if lv in GROUP_BITS:
+                    w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
+                else:
+                    nb = lv.bit_length()  # L = 2^nb - 1
+                    for k in range(3):
+                        w.write(v[k], nb)
+        need_bytes = 4 + (len(w.bits) + 7) // 8
+        br_idx = next(
+            i
+            for i in admissible
+            if layer2_frame_bytes(i, sr_idx, 0) >= need_bytes
+        )
+        nbytes = layer2_frame_bytes(br_idx, sr_idx, 0)
+        out += _layer2_header(br_idx, sr_idx, 0)
+        out += w.to_bytes(nbytes - 4)
+    return bytes(out)
+
+
+def decode_layer2(data: bytes) -> dict:
+    """Decode a mono MPEG-1 Layer II stream to subband samples.
+    General over conformant mono 56-192 kbps streams: header validation,
+    B.2a/B.2b table derivation from (rate, bitrate), region-width
+    allocation parse, scfsi/scalefactor sharing, grouped and ungrouped
+    sample codes, exact rational requantization
+
+        num = 2*v + 1 - L,   sample = sf(idx) * num / L.
+
+    Returns integer aggregates (what the SQL oracle replays) plus the
+    float subband samples laid out (n_frames*36, 32) (what the tests
+    check against directly computed rationals)."""
+    pos = 0
+    n_frames = 0
+    sr = None
+    sblimit_seen = None
+    n_alloc_total = 0
+    scfsi_sum = 0
+    sf_idx_sum = 0
+    code_sum = 0
+    num_sum = 0
+    num_sq_sum = 0
+    samples: list[np.ndarray] = []
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("corrupt layer2 stream: truncated frame header")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"corrupt layer2 stream: lost sync at byte {pos}")
+        if (b1 >> 3) & 0b11 != 0b11:
+            raise ValueError("unsupported layer2 stream: not MPEG-1")
+        if (b1 >> 1) & 0b11 != 0b10:
+            raise ValueError("unsupported layer2 stream: not Layer II")
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0b11
+        pad = (b2 >> 1) & 1
+        if br_idx in (0, 15):
+            raise ValueError(f"unsupported layer2 stream: bitrate index {br_idx}")
+        if sr_idx == 3:
+            raise ValueError("corrupt layer2 stream: reserved sample-rate index")
+        if (b3 >> 6) != 0b11:
+            raise ValueError("unsupported layer2 stream: not single-channel")
+        if sr is None:
+            sr = SAMPLE_RATE[sr_idx]
+        elif sr != SAMPLE_RATE[sr_idx]:
+            raise ValueError("unsupported layer2 stream: mid-stream rate switch")
+        sblimit = layer2_sblimit(sr_idx, LAYER2_BITRATE_KBPS[br_idx])
+        if sblimit_seen is None:
+            sblimit_seen = sblimit
+        elif sblimit_seen != sblimit:
+            raise ValueError("unsupported layer2 stream: mid-stream table switch")
+        nbytes = layer2_frame_bytes(br_idx, sr_idx, pad)
+        if pos + nbytes > len(data):
+            raise ValueError(f"corrupt layer2 stream: frame at {pos} runs past EOF")
+        r = _BitReader(data[pos + 4 : pos + nbytes])
+        alloc = [r.read(layer2_nbal(sb)) for sb in range(sblimit)]
+        scfsi = {}
+        for sb in range(sblimit):
+            if alloc[sb]:
+                scfsi[sb] = r.read(2)
+                scfsi_sum += scfsi[sb]
+                n_alloc_total += 1
+        sf_parts: dict[int, list[int]] = {}
+        for sb in range(sblimit):
+            if alloc[sb]:
+                n_tx = 3 if scfsi[sb] == 0 else (1 if scfsi[sb] == 2 else 2)
+                tx = [r.read(6) for _ in range(n_tx)]
+                if any(i > 62 for i in tx):
+                    raise ValueError("corrupt layer2 stream: scalefactor index > 62")
+                t0 = tx[0]
+                t1 = tx[1] if n_tx > 1 else t0
+                t2 = tx[2] if n_tx > 2 else t1
+                sf_parts[sb] = _applied_sf(scfsi[sb], t0, t1, t2)
+                sf_idx_sum += sum(sf_parts[sb])
+        frame_samples = np.zeros((36, 32))
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(sblimit):
+                if not alloc[sb]:
+                    continue
+                lv = layer2_levels(sb, alloc[sb])
+                if lv in GROUP_BITS:
+                    c = r.read(GROUP_BITS[lv])
+                    if c >= lv * lv * lv:
+                        raise ValueError(
+                            "corrupt layer2 stream: grouped code out of range"
+                        )
+                    v = [c % lv, (c // lv) % lv, c // (lv * lv)]
+                else:
+                    nb = lv.bit_length()
+                    v = [r.read(nb) for _ in range(3)]
+                sf = SCALEFACTOR[sf_parts[sb][part]]
+                for k in range(3):
+                    num = 2 * v[k] + 1 - lv
+                    code_sum += v[k]
+                    num_sum += num
+                    num_sq_sum += num * num
+                    frame_samples[gr * 3 + k, sb] = sf * num / lv
+        samples.append(frame_samples)
+        n_frames += 1
+        pos += nbytes
+    if n_frames == 0:
+        raise ValueError("corrupt layer2 stream: no frames")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sr,
+        "sblimit": sblimit_seen,
+        "n_alloc_total": n_alloc_total,
+        "scfsi_sum": scfsi_sum,
+        "sf_idx_sum": sf_idx_sum,
+        "code_sum": code_sum,
+        "num_sum": num_sum,
+        "num_sq_sum": num_sq_sum,
+        "subband_samples": np.concatenate(samples, axis=0),
+    }

@@ -655,6 +655,53 @@ def decode_layer1_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_layer2(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid mono MPEG-1 Layer II stream per row (operators/
+    mp2.py encode_layer2): B.2a/B.2b allocation tables, grouped 3/5/9
+    quantizers, scfsi scalefactor sharing, per-frame fitted bitrate
+    index.  Real headers, real payload bits — the decoder reads every
+    one of them back."""
+    from cobradb_spark.operators.mp2 import encode_layer2
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [encode_layer2(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_layer2_features(df: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer II subband decode (operators/mp2.py
+    decode_layer2: header/table validation, region-width allocation
+    parse, scfsi sharing, grouped + ungrouped codes, exact rational
+    requantization) over Arrow batches.  Emits the integer decode
+    aggregates the SQL oracle replays; the float subband samples are
+    exercised by the unit tests (dyadic-exact on this fixture)."""
+    from cobradb_spark.operators.mp2 import decode_layer2
+
+    cols = (
+        "n_frames", "sample_rate", "sblimit", "n_alloc_total", "scfsi_sum",
+        "sf_idx_sum", "code_sum", "num_sum", "num_sq_sum",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_layer2(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One SubRip (.srt) subtitle file per row — the caption sidecar of a
     video corpus: n = 5 + id % 6 cues, cue i spanning

@@ -709,6 +709,104 @@ def multimodal_mp1_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_mp2_subband_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 1
+              THEN 30 ELSE 27 END AS sblimit,
+         2 + doc_id % 3 AS n_low, 1 + doc_id % 3 AS n_mid,
+         doc_id % 3 AS n_hi
+  FROM documents),
+sbs AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.sblimit, s.sb
+  FROM d, UNNEST(list_concat(list_concat(
+           list_transform(range(0, d.n_low), x -> x),
+           list_transform(range(11, 11 + d.n_mid), x -> x)),
+           list_transform(range(23, 23 + d.n_hi), x -> x))) AS s(sb)),
+lv AS (
+  SELECT doc_id, n_frames, sr, sblimit, sb,
+         CASE WHEN sb < 3 THEN list_extract([3,7,15,31],
+                   CAST(1 + (doc_id + sb) % 4 AS INTEGER))
+              WHEN sb < 23 THEN list_extract([3,5,7,9],
+                   CAST(1 + (doc_id + sb) % 4 AS INTEGER))
+              ELSE list_extract([3,5],
+                   CAST(1 + (doc_id + sb) % 2 AS INTEGER)) END AS L,
+         (doc_id + sb) % 4 AS scfsi,
+         3 * ((doc_id + sb) % 21) AS t0,
+         3 * ((doc_id + sb + 7) % 21) AS t1,
+         3 * ((doc_id + sb + 14) % 21) AS t2
+  FROM sbs),
+persb AS (
+  SELECT doc_id, n_frames, sr, sblimit, sb, L, scfsi,
+         CASE scfsi WHEN 0 THEN t0 + t1 + t2 WHEN 1 THEN 2*t0 + t1
+                    WHEN 2 THEN 3*t0 ELSE t0 + 2*t1 END AS sf_applied
+  FROM lv),
+sbagg AS (
+  SELECT doc_id, n_frames, sr, sblimit,
+         CAST(n_frames * count(*) AS BIGINT) AS n_alloc_total,
+         CAST(n_frames * sum(scfsi) AS BIGINT) AS scfsi_sum,
+         CAST(n_frames * sum(sf_applied) AS BIGINT) AS sf_idx_sum
+  FROM persb GROUP BY doc_id, n_frames, sr, sblimit),
+cell AS (
+  SELECT p.doc_id,
+         (p.doc_id*11 + f.f*7 + p.sb*5 + g.gr*3 + k.k) % p.L AS v,
+         p.L
+  FROM persb p,
+       UNNEST(range(0, p.n_frames)) AS f(f),
+       UNNEST(range(0, 12)) AS g(gr),
+       UNNEST(range(0, 3)) AS k(k)),
+cellagg AS (
+  SELECT doc_id,
+         CAST(sum(v) AS BIGINT) AS code_sum,
+         CAST(sum(2*v + 1 - L) AS BIGINT) AS num_sum,
+         CAST(sum((2*v + 1 - L) * (2*v + 1 - L)) AS BIGINT) AS num_sq_sum
+  FROM cell GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n_frames AS BIGINT) AS n_frames,
+       CAST(s.sr AS BIGINT) AS sample_rate,
+       CAST(s.sblimit AS BIGINT) AS sblimit,
+       s.n_alloc_total, s.scfsi_sum, s.sf_idx_sum,
+       c.code_sum, c.num_sum, c.num_sq_sum
+FROM sbagg s JOIN cellagg c USING (doc_id)
+""",
+    doc="REAL MPEG-1 Layer II subband decode, no codec library "
+    "(operators/mp2.py): one spec-valid mono stream per document "
+    "(encode_layer2 — real headers, B.2a/B.2b bit-allocation tables "
+    "with region-dependent 4/4/3/2-bit allocation fields, grouped "
+    "3/5/9-level quantizers packing three samples per code word, "
+    "2-bit scfsi scalefactor sharing across the frame's three parts, "
+    "per-frame fitted bitrate) decoded by a general Layer II parser "
+    "(decode_layer2: sync/table validation, table derivation from "
+    "(rate, bitrate), bit-level parse, the spec's s'' = C*(s'''+D) "
+    "requantization reduced to the exact rational (2v+1-L)/L) in an "
+    "Arrow-batched mapInPandas stage.  Extends the Layer I decoder "
+    "(multimodal_mp1_subband_decode) to the grouped-quantizer half of "
+    "the MPEG-1 audio family; the honest remaining boundary is the "
+    "low-rate B.2c/B.2d tables, Layer III's Huffman/bit reservoir, and "
+    "the polyphase synthesis window to PCM.  The hash checks the "
+    "integer decode aggregates (dequant numerators are exact "
+    "integers); float subband samples are dyadic-exact on this fixture "
+    "and verified in tests/test_sources.py.  Scale posture: "
+    "per-document decode over Arrow batches, nothing driver-side, one "
+    "row per document.",
+    tags=("multimodal",),
+)
+def multimodal_mp2_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_layer2_features,
+        synthesize_layer2,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_layer2_features(synthesize_layer2(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
     "multimodal_srt_parse",
     oracle="""
 WITH c AS (

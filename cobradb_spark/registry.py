@@ -164,6 +164,8 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "join_asof_tolerance", "events_slo_burn_rate", "mlprep_nzv_filter",
     "etl_subject_access_export", "etl_pseudonymize_consistent",
     "etl_one_big_table", "events_apdex_score", "mlprep_confusion_matrix",
+    # --- keys added during r9 (appended as they land) ---
+    "multimodal_mp2_subband_decode",
 )
 
 

@@ -678,3 +678,121 @@ def test_layer1_decoder_fuzz_never_crashes():
     # payload-bit mutations beyond the headers usually still decode
     # (samples change, structure does not) — both outcomes must occur
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer2_subband_decode_exact_and_clean_errors():
+    """MPEG-1 Layer II decoder contract (operators/mp2.py): (a) the
+    synthesized stream round-trips to the exact subband samples computed
+    independently from the schedule (dyadic scalefactors: indices are
+    multiples of 3); (b) integer decode aggregates match an independent
+    schedule replay, covering grouped (3/5/9) and ungrouped quantizers,
+    all four scfsi modes, and both B.2a/B.2b tables across documents;
+    (c) corrupt streams fail loudly, never silently."""
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.mp2 import (
+        _applied_sf,
+        decode_layer2,
+        encode_layer2,
+        layer2_schedule,
+    )
+    from cobradb_spark.operators.mp3 import SCALEFACTOR
+
+    tables_seen = set()
+    for did in (0, 1, 2, 3, 4, 5, 11, 42, 100, 257):
+        out = decode_layer2(encode_layer2(did))
+        sch = layer2_schedule(did)
+        tables_seen.add(sch["sblimit"])
+        assert out["n_frames"] == sch["n_frames"]
+        assert out["sblimit"] == sch["sblimit"]
+        assert out["n_alloc_total"] == sch["n_frames"] * len(sch["alloc_sbs"])
+        code_sum = num_sum = num_sq = sf_sum = scfsi_sum = 0
+        want = np.zeros((sch["n_frames"] * 36, 32))
+        for f in range(sch["n_frames"]):
+            for sb in sch["alloc_sbs"]:
+                lv = sch["levels"](sb)
+                scfsi_sum += sch["scfsi"](sb)
+                ap = _applied_sf(
+                    sch["scfsi"](sb), *[sch["sf_t"](sb, j) for j in range(3)]
+                )
+                sf_sum += sum(ap)
+                for gr in range(12):
+                    for k in range(3):
+                        v = sch["code"](f, sb, gr, k, lv)
+                        num = 2 * v + 1 - lv
+                        code_sum += v
+                        num_sum += num
+                        num_sq += num * num
+                        want[f * 36 + gr * 3 + k, sb] = (
+                            SCALEFACTOR[ap[gr // 4]] * num / lv
+                        )
+        assert out["scfsi_sum"] == scfsi_sum
+        assert out["sf_idx_sum"] == sf_sum
+        assert out["code_sum"] == code_sum
+        assert out["num_sum"] == num_sum
+        assert out["num_sq_sum"] == num_sq
+        assert np.array_equal(out["subband_samples"], want)  # bit-exact
+        # requantized values stay inside (-1, 1): |2v+1-L| <= L-1 < L,
+        # and sf <= 2, so |s| < 2 strictly
+        assert np.all(np.abs(out["subband_samples"]) < 2.0)
+    assert tables_seen == {27, 30}  # both B.2a and B.2b exercised
+
+    base = encode_layer2(42)
+    with pytest.raises(ValueError):
+        decode_layer2(b"")
+    with pytest.raises(ValueError):
+        decode_layer2(b"\x00" * 16)  # no sync
+    with pytest.raises(ValueError):
+        decode_layer2(base[:-8])  # truncated final frame
+    b = bytearray(base)
+    b[1] = (b[1] & ~0b110) | 0b110  # layer bits -> Layer I
+    with pytest.raises(ValueError):
+        decode_layer2(bytes(b))
+    b = bytearray(base)
+    b[2] = (b[2] & 0x0F) | 0xF0  # forbidden bitrate index 15
+    with pytest.raises(ValueError):
+        decode_layer2(bytes(b))
+    b = bytearray(base)
+    b[2] = (b[2] & 0x0F) | 0x10  # 32 kbps -> low-rate table B.2c/B.2d
+    with pytest.raises(ValueError):
+        decode_layer2(bytes(b))
+    b = bytearray(base)
+    b[3] = 0x04  # mode -> stereo
+    with pytest.raises(ValueError):
+        decode_layer2(bytes(b))
+
+
+def test_layer2_decoder_fuzz_never_crashes():
+    """Mutation fuzz (the index_mp3/decode_layer1 discipline): flip one
+    byte anywhere in a valid stream, or truncate it — the decoder must
+    either raise ValueError (clean rejection) or return a well-formed
+    decode dict; never an IndexError/struct crash, never a hang."""
+    import numpy as np
+    import pytest  # noqa: F401
+
+    from cobradb_spark.operators.mp2 import decode_layer2, encode_layer2
+
+    base = bytearray(encode_layer2(42))
+    rng = np.random.default_rng(2422)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_layer2(bytes(b))
+            assert out["n_frames"] >= 1
+            assert out["subband_samples"].shape[1] == 32
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    # truncations at every byte boundary of the first frame
+    for cut in range(1, 64):
+        try:
+            decode_layer2(bytes(base[:cut]))
+        except ValueError:
+            pass
+    # payload-bit mutations beyond the headers usually still decode
+    # (samples change, structure does not) — both outcomes must occur
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
