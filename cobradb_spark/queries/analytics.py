@@ -3466,3 +3466,235 @@ def events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_trend_ppm"),
         )
     )
+
+
+@register(
+    "analytics_welch_ttest",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+armed AS (
+  SELECT y,
+         CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('welch',
+                   CAST(cust AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) % 2 = 0
+              THEN 0 ELSE 1 END AS arm
+  FROM per_cust),
+g AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS s2
+  FROM armed GROUP BY arm),
+q AS (
+  -- pin mean (milli-cent) and sample variance (cent^2) as EXACT
+  -- truncating-division integers BEFORE any double arithmetic: a
+  -- HUGEINT->DOUBLE cast is not correctly rounded in one engine, so
+  -- only bounded integers may cross into floats
+  SELECT arm, n, s1,
+         CAST(CAST(s1 AS HUGEINT) * 1000 // n AS BIGINT) AS mean_milli,
+         CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+              // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_cents2
+  FROM g),
+w AS (
+  SELECT c.n AS n_control, t.n AS n_treatment,
+         c.s1 AS sum_cents_control, t.s1 AS sum_cents_treatment,
+         c.var_cents2 AS var_cents2_control, t.var_cents2 AS var_cents2_treatment,
+         CAST(c.mean_milli AS DOUBLE) / 1000.0 AS m_c,
+         CAST(t.mean_milli AS DOUBLE) / 1000.0 AS m_t,
+         CAST(c.var_cents2 AS DOUBLE) / c.n AS se2_c,
+         CAST(t.var_cents2 AS DOUBLE) / t.n AS se2_t
+  FROM (SELECT * FROM q WHERE arm = 0) c, (SELECT * FROM q WHERE arm = 1) t)
+SELECT n_control, n_treatment, sum_cents_control, sum_cents_treatment,
+       var_cents2_control, var_cents2_treatment,
+       (m_t - m_c) / sqrt(se2_c + se2_t) AS t_stat,
+       (se2_c + se2_t) * (se2_c + se2_t)
+         / (se2_c * se2_c / (n_control - 1) + se2_t * se2_t / (n_treatment - 1))
+         AS welch_df,
+       CAST(CASE WHEN abs((m_t - m_c) / sqrt(se2_c + se2_t)) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+FROM w
+""",
+    doc="Welch's unequal-variance two-sample t-test — the default A/B "
+    "readout when arm variances differ (Welch 1947; what "
+    "scipy.stats.ttest_ind(equal_var=False) computes): customers hash "
+    "deterministically into arms (seeded md5, the analytics_ab_cuped "
+    "assignment discipline), the metric is exact per-customer spend "
+    "cents, and each arm reduces to the exact integer triple (n, sum, "
+    "sum-of-squares; the square widened 128-bit BEFORE summation).  "
+    "t = (m_t - m_c)/sqrt(s2_c/n_c + s2_t/n_t) and the "
+    "Welch-Satterthwaite df are the ONLY float steps — computed from "
+    "exact integer sums via literally identical expressions on both "
+    "engines (the cuped discipline), so the doubles are "
+    "bit-deterministic.  No p-value: the 1.96 two-sided z threshold is "
+    "reported as a flag (the incomplete-beta CDF is out of scope — "
+    "callers wanting exact p feed t/df to their stats library).  Scale "
+    "posture: one groupBy(custkey) partial-agg shuffle reduces facts "
+    "to units, then a 2-row arm rollup — a single fact pass at 100 TB.",
+    tags=("analytics",),
+)
+def analytics_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_welch_v")
+    return spark.sql("""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS y
+  FROM orders_welch_v GROUP BY o_custkey),
+armed AS (
+  SELECT y,
+         CASE WHEN CAST(conv(substring(md5(concat('welch',
+                   CAST(cust AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+              THEN 0 ELSE 1 END AS arm
+  FROM per_cust),
+g AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1,
+         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2
+  FROM armed GROUP BY arm),
+q AS (
+  -- pin mean (milli-cent) and sample variance (cent^2) as EXACT
+  -- truncating-division integers BEFORE any double arithmetic (the
+  -- oracle engine's 128-bit->double cast is not correctly rounded)
+  SELECT arm, n, s1,
+         CAST(div(CAST(s1 AS DECIMAL(38,0)) * 1000, n) AS BIGINT) AS mean_milli,
+         CAST(div(CAST(n AS DECIMAL(38,0)) * s2
+                  - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)),
+                  CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) AS var_cents2
+  FROM g),
+w AS (
+  SELECT c.n AS n_control, t.n AS n_treatment,
+         c.s1 AS sum_cents_control, t.s1 AS sum_cents_treatment,
+         c.var_cents2 AS var_cents2_control, t.var_cents2 AS var_cents2_treatment,
+         CAST(c.mean_milli AS DOUBLE) / 1000.0 AS m_c,
+         CAST(t.mean_milli AS DOUBLE) / 1000.0 AS m_t,
+         CAST(c.var_cents2 AS DOUBLE) / c.n AS se2_c,
+         CAST(t.var_cents2 AS DOUBLE) / t.n AS se2_t
+  FROM (SELECT * FROM q WHERE arm = 0) c, (SELECT * FROM q WHERE arm = 1) t)
+SELECT n_control, n_treatment, sum_cents_control, sum_cents_treatment,
+       var_cents2_control, var_cents2_treatment,
+       (m_t - m_c) / sqrt(se2_c + se2_t) AS t_stat,
+       (se2_c + se2_t) * (se2_c + se2_t)
+         / (se2_c * se2_c / (n_control - 1) + se2_t * se2_t / (n_treatment - 1))
+         AS welch_df,
+       CAST(CASE WHEN abs((m_t - m_c) / sqrt(se2_c + se2_t)) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+FROM w
+""")
+
+
+@register(
+    "analytics_spearman_corr",
+    oracle="""
+WITH f AS (
+  SELECT o.o_orderkey AS ok,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
+         l.y
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey) l
+    ON l.l_orderkey = o.o_orderkey),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+gx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY x),
+rx AS (
+  SELECT x,
+         2 * (sum(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+           + cnt - nn.n AS cx
+  FROM gx, nn),
+gy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY y),
+ry AS (
+  SELECT y,
+         2 * (sum(cnt) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+           + cnt - nn.n AS cy
+  FROM gy, nn),
+s AS (
+  SELECT CAST(sum(CAST(cx AS HUGEINT) * cy) AS BIGINT) AS s_xy,
+         CAST(sum(CAST(cx AS HUGEINT) * cx) AS BIGINT) AS s_xx,
+         CAST(sum(CAST(cy AS HUGEINT) * cy) AS BIGINT) AS s_yy
+  FROM f JOIN rx USING (x) JOIN ry USING (y)),
+q AS (
+  SELECT s.*, nn.n,
+         CAST(CAST(s_xy AS HUGEINT) * 1000000 // s_xx AS BIGINT) AS a,
+         CAST(CAST(s_xy AS HUGEINT) * 1000000 // s_yy AS BIGINT) AS b
+  FROM s, nn)
+SELECT n AS n_rows, s_xy, s_xx, s_yy,
+       CAST(CASE WHEN s_xy > 0 THEN 1 WHEN s_xy < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS rho_sign,
+       CAST(CAST(a AS HUGEINT) * b // 1000000 AS BIGINT) AS rho_sq_ppm,
+       (CASE WHEN s_xy > 0 THEN 1.0 WHEN s_xy < 0 THEN -1.0 ELSE 0.0 END)
+         * sqrt(CAST(CAST(CAST(a AS HUGEINT) * b // 1000000 AS BIGINT)
+                     AS DOUBLE) / 1000000.0) AS rho
+FROM q
+""",
+    doc="Spearman rank correlation with tie-corrected AVERAGE ranks "
+    "(order value vs lineitem count per order) — the robust monotone- "
+    "association readout Pearson misses.  Rank algebra: the centered "
+    "DOUBLED average rank c = 2*cnt_less + cnt_eq - n is an exact "
+    "integer per distinct value (avg rank r = cnt_less + (cnt_eq+1)/2, "
+    "so c = 2r-(n+1)); centering makes the rank means exactly zero, "
+    "collapsing Pearson-on-ranks to rho = S_xy/sqrt(S_xx*S_yy) over "
+    "three 128-bit-widened integer moments.  rho^2 is pinned WITHOUT "
+    "any big-int->double cast (one engine's 128-bit->double conversion "
+    "is not correctly rounded): a = S_xy*1e6//S_xx and b = "
+    "S_xy*1e6//S_yy are exact truncating divisions, rho_sq_ppm = "
+    "a*b//1e6, and the float rho derives from that bounded integer via "
+    "an identical literal on both engines.  Valid while S_xy*1e6 < "
+    "1e38, i.e. n < 4.6e10 rows — the 100 TB order count.  Scale "
+    "posture (Spark side): the per-value rank tables come from "
+    "global_prefix_sums (one range-partition shuffle each, never a "
+    "single-partition ORDER BY window — the oracle's windowed "
+    "cumulative is DuckDB-only); facts join the two rank dimensions "
+    "and reduce to one row of moments.",
+    tags=("analytics",),
+)
+def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import global_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    f = o.join(li, "ok").select("x", "y")
+    gx = f.groupBy("x").agg(F.count("*").cast("long").alias("cnt"))
+    px, _fx, totx = global_prefix_sums(
+        gx, [F.col("x")], {"cnt": "less"}, with_frame_and_totals=True
+    )
+    n = int(totx["cnt"])
+    rx = px.select("x", (2 * F.col("less") + F.col("cnt") - F.lit(n)).alias("cx"))
+    gy = f.groupBy("y").agg(F.count("*").cast("long").alias("cnt"))
+    py = global_prefix_sums(gy, [F.col("y")], {"cnt": "less"})
+    ry = py.select("y", (2 * F.col("less") + F.col("cnt") - F.lit(n)).alias("cy"))
+    s = f.join(rx, "x").join(ry, "y").agg(
+        F.sum(F.expr("CAST(cx AS DECIMAL(19,0)) * cy")).alias("sxy"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(19,0)) * cx")).alias("sxx"),
+        F.sum(F.expr("CAST(cy AS DECIMAL(19,0)) * cy")).alias("syy"),
+    )
+    return s.select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.col("sxy").cast("bigint").alias("s_xy"),
+        F.col("sxx").cast("bigint").alias("s_xx"),
+        F.col("syy").cast("bigint").alias("s_yy"),
+        F.expr(
+            "CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("rho_sign"),
+        F.expr(
+            "CAST(div(CAST(div(CAST(sxy AS DECIMAL(38,0)) * 1000000, sxx)"
+            " AS DECIMAL(38,0))"
+            " * CAST(div(CAST(sxy AS DECIMAL(38,0)) * 1000000, syy) AS BIGINT),"
+            " 1000000) AS BIGINT)"
+        ).alias("rho_sq_ppm"),
+        F.expr(
+            "(CASE WHEN sxy > 0 THEN 1.0 WHEN sxy < 0 THEN -1.0 ELSE 0.0 END)"
+            " * sqrt(CAST(CAST(div(CAST(div(CAST(sxy AS DECIMAL(38,0)) * 1000000,"
+            " sxx) AS DECIMAL(38,0))"
+            " * CAST(div(CAST(sxy AS DECIMAL(38,0)) * 1000000, syy) AS BIGINT),"
+            " 1000000) AS BIGINT) AS DOUBLE) / 1000000.0)"
+        ).alias("rho"),
+    )

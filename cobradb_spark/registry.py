@@ -166,6 +166,7 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "etl_one_big_table", "events_apdex_score", "mlprep_confusion_matrix",
     # --- keys added during r9 (appended as they land) ---
     "multimodal_mp2_subband_decode",
+    "analytics_welch_ttest", "analytics_spearman_corr",
 )
 
 
