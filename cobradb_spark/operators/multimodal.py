@@ -702,6 +702,51 @@ def decode_layer2_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid 24-bpp Windows BMP per row (operators/bmp.py
+    encode_bmp): real BITMAPFILEHEADER/BITMAPINFOHEADER, BGR byte
+    order, 4-byte row padding, bottom-up storage with top-down
+    (negative biHeight) on every 5th document."""
+    from cobradb_spark.operators.bmp import encode_bmp
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [encode_bmp(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_bmp_features(df: DataFrame) -> DataFrame:
+    """REAL BMP decode (operators/bmp.py decode_bmp: header validation,
+    derived row stride, bottom-up/top-down re-orientation, BGR->RGB)
+    over Arrow batches.  Emits the integer aggregates the SQL oracle
+    replays — top_row_sum is orientation-sensitive, so the hash checks
+    the row flip, not just the pixel bytes."""
+    from cobradb_spark.operators.bmp import decode_bmp
+
+    cols = (
+        "width", "height", "top_down", "r_sum", "g_sum", "b_sum",
+        "top_row_sum",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_bmp(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One SubRip (.srt) subtitle file per row — the caption sidecar of a
     video corpus: n = 5 + id % 6 cues, cue i spanning

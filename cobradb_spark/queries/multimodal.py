@@ -807,6 +807,55 @@ def multimodal_mp2_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_bmp_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 5 + doc_id % 12 AS w, 3 + doc_id % 9 AS h,
+         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS top_down
+  FROM documents),
+g AS (
+  SELECT d.doc_id, d.w, d.h, d.top_down, x.x AS x, y.y AS y, c.c AS c,
+         (d.doc_id + 3 * x.x + 7 * y.y + 11 * c.c) % 256 AS v
+  FROM d,
+       UNNEST(range(0, d.w)) AS x(x),
+       UNNEST(range(0, d.h)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c))
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(top_down AS BIGINT) AS top_down,
+       CAST(sum(v) FILTER (c = 0) AS BIGINT) AS r_sum,
+       CAST(sum(v) FILTER (c = 1) AS BIGINT) AS g_sum,
+       CAST(sum(v) FILTER (c = 2) AS BIGINT) AS b_sum,
+       CAST(sum(v) FILTER (y = 0) AS BIGINT) AS top_row_sum
+FROM g GROUP BY doc_id, w, h, top_down
+""",
+    doc="REAL Windows BMP decode, no codec library (operators/bmp.py): "
+    "one spec-valid 24-bpp BITMAPINFOHEADER file per document — real "
+    "little-endian headers, BGR byte order, rows padded to 4-byte "
+    "boundaries (widths 5-16 exercise all four padding phases), "
+    "bottom-up storage with top-down (negative biHeight) on every 5th "
+    "doc — decoded by a general parser (magic/size/offset validation, "
+    "DERIVED row stride, re-orientation to image order, BGR->RGB) in "
+    "an Arrow-batched mapInPandas stage.  The hash checks per-channel "
+    "sums plus top_row_sum, which is orientation-SENSITIVE: a decoder "
+    "that forgets the bottom-up row flip matches the channel sums but "
+    "not that one.  Palette/16/32-bpp and RLE raise as the documented "
+    "unsupported boundary.  Scale posture: per-document decode over "
+    "Arrow batches, nothing driver-side, one row per document.",
+    tags=("multimodal",),
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_bmp_features(synthesize_bmp(d, id_col="doc_id")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
     "multimodal_srt_parse",
     oracle="""
 WITH c AS (

@@ -167,6 +167,7 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     # --- keys added during r9 (appended as they land) ---
     "multimodal_mp2_subband_decode",
     "analytics_welch_ttest", "analytics_spearman_corr",
+    "multimodal_bmp_decode",
 )
 
 

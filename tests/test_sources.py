@@ -796,3 +796,73 @@ def test_layer2_decoder_fuzz_never_crashes():
     # payload-bit mutations beyond the headers usually still decode
     # (samples change, structure does not) — both outcomes must occur
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_bmp_decode_exact_and_clean_errors():
+    """BMP decoder contract (operators/bmp.py): exact pixel round-trip
+    in image orientation for both bottom-up and top-down storage and
+    all four row-padding phases; corrupt/unsupported files fail loudly."""
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.bmp import bmp_schedule, decode_bmp, encode_bmp
+
+    orientations = set()
+    for did in (0, 1, 2, 3, 5, 7, 10, 42, 100, 257):
+        out = decode_bmp(encode_bmp(did))
+        sch = bmp_schedule(did)
+        orientations.add(sch["top_down"])
+        w, h = sch["width"], sch["height"]
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        want = (did + 3 * x + 7 * y + 11 * c) % 256
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["top_down"] == int(sch["top_down"])
+        assert np.array_equal(out["rgb"], want)
+        assert out["top_row_sum"] == int(want[0].sum())
+    assert orientations == {True, False}
+
+    base = encode_bmp(42)
+    with pytest.raises(ValueError):
+        decode_bmp(b"")
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + base[2:])  # bad magic
+    with pytest.raises(ValueError):
+        decode_bmp(base[:-4])  # truncated pixel data (file-size mismatch)
+    b = bytearray(base)
+    b[28] = 8  # bpp -> 8 (palette)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(b))
+    b = bytearray(base)
+    b[30] = 1  # compression -> RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(b))
+
+
+def test_bmp_decoder_fuzz_never_crashes():
+    """Mutation fuzz (the decode_layer1/2 discipline): flip one byte
+    anywhere, or truncate — ValueError or a well-formed decode dict,
+    never an IndexError/struct crash."""
+    import numpy as np
+    import pytest  # noqa: F401
+
+    from cobradb_spark.operators.bmp import decode_bmp, encode_bmp
+
+    base = bytearray(encode_bmp(42))
+    rng = np.random.default_rng(2442)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_bmp(bytes(b))
+            assert out["width"] >= 1 and out["height"] >= 1
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    for cut in range(1, 64):
+        try:
+            decode_bmp(bytes(base[:cut]))
+        except ValueError:
+            pass
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
