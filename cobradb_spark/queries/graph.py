@@ -1681,3 +1681,131 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("cov_num"),
         (num / F.sqrt(vx * vy)).alias("assortativity"),
     )
+
+
+def _modularity_oracle() -> str:
+    """LPA fixed-round replay (the _lpa_oracle chain) extended with the
+    Newman-Girvan modularity algebra, all exact integers."""
+    steps = []
+    for t in range(1, _LPA_ROUNDS + 1):
+        steps.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT e.dst AS n, v.lab, count(*) AS c
+  FROM edges e JOIN it{t - 1} v ON e.src = v.n GROUP BY e.dst, v.lab
+),
+it{t} AS MATERIALIZED (
+  SELECT n, lab FROM (
+    SELECT n, lab,
+           row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+    FROM s{t}
+  ) WHERE rn = 1
+),""")
+    last = f"it{_LPA_ROUNDS}"
+    return f"""
+WITH {_CC_EDGE_SQL},
+it0 AS (SELECT n, n AS lab FROM nodes),
+{"".join(steps)}
+deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM strong),
+dsum AS (
+  SELECT v.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM {last} v JOIN deg d USING (n) GROUP BY v.lab),
+intra AS (
+  SELECT va.lab, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM strong s
+  JOIN {last} va ON va.n = s.p1
+  JOIN {last} vb ON vb.n = s.p2
+  WHERE va.lab = vb.lab GROUP BY va.lab)
+SELECT d.lab AS community, d.n_nodes,
+       CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       d.degree_sum,
+       CAST((4 * CAST(mm.m AS HUGEINT) * coalesce(i.intra_edges, 0)
+             - CAST(d.degree_sum AS HUGEINT) * d.degree_sum) * 1000000
+            // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS contrib_ppm
+FROM dsum d LEFT JOIN intra i USING (lab) CROSS JOIN mm
+"""
+
+
+@register(
+    "graph_modularity_score",
+    oracle=_modularity_oracle(),
+    doc="Newman-Girvan modularity of the label-propagation communities "
+    "— the quality score that tells a pipeline whether its community "
+    "structure is real (Q near 0: no better than random given the "
+    "degree sequence).  Communities replay graph_label_propagation's "
+    f"deterministic {_LPA_ROUNDS}-round LPA; then per community c, "
+    "Q_c = e_c/m - (d_c/2m)^2 is pinned as the EXACT integer "
+    "(4*m*e_c - d_c^2)*1e6 // (4*m^2) — 128-bit products, truncating "
+    "division identical on both engines (negative contributions "
+    "truncate toward zero on both — r8-verified), total modularity = "
+    "sum of contributions.  Emits per-community (size, intra-edge "
+    "count, degree mass, contribution) rows.  Scale posture: degrees "
+    "and memberships are |V|-row rollups; the intra-edge count joins "
+    "the undirected edge list against the membership table twice by "
+    "node key (never all-pairs); m is one bounded count; the LPA "
+    "rounds are O(|E|) each with the pinned edge list never "
+    "re-shuffled.",
+    tags=("graph",),
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache, release_rank_caches  # noqa: F401
+    from pyspark.sql import Window
+
+    edges = pin_cache(_strong_edges_both_dirs(spark, sf_dir))
+    m = edges.count() // 2  # undirected edge count (list is symmetric)
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("lab"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("n2").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges["src"] == labels["n"])
+            .groupBy(F.col("dst").alias("n2"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("n"), "lab")
+            .localCheckpoint()
+        )
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    dsum = (
+        labels.join(deg, "n")
+        .groupBy("lab")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    und = edges.filter(F.col("src") < F.col("dst"))
+    la, lb = labels.alias("la"), labels.alias("lb")
+    intra = (
+        und.join(la, und["src"] == F.col("la.n"))
+        .join(lb, und["dst"] == F.col("lb.n"))
+        .filter(F.col("la.lab") == F.col("lb.lab"))
+        .groupBy(F.col("la.lab").alias("lab"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    out = (
+        dsum.join(intra, "lab", "left")
+        .select(
+            F.col("lab").alias("community"),
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint").alias("intra_edges"),
+            "degree_sum",
+            F.expr(
+                f"CAST(div((4 * CAST({m} AS DECIMAL(38,0)) * coalesce(intra_edges, 0)"
+                " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum) * 1000000,"
+                f" 4 * CAST({m} AS DECIMAL(38,0)) * {m}) AS BIGINT)"
+            ).alias("contrib_ppm"),
+        )
+    )
+    return out

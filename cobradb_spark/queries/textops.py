@@ -3163,3 +3163,88 @@ def etl_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(div(sum(cnt * n_chars) * 1000, sum(cnt * n_toks)) AS BIGINT)"
         ).alias("chars_per_token_milli"),
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS term FROM documents
+), ts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY source, term
+), tot AS (
+  SELECT source, CAST(sum(tf) AS BIGINT) AS n FROM ts GROUP BY source
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(a.tf AS DOUBLE) / ta.n AS p,
+         CAST(b.tf AS DOUBLE) / tb.n AS q
+  FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+), agg AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_shared_terms,
+         sum(p + q) AS sum_pq,
+         sum(0.5 * p * ln(2.0 * p / (p + q))
+             + 0.5 * q * ln(2.0 * q / (p + q))) AS sum_c
+  FROM pairs GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b, n_shared_terms,
+       round(0.5 * ln(2.0) * (2.0 - sum_pq) + sum_c, 9) AS jsd
+FROM agg
+""",
+    doc="Pairwise Jensen-Shannon divergence between source unigram "
+    "distributions — the corpus-mixture diagnostic an LLM data pipeline "
+    "uses to quantify how different two ingest sources are (0 = "
+    "identical distributions, ln 2 = disjoint; symmetric and bounded, "
+    "unlike KL).  Decomposition makes it join-local: only terms present "
+    "in BOTH sources need the pair term-join — the absent-side mass "
+    "folds into the closed form 0.5*ln2*(2 - sum(p+q over shared)), "
+    "since each unshared term contributes exactly 0.5*p*ln2.  So the "
+    "plan is one (source, term) rollup, a vocab-keyed self-join whose "
+    "fanout is bounded by sources-per-term (never |vocab| x |pairs|), "
+    "and a |pairs|-row rollup — at 100 TB the join stays "
+    "term-partitioned with no all-pairs blowup.  Float discipline: "
+    "p, q are doubles from exact integer (tf, total) pairs; the pair "
+    "sum rounds at 1e-9 on both engines before emission (the "
+    "perplexity-family transcendental re-sync).",
+    tags=("textops", "llm"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    ts = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    tot = ts.groupBy("source").agg(F.sum("tf").cast("bigint").alias("n"))
+    a = ts.alias("a")
+    b = ts.alias("b")
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    pairs = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")))
+        .join(F.broadcast(ta), F.col("ta.source") == F.col("a.source"))
+        .join(F.broadcast(tb), F.col("tb.source") == F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            (F.col("a.tf").cast("double") / F.col("ta.n")).alias("p"),
+            (F.col("b.tf").cast("double") / F.col("tb.n")).alias("q"),
+        )
+    )
+    agg = pairs.groupBy("sa", "sb").agg(
+        F.count("*").cast("bigint").alias("n_shared_terms"),
+        F.sum(F.col("p") + F.col("q")).alias("sum_pq"),
+        F.sum(
+            0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+            + 0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+        ).alias("sum_c"),
+    )
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_shared_terms",
+        F.round(
+            0.5 * F.log(F.lit(2.0)) * (2.0 - F.col("sum_pq")) + F.col("sum_c"), 9
+        ).alias("jsd"),
+    )

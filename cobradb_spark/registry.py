@@ -167,7 +167,8 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     # --- keys added during r9 (appended as they land) ---
     "multimodal_mp2_subband_decode",
     "analytics_welch_ttest", "analytics_spearman_corr",
-    "multimodal_bmp_decode",
+    "multimodal_bmp_decode", "analytics_propensity_match",
+    "graph_modularity_score", "text_js_divergence_sources",
 )
 
 
