@@ -3812,3 +3812,109 @@ def analytics_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.cy").cast("bigint").alias("y_control_cents"),
         (F.col("ty") - F.col("m.cy")).cast("bigint").alias("effect_cents"),
     )
+
+
+_QTE_PCTS = (25, 50, 75, 90)
+
+
+@register(
+    "analytics_quantile_treatment_effect",
+    oracle=f"""
+WITH outcome AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0)))
+                        AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+armed AS (
+  SELECT y,
+         CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('qte',
+                   CAST(o_custkey AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)
+                % 2 = 0 THEN 0 ELSE 1 END AS arm
+  FROM outcome),
+g AS (
+  SELECT arm, y, CAST(count(*) AS BIGINT) AS n FROM armed GROUP BY arm, y),
+c AS (
+  SELECT arm, y, n,
+         sum(n) OVER (PARTITION BY arm ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS cum_before,
+         sum(n) OVER (PARTITION BY arm) AS n_arm
+  FROM g),
+p(p) AS (VALUES {", ".join(f"({p})" for p in _QTE_PCTS)}),
+sel AS (
+  SELECT p.p, c.arm, c.y
+  FROM c JOIN p ON c.cum_before < (p.p * c.n_arm + 99) // 100
+               AND (p.p * c.n_arm + 99) // 100 <= c.cum_before + c.n)
+SELECT CAST(p AS BIGINT) AS pct,
+       CAST(max(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS q_control_cents,
+       CAST(max(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS q_treatment_cents,
+       CAST(max(CASE WHEN arm = 1 THEN y END)
+            - max(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS qte_cents
+FROM sel GROUP BY p
+""",
+    doc="Quantile treatment effects — the distributional A/B readout "
+    "(Athey-Imbens shape: a mean shift can hide a tail regression; QTE "
+    "reports the per-quantile arm difference).  Customers hash into "
+    "arms (seeded md5), the outcome is exact spend cents, and each "
+    "arm's p25/p50/p75/p90 is the EXACT type-1 quantile — the value at "
+    "rank ceil(p*n/100), integer cross-multiplied, no interpolation, "
+    "no floats anywhere.  Scale posture (Spark side): one fact rollup "
+    "to (arm, value, count), the per-arm cumulative from "
+    "global_prefix_sums over the composite (arm, value) total order + "
+    "broadcast 2-row arm offsets (never a per-arm single-partition "
+    "window — that is the oracle's DuckDB-only formulation), then a "
+    "4-row quantile-grid broadcast join selects the straddling rows.",
+    tags=("analytics",),
+)
+def analytics_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import (
+        global_prefix_sums,
+        lit_map,
+        per_group_offsets,
+    )
+
+    outcome = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(18,0))"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    armed = outcome.select(
+        "y",
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('qte',"
+            " CAST(o_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN 0 ELSE 1 END"
+        ).alias("arm"),
+    )
+    g = armed.groupBy("arm", "y").agg(F.count("*").cast("bigint").alias("n"))
+    ps, tagged, _tots = global_prefix_sums(
+        g, [F.col("arm"), F.col("y")], {"n": "_ps"}, with_frame_and_totals=True
+    )
+    off, tot = per_group_offsets(tagged, "arm", ["n"])
+    off_m, tot_m = lit_map(off["n"]), lit_map(tot["n"])
+    c = ps.select(
+        "arm",
+        "y",
+        "n",
+        (F.col("_ps") - off_m[F.col("arm")]).cast("bigint").alias("cum_before"),
+        tot_m[F.col("arm")].cast("bigint").alias("n_arm"),
+    )
+    pgrid = spark.createDataFrame([(p,) for p in _QTE_PCTS], "p long")
+    sel = c.join(
+        F.broadcast(pgrid),
+        (F.col("cum_before") < F.expr("div(p * n_arm + 99, 100)"))
+        & (F.expr("div(p * n_arm + 99, 100)") <= F.col("cum_before") + F.col("n")),
+    )
+    return sel.groupBy(F.col("p").alias("pct")).agg(
+        F.max(F.when(F.col("arm") == 0, F.col("y"))).cast("bigint").alias("q_control_cents"),
+        F.max(F.when(F.col("arm") == 1, F.col("y"))).cast("bigint").alias("q_treatment_cents"),
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("y")))
+            - F.max(F.when(F.col("arm") == 0, F.col("y")))
+        )
+        .cast("bigint")
+        .alias("qte_cents"),
+    )

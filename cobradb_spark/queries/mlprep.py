@@ -2441,3 +2441,88 @@ def mlprep_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(div(_apsum, n_pos) AS BIGINT)").alias("ap_ppm"),
         )
     )
+
+
+@register(
+    "mlprep_isotonic_calibration",
+    oracle="""
+WITH scored AS (
+  SELECT o_orderkey,
+         CAST(CAST(concat('0x', substr(md5(concat('cal', CAST(o_orderkey AS VARCHAR))),
+              1, 15)) AS UBIGINT) AS BIGINT) % 1000000 AS score_ppm,
+         CAST(CAST(concat('0x', substr(md5(concat('lab', CAST(o_orderkey AS VARCHAR))),
+              1, 15)) AS UBIGINT) AS BIGINT) % 1000000 AS noise_ppm
+  FROM orders),
+lab AS (
+  SELECT score_ppm // 100000 AS bin,
+         CASE WHEN score_ppm * 3 + noise_ppm > 1500000 THEN 1 ELSE 0 END AS y
+  FROM scored),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM lab GROUP BY bin),
+seg AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(sum(m.pos) * 1000000 // sum(m.n) AS BIGINT) AS mean_ppm
+  FROM g j JOIN g k ON j.bin <= k.bin
+  JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin),
+mins AS (
+  SELECT i.bin AS bin, s.jb, min(s.mean_ppm) AS mn
+  FROM g i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+  GROUP BY i.bin, s.jb),
+fit AS (SELECT bin, CAST(max(mn) AS BIGINT) AS fitted_ppm FROM mins GROUP BY bin)
+SELECT g.bin, g.n, g.pos,
+       CAST(g.pos * 1000000 // g.n AS BIGINT) AS raw_rate_ppm,
+       f.fitted_ppm
+FROM g JOIN fit f USING (bin)
+""",
+    doc="Isotonic (PAV) probability calibration over the reliability "
+    "grid — what sklearn's IsotonicRegression fits after "
+    "mlprep_calibration_bins diagnoses miscalibration.  Same "
+    "deterministic scored population (seeded md5 score + correlated "
+    "label, 10 equal-width bins); the isotonic fit uses the MINIMAX "
+    "closed form of pool-adjacent-violators, fitted(i) = max_{j<=i} "
+    "min_{k>=i} mean(y over bins j..k) (Ayer et al. 1955; equivalent "
+    "to the sequential PAV pooling but expressible as pure joins — no "
+    "while-loop, no driver iteration), with every interval mean pinned "
+    "as a truncating-division ppm integer so both engines agree "
+    "bit-for-bit.  Scale posture: ONE partial-agg fact pass reduces to "
+    "the 10-row bin grid; the O(bins^3) minimax algebra runs on that "
+    "constant-size grid (bins fixed by construction, independent of "
+    "row count), so at 100 TB the plan is one shuffle plus KB-sized "
+    "joins.",
+    tags=("mlprep",),
+)
+def mlprep_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_iso_v")
+    return spark.sql("""
+WITH scored AS (
+  SELECT o_orderkey,
+         CAST(conv(substring(md5(concat('cal', CAST(o_orderkey AS STRING))),
+              1, 15), 16, 10) AS BIGINT) % 1000000 AS score_ppm,
+         CAST(conv(substring(md5(concat('lab', CAST(o_orderkey AS STRING))),
+              1, 15), 16, 10) AS BIGINT) % 1000000 AS noise_ppm
+  FROM orders_iso_v),
+lab AS (
+  SELECT div(score_ppm, 100000) AS bin,
+         CASE WHEN score_ppm * 3 + noise_ppm > 1500000 THEN 1 ELSE 0 END AS y
+  FROM scored),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM lab GROUP BY bin),
+seg AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(div(sum(m.pos) * 1000000, sum(m.n)) AS BIGINT) AS mean_ppm
+  FROM g j JOIN g k ON j.bin <= k.bin
+  JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin),
+mins AS (
+  SELECT i.bin AS bin, s.jb, min(s.mean_ppm) AS mn
+  FROM g i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+  GROUP BY i.bin, s.jb),
+fit AS (SELECT bin, CAST(max(mn) AS BIGINT) AS fitted_ppm FROM mins GROUP BY bin)
+SELECT g.bin, g.n, g.pos,
+       CAST(div(g.pos * 1000000, g.n) AS BIGINT) AS raw_rate_ppm,
+       f.fitted_ppm
+FROM g JOIN fit f USING (bin)
+""")

@@ -169,6 +169,7 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "analytics_welch_ttest", "analytics_spearman_corr",
     "multimodal_bmp_decode", "analytics_propensity_match",
     "graph_modularity_score", "text_js_divergence_sources",
+    "mlprep_isotonic_calibration", "analytics_quantile_treatment_effect",
 )
 
 

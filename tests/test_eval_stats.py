@@ -455,3 +455,70 @@ def test_peak_concurrency_matches_naive_sweep(spark, sf_dir):
         assert got.peak_first_at_us == first_at
         assert got.n_times_at_peak == n_at
         assert peak >= 1
+
+
+def test_isotonic_minimax_equals_sequential_pav():
+    """mlprep_isotonic_calibration uses the minimax closed form
+    fitted(i) = max_{j<=i} min_{k>=i} mean(j..k) instead of the
+    sequential pool-adjacent-violators loop.  Property-check the
+    equivalence on random weighted grids with exact rationals (Ayer et
+    al. 1955), plus the ppm pinning soundness: floor is monotone, so
+    max/min commute with it and the truncated minimax equals the
+    truncated exact fit."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    rng = np.random.default_rng(55)
+    for _ in range(50):
+        b = int(rng.integers(2, 12))
+        n = rng.integers(1, 50, size=b)
+        pos = np.array([rng.integers(0, ni + 1) for ni in n])
+
+        # sequential PAV with exact rational pooled means
+        blocks = [[int(n[i]), int(pos[i])] for i in range(b)]
+        i = 0
+        while i < len(blocks) - 1:
+            if Fraction(blocks[i][1], blocks[i][0]) > Fraction(
+                blocks[i + 1][1], blocks[i + 1][0]
+            ):
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        # expand pooled blocks back to per-bin fitted values
+        expanded = []
+        idx = 0
+        for bn, bp in blocks:
+            w = 0
+            while w < bn:
+                w += int(n[idx])
+                expanded.append(Fraction(bp, bn))
+                idx += 1
+        assert idx == b
+
+        # minimax closed form with exact rationals
+        pre_n = np.concatenate([[0], np.cumsum(n)])
+        pre_p = np.concatenate([[0], np.cumsum(pos)])
+
+        def mean(j, k):
+            return Fraction(int(pre_p[k + 1] - pre_p[j]), int(pre_n[k + 1] - pre_n[j]))
+
+        mm = [
+            max(min(mean(j, k) for k in range(i, b)) for j in range(i + 1))
+            for i in range(b)
+        ]
+        assert mm == expanded
+        # ppm pinning soundness: floor commutes with max/min
+        mm_ppm = [
+            max(
+                min((pre_p[k + 1] - pre_p[j]) * 1000000 // (pre_n[k + 1] - pre_n[j])
+                    for k in range(i, b))
+                for j in range(i + 1)
+            )
+            for i in range(b)
+        ]
+        assert mm_ppm == [v * 1000000 // 1 if v.denominator == 1 else
+                          (v.numerator * 1000000) // v.denominator for v in mm]
