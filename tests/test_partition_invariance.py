@@ -98,6 +98,18 @@ PROBE_KEYS = [
     "etl_tokenizer_fertility",
     "text_burstiness_dispersion",
     "analytics_price_elasticity",
+    # r9 keys with partition-order exposure: the vocab prefix-sum
+    # rewrite (rank/cum from global_prefix_sums must be layout-free),
+    # the Spearman double-rank grids, the QTE per-arm cumulative, the
+    # propensity struct-min argmin, the LPA-driven modularity rollups,
+    # and the JSD double sums (1e-9 rounded, must hold under 7 tasks)
+    "text_vocab_coverage",
+    "analytics_spearman_corr",
+    "analytics_quantile_treatment_effect",
+    "analytics_propensity_match",
+    "graph_modularity_score",
+    "text_js_divergence_sources",
+    "analytics_welch_ttest",
 ]
 
 

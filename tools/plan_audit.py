@@ -1551,6 +1551,75 @@ AUDITS = [
         "a nested loop by design on DIMENSION-scale data (the theil-sen "
         "posture), never over raw events",
     ),
+    # --- r9 additions ---
+    (
+        "analytics_welch_ttest",
+        ["partial_sum", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "one groupBy(custkey) fact pass, then a 2-row arm rollup; the "
+        "control x treatment combine is a 1-row-by-1-row broadcast",
+    ),
+    (
+        "analytics_spearman_corr",
+        ["rangepartitioning", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "both rank dimensions come from global_prefix_sums (one range "
+        "shuffle each, per-_pid windows); facts join the rank tables by "
+        "value key and reduce to one row of 128-bit moments",
+    ),
+    (
+        "analytics_propensity_match",
+        ["HashAggregate", "partial_min"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "candidate generation is the banded equi-join (bucket at caliper "
+        "width, 3-bucket probe) — never all-pairs; the per-treated "
+        "argmin is a partial-aggregable struct-min",
+    ),
+    (
+        "analytics_quantile_treatment_effect",
+        ["rangepartitioning", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "per-arm cumulative from global_prefix_sums over the composite "
+        "(arm, value) order + broadcast 2-row offsets; the 4-row "
+        "quantile grid broadcasts into the straddle filter",
+    ),
+    (
+        "mlprep_isotonic_calibration",
+        ["partial_count", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "ONE fact pass reduces to the 10-row bin grid; the O(bins^3) "
+        "minimax algebra runs on broadcast KB-sized joins",
+    ),
+    (
+        "graph_modularity_score",
+        ["partial_count", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "LPA rounds are per-node plurality rollups against the pinned "
+        "edge list; degrees/memberships are |V|-row rollups; intra-edge "
+        "count joins edges to memberships by node key, never all-pairs",
+    ),
+    (
+        "text_js_divergence_sources",
+        ["partial_count", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "the pair term-join is term-keyed with fanout bounded by "
+        "sources-per-term; source totals broadcast; unshared mass is "
+        "closed-form so no outer join materializes the union vocabulary",
+    ),
+    (
+        "multimodal_mp2_subband_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document Layer II decode over Arrow batches; one row per "
+        "document, nothing driver-side",
+    ),
+    (
+        "multimodal_bmp_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document BMP decode over Arrow batches; one row per "
+        "document, nothing driver-side",
+    ),
 ]
 
 

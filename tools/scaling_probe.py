@@ -205,6 +205,16 @@ PROBES = [
     "events_peak_concurrency",
     "analytics_price_elasticity",
     "events_stl_strength",
+    # r9 additions
+    "multimodal_mp2_subband_decode",
+    "multimodal_bmp_decode",
+    "analytics_welch_ttest",
+    "analytics_spearman_corr",
+    "analytics_propensity_match",
+    "analytics_quantile_treatment_effect",
+    "graph_modularity_score",
+    "text_js_divergence_sources",
+    "mlprep_isotonic_calibration",
 ]
 
 
