@@ -885,3 +885,92 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brk_dn"
         ),
     )
+
+
+_RSI_WIN = 14
+
+
+@register(
+    "win_rsi_indicator",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS day,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), d AS (
+  SELECT priority, day, cents,
+         cents - lag(cents) OVER (PARTITION BY priority ORDER BY day) AS delta
+  FROM daily
+), gl AS (
+  SELECT priority, day, cents,
+         count(delta) OVER w AS n,
+         CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w AS BIGINT)
+           AS gain,
+         CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w AS BIGINT)
+           AS loss
+  FROM d
+  WINDOW w AS (PARTITION BY priority ORDER BY day
+               ROWS BETWEEN {_RSI_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT priority, day, cents, gain AS gain_cents, loss AS loss_cents,
+       CAST(CASE WHEN gain + loss > 0
+                 THEN CAST(gain AS HUGEINT) * 1000000 // (gain + loss)
+                 ELSE 500000 END AS BIGINT) AS rsi_ppm
+FROM gl WHERE n = {_RSI_WIN}
+""",
+    doc=f"Relative Strength Index (Wilder 1978, the SMA 'Cutler' "
+    f"variant — rolling sums, not the recursive EMA, so it is "
+    f"windowed-exact) over the daily revenue series per order "
+    f"priority: separate {_RSI_WIN}-day rolling sums of up-moves and "
+    "down-moves, RSI = 100 * gain/(gain+loss).  The asymmetric "
+    "conditional rolling sums are the new pattern next to "
+    "bollinger/ewma (symmetric moments); pinned as "
+    "gain*1e6 // (gain+loss) truncating-division ppm over exact cent "
+    "sums (flat windows pin to the conventional 50).  Scale posture: "
+    "one partial-agg fact rollup to the per-priority day grid, then "
+    "bounded ROWS-frame windows partitioned by priority — the "
+    "win_bollinger_bands shape, no fact-scale window.",
+    tags=("windows", "timeseries"),
+)
+def win_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(18,0))"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wl = Window.partitionBy("priority").orderBy("day")
+    w = wl.rowsBetween(-(_RSI_WIN - 1), 0)
+    d = daily.withColumn("delta", F.col("cents") - F.lag("cents").over(wl))
+    gl = d.select(
+        "priority",
+        "day",
+        "cents",
+        F.count("delta").over(w).alias("n"),
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("gain"),
+        F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("loss"),
+    )
+    return gl.filter(F.col("n") == _RSI_WIN).select(
+        "priority",
+        "day",
+        "cents",
+        F.col("gain").alias("gain_cents"),
+        F.col("loss").alias("loss_cents"),
+        F.expr(
+            "CAST(CASE WHEN gain + loss > 0"
+            " THEN div(CAST(gain AS DECIMAL(38,0)) * 1000000, gain + loss)"
+            " ELSE 500000 END AS BIGINT)"
+        ).alias("rsi_ppm"),
+    )
