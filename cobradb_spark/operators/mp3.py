@@ -346,3 +346,210 @@ def decode_layer1(data: bytes) -> dict:
         "num_sq_sum": num_sq_sum,
         "subband_samples": np.concatenate(samples, axis=0),
     }
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III side information (ISO/IEC 11172-3 2.4.1.7) — every
+# field is a fixed-width bitfield, so parsing it needs no Huffman work.
+# This shrinks the honest Layer-III boundary to exactly the main-data
+# stages (Huffman symbol decode, requantization, IMDCT): container walk
+# (index_mp3), header arithmetic, and now the full side-info record are
+# real; the fixture's main data is zero bits, a synthetic simplification
+# documented at the query (the side info itself is spec-valid and the
+# declared part2_3 lengths FIT the frame's main-data area with
+# main_data_begin = 0, so the framing is structurally consistent).
+# ---------------------------------------------------------------------------
+
+
+def mp3_sideinfo_schedule(doc_id: int) -> dict:
+    """Deterministic mono side-info schedule (shared by encoder, SQL
+    oracle, tests).  Per (frame f, granule g): small part2_3_length so
+    two granules always fit the fitted frame's main-data area;
+    window-switching on every 3rd granule with block_type in 1..3
+    (0 is forbidden while switching — the decoder validates that)."""
+    return {
+        "sr_idx": doc_id % 3,
+        "n_frames": 3 + doc_id % 4,
+        "scfsi": doc_id % 16,
+        "part23": lambda f, g: (doc_id * 13 + f * 7 + g * 3) % 512,
+        "big_values": lambda f, g: (doc_id * 5 + f * 3 + g) % 289,
+        "global_gain": lambda f, g: (doc_id + f * 11 + g * 7) % 256,
+        "scalefac_compress": lambda f, g: (doc_id + f + g) % 16,
+        "switching": lambda f, g: (doc_id + f + g) % 3 == 0,
+        "block_type": lambda f, g: 1 + (doc_id + f + g) % 3,
+        "mixed_block": lambda f, g: (doc_id + f) % 2,
+        "table_select": lambda f, g, k: (doc_id + f * 2 + g + k) % 32,
+        "subblock_gain": lambda f, g, k: (doc_id + g + k) % 8,
+        "region0": lambda f, g: (doc_id + g) % 16,
+        "region1": lambda f, g: (doc_id + f) % 8,
+        "preflag": lambda f, g: (doc_id + f + g) % 2,
+        "scalefac_scale": lambda f, g: (doc_id + f) % 2,
+        "count1table": lambda f, g: (doc_id + g) % 2,
+    }
+
+
+def encode_mp3_sideinfo(doc_id: int) -> bytes:
+    """Spec-valid mono MPEG-1 Layer III stream with REAL side-info
+    records: 4-byte header + 17-byte side info per frame (no CRC),
+    main_data_begin = 0, zero main-data bits.  The bitrate index is
+    fitted per frame so the declared part2_3 bits fit the frame's
+    main-data area."""
+    sch = mp3_sideinfo_schedule(doc_id)
+    sr_idx = sch["sr_idx"]
+    out = bytearray()
+    for f in range(sch["n_frames"]):
+        w = _BitWriter()
+        w.write(0, 9)  # main_data_begin: no reservoir borrow
+        w.write(0, 5)  # private_bits (mono)
+        w.write(sch["scfsi"], 4)
+        for g in range(2):
+            w.write(sch["part23"](f, g), 12)
+            w.write(sch["big_values"](f, g), 9)
+            w.write(sch["global_gain"](f, g), 8)
+            w.write(sch["scalefac_compress"](f, g), 4)
+            sw = sch["switching"](f, g)
+            w.write(int(sw), 1)
+            if sw:
+                w.write(sch["block_type"](f, g), 2)
+                w.write(sch["mixed_block"](f, g), 1)
+                for k in range(2):
+                    w.write(sch["table_select"](f, g, k), 5)
+                for k in range(3):
+                    w.write(sch["subblock_gain"](f, g, k), 3)
+            else:
+                for k in range(3):
+                    w.write(sch["table_select"](f, g, k), 5)
+                w.write(sch["region0"](f, g), 4)
+                w.write(sch["region1"](f, g), 3)
+            w.write(sch["preflag"](f, g), 1)
+            w.write(sch["scalefac_scale"](f, g), 1)
+            w.write(sch["count1table"](f, g), 1)
+        assert len(w.bits) == 136  # 17 bytes, mono MPEG-1 layout
+        need_bits = sch["part23"](f, 0) + sch["part23"](f, 1)
+        br_idx = next(
+            i
+            for i in range(1, 15)
+            if (frame_length(i, sr_idx, 0) - 21) * 8 >= need_bits
+        )
+        flen = frame_length(br_idx, sr_idx, 0)
+        out += _frame_header(br_idx, sr_idx, 0)
+        out += w.to_bytes(17)
+        out += bytes(flen - 21)  # zero main data + ancillary fill
+    return bytes(out)
+
+
+def parse_mp3_sideinfo(data: bytes) -> dict:
+    """Walk a mono MPEG-1 Layer III stream and parse every frame's full
+    side-info record (the published 136-bit mono layout): main_data
+    begin/reservoir pointer, scfsi, and per-granule part2_3_length,
+    big_values, global_gain, scalefac_compress, window switching with
+    block_type/mixed/subblock gains or region counts, preflag,
+    scalefac_scale, count1 table.  Validates spec constraints
+    (block_type 0 while switching is forbidden; big_values <= 288;
+    declared part2_3 bits must fit the stream before EOF given
+    main_data_begin).  Returns integer aggregates for the SQL replay
+    plus the per-granule record list for the tests."""
+    pos = 0
+    n_frames = 0
+    sr = None
+    agg = {
+        "sum_part23": 0, "sum_big_values": 0, "sum_global_gain": 0,
+        "sum_table_select": 0, "n_switching": 0, "sum_region": 0,
+        "sum_scalefac_compress": 0, "sum_flags": 0, "scfsi_first": None,
+        "sum_main_data_begin": 0,
+    }
+    granules: list[dict] = []
+    while pos < len(data):
+        if pos + 21 > len(data):
+            raise ValueError("corrupt mp3 stream: truncated frame")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"corrupt mp3 stream: lost sync at byte {pos}")
+        if (b1 >> 3) & 0b11 != 0b11:
+            raise ValueError("unsupported mp3 stream: not MPEG-1")
+        if (b1 >> 1) & 0b11 != 0b01:
+            raise ValueError("unsupported mp3 stream: not Layer III")
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0b11
+        pad = (b2 >> 1) & 1
+        if br_idx in (0, 15):
+            raise ValueError(f"unsupported mp3 stream: bitrate index {br_idx}")
+        if sr_idx == 3:
+            raise ValueError("corrupt mp3 stream: reserved sample-rate index")
+        if (b3 >> 6) != 0b11:
+            raise ValueError("unsupported mp3 stream: not single-channel")
+        if sr is None:
+            sr = SAMPLE_RATE[sr_idx]
+        elif sr != SAMPLE_RATE[sr_idx]:
+            raise ValueError("unsupported mp3 stream: mid-stream rate switch")
+        flen = frame_length(br_idx, sr_idx, pad)
+        if pos + flen > len(data):
+            raise ValueError(f"corrupt mp3 stream: frame at {pos} runs past EOF")
+        r = _BitReader(data[pos + 4 : pos + 21])
+        mdb = r.read(9)
+        agg["sum_main_data_begin"] += mdb
+        r.read(5)  # private_bits
+        scfsi = r.read(4)
+        if agg["scfsi_first"] is None:
+            agg["scfsi_first"] = scfsi
+        part23_total = 0
+        for g in range(2):
+            rec = {"frame": n_frames, "granule": g}
+            rec["part2_3_length"] = r.read(12)
+            rec["big_values"] = r.read(9)
+            if rec["big_values"] > 288:
+                raise ValueError("corrupt mp3 stream: big_values > 288")
+            rec["global_gain"] = r.read(8)
+            rec["scalefac_compress"] = r.read(4)
+            sw = r.read(1)
+            rec["switching"] = sw
+            if sw:
+                rec["block_type"] = r.read(2)
+                if rec["block_type"] == 0:
+                    raise ValueError(
+                        "corrupt mp3 stream: block_type 0 with window switching"
+                    )
+                rec["mixed_block"] = r.read(1)
+                ts = [r.read(5) for _ in range(2)]
+                sbg = [r.read(3) for _ in range(3)]
+                rec["table_select"] = ts
+                rec["subblock_gain"] = sbg
+                agg["n_switching"] += 1
+                agg["sum_table_select"] += sum(ts)
+            else:
+                ts = [r.read(5) for _ in range(3)]
+                rec["table_select"] = ts
+                rec["region0_count"] = r.read(4)
+                rec["region1_count"] = r.read(3)
+                agg["sum_table_select"] += sum(ts)
+                agg["sum_region"] += rec["region0_count"] + rec["region1_count"]
+            rec["preflag"] = r.read(1)
+            rec["scalefac_scale"] = r.read(1)
+            rec["count1table_select"] = r.read(1)
+            agg["sum_part23"] += rec["part2_3_length"]
+            agg["sum_big_values"] += rec["big_values"]
+            agg["sum_global_gain"] += rec["global_gain"]
+            agg["sum_scalefac_compress"] += rec["scalefac_compress"]
+            agg["sum_flags"] += (
+                rec["preflag"] + rec["scalefac_scale"] + rec["count1table_select"]
+            )
+            part23_total += rec["part2_3_length"]
+            granules.append(rec)
+        # structural consistency: declared main-data bits must fit the
+        # bytes available before EOF (this frame's main-data area plus
+        # the reservoir the pointer claims)
+        avail_bits = (flen - 21 + mdb) * 8
+        if part23_total > avail_bits:
+            raise ValueError(
+                "corrupt mp3 stream: part2_3 lengths exceed available main data"
+            )
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("corrupt mp3 stream: no frames")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sr,
+        "granules": granules,
+        **agg,
+    }

@@ -702,6 +702,51 @@ def decode_layer2_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mp3_sideinfo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One mono MPEG-1 Layer III stream with REAL 17-byte side-info
+    records per row (operators/mp3.py encode_mp3_sideinfo): fitted
+    bitrate, main_data_begin = 0, zero main-data bits (documented
+    synthetic simplification — the side info itself is spec-valid)."""
+    from cobradb_spark.operators.mp3 import encode_mp3_sideinfo
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [encode_mp3_sideinfo(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def parse_mp3_sideinfo_features(df: DataFrame) -> DataFrame:
+    """REAL Layer III side-info parse (operators/mp3.py
+    parse_mp3_sideinfo: full 136-bit mono record — reservoir pointer,
+    scfsi, per-granule lengths/gains/tables, window-switching variants
+    — with spec-constraint validation) over Arrow batches."""
+    from cobradb_spark.operators.mp3 import parse_mp3_sideinfo
+
+    cols = (
+        "n_frames", "sample_rate", "scfsi_first", "sum_part23",
+        "sum_big_values", "sum_global_gain", "sum_scalefac_compress",
+        "sum_table_select", "n_switching", "sum_region", "sum_flags",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [parse_mp3_sideinfo(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One spec-valid 24-bpp Windows BMP per row (operators/bmp.py
     encode_bmp): real BITMAPFILEHEADER/BITMAPINFOHEADER, BGR byte

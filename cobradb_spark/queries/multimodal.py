@@ -807,6 +807,77 @@ def multimodal_mp2_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_mp3_sideinfo_parse",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         doc_id % 16 AS scfsi
+  FROM documents),
+gr AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.scfsi, f.f, g.g,
+         (d.doc_id * 13 + f.f * 7 + g.g * 3) % 512 AS part23,
+         (d.doc_id * 5 + f.f * 3 + g.g) % 289 AS bv,
+         (d.doc_id + f.f * 11 + g.g * 7) % 256 AS gg,
+         (d.doc_id + f.f + g.g) % 16 AS sc,
+         CASE WHEN (d.doc_id + f.f + g.g) % 3 = 0 THEN 1 ELSE 0 END AS sw,
+         (d.doc_id + f.f * 2 + g.g) % 32
+           + (d.doc_id + f.f * 2 + g.g + 1) % 32 AS ts2,
+         (d.doc_id + f.f * 2 + g.g + 2) % 32 AS ts3extra,
+         (d.doc_id + g.g) % 16 + (d.doc_id + f.f) % 8 AS region,
+         (d.doc_id + f.f + g.g) % 2 + (d.doc_id + f.f) % 2
+           + (d.doc_id + g.g) % 2 AS flags
+  FROM d,
+       UNNEST(range(0, d.n_frames)) AS f(f),
+       UNNEST(range(0, 2)) AS g(g))
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(scfsi AS BIGINT) AS scfsi_first,
+       CAST(sum(part23) AS BIGINT) AS sum_part23,
+       CAST(sum(bv) AS BIGINT) AS sum_big_values,
+       CAST(sum(gg) AS BIGINT) AS sum_global_gain,
+       CAST(sum(sc) AS BIGINT) AS sum_scalefac_compress,
+       CAST(sum(ts2 + CASE WHEN sw = 0 THEN ts3extra ELSE 0 END) AS BIGINT)
+         AS sum_table_select,
+       CAST(sum(sw) AS BIGINT) AS n_switching,
+       CAST(sum(CASE WHEN sw = 0 THEN region ELSE 0 END) AS BIGINT) AS sum_region,
+       CAST(sum(flags) AS BIGINT) AS sum_flags
+FROM gr GROUP BY doc_id, n_frames, sr, scfsi
+""",
+    doc="REAL MPEG-1 Layer III side-info parse (ISO 11172-3 2.4.1.7 — "
+    "the full 136-bit mono record: bit-reservoir pointer, scfsi, and "
+    "per-granule part2_3_length / big_values / global_gain / "
+    "scalefac_compress / window-switching with block_type+mixed+"
+    "subblock gains or table_select x3 + region counts / preflag / "
+    "scalefac_scale / count1 table), with spec-constraint validation "
+    "(block_type 0 while switching forbidden, big_values <= 288, "
+    "declared part2_3 bits must fit the available main-data area given "
+    "main_data_begin).  Every field is a FIXED-WIDTH bitfield, so this "
+    "whole record is parseable without Huffman work — shrinking the "
+    "honest Layer III boundary to exactly the main-data stages "
+    "(Huffman symbol decode, requantization, IMDCT), which stay "
+    "stubbed.  The fixture carries spec-valid side info over zero "
+    "main-data bits (a documented synthetic simplification; the "
+    "declared lengths fit the fitted frame, main_data_begin = 0).  "
+    "Scale posture: Arrow mapInPandas over the payload column, one row "
+    "per document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_sideinfo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        parse_mp3_sideinfo_features,
+        synthesize_mp3_sideinfo,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return parse_mp3_sideinfo_features(
+        synthesize_mp3_sideinfo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_bmp_decode",
     oracle="""
 WITH d AS (

@@ -170,7 +170,7 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "multimodal_bmp_decode", "analytics_propensity_match",
     "graph_modularity_score", "text_js_divergence_sources",
     "mlprep_isotonic_calibration", "analytics_quantile_treatment_effect",
-    "win_rsi_indicator",
+    "win_rsi_indicator", "multimodal_mp3_sideinfo_parse",
 )
 
 

@@ -866,3 +866,93 @@ def test_bmp_decoder_fuzz_never_crashes():
         except ValueError:
             pass
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_mp3_sideinfo_parse_exact_and_clean_errors():
+    """Layer III side-info parser contract (operators/mp3.py): every
+    field of the 136-bit mono record round-trips against an independent
+    schedule replay (both switching and normal granule layouts, all
+    three rates); spec-constraint violations fail loudly."""
+    import pytest
+
+    from cobradb_spark.operators.mp3 import (
+        encode_mp3_sideinfo,
+        mp3_sideinfo_schedule,
+        parse_mp3_sideinfo,
+    )
+
+    layouts = set()
+    for did in (0, 1, 2, 3, 5, 12, 42, 100, 257):
+        out = parse_mp3_sideinfo(encode_mp3_sideinfo(did))
+        sch = mp3_sideinfo_schedule(did)
+        assert out["n_frames"] == sch["n_frames"]
+        assert out["scfsi_first"] == sch["scfsi"]
+        assert len(out["granules"]) == 2 * sch["n_frames"]
+        for rec in out["granules"]:
+            f, g = rec["frame"], rec["granule"]
+            layouts.add(bool(rec["switching"]))
+            assert rec["part2_3_length"] == sch["part23"](f, g)
+            assert rec["big_values"] == sch["big_values"](f, g)
+            assert rec["global_gain"] == sch["global_gain"](f, g)
+            assert rec["scalefac_compress"] == sch["scalefac_compress"](f, g)
+            assert bool(rec["switching"]) == sch["switching"](f, g)
+            if rec["switching"]:
+                assert rec["block_type"] == sch["block_type"](f, g)
+                assert rec["mixed_block"] == sch["mixed_block"](f, g)
+                assert rec["table_select"] == [
+                    sch["table_select"](f, g, k) for k in range(2)
+                ]
+                assert rec["subblock_gain"] == [
+                    sch["subblock_gain"](f, g, k) for k in range(3)
+                ]
+            else:
+                assert rec["table_select"] == [
+                    sch["table_select"](f, g, k) for k in range(3)
+                ]
+                assert rec["region0_count"] == sch["region0"](f, g)
+                assert rec["region1_count"] == sch["region1"](f, g)
+            assert rec["preflag"] == sch["preflag"](f, g)
+            assert rec["scalefac_scale"] == sch["scalefac_scale"](f, g)
+            assert rec["count1table_select"] == sch["count1table"](f, g)
+    assert layouts == {True, False}
+
+    base = encode_mp3_sideinfo(42)
+    with pytest.raises(ValueError):
+        parse_mp3_sideinfo(b"")
+    with pytest.raises(ValueError):
+        parse_mp3_sideinfo(b"\x00" * 32)  # no sync
+    with pytest.raises(ValueError):
+        parse_mp3_sideinfo(base[:-8])  # truncated final frame
+    b = bytearray(base)
+    b[1] = (b[1] & ~0b110) | 0b110  # layer bits -> Layer I
+    with pytest.raises(ValueError):
+        parse_mp3_sideinfo(bytes(b))
+
+
+def test_mp3_sideinfo_fuzz_never_crashes():
+    """Mutation fuzz: one flipped byte or a truncation must yield
+    ValueError or a well-formed parse, never a crash."""
+    import numpy as np
+    import pytest  # noqa: F401
+
+    from cobradb_spark.operators.mp3 import encode_mp3_sideinfo, parse_mp3_sideinfo
+
+    base = bytearray(encode_mp3_sideinfo(42))
+    rng = np.random.default_rng(333)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = parse_mp3_sideinfo(bytes(b))
+            assert out["n_frames"] >= 1
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    for cut in range(1, 64):
+        try:
+            parse_mp3_sideinfo(bytes(base[:cut]))
+        except ValueError:
+            pass
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
