@@ -3647,7 +3647,7 @@ FROM q
     tags=("analytics",),
 )
 def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import global_prefix_sums
+    from cobradb_spark.operators.rank import global_prefix_sums, pin_cache
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"),
@@ -3660,7 +3660,9 @@ def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.count("*").cast("bigint").alias("y"))
     )
-    f = o.join(li, "ok").select("x", "y")
+    # the joined fact frame feeds BOTH value rollups and the final
+    # moment join — pin it so the orders-lineitem join runs once
+    f = pin_cache(o.join(li, "ok").select("x", "y"))
     gx = f.groupBy("x").agg(F.count("*").cast("long").alias("cnt"))
     px, _fx, totx = global_prefix_sums(
         gx, [F.col("x")], {"cnt": "less"}, with_frame_and_totals=True
@@ -3755,6 +3757,8 @@ FROM best WHERE rn = 1
     tags=("analytics",),
 )
 def analytics_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
     cust = load_table(spark, sf_dir, "customer")
     outcome = (
         load_table(spark, sf_dir, "orders")
@@ -3765,7 +3769,9 @@ def analytics_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
-    units = (
+    # pinned: the unit table feeds both the treated and the control
+    # branch — one customer-orders join, not two
+    units = pin_cache(
         cust.join(outcome, cust.c_custkey == outcome.o_custkey, "left")
         .select(
             F.col("c_custkey").alias("k"),

@@ -3211,11 +3211,17 @@ FROM agg
     tags=("textops", "llm"),
 )
 def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.rank import pin_cache
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "source", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    ts = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    # pinned: (source, term) counts feed both self-join sides and the
+    # totals — one tokenize+rollup pass, not three
+    ts = pin_cache(
+        tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    )
     tot = ts.groupBy("source").agg(F.sum("tf").cast("bigint").alias("n"))
     a = ts.alias("a")
     b = ts.alias("b")
