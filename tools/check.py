@@ -167,16 +167,47 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="use a BARE SparkSession (no engine confs) — mimics the "
+        "external verify driver's own session, so a pass here proves "
+        "no result depends on cobradb_spark.session tuning",
+    )
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the staged driver window (_DRIVER_PRIORITY)",
+    )
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="check exactly the staged r10 backlog (_R10_PLANNED_HEAD)",
+    )
     args = ap.parse_args()
 
     qs = registry.all_queries()
     names = args.names or sorted(qs)
+    if args.window:
+        names = list(registry._DRIVER_PRIORITY)
+    elif args.staged:
+        names = list(registry._R10_PLANNED_HEAD)
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
-    spark = get_spark("check")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check")
     con = duck_connect(args.sf)
     n_fail = 0
     for name in names:
