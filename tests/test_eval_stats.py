@@ -522,3 +522,135 @@ def test_isotonic_minimax_equals_sequential_pav():
         ]
         assert mm_ppm == [v * 1000000 // 1 if v.denominator == 1 else
                           (v.numerator * 1000000) // v.denominator for v in mm]
+
+
+def _md5_bucket(seed: str, key) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}{key}".encode()).hexdigest()[:15], 16)
+
+
+def test_welch_ttest_matches_scipy_style_replay(spark, sf_dir):
+    """Welch t and Satterthwaite df recomputed the textbook way (floats
+    over per-unit values, scipy.stats.ttest_ind(equal_var=False)
+    algebra) must agree with the pinned-integer Spark result to ~1e-9
+    relative — and the pinned integer columns must replay exactly."""
+    import math
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    # exact cents like the query: per-order CAST(price*100 AS DECIMAL)
+    # rounds half-to-even in double -> round() matches
+    per = defaultdict(int)
+    for r in rows:
+        per[r.o_custkey] += round(r.o_totalprice * 100)
+    arms = defaultdict(list)
+    for cust, y in per.items():
+        arms[_md5_bucket("welch", cust) % 2].append(y)
+    out = registry.get_query("analytics_welch_ttest").fn(spark, sf_dir).collect()[0]
+    c, t = arms[0], arms[1]
+    assert out.n_control == len(c) and out.n_treatment == len(t)
+    assert out.sum_cents_control == sum(c) and out.sum_cents_treatment == sum(t)
+    # pinned integer variance replay
+    for vals, got in ((c, out.var_cents2_control), (t, out.var_cents2_treatment)):
+        n, s1 = len(vals), sum(vals)
+        s2 = sum(v * v for v in vals)
+        assert got == (n * s2 - s1 * s1) // (n * (n - 1))
+    # float t from the same pinned integers, textbook algebra
+    vc = (len(c) * sum(v * v for v in c) - sum(c) ** 2) // (len(c) * (len(c) - 1))
+    vt = (len(t) * sum(v * v for v in t) - sum(t) ** 2) // (len(t) * (len(t) - 1))
+    m_c = (sum(c) * 1000 // len(c)) / 1000.0
+    m_t = (sum(t) * 1000 // len(t)) / 1000.0
+    tstat = (m_t - m_c) / math.sqrt(vc / len(c) + vt / len(t))
+    assert abs(out.t_stat - tstat) <= 1e-9 * max(1.0, abs(tstat))
+
+
+def test_spearman_matches_scipy_style_replay(spark, sf_dir):
+    """rho from the centered doubled-rank integer moments must agree
+    with tie-corrected average-rank Pearson computed the textbook way
+    (floats over per-row average ranks)."""
+    from collections import Counter, defaultdict
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    linec = Counter(
+        r.l_orderkey
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey")
+        .collect()
+    )
+    xs, ys = [], []
+    for r in orders:
+        if r.o_orderkey in linec:
+            xs.append(round(r.o_totalprice * 100))
+            ys.append(linec[r.o_orderkey])
+    n = len(xs)
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        less = {}
+        acc = 0
+        for v in sorted(cnt):
+            less[v] = acc
+            acc += cnt[v]
+        return [less[v] + (cnt[v] + 1) / 2.0 for v in vals]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    sxy = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    sxx = sum((a - mx) ** 2 for a in rx)
+    syy = sum((b - my) ** 2 for b in ry)
+    rho_ref = sxy / (sxx * syy) ** 0.5
+    out = registry.get_query("analytics_spearman_corr").fn(spark, sf_dir).collect()[0]
+    assert out.n_rows == n
+    # integer moments replay: centered doubled ranks are exactly
+    # 2*avg_rank - (n+1)
+    cx = [int(2 * a - (n + 1)) for a in rx]
+    cy = [int(2 * b - (n + 1)) for b in ry]
+    assert out.s_xy == sum(a * b for a, b in zip(cx, cy))
+    assert out.s_xx == sum(a * a for a in cx)
+    assert out.s_yy == sum(b * b for b in cy)
+    # rho^2 is pinned at ppm, so compare at the squared level (the rho
+    # error scales as 1e-6 / (2|rho|) and blows past ppm for small rho)
+    assert abs(out.rho**2 - rho_ref**2) <= 2e-6
+    assert (out.rho > 0) == (rho_ref > 0)
+
+
+def test_qte_matches_naive_rank_selection(spark, sf_dir):
+    """Per-arm type-1 quantiles recomputed by sorting the raw arm
+    outcomes in Python must equal the distributed rank selection."""
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    per = defaultdict(int)
+    for r in rows:
+        per[r.o_custkey] += round(r.o_totalprice * 100)
+    arms = defaultdict(list)
+    for cust, y in per.items():
+        arms[_md5_bucket("qte", cust) % 2].append(y)
+    for a in arms:
+        arms[a].sort()
+    out = {
+        r.pct: r
+        for r in registry.get_query("analytics_quantile_treatment_effect")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for p in (25, 50, 75, 90):
+        qc = arms[0][(p * len(arms[0]) + 99) // 100 - 1]
+        qt = arms[1][(p * len(arms[1]) + 99) // 100 - 1]
+        assert out[p].q_control_cents == qc
+        assert out[p].q_treatment_cents == qt
+        assert out[p].qte_cents == qt - qc

@@ -215,6 +215,8 @@ PROBES = [
     "graph_modularity_score",
     "text_js_divergence_sources",
     "mlprep_isotonic_calibration",
+    "win_rsi_indicator",
+    "multimodal_mp3_sideinfo_parse",
 ]
 
 
