@@ -1032,3 +1032,65 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_tot) AS BIGINT)"
         ).alias("winsor_mean_milli"),
     )
+
+
+@register(
+    "agg_entropy_pergroup",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus AS grp, o_orderpriority AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_values
+      FROM c GROUP BY grp)
+SELECT c.grp AS grp, t.n_values, t.tot AS n_rows,
+       round(sum(-(CAST(c.n AS DOUBLE) / t.tot)
+                 * ln(CAST(c.n AS DOUBLE) / t.tot)), 9) AS entropy_nats,
+       round(sum(-(CAST(c.n AS DOUBLE) / t.tot)
+                 * ln(CAST(c.n AS DOUBLE) / t.tot)) / ln(CAST(t.n_values AS DOUBLE)),
+             9) AS normalized_entropy
+FROM c JOIN t USING (grp)
+GROUP BY c.grp, t.n_values, t.tot
+""",
+    doc="Shannon entropy of the category distribution per group (order "
+    "priority within order status) plus the 0-1 normalized variant "
+    "(divided by ln(distinct values)) — the column-profiling signal "
+    "for predictability/uniformity that the gini-impurity key "
+    "(agg_gini_impurity_category) approximates polynomially; entropy "
+    "is the information-theoretic exact version.  Float discipline: "
+    "counts are exact integers; p*ln(p) terms are IEEE doubles from "
+    "identical literal expressions, sums rounded at 1e-9 on both "
+    "engines (the perplexity-family transcendental re-sync).  Scale "
+    "posture: one (group, value) partial-agg fact pass; the entropy "
+    "algebra runs on the KB-sized grid.",
+    tags=("aggregates",),
+)
+def agg_entropy_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderpriority").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("grp").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n_values"),
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "grp")
+        .groupBy("grp", "n_values", "tot")
+        .agg(
+            F.round(F.sum(-p * F.log(p)), 9).alias("entropy_nats"),
+            F.round(
+                F.sum(-p * F.log(p)) / F.log(F.col("n_values").cast("double")), 9
+            ).alias("normalized_entropy"),
+        )
+        .select(
+            "grp",
+            "n_values",
+            F.col("tot").alias("n_rows"),
+            "entropy_nats",
+            "normalized_entropy",
+        )
+    )

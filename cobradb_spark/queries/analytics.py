@@ -3924,3 +3924,145 @@ def analytics_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> Dat
         .cast("bigint")
         .alias("qte_cents"),
     )
+
+
+@register(
+    "analytics_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS supp,
+         CAST(sum(CAST(l.l_extendedprice * 100 AS DECIMAL(18,0)))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, l.l_suppkey),
+tot AS (
+  SELECT nation, CAST(sum(cents) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY nation),
+h AS (
+  SELECT r.nation, t.n_suppliers,
+         CAST(sum(CAST(r.cents AS HUGEINT) * r.cents) * 1000000
+              // (CAST(t.total AS HUGEINT) * t.total) AS BIGINT) AS hhi_ppm
+  FROM rev r JOIN tot t USING (nation)
+  GROUP BY r.nation, t.n_suppliers, t.total)
+SELECT nation, n_suppliers, hhi_ppm,
+       CAST(CASE WHEN hhi_ppm > 250000 THEN 1 ELSE 0 END AS BIGINT)
+         AS highly_concentrated
+FROM h
+""",
+    doc="Herfindahl-Hirschman market-concentration index per nation "
+    "(the antitrust-screening statistic; HHI > 0.25 = highly "
+    "concentrated under the DOJ 2010 guideline, flagged): supplier "
+    "revenue shares squared and summed, computed WITHOUT materializing "
+    "any share — sum(cents^2)*1e6 // total^2 is one exact "
+    "truncating-division ppm over 128-bit products (identical algebra "
+    "to sum((c/t)^2) since the denominator factors out).  Scale "
+    "posture: one fact rollup to (nation, supplier) revenue — "
+    "map-side combinable — then a |nations|-row concentration rollup; "
+    "dimension joins broadcast.",
+    tags=("analytics",),
+)
+def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.expr("CAST(l_extendedprice * 100 AS DECIMAL(18,0))"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    h = (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers", "total")
+        .agg(
+            F.expr(
+                "CAST(div(sum(CAST(cents AS DECIMAL(19,0)) * cents) * 1000000,"
+                " CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+            ).alias("hhi_ppm")
+        )
+    )
+    return h.select(
+        "nation",
+        "n_suppliers",
+        "hhi_ppm",
+        F.expr(
+            "CAST(CASE WHEN hhi_ppm > 250000 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("highly_concentrated"),
+    )
+
+
+@register(
+    "analytics_theil_index",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM spend)
+SELECT tot.n AS n_units,
+       round(sum((CAST(y AS DOUBLE) / tot.s)
+                 * ln(CAST(y AS DOUBLE) * tot.n / tot.s)), 9) AS theil_t,
+       round(sum(-ln(CAST(y AS DOUBLE) * tot.n / tot.s)) / tot.n, 9) AS theil_l
+FROM spend, tot
+GROUP BY tot.n
+""",
+    doc="Theil T and L inequality indices of customer spend — the "
+    "decomposable complement to the Gini family (agg_gini_spend): "
+    "T = sum(share * ln(x*n/total)) weights the rich tail, L (mean log "
+    "deviation) the poor tail; both 0 at perfect equality, and unlike "
+    "Gini they decompose additively across subgroups.  Float "
+    "discipline: x, n, total are exact integers; per-unit terms are "
+    "IEEE doubles from identical literal expressions and the sums "
+    "round at 1e-9 on both engines (the perplexity-family "
+    "transcendental re-sync; customer totals are strictly positive so "
+    "ln is total).  Scale posture: one groupBy(custkey) fact pass, a "
+    "1-row broadcast of (total, n), one partial-agg reduction.",
+    tags=("analytics",),
+)
+def analytics_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(18,0))"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    tot = spend.agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("y").cast("double") / F.col("s"))
+                    * F.log(F.col("y").cast("double") * F.col("n") / F.col("s"))
+                ),
+                9,
+            ).alias("theil_t"),
+            F.round(
+                F.sum(
+                    -F.log(F.col("y").cast("double") * F.col("n") / F.col("s"))
+                )
+                / F.col("n"),
+                9,
+            ).alias("theil_l"),
+        )
+        .select(F.col("n").alias("n_units"), "theil_t", "theil_l")
+    )

@@ -171,6 +171,8 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "graph_modularity_score", "text_js_divergence_sources",
     "mlprep_isotonic_calibration", "analytics_quantile_treatment_effect",
     "win_rsi_indicator", "multimodal_mp3_sideinfo_parse",
+    "analytics_hhi_concentration", "analytics_theil_index",
+    "agg_entropy_pergroup",
 )
 
 
