@@ -2526,3 +2526,122 @@ SELECT g.bin, g.n, g.pos,
        f.fitted_ppm
 FROM g JOIN fit f USING (bin)
 """)
+
+
+@register(
+    "mlprep_mutual_information",
+    oracle="""
+WITH j AS (
+  SELECT n.n_name AS a, c.c_mktsegment AS b, CAST(count(*) AS BIGINT) AS n
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM j GROUP BY a),
+mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM j GROUP BY b),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM j),
+mi AS (
+  SELECT tot.t, CAST(count(*) AS BIGINT) AS n_cells,
+         round(sum((CAST(j.n AS DOUBLE) / tot.t)
+                   * ln(CAST(j.n AS DOUBLE) * tot.t
+                        / (CAST(ma.na AS DOUBLE) * mb.nb))), 9) AS mi_nats
+  FROM j JOIN ma USING (a) JOIN mb USING (b), tot
+  GROUP BY tot.t),
+ha AS (
+  SELECT round(sum(-(CAST(na AS DOUBLE) / tot.t)
+                   * ln(CAST(na AS DOUBLE) / tot.t)), 9) AS h
+  FROM ma, tot GROUP BY tot.t),
+hb AS (
+  SELECT round(sum(-(CAST(nb AS DOUBLE) / tot.t)
+                   * ln(CAST(nb AS DOUBLE) / tot.t)), 9) AS h
+  FROM mb, tot GROUP BY tot.t)
+SELECT mi.t AS n_rows, mi.n_cells, mi.mi_nats,
+       ha.h AS h_a, hb.h AS h_b,
+       round(mi.mi_nats / sqrt(ha.h * hb.h), 9) AS nmi
+FROM mi, ha, hb
+""",
+    doc="Mutual information between two categorical features (customer "
+    "nation x market segment) plus entropies and the sqrt-normalized "
+    "NMI — the information-theoretic feature-association score next to "
+    "mlprep_cramers_v (chi-square based) and mlprep_information_value "
+    "(binary-target WoE): MI is the one that generalizes to any "
+    "downstream model.  MI = sum (p_ab * ln(p_ab/(p_a*p_b))) over the "
+    "contingency grid.  Float discipline: all counts exact integers; "
+    "each transcendental sum rounds at 1e-9 before the NMI combine "
+    "(the perplexity-family re-sync), so both engines agree bit-for-"
+    "bit.  Scale posture: one fact rollup to the |A|x|B| grid "
+    "(map-side combinable), marginals and MI algebra on the KB-sized "
+    "grid, dimension join broadcast.",
+    tags=("mlprep",),
+)
+def mlprep_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("a"), F.col("c_mktsegment").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    ma = j.groupBy("a").agg(F.sum("n").cast("bigint").alias("na"))
+    mb = j.groupBy("b").agg(F.sum("n").cast("bigint").alias("nb"))
+    tot = j.agg(F.sum("n").cast("bigint").alias("t"))
+    mi = (
+        j.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(
+                    (F.col("n").cast("double") / F.col("t"))
+                    * F.log(
+                        F.col("n").cast("double")
+                        * F.col("t")
+                        / (F.col("na").cast("double") * F.col("nb"))
+                    )
+                ),
+                9,
+            ).alias("mi_nats"),
+        )
+    )
+    ha = (
+        ma.crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.round(
+                F.sum(
+                    -(F.col("na").cast("double") / F.col("t"))
+                    * F.log(F.col("na").cast("double") / F.col("t"))
+                ),
+                9,
+            ).alias("h_a")
+        )
+        .drop("t")
+    )
+    hb = (
+        mb.crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.round(
+                F.sum(
+                    -(F.col("nb").cast("double") / F.col("t"))
+                    * F.log(F.col("nb").cast("double") / F.col("t"))
+                ),
+                9,
+            ).alias("h_b")
+        )
+        .drop("t")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("t").alias("n_rows"),
+            "n_cells",
+            "mi_nats",
+            "h_a",
+            "h_b",
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")), 9
+            ).alias("nmi"),
+        )
+    )

@@ -3254,3 +3254,74 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5 * F.log(F.lit(2.0)) * (2.0 - F.col("sum_pq")) + F.col("sum_c"), 9
         ).alias("jsd"),
     )
+
+
+_MATTR_W = 50  # moving-average TTR window (Covington-McFall standard)
+
+
+@register(
+    "text_mattr_lexical_diversity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+tok AS (
+  SELECT doc_id, list_extract(ts, CAST(r.i AS INTEGER)) AS term, r.i AS pos
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS r(i)
+  WHERE list_extract(ts, CAST(r.i AS INTEGER)) <> ''),
+win AS (
+  SELECT doc_id, pos,
+         CAST(count(DISTINCT term) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN {_MATTR_W - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS types,
+         CAST(count(*) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN {_MATTR_W - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nwin
+  FROM tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(types) AS BIGINT) AS sum_types,
+       CAST(sum(types) * 1000000 // ({_MATTR_W} * count(*)) AS BIGINT)
+         AS mattr_ppm
+FROM win WHERE nwin = {_MATTR_W}
+GROUP BY doc_id
+""",
+    doc=f"MATTR lexical diversity (Covington & McFall 2010 moving-"
+    f"average type-token ratio, window {_MATTR_W}): the length-"
+    "independent vocabulary-richness score LLM quality filters use "
+    "where raw TTR collapses with document length.  Per full window "
+    "of {_MATTR_W} consecutive tokens, the distinct-type count; MATTR "
+    "= mean window TTR, pinned as sum(types)*1e6 // (W*n_windows) — "
+    "exact integers end to end, no floats.  Scale posture: the window "
+    "is PARTITIONED BY doc (token positions from posexplode), so "
+    "state is document-bounded; one tokenize pass, one per-doc window, "
+    "one per-doc rollup.  Spark computes the windowed distinct count "
+    "as size(collect_set) over the bounded ROWS frame (count DISTINCT "
+    "is not directly windowable in Spark; the set is <= W elements).",
+    tags=("textops", "llm"),
+)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_MATTR_W - 1), 0)
+    )
+    win = tok.select(
+        "doc_id",
+        F.size(F.collect_set("term").over(w)).cast("bigint").alias("types"),
+        F.count("*").over(w).cast("bigint").alias("nwin"),
+    )
+    return (
+        win.filter(F.col("nwin") == _MATTR_W)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum("types").cast("bigint").alias("sum_types"),
+            F.expr(
+                f"CAST(div(sum(types) * 1000000, {_MATTR_W} * count(*)) AS BIGINT)"
+            ).alias("mattr_ppm"),
+        )
+    )

@@ -172,7 +172,8 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "mlprep_isotonic_calibration", "analytics_quantile_treatment_effect",
     "win_rsi_indicator", "multimodal_mp3_sideinfo_parse",
     "analytics_hhi_concentration", "analytics_theil_index",
-    "agg_entropy_pergroup",
+    "agg_entropy_pergroup", "text_mattr_lexical_diversity",
+    "mlprep_mutual_information",
 )
 
 
