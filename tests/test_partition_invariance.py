@@ -110,6 +110,14 @@ PROBE_KEYS = [
     "graph_modularity_score",
     "text_js_divergence_sources",
     "analytics_welch_ttest",
+    # late-r9 keys: transcendental 1e-9-rounded sums (theil, entropy,
+    # MI), the per-doc windowed collect_set, and the HHI share algebra
+    # must hold under any task layout
+    "analytics_theil_index",
+    "agg_entropy_pergroup",
+    "mlprep_mutual_information",
+    "text_mattr_lexical_diversity",
+    "analytics_hhi_concentration",
 ]
 
 

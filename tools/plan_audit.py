@@ -1620,6 +1620,44 @@ AUDITS = [
         "per-document BMP decode over Arrow batches; one row per "
         "document, nothing driver-side",
     ),
+    (
+        "analytics_hhi_concentration",
+        ["partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "one map-side-combined fact rollup to (nation, supplier) "
+        "revenue; dims broadcast; concentration algebra on the "
+        "|nations|-row grid",
+    ),
+    (
+        "analytics_theil_index",
+        ["partial_sum", "HashAggregate"],
+        ["SortMergeJoin", "BatchEvalPython"],
+        "one groupBy(custkey) fact pass; (total, n) is a 1-row "
+        "broadcast; the transcendental reduction is partial-aggregated",
+    ),
+    (
+        "agg_entropy_pergroup",
+        ["partial_count", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "one (group, value) partial-agg fact pass; entropy algebra on "
+        "the KB-sized grid with broadcast marginals",
+    ),
+    (
+        "text_mattr_lexical_diversity",
+        ["Window", "hashpartitioning(doc_id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "SinglePartition"],
+        "the TTR window is PARTITIONED BY doc_id (bounded ROWS frame, "
+        "collect_set <= W elements) — per-document state, never one "
+        "task; one tokenize pass, one per-doc rollup",
+    ),
+    (
+        "mlprep_mutual_information",
+        ["partial_count", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "one fact rollup to the |A|x|B| contingency grid; marginals "
+        "and MI algebra broadcast on KB-sized tables",
+    ),
 ]
 
 

@@ -217,6 +217,11 @@ PROBES = [
     "mlprep_isotonic_calibration",
     "win_rsi_indicator",
     "multimodal_mp3_sideinfo_parse",
+    "analytics_hhi_concentration",
+    "analytics_theil_index",
+    "agg_entropy_pergroup",
+    "text_mattr_lexical_diversity",
+    "mlprep_mutual_information",
 ]
 
 
