@@ -1750,7 +1750,7 @@ FROM dsum d LEFT JOIN intra i USING (lab) CROSS JOIN mm
     tags=("graph",),
 )
 def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.rank import pin_cache, release_rank_caches  # noqa: F401
+    from cobradb_spark.operators.rank import pin_cache
     from pyspark.sql import Window
 
     edges = pin_cache(_strong_edges_both_dirs(spark, sf_dir))
