@@ -3289,7 +3289,7 @@ GROUP BY doc_id
     f"average type-token ratio, window {_MATTR_W}): the length-"
     "independent vocabulary-richness score LLM quality filters use "
     "where raw TTR collapses with document length.  Per full window "
-    "of {_MATTR_W} consecutive tokens, the distinct-type count; MATTR "
+    f"of {_MATTR_W} consecutive tokens, the distinct-type count; MATTR "
     "= mean window TTR, pinned as sum(types)*1e6 // (W*n_windows) — "
     "exact integers end to end, no floats.  Scale posture: the window "
     "is PARTITIONED BY doc (token positions from posexplode), so "
