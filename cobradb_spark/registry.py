@@ -137,14 +137,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_near_graded",
 )
 
-# Staged r10 window: every key that will still lack a driver hash row
+# Staged r10 backlog: every key that will still lack a driver hash row
 # after the r9 window executes — the 4 keys displaced from the old r9
 # staging by the graded ANN companions, then the never-checked backlog
-# in its r8 priority order.  Keys ADDED in r9 are appended as they land
+# in its r8 priority order, then the 16 r9-new keys in landing order.
+# Keys ADDED mid-round are appended as they land
 # (tests/test_registry.py recomputes the never-checked set from the
 # CORRECTNESS_r*.json artifacts and asserts this list covers it
-# exactly, so the staging cannot rot).  Draining this in r10 gives
-# every oracle-carrying key driver evidence.
+# exactly, so the staging cannot rot).  56 keys > one 50-slot window:
+# the r10 rotation takes the FIRST 50 verbatim; the final 6 (and any
+# r10-new keys) drain in r11.  Every key here is locally tri-scale
+# EXACT and plain-session EXACT (see SURVEY §8 round-9 gates).
 _R10_PLANNED_HEAD: tuple[str, ...] = (
     "mlprep_time_split_embargo", "rollup_time_weighted_avg",
     "etl_surrogate_keys", "graph_degree_assortativity",
