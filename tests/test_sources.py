@@ -956,3 +956,43 @@ def test_mp3_sideinfo_fuzz_never_crashes():
         except ValueError:
             pass
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer2_requant_rational_matches_spec_form():
+    """The decoder's unified rational sample = sf*(2v+1-L)/L must equal
+    the spec's s'' = C*(s''' + D) form (ISO 11172-3 2.4.3.4 with the
+    Table B.4 constants: C = 2^nb/L; D = 1/2 for the grouped 3/5/9
+    quantizers, D = 2^(1-nb) for ungrouped L = 2^nb-1), where
+    s''' = v/2^(nb-1) - 1.  Exact-rational identity over EVERY level of
+    every allocation table row and every code value (capped for the
+    huge quantizers)."""
+    from fractions import Fraction
+
+    from cobradb_spark.operators.mp2 import (
+        _REGION_LEVELS_2,
+        _REGION_LEVELS_3,
+        _REGION_LEVELS_40,
+        _REGION_LEVELS_41,
+        GROUP_BITS,
+    )
+
+    levels = sorted(
+        set(_REGION_LEVELS_40 + _REGION_LEVELS_41 + _REGION_LEVELS_3 + _REGION_LEVELS_2)
+    )
+    for L in levels:
+        if L in GROUP_BITS:
+            nb = {3: 2, 5: 3, 9: 4}[L]
+            D = Fraction(1, 2)
+        else:
+            nb = L.bit_length()  # L = 2^nb - 1
+            assert (1 << nb) - 1 == L
+            D = Fraction(1, 1 << (nb - 1))
+        C = Fraction(1 << nb, L)
+        vs = range(L) if L <= 1024 else list(range(64)) + [L // 2, L - 1]
+        for v in vs:
+            s3 = Fraction(v, 1 << (nb - 1)) - 1
+            spec = C * (s3 + D)
+            unified = Fraction(2 * v + 1 - L, L)
+            assert spec == unified, (L, v)
+        # symmetry: the code space is symmetric around zero
+        assert Fraction(2 * 0 + 1 - L, L) == -Fraction(2 * (L - 1) + 1 - L, L)
