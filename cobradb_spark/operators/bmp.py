@@ -91,8 +91,12 @@ def decode_bmp(data: bytes) -> dict:
     stride = (3 * w + 3) & ~3
     if offset < _FILE_HDR.size + _INFO_HDR.size or offset + stride * h > len(data):
         raise ValueError("corrupt bmp: pixel data runs past EOF")
-    if file_size != len(data):
-        raise ValueError("corrupt bmp: header file size mismatch")
+    # bfSize is NOT validated against len(data): many real-world 24-bpp
+    # writers emit a bogus bfSize (commonly 0) on otherwise-decodable
+    # files, and the pixel-data bound above is the check that actually
+    # protects the reshape below (r9 ADVICE — general over
+    # strict-conformant).
+    _ = file_size
     rows = np.frombuffer(
         data[offset : offset + stride * h], dtype=np.uint8
     ).reshape(h, stride)

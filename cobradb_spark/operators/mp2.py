@@ -187,10 +187,17 @@ def encode_layer2(doc_id: int) -> bytes:
     sch = layer2_schedule(doc_id)
     sr_idx, sblimit = sch["sr_idx"], sch["sblimit"]
     alloc_sbs = sch["alloc_sbs"]
+    # ISO 11172-3 2.4.2.3: single_channel Layer II forbids 224-384 kbps
+    # (those rates are stereo-mode-only), so every admissible set caps
+    # at 192 kbps for this mono encoder (r9 ADVICE).
     if sch["use_b"]:
-        admissible = [i for i in range(1, 15) if LAYER2_BITRATE_KBPS[i] >= 96]
-    elif sr_idx == 1:  # 48 kHz: B.2a at any supported rate
-        admissible = [i for i in range(1, 15) if 56 <= LAYER2_BITRATE_KBPS[i]]
+        admissible = [
+            i for i in range(1, 15) if 96 <= LAYER2_BITRATE_KBPS[i] <= 192
+        ]
+    elif sr_idx == 1:  # 48 kHz: B.2a at any mono-admissible rate
+        admissible = [
+            i for i in range(1, 15) if 56 <= LAYER2_BITRATE_KBPS[i] <= 192
+        ]
     else:  # B.2a at 44.1/32 kHz: must stay <= 80 kbps
         admissible = [
             i for i in range(1, 15) if 56 <= LAYER2_BITRATE_KBPS[i] <= 80
@@ -266,6 +273,14 @@ def decode_layer2(data: bytes) -> dict:
         pad = (b2 >> 1) & 1
         if br_idx in (0, 15):
             raise ValueError(f"unsupported layer2 stream: bitrate index {br_idx}")
+        if LAYER2_BITRATE_KBPS[br_idx] > 192:
+            # ISO 11172-3 2.4.2.3: 224-384 kbps are stereo-mode-only in
+            # Layer II; a single_channel frame claiming one is
+            # non-conformant (r9 ADVICE).
+            raise ValueError(
+                "corrupt layer2 stream: "
+                f"{LAYER2_BITRATE_KBPS[br_idx]} kbps not allowed for mono"
+            )
         if sr_idx == 3:
             raise ValueError("corrupt layer2 stream: reserved sample-rate index")
         if (b3 >> 6) != 0b11:

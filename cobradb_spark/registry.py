@@ -92,63 +92,23 @@ def _load() -> None:
 # oracle output AS BIGINT, and tools/check.py now fails on dtype-class
 # mismatches so local EXACT implies driver-hashable again).
 #
-# Round 9 window (_DRIVER_PRIORITY below, 50 keys, ALL oracle-carrying
-# — first window with no rows-only tail):
-#   (a) the first 46 keys of the r8-staged _R9_PLANNED_HEAD verbatim
-#       (r8 VERDICT item 1): agg_weighted_median_exact leads because its
-#       quantization changed in r8 (floor(x*100+0.5) on both engines);
-#       analytics_ratio_delta_ci carries the r6 DECIMAL overflow fix;
-#       then the r7-staged queue in its original priority order
-#       (experimentation / RAG / feature-store / geo families first).
-#   (b) the 4 graded ANN companions pulled forward from the r10 backlog
-#       (r8 VERDICT item 2): the approximate family has never had a
-#       driver hash row; the *_graded keys hash the exact-side counts
-#       plus a measured-recall verdict, closing that gap a round early.
-#       The 4 displaced tail keys of the old staging
-#       (mlprep_time_split_embargo, rollup_time_weighted_avg,
-#       etl_surrogate_keys, graph_degree_assortativity) move to the r10
-#       head; the 2 double-staged re-checks (scan_csv_tsv,
-#       scan_json_lines — driver rows since r2/r3) are unstaged so the
-#       backlog is exactly the never-checked set.
+# Round 10 window (_DRIVER_PRIORITY below): the FIRST 50 keys of the
+# r9-staged _R10_PLANNED_HEAD verbatim (r9 VERDICT item 1) — the 4
+# displaced-tail keys from the r9 graded-ANN pull-forward lead, then
+# multimodal_mp1_subband_decode, the r8 eval-stats/robust-stats batch
+# (mlprep_roc_auc, mlprep_ks_statistic, analytics_bootstrap_ci,
+# mlprep_cramers_v, text_zipf_fit, ...), the r9-rewired
+# text_burstiness_dispersion, and the 16 r9-new keys in landing order.
+# All 50 are oracle-carrying and first-time driver rows; 32 of them
+# were independently re-verified EXACT by the r9 judge
+# (tools/check.py --plain at sf0.01).  A 51st entry, sim_ann_lsh, sits
+# past the observed 50-row window: the driver has hash-checked exactly
+# the first 50 queries() entries every round (CORRECTNESS_r01-r09), so
+# it costs nothing today, but if the window ever widens it refreshes
+# the one §2 key whose latest driver row is a stale r8 `no_oracle`
+# entry (r9 VERDICT item 5); the guaranteed refresh is staged at the
+# head of the r11 rotation plan below.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "agg_weighted_median_exact", "analytics_ratio_delta_ci",
-    "etl_contract_schema_diff", "sink_csv_quoted_roundtrip",
-    "dedup_exactsubstr_cut", "graph_sssp_weighted", "mlprep_group_kfold",
-    "analytics_markov_transitions", "multimodal_audio_resample",
-    "etl_incremental_agg_retract", "events_forecast_backtest",
-    "text_bpe_train", "multimodal_scene_cut_keyframes",
-    "rollup_state_duration", "agg_median_exact_pergroup",
-    "etl_l_diversity_check", "etl_bitemporal_snapshot",
-    "graph_personalized_pagerank", "sim_topk_incremental",
-    "analytics_top_paths", "rag_chunk_index_mips", "win_bollinger_bands",
-    "analytics_subsequence_support", "text_kneser_ney_bigram",
-    "geo_dbscan_grid", "text_source_distinctive_terms",
-    "agg_tdigest_quantile", "analytics_new_returning_users",
-    "mlprep_undersample_balanced", "join_interval_self_overlap",
-    "analytics_experiment_srm_check", "mlprep_pit_training_set",
-    "multimodal_audio_vad", "analytics_power_mde",
-    "etl_scd3_current_previous", "text_ngram_novelty_rate",
-    "analytics_value_migration_matrix", "graph_brand_assortativity",
-    "dedup_near_cluster_keep_best", "stream_temporal_dim_enrich",
-    "rollup_dow_hour_heatmap", "events_inter_arrival_stats",
-    "rag_hybrid_rrf_fusion", "sim_mmr_diversified", "analytics_cohort_ltv",
-    "sim_filtered_topk",
-    "sim_ann_lsh_graded", "sim_ann_ivf_graded", "sim_ann_ivf_pq_graded",
-    "dedup_minhash_near_graded",
-)
-
-# Staged r10 backlog: every key that will still lack a driver hash row
-# after the r9 window executes — the 4 keys displaced from the old r9
-# staging by the graded ANN companions, then the never-checked backlog
-# in its r8 priority order, then the 16 r9-new keys in landing order.
-# Keys ADDED mid-round are appended as they land
-# (tests/test_registry.py recomputes the never-checked set from the
-# CORRECTNESS_r*.json artifacts and asserts this list covers it
-# exactly, so the staging cannot rot).  56 keys > one 50-slot window:
-# the r10 rotation takes the FIRST 50 verbatim; the final 6 (and any
-# r10-new keys) drain in r11.  Every key here is locally tri-scale
-# EXACT and plain-session EXACT (see SURVEY §8 round-9 gates).
-_R10_PLANNED_HEAD: tuple[str, ...] = (
     "mlprep_time_split_embargo", "rollup_time_weighted_avg",
     "etl_surrogate_keys", "graph_degree_assortativity",
     "multimodal_mp1_subband_decode",
@@ -167,16 +127,40 @@ _R10_PLANNED_HEAD: tuple[str, ...] = (
     "join_asof_tolerance", "events_slo_burn_rate", "mlprep_nzv_filter",
     "etl_subject_access_export", "etl_pseudonymize_consistent",
     "etl_one_big_table", "events_apdex_score", "mlprep_confusion_matrix",
-    # --- keys added during r9 (appended as they land) ---
     "multimodal_mp2_subband_decode",
     "analytics_welch_ttest", "analytics_spearman_corr",
     "multimodal_bmp_decode", "analytics_propensity_match",
     "graph_modularity_score", "text_js_divergence_sources",
     "mlprep_isotonic_calibration", "analytics_quantile_treatment_effect",
-    "win_rsi_indicator", "multimodal_mp3_sideinfo_parse",
+    "win_rsi_indicator",
+    # --- past the 50-row window: rows-only refresh, see note above ---
+    "sim_ann_lsh",
+)
+
+# Staged r11 rotation plan: after the r10 window executes, EXACTLY the
+# 6 keys below still lack a driver hash row (the _R10_PLANNED_HEAD tail
+# displaced by the 50-slot window), plus any keys added during r10 —
+# appended as they land; tests/test_registry.py recomputes the
+# never-checked set from the CORRECTNESS_r*.json artifacts and asserts
+# this list covers it exactly, so the staging cannot rot.  The r11
+# window therefore zeroes the never-checked set with ~40 spare slots;
+# per r9 VERDICT items 2+5 the spare slots go to (a) a fresh rows-only
+# row for sim_ann_lsh (its latest driver row is a stale r8 `no_oracle`
+# entry) alongside its graded companion, then (b) re-checks of the
+# oldest surviving driver evidence (the r2/r3 rows).  Every staged key
+# is locally tri-scale EXACT and plain-session EXACT (SURVEY §8).
+_R11_PLANNED_HEAD: tuple[str, ...] = (
+    "multimodal_mp3_sideinfo_parse",
     "analytics_hhi_concentration", "analytics_theil_index",
     "agg_entropy_pergroup", "text_mattr_lexical_diversity",
     "mlprep_mutual_information",
+    # --- keys added during r10 (appended as they land) ---
+)
+
+# r11 refresh tail (after _R11_PLANNED_HEAD drains): stale-row and
+# oldest-evidence re-checks, not first-time keys.
+_R11_REFRESH: tuple[str, ...] = (
+    "sim_ann_lsh", "sim_ann_lsh_graded",
 )
 
 

@@ -51,26 +51,29 @@ def test_entry_contract_shapes():
 def test_driver_window_keys_are_oracle_carrying():
     """The correctness driver hash-checks the FIRST 50 queries() entries;
     a rows-only or unregistered key in that window wastes a driver row
-    (r3 verdict: rotation is part of the verification contract).  The r9
-    window is the first with NO rows-only tail: the 4 graded ANN
-    companions (pulled forward per r8 VERDICT item 2) carry oracles."""
+    (r3 verdict: rotation is part of the verification contract).  The
+    r10 window is the first 50 keys of the r9-staged _R10_PLANNED_HEAD
+    verbatim (r9 VERDICT item 1) — all oracle-carrying, all first-time
+    driver rows.  Entry 51 (sim_ann_lsh) sits PAST the observed window
+    by design: rows-only refresh, zero-cost under a 50-row window."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
     window = list(qs)[:50]
-    assert window == list(registry._DRIVER_PRIORITY), (
-        "driver window must be exactly the rotated priority list"
+    assert window == list(registry._DRIVER_PRIORITY)[:50], (
+        "driver window must be exactly the first 50 of the rotated priority list"
     )
     for name in window:
         assert qs[name].oracle is not None, f"{name} in driver window without oracle"
-    # quantization/overflow-fix keys lead the window (re-proof first);
-    # the graded ANN companions close it (first driver hash rows for the
-    # approximate-similarity family)
-    assert window[:2] == ["agg_weighted_median_exact", "analytics_ratio_delta_ci"]
-    assert window[-4:] == [
-        "sim_ann_lsh_graded", "sim_ann_ivf_graded",
-        "sim_ann_ivf_pq_graded", "dedup_minhash_near_graded",
+    # the 4 displaced-tail keys from the r9 graded-ANN pull-forward lead;
+    # the last r9-new key (win_rsi_indicator) closes the 50-slot window
+    assert window[:4] == [
+        "mlprep_time_split_embargo", "rollup_time_weighted_avg",
+        "etl_surrogate_keys", "graph_degree_assortativity",
     ]
+    assert window[-1] == "win_rsi_indicator"
+    # past-window tail: only the documented rows-only refresh entry
+    assert list(registry._DRIVER_PRIORITY)[50:] == ["sim_ann_lsh"]
 
 
 def _driver_checked_keys():
@@ -84,31 +87,37 @@ def _driver_checked_keys():
     return checked
 
 
-def test_r10_staging_covers_never_checked_exactly():
-    """r8 VERDICT item 5: the staged r10 list must equal EXACTLY the set
+def test_r11_staging_covers_never_checked_exactly():
+    """r9 VERDICT item 2: the staged r11 list must equal EXACTLY the set
     of oracle-carrying keys that will still lack driver-hash evidence
-    after the r9 window runs — recomputed from the CORRECTNESS_r*.json
+    after the r10 window runs — recomputed from the CORRECTNESS_r*.json
     artifacts, so neither new keys nor re-shuffles can silently drop a
-    key from the drain path.  (Keys added during r9 must be appended to
-    _R10_PLANNED_HEAD; this test fails if they aren't.)"""
+    key from the drain path.  (Keys added during r10 must be appended to
+    _R11_PLANNED_HEAD; this test fails if they aren't.)"""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    staged = list(registry._R10_PLANNED_HEAD)
-    assert len(staged) == len(set(staged)), "duplicate keys in r10 staging"
+    staged = list(registry._R11_PLANNED_HEAD)
+    assert len(staged) == len(set(staged)), "duplicate keys in r11 staging"
     missing = [n for n in staged if n not in qs]
-    assert not missing, f"staged r10 names not registered: {missing}"
+    assert not missing, f"staged r11 names not registered: {missing}"
     for n in staged:
         assert qs[n].oracle is not None, f"{n} staged without oracle"
-    overlap = set(staged) & set(registry._DRIVER_PRIORITY)
-    assert not overlap, f"r10-staged keys already in the r9 window: {overlap}"
+    window = set(list(registry._DRIVER_PRIORITY)[:50])
+    overlap = set(staged) & window
+    assert not overlap, f"r11-staged keys already in the r10 window: {overlap}"
 
     checked = _driver_checked_keys()
-    after_r9 = checked | set(registry._DRIVER_PRIORITY)
-    never_after_r9 = {
-        n for n, q in qs.items() if q.oracle is not None and n not in after_r9
+    after_r10 = checked | window
+    never_after_r10 = {
+        n for n, q in qs.items() if q.oracle is not None and n not in after_r10
     }
-    assert set(staged) == never_after_r9, (
-        f"staging drift: missing={sorted(never_after_r9 - set(staged))} "
-        f"extra={sorted(set(staged) - never_after_r9)}"
+    assert set(staged) == never_after_r10, (
+        f"staging drift: missing={sorted(never_after_r10 - set(staged))} "
+        f"extra={sorted(set(staged) - never_after_r10)}"
     )
+    # r11 refresh tail: stale-row re-checks must already HAVE driver
+    # rows (they re-run, they don't drain the backlog)
+    for n in registry._R11_REFRESH:
+        assert n in qs, f"refresh key {n} not registered"
+        assert n in checked, f"refresh key {n} has no prior driver row"

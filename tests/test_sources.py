@@ -822,12 +822,17 @@ def test_bmp_decode_exact_and_clean_errors():
     assert orientations == {True, False}
 
     base = encode_bmp(42)
+    # bogus bfSize (commonly 0 in real-world writers) must still decode:
+    # the pixel-data bound, not bfSize, is the protective check (r9 ADVICE)
+    b = bytearray(base)
+    b[2:6] = b"\x00\x00\x00\x00"
+    assert np.array_equal(decode_bmp(bytes(b))["rgb"], decode_bmp(base)["rgb"])
     with pytest.raises(ValueError):
         decode_bmp(b"")
     with pytest.raises(ValueError):
         decode_bmp(b"XX" + base[2:])  # bad magic
     with pytest.raises(ValueError):
-        decode_bmp(base[:-4])  # truncated pixel data (file-size mismatch)
+        decode_bmp(base[:-4])  # truncated pixel data (runs past EOF)
     b = bytearray(base)
     b[28] = 8  # bpp -> 8 (palette)
     with pytest.raises(ValueError):

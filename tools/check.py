@@ -182,7 +182,7 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check exactly the staged r10 backlog (_R10_PLANNED_HEAD)",
+        help="check exactly the staged r11 backlog (_R11_PLANNED_HEAD)",
     )
     args = ap.parse_args()
 
@@ -191,7 +191,7 @@ def main() -> int:
     if args.window:
         names = list(registry._DRIVER_PRIORITY)
     elif args.staged:
-        names = list(registry._R10_PLANNED_HEAD)
+        names = list(registry._R11_PLANNED_HEAD)
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
@@ -200,6 +200,17 @@ def main() -> int:
     if args.plain:
         from pyspark.sql import SparkSession
 
+        # r9 ADVICE: builder.getOrCreate() silently REUSES any active
+        # session with its confs, which would hollow out the "bare
+        # session" proof this flag exists to provide — refuse instead.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            print(
+                "--plain requires no active SparkSession (found one; its "
+                "confs would leak into the 'bare session' proof)",
+                file=sys.stderr,
+            )
+            return 2
         spark = (
             SparkSession.builder.master("local[8]")
             .appName("check_plain")
