@@ -1405,6 +1405,89 @@ def sim_ann_ivf_pq_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_graded(spark, sf_dir, sim_ann_ivf_pq, 300)
 
 
+# ---------------------------------------------------------------------------
+# High-recall IVF operating points (r9 VERDICT item 3): the nprobe=2/
+# nlist=8 keys above pin the CHEAP end of the recall-vs-probe-cost
+# curve (candidate fraction 0.25, recall 0.32-0.68); a production ANN
+# deployment ships a >=0.8-recall point.  The tools/ann_sweep.py curve
+# (SCALING.md "ANN recall-vs-probe-cost") shows recall tracks the
+# candidate fraction nprobe/nlist on this embedding distribution, and
+# nlist=16/nprobe=8 (fraction 0.5) measures 0.86/0.96/0.855 (IVF) and
+# 0.86/0.96/0.83 (PQ, with ksub=64 codewords + shortlist=200 rerank)
+# at sf0.001/0.01/0.1.  At 100 TB nlist scales to ~sqrt(N) cells and
+# the same fraction knob trades scan cost for recall; the _hi keys pin
+# the curve's high end cross-engine the way the base keys pin the low.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_ivf_hi",
+    oracle=None,  # approximate; recall graded by sim_ann_ivf_hi_graded
+    doc="J4b-hi IVF ANN at the production-recall operating point: "
+    "nlist=16 cells, nprobe=8 (candidate fraction 0.5) — measured "
+    "recall@10 0.86-0.96 tri-scale vs brute force (tools/ann_sweep.py "
+    "curve in SCALING.md).  Same partition-pruned candidate scan as "
+    "sim_ann_ivf; only the cells-per-query knob moves.  rows-only; "
+    "the _graded companion carries the driver-hashable verdict.",
+)
+def sim_ann_ivf_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, probes, k=10, nlist=16, nprobe=8, seed=42)
+
+
+@register(
+    "sim_ann_ivf_pq_hi",
+    oracle=None,  # approximate; recall graded by sim_ann_ivf_pq_hi_graded
+    doc="J4c-hi IVF-PQ ANN at the production-recall operating point: "
+    "nlist=16, nprobe=8, ksub=64 codewords per subspace (6-bit codes), "
+    "shortlist=200 exact rerank — measured recall@10 0.83-0.96 "
+    "tri-scale.  The finer codebooks + deeper rerank lift the PQ "
+    "ceiling the base key's ksub=16/shortlist=100 config hits (ADC "
+    "ordering error, not cell pruning, caps its recall at ~0.84 even "
+    "scanning every cell).  rows-only; graded companion carries the "
+    "driver-hashable verdict.",
+)
+def sim_ann_ivf_pq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.ivf import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(
+        emb, probes, k=10, nlist=16, nprobe=8, ksub=64, shortlist=200, seed=42
+    )
+
+
+@register(
+    "sim_ann_ivf_hi_graded",
+    oracle=_ANN_GRADED_ORACLE,
+    doc="Self-grading verdict for sim_ann_ivf_hi: macro-recall >= 0.75 "
+    "vs brute-force euclidean top-10 (measured 0.855-0.96 at "
+    "sf0.001/0.01/0.1 — threshold sits >=0.10 under the worst "
+    "measurement).  Paired with sim_ann_ivf_graded's 0.35 floor this "
+    "pins BOTH ends of the recall-vs-probe-cost curve cross-engine.",
+    tags=("llm",),
+)
+def sim_ann_ivf_hi_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_graded(spark, sf_dir, sim_ann_ivf_hi, 750)
+
+
+@register(
+    "sim_ann_ivf_pq_hi_graded",
+    oracle=_ANN_GRADED_ORACLE,
+    doc="Self-grading verdict for sim_ann_ivf_pq_hi: macro-recall >= "
+    "0.70 vs brute-force euclidean top-10 (measured 0.83-0.96 at "
+    "sf0.001/0.01/0.1 — threshold sits >=0.13 under the worst "
+    "measurement; PQ's residual ADC error costs a few points under "
+    "the same nlist=16/nprobe=8 coarse config as sim_ann_ivf_hi).",
+    tags=("llm",),
+)
+def sim_ann_ivf_pq_hi_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_graded(spark, sf_dir, sim_ann_ivf_pq_hi, 700)
+
+
 @register(
     "dedup_minhash_near_graded",
     oracle="""

@@ -155,6 +155,7 @@ _R11_PLANNED_HEAD: tuple[str, ...] = (
     "agg_entropy_pergroup", "text_mattr_lexical_diversity",
     "mlprep_mutual_information",
     # --- keys added during r10 (appended as they land) ---
+    "sim_ann_ivf_hi_graded", "sim_ann_ivf_pq_hi_graded",
 )
 
 # r11 refresh tail (after _R11_PLANNED_HEAD drains): stale-row and

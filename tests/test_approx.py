@@ -37,6 +37,20 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_ann_ivf_hi_recall_curve_points(spark, sf_dir):
+    """r9 VERDICT item 3: the _hi operating points (nlist=16, nprobe=8;
+    PQ adds ksub=64 + shortlist=200 rerank) must clear their graded
+    thresholds (0.75 IVF / 0.70 PQ) — the production end of the
+    recall-vs-probe-cost curve, vs the 0.35/0.30 floors the cheap
+    nprobe=2/nlist=8 keys pin."""
+    for name in ("sim_ann_ivf_hi_graded", "sim_ann_ivf_pq_hi_graded"):
+        rows = registry.get_query(name).fn(spark, sf_dir).collect()
+        assert len(rows) == 1, name
+        r = rows[0]
+        assert r.n_probes > 0 and r.n_exact_rows == r.n_probes * 10
+        assert r.recall_ok is True, name
+
+
 def test_minhash_pairs_are_really_similar(spark, sf_dir):
     """J2: every reported near-dup pair must have true shingle-Jaccard
     within +/-0.25 of the reported approximate distance."""
