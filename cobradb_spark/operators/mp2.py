@@ -273,18 +273,21 @@ def decode_layer2(data: bytes) -> dict:
         pad = (b2 >> 1) & 1
         if br_idx in (0, 15):
             raise ValueError(f"unsupported layer2 stream: bitrate index {br_idx}")
-        if LAYER2_BITRATE_KBPS[br_idx] > 192:
-            # ISO 11172-3 2.4.2.3: 224-384 kbps are stereo-mode-only in
-            # Layer II; a single_channel frame claiming one is
-            # non-conformant (r9 ADVICE).
-            raise ValueError(
-                "corrupt layer2 stream: "
-                f"{LAYER2_BITRATE_KBPS[br_idx]} kbps not allowed for mono"
-            )
         if sr_idx == 3:
             raise ValueError("corrupt layer2 stream: reserved sample-rate index")
         if (b3 >> 6) != 0b11:
             raise ValueError("unsupported layer2 stream: not single-channel")
+        if LAYER2_BITRATE_KBPS[br_idx] > 192:
+            # ISO 11172-3 2.4.2.3: 224-384 kbps are stereo-mode-only in
+            # Layer II; a single_channel frame claiming one is
+            # non-conformant (r9 ADVICE).  Checked AFTER the channel-mode
+            # gate so a stereo 224-384 kbps stream reports the accurate
+            # "not single-channel" rather than a misleading mono-bitrate
+            # message (r10 ADVICE).
+            raise ValueError(
+                "corrupt layer2 stream: "
+                f"{LAYER2_BITRATE_KBPS[br_idx]} kbps not allowed for mono"
+            )
         if sr is None:
             sr = SAMPLE_RATE[sr_idx]
         elif sr != SAMPLE_RATE[sr_idx]:

@@ -1363,7 +1363,7 @@ def _ann_graded(spark: SparkSession, sf_dir: str, ann_fn, thr_permille: int) -> 
     "its row set is bucket-specific): the same LSH top-10 is compared "
     "in-query against brute-force euclidean top-10 over the probe set, "
     "and the hash carries the oracle-replayable exact-side counts plus "
-    "macro-recall >= 0.75 (measured 0.96-1.00 across "
+    "pooled micro-recall >= 0.75 (measured 0.96-1.00 across "
     "sf0.001/0.01/0.1 — threshold sits >=0.2 under the worst "
     "measurement).  Random-hyperplane hashes are per-vector pure "
     "functions of seed 42, so the verdict is deterministic and "
@@ -1377,7 +1377,7 @@ def sim_ann_lsh_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf_graded",
     oracle=_ANN_GRADED_ORACLE,
-    doc="Self-grading verdict for sim_ann_ivf: macro-recall >= 0.35 vs "
+    doc="Self-grading verdict for sim_ann_ivf: pooled micro-recall >= 0.35 vs "
     "brute-force euclidean top-10 (measured 0.52-0.68 tri-scale).  The "
     "modest bar is the honest nprobe=2/nlist=8 coarse-quantizer "
     "CEILING — the config prunes 6 of 8 cells per query, trading "
@@ -1394,7 +1394,7 @@ def sim_ann_ivf_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf_pq_graded",
     oracle=_ANN_GRADED_ORACLE,
-    doc="Self-grading verdict for sim_ann_ivf_pq: macro-recall >= 0.30 "
+    doc="Self-grading verdict for sim_ann_ivf_pq: pooled micro-recall >= 0.30 "
     "vs brute-force euclidean top-10 (measured 0.44-0.68 tri-scale; "
     "PQ's 8-byte codes cost a few points under the same "
     "nprobe=2/nlist=8 coarse ceiling as sim_ann_ivf, the RAM-for- "
@@ -1463,7 +1463,7 @@ def sim_ann_ivf_pq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf_hi_graded",
     oracle=_ANN_GRADED_ORACLE,
-    doc="Self-grading verdict for sim_ann_ivf_hi: macro-recall >= 0.75 "
+    doc="Self-grading verdict for sim_ann_ivf_hi: pooled micro-recall >= 0.75 "
     "vs brute-force euclidean top-10 (measured 0.855-0.96 at "
     "sf0.001/0.01/0.1 — threshold sits >=0.10 under the worst "
     "measurement).  Paired with sim_ann_ivf_graded's 0.35 floor this "
@@ -1477,7 +1477,7 @@ def sim_ann_ivf_hi_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf_pq_hi_graded",
     oracle=_ANN_GRADED_ORACLE,
-    doc="Self-grading verdict for sim_ann_ivf_pq_hi: macro-recall >= "
+    doc="Self-grading verdict for sim_ann_ivf_pq_hi: pooled micro-recall >= "
     "0.70 vs brute-force euclidean top-10 (measured 0.83-0.96 at "
     "sf0.001/0.01/0.1 — threshold sits >=0.13 under the worst "
     "measurement; PQ's residual ADC error costs a few points under "

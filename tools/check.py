@@ -203,7 +203,10 @@ def main() -> int:
         # r9 ADVICE: builder.getOrCreate() silently REUSES any active
         # session with its confs, which would hollow out the "bare
         # session" proof this flag exists to provide — refuse instead.
-        active = SparkSession.getActiveSession()
+        # r10 ADVICE: getActiveSession() is thread-local, so ALSO check
+        # the process-wide default session (what getOrCreate() actually
+        # falls back to when this thread has no active one).
+        active = SparkSession.getActiveSession() or SparkSession.getDefaultSession()
         if active is not None:
             print(
                 "--plain requires no active SparkSession (found one; its "
