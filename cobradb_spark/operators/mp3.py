@@ -7,10 +7,11 @@ decides routing, sharding, and dedup BEFORE any expensive decode.  This
 module implements that pass for real, from the published MPEG-1 header
 layout (ISO/IEC 11172-3 frame header: 11-bit syncword, version/layer
 bits, 4-bit bitrate index, 2-bit sampling-rate index, padding bit), plus
-ID3v2 tag skipping (syncsafe 28-bit size, the id3.org spec).  Full
-Huffman/IMDCT PCM decode remains the documented NotImplementedError stub
-in operators/multimodal.py — indexing is the honest subset that is both
-genuinely useful and implementable without an audio library.
+ID3v2 tag skipping (syncsafe 28-bit size, the id3.org spec).  Layer III
+Huffman main-data symbol decode is real too (operators/mp3huff.py,
+query multimodal_mp3_huffman_decode); what remains the documented
+NotImplementedError boundary is requantization + IMDCT + synthesis —
+waveform math, not bitstream work.
 
 Synthesis builds spec-valid frame sequences (real headers, deterministic
 filler payload) so the walk is exercised end-to-end: per-frame bitrate
@@ -351,10 +352,11 @@ def decode_layer1(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # MPEG-1 Layer III side information (ISO/IEC 11172-3 2.4.1.7) — every
 # field is a fixed-width bitfield, so parsing it needs no Huffman work.
-# This shrinks the honest Layer-III boundary to exactly the main-data
-# stages (Huffman symbol decode, requantization, IMDCT): container walk
-# (index_mp3), header arithmetic, and now the full side-info record are
-# real; the fixture's main data is zero bits, a synthetic simplification
+# Huffman symbol decode over this record is real as well (mp3huff.py),
+# leaving requantization + IMDCT + synthesis as the honest Layer-III
+# boundary: container walk (index_mp3), header arithmetic, and the full
+# side-info record are real; THIS fixture's main data is zero bits, a
+# synthetic simplification
 # documented at the query (the side info itself is spec-valid and the
 # declared part2_3 lengths FIT the frame's main-data area with
 # main_data_begin = 0, so the framing is structurally consistent).

@@ -747,6 +747,57 @@ def parse_mp3_sideinfo_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mp3_main(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One mono MPEG-1 Layer III stream per row with REAL Huffman-coded
+    main data (operators/mp3huff.py encode_mp3_main): slen-coded
+    scalefactors with scfsi sharing, region-partitioned big-value pairs
+    against the published small-value codebooks, count1 quadruples on
+    both tables, sign bits, per-frame fitted bitrate,
+    main_data_begin = 0."""
+    from cobradb_spark.operators.mp3huff import encode_mp3_main
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [encode_mp3_main(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_mp3_main_features(df: DataFrame) -> DataFrame:
+    """REAL Layer III main-data decode (operators/mp3huff.py
+    decode_mp3_main: side info, scalefactors, Huffman big-value +
+    count1 symbol decode, stuffing skip) over Arrow batches.  Emits
+    the integer aggregates the SQL oracle replays — sum_is/sum_abs_is/
+    n_nonzero are functions of the DECODED spectral values, so the
+    hash checks every codeword boundary and sign bit, not just the
+    framing."""
+    from cobradb_spark.operators.mp3huff import decode_mp3_main
+
+    cols = (
+        "n_frames", "sample_rate", "n_long", "n_short",
+        "n_sf_transmitted", "sum_scalefac", "sum_part2_bits",
+        "n_bv_pairs", "n_c1_quads", "sum_abs_is", "sum_is",
+        "n_nonzero", "rzero_total",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_mp3_main(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One spec-valid 24-bpp Windows BMP per row (operators/bmp.py
     encode_bmp): real BITMAPFILEHEADER/BITMAPINFOHEADER, BGR byte

@@ -1001,3 +1001,130 @@ def test_layer2_requant_rational_matches_spec_form():
             assert spec == unified, (L, v)
         # symmetry: the code space is symmetric around zero
         assert Fraction(2 * 0 + 1 - L, L) == -Fraction(2 * (L - 1) + 1 - L, L)
+
+
+def test_mp3_huffman_main_roundtrip_and_clean_errors():
+    """Layer III Huffman main-data contract (operators/mp3huff.py):
+    (a) decode(encode(doc)) recovers the schedule's granule records
+    EXACTLY — every transmitted scalefactor, every big-value spectral
+    sample with its sign, every count1 quad — across all three sample
+    rates, short/long granules, scfsi frames, both count1 tables and
+    zero-table regions; (b) integer aggregates match an independent
+    replay; (c) spec-violating streams fail loudly."""
+    import pytest
+
+    from cobradb_spark.operators.mp3huff import (
+        SFB_LONG,
+        _TMAX,
+        decode_mp3_main,
+        encode_mp3_main,
+        mp3_main_schedule,
+    )
+
+    covered = set()
+    for did in (0, 1, 2, 3, 5, 7, 12, 42, 100, 257, 333):
+        out = decode_mp3_main(encode_mp3_main(did))
+        sch = mp3_main_schedule(did)
+        assert out["n_frames"] == sch["n_frames"]
+        sfb = SFB_LONG[out["sample_rate"]]
+        gi = 0
+        for f in range(sch["n_frames"]):
+            both_long = not (sch["short"](f, 0) or sch["short"](f, 1))
+            scfsi = sch["scfsi"](f) if both_long else 0
+            for g in range(2):
+                gr = out["granules"][gi]
+                gi += 1
+                short = sch["short"](f, g)
+                assert gr["short"] == short
+                covered.add(("short" if short else "long", out["sample_rate"]))
+                bv = sch["big_values"](f, g)
+                assert gr["big_values"] == bv
+                assert gr["n_quads"] == sch["n_quads"](f, g)
+                # independent replay of the spectral values
+                if short:
+                    bounds = [min(36, 2 * bv), 2 * bv]
+                else:
+                    r0c, r1c = sch["region0"](f, g), sch["region1"](f, g)
+                    bounds = [
+                        min(sfb[r0c + 1], 2 * bv),
+                        min(sfb[r0c + r1c + 2], 2 * bv),
+                        2 * bv,
+                    ]
+                want = []
+                lo = 0
+                for r, bound in enumerate(bounds):
+                    m = _TMAX[sch["table"](f, g, r)]
+                    if m == 0:
+                        covered.add("zero_table")
+                    for i in range(lo, bound):
+                        v = sch["bv_value"](f, g, i, m)
+                        if v and sch["bv_sign"](f, g, i):
+                            v = -v
+                        want.append(v)
+                    lo = bound
+                covered.add(("ct", sch["count1table"](f, g)))
+                for q in range(sch["n_quads"](f, g)):
+                    for p in range(4):
+                        b = sch["c1_bit"](f, g, q, p)
+                        if b and sch["c1_sign"](q, p):
+                            b = -b
+                        want.append(b)
+                assert gr["values"] == want
+                if scfsi and g == 1:
+                    covered.add("scfsi_shared")
+    # the doc set must actually exercise the full surface
+    assert {("ct", 0), ("ct", 1), "zero_table", "scfsi_shared"} <= covered
+    blocks = {t[0] for t in covered if isinstance(t, tuple) and t[0] in ("short", "long")}
+    rates = {t[1] for t in covered if isinstance(t, tuple) and t[0] in ("short", "long")}
+    assert blocks == {"short", "long"}
+    assert rates == {44100, 48000, 32000}
+
+    base = encode_mp3_main(42)
+    with pytest.raises(ValueError):
+        decode_mp3_main(b"")
+    with pytest.raises(ValueError):
+        decode_mp3_main(b"\x00" * 32)  # no sync
+    with pytest.raises(ValueError):
+        decode_mp3_main(base[:-5])  # truncated final frame
+    b = bytearray(base)
+    b[4] |= 0x80  # main_data_begin != 0 -> bit reservoir unsupported
+    with pytest.raises(ValueError, match="reservoir"):
+        decode_mp3_main(bytes(b))
+    b = bytearray(base)
+    b[1] = (b[1] & ~0b110) | 0b100  # layer bits -> Layer II
+    with pytest.raises(ValueError):
+        decode_mp3_main(bytes(b))
+
+
+def test_mp3_huffman_decoder_fuzz_never_crashes():
+    """Mutation fuzz: flip one byte anywhere in a valid Layer III
+    stream, or truncate it — decode_mp3_main must either raise
+    ValueError (clean rejection) or return a well-formed dict; never
+    an IndexError/KeyError crash, never a hang.  Kraft-completeness of
+    the bundled codebooks means a corrupted payload can always decode
+    SOME symbol — structural checks, not codeword lookup, do the
+    rejecting."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp3huff import decode_mp3_main, encode_mp3_main
+
+    base = bytearray(encode_mp3_main(42))
+    rng = np.random.default_rng(4242)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(300):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_mp3_main(bytes(b))
+            assert out["n_frames"] >= 1
+            assert len(out["granules"]) == 2 * out["n_frames"]
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    for cut in range(1, 80):
+        try:
+            decode_mp3_main(bytes(base[:cut]))
+        except ValueError:
+            pass
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes

@@ -1614,6 +1614,13 @@ AUDITS = [
         "document, nothing driver-side",
     ),
     (
+        "multimodal_mp3_huffman_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document Layer III Huffman main-data decode over Arrow "
+        "batches; one row per document, nothing driver-side",
+    ),
+    (
         "multimodal_bmp_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],
