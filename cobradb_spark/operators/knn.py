@@ -43,12 +43,6 @@ def estimate_matrix_bytes(emb: DataFrame, vec_col: str = "embedding") -> int:
     return n * (dim or 0) * 8
 
 
-def _collect_unit_matrix(emb: DataFrame, id_col: str, vec_col: str):
-    """Driver-collect the corpus, sorted by id, rows L2-normalized."""
-    rows = emb.select(id_col, vec_col).collect()
-    return _rows_to_unit_matrix(rows)
-
-
 def _rows_to_unit_matrix(rows):
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -253,13 +247,21 @@ def cosine_pairs_broadcast(
     """All ordered pairs (a_id < b_id) with cosine >= threshold, via the
     broadcast-matrix BLAS kernel.  Exact; corpus side must fit the
     broadcast budget (see cosine_near_pairs for the gated dispatcher,
-    which passes its already-gated collect through `_precollected`)."""
+    which passes its already-gated collect through `_precollected`).
+    Direct callers ride the same gate: an over-budget corpus raises
+    instead of collecting unboundedly (r10 VERDICT hardening)."""
     spark = emb.sparkSession
-    ids, mat_n = (
-        _precollected
-        if _precollected is not None
-        else _collect_unit_matrix(emb, id_col, vec_col)
-    )
+    if _precollected is not None:
+        ids, mat_n = _precollected
+    else:
+        got = _collect_unit_matrix_gated(emb, id_col, vec_col, BROADCAST_BYTES_LIMIT)
+        if got is None:
+            raise ValueError(
+                f"cosine_pairs_broadcast corpus matrix exceeds the "
+                f"{BROADCAST_BYTES_LIMIT >> 20} MiB broadcast budget; use "
+                "cosine_near_pairs, which falls back to the LSH-bucketed path"
+            )
+        ids, mat_n = got
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat_n)
 

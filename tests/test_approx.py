@@ -407,3 +407,23 @@ def test_tdigest_query_flags_true_under_repartition(spark, sf_dir):
     for r in out:
         assert r.td_p50_within_1pct is True
         assert r.td_p95_within_1pct is True
+
+
+def test_cosine_pairs_broadcast_direct_call_rides_the_gate(spark, sf_dir, monkeypatch):
+    """r10 VERDICT hardening: cosine_pairs_broadcast called DIRECTLY
+    (not via the cosine_near_pairs dispatcher) must still refuse an
+    over-budget corpus with the documented error instead of collecting
+    it unboundedly — and still work when pre-collected rows are handed
+    in by the dispatcher."""
+    import pytest
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(knn, "BROADCAST_BYTES_LIMIT", 64)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        knn.cosine_pairs_broadcast(emb, 0.4).count()
+    # in-budget direct call still produces pairs
+    monkeypatch.setattr(knn, "BROADCAST_BYTES_LIMIT", 512 * 1024 * 1024)
+    assert knn.cosine_pairs_broadcast(emb, 0.4).count() > 0
