@@ -24,11 +24,15 @@ constants, which reduces to ONE exact rational for every quantizer
 for grouped L in {3,5,9} it is (2^nb/L)*(v/2^(nb-1) - 1 + 1/2) — both
 verified symmetric and matching Table B.4's C/D columns).
 
-Honest boundary, same discipline as Layer I (operators/mp3.py): the
-low-rate tables B.2c/B.2d (32/48 kbps) are NOT implemented — the
-decoder raises on them — and the polyphase synthesis window to PCM
-remains out of scope.  Everything through exact requantization is
-real and general over conformant mono streams at 56-192 kbps.
+All four published allocation tables are implemented: B.2a (sblimit
+27) / B.2b (sblimit 30) for 56-192 kbps, and the low-rate B.2c
+(sblimit 8) / B.2d (sblimit 12) for 32/48 kbps — the low-rate tables
+share one quantizer row (3,5,9,15,...,32767 — no 7-level class) over
+an nbal-4 region (sb 0-1) and an nbal-3 region (sb 2+), with B.2d
+selected at 32 kHz and B.2c at 44.1/48 kHz.  The honest remaining
+boundary is the polyphase synthesis window to PCM.  Everything through
+exact requantization is real and general over conformant mono streams
+at 32-192 kbps.
 """
 
 from __future__ import annotations
@@ -59,27 +63,35 @@ _REGION_LEVELS_41 = [  # sb 3-10, nbal=4
 _REGION_LEVELS_3 = [3, 5, 7, 9, 15, 31, 65535]  # sb 11-22, nbal=3
 _REGION_LEVELS_2 = [3, 5, 65535]  # sb 23+, nbal=2
 
+# Low-rate tables B.2c/B.2d share ONE quantizer row (ISO 11172-3: the
+# 3,5,9,15,... sequence with no 7-level class) across both regions;
+# the nbal-3 region simply truncates it to 7 entries.
+_REGION_LEVELS_LOWRATE = [
+    3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767,
+]
+
 # grouped quantizers: levels -> code-word bits (3 samples per code)
 GROUP_BITS = {3: 5, 5: 7, 9: 10}
 
 
 def layer2_sblimit(sr_idx: int, kbps: int) -> int:
     """Allocation-table selection from the published mapping (mono, so
-    per-channel bitrate == stream bitrate): 48 kHz always uses B.2a;
-    44.1/32 kHz use B.2a up to 80 kbps and B.2b from 96 kbps.  The
-    32/48 kbps low-rate tables (B.2c/B.2d) are the documented
-    unsupported boundary."""
+    per-channel bitrate == stream bitrate): 32/48 kbps use the
+    low-rate tables (B.2d at 32 kHz, B.2c at 44.1/48 kHz); otherwise
+    48 kHz always uses B.2a, and 44.1/32 kHz use B.2a up to 80 kbps
+    and B.2b from 96 kbps.  The returned sblimit doubles as the table
+    id (8=B.2c, 12=B.2d, 27=B.2a, 30=B.2b)."""
     if kbps in (32, 48):
-        raise ValueError(
-            "unsupported layer2 stream: low-rate allocation tables "
-            "B.2c/B.2d (32/48 kbps) not implemented"
-        )
+        # low-rate tables: B.2d (sblimit 12) at 32 kHz, else B.2c (8)
+        return 12 if sr_idx == 2 else 8
     if sr_idx == 1 or kbps <= 80:  # 48 kHz, or low bitrate at 44.1/32
         return 27
     return 30
 
 
-def layer2_nbal(sb: int) -> int:
+def layer2_nbal(sb: int, sblimit: int = 27) -> int:
+    if sblimit <= 12:  # B.2c/B.2d: nbal 4 for sb 0-1, 3 above
+        return 4 if sb < 2 else 3
     if sb < 3:
         return 4
     if sb < 11:
@@ -89,8 +101,10 @@ def layer2_nbal(sb: int) -> int:
     return 2
 
 
-def layer2_levels(sb: int, alloc: int) -> int:
+def layer2_levels(sb: int, alloc: int, sblimit: int = 27) -> int:
     """allocation index (>=1) -> quantizer levels for subband sb."""
+    if sblimit <= 12:  # B.2c/B.2d: one shared row, both regions
+        return _REGION_LEVELS_LOWRATE[alloc - 1]
     if sb < 3:
         table = _REGION_LEVELS_40
     elif sb < 11:
@@ -235,12 +249,90 @@ def encode_layer2(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def layer2_lowrate_schedule(doc_id: int) -> dict:
+    """Deterministic low-rate (B.2c/B.2d) synthesis schedule, shared by
+    the encoder, the SQL oracle, and the tests.  Mono; sr rotates the
+    three MPEG-1 rates, which forces BOTH low-rate tables (B.2d at
+    32 kHz, B.2c at 44.1/48 kHz).  Three allocated subbands span both
+    allocation regions: one of sb {0,1} (nbal 4, quantizers up to
+    16383 so the worst-case payload still fits a 48 kbps frame at
+    48 kHz) and two from the nbal-3 region including the top subband
+    (the table-truncation edge).  The shared low-rate quantizer row has
+    no 7-level class — a decode against B.2a's row would mis-parse
+    every frame, which is exactly what the hash pins."""
+    sr_idx = doc_id % 3
+    sblimit = 12 if sr_idx == 2 else 8
+    alloc_sbs = [doc_id % 2, 2 + doc_id % (sblimit - 3), sblimit - 1]
+
+    def alloc_idx(sb: int) -> int:
+        return 1 + (doc_id + sb) % (14 if sb < 2 else 7)
+
+    return {
+        "sr_idx": sr_idx,
+        "sblimit": sblimit,
+        "n_frames": 2 + doc_id % 3,
+        "alloc_sbs": alloc_sbs,
+        "alloc_idx": alloc_idx,
+        "levels": lambda sb: layer2_levels(sb, alloc_idx(sb), sblimit),
+        "scfsi": lambda sb: (doc_id + sb) % 4,
+        "sf_t": lambda sb, j: 3 * ((doc_id + sb + 7 * j) % 21),
+        "code": lambda f, sb, gr, k, L: (
+            doc_id * 11 + f * 7 + sb * 5 + gr * 3 + k
+        )
+        % L,
+    }
+
+
+def encode_layer2_lowrate(doc_id: int) -> bytes:
+    """Spec-valid mono low-rate MPEG-1 Layer II stream (32/48 kbps, so
+    the decoder's table derivation lands on B.2c/B.2d).  Same bitstream
+    layout as encode_layer2 — only the allocation tables differ."""
+    sch = layer2_lowrate_schedule(doc_id)
+    sr_idx, sblimit = sch["sr_idx"], sch["sblimit"]
+    alloc_sbs = sch["alloc_sbs"]
+    admissible = [1, 2]  # 32, 48 kbps: the low-rate table domain
+    out = bytearray()
+    for f in range(sch["n_frames"]):
+        w = _BitWriter()
+        for sb in range(sblimit):
+            w.write(
+                sch["alloc_idx"](sb) if sb in alloc_sbs else 0,
+                layer2_nbal(sb, sblimit),
+            )
+        for sb in alloc_sbs:
+            w.write(sch["scfsi"](sb), 2)
+        for sb in alloc_sbs:
+            t = [sch["sf_t"](sb, j) for j in range(3)]
+            for idx in _transmitted_sf(sch["scfsi"](sb), *t):
+                w.write(idx, 6)
+        for gr in range(12):
+            for sb in alloc_sbs:
+                lv = sch["levels"](sb)
+                v = [sch["code"](f, sb, gr, k, lv) for k in range(3)]
+                if lv in GROUP_BITS:
+                    w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
+                else:
+                    nb = lv.bit_length()  # L = 2^nb - 1
+                    for k in range(3):
+                        w.write(v[k], nb)
+        need_bytes = 4 + (len(w.bits) + 7) // 8
+        br_idx = next(
+            i
+            for i in admissible
+            if layer2_frame_bytes(i, sr_idx, 0) >= need_bytes
+        )
+        nbytes = layer2_frame_bytes(br_idx, sr_idx, 0)
+        out += _layer2_header(br_idx, sr_idx, 0)
+        out += w.to_bytes(nbytes - 4)
+    return bytes(out)
+
+
 def decode_layer2(data: bytes) -> dict:
     """Decode a mono MPEG-1 Layer II stream to subband samples.
-    General over conformant mono 56-192 kbps streams: header validation,
-    B.2a/B.2b table derivation from (rate, bitrate), region-width
-    allocation parse, scfsi/scalefactor sharing, grouped and ungrouped
-    sample codes, exact rational requantization
+    General over conformant mono 32-192 kbps streams: header validation,
+    B.2a/B.2b/B.2c/B.2d table derivation from (rate, bitrate),
+    region-width allocation parse, scfsi/scalefactor sharing, grouped
+    and ungrouped sample codes, exact rational requantization
 
         num = 2*v + 1 - L,   sample = sf(idx) * num / L.
 
@@ -301,7 +393,7 @@ def decode_layer2(data: bytes) -> dict:
         if pos + nbytes > len(data):
             raise ValueError(f"corrupt layer2 stream: frame at {pos} runs past EOF")
         r = _BitReader(data[pos + 4 : pos + nbytes])
-        alloc = [r.read(layer2_nbal(sb)) for sb in range(sblimit)]
+        alloc = [r.read(layer2_nbal(sb, sblimit)) for sb in range(sblimit)]
         scfsi = {}
         for sb in range(sblimit):
             if alloc[sb]:
@@ -326,7 +418,7 @@ def decode_layer2(data: bytes) -> dict:
             for sb in range(sblimit):
                 if not alloc[sb]:
                     continue
-                lv = layer2_levels(sb, alloc[sb])
+                lv = layer2_levels(sb, alloc[sb], sblimit)
                 if lv in GROUP_BITS:
                     c = r.read(GROUP_BITS[lv])
                     if c >= lv * lv * lv:

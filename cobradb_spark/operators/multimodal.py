@@ -18,8 +18,13 @@ Codec coverage in this container (no PIL / librosa / ffmpeg):
     numpy/stdlib-only and oracle-checked end-to-end.
   - "fake": deterministic sha256-derived features — the full Spark
     plumbing (schema, batching, partitioning) is real and oracle-checked;
-  - compressed AUDIO/VIDEO codecs (MP3, H.264): clearly-marked
-    NotImplementedError stubs where the librosa/ffmpeg call would go.
+  - REAL bitstream decode for compressed audio: MPEG-1 Layers I/II
+    (operators/mp3.py, mp2.py — all four Layer II allocation tables)
+    to exact subband samples, and Layer III side-info + Huffman
+    main-data symbol decode (mp3huff.py); the remaining audio boundary
+    (requant/IMDCT/polyphase synthesis to PCM) and VIDEO codecs
+    (H.264) are clearly-marked NotImplementedError stubs where the
+    librosa/ffmpeg call would go.
 """
 
 from __future__ import annotations
@@ -669,6 +674,28 @@ def synthesize_layer2(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "id": pdf[id_col],
                     "payload": [encode_layer2(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def synthesize_layer2_lowrate(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid mono LOW-RATE (32/48 kbps) MPEG-1 Layer II stream
+    per row (operators/mp2.py encode_layer2_lowrate): B.2c/B.2d
+    allocation tables — the shared no-7-level quantizer row over nbal
+    4/3 regions, B.2d at 32 kHz.  Decoded by the same general
+    decode_layer2_features stage as the 56-192 kbps fixture."""
+    from cobradb_spark.operators.mp2 import encode_layer2_lowrate
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        encode_layer2_lowrate(int(d)) for d in pdf[id_col]
+                    ],
                 }
             )
 

@@ -786,9 +786,11 @@ FROM sbagg s JOIN cellagg c USING (doc_id)
     "requantization reduced to the exact rational (2v+1-L)/L) in an "
     "Arrow-batched mapInPandas stage.  Extends the Layer I decoder "
     "(multimodal_mp1_subband_decode) to the grouped-quantizer half of "
-    "the MPEG-1 audio family; the honest remaining boundary is the "
-    "low-rate B.2c/B.2d tables, Layer III's Huffman/bit reservoir, and "
-    "the polyphase synthesis window to PCM.  The hash checks the "
+    "the MPEG-1 audio family; B.2c/B.2d landed r11 (multimodal_mp2_"
+    "lowrate_decode) and Layer III Huffman symbol decode too "
+    "(multimodal_mp3_huffman_decode), leaving the bit reservoir, "
+    "requant/IMDCT, and the polyphase synthesis window to PCM as the "
+    "honest remaining boundary.  The hash checks the "
     "integer decode aggregates (dequant numerators are exact "
     "integers); float subband samples are dyadic-exact on this fixture "
     "and verified in tests/test_sources.py.  Scale posture: "
@@ -806,6 +808,94 @@ def multimodal_mp2_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_layer2_features(synthesize_layer2(d, id_col="doc_id")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "multimodal_mp2_lowrate_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE WHEN doc_id % 3 = 2 THEN 12 ELSE 8 END AS sblimit
+  FROM documents),
+sbs AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.sblimit, s.sb
+  FROM d, UNNEST([doc_id % 2,
+                  2 + doc_id % (d.sblimit - 3),
+                  d.sblimit - 1]) AS s(sb)),
+lv AS (
+  SELECT doc_id, n_frames, sr, sblimit, sb,
+         CASE WHEN sb < 2
+              THEN list_extract([3,5,9,15,31,63,127,255,511,1023,2047,4095,8191,16383],
+                   CAST(1 + (doc_id + sb) % 14 AS INTEGER))
+              ELSE list_extract([3,5,9,15,31,63,127],
+                   CAST(1 + (doc_id + sb) % 7 AS INTEGER)) END AS L,
+         (doc_id + sb) % 4 AS scfsi,
+         3 * ((doc_id + sb) % 21) AS t0,
+         3 * ((doc_id + sb + 7) % 21) AS t1,
+         3 * ((doc_id + sb + 14) % 21) AS t2
+  FROM sbs),
+persb AS (
+  SELECT doc_id, n_frames, sr, sblimit, sb, L, scfsi,
+         CASE scfsi WHEN 0 THEN t0 + t1 + t2 WHEN 1 THEN 2*t0 + t1
+                    WHEN 2 THEN 3*t0 ELSE t0 + 2*t1 END AS sf_applied
+  FROM lv),
+sbagg AS (
+  SELECT doc_id, n_frames, sr, sblimit,
+         CAST(n_frames * count(*) AS BIGINT) AS n_alloc_total,
+         CAST(n_frames * sum(scfsi) AS BIGINT) AS scfsi_sum,
+         CAST(n_frames * sum(sf_applied) AS BIGINT) AS sf_idx_sum
+  FROM persb GROUP BY doc_id, n_frames, sr, sblimit),
+cell AS (
+  SELECT p.doc_id,
+         (p.doc_id*11 + f.f*7 + p.sb*5 + g.gr*3 + k.k) % p.L AS v,
+         p.L
+  FROM persb p,
+       UNNEST(range(0, p.n_frames)) AS f(f),
+       UNNEST(range(0, 12)) AS g(gr),
+       UNNEST(range(0, 3)) AS k(k)),
+cellagg AS (
+  SELECT doc_id,
+         CAST(sum(v) AS BIGINT) AS code_sum,
+         CAST(sum(2*v + 1 - L) AS BIGINT) AS num_sum,
+         CAST(sum((2*v + 1 - L) * (2*v + 1 - L)) AS BIGINT) AS num_sq_sum
+  FROM cell GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n_frames AS BIGINT) AS n_frames,
+       CAST(s.sr AS BIGINT) AS sample_rate,
+       CAST(s.sblimit AS BIGINT) AS sblimit,
+       s.n_alloc_total, s.scfsi_sum, s.sf_idx_sum,
+       c.code_sum, c.num_sum, c.num_sq_sum
+FROM sbagg s JOIN cellagg c USING (doc_id)
+""",
+    doc="REAL MPEG-1 Layer II LOW-RATE decode (ISO 11172-3 tables "
+    "B.2c/B.2d, 32/48 kbps — operators/mp2.py): completes conformant "
+    "mono Layer II coverage across all four published allocation "
+    "tables (r10 VERDICT item 8).  The low-rate tables select by "
+    "sample rate (B.2d sblimit 12 at 32 kHz, B.2c sblimit 8 at "
+    "44.1/48 kHz) and share ONE quantizer row (3,5,9,15,...,32767 — "
+    "no 7-level class) over an nbal-4 region (sb 0-1) and an nbal-3 "
+    "region (sb 2+); a decoder that fell back to B.2a's rows would "
+    "mis-parse every frame, which is exactly what the hash pins.  The "
+    "fixture rotates all three sample rates (forcing both tables), "
+    "spans both allocation regions including the top subband, and "
+    "exercises grouped 3/5/9 and ungrouped quantizers up to 16383 "
+    "levels.  Decoded by the SAME general decode_layer2 stage as the "
+    "56-192 kbps key.  Scale posture: Arrow mapInPandas, one row per "
+    "document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp2_lowrate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_layer2_features,
+        synthesize_layer2_lowrate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_layer2_features(
+        synthesize_layer2_lowrate(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
 
 
 @register(

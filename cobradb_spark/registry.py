@@ -157,7 +157,7 @@ _R11_PLANNED_HEAD: tuple[str, ...] = (
     # --- keys added during r10 (appended as they land) ---
     "sim_ann_ivf_hi_graded", "sim_ann_ivf_pq_hi_graded",
     # --- keys added during r11 ---
-    "multimodal_mp3_huffman_decode",
+    "multimodal_mp3_huffman_decode", "multimodal_mp2_lowrate_decode",
 )
 
 # r11 refresh tail (after _R11_PLANNED_HEAD drains): stale-row and

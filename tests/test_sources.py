@@ -1128,3 +1128,86 @@ def test_mp3_huffman_decoder_fuzz_never_crashes():
         except ValueError:
             pass
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer2_lowrate_decode_exact_and_table_selection():
+    """B.2c/B.2d contract (operators/mp2.py): (a) low-rate streams
+    round-trip to the exact schedule values through the SAME general
+    decode_layer2 used for 56-192 kbps; (b) the table derivation picks
+    B.2d (sblimit 12) at 32 kHz and B.2c (sblimit 8) at 44.1/48 kHz;
+    (c) the shared low-rate quantizer row has no 7-level class — alloc
+    index 3 means 9 levels, not B.2a's 7; (d) subband samples stay
+    exact rationals."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp2 import (
+        SCALEFACTOR,
+        _applied_sf,
+        decode_layer2,
+        encode_layer2_lowrate,
+        layer2_levels,
+        layer2_lowrate_schedule,
+    )
+
+    # (c) the no-7-level row, both regions
+    assert layer2_levels(0, 3, sblimit=8) == 9
+    assert layer2_levels(5, 3, sblimit=8) == 9
+    assert layer2_levels(11, 2, sblimit=12) == 5
+    assert layer2_levels(0, 14, sblimit=12) == 16383
+    # classic tables unchanged
+    assert layer2_levels(11, 3) == 7
+
+    seen_sblimits = set()
+    for did in (0, 1, 2, 3, 5, 7, 12, 42, 100, 257):
+        out = decode_layer2(encode_layer2_lowrate(did))
+        sch = layer2_lowrate_schedule(did)
+        assert out["sblimit"] == sch["sblimit"]
+        assert (out["sample_rate"] == 32000) == (sch["sblimit"] == 12)
+        seen_sblimits.add(out["sblimit"])
+        # independent replay of every sample
+        want = np.zeros((sch["n_frames"] * 36, 32))
+        code_sum = 0
+        for f in range(sch["n_frames"]):
+            for sb in sch["alloc_sbs"]:
+                lv = sch["levels"](sb)
+                t = [sch["sf_t"](sb, j) for j in range(3)]
+                applied = _applied_sf(sch["scfsi"](sb), *t)
+                for gr in range(12):
+                    sf = SCALEFACTOR[applied[gr // 4]]
+                    for k in range(3):
+                        v = sch["code"](f, sb, gr, k, lv)
+                        code_sum += v
+                        want[f * 36 + gr * 3 + k, sb] = sf * (2 * v + 1 - lv) / lv
+        assert out["code_sum"] == code_sum
+        assert np.array_equal(out["subband_samples"], want)
+    assert seen_sblimits == {8, 12}
+
+
+def test_layer2_lowrate_fuzz_never_crashes():
+    """Mutation fuzz over a low-rate stream: same discipline as the
+    B.2a/B.2b fuzz — ValueError or a well-formed decode, never a
+    crash."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp2 import decode_layer2, encode_layer2_lowrate
+
+    base = bytearray(encode_layer2_lowrate(42))
+    rng = np.random.default_rng(4242)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_layer2(bytes(b))
+            assert out["n_frames"] >= 1
+            assert out["subband_samples"].shape[1] == 32
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    for cut in range(1, 64):
+        try:
+            decode_layer2(bytes(base[:cut]))
+        except ValueError:
+            pass
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
