@@ -92,63 +92,61 @@ def _load() -> None:
 # oracle output AS BIGINT, and tools/check.py now fails on dtype-class
 # mismatches so local EXACT implies driver-hashable again).
 #
-# Round 10 window (_DRIVER_PRIORITY below): the FIRST 50 keys of the
-# r9-staged _R10_PLANNED_HEAD verbatim (r9 VERDICT item 1) — the 4
-# displaced-tail keys from the r9 graded-ANN pull-forward lead, then
-# multimodal_mp1_subband_decode, the r8 eval-stats/robust-stats batch
-# (mlprep_roc_auc, mlprep_ks_statistic, analytics_bootstrap_ci,
-# mlprep_cramers_v, text_zipf_fit, ...), the r9-rewired
-# text_burstiness_dispersion, and the 16 r9-new keys in landing order.
-# All 50 are oracle-carrying and first-time driver rows; 32 of them
-# were independently re-verified EXACT by the r9 judge
-# (tools/check.py --plain at sf0.01).  A 51st entry, sim_ann_lsh, sits
-# past the observed 50-row window: the driver has hash-checked exactly
-# the first 50 queries() entries every round (CORRECTNESS_r01-r09), so
-# it costs nothing today, but if the window ever widens it refreshes
-# the one §2 key whose latest driver row is a stale r8 `no_oracle`
-# entry (r9 VERDICT item 5); the guaranteed refresh is staged at the
-# head of the r11 rotation plan below.
+# Round 11 window (_DRIVER_PRIORITY below), executing the r10-staged
+# plan (r10 VERDICT items 1+2+10):
+#   * slots 1-10: ALL never-driver-checked oracle-carrying keys — the
+#     6-key r10 residue, the two graded ANN-hi verdicts, and the two
+#     r11-new codec keys (Layer III Huffman, Layer II B.2c/B.2d).
+#     After this window runs, every oracle-carrying registry key has a
+#     driver hash row.
+#   * slot 11: sim_ann_lsh_graded — the hash-carrying companion of the
+#     one §2 key whose latest driver row is a stale r8 `no_oracle`
+#     entry (sim_ann_lsh itself is rows-only and sits in the
+#     past-window tail).
+#   * slots 12-19: the streaming family I1-I8 (r10 VERDICT item 10 —
+#     last checked r3; applyInPandasWithState is session-conf-
+#     sensitive, so 8 rounds of conf churn deserve fresh rows).
+#   * slots 20-50: the oldest surviving driver evidence — all 22
+#     remaining r2-checked keys (joins/filters/scans, including
+#     join_bucketed_colocated, the bucketBy zero-Exchange demo) and
+#     the 9 oldest r3-checked aggregate/scalar keys.
+# Every key is oracle-carrying (rows-only keys never spend a window
+# slot) and locally EXACT at sf0.01 under tools/check.py --window.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "mlprep_time_split_embargo", "rollup_time_weighted_avg",
-    "etl_surrogate_keys", "graph_degree_assortativity",
-    "multimodal_mp1_subband_decode",
-    "mlprep_roc_auc", "mlprep_ks_statistic", "etl_t_closeness_check",
-    "analytics_bootstrap_ci", "analytics_mann_kendall_trend",
-    "agg_winsorized_trimmed_mean", "mlprep_information_value",
-    "mlprep_cramers_v", "text_zipf_fit",
-    "mlprep_average_precision",
-    "text_burstiness_dispersion", "join_temporal_overlap_duration",
-    "etl_tokenizer_fertility", "events_peak_concurrency",
-    "analytics_price_elasticity", "events_stl_strength",
-    "scan_json_multiline", "multimodal_image_channel_hist",
-    "text_ocr_noise_score", "agg_tukey_fences", "analytics_diff_in_diff",
-    "analytics_theil_sen_trend", "agg_gini_spend", "mlprep_lorenz_deciles",
-    "agg_gini_impurity_category", "scan_csv_gzip", "stream_tumbling_ohlc",
-    "join_asof_tolerance", "events_slo_burn_rate", "mlprep_nzv_filter",
-    "etl_subject_access_export", "etl_pseudonymize_consistent",
-    "etl_one_big_table", "events_apdex_score", "mlprep_confusion_matrix",
-    "multimodal_mp2_subband_decode",
-    "analytics_welch_ttest", "analytics_spearman_corr",
-    "multimodal_bmp_decode", "analytics_propensity_match",
-    "graph_modularity_score", "text_js_divergence_sources",
-    "mlprep_isotonic_calibration", "analytics_quantile_treatment_effect",
-    "win_rsi_indicator",
-    # --- past the 50-row window: rows-only refresh, see note above ---
-    "sim_ann_lsh",
+    # --- first-time rows: zero the never-checked set ---
+    "multimodal_mp3_sideinfo_parse",
+    "analytics_hhi_concentration", "analytics_theil_index",
+    "agg_entropy_pergroup", "text_mattr_lexical_diversity",
+    "mlprep_mutual_information",
+    "sim_ann_ivf_hi_graded", "sim_ann_ivf_pq_hi_graded",
+    "multimodal_mp3_huffman_decode", "multimodal_mp2_lowrate_decode",
+    # --- stale-row refresh: hash-carrying LSH verdict ---
+    "sim_ann_lsh_graded",
+    # --- streaming refresh (I1-I8, last checked r3) ---
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_counts",
+    "stream_static_join", "stream_foreachBatch_sink",
+    # --- oldest-evidence refresh: the 22 remaining r2 rows ---
+    "agg_basic", "agg_count_distinct", "case_when", "distinct_project",
+    "filter_conjunctive", "filter_in_null", "fk_audit_anti",
+    "hierarchy_recursive_cte", "join_anti", "join_broadcast_inner",
+    "join_bucketed_colocated", "join_cross_bounded", "join_fuzzy_blocked",
+    "join_lateral_topk", "join_null_safe", "join_outer_left_right_full",
+    "join_self_hierarchy", "join_semi", "join_shuffle_hash_hint",
+    "join_shuffle_large", "project_compute", "scan_csv_tsv",
+    # --- oldest r3 rows, filling the window to exactly 50 ---
+    "agg_approx_distinct", "agg_conditional", "agg_first_last_ordered",
+    "agg_grouping_sets", "agg_having", "agg_percentiles", "agg_stats",
+    "array_higher_order", "conditional_null",
+    # --- past the 50-row window: rows-only refreshes, zero-cost under
+    # a 50-row window (the pattern r9/r10 used for sim_ann_lsh) ---
+    "sim_ann_lsh", "sim_ann_ivf_hi", "sim_ann_ivf_pq_hi",
 )
 
-# Staged r11 rotation plan: after the r10 window executes, EXACTLY the
-# 6 keys below still lack a driver hash row (the _R10_PLANNED_HEAD tail
-# displaced by the 50-slot window), plus any keys added during r10 —
-# appended as they land; tests/test_registry.py recomputes the
-# never-checked set from the CORRECTNESS_r*.json artifacts and asserts
-# this list covers it exactly, so the staging cannot rot.  The r11
-# window therefore zeroes the never-checked set with ~40 spare slots;
-# per r9 VERDICT items 2+5 the spare slots go to (a) a fresh rows-only
-# row for sim_ann_lsh (its latest driver row is a stale r8 `no_oracle`
-# entry) alongside its graded companion, then (b) re-checks of the
-# oldest surviving driver evidence (the r2/r3 rows).  Every staged key
-# is locally tri-scale EXACT and plain-session EXACT (SURVEY §8).
+# Drained r11 backlog (kept for the staging-integrity test): the keys
+# that had no driver row entering r11.  All sit in the window above;
+# tests/test_registry.py asserts the window covers the recomputed
+# never-checked set exactly, so the drain cannot rot.
 _R11_PLANNED_HEAD: tuple[str, ...] = (
     "multimodal_mp3_sideinfo_parse",
     "analytics_hhi_concentration", "analytics_theil_index",
@@ -160,10 +158,19 @@ _R11_PLANNED_HEAD: tuple[str, ...] = (
     "multimodal_mp3_huffman_decode", "multimodal_mp2_lowrate_decode",
 )
 
-# r11 refresh tail (after _R11_PLANNED_HEAD drains): stale-row and
-# oldest-evidence re-checks, not first-time keys.
-_R11_REFRESH: tuple[str, ...] = (
-    "sim_ann_lsh", "sim_ann_lsh_graded",
+# Staged r12 refresh plan: the 30 remaining r3-checked keys once the
+# r11 window lands — after them, no §2 key's evidence predates r11.
+_R12_REFRESH: tuple[str, ...] = (
+    "date_parts_trunc", "embed_vector_norm", "hash_reaction_dedup",
+    "json_extract_nested", "limit_offset", "map_ops", "math_suite",
+    "scan_json_lines", "set_except", "set_intersect", "set_union_all",
+    "set_union_distinct", "sort_multikey_nulls", "str_fuzzy_match",
+    "str_normalize_ids", "str_split_compartment", "text_stats",
+    "text_top_terms", "topk_global", "udaf_pandas_grouped_agg",
+    "udf_grouped_map_normalize", "udf_pandas_scalar", "udf_scalar_python",
+    "udtf_expand", "win_lag_lead", "win_nth_first_last",
+    "win_ntile_pctrank", "win_range_frame", "win_rank_topk_pergroup",
+    "win_running_frame",
 )
 
 

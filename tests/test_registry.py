@@ -52,10 +52,11 @@ def test_driver_window_keys_are_oracle_carrying():
     """The correctness driver hash-checks the FIRST 50 queries() entries;
     a rows-only or unregistered key in that window wastes a driver row
     (r3 verdict: rotation is part of the verification contract).  The
-    r10 window is the first 50 keys of the r9-staged _R10_PLANNED_HEAD
-    verbatim (r9 VERDICT item 1) — all oracle-carrying, all first-time
-    driver rows.  Entry 51 (sim_ann_lsh) sits PAST the observed window
-    by design: rows-only refresh, zero-cost under a 50-row window."""
+    r11 window leads with every never-driver-checked oracle-carrying
+    key (r10 VERDICT item 1), then the sim_ann_lsh_graded stale-row
+    refresh, the streaming I1-I8 refresh (item 10), and the oldest
+    (r2/r3) surviving evidence (item 2).  The past-window tail holds
+    only rows-only keys — zero-cost under a 50-row window."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
@@ -65,15 +66,16 @@ def test_driver_window_keys_are_oracle_carrying():
     )
     for name in window:
         assert qs[name].oracle is not None, f"{name} in driver window without oracle"
-    # the 4 displaced-tail keys from the r9 graded-ANN pull-forward lead;
-    # the last r9-new key (win_rsi_indicator) closes the 50-slot window
-    assert window[:4] == [
-        "mlprep_time_split_embargo", "rollup_time_weighted_avg",
-        "etl_surrogate_keys", "graph_degree_assortativity",
-    ]
-    assert window[-1] == "win_rsi_indicator"
-    # past-window tail: only the documented rows-only refresh entry
-    assert list(registry._DRIVER_PRIORITY)[50:] == ["sim_ann_lsh"]
+    # never-checked drain leads; conditional_null closes the 50-slot window
+    assert window[: len(registry._R11_PLANNED_HEAD)] == list(
+        registry._R11_PLANNED_HEAD
+    )
+    assert window[-1] == "conditional_null"
+    # past-window tail: only the documented rows-only refresh entries
+    tail = list(registry._DRIVER_PRIORITY)[50:]
+    assert tail == ["sim_ann_lsh", "sim_ann_ivf_hi", "sim_ann_ivf_pq_hi"]
+    for name in tail:
+        assert qs[name].oracle is None, f"{name} in rows-only tail HAS an oracle"
 
 
 def _driver_checked_keys():
@@ -87,37 +89,58 @@ def _driver_checked_keys():
     return checked
 
 
-def test_r11_staging_covers_never_checked_exactly():
-    """r9 VERDICT item 2: the staged r11 list must equal EXACTLY the set
-    of oracle-carrying keys that will still lack driver-hash evidence
-    after the r10 window runs — recomputed from the CORRECTNESS_r*.json
-    artifacts, so neither new keys nor re-shuffles can silently drop a
-    key from the drain path.  (Keys added during r10 must be appended to
-    _R11_PLANNED_HEAD; this test fails if they aren't.)"""
+def test_r11_window_zeroes_never_checked_and_r12_is_staged():
+    """r10 VERDICT item 1: after the r11 window runs, EVERY
+    oracle-carrying key must have a driver hash row — recomputed from
+    the CORRECTNESS_r*.json artifacts plus the staged window, so
+    neither new keys nor re-shuffles can silently drop a key from the
+    drain path.  (Keys added during r11 must be appended to
+    _R11_PLANNED_HEAD AND placed in the window; this test fails if
+    they aren't.)"""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
     staged = list(registry._R11_PLANNED_HEAD)
-    assert len(staged) == len(set(staged)), "duplicate keys in r11 staging"
+    assert len(staged) == len(set(staged)), "duplicate keys in r11 drain list"
     missing = [n for n in staged if n not in qs]
     assert not missing, f"staged r11 names not registered: {missing}"
-    for n in staged:
-        assert qs[n].oracle is not None, f"{n} staged without oracle"
-    window = set(list(registry._DRIVER_PRIORITY)[:50])
-    overlap = set(staged) & window
-    assert not overlap, f"r11-staged keys already in the r10 window: {overlap}"
 
     checked = _driver_checked_keys()
-    after_r10 = checked | window
-    never_after_r10 = {
-        n for n, q in qs.items() if q.oracle is not None and n not in after_r10
+    window = list(registry._DRIVER_PRIORITY)[:50]
+    assert len(set(window)) == 50, "duplicate keys in the driver window"
+    never_checked = {
+        n for n, q in qs.items() if q.oracle is not None and n not in checked
     }
-    assert set(staged) == never_after_r10, (
-        f"staging drift: missing={sorted(never_after_r10 - set(staged))} "
-        f"extra={sorted(set(staged) - never_after_r10)}"
+    # the drain list IS the never-checked set, and all of it is in-window
+    assert set(staged) == never_checked, (
+        f"drain drift: missing={sorted(never_checked - set(staged))} "
+        f"extra={sorted(set(staged) - never_checked)}"
     )
-    # r11 refresh tail: stale-row re-checks must already HAVE driver
-    # rows (they re-run, they don't drain the backlog)
-    for n in registry._R11_REFRESH:
-        assert n in qs, f"refresh key {n} not registered"
-        assert n in checked, f"refresh key {n} has no prior driver row"
+    assert never_checked <= set(window), (
+        f"never-checked keys outside the r11 window: "
+        f"{sorted(never_checked - set(window))}"
+    )
+    # refresh slots must already HAVE driver rows (they re-run, they
+    # don't drain the backlog) — both in-window and staged for r12
+    for n in window:
+        if n not in never_checked:
+            assert n in checked, f"window refresh key {n} has no prior driver row"
+    r12 = list(registry._R12_REFRESH)
+    assert len(r12) == len(set(r12)), "duplicate keys in r12 staging"
+    for n in r12:
+        assert n in qs, f"r12 refresh key {n} not registered"
+        assert n in checked, f"r12 refresh key {n} has no prior driver row"
+        assert n not in window, f"r12 refresh key {n} already in the r11 window"
+    # nothing stale is forgotten: every key whose latest evidence is
+    # r2/r3 is either in this window or staged for r12
+    import json
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        for k in json.loads(p.read_text()):
+            latest[k] = rnd
+    stale = {k for k, r in latest.items() if r <= 3 and k in qs}
+    uncovered = stale - set(window) - set(r12)
+    assert not uncovered, f"stale r2/r3 keys neither in window nor r12: {sorted(uncovered)}"

@@ -182,7 +182,7 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check exactly the staged r11 backlog (_R11_PLANNED_HEAD)",
+        help="check exactly the r11 drain list (_R11_PLANNED_HEAD)",
     )
     args = ap.parse_args()
 
@@ -204,9 +204,15 @@ def main() -> int:
         # session with its confs, which would hollow out the "bare
         # session" proof this flag exists to provide — refuse instead.
         # r10 ADVICE: getActiveSession() is thread-local, so ALSO check
-        # the process-wide default session (what getOrCreate() actually
-        # falls back to when this thread has no active one).
-        active = SparkSession.getActiveSession() or SparkSession.getDefaultSession()
+        # the process-wide SparkContext (what getOrCreate() actually
+        # reuses when this thread has no active session; PySpark has no
+        # public getDefaultSession, unlike Scala).
+        from pyspark import SparkContext
+
+        active = (
+            SparkSession.getActiveSession()
+            or SparkContext._active_spark_context
+        )
         if active is not None:
             print(
                 "--plain requires no active SparkSession (found one; its "
