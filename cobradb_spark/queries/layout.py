@@ -9,6 +9,12 @@ an ntile-based range plan that yields equal-height partition boundaries
 for sorted writes.  Reference: cobradb's clustering maintenance jobs
 (reference/storage/layout/*); the lakehouse analogue is Delta/Iceberg
 OPTIMIZE ZORDER BY.
+
+The third storage-layout lever — bucketBy(k, key) catalog tables that
+turn every repeat join+agg on the key into a ZERO-Exchange plan — is
+demonstrated by `join_bucketed_colocated` (queries/joins.py), with the
+no-Exchange/no-Sort assertion in tools/plan_audit.py and
+tests/test_scale_patterns.py::test_bucketed_join_avoids_shuffle.
 """
 
 from __future__ import annotations

@@ -71,8 +71,8 @@ def skew_corpus(emb: DataFrame) -> DataFrame:
     b = F.abs(F.xxhash64(F.col("vec_id"))) % 10
     grp = F.when(b < 7, F.lit(0.0)).when(b < 9, F.lit(4.0)).otherwise(F.lit(-4.0))
     return emb.withColumn(
-        "vec",
-        F.transform("vec", lambda x: (x * F.lit(0.2) + grp).cast("float")),
+        "embedding",
+        F.transform("embedding", lambda x: (x * F.lit(0.2) + grp).cast("float")),
     )
 
 
