@@ -222,12 +222,93 @@ PROBES = [
     "agg_entropy_pergroup",
     "text_mattr_lexical_diversity",
     "mlprep_mutual_information",
+    # r11 additions
+    "multimodal_mp3_huffman_decode",
+    "multimodal_mp2_lowrate_decode",
 ]
 
 
-# Static analysis section appended to every generated SCALING.md —
-# the r8 overflow audit is a code-reading result, not a measurement,
-# so regeneration must not lose it.
+# Static sections appended to every generated SCALING.md — the ANN
+# recall curves (measured by tools/ann_sweep.py, a different tool)
+# and the r8 overflow audit (a code-reading result) must survive
+# regeneration of the probe table.  When ann_sweep produces new
+# numbers, update _ANN_SECTIONS here, not SCALING.md by hand.
+_ANN_SECTIONS = """## r10 ANN recall-vs-probe-cost curve (r9 VERDICT item 3)
+
+Measured by `tools/ann_sweep.py` (micro-recall@10 vs brute-force
+euclidean over the fixed vec_id%100 probe set — the same measure the
+`*_graded` keys hash).  On this embedding distribution recall tracks
+the CANDIDATE FRACTION nprobe/nlist almost exactly, independent of
+nlist — the knob a deployment tunes is the fraction of cells scanned
+per query:
+
+| cand. fraction | IVF sf0.001 | IVF sf0.01 | PQ sf0.001 | PQ sf0.01 |
+|---|---|---|---|---|
+| 1/16 (nlist=16, nprobe=1) | 0.30 | 0.32 | 0.30 | 0.32 |
+| 1/8  (8,1 / 16,2) | 0.44-0.46 | 0.32-0.52 | 0.44-0.46 | 0.32-0.52 |
+| 1/4  (8,2 / 16,4) — shipped base keys | 0.66-0.68 | 0.54-0.78 | 0.66-0.68 | 0.54-0.78 |
+| 1/2  (8,4 / 16,8) — shipped _hi keys | 0.86-0.94 | 0.84-0.96 | 0.84 | 0.74-0.84 |
+| 1    (full scan) | 1.00 | 1.00 | 0.84-0.94 | 0.80-0.88 |
+
+Two structural findings the curve exposes, both pinned by new keys:
+
+- **IVF**: recall ≥0.8 needs candidate fraction ≥0.5 on this synthetic
+  (weakly-clustered) embedding set.  `sim_ann_ivf_hi` ships
+  nlist=16/nprobe=8: measured **0.86 / 0.96 / 0.855** at
+  sf0.001/0.01/0.1; graded threshold 0.75 (≥0.10 under worst).
+- **IVF-PQ**: the base key's ksub=16 codewords + shortlist=100 rerank
+  cap recall at ~0.84-0.88 even at FULL scan — the ADC ordering error,
+  not cell pruning, is the binding constraint.  `sim_ann_ivf_pq_hi`
+  lifts both (ksub=64 → 6-bit codes, shortlist=200): measured
+  **0.86 / 0.96 / 0.83** tri-scale; graded threshold 0.70 (≥0.13 under
+  worst).  The RAM trade stays: 8×6-bit codes ≈ 6 bytes/vector vs 256
+  for raw floats.
+
+At 100 TB: nlist grows ~sqrt(N) (cells stay cache-sized), the
+candidate fraction stays the tuning knob, and the curve's shape —
+recall ≈ f(fraction), PQ ceiling set by ADC error until the rerank
+shortlist absorbs it — is what a deployment sweeps per corpus.  Both
+ends of the curve now carry driver-hashable graded keys
+(`sim_ann_ivf_graded` 0.35 floor / `sim_ann_ivf_hi_graded` 0.75;
+`sim_ann_ivf_pq_graded` 0.30 / `sim_ann_ivf_pq_hi_graded` 0.70).
+
+## r11 ANN sweep extensions (r10 VERDICT item 9 + ADVICE)
+
+`tools/ann_sweep.py` now carries (a) a (ksub, shortlist) codebook axis
+so the published `_hi` IVF-PQ operating point is reproducible by the
+cited tool, and (b) a `--clustered` mode that deterministically skews
+the corpus (every vector shrunk 5x and offset toward one of three
+anchors picked 70/20/10 by xxhash64(vec_id) — pure zip_with column
+math, no UDF), making KMeans cell occupancy heavily non-uniform — the
+adversarial layout for a fixed-nprobe scan.
+
+Codebook axis, uniform corpus at sf0.01 (coarse config 16/8,
+candidate fraction 0.5): ksub=16/shortlist=100 → recall 0.84;
+ksub=32/150 → **0.96**; ksub=64/200 → **0.96** — reproducing the
+`sim_ann_ivf_pq_hi` measurement and showing the ADC ceiling lifts at
+ksub=32 already on this distribution; the shipped ksub=64 keeps
+headroom for harder corpora at the same 6-bit-code RAM budget.
+
+Clustered corpus at sf0.01 (same probe set, same measure):
+
+| config | uniform | clustered |
+|---|---|---|
+| IVF 16/2 (fraction 1/8) | 0.52 | 0.74 |
+| IVF 8/2 — shipped base (1/4) | 0.54 | 0.74 |
+| IVF 16/8 — shipped _hi (1/2) | 0.96 | **1.00** |
+| IVF-PQ 8/2 k16/s100 — base | 0.54 | 0.74 |
+| IVF-PQ 16/8 k64/s200 — _hi | 0.96 | **1.00** |
+
+Skew HELPS recall at equal candidate fraction — when mass concentrates,
+the probe's nearest cells hold almost all true neighbors, so the
+fixed-nprobe scan covers more of the true top-10.  Both graded floors
+(0.75 IVF-hi / 0.70 PQ-hi) clear with >=0.25 margin under skew; the
+failure mode to watch at 100 TB is therefore not occupancy skew but
+probe-query mass landing BETWEEN clusters, which the nprobe knob (not
+nlist) absorbs.  PQ under skew shows the same ADC ceiling (0.92 at
+k16/s100 full scan) lifted fully by the _hi codebook (1.00).
+"""
+
 _STATIC_FOOTER = """## r8 BIGINT-product overflow audit (r7 VERDICT item 6)
 
 Swept every site multiplying data-magnitude BIGINTs (`grep "AS BIGINT) *",
@@ -455,7 +536,7 @@ def main() -> int:
         out += ["", "Measured context for flagged rows:"]
         for n, note in noted:
             out.append(f"- **{n}**: {note}")
-    out += ["", _STATIC_FOOTER]
+    out += ["", _ANN_SECTIONS, _STATIC_FOOTER]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write("\n".join(out) + "\n")
