@@ -370,6 +370,18 @@ def timed(fn, spark, sf, reps=3) -> float:
 # verbatim on regeneration — if a later probe contradicts one, update
 # or delete the entry rather than letting stale evidence misdirect).
 NOTES = {
+    "multimodal_mp3_huffman_decode": (
+        "r11 measurement: work is LINEAR in decoded bits — every document "
+        "carries 2-4 Layer III frames whose scalefactor/big-value/count1 "
+        "symbol decode dominates; docs scale 10x, frames scale 10x, so "
+        "~8x runtime is per-symbol decode cost amortizing JVM overhead, "
+        "not a super-linear stage (same shape as the mp1/mp2/FLAC family)"
+    ),
+    "multimodal_mp2_lowrate_decode": (
+        "r11 measurement: linear by construction (3 allocated subbands "
+        "x 36 samples x n_frames per doc); sub-10x is fixed-overhead "
+        "amortization at a ~1s baseline"
+    ),
     "multimodal_mp1_subband_decode": (
         "r8 measurement: work is LINEAR in decoded bits — every document "
         "carries 3-6 Layer I frames whose bit-level parse and "
