@@ -19,9 +19,12 @@ Scope boundary, stated precisely:
   mechanism are real, see _decode_pair) but not codeword data; a stream
   selecting one raises ValueError("codebook not bundled"), the same
   honest-boundary pattern as the B.2c/B.2d Layer II tables.
-- main_data_begin must be 0 (no bit-reservoir reassembly): the
-  reservoir is a framing concern orthogonal to symbol decode and
-  remains on the documented boundary with IMDCT/synthesis.
+- bit-reservoir reassembly (main_data_begin != 0) IS implemented
+  (r11): decode keeps a rolling <=511-byte tail of prior frames'
+  main-data areas and starts each frame's granule bits main_data_begin
+  bytes back, rejecting underruns; encode_mp3_reservoir synthesizes
+  streams that genuinely use it (pumped frames, byte-aligned virtual
+  stream, 511-byte reach clamp).
 - Tables 4 and 14 are "not used" in the spec and are rejected.
 
 The synthesizer builds spec-valid mono streams whose main data is
@@ -260,6 +263,93 @@ def _granule_bounds(short: bool, bv2: int, sfb, r0c: int, r1c: int):
     return [min(sfb[r0c + 1], bv2), min(sfb[r0c + r1c + 2], bv2), bv2]
 
 
+def _build_granules(sch: dict, doc_id: int, sfb, f: int):
+    """Huffman-encode frame f's two granules from the schedule: returns
+    (grs, scfsi) where each gr carries its side-info fields AND the
+    encoded part2+part3 bit list.  Shared by the contiguous
+    (main_data_begin = 0) and bit-reservoir framings — the granule
+    CONTENT is framing-independent, which is exactly what the
+    reservoir key's oracle pins."""
+    both_long = not (sch["short"](f, 0) or sch["short"](f, 1))
+    scfsi = sch["scfsi"](f) if both_long else 0
+    grs = []
+    for g in range(2):
+        short = sch["short"](f, g)
+        sc = sch["scalefac_compress"](f, g)
+        s1, s2 = SLEN1[sc], SLEN2[sc]
+        w = _BitWriter()
+        for j, sl in enumerate(_sf_slots(short, g, scfsi, s1, s2)):
+            if sl:
+                w.write(sch["sf_value"](f, g, j, sl), sl)
+        bv = sch["big_values"](f, g)
+        r0c, r1c = sch["region0"](f, g), sch["region1"](f, g)
+        bounds = _granule_bounds(short, 2 * bv, sfb, r0c, r1c)
+        tabs = [sch["table"](f, g, r) for r in range(len(bounds))]
+        lo = 0
+        for bound, t in zip(bounds, tabs):
+            m = _TMAX[t]
+            for i in range(lo, bound, 2):
+                x = sch["bv_value"](f, g, i, m)
+                y = sch["bv_value"](f, g, i + 1, m)
+                if x and sch["bv_sign"](f, g, i):
+                    x = -x
+                if y and sch["bv_sign"](f, g, i + 1):
+                    y = -y
+                _encode_pair(w, t, x, y)
+            lo = bound
+        ct = sch["count1table"](f, g)
+        enc = _C1_BOOKS[ct][1]
+        for q in range(sch["n_quads"](f, g)):
+            bits = [sch["c1_bit"](f, g, q, p) for p in range(4)]
+            ln, cd = enc[bits[0] << 3 | bits[1] << 2 | bits[2] << 1 | bits[3]]
+            w.write(cd, ln)
+            for p, b in enumerate(bits):
+                if b:
+                    w.write(sch["c1_sign"](q, p), 1)
+        grs.append(
+            {
+                "short": short, "sc": sc, "bv": bv, "r0c": r0c,
+                "r1c": r1c, "tabs": tabs, "ct": ct, "bits": w.bits,
+                "preflag": sch["preflag"](f, g),
+                "sfs": sch["scalefac_scale"](f, g),
+                "gg": (doc_id + g) % 256,
+                "sbg": [sch["subblock_gain"](g, k) for k in range(3)],
+            }
+        )
+    return grs, scfsi
+
+
+def _write_side_info(grs, scfsi: int, md: int) -> "_BitWriter":
+    """136-bit mono side-info record for one frame."""
+    si = _BitWriter()
+    si.write(md, 9)  # main_data_begin
+    si.write(0, 5)   # private_bits
+    si.write(scfsi, 4)
+    for gr in grs:
+        si.write(len(gr["bits"]), 12)  # part2_3_length
+        si.write(gr["bv"], 9)
+        si.write(gr["gg"], 8)  # global_gain (unused by decode)
+        si.write(gr["sc"], 4)
+        si.write(int(gr["short"]), 1)
+        if gr["short"]:
+            si.write(2, 2)  # block_type = short
+            si.write(0, 1)  # not mixed
+            for k in range(2):
+                si.write(gr["tabs"][k], 5)
+            for k in range(3):
+                si.write(gr["sbg"][k], 3)
+        else:
+            for k in range(3):
+                si.write(gr["tabs"][k], 5)
+            si.write(gr["r0c"], 4)
+            si.write(gr["r1c"], 3)
+        si.write(gr["preflag"], 1)
+        si.write(gr["sfs"], 1)
+        si.write(gr["ct"], 1)
+    assert len(si.bits) == 136
+    return si
+
+
 def encode_mp3_main(doc_id: int) -> bytes:
     """Spec-valid mono MPEG-1 Layer III stream with REAL Huffman-coded
     main data: 4-byte header + 17-byte side info + part2 scalefactors +
@@ -271,77 +361,8 @@ def encode_mp3_main(doc_id: int) -> bytes:
     sfb = SFB_LONG[sr]
     out = bytearray()
     for f in range(sch["n_frames"]):
-        both_long = not (sch["short"](f, 0) or sch["short"](f, 1))
-        scfsi = sch["scfsi"](f) if both_long else 0
-        grs = []
-        for g in range(2):
-            short = sch["short"](f, g)
-            sc = sch["scalefac_compress"](f, g)
-            s1, s2 = SLEN1[sc], SLEN2[sc]
-            w = _BitWriter()
-            for j, sl in enumerate(_sf_slots(short, g, scfsi, s1, s2)):
-                if sl:
-                    w.write(sch["sf_value"](f, g, j, sl), sl)
-            bv = sch["big_values"](f, g)
-            r0c, r1c = sch["region0"](f, g), sch["region1"](f, g)
-            bounds = _granule_bounds(short, 2 * bv, sfb, r0c, r1c)
-            tabs = [sch["table"](f, g, r) for r in range(len(bounds))]
-            lo = 0
-            for bound, t in zip(bounds, tabs):
-                m = _TMAX[t]
-                for i in range(lo, bound, 2):
-                    x = sch["bv_value"](f, g, i, m)
-                    y = sch["bv_value"](f, g, i + 1, m)
-                    if x and sch["bv_sign"](f, g, i):
-                        x = -x
-                    if y and sch["bv_sign"](f, g, i + 1):
-                        y = -y
-                    _encode_pair(w, t, x, y)
-                lo = bound
-            ct = sch["count1table"](f, g)
-            enc = _C1_BOOKS[ct][1]
-            for q in range(sch["n_quads"](f, g)):
-                bits = [sch["c1_bit"](f, g, q, p) for p in range(4)]
-                ln, cd = enc[bits[0] << 3 | bits[1] << 2 | bits[2] << 1 | bits[3]]
-                w.write(cd, ln)
-                for p, b in enumerate(bits):
-                    if b:
-                        w.write(sch["c1_sign"](q, p), 1)
-            grs.append(
-                {
-                    "short": short, "sc": sc, "bv": bv, "r0c": r0c,
-                    "r1c": r1c, "tabs": tabs, "ct": ct, "bits": w.bits,
-                    "preflag": sch["preflag"](f, g),
-                    "sfs": sch["scalefac_scale"](f, g),
-                }
-            )
-        # side info (136 bits, mono)
-        si = _BitWriter()
-        si.write(0, 9)   # main_data_begin
-        si.write(0, 5)   # private_bits
-        si.write(scfsi, 4)
-        for g, gr in enumerate(grs):
-            si.write(len(gr["bits"]), 12)  # part2_3_length
-            si.write(gr["bv"], 9)
-            si.write((doc_id + g) % 256, 8)  # global_gain (unused by decode)
-            si.write(gr["sc"], 4)
-            si.write(int(gr["short"]), 1)
-            if gr["short"]:
-                si.write(2, 2)  # block_type = short
-                si.write(0, 1)  # not mixed
-                for k in range(2):
-                    si.write(gr["tabs"][k], 5)
-                for k in range(3):
-                    si.write(sch["subblock_gain"](g, k), 3)
-            else:
-                for k in range(3):
-                    si.write(gr["tabs"][k], 5)
-                si.write(gr["r0c"], 4)
-                si.write(gr["r1c"], 3)
-            si.write(gr["preflag"], 1)
-            si.write(gr["sfs"], 1)
-            si.write(gr["ct"], 1)
-        assert len(si.bits) == 136
+        grs, scfsi = _build_granules(sch, doc_id, sfb, f)
+        si = _write_side_info(grs, scfsi, 0)
         need_bits = sum(len(gr["bits"]) for gr in grs)
         br_idx = next(
             i for i in range(1, 15)
@@ -357,6 +378,70 @@ def encode_mp3_main(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def encode_mp3_reservoir(doc_id: int) -> bytes:
+    """Spec-valid mono Layer III stream whose main data USES the bit
+    reservoir (ISO 11172-3 2.4.1.7 main_data_begin): granule bits are
+    laid out in one continuous virtual main-data stream, byte-aligned
+    per frame, while the PHYSICAL frame sizes are deliberately pumped
+    (frame 0 always, then every (doc_id+f)%2==0 frame takes one
+    bitrate step above the minimal fit) so later frames' main data
+    starts back inside earlier frames' areas — main_data_begin > 0.
+
+    Granule CONTENT is mp3_main_schedule(doc_id) verbatim, shared with
+    encode_mp3_main: decoding this stream must yield byte-for-byte the
+    same spectral values as the contiguous framing, which is what the
+    multimodal_mp3_reservoir_decode oracle (the same schedule replay)
+    hash-pins.  Stuffing rules are the spec's: pad-to-byte after each
+    frame's granule bits (main_data_begin counts BYTES), ancillary
+    zeros fill unused reservoir space, and when slack would exceed the
+    9-bit field's 511-byte reach the virtual stream is advanced with
+    stuffing bytes (exactly what a real encoder does when it cannot
+    address that far back)."""
+    sch = mp3_main_schedule(doc_id)
+    sr_idx = sch["sr_idx"]
+    sr = SAMPLE_RATE[sr_idx]
+    sfb = SFB_LONG[sr]
+    vbits: list[int] = []   # virtual main-data stream
+    area_end = 0            # physical main-data bytes emitted so far
+    frames = []             # (br_idx, side-info writer)
+    for f in range(sch["n_frames"]):
+        grs, scfsi = _build_granules(sch, doc_id, sfb, f)
+        # frame's main data starts at the current byte-aligned virtual
+        # position; clamp the back-reach to the field's 511-byte max
+        if area_end - len(vbits) // 8 > 511:
+            vbits.extend([0] * ((area_end - 511) * 8 - len(vbits)))
+        w_start = len(vbits) // 8
+        md = area_end - w_start
+        assert 0 <= md <= 511
+        for gr in grs:
+            vbits.extend(gr["bits"])
+        if len(vbits) % 8:
+            vbits.extend([0] * (8 - len(vbits) % 8))  # pad to byte
+        need_end = len(vbits) // 8
+        fits = [
+            i for i in range(1, 15)
+            if area_end + frame_length(i, sr_idx, 0) - 21 >= need_end
+        ]
+        br_idx = fits[0]
+        if (f == 0 or (doc_id + f) % 2 == 0) and br_idx < 14:
+            br_idx += 1  # pump the reservoir
+        area_end += frame_length(br_idx, sr_idx, 0) - 21
+        frames.append((br_idx, _write_side_info(grs, scfsi, md)))
+    # physical layout: slice the zero-padded virtual stream into areas
+    vw = _BitWriter()
+    vw.bits = vbits
+    vstream = vw.to_bytes(area_end)
+    out = bytearray()
+    off = 0
+    for br_idx, si in frames:
+        flen = frame_length(br_idx, sr_idx, 0)
+        out += _frame_header(br_idx, sr_idx, 0)
+        out += si.to_bytes(17)
+        out += vstream[off : off + flen - 21]
+        off += flen - 21
+    return bytes(out)
+
+
 def decode_mp3_main(data: bytes) -> dict:
     """Decode the main data of a mono MPEG-1 Layer III stream: side
     info, slen-coded scalefactors with scfsi sharing, region-
@@ -365,12 +450,15 @@ def decode_mp3_main(data: bytes) -> dict:
     tolerance, and per-granule stuffing skip to the part2_3 boundary.
 
     General over any conformant mono stream within the stated boundary
-    (bundled codebooks, main_data_begin = 0).  Returns integer
+    (bundled codebooks), INCLUDING bit-reservoir streams: main data is
+    reassembled from the last <=511 bytes of prior frames' main-data
+    areas per main_data_begin, with underruns rejected loudly.  Returns integer
     aggregates (what the SQL oracle replays) plus per-granule records
     for the tests."""
     pos = 0
     n_frames = 0
     sr = None
+    tail = bytearray()  # last <=511 bytes of prior main-data areas
     agg = {
         "n_long": 0, "n_short": 0, "n_sf_transmitted": 0,
         "sum_scalefac": 0, "sum_part2_bits": 0, "n_bv_pairs": 0,
@@ -406,9 +494,11 @@ def decode_mp3_main(data: bytes) -> dict:
         if pos + flen > len(data):
             raise ValueError(f"corrupt mp3 stream: frame at {pos} runs past EOF")
         si = _BitReader(data[pos + 4 : pos + 21])
-        if si.read(9) != 0:
+        md = si.read(9)
+        if md > len(tail):
             raise ValueError(
-                "unsupported mp3 stream: bit reservoir (main_data_begin != 0)"
+                "corrupt mp3 stream: bit-reservoir underrun "
+                f"(main_data_begin {md} > {len(tail)} reservoir bytes)"
             )
         si.read(5)  # private_bits
         scfsi = si.read(4)
@@ -448,11 +538,15 @@ def decode_mp3_main(data: bytes) -> dict:
             side.append(rec)
         if scfsi and (side[0]["short"] or side[1]["short"]):
             raise ValueError("corrupt mp3 stream: scfsi with a short granule")
-        if side[0]["part23"] + side[1]["part23"] > (flen - 21) * 8:
+        if side[0]["part23"] + side[1]["part23"] > (md + flen - 21) * 8:
             raise ValueError(
                 "corrupt mp3 stream: part2_3 lengths exceed available main data"
             )
-        r = _BitReader(data[pos + 21 : pos + flen])
+        area = data[pos + 21 : pos + flen]
+        # bit-reservoir reassembly: this frame's main data starts md
+        # bytes back inside the previous frames' main-data areas
+        r = _BitReader((bytes(tail[len(tail) - md :]) + area) if md else area)
+        tail = (tail + bytearray(area))[-511:]
         for g, rec in enumerate(side):
             start = r.pos
             s1, s2 = SLEN1[rec["sc"]], SLEN2[rec["sc"]]

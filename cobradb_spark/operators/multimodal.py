@@ -795,6 +795,28 @@ def synthesize_mp3_main(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
+def synthesize_mp3_reservoir(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One mono MPEG-1 Layer III stream per row whose main data USES
+    the bit reservoir (operators/mp3huff.py encode_mp3_reservoir):
+    granule bits flow continuously across frame boundaries, physical
+    frames are pumped so main_data_begin > 0 on every document.
+    Granule content is the SAME schedule as synthesize_mp3_main."""
+    from cobradb_spark.operators.mp3huff import encode_mp3_reservoir
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        encode_mp3_reservoir(int(d)) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
 def decode_mp3_main_features(df: DataFrame) -> DataFrame:
     """REAL Layer III main-data decode (operators/mp3huff.py
     decode_mp3_main: side info, scalefactors, Huffman big-value +

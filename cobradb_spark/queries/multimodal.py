@@ -810,6 +810,159 @@ def multimodal_mp2_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_MP3_MAIN_SCHEDULE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]
+           WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,230,276,330,384,576]
+           ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,364,448,550,576]
+         END AS sfb
+  FROM documents),
+gr AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.sfb, f.f, g.g,
+         CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
+         CASE WHEN (d.doc_id + 2 * f.f) % 5 <> 0
+               AND (d.doc_id + 2 * f.f + 1) % 5 <> 0
+              THEN (d.doc_id + f.f) % 16 ELSE 0 END AS scfsi,
+         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s1,
+         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s2,
+         (d.doc_id * 3 + 5 * f.f + 7 * g.g) % 100 AS bv,
+         2 + (d.doc_id + f.f + g.g) % 6 AS r0c,
+         2 + (d.doc_id + f.f + 2 * g.g) % 5 AS r1c,
+         (d.doc_id + f.f + 2 * g.g) % 12 AS nq
+  FROM d,
+       UNNEST(range(0, d.n_frames)) AS f(f),
+       UNNEST(range(0, 2)) AS g(g)),
+gr2 AS (
+  SELECT *,
+         CASE WHEN short = 1 THEN 18
+              WHEN g = 1 AND scfsi > 0
+              THEN 6 * (1 - (scfsi // 8) % 2) + 5 * (1 - (scfsi // 4) % 2)
+              ELSE 11 END AS ns1,
+         CASE WHEN short = 1 THEN 18
+              WHEN g = 1 AND scfsi > 0
+              THEN 5 * (1 - (scfsi // 2) % 2) + 5 * (1 - scfsi % 2)
+              ELSE 10 END AS ns2,
+         LEAST(CASE WHEN short = 1 THEN 36
+                    ELSE list_extract(sfb, CAST(r0c AS INTEGER) + 2) END,
+               2 * bv) AS e0,
+         LEAST(CASE WHEN short = 1 THEN 2 * bv
+                    ELSE list_extract(sfb, CAST(r0c + r1c AS INTEGER) + 3) END,
+               2 * bv) AS e1
+  FROM gr),
+sf AS (
+  SELECT doc_id,
+         CAST(sum(ns1 + ns2) AS BIGINT) AS n_sf,
+         CAST(sum(sfsum) AS BIGINT) AS sum_sf,
+         CAST(sum(p2) AS BIGINT) AS p2bits
+  FROM (
+    SELECT g2.doc_id, g2.f, g2.g,
+           sum((g2.doc_id + g2.f + 2 * g2.g + j.j)
+               % (1 << CASE WHEN j.j < g2.ns1 THEN g2.s1 ELSE g2.s2 END)) AS sfsum,
+           sum(CASE WHEN j.j < g2.ns1 THEN g2.s1 ELSE g2.s2 END) AS p2,
+           any_value(g2.ns1) AS ns1, any_value(g2.ns2) AS ns2
+    FROM gr2 g2, UNNEST(range(0, g2.ns1 + g2.ns2)) AS j(j)
+    GROUP BY g2.doc_id, g2.f, g2.g)
+  GROUP BY doc_id),
+bvv AS (
+  SELECT doc_id,
+         CAST(sum(x + y) AS BIGINT) AS abs_is,
+         CAST(sum(CASE WHEN x > 0 AND (doc_id + f + g + 2 * p) % 2 = 1
+                       THEN -x ELSE x END
+                + CASE WHEN y > 0 AND (doc_id + f + g + 2 * p + 1) % 2 = 1
+                       THEN -y ELSE y END) AS BIGINT) AS sum_is,
+         CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+  FROM (
+    SELECT doc_id, f, g, p,
+           (doc_id + 3 * f + 5 * g + 14 * p) % (m + 1) AS x,
+           (doc_id + 3 * f + 5 * g + 14 * p + 7) % (m + 1) AS y
+    FROM (
+      SELECT g2.doc_id, g2.f, g2.g, p.p,
+             list_extract([1, 2, 2, 3, 0],
+               CAST((g2.doc_id + 2 * g2.f + 3 * g2.g
+                     + CASE WHEN 2 * p.p < g2.e0 THEN 0
+                            WHEN 2 * p.p < g2.e1 THEN 1 ELSE 2 END) % 5
+                    AS INTEGER) + 1) AS m
+      FROM gr2 g2, UNNEST(range(0, g2.bv)) AS p(p))
+  ) GROUP BY doc_id),
+c1 AS (
+  SELECT doc_id,
+         CAST(sum(bit) AS BIGINT) AS abs_is,
+         CAST(sum(CASE WHEN bit = 1 AND (doc_id + q + p) % 2 = 1
+                       THEN -1 ELSE bit END) AS BIGINT) AS sum_is,
+         CAST(sum(bit) AS BIGINT) AS nz
+  FROM (
+    SELECT g2.doc_id, qp.qp // 4 AS q, qp.qp % 4 AS p,
+           CASE WHEN (g2.doc_id + g2.f + g2.g + 4 * (qp.qp // 4) + qp.qp % 4) % 3 = 0
+                THEN 1 ELSE 0 END AS bit
+    FROM gr2 g2, UNNEST(range(0, 4 * g2.nq)) AS qp(qp)
+  ) GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+         CAST(any_value(sr) AS BIGINT) AS sample_rate,
+         CAST(sum(1 - short) AS BIGINT) AS n_long,
+         CAST(sum(short) AS BIGINT) AS n_short,
+         CAST(sum(bv) AS BIGINT) AS n_bv_pairs,
+         CAST(sum(nq) AS BIGINT) AS n_c1_quads,
+         CAST(sum(576 - 2 * bv - 4 * nq) AS BIGINT) AS rzero_total
+  FROM gr2 GROUP BY doc_id)
+SELECT b.doc_id, b.n_frames, b.sample_rate, b.n_long, b.n_short,
+       COALESCE(sf.n_sf, 0) AS n_sf_transmitted,
+       COALESCE(sf.sum_sf, 0) AS sum_scalefac,
+       COALESCE(sf.p2bits, 0) AS sum_part2_bits,
+       b.n_bv_pairs, b.n_c1_quads,
+       COALESCE(bvv.abs_is, 0) + COALESCE(c1.abs_is, 0) AS sum_abs_is,
+       COALESCE(bvv.sum_is, 0) + COALESCE(c1.sum_is, 0) AS sum_is,
+       COALESCE(bvv.nz, 0) + COALESCE(c1.nz, 0) AS n_nonzero,
+       b.rzero_total
+FROM base b
+LEFT JOIN sf ON sf.doc_id = b.doc_id
+LEFT JOIN bvv ON bvv.doc_id = b.doc_id
+LEFT JOIN c1 ON c1.doc_id = b.doc_id
+"""
+
+
+@register(
+    "multimodal_mp3_reservoir_decode",
+    oracle=_MP3_MAIN_SCHEDULE_ORACLE,
+    doc="REAL MPEG-1 Layer III BIT-RESERVOIR decode (ISO 11172-3 "
+    "2.4.1.7 main_data_begin — operators/mp3huff.py): the fixture lays "
+    "the SAME granule schedule as multimodal_mp3_huffman_decode out as "
+    "one continuous virtual main-data stream across pumped physical "
+    "frames, so every document's later frames start their main data up "
+    "to 511 bytes back inside earlier frames' areas; the decoder "
+    "reassembles from a rolling <=511-byte reservoir tail and rejects "
+    "underruns loudly.  The oracle is the identical schedule replay: a "
+    "hash match proves reservoir reassembly reconstructs BYTE-FOR-BYTE "
+    "the same spectral content as the contiguous framing — the "
+    "framing-independence property a conformant decoder must have.  "
+    "This closes the main_data_begin=0 restriction from r11's Huffman "
+    "key; the remaining Layer III boundary is purely waveform math "
+    "(requantization + IMDCT + synthesis).  Scale posture: Arrow "
+    "mapInPandas, one row per document, per-row-linear state (the "
+    "511-byte tail), nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_reservoir_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_main_features,
+        synthesize_mp3_reservoir,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_mp3_main_features(
+        synthesize_mp3_reservoir(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
 @register(
     "multimodal_mp2_lowrate_decode",
     oracle="""
@@ -971,124 +1124,7 @@ def multimodal_mp3_sideinfo_parse(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "multimodal_mp3_huffman_decode",
-    oracle="""
-WITH d AS (
-  SELECT doc_id,
-         2 + doc_id % 3 AS n_frames,
-         list_extract([44100, 48000, 32000],
-                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
-         CASE CAST(doc_id % 3 AS INTEGER)
-           WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]
-           WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,230,276,330,384,576]
-           ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,364,448,550,576]
-         END AS sfb
-  FROM documents),
-gr AS (
-  SELECT d.doc_id, d.n_frames, d.sr, d.sfb, f.f, g.g,
-         CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
-         CASE WHEN (d.doc_id + 2 * f.f) % 5 <> 0
-               AND (d.doc_id + 2 * f.f + 1) % 5 <> 0
-              THEN (d.doc_id + f.f) % 16 ELSE 0 END AS scfsi,
-         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
-                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s1,
-         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
-                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s2,
-         (d.doc_id * 3 + 5 * f.f + 7 * g.g) % 100 AS bv,
-         2 + (d.doc_id + f.f + g.g) % 6 AS r0c,
-         2 + (d.doc_id + f.f + 2 * g.g) % 5 AS r1c,
-         (d.doc_id + f.f + 2 * g.g) % 12 AS nq
-  FROM d,
-       UNNEST(range(0, d.n_frames)) AS f(f),
-       UNNEST(range(0, 2)) AS g(g)),
-gr2 AS (
-  SELECT *,
-         CASE WHEN short = 1 THEN 18
-              WHEN g = 1 AND scfsi > 0
-              THEN 6 * (1 - (scfsi // 8) % 2) + 5 * (1 - (scfsi // 4) % 2)
-              ELSE 11 END AS ns1,
-         CASE WHEN short = 1 THEN 18
-              WHEN g = 1 AND scfsi > 0
-              THEN 5 * (1 - (scfsi // 2) % 2) + 5 * (1 - scfsi % 2)
-              ELSE 10 END AS ns2,
-         LEAST(CASE WHEN short = 1 THEN 36
-                    ELSE list_extract(sfb, CAST(r0c AS INTEGER) + 2) END,
-               2 * bv) AS e0,
-         LEAST(CASE WHEN short = 1 THEN 2 * bv
-                    ELSE list_extract(sfb, CAST(r0c + r1c AS INTEGER) + 3) END,
-               2 * bv) AS e1
-  FROM gr),
-sf AS (
-  SELECT doc_id,
-         CAST(sum(ns1 + ns2) AS BIGINT) AS n_sf,
-         CAST(sum(sfsum) AS BIGINT) AS sum_sf,
-         CAST(sum(p2) AS BIGINT) AS p2bits
-  FROM (
-    SELECT g2.doc_id, g2.f, g2.g,
-           sum((g2.doc_id + g2.f + 2 * g2.g + j.j)
-               % (1 << CASE WHEN j.j < g2.ns1 THEN g2.s1 ELSE g2.s2 END)) AS sfsum,
-           sum(CASE WHEN j.j < g2.ns1 THEN g2.s1 ELSE g2.s2 END) AS p2,
-           any_value(g2.ns1) AS ns1, any_value(g2.ns2) AS ns2
-    FROM gr2 g2, UNNEST(range(0, g2.ns1 + g2.ns2)) AS j(j)
-    GROUP BY g2.doc_id, g2.f, g2.g)
-  GROUP BY doc_id),
-bvv AS (
-  SELECT doc_id,
-         CAST(sum(x + y) AS BIGINT) AS abs_is,
-         CAST(sum(CASE WHEN x > 0 AND (doc_id + f + g + 2 * p) % 2 = 1
-                       THEN -x ELSE x END
-                + CASE WHEN y > 0 AND (doc_id + f + g + 2 * p + 1) % 2 = 1
-                       THEN -y ELSE y END) AS BIGINT) AS sum_is,
-         CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END
-                  + CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
-  FROM (
-    SELECT doc_id, f, g, p,
-           (doc_id + 3 * f + 5 * g + 14 * p) % (m + 1) AS x,
-           (doc_id + 3 * f + 5 * g + 14 * p + 7) % (m + 1) AS y
-    FROM (
-      SELECT g2.doc_id, g2.f, g2.g, p.p,
-             list_extract([1, 2, 2, 3, 0],
-               CAST((g2.doc_id + 2 * g2.f + 3 * g2.g
-                     + CASE WHEN 2 * p.p < g2.e0 THEN 0
-                            WHEN 2 * p.p < g2.e1 THEN 1 ELSE 2 END) % 5
-                    AS INTEGER) + 1) AS m
-      FROM gr2 g2, UNNEST(range(0, g2.bv)) AS p(p))
-  ) GROUP BY doc_id),
-c1 AS (
-  SELECT doc_id,
-         CAST(sum(bit) AS BIGINT) AS abs_is,
-         CAST(sum(CASE WHEN bit = 1 AND (doc_id + q + p) % 2 = 1
-                       THEN -1 ELSE bit END) AS BIGINT) AS sum_is,
-         CAST(sum(bit) AS BIGINT) AS nz
-  FROM (
-    SELECT g2.doc_id, qp.qp // 4 AS q, qp.qp % 4 AS p,
-           CASE WHEN (g2.doc_id + g2.f + g2.g + 4 * (qp.qp // 4) + qp.qp % 4) % 3 = 0
-                THEN 1 ELSE 0 END AS bit
-    FROM gr2 g2, UNNEST(range(0, 4 * g2.nq)) AS qp(qp)
-  ) GROUP BY doc_id),
-base AS (
-  SELECT doc_id,
-         CAST(any_value(n_frames) AS BIGINT) AS n_frames,
-         CAST(any_value(sr) AS BIGINT) AS sample_rate,
-         CAST(sum(1 - short) AS BIGINT) AS n_long,
-         CAST(sum(short) AS BIGINT) AS n_short,
-         CAST(sum(bv) AS BIGINT) AS n_bv_pairs,
-         CAST(sum(nq) AS BIGINT) AS n_c1_quads,
-         CAST(sum(576 - 2 * bv - 4 * nq) AS BIGINT) AS rzero_total
-  FROM gr2 GROUP BY doc_id)
-SELECT b.doc_id, b.n_frames, b.sample_rate, b.n_long, b.n_short,
-       COALESCE(sf.n_sf, 0) AS n_sf_transmitted,
-       COALESCE(sf.sum_sf, 0) AS sum_scalefac,
-       COALESCE(sf.p2bits, 0) AS sum_part2_bits,
-       b.n_bv_pairs, b.n_c1_quads,
-       COALESCE(bvv.abs_is, 0) + COALESCE(c1.abs_is, 0) AS sum_abs_is,
-       COALESCE(bvv.sum_is, 0) + COALESCE(c1.sum_is, 0) AS sum_is,
-       COALESCE(bvv.nz, 0) + COALESCE(c1.nz, 0) AS n_nonzero,
-       b.rzero_total
-FROM base b
-LEFT JOIN sf ON sf.doc_id = b.doc_id
-LEFT JOIN bvv ON bvv.doc_id = b.doc_id
-LEFT JOIN c1 ON c1.doc_id = b.doc_id
-""",
+    oracle=_MP3_MAIN_SCHEDULE_ORACLE,
     doc="REAL MPEG-1 Layer III Huffman main-data decode (ISO 11172-3 "
     "2.4.1.7/2.4.2.7, Table B.7 small-value codebooks + both count1 "
     "quadruple tables — operators/mp3huff.py): slen-coded scalefactors "

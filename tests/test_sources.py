@@ -1211,3 +1211,75 @@ def test_layer2_lowrate_fuzz_never_crashes():
         except ValueError:
             pass
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_mp3_bit_reservoir_framing_independence_and_underrun():
+    """Bit-reservoir contract (operators/mp3huff.py): (a) the reservoir
+    framing decodes to EXACTLY the same granule records as the
+    contiguous (main_data_begin = 0) framing of the same schedule —
+    framing independence is what a conformant decoder must provide;
+    (b) every fixture doc actually exercises the reservoir
+    (main_data_begin > 0 somewhere); (c) a main_data_begin pointing
+    past the available reservoir is rejected loudly; (d) stuffing
+    bytes between frames never leak into decoded values."""
+    import pytest
+
+    from cobradb_spark.operators.mp3 import _BitReader
+    from cobradb_spark.operators.mp3huff import (
+        decode_mp3_main,
+        encode_mp3_main,
+        encode_mp3_reservoir,
+        frame_length,
+    )
+
+    for did in (0, 1, 2, 3, 5, 7, 12, 42, 100, 257, 333):
+        a = decode_mp3_main(encode_mp3_main(did))
+        b = decode_mp3_main(encode_mp3_reservoir(did))
+        assert a["granules"] == b["granules"]
+        assert {k: v for k, v in a.items() if k != "granules"} == {
+            k: v for k, v in b.items() if k != "granules"
+        }
+        # reservoir exercised: md > 0 on at least one frame
+        raw = encode_mp3_reservoir(did)
+        pos, mds = 0, []
+        while pos < len(raw):
+            b2 = raw[pos + 2]
+            si = _BitReader(raw[pos + 4 : pos + 21])
+            mds.append(si.read(9))
+            pos += frame_length(b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1)
+        assert mds[0] == 0 and any(m > 0 for m in mds[1:]), (did, mds)
+
+    # underrun: first frame claiming reservoir bytes that do not exist
+    raw = bytearray(encode_mp3_reservoir(42))
+    raw[4] |= 0x80  # main_data_begin high bit on frame 0
+    with pytest.raises(ValueError, match="reservoir underrun"):
+        decode_mp3_main(bytes(raw))
+
+
+def test_mp3_reservoir_fuzz_never_crashes():
+    """Mutation fuzz over a reservoir stream — the reassembly path adds
+    framing state (the rolling 511-byte tail), so it gets its own fuzz
+    discipline: ValueError or a well-formed decode, never a crash."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp3huff import decode_mp3_main, encode_mp3_reservoir
+
+    base = bytearray(encode_mp3_reservoir(42))
+    rng = np.random.default_rng(4242)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(300):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_mp3_main(bytes(b))
+            assert out["n_frames"] >= 1
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    for cut in range(1, 80):
+        try:
+            decode_mp3_main(bytes(base[:cut]))
+        except ValueError:
+            pass
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes

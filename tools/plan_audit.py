@@ -1614,6 +1614,13 @@ AUDITS = [
         "document, nothing driver-side",
     ),
     (
+        "multimodal_mp3_reservoir_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document bit-reservoir Layer III decode over Arrow "
+        "batches; one row per document, nothing driver-side",
+    ),
+    (
         "multimodal_mp2_lowrate_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],
