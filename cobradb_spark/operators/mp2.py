@@ -29,10 +29,14 @@ All four published allocation tables are implemented: B.2a (sblimit
 (sblimit 8) / B.2d (sblimit 12) for 32/48 kbps — the low-rate tables
 share one quantizer row (3,5,9,15,...,32767 — no 7-level class) over
 an nbal-4 region (sb 0-1) and an nbal-3 region (sb 2+), with B.2d
-selected at 32 kHz and B.2c at 44.1/48 kHz.  The honest remaining
-boundary is the polyphase synthesis window to PCM.  Everything through
-exact requantization is real and general over conformant mono streams
-at 32-192 kbps.
+selected at 32 kHz and B.2c at 44.1/48 kHz.  All four channel modes
+decode (decode_layer2_general): stereo, joint_stereo with the
+intensity bound at 4 + 4*mode_extension (shared triplets, per-channel
+scalefactors), dual_channel, and single_channel; table selection keys
+on the per-channel bitrate.  The honest remaining boundary is the
+polyphase synthesis window to PCM.  Everything through exact
+requantization is real and general over conformant streams at
+32-192 kbps/channel.
 """
 
 from __future__ import annotations
@@ -327,8 +331,140 @@ def encode_layer2_lowrate(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def layer2_stereo_schedule(doc_id: int) -> dict:
+    """Deterministic two-channel synthesis schedule (shared by the
+    encoder, the SQL oracle, and the tests).  Rotates all three
+    non-mono modes — stereo (00), joint_stereo (01) with intensity
+    bound 4 + 4*((doc_id+1)%4), dual_channel (10) — and all three
+    sample rates; B.2b on odd docs away from 48 kHz.  Below the bound
+    the two channels carry DIFFERENT allocations, scalefactors, and
+    codes (the +3*ch / +2*ch / +13*ch terms); at and above the bound
+    the shared fields drop the ch term, matching the one-triplet
+    intensity transmission."""
+    sr_idx = doc_id % 3
+    mode = (doc_id // 3) % 3  # header bits: 0 stereo, 1 joint, 2 dual
+    use_b = (doc_id % 2 == 1) and sr_idx != 1
+    sblimit = 30 if use_b else 27
+    bound = min(4 + 4 * ((doc_id + 1) % 4), sblimit) if mode == 1 else sblimit
+    n_low, n_mid, n_hi = 2 + doc_id % 3, 1 + doc_id % 3, doc_id % 3
+    alloc_sbs = (
+        list(range(n_low))
+        + list(range(11, 11 + n_mid))
+        + list(range(23, 23 + n_hi))
+    )
+
+    def alloc_idx(ch: int, sb: int) -> int:
+        c = ch if sb < bound else 0
+        return 1 + (doc_id + sb + 3 * c) % (2 if sb >= 23 else 4)
+
+    return {
+        "sr_idx": sr_idx,
+        "mode": mode,
+        "mode_ext": (doc_id + 1) % 4 if mode == 1 else 0,
+        "use_b": use_b,
+        "sblimit": sblimit,
+        "bound": bound,
+        "n_frames": 2 + doc_id % 3,
+        "alloc_sbs": alloc_sbs,
+        "alloc_idx": alloc_idx,
+        "levels": lambda ch, sb: layer2_levels(sb, alloc_idx(ch, sb), sblimit),
+        "scfsi": lambda ch, sb: (doc_id + sb + ch) % 4,
+        "sf_t": lambda ch, sb, j: 3 * ((doc_id + sb + 7 * j + 2 * ch) % 21),
+        "code": lambda f, ch, sb, gr, k, L: (
+            doc_id * 11
+            + f * 7
+            + sb * 5
+            + gr * 3
+            + k
+            + 13 * (ch if sb < bound else 0)
+        )
+        % L,
+    }
+
+
+def encode_layer2_stereo(doc_id: int) -> bytes:
+    """Spec-valid TWO-CHANNEL MPEG-1 Layer II stream for one document
+    (layer2_stereo_schedule): per-channel allocation below the bound,
+    one shared allocation + sample triplet at/above it (joint stereo),
+    per-channel scfsi/scalefactors everywhere, per-frame fitted TOTAL
+    bitrate with table selection on the per-channel rate."""
+    sch = layer2_stereo_schedule(doc_id)
+    sr_idx, sblimit, bound = sch["sr_idx"], sch["sblimit"], sch["bound"]
+    alloc_sbs = sch["alloc_sbs"]
+    # admissible TOTAL bitrates: none of the single-channel-only rates
+    # (32/48/56/80); per-channel = total/2 must keep the schedule's
+    # B.2a/B.2b choice (B.2b needs >=96 per channel; B.2a <=80)
+    if sch["use_b"]:
+        admissible = [
+            i for i in range(1, 15)
+            if 192 <= LAYER2_BITRATE_KBPS[i] <= 384
+        ]
+    else:
+        admissible = [
+            i for i in range(1, 15)
+            if 112 <= LAYER2_BITRATE_KBPS[i] <= 160
+        ]
+    b3 = (sch["mode"] << 6) | (sch["mode_ext"] << 4) | 0x04
+    out = bytearray()
+    for f in range(sch["n_frames"]):
+        w = _BitWriter()
+        for sb in range(bound):
+            for ch in range(2):
+                w.write(
+                    sch["alloc_idx"](ch, sb) if sb in alloc_sbs else 0,
+                    layer2_nbal(sb, sblimit),
+                )
+        for sb in range(bound, sblimit):
+            w.write(
+                sch["alloc_idx"](0, sb) if sb in alloc_sbs else 0,
+                layer2_nbal(sb, sblimit),
+            )
+        for sb in range(sblimit):
+            for ch in range(2):
+                if sb in alloc_sbs:
+                    w.write(sch["scfsi"](ch, sb), 2)
+        for sb in range(sblimit):
+            for ch in range(2):
+                if sb in alloc_sbs:
+                    t = [sch["sf_t"](ch, sb, j) for j in range(3)]
+                    for idx in _transmitted_sf(sch["scfsi"](ch, sb), *t):
+                        w.write(idx, 6)
+
+        def write_triplet(ch, sb, gr):
+            lv = sch["levels"](ch, sb)
+            v = [sch["code"](f, ch, sb, gr, k, lv) for k in range(3)]
+            if lv in GROUP_BITS:
+                w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
+            else:
+                nb = lv.bit_length()
+                for k in range(3):
+                    w.write(v[k], nb)
+
+        for gr in range(12):
+            for sb in alloc_sbs:
+                if sb < bound:
+                    for ch in range(2):
+                        write_triplet(ch, sb, gr)
+                else:
+                    write_triplet(0, sb, gr)
+        need_bytes = 4 + (len(w.bits) + 7) // 8
+        br_idx = next(
+            i for i in admissible
+            if layer2_frame_bytes(i, sr_idx, 0) >= need_bytes
+        )
+        nbytes = layer2_frame_bytes(br_idx, sr_idx, 0)
+        b0 = 0xFF
+        b1 = 0xE0 | (0b11 << 3) | (0b10 << 1) | 0b1
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        out += bytes((b0, b1, b2, b3))
+        out += w.to_bytes(nbytes - 4)
+    return bytes(out)
+
+
 def decode_layer2(data: bytes) -> dict:
-    """Decode a mono MPEG-1 Layer II stream to subband samples.
+    """Decode a mono MPEG-1 Layer II stream to subband samples —
+    the single_channel-only entry point (a stereo stream raises "not
+    single-channel"); decode_layer2_general accepts all four modes.
     General over conformant mono 32-192 kbps streams: header validation,
     B.2a/B.2b/B.2c/B.2d table derivation from (rate, bitrate),
     region-width allocation parse, scfsi/scalefactor sharing, grouped
@@ -339,6 +475,26 @@ def decode_layer2(data: bytes) -> dict:
     Returns integer aggregates (what the SQL oracle replays) plus the
     float subband samples laid out (n_frames*36, 32) (what the tests
     check against directly computed rationals)."""
+    out = _decode_layer2(data, require_mono=True)
+    out["subband_samples"] = out["subband_samples"][:, :, 0]
+    return out
+
+
+def decode_layer2_general(data: bytes) -> dict:
+    """Decode ANY conformant MPEG-1 Layer II stream — stereo (00),
+    joint_stereo with intensity bound = 4 + 4*mode_extension (01),
+    dual_channel (10), or single_channel (11).  Below the bound,
+    allocation and sample codes are per channel; at and above it
+    (joint stereo only) ONE allocation and ONE sample triplet are
+    transmitted and applied to both channels under their own
+    scalefactors (ISO 11172-3 2.4.1.6/2.4.2.3).  Aggregates count
+    TRANSMITTED entities (a shared triplet once); scalefactors are
+    per channel everywhere, so sf_idx_sum spans both channels.
+    subband_samples has shape (n_frames*36, 32, nch)."""
+    return _decode_layer2(data, require_mono=False)
+
+
+def _decode_layer2(data: bytes, require_mono: bool) -> dict:
     pos = 0
     n_frames = 0
     sr = None
@@ -367,9 +523,13 @@ def decode_layer2(data: bytes) -> dict:
             raise ValueError(f"unsupported layer2 stream: bitrate index {br_idx}")
         if sr_idx == 3:
             raise ValueError("corrupt layer2 stream: reserved sample-rate index")
-        if (b3 >> 6) != 0b11:
+        mode = b3 >> 6  # 00 stereo, 01 joint_stereo, 10 dual, 11 single
+        mode_ext = (b3 >> 4) & 0b11
+        if require_mono and mode != 0b11:
             raise ValueError("unsupported layer2 stream: not single-channel")
-        if LAYER2_BITRATE_KBPS[br_idx] > 192:
+        nch = 1 if mode == 0b11 else 2
+        kbps = LAYER2_BITRATE_KBPS[br_idx]
+        if mode == 0b11 and kbps > 192:
             # ISO 11172-3 2.4.2.3: 224-384 kbps are stereo-mode-only in
             # Layer II; a single_channel frame claiming one is
             # non-conformant (r9 ADVICE).  Checked AFTER the channel-mode
@@ -377,65 +537,109 @@ def decode_layer2(data: bytes) -> dict:
             # "not single-channel" rather than a misleading mono-bitrate
             # message (r10 ADVICE).
             raise ValueError(
-                "corrupt layer2 stream: "
-                f"{LAYER2_BITRATE_KBPS[br_idx]} kbps not allowed for mono"
+                f"corrupt layer2 stream: {kbps} kbps not allowed for mono"
+            )
+        if mode != 0b11 and kbps in (32, 48, 56, 80):
+            raise ValueError(
+                f"corrupt layer2 stream: {kbps} kbps is single-channel-only"
             )
         if sr is None:
             sr = SAMPLE_RATE[sr_idx]
         elif sr != SAMPLE_RATE[sr_idx]:
             raise ValueError("unsupported layer2 stream: mid-stream rate switch")
-        sblimit = layer2_sblimit(sr_idx, LAYER2_BITRATE_KBPS[br_idx])
+        # table selection keys on the PER-CHANNEL bitrate (2.4.2.3)
+        sblimit = layer2_sblimit(sr_idx, kbps // nch)
         if sblimit_seen is None:
-            sblimit_seen = sblimit
+            sblimit_seen, mode_seen = sblimit, mode
         elif sblimit_seen != sblimit:
             raise ValueError("unsupported layer2 stream: mid-stream table switch")
+        elif mode_seen != mode:
+            raise ValueError("unsupported layer2 stream: mid-stream mode switch")
+        bound = min(4 + 4 * mode_ext, sblimit) if mode == 0b01 else sblimit
         nbytes = layer2_frame_bytes(br_idx, sr_idx, pad)
         if pos + nbytes > len(data):
             raise ValueError(f"corrupt layer2 stream: frame at {pos} runs past EOF")
         r = _BitReader(data[pos + 4 : pos + nbytes])
-        alloc = [r.read(layer2_nbal(sb, sblimit)) for sb in range(sblimit)]
+        alloc = [[0] * sblimit for _ in range(nch)]
+        for sb in range(bound):
+            for ch in range(nch):
+                alloc[ch][sb] = r.read(layer2_nbal(sb, sblimit))
+                if alloc[ch][sb]:
+                    n_alloc_total += 1
+        for sb in range(bound, sblimit):
+            a = r.read(layer2_nbal(sb, sblimit))
+            if a:
+                n_alloc_total += 1  # transmitted once, applies to both
+            for ch in range(nch):
+                alloc[ch][sb] = a
         scfsi = {}
         for sb in range(sblimit):
-            if alloc[sb]:
-                scfsi[sb] = r.read(2)
-                scfsi_sum += scfsi[sb]
-                n_alloc_total += 1
-        sf_parts: dict[int, list[int]] = {}
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scfsi[(ch, sb)] = r.read(2)
+                    scfsi_sum += scfsi[(ch, sb)]
+        sf_parts: dict[tuple[int, int], list[int]] = {}
         for sb in range(sblimit):
-            if alloc[sb]:
-                n_tx = 3 if scfsi[sb] == 0 else (1 if scfsi[sb] == 2 else 2)
-                tx = [r.read(6) for _ in range(n_tx)]
-                if any(i > 62 for i in tx):
-                    raise ValueError("corrupt layer2 stream: scalefactor index > 62")
-                t0 = tx[0]
-                t1 = tx[1] if n_tx > 1 else t0
-                t2 = tx[2] if n_tx > 2 else t1
-                sf_parts[sb] = _applied_sf(scfsi[sb], t0, t1, t2)
-                sf_idx_sum += sum(sf_parts[sb])
-        frame_samples = np.zeros((36, 32))
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    sc = scfsi[(ch, sb)]
+                    n_tx = 3 if sc == 0 else (1 if sc == 2 else 2)
+                    tx = [r.read(6) for _ in range(n_tx)]
+                    if any(i > 62 for i in tx):
+                        raise ValueError(
+                            "corrupt layer2 stream: scalefactor index > 62"
+                        )
+                    t0 = tx[0]
+                    t1 = tx[1] if n_tx > 1 else t0
+                    t2 = tx[2] if n_tx > 2 else t1
+                    sf_parts[(ch, sb)] = _applied_sf(sc, t0, t1, t2)
+                    sf_idx_sum += sum(sf_parts[(ch, sb)])
+
+        def read_triplet(lv: int) -> list[int]:
+            if lv in GROUP_BITS:
+                c = r.read(GROUP_BITS[lv])
+                if c >= lv * lv * lv:
+                    raise ValueError(
+                        "corrupt layer2 stream: grouped code out of range"
+                    )
+                return [c % lv, (c // lv) % lv, c // (lv * lv)]
+            nb = lv.bit_length()
+            return [r.read(nb) for _ in range(3)]
+
+        frame_samples = np.zeros((36, 32, nch))
         for gr in range(12):
             part = gr // 4
             for sb in range(sblimit):
-                if not alloc[sb]:
+                if not alloc[0][sb] and not alloc[nch - 1][sb]:
                     continue
-                lv = layer2_levels(sb, alloc[sb], sblimit)
-                if lv in GROUP_BITS:
-                    c = r.read(GROUP_BITS[lv])
-                    if c >= lv * lv * lv:
-                        raise ValueError(
-                            "corrupt layer2 stream: grouped code out of range"
-                        )
-                    v = [c % lv, (c // lv) % lv, c // (lv * lv)]
+                if sb < bound:
+                    for ch in range(nch):
+                        if not alloc[ch][sb]:
+                            continue
+                        lv = layer2_levels(sb, alloc[ch][sb], sblimit)
+                        v = read_triplet(lv)
+                        sf = SCALEFACTOR[sf_parts[(ch, sb)][part]]
+                        for k in range(3):
+                            num = 2 * v[k] + 1 - lv
+                            code_sum += v[k]
+                            num_sum += num
+                            num_sq_sum += num * num
+                            frame_samples[gr * 3 + k, sb, ch] = sf * num / lv
                 else:
-                    nb = lv.bit_length()
-                    v = [r.read(nb) for _ in range(3)]
-                sf = SCALEFACTOR[sf_parts[sb][part]]
-                for k in range(3):
-                    num = 2 * v[k] + 1 - lv
-                    code_sum += v[k]
-                    num_sum += num
-                    num_sq_sum += num * num
-                    frame_samples[gr * 3 + k, sb] = sf * num / lv
+                    # intensity region: one triplet, both channels
+                    lv = layer2_levels(sb, alloc[0][sb], sblimit)
+                    v = read_triplet(lv)
+                    for k in range(3):
+                        num = 2 * v[k] + 1 - lv
+                        code_sum += v[k]
+                        num_sum += num
+                        num_sq_sum += num * num
+                    for ch in range(nch):
+                        sf = SCALEFACTOR[sf_parts[(ch, sb)][part]]
+                        for k in range(3):
+                            frame_samples[gr * 3 + k, sb, ch] = (
+                                sf * (2 * v[k] + 1 - lv) / lv
+                            )
         samples.append(frame_samples)
         n_frames += 1
         pos += nbytes
@@ -445,6 +649,9 @@ def decode_layer2(data: bytes) -> dict:
         "n_frames": n_frames,
         "sample_rate": sr,
         "sblimit": sblimit_seen,
+        "mode": mode_seen,
+        "bound": bound,
+        "nch": nch,
         "n_alloc_total": n_alloc_total,
         "scfsi_sum": scfsi_sum,
         "sf_idx_sum": sf_idx_sum,

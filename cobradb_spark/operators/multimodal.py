@@ -795,6 +795,54 @@ def synthesize_mp3_main(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
+def synthesize_layer2_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid TWO-CHANNEL MPEG-1 Layer II stream per row
+    (operators/mp2.py encode_layer2_stereo): rotates stereo /
+    joint_stereo (intensity bound) / dual_channel modes, per-channel
+    allocation below the bound, shared triplets above it."""
+    from cobradb_spark.operators.mp2 import encode_layer2_stereo
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        encode_layer2_stereo(int(d)) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_layer2_stereo_features(df: DataFrame) -> DataFrame:
+    """REAL two-channel Layer II decode (operators/mp2.py
+    decode_layer2_general: channel-mode/bound derivation, per-channel
+    allocation and scalefactors, shared intensity triplets) over Arrow
+    batches; integer aggregates count TRANSMITTED entities so the SQL
+    oracle replay pins the channel interleave exactly."""
+    from cobradb_spark.operators.mp2 import decode_layer2_general
+
+    cols = (
+        "n_frames", "sample_rate", "sblimit", "mode", "bound",
+        "n_alloc_total", "scfsi_sum", "sf_idx_sum", "code_sum",
+        "num_sum", "num_sq_sum",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_layer2_general(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_mp3_reservoir(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One mono MPEG-1 Layer III stream per row whose main data USES
     the bit reservoir (operators/mp3huff.py encode_mp3_reservoir):

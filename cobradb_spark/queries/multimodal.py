@@ -964,6 +964,120 @@ def multimodal_mp3_reservoir_decode(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_mp2_stereo_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         (doc_id // 3) % 3 AS mode,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 1
+              THEN 30 ELSE 27 END AS sblimit
+  FROM documents),
+d2 AS (
+  SELECT *,
+         CASE WHEN mode = 1
+              THEN LEAST(4 + 4 * ((doc_id + 1) % 4), sblimit)
+              ELSE sblimit END AS bound
+  FROM d),
+sbs AS (
+  SELECT d2.*, s.sb
+  FROM d2, UNNEST(list_concat(list_concat(
+           list_transform(range(0, 2 + d2.doc_id % 3), x -> x),
+           list_transform(range(11, 12 + d2.doc_id % 3), x -> x)),
+           list_transform(range(23, 23 + CAST(d2.doc_id % 3 AS INTEGER)), x -> x)))
+       AS s(sb)),
+chpairs AS (
+  SELECT sbs.*, c.ch,
+         (doc_id + sb + c.ch) % 4 AS scfsi,
+         3 * ((doc_id + sb + 2 * c.ch) % 21) AS t0,
+         3 * ((doc_id + sb + 7 + 2 * c.ch) % 21) AS t1,
+         3 * ((doc_id + sb + 14 + 2 * c.ch) % 21) AS t2
+  FROM sbs, UNNEST([0, 1]) AS c(ch)),
+sfagg AS (
+  SELECT doc_id,
+         CAST(any_value(n_frames) * sum(scfsi) AS BIGINT) AS scfsi_sum,
+         CAST(any_value(n_frames) * sum(
+           CASE scfsi WHEN 0 THEN t0 + t1 + t2 WHEN 1 THEN 2*t0 + t1
+                      WHEN 2 THEN 3*t0 ELSE t0 + 2*t1 END) AS BIGINT) AS sf_idx_sum
+  FROM chpairs GROUP BY doc_id),
+slots AS (
+  SELECT sbs.*, c.ch FROM sbs, UNNEST([0, 1]) AS c(ch) WHERE sbs.sb < sbs.bound
+  UNION ALL
+  SELECT sbs.*, 0 AS ch FROM sbs WHERE sbs.sb >= sbs.bound),
+slotsl AS (
+  SELECT *,
+         CASE WHEN sb < 3 THEN list_extract([3,7,15,31],
+                CAST(1 + (doc_id + sb + 3 * ch) % 4 AS INTEGER))
+              WHEN sb < 23 THEN list_extract([3,5,7,9],
+                CAST(1 + (doc_id + sb + 3 * ch) % 4 AS INTEGER))
+              ELSE list_extract([3,5],
+                CAST(1 + (doc_id + sb + 3 * ch) % 2 AS INTEGER)) END AS L
+  FROM slots),
+basea AS (
+  SELECT doc_id,
+         CAST(any_value(n_frames) * count(*) AS BIGINT) AS n_alloc_total
+  FROM slots GROUP BY doc_id),
+cell AS (
+  SELECT s.doc_id,
+         (s.doc_id*11 + f.f*7 + s.sb*5 + g.gr*3 + k.k + 13*s.ch) % s.L AS v,
+         s.L
+  FROM slotsl s,
+       UNNEST(range(0, s.n_frames)) AS f(f),
+       UNNEST(range(0, 12)) AS g(gr),
+       UNNEST(range(0, 3)) AS k(k)),
+cellagg AS (
+  SELECT doc_id,
+         CAST(sum(v) AS BIGINT) AS code_sum,
+         CAST(sum(2*v + 1 - L) AS BIGINT) AS num_sum,
+         CAST(sum((2*v + 1 - L) * (2*v + 1 - L)) AS BIGINT) AS num_sq_sum
+  FROM cell GROUP BY doc_id)
+SELECT d2.doc_id,
+       CAST(d2.n_frames AS BIGINT) AS n_frames,
+       CAST(d2.sr AS BIGINT) AS sample_rate,
+       CAST(d2.sblimit AS BIGINT) AS sblimit,
+       CAST(d2.mode AS BIGINT) AS mode,
+       CAST(d2.bound AS BIGINT) AS bound,
+       b.n_alloc_total, s.scfsi_sum, s.sf_idx_sum,
+       c.code_sum, c.num_sum, c.num_sq_sum
+FROM d2
+JOIN basea b USING (doc_id)
+JOIN sfagg s USING (doc_id)
+JOIN cellagg c USING (doc_id)
+""",
+    doc="REAL two-channel MPEG-1 Layer II decode (ISO 11172-3 "
+    "2.4.1.6/2.4.2.3 — operators/mp2.py decode_layer2_general): closes "
+    "the 'not single-channel' boundary.  The fixture rotates all three "
+    "non-mono modes — stereo (00), joint_stereo (01) with intensity "
+    "bound 4+4*mode_extension, dual_channel (10) — and both B.2a/B.2b "
+    "tables; below the bound the channels carry DIFFERENT allocations/"
+    "scalefactors/codes, at and above it ONE allocation and ONE sample "
+    "triplet are transmitted and applied to both channels under their "
+    "own scalefactors.  Table selection keys on the PER-CHANNEL "
+    "bitrate; single-channel-only total bitrates (32/48/56/80) are "
+    "rejected in stereo modes.  Aggregates count TRANSMITTED entities "
+    "(a shared triplet once), so the hash pins the exact channel "
+    "interleave of the bitstream — a decoder that read per-channel "
+    "triplets above the bound, or shared ones below it, would desync "
+    "within one granule.  The mono paths are untouched (wrapper over "
+    "the same general implementation; byte-path verified identical).  "
+    "Scale posture: Arrow mapInPandas, one row per document, nothing "
+    "driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp2_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_layer2_stereo_features,
+        synthesize_layer2_stereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_layer2_stereo_features(
+        synthesize_layer2_stereo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_mp2_lowrate_decode",
     oracle="""
 WITH d AS (

@@ -1283,3 +1283,100 @@ def test_mp3_reservoir_fuzz_never_crashes():
         except ValueError:
             pass
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer2_stereo_decode_exact_and_channel_interleave():
+    """Two-channel Layer II contract (operators/mp2.py
+    decode_layer2_general): (a) stereo/joint/dual streams round-trip to
+    the exact schedule values — per-channel samples below the bound,
+    shared codes with per-channel scalefactors above it; (b) all three
+    modes and both B.2a/B.2b tables are exercised; (c) the mono entry
+    point still rejects stereo streams; (d) stereo at a single-channel-
+    only bitrate is rejected with the accurate message."""
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.mp2 import (
+        SCALEFACTOR,
+        _applied_sf,
+        decode_layer2,
+        decode_layer2_general,
+        encode_layer2_stereo,
+        layer2_stereo_schedule,
+    )
+
+    seen = set()
+    for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 42, 100):
+        out = decode_layer2_general(encode_layer2_stereo(did))
+        sch = layer2_stereo_schedule(did)
+        seen.add((sch["mode"], sch["sblimit"]))
+        bound = sch["bound"]
+        want = np.zeros((sch["n_frames"] * 36, 32, 2))
+        code_sum = 0
+        for f in range(sch["n_frames"]):
+            for sb in sch["alloc_sbs"]:
+                for ch in range(2):
+                    lv = sch["levels"](ch, sb)
+                    t = [sch["sf_t"](ch, sb, j) for j in range(3)]
+                    applied = _applied_sf(sch["scfsi"](ch, sb), *t)
+                    for gr in range(12):
+                        sf = SCALEFACTOR[applied[gr // 4]]
+                        for k in range(3):
+                            v = sch["code"](f, ch, sb, gr, k, lv)
+                            if ch == 0 or sb < bound:
+                                code_sum += v
+                            want[f * 36 + gr * 3 + k, sb, ch] = (
+                                sf * (2 * v + 1 - lv) / lv
+                            )
+        assert out["code_sum"] == code_sum
+        assert np.array_equal(out["subband_samples"], want)
+        # intensity region really is shared: identical codes, own sf
+        if sch["mode"] == 1:
+            shared = [sb for sb in sch["alloc_sbs"] if sb >= bound]
+            for sb in shared:
+                assert sch["levels"](0, sb) == sch["levels"](1, sb)
+
+    assert {m for m, _ in seen} == {0, 1, 2}
+    assert {t for _, t in seen} == {27, 30}
+
+    raw = encode_layer2_stereo(0)
+    with pytest.raises(ValueError, match="not single-channel"):
+        decode_layer2(raw)
+    b = bytearray(raw)
+    b[2] = (b[2] & 0x0F) | (2 << 4)  # bitrate idx 2 = 48 kbps total
+    with pytest.raises(ValueError, match="single-channel-only"):
+        decode_layer2_general(bytes(b))
+
+
+def test_layer2_stereo_fuzz_never_crashes():
+    """Mutation fuzz over stereo/joint streams (the channel interleave
+    and bound arithmetic add parse state): ValueError or a well-formed
+    decode, never a crash."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp2 import (
+        decode_layer2_general,
+        encode_layer2_stereo,
+    )
+
+    for seed_doc in (3, 7):  # a joint-stereo doc and a dual doc
+        base = bytearray(encode_layer2_stereo(seed_doc))
+        rng = np.random.default_rng(4242 + seed_doc)
+        outcomes = {"ok": 0, "rejected": 0}
+        for _ in range(200):
+            b = bytearray(base)
+            pos = int(rng.integers(0, len(b)))
+            b[pos] ^= int(rng.integers(1, 256))
+            try:
+                out = decode_layer2_general(bytes(b))
+                assert out["n_frames"] >= 1
+                assert out["subband_samples"].shape[1:] == (32, 2)
+                outcomes["ok"] += 1
+            except ValueError:
+                outcomes["rejected"] += 1
+        for cut in range(1, 64):
+            try:
+                decode_layer2_general(bytes(base[:cut]))
+            except ValueError:
+                pass
+        assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
