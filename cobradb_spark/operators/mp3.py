@@ -262,30 +262,146 @@ class _BitReader:
 SCALEFACTOR = [2.0 * 2.0 ** (-idx / 3.0) for idx in range(63)]
 
 
+def layer1_stereo_schedule(doc_id: int) -> dict:
+    """Deterministic two-channel Layer I synthesis schedule (shared by
+    the encoder, the SQL oracle, and the tests).  Rotates stereo /
+    joint_stereo (intensity bound 4 + 4*((doc_id+1)%4)) / dual_channel
+    and all three sample rates.  Below the bound the channels carry
+    DIFFERENT subband memberships — ch0 allocates [0, n0), ch1
+    allocates [1, 1 + n1) — so ch0-only AND ch1-only subbands both
+    occur (the interleave case a mono-assuming parser desyncs on); at
+    and above the bound allocation and samples are shared (ch0's
+    formulas) while scalefactors stay per channel."""
+    sr_idx = doc_id % 3
+    mode = (doc_id // 3) % 3  # header bits: 0 stereo, 1 joint, 2 dual
+    mode_ext = (doc_id + 1) % 4 if mode == 1 else 0
+    bound = 4 + 4 * mode_ext if mode == 1 else 32
+    n0, n1 = 4 + doc_id % 5, 3 + doc_id % 6
+
+    def member(ch: int, sb: int) -> bool:
+        if sb >= bound:
+            return sb < n0  # shared region: ch0's membership
+        return sb < n0 if ch == 0 else 1 <= sb < 1 + n1
+
+    def nb(ch: int, sb: int) -> int:
+        c = ch if sb < bound else 0
+        return 2 + (doc_id + sb + 3 * c) % 10
+
+    return {
+        "sr_idx": sr_idx,
+        "mode": mode,
+        "mode_ext": mode_ext,
+        "bound": bound,
+        "n_frames": 3 + doc_id % 4,
+        "n0": n0,
+        "n1": n1,
+        "member": member,
+        "nb": nb,
+        "sf_idx": lambda ch, sb: 3 * ((doc_id + sb + 5 * ch) % 21),
+        "code": lambda f, ch, sb, t: (
+            doc_id * 11
+            + f * 7
+            + sb * 5
+            + t * 3
+            + 13 * (ch if sb < bound else 0)
+        )
+        % (1 << nb(ch, sb)),
+    }
+
+
+def encode_layer1_stereo(doc_id: int) -> bytes:
+    """Spec-valid TWO-CHANNEL MPEG-1 Layer I stream for one document
+    (layer1_stereo_schedule): per-channel 4-bit allocation below the
+    bound, one shared allocation at/above it, 6-bit scalefactors per
+    channel everywhere, one shared sample per intensity subband,
+    per-frame fitted bitrate."""
+    sch = layer1_stereo_schedule(doc_id)
+    sr_idx, bound = sch["sr_idx"], sch["bound"]
+    member, nb = sch["member"], sch["nb"]
+    b3 = (sch["mode"] << 6) | (sch["mode_ext"] << 4) | 0x04
+    out = bytearray()
+    for f in range(sch["n_frames"]):
+        w = _BitWriter()
+        for sb in range(bound):
+            for ch in range(2):
+                w.write(nb(ch, sb) - 1 if member(ch, sb) else 0, 4)
+        for sb in range(bound, 32):
+            w.write(nb(0, sb) - 1 if member(0, sb) else 0, 4)
+        for sb in range(32):
+            for ch in range(2):
+                if member(ch, sb):
+                    w.write(sch["sf_idx"](ch, sb), 6)
+        for t in range(12):
+            for sb in range(32):
+                if sb < bound:
+                    for ch in range(2):
+                        if member(ch, sb):
+                            w.write(sch["code"](f, ch, sb, t), nb(ch, sb))
+                elif member(0, sb):
+                    w.write(sch["code"](f, 0, sb, t), nb(0, sb))
+        need_slots = (32 + len(w.bits) + 31) // 32
+        br_idx = next(
+            i
+            for i in range(1, 15)
+            if layer1_frame_slots(i, sr_idx, 0) >= need_slots
+        )
+        slots = layer1_frame_slots(br_idx, sr_idx, 0)
+        b0 = 0xFF
+        b1 = 0xE0 | (0b11 << 3) | (0b11 << 1) | 0b1
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        out += bytes((b0, b1, b2, b3))
+        out += w.to_bytes(slots * 4 - 4)
+    return bytes(out)
+
+
 def decode_layer1(data: bytes) -> dict:
-    """Decode a mono MPEG-1 Layer I stream to subband samples.  General
-    over any conformant mono stream: header validation against the
-    published tables, slot-length walk landing exactly on EOF, 4-bit
-    allocation / 6-bit scalefactor / nb-bit sample parsing, exact
-    rational requantization.  Returns integer aggregates (what the SQL
-    oracle replays) plus the float subband samples (what the tests
-    check against directly-computed rationals):
+    """Decode a mono MPEG-1 Layer I stream to subband samples — the
+    single_channel-only entry point (a stereo stream now raises "not
+    single-channel" instead of silently misparsing the two-channel
+    interleave as mono, the pre-r11 latent hazard);
+    decode_layer1_general accepts all four modes.  General over any
+    conformant mono stream: header validation against the published
+    tables, slot-length walk landing exactly on EOF, 4-bit allocation /
+    6-bit scalefactor / nb-bit sample parsing, exact rational
+    requantization.  Returns integer aggregates (what the SQL oracle
+    replays) plus the float subband samples (what the tests check
+    against directly-computed rationals):
       num = 2*C + 2 - 2^nb        (exact integer dequant numerator)
       sample = sf(idx) * num / (2^nb - 1)
     """
+    out = _decode_layer1(data, require_mono=True)
+    out["subband_samples"] = out["subband_samples"][:, :, 0]
+    return out
+
+
+def decode_layer1_general(data: bytes) -> dict:
+    """Decode ANY conformant MPEG-1 Layer I stream — stereo (00),
+    joint_stereo (01) with intensity bound 4 + 4*mode_extension,
+    dual_channel (10), single_channel (11).  Below the bound
+    allocation and samples are per channel; at and above it ONE
+    allocation and ONE sample are transmitted and applied to both
+    channels under their own scalefactors (ISO 11172-3 2.4.1.5).
+    Aggregates count TRANSMITTED entities (a shared sample once);
+    scalefactors are per channel everywhere.  subband_samples has
+    shape (n_frames*12, 32, nch)."""
+    return _decode_layer1(data, require_mono=False)
+
+
+def _decode_layer1(data: bytes, require_mono: bool) -> dict:
     pos = 0
     n_frames = 0
     sr = None
+    mode_seen = None
     n_alloc_total = 0
     sf_idx_sum = 0
     code_sum = 0
     num_sum = 0
     num_sq_sum = 0
-    samples: list[float] = []
+    samples: list[np.ndarray] = []
     while pos < len(data):
         if pos + 4 > len(data):
             raise ValueError("corrupt layer1 stream: truncated frame header")
-        b0, b1, b2, _b3 = data[pos : pos + 4]
+        b0, b1, b2, b3 = data[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"corrupt layer1 stream: lost sync at byte {pos}")
         if (b1 >> 3) & 0b11 != 0b11:
@@ -299,39 +415,78 @@ def decode_layer1(data: bytes) -> dict:
             raise ValueError(f"unsupported layer1 stream: bitrate index {br_idx}")
         if sr_idx == 3:
             raise ValueError("corrupt layer1 stream: reserved sample-rate index")
+        mode = b3 >> 6
+        if require_mono and mode != 0b11:
+            raise ValueError("unsupported layer1 stream: not single-channel")
+        nch = 1 if mode == 0b11 else 2
+        bound = min(4 + 4 * ((b3 >> 4) & 0b11), 32) if mode == 0b01 else 32
         if sr is None:
             sr = SAMPLE_RATE[sr_idx]
         elif sr != SAMPLE_RATE[sr_idx]:
             raise ValueError("unsupported layer1 stream: mid-stream rate switch")
+        if mode_seen is None:
+            mode_seen = mode
+        elif mode_seen != mode:
+            raise ValueError("unsupported layer1 stream: mid-stream mode switch")
         slots = layer1_frame_slots(br_idx, sr_idx, pad)
         if pos + slots * 4 > len(data):
             raise ValueError(f"corrupt layer1 stream: frame at {pos} runs past EOF")
         r = _BitReader(data[pos + 4 : pos + slots * 4])
-        alloc = [r.read(4) for _ in range(32)]
-        if any(a == 15 for a in alloc):
+        alloc = [[0] * 32 for _ in range(nch)]
+        for sb in range(bound):
+            for ch in range(nch):
+                alloc[ch][sb] = r.read(4)
+                if alloc[ch][sb]:
+                    n_alloc_total += 1
+        for sb in range(bound, 32):
+            a = r.read(4)
+            if a:
+                n_alloc_total += 1  # transmitted once, applies to both
+            for ch in range(nch):
+                alloc[ch][sb] = a
+        if any(a == 15 for row in alloc for a in row):
             raise ValueError("corrupt layer1 stream: forbidden allocation 15")
         sf_idx = {}
         for sb in range(32):
-            if alloc[sb]:
-                idx = r.read(6)
-                if idx > 62:
-                    raise ValueError("corrupt layer1 stream: scalefactor index > 62")
-                sf_idx[sb] = idx
-                n_alloc_total += 1
-                sf_idx_sum += idx
-        frame_samples = np.zeros((12, 32))
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    idx = r.read(6)
+                    if idx > 62:
+                        raise ValueError(
+                            "corrupt layer1 stream: scalefactor index > 62"
+                        )
+                    sf_idx[(ch, sb)] = idx
+                    sf_idx_sum += idx
+        frame_samples = np.zeros((12, 32, nch))
         for t in range(12):
             for sb in range(32):
-                if alloc[sb]:
-                    nb = alloc[sb] + 1
+                if not any(alloc[ch][sb] for ch in range(nch)):
+                    continue
+                if sb < bound:
+                    for ch in range(nch):
+                        if not alloc[ch][sb]:
+                            continue
+                        nb = alloc[ch][sb] + 1
+                        c = r.read(nb)
+                        num = 2 * c + 2 - (1 << nb)
+                        code_sum += c
+                        num_sum += num
+                        num_sq_sum += num * num
+                        frame_samples[t, sb, ch] = (
+                            SCALEFACTOR[sf_idx[(ch, sb)]] * num / ((1 << nb) - 1)
+                        )
+                else:
+                    # intensity region: one sample code, both channels
+                    nb = alloc[0][sb] + 1
                     c = r.read(nb)
                     num = 2 * c + 2 - (1 << nb)
                     code_sum += c
                     num_sum += num
                     num_sq_sum += num * num
-                    frame_samples[t, sb] = (
-                        SCALEFACTOR[sf_idx[sb]] * num / ((1 << nb) - 1)
-                    )
+                    for ch in range(nch):
+                        frame_samples[t, sb, ch] = (
+                            SCALEFACTOR[sf_idx[(ch, sb)]] * num / ((1 << nb) - 1)
+                        )
         samples.append(frame_samples)
         n_frames += 1
         pos += slots * 4
@@ -340,6 +495,9 @@ def decode_layer1(data: bytes) -> dict:
     return {
         "n_frames": n_frames,
         "sample_rate": sr,
+        "mode": mode_seen,
+        "bound": bound,
+        "nch": 1 if mode_seen == 0b11 else 2,
         "n_alloc_total": n_alloc_total,
         "sf_idx_sum": sf_idx_sum,
         "code_sum": code_sum,

@@ -795,6 +795,51 @@ def synthesize_mp3_main(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
+def synthesize_layer1_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spec-valid TWO-CHANNEL MPEG-1 Layer I stream per row
+    (operators/mp3.py encode_layer1_stereo): rotates stereo / joint
+    (intensity bound) / dual modes, DIFFERENT per-channel subband
+    membership below the bound, shared samples above it."""
+    from cobradb_spark.operators.mp3 import encode_layer1_stereo
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        encode_layer1_stereo(int(d)) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_layer1_stereo_features(df: DataFrame) -> DataFrame:
+    """REAL two-channel Layer I decode (operators/mp3.py
+    decode_layer1_general) over Arrow batches; transmitted-entity
+    integer aggregates for the SQL oracle replay."""
+    from cobradb_spark.operators.mp3 import decode_layer1_general
+
+    cols = (
+        "n_frames", "sample_rate", "mode", "bound",
+        "n_alloc_total", "sf_idx_sum", "code_sum", "num_sum", "num_sq_sum",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_layer1_general(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_layer2_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One spec-valid TWO-CHANNEL MPEG-1 Layer II stream per row
     (operators/mp2.py encode_layer2_stereo): rotates stereo /

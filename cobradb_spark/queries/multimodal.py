@@ -964,6 +964,99 @@ def multimodal_mp3_reservoir_decode(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_mp1_stereo_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         (doc_id // 3) % 3 AS mode,
+         CASE WHEN (doc_id // 3) % 3 = 1
+              THEN 4 + 4 * ((doc_id + 1) % 4) ELSE 32 END AS bound,
+         4 + doc_id % 5 AS n0, 3 + doc_id % 6 AS n1
+  FROM documents),
+slots AS (
+  SELECT d.*, s.sb, 0 AS ch, 0 AS ceff
+  FROM d, UNNEST(range(0, LEAST(d.bound, d.n0))) AS s(sb)
+  UNION ALL
+  SELECT d.*, s.sb, 1 AS ch, 1 AS ceff
+  FROM d, UNNEST(range(1, LEAST(d.bound, 1 + d.n1))) AS s(sb)
+  UNION ALL
+  SELECT d.*, s.sb, 0 AS ch, 0 AS ceff
+  FROM d, UNNEST(range(d.bound, d.n0)) AS s(sb)),
+sfpairs AS (
+  SELECT d.*, s.sb, 0 AS ch
+  FROM d, UNNEST(range(0, LEAST(d.bound, d.n0))) AS s(sb)
+  UNION ALL
+  SELECT d.*, s.sb, 1 AS ch
+  FROM d, UNNEST(range(1, LEAST(d.bound, 1 + d.n1))) AS s(sb)
+  UNION ALL
+  SELECT d.*, s.sb, c.ch
+  FROM d, UNNEST(range(d.bound, d.n0)) AS s(sb), UNNEST([0, 1]) AS c(ch)),
+sfagg AS (
+  SELECT doc_id,
+         CAST(any_value(n_frames) * sum(3 * ((doc_id + sb + 5 * ch) % 21))
+              AS BIGINT) AS sf_idx_sum
+  FROM sfpairs GROUP BY doc_id),
+basea AS (
+  SELECT doc_id,
+         CAST(any_value(n_frames) * count(*) AS BIGINT) AS n_alloc_total
+  FROM slots GROUP BY doc_id),
+cell AS (
+  SELECT s.doc_id,
+         (s.doc_id*11 + f.f*7 + s.sb*5 + t.t*3 + 13*s.ceff)
+           % (1 << (2 + (s.doc_id + s.sb + 3*s.ceff) % 10)) AS c,
+         (1 << (2 + (s.doc_id + s.sb + 3*s.ceff) % 10)) AS two_nb
+  FROM slots s,
+       UNNEST(range(0, s.n_frames)) AS f(f),
+       UNNEST(range(0, 12)) AS t(t)),
+cellagg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS code_sum,
+         CAST(sum(2*c + 2 - two_nb) AS BIGINT) AS num_sum,
+         CAST(sum((2*c + 2 - two_nb) * (2*c + 2 - two_nb)) AS BIGINT)
+           AS num_sq_sum
+  FROM cell GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.sr AS BIGINT) AS sample_rate,
+       CAST(d.mode AS BIGINT) AS mode,
+       CAST(d.bound AS BIGINT) AS bound,
+       b.n_alloc_total, s.sf_idx_sum,
+       c.code_sum, c.num_sum, c.num_sq_sum
+FROM d
+JOIN basea b USING (doc_id)
+JOIN sfagg s USING (doc_id)
+JOIN cellagg c USING (doc_id)
+""",
+    doc="REAL two-channel MPEG-1 Layer I decode (ISO 11172-3 2.4.1.5 "
+    "— operators/mp3.py decode_layer1_general): stereo / joint_stereo "
+    "(intensity bound 4+4*mode_extension) / dual_channel.  The fixture "
+    "gives the two channels DIFFERENT subband memberships below the "
+    "bound (ch0-only and ch1-only subbands both occur), the interleave "
+    "a mono-assuming parser desyncs on within one sample group — and "
+    "the pre-r11 mono decoder IGNORED the header mode bits, so a "
+    "stereo stream previously misparsed silently; it now rejects "
+    "loudly while this general path decodes it.  Shared intensity "
+    "samples are applied under per-channel scalefactors; aggregates "
+    "count TRANSMITTED entities so the hash pins the exact interleave. "
+    "Scale posture: Arrow mapInPandas, one row per document, nothing "
+    "driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp1_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_layer1_stereo_features,
+        synthesize_layer1_stereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_layer1_stereo_features(
+        synthesize_layer1_stereo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_mp2_stereo_decode",
     oracle="""
 WITH d AS (

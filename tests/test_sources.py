@@ -1380,3 +1380,86 @@ def test_layer2_stereo_fuzz_never_crashes():
             except ValueError:
                 pass
         assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer1_stereo_decode_exact_and_mode_gate():
+    """Two-channel Layer I contract (operators/mp3.py
+    decode_layer1_general): (a) stereo/joint/dual streams round-trip
+    bit-exactly against an independent schedule replay, including
+    ch0-only and ch1-only subbands below the intensity bound and
+    shared samples (per-channel scalefactors) above it; (b) the mono
+    entry point now REJECTS stereo streams — before r11 it ignored the
+    mode bits and would have silently misparsed the interleave."""
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.mp3 import (
+        SCALEFACTOR,
+        decode_layer1,
+        decode_layer1_general,
+        encode_layer1_stereo,
+        layer1_stereo_schedule,
+    )
+
+    seen = set()
+    for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 42, 100):
+        out = decode_layer1_general(encode_layer1_stereo(did))
+        sch = layer1_stereo_schedule(did)
+        seen.add(sch["mode"])
+        nf, bound = sch["n_frames"], sch["bound"]
+        want = np.zeros((nf * 12, 32, 2))
+        for f in range(nf):
+            for sb in range(32):
+                for ch in range(2):
+                    cc = ch if sb < bound else 0
+                    if not sch["member"](cc, sb):
+                        continue
+                    n = sch["nb"](cc, sb)
+                    sf = SCALEFACTOR[sch["sf_idx"](ch, sb)]
+                    for t in range(12):
+                        c = sch["code"](f, cc, sb, t)
+                        want[f * 12 + t, sb, ch] = (
+                            sf * (2 * c + 2 - (1 << n)) / ((1 << n) - 1)
+                        )
+        assert np.array_equal(out["subband_samples"], want), did
+        # asymmetric membership really occurs below the bound
+        asym = [
+            sb for sb in range(min(bound, 32))
+            if sch["member"](0, sb) != sch["member"](1, sb)
+        ]
+        if sch["n0"] != 1 + sch["n1"]:
+            assert asym, did
+    assert seen == {0, 1, 2}
+
+    with pytest.raises(ValueError, match="not single-channel"):
+        decode_layer1(encode_layer1_stereo(0))
+
+
+def test_layer1_stereo_fuzz_never_crashes():
+    import numpy as np
+
+    from cobradb_spark.operators.mp3 import (
+        decode_layer1_general,
+        encode_layer1_stereo,
+    )
+
+    for seed_doc in (4, 7):  # joint and dual
+        base = bytearray(encode_layer1_stereo(seed_doc))
+        rng = np.random.default_rng(999 + seed_doc)
+        outcomes = {"ok": 0, "rejected": 0}
+        for _ in range(200):
+            b = bytearray(base)
+            pos = int(rng.integers(0, len(b)))
+            b[pos] ^= int(rng.integers(1, 256))
+            try:
+                out = decode_layer1_general(bytes(b))
+                assert out["n_frames"] >= 1
+                outcomes["ok"] += 1
+            except ValueError:
+                outcomes["rejected"] += 1
+        for cut in range(1, 64):
+            try:
+                decode_layer1_general(bytes(base[:cut]))
+            except ValueError:
+                pass
+        assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
