@@ -225,6 +225,9 @@ PROBES = [
     # r11 additions
     "multimodal_mp3_huffman_decode",
     "multimodal_mp2_lowrate_decode",
+    "multimodal_mp3_reservoir_decode",
+    "multimodal_mp2_stereo_decode",
+    "multimodal_mp1_stereo_decode",
 ]
 
 
