@@ -319,6 +319,30 @@ def _build_granules(sch: dict, doc_id: int, sfb, f: int):
     return grs, scfsi
 
 
+def _write_granule_record(si: "_BitWriter", gr: dict) -> None:
+    """The 59-bit per-granule(-per-channel) side-info record."""
+    si.write(len(gr["bits"]), 12)  # part2_3_length
+    si.write(gr["bv"], 9)
+    si.write(gr["gg"], 8)  # global_gain (unused by decode)
+    si.write(gr["sc"], 4)
+    si.write(int(gr["short"]), 1)
+    if gr["short"]:
+        si.write(2, 2)  # block_type = short
+        si.write(0, 1)  # not mixed
+        for k in range(2):
+            si.write(gr["tabs"][k], 5)
+        for k in range(3):
+            si.write(gr["sbg"][k], 3)
+    else:
+        for k in range(3):
+            si.write(gr["tabs"][k], 5)
+        si.write(gr["r0c"], 4)
+        si.write(gr["r1c"], 3)
+    si.write(gr["preflag"], 1)
+    si.write(gr["sfs"], 1)
+    si.write(gr["ct"], 1)
+
+
 def _write_side_info(grs, scfsi: int, md: int) -> "_BitWriter":
     """136-bit mono side-info record for one frame."""
     si = _BitWriter()
@@ -326,27 +350,23 @@ def _write_side_info(grs, scfsi: int, md: int) -> "_BitWriter":
     si.write(0, 5)   # private_bits
     si.write(scfsi, 4)
     for gr in grs:
-        si.write(len(gr["bits"]), 12)  # part2_3_length
-        si.write(gr["bv"], 9)
-        si.write(gr["gg"], 8)  # global_gain (unused by decode)
-        si.write(gr["sc"], 4)
-        si.write(int(gr["short"]), 1)
-        if gr["short"]:
-            si.write(2, 2)  # block_type = short
-            si.write(0, 1)  # not mixed
-            for k in range(2):
-                si.write(gr["tabs"][k], 5)
-            for k in range(3):
-                si.write(gr["sbg"][k], 3)
-        else:
-            for k in range(3):
-                si.write(gr["tabs"][k], 5)
-            si.write(gr["r0c"], 4)
-            si.write(gr["r1c"], 3)
-        si.write(gr["preflag"], 1)
-        si.write(gr["sfs"], 1)
-        si.write(gr["ct"], 1)
+        _write_granule_record(si, gr)
     assert len(si.bits) == 136
+    return si
+
+
+def _write_side_info_stereo(grs_by_ch, scfsi_by_ch, md: int) -> "_BitWriter":
+    """256-bit two-channel side-info record: 3 private bits, scfsi per
+    channel, four granule records ordered gr0ch0 gr0ch1 gr1ch0 gr1ch1."""
+    si = _BitWriter()
+    si.write(md, 9)
+    si.write(0, 3)  # private_bits (stereo)
+    for scfsi in scfsi_by_ch:
+        si.write(scfsi, 4)
+    for g in range(2):
+        for ch in range(2):
+            _write_granule_record(si, grs_by_ch[ch][g])
+    assert len(si.bits) == 256
     return si
 
 
@@ -375,6 +395,65 @@ def encode_mp3_main(doc_id: int) -> bytes:
         out += _frame_header(br_idx, sr_idx, 0)
         out += si.to_bytes(17)
         out += main.to_bytes(flen - 21)
+    return bytes(out)
+
+
+def mp3_stereo_virtual_docs(doc_id: int) -> tuple[int, int]:
+    """Per-channel virtual doc ids for the two-channel fixture:
+    v = 6*doc_id + 3*ch + doc_id%3.  Injective over (doc_id, ch) and
+    v % 3 == doc_id % 3, so both channels share the mono schedule's
+    sample rate and frame count while every OTHER schedule parameter
+    (scfsi, window switching, tables, codes, signs) differs per
+    channel.  This lets the stereo oracle be the mono schedule replay
+    evaluated at v and summed over channels — no new arithmetic to
+    trust."""
+    base = 6 * doc_id + doc_id % 3
+    return base, base + 3
+
+
+def encode_mp3_stereo(doc_id: int) -> bytes:
+    """Spec-valid TWO-CHANNEL MPEG-1 Layer III stream with real
+    Huffman-coded main data: 32-byte stereo side info, main data
+    interleaved gr0ch0 gr0ch1 gr1ch0 gr1ch1, per-frame fitted bitrate,
+    main_data_begin = 0.  Rotates stereo / joint_stereo with
+    mode_extension 0 (the layout-identical case; intensity/MS are
+    requantized-domain and out of scope) / dual_channel.  Channel ch's
+    granule content is mp3_main_schedule(mp3_stereo_virtual_docs(doc)
+    [ch]) verbatim."""
+    mode = (doc_id // 3) % 3  # header bits: 0 stereo, 1 joint, 2 dual
+    vs = mp3_stereo_virtual_docs(doc_id)
+    schs = [mp3_main_schedule(v) for v in vs]
+    sr_idx = schs[0]["sr_idx"]
+    assert schs[1]["sr_idx"] == sr_idx
+    sfb = SFB_LONG[SAMPLE_RATE[sr_idx]]
+    n_frames = schs[0]["n_frames"]
+    assert schs[1]["n_frames"] == n_frames
+    b3 = (mode << 6) | 0x04
+    out = bytearray()
+    for f in range(n_frames):
+        grs_by_ch, scfsi_by_ch = [], []
+        for ch in range(2):
+            grs, scfsi = _build_granules(schs[ch], vs[ch], sfb, f)
+            grs_by_ch.append(grs)
+            scfsi_by_ch.append(scfsi)
+        si = _write_side_info_stereo(grs_by_ch, scfsi_by_ch, 0)
+        need_bits = sum(
+            len(gr["bits"]) for grs in grs_by_ch for gr in grs
+        )
+        br_idx = next(
+            i for i in range(1, 15)
+            if (frame_length(i, sr_idx, 0) - 36) * 8 >= need_bits
+        )
+        flen = frame_length(br_idx, sr_idx, 0)
+        main = _BitWriter()
+        for g in range(2):
+            for ch in range(2):
+                main.bits.extend(grs_by_ch[ch][g]["bits"])
+        b0, b1 = 0xFF, 0xE0 | (0b11 << 3) | (0b01 << 1) | 0b1
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        out += bytes((b0, b1, b2, b3))
+        out += si.to_bytes(32)
+        out += main.to_bytes(flen - 36)
     return bytes(out)
 
 
@@ -448,6 +527,8 @@ def decode_mp3_main(data: bytes) -> dict:
     partitioned big-value Huffman decode, count1 quadruples (both
     tables) with the standard rewind-on-partial-quad stuffing
     tolerance, and per-granule stuffing skip to the part2_3 boundary.
+    Single_channel-only entry point; decode_mp3_main_general accepts
+    two-channel streams.
 
     General over any conformant mono stream within the stated boundary
     (bundled codebooks), INCLUDING bit-reservoir streams: main data is
@@ -455,6 +536,26 @@ def decode_mp3_main(data: bytes) -> dict:
     areas per main_data_begin, with underruns rejected loudly.  Returns integer
     aggregates (what the SQL oracle replays) plus per-granule records
     for the tests."""
+    return _decode_mp3_main(data, require_mono=True)
+
+
+def decode_mp3_main_general(data: bytes) -> dict:
+    """Decode mono OR two-channel Layer III main data.  Stereo (00),
+    dual_channel (10), and joint_stereo (01) with mode_extension 0
+    (intensity and MS matrixing OFF — the layout-identical-to-stereo
+    case) are accepted; intensity/MS joint stereo is requantized-
+    domain waveform math and stays on the documented boundary with
+    IMDCT.  The stereo side-info record is 32 bytes (3 private bits,
+    scfsi per channel, four 59-bit granule records ordered
+    gr0ch0 gr0ch1 gr1ch0 gr1ch1 — the same order the main data
+    interleaves scalefactor+Huffman blocks).  Aggregates sum over
+    channels; every entity in Layer III is transmitted per channel,
+    so there is no shared-sample subtlety.  Granule records carry a
+    'ch' field."""
+    return _decode_mp3_main(data, require_mono=False)
+
+
+def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
     pos = 0
     n_frames = 0
     sr = None
@@ -466,6 +567,7 @@ def decode_mp3_main(data: bytes) -> dict:
         "rzero_total": 0,
     }
     granules: list[dict] = []
+    nch = None
     while pos < len(data):
         if pos + 21 > len(data):
             raise ValueError("corrupt mp3 stream: truncated frame")
@@ -483,8 +585,22 @@ def decode_mp3_main(data: bytes) -> dict:
             raise ValueError(f"unsupported mp3 stream: bitrate index {br_idx}")
         if sr_idx == 3:
             raise ValueError("corrupt mp3 stream: reserved sample-rate index")
-        if (b3 >> 6) != 0b11:
+        mode = b3 >> 6  # 00 stereo, 01 joint, 10 dual, 11 single
+        if require_mono and mode != 0b11:
             raise ValueError("unsupported mp3 stream: not single-channel")
+        if mode == 0b01 and ((b3 >> 4) & 0b11) != 0:
+            raise ValueError(
+                "unsupported mp3 stream: intensity/MS joint stereo "
+                "(mode_extension != 0) is requantized-domain processing, "
+                "out of symbol-decode scope"
+            )
+        if nch is None:
+            nch = 1 if mode == 0b11 else 2
+        elif nch != (1 if mode == 0b11 else 2):
+            raise ValueError("unsupported mp3 stream: mid-stream mode switch")
+        si_len = 17 if nch == 1 else 32
+        if pos + 4 + si_len > len(data):
+            raise ValueError("corrupt mp3 stream: truncated frame")
         if sr is None:
             sr = SAMPLE_RATE[sr_idx]
         elif sr != SAMPLE_RATE[sr_idx]:
@@ -493,17 +609,17 @@ def decode_mp3_main(data: bytes) -> dict:
         flen = frame_length(br_idx, sr_idx, pad)
         if pos + flen > len(data):
             raise ValueError(f"corrupt mp3 stream: frame at {pos} runs past EOF")
-        si = _BitReader(data[pos + 4 : pos + 21])
+        si = _BitReader(data[pos + 4 : pos + 4 + si_len])
         md = si.read(9)
         if md > len(tail):
             raise ValueError(
                 "corrupt mp3 stream: bit-reservoir underrun "
                 f"(main_data_begin {md} > {len(tail)} reservoir bytes)"
             )
-        si.read(5)  # private_bits
-        scfsi = si.read(4)
+        si.read(5 if nch == 1 else 3)  # private_bits
+        scfsi_ch = [si.read(4) for _ in range(nch)]
         side = []
-        for _g in range(2):
+        for _g in range(2 * nch):  # gr0ch0 [gr0ch1] gr1ch0 [gr1ch1]
             rec = {
                 "part23": si.read(12), "bv": si.read(9),
                 "global_gain": si.read(8), "sc": si.read(4),
@@ -536,18 +652,25 @@ def decode_mp3_main(data: bytes) -> dict:
             rec["scalefac_scale"] = si.read(1)
             rec["ct"] = si.read(1)
             side.append(rec)
-        if scfsi and (side[0]["short"] or side[1]["short"]):
-            raise ValueError("corrupt mp3 stream: scfsi with a short granule")
-        if side[0]["part23"] + side[1]["part23"] > (md + flen - 21) * 8:
+        for ch in range(nch):
+            if scfsi_ch[ch] and (
+                side[ch]["short"] or side[nch + ch]["short"]
+            ):
+                raise ValueError(
+                    "corrupt mp3 stream: scfsi with a short granule"
+                )
+        if sum(rec["part23"] for rec in side) > (md + flen - 4 - si_len) * 8:
             raise ValueError(
                 "corrupt mp3 stream: part2_3 lengths exceed available main data"
             )
-        area = data[pos + 21 : pos + flen]
+        area = data[pos + 4 + si_len : pos + flen]
         # bit-reservoir reassembly: this frame's main data starts md
         # bytes back inside the previous frames' main-data areas
         r = _BitReader((bytes(tail[len(tail) - md :]) + area) if md else area)
         tail = (tail + bytearray(area))[-511:]
-        for g, rec in enumerate(side):
+        for i, rec in enumerate(side):
+            g, ch = i // nch, i % nch
+            scfsi = scfsi_ch[ch]
             start = r.pos
             s1, s2 = SLEN1[rec["sc"]], SLEN2[rec["sc"]]
             slots = _sf_slots(rec["short"], g, scfsi, s1, s2)
@@ -610,7 +733,8 @@ def decode_mp3_main(data: bytes) -> dict:
             r.pos = start + rec["part23"]
             granules.append(
                 {
-                    "frame": n_frames, "granule": g, "short": rec["short"],
+                    "frame": n_frames, "granule": g, "ch": ch,
+                    "short": rec["short"],
                     "scalefacs": sfv, "values": values, "n_quads": nq,
                     "big_values": rec["bv"], "tabs": rec["tabs"],
                     "ct": rec["ct"],
@@ -620,4 +744,7 @@ def decode_mp3_main(data: bytes) -> dict:
         pos += flen
     if n_frames == 0:
         raise ValueError("corrupt mp3 stream: no frames")
-    return {"n_frames": n_frames, "sample_rate": sr, "granules": granules, **agg}
+    return {
+        "n_frames": n_frames, "sample_rate": sr,
+        "nch": nch, "granules": granules, **agg,
+    }

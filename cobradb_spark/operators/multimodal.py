@@ -840,6 +840,54 @@ def decode_layer1_stereo_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mp3_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One TWO-CHANNEL MPEG-1 Layer III stream per row with real
+    Huffman-coded main data (operators/mp3huff.py encode_mp3_stereo):
+    32-byte stereo side info, gr0ch0 gr0ch1 gr1ch0 gr1ch1 interleave,
+    stereo/joint(ext0)/dual rotation; channel content = the mono
+    schedule at collision-free virtual docs."""
+    from cobradb_spark.operators.mp3huff import encode_mp3_stereo
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        encode_mp3_stereo(int(d)) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_mp3_stereo_features(df: DataFrame) -> DataFrame:
+    """REAL two-channel Layer III main-data decode (operators/
+    mp3huff.py decode_mp3_main_general) over Arrow batches; same
+    aggregate columns as the mono stage, summed over channels."""
+    from cobradb_spark.operators.mp3huff import decode_mp3_main_general
+
+    cols = (
+        "n_frames", "sample_rate", "n_long", "n_short",
+        "n_sf_transmitted", "sum_scalefac", "sum_part2_bits",
+        "n_bv_pairs", "n_c1_quads", "sum_abs_is", "sum_is",
+        "n_nonzero", "rzero_total",
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [decode_mp3_main_general(bytes(p)) for p in pdf["payload"]]
+            out = {"id": pdf["id"]}
+            out.update({k: [r[k] for r in rows] for k in cols})
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, " + ", ".join(f"{k} long" for k in cols),
+    )
+
+
 def synthesize_layer2_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One spec-valid TWO-CHANNEL MPEG-1 Layer II stream per row
     (operators/mp2.py encode_layer2_stereo): rotates stereo /

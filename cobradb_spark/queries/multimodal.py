@@ -930,6 +930,72 @@ LEFT JOIN c1 ON c1.doc_id = b.doc_id
 """
 
 
+def _make_mp3_stereo_oracle(mono_sql: str) -> str:
+    """The two-channel Layer III oracle IS the mono schedule replay,
+    evaluated at each channel's virtual doc v = 6*doc_id + 3*ch +
+    doc_id%3 (injective, v%3 == doc_id%3 so sr/n_frames are shared)
+    and summed over channels — a mechanical doc_id->v rewrite of the
+    proven mono oracle, so no new arithmetic needs trusting."""
+    t = mono_sql.replace("doc_id", "v").replace("FROM documents", "FROM docs")
+    assert t.lstrip().startswith("WITH d AS (")
+    t = t.replace(
+        "WITH d AS (",
+        "WITH docs AS (\n"
+        "  SELECT doc_id, 6 * doc_id + 3 * c.ch + doc_id % 3 AS v\n"
+        "  FROM documents, UNNEST([0, 1]) AS c(ch)),\n"
+        "d AS (",
+        1,
+    )
+    i = t.rindex("SELECT b.v,")
+    body, final = t[:i], t[i:]
+    aggs = (
+        "n_long", "n_short", "n_sf_transmitted", "sum_scalefac",
+        "sum_part2_bits", "n_bv_pairs", "n_c1_quads", "sum_abs_is",
+        "sum_is", "n_nonzero", "rzero_total",
+    )
+    wrapper = (
+        "SELECT docs.doc_id,\n"
+        "       CAST(any_value(m.n_frames) AS BIGINT) AS n_frames,\n"
+        "       CAST(any_value(m.sample_rate) AS BIGINT) AS sample_rate,\n"
+        + ",\n".join(f"       CAST(sum(m.{a}) AS BIGINT) AS {a}" for a in aggs)
+        + "\nFROM mono m JOIN docs ON m.v = docs.v\nGROUP BY docs.doc_id\n"
+    )
+    return (
+        body.rstrip() + ",\nmono AS (\n" + final.rstrip().rstrip(";") + "\n)\n" + wrapper
+    )
+
+
+@register(
+    "multimodal_mp3_stereo_decode",
+    oracle=_make_mp3_stereo_oracle(_MP3_MAIN_SCHEDULE_ORACLE),
+    doc="REAL two-channel MPEG-1 Layer III Huffman main-data decode "
+    "(operators/mp3huff.py decode_mp3_main_general): the 32-byte "
+    "stereo side-info record (3 private bits, scfsi per channel, four "
+    "59-bit granule records) and the gr0ch0 gr0ch1 gr1ch0 gr1ch1 main-"
+    "data interleave, over stereo / joint_stereo with mode_extension 0 "
+    "(the layout-identical case; intensity/MS matrixing is "
+    "requantized-domain waveform math, rejected loudly and out of "
+    "symbol-decode scope) / dual_channel.  Channel ch's granule "
+    "content is the MONO schedule at the collision-free virtual doc "
+    "6*doc_id + 3*ch + doc_id%3 — so the oracle is the proven mono "
+    "replay summed over channels, and a hash match proves the decoder "
+    "tracks the per-channel interleave exactly (a desync garbles every "
+    "downstream codeword).  Scale posture: Arrow mapInPandas, one row "
+    "per document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_stereo_features,
+        synthesize_mp3_stereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_mp3_stereo_features(
+        synthesize_mp3_stereo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
 @register(
     "multimodal_mp3_reservoir_decode",
     oracle=_MP3_MAIN_SCHEDULE_ORACLE,

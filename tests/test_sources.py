@@ -1463,3 +1463,80 @@ def test_layer1_stereo_fuzz_never_crashes():
             except ValueError:
                 pass
         assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_mp3_stereo_decode_channel_exact_and_mode_gates():
+    """Two-channel Layer III contract (operators/mp3huff.py): (a) each
+    channel of the stereo stream decodes to EXACTLY the mono decode of
+    its virtual doc (6*doc + 3*ch + doc%3) — granule-level equality
+    across the gr0ch0 gr0ch1 gr1ch0 gr1ch1 interleave; (b) all three
+    accepted modes occur; (c) the mono entry point rejects stereo;
+    (d) intensity/MS joint stereo (mode_extension != 0) rejects with
+    the scope message."""
+    import pytest
+
+    from cobradb_spark.operators.mp3huff import (
+        decode_mp3_main,
+        decode_mp3_main_general,
+        encode_mp3_main,
+        encode_mp3_stereo,
+        mp3_stereo_virtual_docs,
+    )
+
+    seen = set()
+    for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 42, 100):
+        st = decode_mp3_main_general(encode_mp3_stereo(did))
+        seen.add((did // 3) % 3)
+        monos = [
+            decode_mp3_main(encode_mp3_main(v))
+            for v in mp3_stereo_virtual_docs(did)
+        ]
+        assert st["n_frames"] == monos[0]["n_frames"] == monos[1]["n_frames"]
+        for gr in st["granules"]:
+            ref = next(
+                g for g in monos[gr["ch"]]["granules"]
+                if g["frame"] == gr["frame"] and g["granule"] == gr["granule"]
+            )
+            for k in ("short", "scalefacs", "values", "n_quads",
+                      "big_values", "tabs", "ct"):
+                assert gr[k] == ref[k], (did, gr["frame"], gr["granule"], gr["ch"], k)
+    assert seen == {0, 1, 2}
+
+    raw = encode_mp3_stereo(0)
+    with pytest.raises(ValueError, match="not single-channel"):
+        decode_mp3_main(raw)
+    b = bytearray(encode_mp3_stereo(3))  # joint doc
+    assert (b[3] >> 6) == 0b01
+    b[3] |= 0x20  # mode_extension bit -> MS on
+    with pytest.raises(ValueError, match="intensity/MS"):
+        decode_mp3_main_general(bytes(b))
+
+
+def test_mp3_stereo_fuzz_never_crashes():
+    import numpy as np
+
+    from cobradb_spark.operators.mp3huff import (
+        decode_mp3_main_general,
+        encode_mp3_stereo,
+    )
+
+    for seed_doc in (3, 7):  # joint and dual
+        base = bytearray(encode_mp3_stereo(seed_doc))
+        rng = np.random.default_rng(777 + seed_doc)
+        outcomes = {"ok": 0, "rejected": 0}
+        for _ in range(250):
+            b = bytearray(base)
+            pos = int(rng.integers(0, len(b)))
+            b[pos] ^= int(rng.integers(1, 256))
+            try:
+                out = decode_mp3_main_general(bytes(b))
+                assert out["n_frames"] >= 1
+                outcomes["ok"] += 1
+            except ValueError:
+                outcomes["rejected"] += 1
+        for cut in range(1, 90):
+            try:
+                decode_mp3_main_general(bytes(base[:cut]))
+            except ValueError:
+                pass
+        assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
