@@ -195,6 +195,17 @@ def _applied_sf(scfsi: int, t0: int, t1: int, t2: int) -> list[int]:
     return [t0, t1, t1]
 
 
+def _write_triplet(w: "_BitWriter", lv: int, v: list[int]) -> None:
+    """Write one 3-sample code: grouped word for L in {3,5,9}, else
+    three nb-bit codes (L = 2^nb - 1)."""
+    if lv in GROUP_BITS:
+        w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
+    else:
+        nb = lv.bit_length()
+        for k in range(3):
+            w.write(v[k], nb)
+
+
 def encode_layer2(doc_id: int) -> bytes:
     """Spec-valid mono MPEG-1 Layer II stream for one document.  The
     bitrate index is fitted per frame as the smallest table entry that
@@ -234,13 +245,7 @@ def encode_layer2(doc_id: int) -> bytes:
         for gr in range(12):
             for sb in alloc_sbs:
                 lv = sch["levels"](sb)
-                v = [sch["code"](f, sb, gr, k, lv) for k in range(3)]
-                if lv in GROUP_BITS:
-                    w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
-                else:
-                    nb = lv.bit_length()  # L = 2^nb - 1
-                    for k in range(3):
-                        w.write(v[k], nb)
+                _write_triplet(w, lv, [sch["code"](f, sb, gr, k, lv) for k in range(3)])
         need_bytes = 4 + (len(w.bits) + 7) // 8
         br_idx = next(
             i
@@ -312,13 +317,7 @@ def encode_layer2_lowrate(doc_id: int) -> bytes:
         for gr in range(12):
             for sb in alloc_sbs:
                 lv = sch["levels"](sb)
-                v = [sch["code"](f, sb, gr, k, lv) for k in range(3)]
-                if lv in GROUP_BITS:
-                    w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
-                else:
-                    nb = lv.bit_length()  # L = 2^nb - 1
-                    for k in range(3):
-                        w.write(v[k], nb)
+                _write_triplet(w, lv, [sch["code"](f, sb, gr, k, lv) for k in range(3)])
         need_bytes = 4 + (len(w.bits) + 7) // 8
         br_idx = next(
             i
@@ -432,13 +431,7 @@ def encode_layer2_stereo(doc_id: int) -> bytes:
 
         def write_triplet(ch, sb, gr):
             lv = sch["levels"](ch, sb)
-            v = [sch["code"](f, ch, sb, gr, k, lv) for k in range(3)]
-            if lv in GROUP_BITS:
-                w.write(v[0] + lv * v[1] + lv * lv * v[2], GROUP_BITS[lv])
-            else:
-                nb = lv.bit_length()
-                for k in range(3):
-                    w.write(v[k], nb)
+            _write_triplet(w, lv, [sch["code"](f, ch, sb, gr, k, lv) for k in range(3)])
 
         for gr in range(12):
             for sb in alloc_sbs:
@@ -499,6 +492,7 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
     n_frames = 0
     sr = None
     sblimit_seen = None
+    bound_seen = None
     n_alloc_total = 0
     scfsi_sum = 0
     sf_idx_sum = 0
@@ -556,6 +550,16 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
         elif mode_seen != mode:
             raise ValueError("unsupported layer2 stream: mid-stream mode switch")
         bound = min(4 + 4 * mode_ext, sblimit) if mode == 0b01 else sblimit
+        # per-frame bound changes are spec-legal (encoders vary the
+        # intensity bound dynamically) but this decoder reports ONE
+        # stream-level bound column, so a switch is an honest
+        # unsupported boundary rather than an ill-defined output
+        if bound_seen is None:
+            bound_seen = bound
+        elif bound_seen != bound:
+            raise ValueError(
+                "unsupported layer2 stream: mid-stream intensity-bound switch"
+            )
         nbytes = layer2_frame_bytes(br_idx, sr_idx, pad)
         if pos + nbytes > len(data):
             raise ValueError(f"corrupt layer2 stream: frame at {pos} runs past EOF")

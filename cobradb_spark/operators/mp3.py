@@ -392,6 +392,7 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
     n_frames = 0
     sr = None
     mode_seen = None
+    bound_seen = None
     n_alloc_total = 0
     sf_idx_sum = 0
     code_sum = 0
@@ -428,6 +429,14 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
             mode_seen = mode
         elif mode_seen != mode:
             raise ValueError("unsupported layer1 stream: mid-stream mode switch")
+        # one stream-level bound is reported, so a per-frame intensity-
+        # bound change (spec-legal) is an honest unsupported boundary
+        if bound_seen is None:
+            bound_seen = bound
+        elif bound_seen != bound:
+            raise ValueError(
+                "unsupported layer1 stream: mid-stream intensity-bound switch"
+            )
         slots = layer1_frame_slots(br_idx, sr_idx, pad)
         if pos + slots * 4 > len(data):
             raise ValueError(f"corrupt layer1 stream: frame at {pos} runs past EOF")

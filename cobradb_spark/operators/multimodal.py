@@ -92,6 +92,58 @@ def decode_features(df: DataFrame, id_col: str, codec: str = "fake") -> DataFram
     )
 
 
+def _codec_synthesizer(module: str, encoder: str, doc: str):
+    """Factory for the per-document codec fixture wrappers: mapInPandas
+    over the id column, one encoder(int(id)) payload per row.  The
+    encoder module imports lazily inside the task closure (same
+    pattern the hand-written wrappers used)."""
+
+    def synth_fn(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        def synth(batches):
+            import importlib
+
+            enc = getattr(importlib.import_module(module), encoder)
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col],
+                        "payload": [enc(int(d)) for d in pdf[id_col]],
+                    }
+                )
+
+        return df.select(id_col).mapInPandas(
+            synth, schema="id long, payload binary"
+        )
+
+    synth_fn.__doc__ = doc
+    return synth_fn
+
+
+def _codec_feature_decoder(module: str, decoder: str, cols: tuple, doc: str):
+    """Factory for the per-document codec decode stages: mapInPandas
+    over (id, payload), emitting the decoder's integer aggregates as
+    one long column per name in `cols` (the SQL-oracle surface)."""
+
+    def dec_fn(df: DataFrame) -> DataFrame:
+        def dec(batches):
+            import importlib
+
+            decode = getattr(importlib.import_module(module), decoder)
+            for pdf in batches:
+                rows = [decode(bytes(p)) for p in pdf["payload"]]
+                out = {"id": pdf["id"]}
+                out.update({k: [r[k] for r in rows] for k in cols})
+                yield pd.DataFrame(out)
+
+        return df.select("id", "payload").mapInPandas(
+            dec,
+            schema="id long, " + ", ".join(f"{k} long" for k in cols),
+        )
+
+    dec_fn.__doc__ = doc
+    return dec_fn
+
+
 def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a REAL mono 16-bit WAV (RIFF container via the stdlib `wave`
     writer) per row: n_samples = 800 + id % 100 at 8 kHz, samples
@@ -613,424 +665,218 @@ def index_mp3_features(df: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_layer1(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_layer1 = _codec_synthesizer(
+    "cobradb_spark.operators.mp3", "encode_layer1",
     """One spec-valid mono MPEG-1 Layer I stream per row (operators/
     mp3.py encode_layer1): per-document subband allocation width,
     scalefactor schedule, and sample codes; per-frame fitted bitrate
     index.  Real headers, real payload bits — the decoder reads every
-    one of them back."""
-    from cobradb_spark.operators.mp3 import encode_layer1
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [encode_layer1(int(d)) for d in pdf[id_col]],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    one of them back.""",
+)
 
 
-def decode_layer1_features(df: DataFrame) -> DataFrame:
+decode_layer1_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3", "decode_layer1",
+    (
+        "n_frames", "sample_rate", "n_alloc_total", "sf_idx_sum",
+        "code_sum", "num_sum", "num_sq_sum",
+    ),
     """REAL MPEG-1 Layer I subband decode (operators/mp3.py
     decode_layer1: header/table validation, slot walk, bit-level
     allocation/scalefactor/sample parsing, exact rational
     requantization) over Arrow batches.  Emits the integer decode
     aggregates the SQL oracle replays; the float subband samples are
-    exercised by the unit tests (dyadic-exact on this fixture)."""
-    from cobradb_spark.operators.mp3 import decode_layer1
-
-    cols = (
-        "n_frames", "sample_rate", "n_alloc_total", "sf_idx_sum",
-        "code_sum", "num_sum", "num_sq_sum",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_layer1(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    exercised by the unit tests (dyadic-exact on this fixture).""",
+)
 
 
-def synthesize_layer2(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_layer2 = _codec_synthesizer(
+    "cobradb_spark.operators.mp2", "encode_layer2",
     """One spec-valid mono MPEG-1 Layer II stream per row (operators/
     mp2.py encode_layer2): B.2a/B.2b allocation tables, grouped 3/5/9
     quantizers, scfsi scalefactor sharing, per-frame fitted bitrate
     index.  Real headers, real payload bits — the decoder reads every
-    one of them back."""
-    from cobradb_spark.operators.mp2 import encode_layer2
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [encode_layer2(int(d)) for d in pdf[id_col]],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    one of them back.""",
+)
 
 
-def synthesize_layer2_lowrate(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_layer2_lowrate = _codec_synthesizer(
+    "cobradb_spark.operators.mp2", "encode_layer2_lowrate",
     """One spec-valid mono LOW-RATE (32/48 kbps) MPEG-1 Layer II stream
     per row (operators/mp2.py encode_layer2_lowrate): B.2c/B.2d
     allocation tables — the shared no-7-level quantizer row over nbal
     4/3 regions, B.2d at 32 kHz.  Decoded by the same general
-    decode_layer2_features stage as the 56-192 kbps fixture."""
-    from cobradb_spark.operators.mp2 import encode_layer2_lowrate
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [
-                        encode_layer2_lowrate(int(d)) for d in pdf[id_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    decode_layer2_features stage as the 56-192 kbps fixture.""",
+)
 
 
-def decode_layer2_features(df: DataFrame) -> DataFrame:
+decode_layer2_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp2", "decode_layer2",
+    (
+        "n_frames", "sample_rate", "sblimit", "n_alloc_total", "scfsi_sum",
+        "sf_idx_sum", "code_sum", "num_sum", "num_sq_sum",
+    ),
     """REAL MPEG-1 Layer II subband decode (operators/mp2.py
     decode_layer2: header/table validation, region-width allocation
     parse, scfsi sharing, grouped + ungrouped codes, exact rational
     requantization) over Arrow batches.  Emits the integer decode
     aggregates the SQL oracle replays; the float subband samples are
-    exercised by the unit tests (dyadic-exact on this fixture)."""
-    from cobradb_spark.operators.mp2 import decode_layer2
-
-    cols = (
-        "n_frames", "sample_rate", "sblimit", "n_alloc_total", "scfsi_sum",
-        "sf_idx_sum", "code_sum", "num_sum", "num_sq_sum",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_layer2(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    exercised by the unit tests (dyadic-exact on this fixture).""",
+)
 
 
-def synthesize_mp3_sideinfo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_mp3_sideinfo = _codec_synthesizer(
+    "cobradb_spark.operators.mp3", "encode_mp3_sideinfo",
     """One mono MPEG-1 Layer III stream with REAL 17-byte side-info
     records per row (operators/mp3.py encode_mp3_sideinfo): fitted
     bitrate, main_data_begin = 0, zero main-data bits (documented
-    synthetic simplification — the side info itself is spec-valid)."""
-    from cobradb_spark.operators.mp3 import encode_mp3_sideinfo
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [encode_mp3_sideinfo(int(d)) for d in pdf[id_col]],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    synthetic simplification — the side info itself is spec-valid).""",
+)
 
 
-def parse_mp3_sideinfo_features(df: DataFrame) -> DataFrame:
-    """REAL Layer III side-info parse (operators/mp3.py
-    parse_mp3_sideinfo: full 136-bit mono record — reservoir pointer,
-    scfsi, per-granule lengths/gains/tables, window-switching variants
-    — with spec-constraint validation) over Arrow batches."""
-    from cobradb_spark.operators.mp3 import parse_mp3_sideinfo
-
-    cols = (
+parse_mp3_sideinfo_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3", "parse_mp3_sideinfo",
+    (
         "n_frames", "sample_rate", "scfsi_first", "sum_part23",
         "sum_big_values", "sum_global_gain", "sum_scalefac_compress",
         "sum_table_select", "n_switching", "sum_region", "sum_flags",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [parse_mp3_sideinfo(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    ),
+    """REAL Layer III side-info parse (operators/mp3.py
+    parse_mp3_sideinfo: full 136-bit mono record — reservoir pointer,
+    scfsi, per-granule lengths/gains/tables, window-switching variants
+    — with spec-constraint validation) over Arrow batches.""",
+)
 
 
-def synthesize_mp3_main(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_mp3_main = _codec_synthesizer(
+    "cobradb_spark.operators.mp3huff", "encode_mp3_main",
     """One mono MPEG-1 Layer III stream per row with REAL Huffman-coded
     main data (operators/mp3huff.py encode_mp3_main): slen-coded
     scalefactors with scfsi sharing, region-partitioned big-value pairs
     against the published small-value codebooks, count1 quadruples on
     both tables, sign bits, per-frame fitted bitrate,
-    main_data_begin = 0."""
-    from cobradb_spark.operators.mp3huff import encode_mp3_main
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [encode_mp3_main(int(d)) for d in pdf[id_col]],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    main_data_begin = 0.""",
+)
 
 
-def synthesize_layer1_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_layer1_stereo = _codec_synthesizer(
+    "cobradb_spark.operators.mp3", "encode_layer1_stereo",
     """One spec-valid TWO-CHANNEL MPEG-1 Layer I stream per row
     (operators/mp3.py encode_layer1_stereo): rotates stereo / joint
     (intensity bound) / dual modes, DIFFERENT per-channel subband
-    membership below the bound, shared samples above it."""
-    from cobradb_spark.operators.mp3 import encode_layer1_stereo
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [
-                        encode_layer1_stereo(int(d)) for d in pdf[id_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    membership below the bound, shared samples above it.""",
+)
 
 
-def decode_layer1_stereo_features(df: DataFrame) -> DataFrame:
-    """REAL two-channel Layer I decode (operators/mp3.py
-    decode_layer1_general) over Arrow batches; transmitted-entity
-    integer aggregates for the SQL oracle replay."""
-    from cobradb_spark.operators.mp3 import decode_layer1_general
-
-    cols = (
+decode_layer1_stereo_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3", "decode_layer1_general",
+    (
         "n_frames", "sample_rate", "mode", "bound",
         "n_alloc_total", "sf_idx_sum", "code_sum", "num_sum", "num_sq_sum",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_layer1_general(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    ),
+    """REAL two-channel Layer I decode (operators/mp3.py
+    decode_layer1_general) over Arrow batches; transmitted-entity
+    integer aggregates for the SQL oracle replay.""",
+)
 
 
-def synthesize_mp3_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_mp3_stereo = _codec_synthesizer(
+    "cobradb_spark.operators.mp3huff", "encode_mp3_stereo",
     """One TWO-CHANNEL MPEG-1 Layer III stream per row with real
     Huffman-coded main data (operators/mp3huff.py encode_mp3_stereo):
     32-byte stereo side info, gr0ch0 gr0ch1 gr1ch0 gr1ch1 interleave,
     stereo/joint(ext0)/dual rotation; channel content = the mono
-    schedule at collision-free virtual docs."""
-    from cobradb_spark.operators.mp3huff import encode_mp3_stereo
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [
-                        encode_mp3_stereo(int(d)) for d in pdf[id_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    schedule at collision-free virtual docs.""",
+)
 
 
-def decode_mp3_stereo_features(df: DataFrame) -> DataFrame:
-    """REAL two-channel Layer III main-data decode (operators/
-    mp3huff.py decode_mp3_main_general) over Arrow batches; same
-    aggregate columns as the mono stage, summed over channels."""
-    from cobradb_spark.operators.mp3huff import decode_mp3_main_general
-
-    cols = (
+decode_mp3_stereo_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3huff", "decode_mp3_main_general",
+    (
         "n_frames", "sample_rate", "n_long", "n_short",
         "n_sf_transmitted", "sum_scalefac", "sum_part2_bits",
         "n_bv_pairs", "n_c1_quads", "sum_abs_is", "sum_is",
         "n_nonzero", "rzero_total",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_mp3_main_general(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    ),
+    """REAL two-channel Layer III main-data decode (operators/
+    mp3huff.py decode_mp3_main_general) over Arrow batches; same
+    aggregate columns as the mono stage, summed over channels.""",
+)
 
 
-def synthesize_layer2_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_layer2_stereo = _codec_synthesizer(
+    "cobradb_spark.operators.mp2", "encode_layer2_stereo",
     """One spec-valid TWO-CHANNEL MPEG-1 Layer II stream per row
     (operators/mp2.py encode_layer2_stereo): rotates stereo /
     joint_stereo (intensity bound) / dual_channel modes, per-channel
-    allocation below the bound, shared triplets above it."""
-    from cobradb_spark.operators.mp2 import encode_layer2_stereo
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [
-                        encode_layer2_stereo(int(d)) for d in pdf[id_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    allocation below the bound, shared triplets above it.""",
+)
 
 
-def decode_layer2_stereo_features(df: DataFrame) -> DataFrame:
+decode_layer2_stereo_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp2", "decode_layer2_general",
+    (
+        "n_frames", "sample_rate", "sblimit", "mode", "bound",
+        "n_alloc_total", "scfsi_sum", "sf_idx_sum", "code_sum",
+        "num_sum", "num_sq_sum",
+    ),
     """REAL two-channel Layer II decode (operators/mp2.py
     decode_layer2_general: channel-mode/bound derivation, per-channel
     allocation and scalefactors, shared intensity triplets) over Arrow
     batches; integer aggregates count TRANSMITTED entities so the SQL
-    oracle replay pins the channel interleave exactly."""
-    from cobradb_spark.operators.mp2 import decode_layer2_general
-
-    cols = (
-        "n_frames", "sample_rate", "sblimit", "mode", "bound",
-        "n_alloc_total", "scfsi_sum", "sf_idx_sum", "code_sum",
-        "num_sum", "num_sq_sum",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_layer2_general(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    oracle replay pins the channel interleave exactly.""",
+)
 
 
-def synthesize_mp3_reservoir(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_mp3_reservoir = _codec_synthesizer(
+    "cobradb_spark.operators.mp3huff", "encode_mp3_reservoir",
     """One mono MPEG-1 Layer III stream per row whose main data USES
     the bit reservoir (operators/mp3huff.py encode_mp3_reservoir):
     granule bits flow continuously across frame boundaries, physical
     frames are pumped so main_data_begin > 0 on every document.
-    Granule content is the SAME schedule as synthesize_mp3_main."""
-    from cobradb_spark.operators.mp3huff import encode_mp3_reservoir
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [
-                        encode_mp3_reservoir(int(d)) for d in pdf[id_col]
-                    ],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    Granule content is the SAME schedule as synthesize_mp3_main.""",
+)
 
 
-def decode_mp3_main_features(df: DataFrame) -> DataFrame:
+decode_mp3_main_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3huff", "decode_mp3_main",
+    (
+        "n_frames", "sample_rate", "n_long", "n_short",
+        "n_sf_transmitted", "sum_scalefac", "sum_part2_bits",
+        "n_bv_pairs", "n_c1_quads", "sum_abs_is", "sum_is",
+        "n_nonzero", "rzero_total",
+    ),
     """REAL Layer III main-data decode (operators/mp3huff.py
     decode_mp3_main: side info, scalefactors, Huffman big-value +
     count1 symbol decode, stuffing skip) over Arrow batches.  Emits
     the integer aggregates the SQL oracle replays — sum_is/sum_abs_is/
     n_nonzero are functions of the DECODED spectral values, so the
     hash checks every codeword boundary and sign bit, not just the
-    framing."""
-    from cobradb_spark.operators.mp3huff import decode_mp3_main
-
-    cols = (
-        "n_frames", "sample_rate", "n_long", "n_short",
-        "n_sf_transmitted", "sum_scalefac", "sum_part2_bits",
-        "n_bv_pairs", "n_c1_quads", "sum_abs_is", "sum_is",
-        "n_nonzero", "rzero_total",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_mp3_main(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    framing.""",
+)
 
 
-def synthesize_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+synthesize_bmp = _codec_synthesizer(
+    "cobradb_spark.operators.bmp", "encode_bmp",
     """One spec-valid 24-bpp Windows BMP per row (operators/bmp.py
     encode_bmp): real BITMAPFILEHEADER/BITMAPINFOHEADER, BGR byte
     order, 4-byte row padding, bottom-up storage with top-down
-    (negative biHeight) on every 5th document."""
-    from cobradb_spark.operators.bmp import encode_bmp
-
-    def synth(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "payload": [encode_bmp(int(d)) for d in pdf[id_col]],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    (negative biHeight) on every 5th document.""",
+)
 
 
-def decode_bmp_features(df: DataFrame) -> DataFrame:
+decode_bmp_features = _codec_feature_decoder(
+    "cobradb_spark.operators.bmp", "decode_bmp",
+    (
+        "width", "height", "top_down", "r_sum", "g_sum", "b_sum",
+        "top_row_sum",
+    ),
     """REAL BMP decode (operators/bmp.py decode_bmp: header validation,
     derived row stride, bottom-up/top-down re-orientation, BGR->RGB)
     over Arrow batches.  Emits the integer aggregates the SQL oracle
     replays — top_row_sum is orientation-sensitive, so the hash checks
-    the row flip, not just the pixel bytes."""
-    from cobradb_spark.operators.bmp import decode_bmp
-
-    cols = (
-        "width", "height", "top_down", "r_sum", "g_sum", "b_sum",
-        "top_row_sum",
-    )
-
-    def dec(batches):
-        for pdf in batches:
-            rows = [decode_bmp(bytes(p)) for p in pdf["payload"]]
-            out = {"id": pdf["id"]}
-            out.update({k: [r[k] for r in rows] for k in cols})
-            yield pd.DataFrame(out)
-
-    return df.select("id", "payload").mapInPandas(
-        dec,
-        schema="id long, " + ", ".join(f"{k} long" for k in cols),
-    )
+    the row flip, not just the pixel bytes.""",
+)
 
 
 def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

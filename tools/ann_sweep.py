@@ -65,7 +65,7 @@ def skew_corpus(emb: DataFrame) -> DataFrame:
     chosen by xxhash64(vec_id) with 70/20/10 weights, so the corpus has
     three clusters of wildly unequal mass and KMeans cells end up
     occupancy-skewed — the adversarial layout for a fixed-nprobe scan.
-    Pure column expressions (zip_with over the dim-64 array); no UDF,
+    Pure column expressions (F.transform over the dim-64 array); no UDF,
     no driver collect, so the derivation itself is 100 TB-shaped.
     """
     b = F.abs(F.xxhash64(F.col("vec_id"))) % 10

@@ -228,6 +228,7 @@ PROBES = [
     "multimodal_mp3_reservoir_decode",
     "multimodal_mp2_stereo_decode",
     "multimodal_mp1_stereo_decode",
+    "multimodal_mp3_stereo_decode",
 ]
 
 
@@ -281,7 +282,7 @@ ends of the curve now carry driver-hashable graded keys
 so the published `_hi` IVF-PQ operating point is reproducible by the
 cited tool, and (b) a `--clustered` mode that deterministically skews
 the corpus (every vector shrunk 5x and offset toward one of three
-anchors picked 70/20/10 by xxhash64(vec_id) — pure zip_with column
+anchors picked 70/20/10 by xxhash64(vec_id) — pure F.transform column
 math, no UDF), making KMeans cell occupancy heavily non-uniform — the
 adversarial layout for a fixed-nprobe scan.
 
