@@ -1540,3 +1540,29 @@ def test_mp3_stereo_fuzz_never_crashes():
             except ValueError:
                 pass
         assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer2_mid_stream_bound_switch_rejected():
+    """A per-frame intensity-bound change is spec-legal but this
+    decoder reports ONE stream-level bound column, so it must reject
+    rather than emit an ill-defined value (round-11 review finding)."""
+    import pytest
+
+    from cobradb_spark.operators.mp2 import (
+        decode_layer2_general,
+        encode_layer2_stereo,
+        layer2_frame_bytes,
+        layer2_stereo_schedule,
+    )
+
+    did = 3  # joint-stereo doc with >=2 frames
+    sch = layer2_stereo_schedule(did)
+    assert sch["mode"] == 1 and sch["n_frames"] >= 2
+    raw = bytearray(encode_layer2_stereo(did))
+    # walk to frame 1's header and change its mode_extension
+    b2 = raw[2]
+    flen = layer2_frame_bytes(b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1)
+    old_ext = (raw[flen + 3] >> 4) & 0b11
+    raw[flen + 3] = (raw[flen + 3] & 0xCF) | (((old_ext + 1) % 4) << 4)
+    with pytest.raises(ValueError, match="intensity-bound switch"):
+        decode_layer2_general(bytes(raw))
