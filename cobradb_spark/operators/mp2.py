@@ -48,6 +48,8 @@ from cobradb_spark.operators.mp3 import (
     SCALEFACTOR,
     _BitReader,
     _BitWriter,
+    _byte_bits,
+    crc16_protect,
 )
 
 # Layer II bitrate table (header index 1..14), kbps.
@@ -206,7 +208,7 @@ def _write_triplet(w: "_BitWriter", lv: int, v: list[int]) -> None:
             w.write(v[k], nb)
 
 
-def encode_layer2(doc_id: int) -> bytes:
+def encode_layer2(doc_id: int, protect: bool = False) -> bytes:
     """Spec-valid mono MPEG-1 Layer II stream for one document.  The
     bitrate index is fitted per frame as the smallest table entry that
     (a) holds the payload and (b) keeps the decoder's table derivation
@@ -238,6 +240,7 @@ def encode_layer2(doc_id: int) -> bytes:
             w.write(sch["alloc_idx"](sb) if sb in alloc_sbs else 0, layer2_nbal(sb))
         for sb in alloc_sbs:
             w.write(sch["scfsi"](sb), 2)
+        prot_len = len(w.bits)
         for sb in alloc_sbs:
             t = [sch["sf_t"](sb, j) for j in range(3)]
             for idx in _transmitted_sf(sch["scfsi"](sb), *t):
@@ -246,15 +249,24 @@ def encode_layer2(doc_id: int) -> bytes:
             for sb in alloc_sbs:
                 lv = sch["levels"](sb)
                 _write_triplet(w, lv, [sch["code"](f, sb, gr, k, lv) for k in range(3)])
-        need_bytes = 4 + (len(w.bits) + 7) // 8
+        crc_bytes = 2 if protect else 0
+        need_bytes = 4 + crc_bytes + (len(w.bits) + 7) // 8
         br_idx = next(
             i
             for i in admissible
             if layer2_frame_bytes(i, sr_idx, 0) >= need_bytes
         )
         nbytes = layer2_frame_bytes(br_idx, sr_idx, 0)
-        out += _layer2_header(br_idx, sr_idx, 0)
-        out += w.to_bytes(nbytes - 4)
+        hdr = bytearray(_layer2_header(br_idx, sr_idx, 0))
+        if protect:
+            hdr[1] &= ~1  # protection_bit 0: crc_check present
+            crc = crc16_protect(
+                list(_byte_bits(bytes(hdr[2:4]))) + w.bits[:prot_len]
+            )
+            out += bytes(hdr) + bytes((crc >> 8, crc & 0xFF))
+        else:
+            out += bytes(hdr)
+        out += w.to_bytes(nbytes - 4 - crc_bytes)
     return bytes(out)
 
 
@@ -563,7 +575,11 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
         nbytes = layer2_frame_bytes(br_idx, sr_idx, pad)
         if pos + nbytes > len(data):
             raise ValueError(f"corrupt layer2 stream: frame at {pos} runs past EOF")
-        r = _BitReader(data[pos + 4 : pos + nbytes])
+        protected = not (b1 & 1)  # protection_bit 0 => crc_check present
+        crc_len = 2 if protected else 0
+        if protected:
+            crc_word = data[pos + 4] << 8 | data[pos + 5]
+        r = _BitReader(data[pos + 4 + crc_len : pos + nbytes])
         alloc = [[0] * sblimit for _ in range(nch)]
         for sb in range(bound):
             for ch in range(nch):
@@ -582,6 +598,17 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
                 if alloc[ch][sb]:
                     scfsi[(ch, sb)] = r.read(2)
                     scfsi_sum += scfsi[(ch, sb)]
+        if protected:
+            # ISO 2.4.3.1: Layer II protects header bits 16-31 + the
+            # allocation and scfsi sections (the bits parsed so far)
+            want = crc16_protect(
+                list(_byte_bits(data[pos + 2 : pos + 4])) + list(r.bits[: r.pos])
+            )
+            if crc_word != want:
+                raise ValueError(
+                    "corrupt layer2 stream: crc_check mismatch "
+                    f"(got {crc_word:#06x}, computed {want:#06x})"
+                )
         sf_parts: dict[tuple[int, int], list[int]] = {}
         for sb in range(sblimit):
             for ch in range(nch):

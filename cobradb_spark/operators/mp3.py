@@ -215,11 +215,14 @@ def layer1_schedule(doc_id: int) -> dict:
     }
 
 
-def encode_layer1(doc_id: int) -> bytes:
+def encode_layer1(doc_id: int, protect: bool = False) -> bytes:
     """Spec-valid mono MPEG-1 Layer I stream for one document.  The
     bitrate index is chosen per frame as the smallest table entry whose
     slot count fits the payload (so the decoder's table lookup and slot
-    arithmetic are exercised across documents); fill bits are zero."""
+    arithmetic are exercised across documents); fill bits are zero.
+    With protect=True the protection_bit is 0 and a real ISO 2.4.3.1
+    crc_check word (over header bits 16-31 + the allocation section)
+    follows the header."""
     sch = layer1_schedule(doc_id)
     sr_idx, n_alloc = sch["sr_idx"], sch["n_alloc"]
     out = bytearray()
@@ -227,20 +230,31 @@ def encode_layer1(doc_id: int) -> bytes:
         w = _BitWriter()
         for sb in range(32):
             w.write(sch["nb"](sb) - 1 if sb < n_alloc else 0, 4)
+        prot_len = len(w.bits)
         for sb in range(n_alloc):
             w.write(sch["sf_idx"](sb), 6)
         for t in range(12):
             for sb in range(n_alloc):
                 w.write(sch["code"](f, sb, t), sch["nb"](sb))
-        need_slots = (32 + len(w.bits) + 31) // 32  # header + payload, ceil
+        crc_bits = 16 if protect else 0
+        need_slots = (32 + crc_bits + len(w.bits) + 31) // 32
         br_idx = next(
             i
             for i in range(1, 15)
             if layer1_frame_slots(i, sr_idx, 0) >= need_slots
         )
         slots = layer1_frame_slots(br_idx, sr_idx, 0)
-        out += _layer1_header(br_idx, sr_idx, 0)
-        out += w.to_bytes(slots * 4 - 4)
+        hdr = bytearray(_layer1_header(br_idx, sr_idx, 0))
+        if protect:
+            hdr[1] &= ~1  # protection_bit 0: crc_check present
+            crc = crc16_protect(
+                list(_byte_bits(bytes(hdr[2:4]))) + w.bits[:prot_len]
+            )
+            out += bytes(hdr) + bytes((crc >> 8, crc & 0xFF))
+            out += w.to_bytes(slots * 4 - 6)
+        else:
+            out += bytes(hdr)
+            out += w.to_bytes(slots * 4 - 4)
     return bytes(out)
 
 
@@ -257,6 +271,26 @@ class _BitReader:
             v = (v << 1) | int(b)
         self.pos += n
         return v
+
+
+def crc16_protect(bits) -> int:
+    """ISO/IEC 11172-3 2.4.3.1 crc_check: CRC-16 with generator
+    x^16 + x^15 + x^2 + 1 (0x8005), initial state 0xFFFF, applied
+    MSB-first over the protected bit span (header bits 16-31 followed
+    by the layer-dependent side-information bits)."""
+    crc = 0xFFFF
+    for b in bits:
+        t = ((crc >> 15) ^ int(b)) & 1
+        crc = (crc << 1) & 0xFFFF
+        if t:
+            crc ^= 0x8005
+    return crc
+
+
+def _byte_bits(data: bytes):
+    for byte in data:
+        for i in range(7, -1, -1):
+            yield (byte >> i) & 1
 
 
 SCALEFACTOR = [2.0 * 2.0 ** (-idx / 3.0) for idx in range(63)]
@@ -440,7 +474,11 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
         slots = layer1_frame_slots(br_idx, sr_idx, pad)
         if pos + slots * 4 > len(data):
             raise ValueError(f"corrupt layer1 stream: frame at {pos} runs past EOF")
-        r = _BitReader(data[pos + 4 : pos + slots * 4])
+        protected = not (b1 & 1)  # protection_bit 0 => crc_check present
+        crc_len = 2 if protected else 0
+        if protected:
+            crc_word = data[pos + 4] << 8 | data[pos + 5]
+        r = _BitReader(data[pos + 4 + crc_len : pos + slots * 4])
         alloc = [[0] * 32 for _ in range(nch)]
         for sb in range(bound):
             for ch in range(nch):
@@ -455,6 +493,17 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
                 alloc[ch][sb] = a
         if any(a == 15 for row in alloc for a in row):
             raise ValueError("corrupt layer1 stream: forbidden allocation 15")
+        if protected:
+            # ISO 2.4.3.1: Layer I protects header bits 16-31 + the
+            # allocation section (exactly the bits parsed so far)
+            want = crc16_protect(
+                list(_byte_bits(data[pos + 2 : pos + 4])) + list(r.bits[: r.pos])
+            )
+            if crc_word != want:
+                raise ValueError(
+                    "corrupt layer1 stream: crc_check mismatch "
+                    f"(got {crc_word:#06x}, computed {want:#06x})"
+                )
         sf_idx = {}
         for sb in range(32):
             for ch in range(nch):

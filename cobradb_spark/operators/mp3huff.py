@@ -43,9 +43,11 @@ from cobradb_spark.operators.mp3 import (
     SAMPLE_RATE,
     _BitReader,
     _BitWriter,
+    _byte_bits,
     _frame_header,
-    frame_length,
+    crc16_protect,
 )
+from cobradb_spark.operators.mp3 import frame_length  # noqa: F401  (re-export)
 
 # --- published fixed tables -------------------------------------------------
 
@@ -370,15 +372,19 @@ def _write_side_info_stereo(grs_by_ch, scfsi_by_ch, md: int) -> "_BitWriter":
     return si
 
 
-def encode_mp3_main(doc_id: int) -> bytes:
+def encode_mp3_main(doc_id: int, protect: bool = False) -> bytes:
     """Spec-valid mono MPEG-1 Layer III stream with REAL Huffman-coded
     main data: 4-byte header + 17-byte side info + part2 scalefactors +
     part3 big-value/count1 codes per granule, main_data_begin = 0,
-    per-frame fitted bitrate, zero ancillary fill."""
+    per-frame fitted bitrate, zero ancillary fill.  With protect=True
+    the protection_bit is 0 and a real ISO 2.4.3.1 crc_check word
+    (over header bits 16-31 + the entire side info) follows the
+    header."""
     sch = mp3_main_schedule(doc_id)
     sr_idx = sch["sr_idx"]
     sr = SAMPLE_RATE[sr_idx]
     sfb = SFB_LONG[sr]
+    crc_bytes = 2 if protect else 0
     out = bytearray()
     for f in range(sch["n_frames"]):
         grs, scfsi = _build_granules(sch, doc_id, sfb, f)
@@ -386,15 +392,24 @@ def encode_mp3_main(doc_id: int) -> bytes:
         need_bits = sum(len(gr["bits"]) for gr in grs)
         br_idx = next(
             i for i in range(1, 15)
-            if (frame_length(i, sr_idx, 0) - 21) * 8 >= need_bits
+            if (frame_length(i, sr_idx, 0) - 21 - crc_bytes) * 8 >= need_bits
         )
         flen = frame_length(br_idx, sr_idx, 0)
         main = _BitWriter()
         for gr in grs:
             main.bits.extend(gr["bits"])
-        out += _frame_header(br_idx, sr_idx, 0)
+        hdr = bytearray(_frame_header(br_idx, sr_idx, 0))
+        if protect:
+            hdr[1] &= ~1  # protection_bit 0: crc_check present
+            crc = crc16_protect(
+                list(_byte_bits(bytes(hdr[2:4])))
+                + list(_byte_bits(si.to_bytes(17)))
+            )
+            out += bytes(hdr) + bytes((crc >> 8, crc & 0xFF))
+        else:
+            out += bytes(hdr)
         out += si.to_bytes(17)
-        out += main.to_bytes(flen - 21)
+        out += main.to_bytes(flen - 21 - crc_bytes)
     return bytes(out)
 
 
@@ -599,7 +614,9 @@ def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
         elif nch != (1 if mode == 0b11 else 2):
             raise ValueError("unsupported mp3 stream: mid-stream mode switch")
         si_len = 17 if nch == 1 else 32
-        if pos + 4 + si_len > len(data):
+        protected = not (b1 & 1)  # protection_bit 0 => crc_check present
+        crc_len = 2 if protected else 0
+        if pos + 4 + crc_len + si_len > len(data):
             raise ValueError("corrupt mp3 stream: truncated frame")
         if sr is None:
             sr = SAMPLE_RATE[sr_idx]
@@ -609,7 +626,21 @@ def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
         flen = frame_length(br_idx, sr_idx, pad)
         if pos + flen > len(data):
             raise ValueError(f"corrupt mp3 stream: frame at {pos} runs past EOF")
-        si = _BitReader(data[pos + 4 : pos + 4 + si_len])
+        si_off = pos + 4 + crc_len
+        if protected:
+            # ISO 2.4.3.1: Layer III protects header bits 16-31 + the
+            # ENTIRE side-information record
+            crc_word = data[pos + 4] << 8 | data[pos + 5]
+            want = crc16_protect(
+                list(_byte_bits(data[pos + 2 : pos + 4]))
+                + list(_byte_bits(data[si_off : si_off + si_len]))
+            )
+            if crc_word != want:
+                raise ValueError(
+                    "corrupt mp3 stream: crc_check mismatch "
+                    f"(got {crc_word:#06x}, computed {want:#06x})"
+                )
+        si = _BitReader(data[si_off : si_off + si_len])
         md = si.read(9)
         if md > len(tail):
             raise ValueError(
@@ -659,11 +690,13 @@ def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
                 raise ValueError(
                     "corrupt mp3 stream: scfsi with a short granule"
                 )
-        if sum(rec["part23"] for rec in side) > (md + flen - 4 - si_len) * 8:
+        if sum(rec["part23"] for rec in side) > (
+            md + flen - 4 - crc_len - si_len
+        ) * 8:
             raise ValueError(
                 "corrupt mp3 stream: part2_3 lengths exceed available main data"
             )
-        area = data[pos + 4 + si_len : pos + flen]
+        area = data[si_off + si_len : pos + flen]
         # bit-reservoir reassembly: this frame's main data starts md
         # bytes back inside the previous frames' main-data areas
         r = _BitReader((bytes(tail[len(tail) - md :]) + area) if md else area)

@@ -1566,3 +1566,45 @@ def test_layer2_mid_stream_bound_switch_rejected():
     raw[flen + 3] = (raw[flen + 3] & 0xCF) | (((old_ext + 1) % 4) << 4)
     with pytest.raises(ValueError, match="intensity-bound switch"):
         decode_layer2_general(bytes(raw))
+
+
+def test_crc_protection_roundtrip_and_rejection_all_layers():
+    """ISO 11172-3 2.4.3.1 crc_check: (a) protection_bit=0 streams with
+    a REAL CRC-16 (x^16+x^15+x^2+1, init 0xFFFF, over header bits
+    16-31 + the layer-dependent protected span) decode to exactly the
+    unprotected decode — before r11 the protection bit was IGNORED, so
+    a protected stream's crc word was silently misparsed as side info;
+    (b) flipping any bit of the protected span raises a crc_check
+    mismatch; (c) flipping the crc word itself rejects too."""
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.mp2 import decode_layer2, encode_layer2
+    from cobradb_spark.operators.mp3 import decode_layer1, encode_layer1
+    from cobradb_spark.operators.mp3huff import decode_mp3_main, encode_mp3_main
+
+    for enc, dec in [
+        (encode_layer1, decode_layer1),
+        (encode_layer2, decode_layer2),
+        (encode_mp3_main, decode_mp3_main),
+    ]:
+        for did in (0, 1, 5, 42, 257):
+            a, b = dec(enc(did)), dec(enc(did, protect=True))
+            for k in a:
+                if isinstance(a[k], np.ndarray):
+                    assert np.array_equal(a[k], b[k]), (enc.__name__, did, k)
+                else:
+                    assert a[k] == b[k], (enc.__name__, did, k)
+        raw = enc(42, protect=True)
+        # crc word corrupt
+        m = bytearray(raw)
+        m[4] ^= 0xFF
+        with pytest.raises(ValueError):
+            dec(bytes(m))
+        # every byte of the first frame's protected span must be covered
+        span = range(6, 6 + (17 if enc is encode_mp3_main else 8))
+        for i in span:
+            m = bytearray(raw)
+            m[i] ^= 0x10
+            with pytest.raises(ValueError):
+                dec(bytes(m))
