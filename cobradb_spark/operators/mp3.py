@@ -77,12 +77,16 @@ def encode_mp3(doc_id: int) -> bytes:
 
 
 def index_mp3(data: bytes) -> dict:
-    """Walk a (possibly ID3v2-prefixed) MPEG-1 Layer III stream and
-    return its index: per-frame header fields are validated against the
-    published tables, frame lengths computed from the bitrate/rate/pad
-    arithmetic, and the walk must land exactly on EOF (truncated or
-    misaligned streams raise ValueError).  General over any conformant
-    CBR/VBR mono/stereo MPEG-1 Layer III file — nothing here assumes the
+    """Walk a (possibly ID3v2-prefixed, possibly ID3v1-trailed) MPEG-1
+    Layer III stream and return its index: per-frame header fields are
+    validated against the published tables, frame lengths computed
+    from the bitrate/rate/pad arithmetic — or, for FREE-FORMAT streams
+    (bitrate index 0), discovered once from the spacing to the next
+    syncword and enforced constant (+padding slot) thereafter, the way
+    real decoders handle free format — and the walk must land exactly
+    on the end of the audio span (truncated or misaligned streams
+    raise ValueError).  General over any conformant CBR/VBR/free
+    mono/stereo MPEG-1 Layer III file — nothing here assumes the
     synthesizer's parameter schedule."""
     pos = 0
     id3_bytes = 0
@@ -96,12 +100,20 @@ def index_mp3(data: bytes) -> dict:
         pos = id3_bytes
         if pos > len(data):
             raise ValueError("corrupt mp3 stream: ID3v2 size past EOF")
+    # ID3v1: fixed 128-byte "TAG" trailer after the last frame
+    end = len(data)
+    id3v1_bytes = 0
+    if end - pos >= 128 and data[end - 128 : end - 125] == b"TAG":
+        id3v1_bytes = 128
+        end -= 128
     n_frames = 0
     sr = None
+    free_base = None  # discovered unpadded frame length for free format
+    saw_table_rate = False
     bitrate_sum = 0
     bitrates: set[int] = set()
-    while pos < len(data):
-        if pos + 4 > len(data):
+    while pos < end:
+        if pos + 4 > end:
             raise ValueError("corrupt mp3 stream: truncated frame header")
         b0, b1, b2, _b3 = data[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -113,7 +125,7 @@ def index_mp3(data: bytes) -> dict:
         br_idx = b2 >> 4
         sr_idx = (b2 >> 2) & 0b11
         pad = (b2 >> 1) & 1
-        if br_idx in (0, 15):
+        if br_idx == 15:
             raise ValueError(f"unsupported mp3 stream: bitrate index {br_idx}")
         if sr_idx == 3:
             raise ValueError("corrupt mp3 stream: reserved sample-rate index")
@@ -121,12 +133,55 @@ def index_mp3(data: bytes) -> dict:
             sr = SAMPLE_RATE[sr_idx]
         elif sr != SAMPLE_RATE[sr_idx]:
             raise ValueError("unsupported mp3 stream: mid-stream sample-rate switch")
-        flen = frame_length(br_idx, sr_idx, pad)
-        if pos + flen > len(data):
+        if br_idx == 0:
+            # free format: all frames must be free (ISO 2.4.2.3), with
+            # one constant frame length modulo the padding slot
+            if saw_table_rate:
+                raise ValueError(
+                    "corrupt mp3 stream: free-format frame after table-rate frames"
+                )
+            if free_base is None:
+                # discover: distance to the next syncword with the same
+                # version/layer/protection byte and sample rate; the
+                # found header must itself be free-format (ISO 2.4.2.3:
+                # free streams are free throughout)
+                j = pos + 21  # room for header + mono side info at least
+                while j + 4 <= end:
+                    if (
+                        data[j] == 0xFF
+                        and data[j + 1] == b1
+                        and ((data[j + 2] >> 2) & 0b11) == sr_idx
+                    ):
+                        if (data[j + 2] >> 4) != 0:
+                            raise ValueError(
+                                "corrupt mp3 stream: table-rate frame "
+                                "inside a free-format stream"
+                            )
+                        break
+                    j += 1
+                else:
+                    j = end + pad  # single-frame stream
+                free_base = j - pos - pad
+                if free_base <= 21:
+                    raise ValueError(
+                        "corrupt mp3 stream: free-format frame too short"
+                    )
+            flen = free_base + pad
+            kbps = free_base * sr // 144000
+        else:
+            if free_base is not None:
+                raise ValueError(
+                    "corrupt mp3 stream: table-rate frame inside a "
+                    "free-format stream"
+                )
+            saw_table_rate = True
+            flen = frame_length(br_idx, sr_idx, pad)
+            kbps = BITRATE_KBPS[br_idx]
+        if pos + flen > end:
             raise ValueError(f"corrupt mp3 stream: frame at {pos} runs past EOF")
         n_frames += 1
-        bitrate_sum += BITRATE_KBPS[br_idx]
-        bitrates.add(BITRATE_KBPS[br_idx])
+        bitrate_sum += kbps
+        bitrates.add(kbps)
         pos += flen
     if n_frames == 0:
         raise ValueError("corrupt mp3 stream: no frames")
@@ -136,8 +191,10 @@ def index_mp3(data: bytes) -> dict:
         "duration_us": n_frames * SAMPLES_PER_FRAME * 1_000_000 // sr,
         "bitrate_sum_kbps": bitrate_sum,
         "n_bitrates": len(bitrates),
-        "audio_bytes": len(data) - id3_bytes,
+        "audio_bytes": end - id3_bytes,
         "id3_bytes": id3_bytes,
+        "id3v1_bytes": id3v1_bytes,
+        "free_format": free_base is not None,
     }
 
 

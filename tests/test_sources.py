@@ -1608,3 +1608,43 @@ def test_crc_protection_roundtrip_and_rejection_all_layers():
             m[i] ^= 0x10
             with pytest.raises(ValueError):
                 dec(bytes(m))
+
+
+def test_mp3_index_free_format_and_id3v1():
+    """index_mp3 real-world container coverage (r11): (a) FREE-FORMAT
+    streams (bitrate index 0) index via syncword-spacing length
+    discovery, constant (+padding slot) thereafter, with the derived
+    kbps reported; (b) a 128-byte ID3v1 'TAG' trailer is excluded from
+    the frame walk and reported; (c) free/table-rate mixing rejects in
+    both orders; (d) the pre-existing fixture indexes identically
+    (id3v1_bytes 0, free_format False)."""
+    import pytest
+
+    from cobradb_spark.operators.mp3 import encode_mp3, frame_length, index_mp3
+
+    def freeframe(sr_idx, pad, n=120):
+        b1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 0b1
+        hdr = bytes((0xFF, b1, (sr_idx << 2) | (pad << 1), 0xC4))
+        return hdr + bytes((n + pad) - 4)
+
+    stream = b"".join(freeframe(1, p) for p in (0, 1, 0, 0, 1))
+    ix = index_mp3(stream)
+    assert ix["free_format"] and ix["n_frames"] == 5
+    assert ix["bitrate_sum_kbps"] == 5 * (120 * 48000 // 144000)
+    ix2 = index_mp3(stream + b"TAG" + bytes(125))
+    assert ix2["n_frames"] == 5 and ix2["id3v1_bytes"] == 128
+    assert index_mp3(freeframe(2, 0))["n_frames"] == 1  # single-frame
+
+    tbl = bytes((0xFF, 0xFB, (9 << 4) | (1 << 2), 0xC4))
+    tbl += bytes(frame_length(9, 1, 0) - 4)
+    with pytest.raises(ValueError, match="inside a free-format"):
+        index_mp3(freeframe(1, 0) + tbl)
+    with pytest.raises(ValueError, match="free-format frame after"):
+        index_mp3(tbl + freeframe(1, 0))
+
+    norm = encode_mp3(42)
+    base = index_mp3(norm)
+    assert base["id3v1_bytes"] == 0 and base["free_format"] is False
+    trailed = index_mp3(norm + b"TAG" + bytes(125))
+    assert trailed["n_frames"] == base["n_frames"]
+    assert trailed["id3v1_bytes"] == 128
