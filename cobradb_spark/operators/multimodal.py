@@ -569,6 +569,35 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_png_interlaced(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL Adam7-INTERLACED RGB PNG per row (operators/png.py,
+    interlace=True): w = 9 + id%8, h = 7 + id%9 (sizes straddling the
+    8/4/2-pixel pass boundaries so every document has ragged passes),
+    pixel v = (id + x*3 + y*7 + c*11) % 256, filter type cycling y % 5
+    WITHIN each pass.  Deinterlacing must reassemble exactly the same
+    raster the oracle formula describes."""
+    import numpy as np
+
+    from cobradb_spark.operators.png import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 9 + i % 8, 7 + i % 9
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                img = ((i + x * 3 + y * 7 + c * 11) % 256).astype(np.uint8)
+                payloads.append(encode_png(img, interlace=True))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema="id long, payload binary"
+    )
+
+
 def decode_png_features(df: DataFrame) -> DataFrame:
     """General PNG decode (operators/png.py: chunk walk with CRC checks,
     multi-IDAT inflate, per-scanline unfiltering, grey/RGB/RGBA) over

@@ -7,11 +7,14 @@ construction, which makes compressed-image operators directly
 SQL-oracle-able.  This module implements
 
 - a general DECODER (`decode_png`): 8-bit greyscale / RGB / RGBA,
-  non-interlaced, multiple IDAT chunks, all five scanline filter types
+  non-interlaced AND Adam7-interlaced (seven sub-images, each its own
+  filtered scanline sequence, scattered back on the fixed pass grid),
+  multiple IDAT chunks, all five scanline filter types
   (None/Sub/Up/Average/Paeth), CRC-verified chunks; and
 - an ENCODER (`encode_png`) for fixtures that deliberately CYCLES the
-  filter type per scanline (y % 5) so the fixture exercises every
-  decoder unfilter path, not just filter 0.
+  filter type per scanline (y % 5 within each pass) so the fixture
+  exercises every decoder unfilter path, not just filter 0; pass
+  interlace=True for Adam7 output.
 """
 
 from __future__ import annotations
@@ -37,15 +40,21 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PAETH_V = np.vectorize(_paeth, otypes=[np.int64])
 
 
-def encode_png(rgb: np.ndarray) -> bytes:
-    """Encode (h, w, 3) uint8 RGB, filter type y % 5 per scanline."""
-    h, w, _ = rgb.shape
-    img = rgb.astype(np.int64)
+# Adam7 pass grid (x_start, y_start, x_step, y_step) — RFC 2083 §2.6.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_rows(img: np.ndarray) -> bytes:
+    """Filter an (h, w*bpp) int64 sub-image, type y % 5 per scanline."""
+    h, stride = img.shape
     bpp = 3
     out_rows = []
     for y in range(h):
-        row = img[y].reshape(-1)  # w*3
-        prev = img[y - 1].reshape(-1) if y > 0 else np.zeros(w * bpp, dtype=np.int64)
+        row = img[y]
+        prev = img[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
         left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
         ftype = y % 5
@@ -60,13 +69,29 @@ def encode_png(rgb: np.ndarray) -> bytes:
         else:
             filt = row - _PAETH_V(left, prev, upleft)
         out_rows.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
-    raw = b"".join(out_rows)
+    return b"".join(out_rows)
+
+
+def encode_png(rgb: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (h, w, 3) uint8 RGB, filter type y % 5 per scanline
+    (within each pass when interlace=True emits Adam7)."""
+    h, w, _ = rgb.shape
+    img = rgb.astype(np.int64)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_rows(sub.reshape(sub.shape[0], -1)))
+        raw = b"".join(parts)
+    else:
+        raw = _filter_rows(img.reshape(h, -1))
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         c = typ + body
         return struct.pack(">I", len(body)) + c + struct.pack(">I", zlib.crc32(c))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         _SIG
         + chunk(b"IHDR", ihdr)
@@ -102,8 +127,8 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit depth supported")
             if color_type not in (0, 2, 6):
                 raise ValueError("only greyscale/RGB/RGBA supported")
-            if interlace != 0:
-                raise ValueError("interlaced PNGs not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -112,7 +137,33 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT")
     bpp = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = w * bpp
+    if interlace == 0:
+        out = _unfilter(raw, h, w * bpp, bpp)
+        px = out.reshape(h, w, bpp).astype(np.uint8)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # on the fixed pass grid
+        px64 = np.zeros((h, w, bpp), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph <= 0 or pw <= 0:
+                continue
+            n = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[off : off + n], ph, pw * bpp, bpp)
+            px64[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += n
+        if off != len(raw):
+            raise ValueError("decompressed size mismatch")
+        px = px64.astype(np.uint8)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter h scanlines of `stride` bytes each (RFC 2083 §6)."""
     if len(raw) != h * (stride + 1):
         raise ValueError("decompressed size mismatch")
     out = np.zeros((h, stride), dtype=np.int64)
@@ -144,7 +195,4 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = cur
-    px = out.reshape(h, w, bpp).astype(np.uint8)
-    if color_type == 0:
-        return np.repeat(px, 3, axis=2)
-    return px[:, :, :3]
+    return out

@@ -513,6 +513,54 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_interlaced_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 9 AS h FROM documents),
+g AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + x.x * 3 + y.y * 7 + c.c * 11) % 256 AS v, c.c AS c
+  FROM d,
+       UNNEST(range(0, d.w)) AS x(x),
+       UNNEST(range(0, d.h)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(v) FILTER (c = 0) AS BIGINT) AS r_sum,
+       CAST(sum(v) FILTER (c = 1) AS BIGINT) AS g_sum,
+       CAST(sum(v) FILTER (c = 2) AS BIGINT) AS b_sum
+FROM g GROUP BY doc_id, w, h
+""",
+    doc="REAL Adam7-INTERLACED PNG decode (RFC 2083 §2.6 — operators/"
+    "png.py): the compressed stream holds SEVEN independently-filtered "
+    "sub-images on the fixed 8/4/2-pixel pass grid; the decoder "
+    "unfilters each pass (its own scanline sequence, its own "
+    "left/up neighbors) and scatters it back into the full raster.  "
+    "The fixture varies dimensions 9-16 x 7-15 so every document has "
+    "RAGGED passes (pass widths/heights from ceil division), and the "
+    "filter type cycles within each pass — a decoder that unfiltered "
+    "across pass boundaries, used the wrong pass geometry, or "
+    "scattered on the wrong grid would corrupt nearly every pixel.  "
+    "The oracle is the same pixel-formula replay as the progressive "
+    "scan (interlacing is a container layout, not a pixel transform) — "
+    "the same framing-independence proof pattern as the MP3 bit-"
+    "reservoir key.  Scale posture: Arrow mapInPandas, one row per "
+    "document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_interlaced,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png_features(
+        synthesize_png_interlaced(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_gif_decode",
     oracle="""
 WITH px AS (

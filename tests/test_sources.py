@@ -1648,3 +1648,36 @@ def test_mp3_index_free_format_and_id3v1():
     trailed = index_mp3(norm + b"TAG" + bytes(125))
     assert trailed["n_frames"] == base["n_frames"]
     assert trailed["id3v1_bytes"] == 128
+
+
+def test_png_adam7_interlace_roundtrip_and_compat():
+    """Adam7 contract (operators/png.py): (a) interlaced encode ->
+    decode is bit-exact across shapes that exercise ragged and ABSENT
+    passes (w or h below the 8/4/2 pass offsets); (b) interlaced and
+    progressive encodings of the same image decode identically;
+    (c) interlace methods other than 0/1 reject."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from cobradb_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (7, 13, 3), (9, 32, 3), (1, 1, 3),
+                  (2, 3, 3), (8, 1, 3), (1, 9, 3), (33, 17, 3)]:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        inter = decode_png(encode_png(img, interlace=True))
+        assert (inter == img).all(), shape
+        prog = decode_png(encode_png(img))
+        assert (inter == prog).all(), shape
+
+    # unknown interlace method rejects
+    raw = bytearray(encode_png(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)))
+    # IHDR body starts at offset 16; interlace byte is its 13th byte
+    raw[16 + 12] = 2
+    body = bytes(raw[12:29])
+    raw[29:33] = struct.pack(">I", zlib.crc32(body))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(raw))
