@@ -5,14 +5,18 @@ GIF is palette-indexed pixels under GIF-variant LZW — fully lossless,
 so like PNG the decode is bit-exact by construction and directly
 SQL-oracle-able.  This module implements
 
-- a general DECODER (`decode_gif`): header + logical screen descriptor,
-  global and local color tables, extension-block skipping, sub-block
-  reassembly, and a real variable-width LZW decoder (clear/EOI codes,
-  dictionary growth to 12 bits, the deferred-clear corner); first frame
-  only, non-interlaced; and
-- an ENCODER (`encode_gif`) for fixtures: real greedy-longest-match LZW
-  (not the "uncompressed GIF" clear-spam trick), so roundtrips exercise
-  the decoder's dictionary growth and width bumps.
+- a general DECODER (`decode_gif` first frame; `decode_gif_frames` the
+  whole ANIMATION): header + logical screen descriptor, global and
+  local color tables, Graphic Control Extensions (delay/disposal;
+  transparency and restore-disposals are the documented unsupported
+  boundary), sub-rectangle frames composited over the previous frame,
+  4-pass ROW INTERLACING, sub-block reassembly, and a real
+  variable-width LZW decoder (clear/EOI codes, dictionary growth to
+  12 bits, the deferred-clear corner); and
+- ENCODERS (`encode_gif`, `encode_gif_animated`) for fixtures: real
+  greedy-longest-match LZW (not the "uncompressed GIF" clear-spam
+  trick), so roundtrips exercise the decoder's dictionary growth and
+  width bumps; interlace=True permutes rows into the 4-pass order.
 
 Malformed input always raises ValueError (fuzz-tested), matching the
 JPEG/PNG decoders' error contract.
@@ -27,58 +31,46 @@ import numpy as np
 from cobradb_spark.operators._codec import wrap_codec_errors
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """Encode (h, w) uint8 palette indices + (n, 3) uint8 palette as a
-    single-frame GIF89a.  Palette size is padded to the next power of
-    two (min 4)."""
-    h, w = indices.shape
-    n = len(palette)
-    bits = max(2, int(n - 1).bit_length())
-    size = 1 << bits
-    pal = np.zeros((size, 3), dtype=np.uint8)
-    pal[:n] = palette
+def _interlace_order(h: int) -> list[int]:
+    """GIF 4-pass row interlace (GIF89a appendix E): the order in which
+    raster rows are STORED — every 8th from 0, every 8th from 4, every
+    4th from 2, every 2nd from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
 
-    out = bytearray()
-    out += b"GIF89a"
-    # logical screen: global color table present, 8-bit color resolution
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07) | 0x70, 0, 0)
-    out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-    mcs = max(bits, 2)  # LZW minimum code size
-    out.append(mcs)
 
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """Greedy-longest-match GIF LZW over a flat index array."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     codes: list[tuple[int, int]] = []
-
-    def emit_stream():
-        table = {(-1, i): i for i in range(1 << mcs)}
-        next_code = eoi + 1
-        width = mcs + 1
-        codes.append((clear, width))
-        prev = -1
-        for v in indices.reshape(-1):
-            v = int(v)
-            key = (prev, v)
-            if key in table:
-                prev = table[key]
-                continue
-            codes.append((prev, width))
-            if next_code < 4096:
-                table[key] = next_code
-                next_code += 1
-                if next_code - 1 == (1 << width) and width < 12:
-                    width += 1
-            else:
-                codes.append((clear, width))
-                table = {(-1, i): i for i in range(1 << mcs)}
-                next_code = eoi + 1
-                width = mcs + 1
-            prev = table[(-1, v)]
-        if prev != -1:
-            codes.append((prev, width))
-        codes.append((eoi, width))
-
-    emit_stream()
+    table = {(-1, i): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width = mcs + 1
+    codes.append((clear, width))
+    prev = -1
+    for v in indices.reshape(-1):
+        v = int(v)
+        key = (prev, v)
+        if key in table:
+            prev = table[key]
+            continue
+        codes.append((prev, width))
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table = {(-1, i): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prev = table[(-1, v)]
+    if prev != -1:
+        codes.append((prev, width))
+    codes.append((eoi, width))
     # pack LSB-first
     acc = nbits = 0
     data = bytearray()
@@ -91,19 +83,113 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
             nbits -= 8
     if nbits:
         data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
     for i in range(0, len(data), 255):
         block = data[i : i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"  # block terminator + trailer
+    out.append(0)
+    return bytes(out)
+
+
+def _image_block(indices: np.ndarray, mcs: int, left: int, top: int,
+                 interlace: bool) -> bytes:
+    h, w = indices.shape
+    if interlace:
+        indices = indices[_interlace_order(h)]
+    out = bytearray()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", left, top, w, h, 0x40 if interlace else 0
+    )
+    out.append(mcs)
+    out += _sub_blocks(_lzw_encode(indices, mcs))
+    return bytes(out)
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Encode (h, w) uint8 palette indices + (n, 3) uint8 palette as a
+    single-frame GIF89a.  Palette size is padded to the next power of
+    two (min 4).  interlace=True stores rows in the 4-pass order with
+    the descriptor flag set."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+
+    out = bytearray()
+    out += b"GIF89a"
+    # logical screen: global color table present, 8-bit color resolution
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07) | 0x70, 0, 0)
+    out += pal.tobytes()
+    mcs = max(bits, 2)  # LZW minimum code size
+    out += _image_block(indices, mcs, 0, 0, interlace)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_gif_animated(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_cs: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an ANIMATED GIF89a: NETSCAPE2.0 loop extension, one
+    Graphic Control Extension (disposal 1 = do not dispose, no
+    transparency) + image block per frame.  All frames full-screen
+    size; palette shared via the global color table."""
+    h, w = frames[0].shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    delays = delays_cs or [10] * len(frames)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07) | 0x70, 0, 0)
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(bits, 2)
+    for fr, delay in zip(frames, delays):
+        assert fr.shape == (h, w)
+        # GCE: disposal 1 (do not dispose), no transparency
+        out += b"\x21\xf9\x04" + bytes((0b100,)) + struct.pack("<H", delay) + b"\x00\x00"
+        out += _image_block(fr, mcs, 0, 0, interlace)
+    out += b"\x3b"
     return bytes(out)
 
 
 @wrap_codec_errors("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB.
-    Malformed input always raises ValueError (fuzz-tested) via the
-    shared wrap_codec_errors contract (operators/_codec.py)."""
+    """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB
+    (interlaced or progressive).  Malformed input always raises
+    ValueError (fuzz-tested) via the shared wrap_codec_errors contract
+    (operators/_codec.py)."""
+    return _decode_gif_walk(data, first_only=True)["frames"][0]
+
+
+@wrap_codec_errors("GIF")
+def decode_gif_frames(data: bytes) -> dict:
+    """Decode EVERY frame of an animated GIF: Graphic Control
+    Extensions (delay, disposal 0/1 — restore-to-background/previous
+    and transparency are the documented unsupported boundary),
+    sub-rectangle frames composited over the previous frame, 4-pass
+    row interlacing.  Returns {"frames": [(h, w, 3) uint8 ...],
+    "delays_cs": [...], "interlaced": bool}."""
+    return _decode_gif_walk(data, first_only=False)
+
+
+def _decode_gif_walk(data: bytes, first_only: bool) -> dict:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -114,19 +200,42 @@ def decode_gif(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data[pos : pos + 3 * size], dtype=np.uint8).reshape(size, 3)
         pos += 3 * size
 
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    pending_delay = 0
+    canvas = None
+    any_interlaced = False
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x21:  # extension: label + sub-blocks, skip
+        if block == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                ln = data[pos]
+                if ln != 4:
+                    raise ValueError("bad GCE block size")
+                packed = data[pos + 1]
+                pending_delay = data[pos + 2] | (data[pos + 3] << 8)
+                disposal = (packed >> 2) & 0b111
+                if disposal > 1:
+                    raise ValueError(
+                        f"unsupported GIF: disposal method {disposal} "
+                        "(restore-to-background/previous not implemented)"
+                    )
+                if packed & 1:
+                    raise ValueError(
+                        "unsupported GIF: transparency not implemented"
+                    )
+            # skip the (remaining) sub-blocks of any extension
             while data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            _left, _top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+            left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
             pos += 9
-            if iflags & 0x40:
-                raise ValueError("interlaced GIFs not supported")
+            interlaced = bool(iflags & 0x40)
+            any_interlaced = any_interlaced or interlaced
             table = gct
             if iflags & 0x80:
                 size = 2 << (iflags & 0x07)
@@ -136,6 +245,8 @@ def decode_gif(data: bytes) -> np.ndarray:
                 pos += 3 * size
             if table is None:
                 raise ValueError("no color table for image")
+            if left + w > sw or top + h > sh:
+                raise ValueError("frame rectangle outside the logical screen")
             mcs = data[pos]
             pos += 1
             if not 2 <= mcs <= 11:
@@ -150,14 +261,36 @@ def decode_gif(data: bytes) -> np.ndarray:
             if len(idx) < w * h:
                 raise ValueError("LZW stream ended before the raster was full")
             arr = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if interlaced:
+                out = np.empty_like(arr)
+                out[_interlace_order(h)] = arr
+                arr = out
             if arr.max() >= len(table):
                 raise ValueError("palette index out of range")
-            return table[arr]
+            rgb = table[arr]
+            if first_only:
+                return {"frames": [rgb], "delays_cs": [pending_delay],
+                        "interlaced": any_interlaced}
+            if canvas is None:
+                if (left, top, w, h) != (0, 0, sw, sh):
+                    raise ValueError(
+                        "first frame must cover the logical screen"
+                    )
+                canvas = rgb.copy()
+            else:
+                # disposal 0/1: composite over the previous frame
+                canvas = canvas.copy()
+                canvas[top : top + h, left : left + w] = rgb
+            frames.append(canvas)
+            delays.append(pending_delay)
+            pending_delay = 0
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown block type 0x{block:02x}")
-    raise ValueError("no image data found")
+    if not frames:
+        raise ValueError("no image data found")
+    return {"frames": frames, "delays_cs": delays, "interlaced": any_interlaced}
 
 
 def _lzw_decode(stream: bytes, mcs: int, max_pixels: int) -> list[int]:

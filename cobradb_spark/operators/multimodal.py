@@ -908,6 +908,89 @@ decode_bmp_features = _codec_feature_decoder(
 )
 
 
+def synthesize_gif_animated(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL animated GIF89a per row (operators/gif.py
+    encode_gif_animated): n_frames = 2 + id%3 full-screen frames of
+    w = 9 + id%8, h = 7 + id%9 over the 64-color palette pal[j] =
+    ((id+3j)%256, (2id+7j)%256, (5id+11j)%256), frame pixels
+    index(f,x,y) = (id + 3x + 7y + 13f) % 64, per-frame GCE delays
+    4+f centiseconds, NETSCAPE loop extension, 4-pass ROW INTERLACING
+    on odd documents."""
+    import numpy as np
+
+    from cobradb_spark.operators.gif import encode_gif_animated
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 9 + i % 8, 7 + i % 9
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                j = np.arange(64)
+                pal = np.stack(
+                    [(i + 3 * j) % 256, (2 * i + 7 * j) % 256,
+                     (5 * i + 11 * j) % 256], axis=1
+                ).astype(np.uint8)
+                nf = 2 + i % 3
+                frames = [
+                    ((i + 3 * x + 7 * y + 13 * f) % 64).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    encode_gif_animated(
+                        frames, pal,
+                        delays_cs=[4 + f for f in range(nf)],
+                        interlace=i % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema="id long, payload binary"
+    )
+
+
+def decode_gif_animated_features(df: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode (operators/gif.py decode_gif_frames:
+    GCE parse, frame compositing, row deinterlacing, per-frame LZW)
+    over Arrow batches; per-document frame count, delay sum, and
+    channel sums across ALL frames (so the hash pins every frame's
+    pixels AND the GCE fields)."""
+    from cobradb_spark.operators.gif import decode_gif_frames
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "n_frames": [], "width": [], "height": [],
+                "interlaced": [], "delay_sum": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                r = decode_gif_frames(bytes(payload))
+                frames = r["frames"]
+                import numpy as np
+
+                stack = np.stack(frames).astype(np.int64)
+                out["id"].append(did)
+                out["n_frames"].append(len(frames))
+                out["height"].append(stack.shape[1])
+                out["width"].append(stack.shape[2])
+                out["interlaced"].append(int(r["interlaced"]))
+                out["delay_sum"].append(sum(r["delays_cs"]))
+                out["r_sum"].append(int(stack[..., 0].sum()))
+                out["g_sum"].append(int(stack[..., 1].sum()))
+                out["b_sum"].append(int(stack[..., 2].sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, n_frames long, width long, height long, "
+        "interlaced long, delay_sum long, r_sum long, g_sum long, b_sum long",
+    )
+
+
 def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One SubRip (.srt) subtitle file per row — the caption sidecar of a
     video corpus: n = 5 + id % 6 cues, cue i spanning

@@ -513,6 +513,58 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_animated_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 9 AS h,
+         2 + doc_id % 3 AS nf, doc_id % 2 AS interlaced
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.nf, d.interlaced,
+         (d.doc_id + 3 * x.x + 7 * y.y + 13 * f.f) % 64 AS j
+  FROM d,
+       UNNEST(range(0, d.nf)) AS f(f),
+       UNNEST(range(0, d.w)) AS x(x),
+       UNNEST(range(0, d.h)) AS y(y)
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(interlaced AS BIGINT) AS interlaced,
+       CAST(nf * 4 + nf * (nf - 1) / 2 AS BIGINT) AS delay_sum,
+       CAST(sum((doc_id + 3 * j) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((2 * doc_id + 7 * j) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((5 * doc_id + 11 * j) % 256) AS BIGINT) AS b_sum
+FROM px GROUP BY doc_id, w, h, nf, interlaced
+""",
+    doc="REAL ANIMATED-GIF decode (GIF89a appendix — operators/gif.py "
+    "decode_gif_frames): Graphic Control Extensions (per-frame delays, "
+    "disposal 1; restore-disposals and transparency reject loudly as "
+    "the documented boundary), NETSCAPE loop extension skip, "
+    "sub-rectangle compositing support, and 4-pass ROW INTERLACING "
+    "(odd documents store every frame's rows in the 8/8/4/2 pass "
+    "order).  The hash covers every frame's pixels through the palette "
+    "AND the GCE delay fields, so a decoder that mis-ordered "
+    "interlaced rows, dropped frames, or misparsed extension blocks "
+    "fails the hash.  Completes the GIF surface alongside the "
+    "single-frame key the same way the reservoir/stereo keys complete "
+    "MPEG audio.  Scale posture: Arrow mapInPandas, one row per "
+    "document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_gif_animated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_gif_animated_features,
+        synthesize_gif_animated,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_gif_animated_features(
+        synthesize_gif_animated(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_png_interlaced_decode",
     oracle="""
 WITH d AS (

@@ -1621,6 +1621,13 @@ AUDITS = [
         "batches; one row per document, nothing driver-side",
     ),
     (
+        "multimodal_gif_animated_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document animated-GIF decode over Arrow batches; one row "
+        "per document, nothing driver-side",
+    ),
+    (
         "multimodal_png_interlaced_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],
