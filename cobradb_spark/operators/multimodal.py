@@ -213,6 +213,99 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_wav_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL TWO-CHANNEL WAV per row (stdlib `wave`): 16-bit PCM on
+    even ids, 8-bit unsigned PCM (the offset-128 convention) on odd
+    ids; n = 400 + id%100 sample frames at 8 kHz, channel ch samples
+    s(ch,i) = ((id*31 + i*7 + 13*ch) % 65536) - 32768 for 16-bit, and
+    ((id*31 + i*7 + 13*ch) % 256) for 8-bit."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 400 + did % 100
+                i = np.arange(n, dtype=np.int64)
+                ch0 = did * 31 + i * 7
+                ch1 = ch0 + 13
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(2)
+                    w.setframerate(8000)
+                    if did % 2 == 0:
+                        w.setsampwidth(2)
+                        inter = np.empty(2 * n, dtype="<i2")
+                        inter[0::2] = (ch0 % 65536 - 32768).astype("<i2")
+                        inter[1::2] = (ch1 % 65536 - 32768).astype("<i2")
+                        w.writeframes(inter.tobytes())
+                    else:
+                        w.setsampwidth(1)
+                        inter = np.empty(2 * n, dtype=np.uint8)
+                        inter[0::2] = (ch0 % 256).astype(np.uint8)
+                        inter[1::2] = (ch1 % 256).astype(np.uint8)
+                        w.writeframes(inter.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_wav_stereo_features(df: DataFrame) -> DataFrame:
+    """General WAV decode over Arrow batches: 1-2 channels, 8-bit
+    unsigned (rescaled to the signed offset-128 convention) or 16-bit
+    signed PCM; per-channel integer sums so the hash pins the channel
+    DE-INTERLEAVE, not just the byte totals."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "n_samples": [], "n_channels": [],
+                "bits": [], "l_sum": [], "r_sum": [], "l_sq_sum": [], "r_sq_sum": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    nch, width = w.getnchannels(), w.getsampwidth()
+                    if nch not in (1, 2) or width not in (1, 2):
+                        raise ValueError(
+                            f"unsupported WAV: {nch} channels, {width*8}-bit"
+                        )
+                    rate, n = w.getframerate(), w.getnframes()
+                    raw = w.readframes(n)
+                if width == 2:
+                    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                else:
+                    # 8-bit WAV is unsigned; recenter to signed
+                    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                chans = samples.reshape(n, nch)
+                left = chans[:, 0]
+                right = chans[:, nch - 1]
+                out["id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["n_channels"].append(nch)
+                out["bits"].append(width * 8)
+                out["l_sum"].append(int(left.sum()))
+                out["r_sum"].append(int(right.sum()))
+                out["l_sq_sum"].append(int((left * left).sum()))
+                out["r_sq_sum"].append(int((right * right).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        decode,
+        schema="id long, sample_rate long, n_samples long, n_channels long, "
+        "bits long, l_sum long, r_sum long, l_sq_sum long, r_sq_sum long",
+    )
+
+
 def decode_motion_ppm_scene_sads(df: DataFrame) -> DataFrame:
     """REAL inter-frame difference extraction: walk the concatenated-P6
     container (headers parsed, frame size derived), decode EVERY frame,

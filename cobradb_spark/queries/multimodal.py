@@ -513,6 +513,55 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_stereo_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 400 + doc_id % 100 AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bits
+  FROM documents),
+sm AS (
+  SELECT d.doc_id, d.n, d.bits,
+         CASE WHEN d.bits = 16
+              THEN (d.doc_id * 31 + i.i * 7) % 65536 - 32768
+              ELSE (d.doc_id * 31 + i.i * 7) % 256 - 128 END AS l,
+         CASE WHEN d.bits = 16
+              THEN (d.doc_id * 31 + i.i * 7 + 13) % 65536 - 32768
+              ELSE (d.doc_id * 31 + i.i * 7 + 13) % 256 - 128 END AS r
+  FROM d, UNNEST(range(0, d.n)) AS i(i))
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(2 AS BIGINT) AS n_channels,
+       CAST(bits AS BIGINT) AS bits,
+       CAST(sum(l) AS BIGINT) AS l_sum,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(l * l) AS BIGINT) AS l_sq_sum,
+       CAST(sum(r * r) AS BIGINT) AS r_sq_sum
+FROM sm GROUP BY doc_id, n, bits
+""",
+    doc="General WAV decode beyond the mono/16-bit fixture: TWO-channel "
+    "interleaved PCM at both 16-bit signed and 8-bit unsigned "
+    "(offset-128, recentred on decode — the WAV convention that trips "
+    "naive readers), per-channel sums so the hash pins the channel "
+    "de-interleave.  Rides the stdlib `wave` container walk like the "
+    "mono key; the sample math and de-interleave are ours.  Scale "
+    "posture: Arrow mapInPandas, one row per document, nothing "
+    "driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_wav_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_wav_stereo_features,
+        synthesize_wav_stereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_wav_stereo_features(
+        synthesize_wav_stereo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_gif_animated_decode",
     oracle="""
 WITH d AS (
