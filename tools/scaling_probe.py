@@ -229,6 +229,9 @@ PROBES = [
     "multimodal_mp2_stereo_decode",
     "multimodal_mp1_stereo_decode",
     "multimodal_mp3_stereo_decode",
+    "multimodal_png_interlaced_decode",
+    "multimodal_gif_animated_decode",
+    "multimodal_wav_stereo_decode",
 ]
 
 
