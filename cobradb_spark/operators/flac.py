@@ -19,8 +19,12 @@ with the spec for the features it covers):
   both Rice residual methods (4- and 5-bit parameters) at any partition
   order including the verbatim-escape, wasted-bits handling, CRC-8 and
   CRC-16 verification, and the STREAMINFO MD5 end-to-end integrity
-  check.  LPC subframes and multi-channel streams raise ValueError
-  (documented subset bounds), as does any malformed input (fuzz-tested)
+  check.  STEREO streams decode through all four channel assignments
+  (independent, left/side, right/side, mid/side with the libFLAC
+  integer reconstruction; side channels carry bps+1 bits), and LPC
+  subframes (order 1-32, quantized integer predictor) decode exactly
+  (r11 — both former subset bounds).  >2 channels and non-16-bit
+  depths raise ValueError, as does any malformed input (fuzz-tested)
   via the shared wrap_codec_errors contract.
 
 Scale: encode/decode run inside Arrow-batched mapInPandas over binary
@@ -377,15 +381,13 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return bytes(out)
 
 
-def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
-    n = len(block)
-    w = _BitWriter()
+def _frame_header(w: "_BitWriter", n: int, frame_no: int, chan: int) -> None:
     w.write(_SYNC, 14)
     w.write(0, 1)  # reserved
     w.write(0, 1)  # fixed-blocksize strategy
     w.write(0b0111, 4)  # blocksize: explicit 16-bit at header end
     w.write(0b0000, 4)  # sample rate: from STREAMINFO
-    w.write(0b0000, 4)  # channel assignment: mono
+    w.write(chan, 4)  # channel assignment
     w.write(0b100, 3)  # 16 bits per sample
     w.write(0, 1)  # reserved
     for b in _utf8_number(frame_no):
@@ -394,44 +396,205 @@ def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
     assert w.nbits == 0
     w.write(_crc8(bytes(w.buf)), 8)
 
+
+def _encode_frame(block: np.ndarray, frame_no: int) -> bytes:
+    w = _BitWriter()
+    _frame_header(w, len(block), frame_no, 0b0000)
     _write_subframe(w, block)
     w.align()
     w.write(_crc16(bytes(w.buf)), 16)
     return bytes(w.buf)
 
 
-def _write_subframe(w: _BitWriter, block: np.ndarray) -> None:
+def _encode_frame_stereo(
+    left: np.ndarray, right: np.ndarray, frame_no: int, use_lpc: bool
+) -> bytes:
+    """One stereo frame; the channel assignment rotates per frame
+    through independent / left-side / right-side / mid-side so every
+    decorrelation mode appears in every stream."""
+    n = len(left)
+    chan = (0b0001, 0b1000, 0b1001, 0b1010)[frame_no % 4]
+    side = left - right
+    if chan == 0b0001:
+        c0, b0, c1, b1 = left, 16, right, 16
+    elif chan == 0b1000:  # left/side
+        c0, b0, c1, b1 = left, 16, side, 17
+    elif chan == 0b1001:  # right/side
+        c0, b0, c1, b1 = side, 17, right, 16
+    else:  # mid/side
+        c0, b0, c1, b1 = (left + right) >> 1, 16, side, 17
+    w = _BitWriter()
+    _frame_header(w, n, frame_no, chan)
+    _write_subframe(w, c0, bits=b0, use_lpc=use_lpc)
+    _write_subframe(w, c1, bits=b1, use_lpc=use_lpc)
+    w.align()
+    w.write(_crc16(bytes(w.buf)), 16)
+    return bytes(w.buf)
+
+
+def encode_flac_stereo(
+    left: np.ndarray,
+    right: np.ndarray,
+    sample_rate: int = 8000,
+    use_lpc: bool = True,
+) -> bytes:
+    """Encode a STEREO int16 pair as a spec-subset FLAC stream: frames
+    rotate through all four channel assignments, and (by default) LPC
+    subframes compete with the fixed predictors by exact Rice cost —
+    residuals are computed with the QUANTIZED integer coefficients, so
+    the stream is lossless regardless of the float fitting stage."""
+    l = np.asarray(left, dtype=np.int64)
+    r = np.asarray(right, dtype=np.int64)
+    if l.size == 0 or l.shape != r.shape:
+        raise ValueError("need two equal-length non-empty channels")
+    for x in (l, r):
+        if x.min() < -32768 or x.max() > 32767:
+            raise ValueError("samples out of int16 range")
+    n_total = len(l)
+    inter = np.empty(2 * n_total, dtype="<i2")
+    inter[0::2] = l.astype("<i2")
+    inter[1::2] = r.astype("<i2")
+    md5 = hashlib.md5(inter.tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    info = _BitWriter()
+    info.write(_BLOCKSIZE, 16)
+    info.write(_BLOCKSIZE, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(1, 3)  # channels - 1 (stereo)
+    info.write(15, 5)  # bits per sample - 1
+    info.write(n_total, 36)
+    assert info.nbits == 0
+    body = bytes(info.buf) + md5
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    for frame_no, start in enumerate(range(0, n_total, _BLOCKSIZE)):
+        out += _encode_frame_stereo(
+            l[start : start + _BLOCKSIZE],
+            r[start : start + _BLOCKSIZE],
+            frame_no,
+            use_lpc,
+        )
+    return bytes(out)
+
+
+def _quantize_lpc(block: np.ndarray, order: int, precision: int = 12):
+    """Levinson-Durbin LPC coefficients, quantized to `precision`-bit
+    integers with a non-negative shift (the spec's Q format).  Returns
+    (coefs int64[order], shift) or None when the block is degenerate.
+    The float stage only CHOOSES the predictor; residuals are computed
+    with the quantized integers exactly as the decoder reconstructs,
+    so the roundtrip is lossless regardless of float rounding."""
+    x = block.astype(np.float64)
+    n = len(x)
+    if n <= order:
+        return None
+    ac = np.array(
+        [np.dot(x[: n - lag], x[lag:]) for lag in range(order + 1)]
+    )
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k_ref = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k_ref * a[:i][::-1], [k_ref]])
+        err *= 1 - k_ref * k_ref
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if cmax == 0 or not np.isfinite(cmax):
+        return None
+    # shift so the largest coefficient uses the full precision
+    shift = precision - 1 - max(int(np.floor(np.log2(cmax))) + 1, 0)
+    shift = max(0, min(15, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(block: np.ndarray, coefs: np.ndarray, shift: int) -> np.ndarray:
+    """Exact integer residuals for the quantized predictor (the same
+    arithmetic the decoder inverts)."""
+    k = len(coefs)
+    n = len(block)
+    resid = np.empty(n - k, dtype=np.int64)
+    for i in range(k, n):
+        pred = int(np.dot(coefs, block[i - k : i][::-1])) >> shift
+        resid[i - k] = block[i] - pred
+    return resid
+
+
+def _write_subframe(
+    w: _BitWriter, block: np.ndarray, bits: int = 16, use_lpc: bool = False
+) -> None:
     n = len(block)
     if n > 1 and (block == block[0]).all():
         w.write(0, 1)
         w.write(0b000000, 6)  # CONSTANT
         w.write(0, 1)
-        w.write(int(block[0]), 16)
+        w.write(int(block[0]), bits)
         return
     # pick the cheapest FIXED order by exact Rice cost (order capped by n-1)
     best = None
     for k in range(0, min(5, n)):
         resid = np.diff(block, n=k) if k else block
         m, cost = _best_rice_param(_zigzag(resid))
-        total = 16 * k + 2 + 4 + 4 + cost  # warmup + method + part order + param
+        total = bits * k + 2 + 4 + 4 + cost  # warmup + method + part order + param
         if best is None or total < best[0]:
             best = (total, k, m, resid)
     total, k, m, resid = best
-    if total >= 16 * n:
+    lpc = None
+    if use_lpc:
+        for order in (1, 2, 4, 8):
+            if order >= n:
+                break
+            got = _quantize_lpc(block, order=order)
+            if got is None:
+                continue
+            coefs, shift = got
+            lresid = _lpc_residual(block, coefs, shift)
+            lm, lcost = _best_rice_param(_zigzag(lresid))
+            ltotal = (
+                bits * len(coefs) + 4 + 5 + 12 * len(coefs) + 2 + 4 + 4 + lcost
+            )
+            if ltotal < total:
+                lpc = (coefs, shift, lm, lresid)
+                total = ltotal
+    if total >= bits * n:
         w.write(0, 1)
         w.write(0b000001, 6)  # VERBATIM
         w.write(0, 1)
-        vals = block.astype(np.int64) & 0xFFFF
-        vbits = np.zeros(16 * n, dtype=np.uint8)
-        for j in range(16):
-            vbits[j::16] = (vals >> (15 - j)) & 1
+        vals = block.astype(np.int64) & ((1 << bits) - 1)
+        vbits = np.zeros(bits * n, dtype=np.uint8)
+        for j in range(bits):
+            vbits[j::bits] = (vals >> (bits - 1 - j)) & 1
         w.write_bitarray(vbits)
         return
-    w.write(0, 1)
-    w.write(0b001000 | k, 6)  # FIXED, order k
-    w.write(0, 1)  # no wasted bits
-    for v in block[:k]:
-        w.write(int(v), 16)
+    if lpc is not None:
+        coefs, shift, m, resid = lpc
+        k = len(coefs)
+        w.write(0, 1)
+        w.write(0b100000 | (k - 1), 6)  # LPC, order k
+        w.write(0, 1)  # no wasted bits
+        for v in block[:k]:
+            w.write(int(v), bits)
+        w.write(11, 4)  # precision 12 -> code 11
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(int(c), 12)
+    else:
+        w.write(0, 1)
+        w.write(0b001000 | k, 6)  # FIXED, order k
+        w.write(0, 1)  # no wasted bits
+        for v in block[:k]:
+            w.write(int(v), bits)
     w.write(0b00, 2)  # partitioned-Rice, 4-bit parameters
     w.write(0, 4)  # partition order 0
     w.write(m, 4)
@@ -459,9 +622,24 @@ _RATE_CODES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
 
 @wrap_codec_errors("FLAC")
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a mono FLAC-subset stream to (int64 samples, sample_rate).
+    """Decode a mono FLAC-subset stream to (int64 samples, sample_rate)
+    — the mono-only entry point (decode_flac_general accepts stereo).
     Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5; malformed input
     raises ValueError (shared wrap_codec_errors contract)."""
+    return _decode_flac(data, require_mono=True)
+
+
+@wrap_codec_errors("FLAC")
+def decode_flac_general(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono or STEREO FLAC-subset stream — all four channel
+    assignments (independent, left/side, right/side, mid/side with the
+    libFLAC integer reconstruction; the side channel carries bps+1
+    bits) and LPC subframes (order 1-32, quantized integer predictor
+    with shift).  Stereo returns (n, 2) int64; mono returns (n,)."""
+    return _decode_flac(data, require_mono=False)
+
+
+def _decode_flac(data: bytes, require_mono: bool) -> tuple[np.ndarray, int]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (bad marker)")
     pos = 4
@@ -495,7 +673,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     bps = si.read(5) + 1
     n_total = si.read(36)
     md5 = streaminfo[18:34]
-    if channels != 1:
+    if channels not in (1, 2):
+        raise ValueError(
+            f"subset decoder is mono/stereo-only ({channels} channels)"
+        )
+    if require_mono and channels != 1:
         raise ValueError(f"subset decoder is mono-only ({channels} channels)")
     if bps != 16:
         raise ValueError(f"subset decoder is 16-bit-only ({bps} bps)")
@@ -506,19 +688,27 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     got = 0
     cache = _BitCache(data)
     while got < n_total:
-        block, pos = _decode_frame(data, pos, rate, bps, cache)
+        block, pos = _decode_frame(data, pos, rate, bps, channels, cache)
         samples.append(block)
-        got += len(block)
+        got += block.shape[0]
     if got != n_total:
         raise ValueError("decoded sample count exceeds STREAMINFO total")
-    x = np.concatenate(samples) if samples else np.empty(0, dtype=np.int64)
+    x = (
+        np.concatenate(samples)
+        if samples
+        else np.empty((0, channels), dtype=np.int64)
+    )
+    # FLAC MD5 is over the channel-interleaved little-endian samples
     if md5 != bytes(16) and hashlib.md5(x.astype("<i2").tobytes()).digest() != md5:
         raise ValueError("STREAMINFO MD5 mismatch (corrupt audio data)")
+    if channels == 1:
+        return x[:, 0], rate
     return x, rate
 
 
 def _decode_frame(
-    data: bytes, pos: int, si_rate: int, bps: int, cache: _BitCache
+    data: bytes, pos: int, si_rate: int, bps: int, channels: int,
+    cache: _BitCache,
 ) -> tuple[np.ndarray, int]:
     br = _BitReader(data, pos)
     if br.read(14) != _SYNC:
@@ -532,8 +722,16 @@ def _decode_frame(
     size_code = br.read(3)
     if br.read(1):
         raise ValueError("reserved frame-header bit set")
-    if chan != 0:
-        raise ValueError("subset decoder is mono-only")
+    # channel assignment: 0-7 = (nch-1) independent; 8/9/10 =
+    # left-side / right-side / mid-side stereo decorrelation
+    if chan == 0b0000:
+        frame_nch = 1
+    elif chan == 0b0001 or chan in (0b1000, 0b1001, 0b1010):
+        frame_nch = 2
+    else:
+        raise ValueError(f"unsupported channel assignment {chan:04b}")
+    if frame_nch != channels:
+        raise ValueError("frame channel count contradicts STREAMINFO")
     if size_code not in (0b000, 0b100):
         raise ValueError(f"unsupported sample-size code {size_code:03b}")
     _read_utf8_number(br)
@@ -560,7 +758,24 @@ def _decode_frame(
     if _crc8(data[pos : pos + header_len]) != br.read(8):
         raise ValueError("frame header CRC-8 mismatch")
 
-    block = _decode_subframe(br, blocksize, bps, cache)
+    if channels == 1:
+        block = _decode_subframe(br, blocksize, bps, cache)[:, None]
+    else:
+        # the SIDE channel of a decorrelated pair carries one extra bit
+        bits0 = bps + (1 if chan == 0b1001 else 0)  # right/side: ch0=side
+        bits1 = bps + (1 if chan in (0b1000, 0b1010) else 0)
+        c0 = _decode_subframe(br, blocksize, bits0, cache)
+        c1 = _decode_subframe(br, blocksize, bits1, cache)
+        if chan == 0b0001:  # independent
+            left, right = c0, c1
+        elif chan == 0b1000:  # left/side: side = l - r
+            left, right = c0, c0 - c1
+        elif chan == 0b1001:  # right/side: side = l - r
+            left, right = c0 + c1, c1
+        else:  # mid/side (libFLAC reconstruction)
+            mid2 = (c0 << 1) | (c1 & 1)
+            left, right = (mid2 + c1) >> 1, (mid2 - c1) >> 1
+        block = np.stack([left, right], axis=1)
 
     br.align()
     frame_len = br.pos - pos
@@ -594,8 +809,28 @@ def _decode_subframe(
         warmup = np.array([br.read_signed(eff) for _ in range(k)], dtype=np.int64)
         resid = _decode_residual(br, n, k, cache)
         x = _integrate_fixed(warmup, resid, k)
-    elif stype & 0b100000:
-        raise ValueError("LPC subframes outside the implemented subset")
+    elif stype & 0b100000:  # LPC, order 1-32
+        k = (stype & 0x1F) + 1
+        if k > n:
+            raise ValueError("predictor order exceeds blocksize")
+        warmup = np.array([br.read_signed(eff) for _ in range(k)], dtype=np.int64)
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision code 1111")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = np.array(
+            [br.read_signed(prec) for _ in range(k)], dtype=np.int64
+        )
+        resid = _decode_residual(br, n, k, cache)
+        x = np.empty(n, dtype=np.int64)
+        x[:k] = warmup
+        for i in range(k, n):
+            # exact integer predictor: floor-shifted dot with the k
+            # previous samples (most-recent-first coefficient order)
+            pred = int(np.dot(coefs, x[i - k : i][::-1])) >> shift
+            x[i] = resid[i - k] + pred
     else:
         raise ValueError(f"reserved subframe type {stype:06b}")
     return x << wasted

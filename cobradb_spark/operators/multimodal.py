@@ -459,6 +459,65 @@ def decode_flac_features(df: DataFrame) -> DataFrame:
 PPM_W, PPM_H = 16, 16
 
 
+def synthesize_flac_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL STEREO FLAC-subset stream per row (operators/flac.py
+    encode_flac_stereo): n = 700 + id%100 samples per channel,
+    s(ch, i) = ((id*31 + i*7 + 13*ch) % 1024) - 512 (small range so
+    Rice-coded predictors beat verbatim), frames rotating through ALL
+    FOUR channel assignments (independent, left/side, right/side,
+    mid/side)."""
+    import numpy as np
+
+    from cobradb_spark.operators.flac import encode_flac_stereo
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 700 + did % 100
+                i = np.arange(n, dtype=np.int64)
+                l = (did * 31 + i * 7) % 1024 - 512
+                r = (did * 31 + i * 7 + 13) % 1024 - 512
+                payloads.append(encode_flac_stereo(l, r))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+
+
+def decode_flac_stereo_features(df: DataFrame) -> DataFrame:
+    """REAL stereo FLAC decode (operators/flac.py decode_flac_general:
+    all four channel assignments, side-channel bit widening, CRC-8/16
+    + MD5 verification) over Arrow batches; per-channel integer sums
+    pin the decorrelation inverse exactly."""
+    import numpy as np
+
+    from cobradb_spark.operators.flac import decode_flac_general
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "n_samples": [],
+                "l_sum": [], "r_sum": [], "l_sq_sum": [], "r_sq_sum": [],
+            }
+            for did, payload in zip(pdf["id"], pdf["payload"]):
+                x, rate = decode_flac_general(bytes(payload))
+                out["id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(x.shape[0])
+                out["l_sum"].append(int(x[:, 0].sum()))
+                out["r_sum"].append(int(x[:, 1].sum()))
+                out["l_sq_sum"].append(int((x[:, 0] ** 2).sum()))
+                out["r_sq_sum"].append(int((x[:, 1] ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        dec,
+        schema="id long, sample_rate long, n_samples long, "
+        "l_sum long, r_sum long, l_sq_sum long, r_sq_sum long",
+    )
+
+
 def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a REAL binary PPM (netpbm P6) 16x16 RGB image per row with
     pixel bytes p(x,y,c) = (id + x*3 + y*7 + c*11) % 256 — a valid image

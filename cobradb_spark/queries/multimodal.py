@@ -513,6 +513,52 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_flac_stereo_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 700 + doc_id % 100 AS n FROM documents),
+sm AS (
+  SELECT d.doc_id, d.n,
+         (d.doc_id * 31 + i.i * 7) % 1024 - 512 AS l,
+         (d.doc_id * 31 + i.i * 7 + 13) % 1024 - 512 AS r
+  FROM d, UNNEST(range(0, d.n)) AS i(i))
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(l) AS BIGINT) AS l_sum,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(l * l) AS BIGINT) AS l_sq_sum,
+       CAST(sum(r * r) AS BIGINT) AS r_sq_sum
+FROM sm GROUP BY doc_id, n
+""",
+    doc="REAL STEREO FLAC decode (operators/flac.py): every stream's "
+    "frames rotate through ALL FOUR channel assignments — independent, "
+    "left/side, right/side, mid/side with the libFLAC integer "
+    "reconstruction (mid = (l+r)>>1 re-widened by the side's parity "
+    "bit) — and side channels carry bps+1 bits, closing the "
+    "multi-channel subset bound; LPC subframes (the other former "
+    "bound) decode exactly via the quantized integer predictor and "
+    "are pinned by unit tests on resonant content where they beat the "
+    "fixed family.  FLAC is lossless, so per-channel sums hash-match "
+    "the closed-form sample formula; a decoder with a wrong "
+    "decorrelation inverse or side-width would corrupt half the "
+    "samples of three fourths of the frames.  Scale posture: Arrow "
+    "mapInPandas, one row per document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_flac_stereo_features,
+        synthesize_flac_stereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_flac_stereo_features(
+        synthesize_flac_stereo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_wav_stereo_decode",
     oracle="""
 WITH d AS (

@@ -1621,6 +1621,13 @@ AUDITS = [
         "batches; one row per document, nothing driver-side",
     ),
     (
+        "multimodal_flac_stereo_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document stereo FLAC decode over Arrow batches; one row "
+        "per document, nothing driver-side",
+    ),
+    (
         "multimodal_wav_stereo_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],
