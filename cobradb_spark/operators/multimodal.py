@@ -465,7 +465,10 @@ def synthesize_flac_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     s(ch, i) = ((id*31 + i*7 + 13*ch) % 1024) - 512 (small range so
     Rice-coded predictors beat verbatim), frames rotating through ALL
     FOUR channel assignments (independent, left/side, right/side,
-    mid/side)."""
+    mid/side).  use_lpc=False: on this noise-like content LPC never
+    beats the fixed family, so the fixture skips the fitting cost;
+    LPC decode is pinned by tests/test_sources.py on resonant
+    content."""
     import numpy as np
 
     from cobradb_spark.operators.flac import encode_flac_stereo
@@ -479,7 +482,7 @@ def synthesize_flac_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = np.arange(n, dtype=np.int64)
                 l = (did * 31 + i * 7) % 1024 - 512
                 r = (did * 31 + i * 7 + 13) % 1024 - 512
-                payloads.append(encode_flac_stereo(l, r))
+                payloads.append(encode_flac_stereo(l, r, use_lpc=False))
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")

@@ -232,6 +232,7 @@ PROBES = [
     "multimodal_png_interlaced_decode",
     "multimodal_gif_animated_decode",
     "multimodal_wav_stereo_decode",
+    "multimodal_flac_stereo_decode",
 ]
 
 
