@@ -7,16 +7,29 @@ SQL-oracle-able.  This module implements
 
 - a general DECODER (`decode_gif` first frame; `decode_gif_frames` the
   whole ANIMATION): header + logical screen descriptor, global and
-  local color tables, Graphic Control Extensions (delay/disposal;
-  transparency and restore-disposals are the documented unsupported
-  boundary), sub-rectangle frames composited over the previous frame,
-  4-pass ROW INTERLACING, sub-block reassembly, and a real
-  variable-width LZW decoder (clear/EOI codes, dictionary growth to
-  12 bits, the deferred-clear corner); and
-- ENCODERS (`encode_gif`, `encode_gif_animated`) for fixtures: real
-  greedy-longest-match LZW (not the "uncompressed GIF" clear-spam
-  trick), so roundtrips exercise the decoder's dictionary growth and
-  width bumps; interlace=True permutes rows into the 4-pass order.
+  local color tables, Graphic Control Extensions — per-frame delay,
+  TRANSPARENCY (transparent-index pixels leave the underlying canvas
+  visible), and all three defined disposal methods (0/1 do-not-
+  dispose, 2 restore-to-background, 3 restore-to-previous; 4-7 are
+  reserved and reject) — sub-rectangle frames composited over the
+  evolving canvas, 4-pass ROW INTERLACING, sub-block reassembly, and
+  a real variable-width LZW decoder (clear/EOI codes, dictionary
+  growth to 12 bits, the deferred-clear corner); and
+- ENCODERS (`encode_gif`, `encode_gif_animated`,
+  `encode_gif_composited`) for fixtures: real greedy-longest-match
+  LZW (not the "uncompressed GIF" clear-spam trick), so roundtrips
+  exercise the decoder's dictionary growth and width bumps;
+  interlace=True permutes rows into the 4-pass order;
+  encode_gif_composited emits per-frame sub-rectangles with chosen
+  disposal methods and a transparent index.
+
+Stated convention (both engines replay it): the canvas starts as the
+logical-screen background color (global color table entry named by the
+LSD background field; black when only local tables exist), and
+disposal 2 restores the frame's rectangle to that same background
+color.  (Renderer folklore sometimes restores to *transparent*; this
+module has no alpha plane — RGB rasters — so background-color restore
+is the well-defined choice, and the fixtures + SQL oracle pin it.)
 
 Malformed input always raises ValueError (fuzz-tested), matching the
 JPEG/PNG decoders' error contract.
@@ -169,6 +182,48 @@ def encode_gif_animated(
     return bytes(out)
 
 
+def encode_gif_composited(
+    screen_wh: tuple[int, int],
+    frame_specs: list[dict],
+    palette: np.ndarray,
+    bg_index: int = 0,
+) -> bytes:
+    """Encode a GIF89a whose frames exercise the full GCE surface: each
+    spec is {"indices": (h, w) uint8, "left": int, "top": int,
+    "disposal": 0-3, "transparent": int | None, "delay_cs": int}.
+    The logical screen is screen_wh = (w, h) with the global color
+    table's bg_index recorded in the screen descriptor (the color
+    disposal-2 restores to, per this module's stated convention)."""
+    sw, sh = screen_wh
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack(
+        "<HHBBB", sw, sh, 0x80 | ((bits - 1) & 0x07) | 0x70, bg_index, 0
+    )
+    out += pal.tobytes()
+    mcs = max(bits, 2)
+    for spec in frame_specs:
+        t = spec.get("transparent")
+        packed = (spec.get("disposal", 0) & 0b111) << 2 | (1 if t is not None else 0)
+        out += (
+            b"\x21\xf9\x04"
+            + bytes((packed,))
+            + struct.pack("<H", spec.get("delay_cs", 0))
+            + bytes((t if t is not None else 0, 0))
+        )
+        out += _image_block(
+            spec["indices"], mcs, spec.get("left", 0), spec.get("top", 0), False
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
 @wrap_codec_errors("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the first frame of a GIF87a/89a to (h, w, 3) uint8 RGB
@@ -181,18 +236,20 @@ def decode_gif(data: bytes) -> np.ndarray:
 @wrap_codec_errors("GIF")
 def decode_gif_frames(data: bytes) -> dict:
     """Decode EVERY frame of an animated GIF: Graphic Control
-    Extensions (delay, disposal 0/1 — restore-to-background/previous
-    and transparency are the documented unsupported boundary),
-    sub-rectangle frames composited over the previous frame, 4-pass
-    row interlacing.  Returns {"frames": [(h, w, 3) uint8 ...],
-    "delays_cs": [...], "interlaced": bool}."""
+    Extensions (delay, TRANSPARENCY, disposal 0-3 — do-not-dispose,
+    restore-to-background, restore-to-previous; reserved 4-7 reject),
+    sub-rectangle frames composited over the evolving canvas, 4-pass
+    row interlacing.  The canvas starts as the background color and
+    disposal 2 restores to it (module-header convention).  Returns
+    {"frames": [(h, w, 3) uint8 ...], "delays_cs": [...],
+    "interlaced": bool}."""
     return _decode_gif_walk(data, first_only=False)
 
 
 def _decode_gif_walk(data: bytes, first_only: bool) -> dict:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
-    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -203,7 +260,11 @@ def _decode_gif_walk(data: bytes, first_only: bool) -> dict:
     frames: list[np.ndarray] = []
     delays: list[int] = []
     pending_delay = 0
-    canvas = None
+    pending_disposal = 0
+    pending_transparent: int | None = None
+    # canvas state BEFORE the next frame composites; lazily created so
+    # a background color is only demanded when a frame needs one under it
+    state: np.ndarray | None = None
     any_interlaced = False
     while pos < len(data):
         block = data[pos]
@@ -217,16 +278,12 @@ def _decode_gif_walk(data: bytes, first_only: bool) -> dict:
                     raise ValueError("bad GCE block size")
                 packed = data[pos + 1]
                 pending_delay = data[pos + 2] | (data[pos + 3] << 8)
-                disposal = (packed >> 2) & 0b111
-                if disposal > 1:
+                pending_disposal = (packed >> 2) & 0b111
+                if pending_disposal > 3:
                     raise ValueError(
-                        f"unsupported GIF: disposal method {disposal} "
-                        "(restore-to-background/previous not implemented)"
+                        f"bad GIF: reserved disposal method {pending_disposal}"
                     )
-                if packed & 1:
-                    raise ValueError(
-                        "unsupported GIF: transparency not implemented"
-                    )
+                pending_transparent = data[pos + 4] if packed & 1 else None
             # skip the (remaining) sub-blocks of any extension
             while data[pos] != 0:
                 pos += 1 + data[pos]
@@ -267,23 +324,34 @@ def _decode_gif_walk(data: bytes, first_only: bool) -> dict:
                 arr = out
             if arr.max() >= len(table):
                 raise ValueError("palette index out of range")
-            rgb = table[arr]
-            if first_only:
-                return {"frames": [rgb], "delays_cs": [pending_delay],
-                        "interlaced": any_interlaced}
-            if canvas is None:
-                if (left, top, w, h) != (0, 0, sw, sh):
-                    raise ValueError(
-                        "first frame must cover the logical screen"
-                    )
-                canvas = rgb.copy()
+            bg_rgb = (
+                gct[bg] if gct is not None and bg < len(gct)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            if state is None:
+                state = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+            displayed = state.copy()
+            region = displayed[top : top + h, left : left + w]
+            if pending_transparent is None:
+                region[:] = table[arr]
             else:
-                # disposal 0/1: composite over the previous frame
-                canvas = canvas.copy()
-                canvas[top : top + h, left : left + w] = rgb
-            frames.append(canvas)
+                opaque = arr != pending_transparent
+                region[opaque] = table[arr][opaque]
+            if first_only:
+                return {"frames": [displayed], "delays_cs": [pending_delay],
+                        "interlaced": any_interlaced}
+            frames.append(displayed)
             delays.append(pending_delay)
+            if pending_disposal == 2:  # restore rect to background color
+                state = displayed.copy()
+                state[top : top + h, left : left + w] = bg_rgb
+            elif pending_disposal == 3:  # restore to previous: state unchanged
+                pass
+            else:  # 0/1: the composited result persists
+                state = displayed
             pending_delay = 0
+            pending_disposal = 0
+            pending_transparent = None
         elif block == 0x3B:  # trailer
             break
         else:

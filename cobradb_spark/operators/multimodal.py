@@ -1146,6 +1146,66 @@ def decode_gif_animated_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_gif_composited(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One GIF89a per row exercising the FULL Graphic-Control surface
+    (operators/gif.py encode_gif_composited): logical screen
+    w = 8 + id%5, h = 6 + id%5 with background index id%64; frame 0 is
+    full-screen opaque (disposal 1, index (id+3x+7y)%64); the
+    nf-1 = 2 + id%2 following frames are sub-rectangles
+    rw = 3+(id+f)%3, rh = 2+(id+2f)%3 at lf = (3id+5f)%(w-rw+1),
+    tp = (5id+3f)%(h-rh+1), cycling disposal 1+(id+f)%3 over
+    {do-not-dispose, restore-to-background, restore-to-previous}, with
+    transparent index 63 wherever (x-lf + y-tp + f + id)%3 == 0 and
+    opaque index (id+3x+7y+13f)%63 elsewhere; per-frame delay 4+f.
+    Shared 64-color global palette pal[j] = ((id+3j)%256, (2id+7j)%256,
+    (5id+11j)%256)."""
+    import numpy as np
+
+    from cobradb_spark.operators.gif import encode_gif_composited
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 5
+                j = np.arange(64)
+                pal = np.stack(
+                    [(i + 3 * j) % 256, (2 * i + 7 * j) % 256,
+                     (5 * i + 11 * j) % 256], axis=1
+                ).astype(np.uint8)
+                nf = 3 + i % 2
+                x0 = np.arange(w)[None, :]
+                y0 = np.arange(h)[:, None]
+                specs = [dict(
+                    indices=((i + 3 * x0 + 7 * y0) % 64).astype(np.uint8),
+                    left=0, top=0, disposal=1, transparent=None, delay_cs=4,
+                )]
+                for f in range(1, nf):
+                    rw = 3 + (i + f) % 3
+                    rh = 2 + (i + 2 * f) % 3
+                    lf = (i * 3 + 5 * f) % (w - rw + 1)
+                    tp = (i * 5 + 3 * f) % (h - rh + 1)
+                    u = np.arange(rw)[None, :]
+                    v = np.arange(rh)[:, None]
+                    x, y = lf + u, tp + v
+                    idx = (i + 3 * x + 7 * y + 13 * f) % 63
+                    idx = np.where((u + v + f + i) % 3 == 0, 63, idx)
+                    specs.append(dict(
+                        indices=idx.astype(np.uint8), left=lf, top=tp,
+                        disposal=1 + (i + f) % 3, transparent=63,
+                        delay_cs=4 + f,
+                    ))
+                payloads.append(
+                    encode_gif_composited((w, h), specs, pal, bg_index=i % 64)
+                )
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        gen, schema="id long, payload binary"
+    )
+
+
 def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One SubRip (.srt) subtitle file per row — the caption sidecar of a
     video corpus: n = 5 + id % 6 cues, cue i spanning

@@ -660,6 +660,93 @@ def multimodal_gif_animated_decode(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_gif_transparency_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 5 AS h,
+         3 + doc_id % 2 AS nf, doc_id % 64 AS bg
+  FROM documents),
+fr AS (
+  SELECT d.doc_id, d.w, d.h, f.f,
+         CASE WHEN f.f = 0 THEN d.w ELSE 3 + (d.doc_id + f.f) % 3 END AS rw,
+         CASE WHEN f.f = 0 THEN d.h ELSE 2 + (d.doc_id + 2 * f.f) % 3 END AS rh,
+         CASE WHEN f.f = 0 THEN 1 ELSE 1 + (d.doc_id + f.f) % 3 END AS disp
+  FROM d, UNNEST(range(0, d.nf)) AS f(f)),
+fr2 AS (
+  SELECT *,
+         CASE WHEN f = 0 THEN 0 ELSE (doc_id * 3 + 5 * f) % (w - rw + 1) END AS lf,
+         CASE WHEN f = 0 THEN 0 ELSE (doc_id * 5 + 3 * f) % (h - rh + 1) END AS tp
+  FROM fr),
+pix AS (
+  SELECT d.doc_id, d.w, d.h, d.nf, d.bg, f.f, x.x, y.y
+  FROM d,
+       UNNEST(range(0, d.nf)) AS f(f),
+       UNNEST(range(0, d.w)) AS x(x),
+       UNNEST(range(0, d.h)) AS y(y)),
+cand AS (
+  SELECT p.doc_id, p.w, p.h, p.nf, p.bg, p.f, p.x, p.y, g.f AS g, g.disp,
+         CASE WHEN g.f = 0 THEN 1
+              WHEN (p.x - g.lf + p.y - g.tp + g.f + p.doc_id) % 3 = 0 THEN 0
+              ELSE 1 END AS opaque,
+         CASE WHEN g.f = 0 THEN (p.doc_id + 3 * p.x + 7 * p.y) % 64
+              ELSE (p.doc_id + 3 * p.x + 7 * p.y + 13 * g.f) % 63 END AS j
+  FROM pix p
+  JOIN fr2 g ON g.doc_id = p.doc_id AND g.f <= p.f
+            AND p.x >= g.lf AND p.x < g.lf + g.rw
+            AND p.y >= g.tp AND p.y < g.tp + g.rh),
+win AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id, f, x, y ORDER BY g DESC) AS rn
+  FROM cand
+  WHERE (g = f AND opaque = 1)
+     OR (g < f AND ((disp <= 1 AND opaque = 1) OR disp = 2))),
+val AS (
+  SELECT doc_id, w, h, nf,
+         CASE WHEN g < f AND disp = 2 THEN bg ELSE j END AS jj
+  FROM win WHERE rn = 1)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(0 AS BIGINT) AS interlaced,
+       CAST(nf * 4 + nf * (nf - 1) / 2 AS BIGINT) AS delay_sum,
+       CAST(sum((doc_id + 3 * jj) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((2 * doc_id + 7 * jj) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((5 * doc_id + 11 * jj) % 256) AS BIGINT) AS b_sum
+FROM val GROUP BY doc_id, w, h, nf
+""",
+    doc="GIF Graphic-Control surface CLOSURE (GIF89a §23 — operators/"
+    "gif.py): TRANSPARENCY (transparent-index pixels leave the "
+    "underlying canvas visible) and the restore disposal methods — "
+    "2 restore-to-background (the frame's rect resets to the LSD "
+    "background color before the next frame) and 3 restore-to-previous "
+    "(the canvas reverts to its pre-frame state) — which the animated "
+    "key documents as its boundary.  Each document's frames cycle all "
+    "three disposal methods over sub-rectangles with per-frame "
+    "transparency holes, so every displayed canvas depends on the "
+    "full disposal history.  The SQL oracle replays the compositing "
+    "fold CLOSED-FORM as a last-effective-writer scan: for each "
+    "(frame, pixel), the newest earlier frame that either wrote an "
+    "opaque pixel (disposal 0/1), erased its rect to background "
+    "(disposal 2), or is skipped entirely (disposal 3) decides the "
+    "color — a decoder that applied disposal at the wrong time, "
+    "composited transparent pixels, or restored the wrong region "
+    "fails the hash on nearly every document.  Scale posture: Arrow "
+    "mapInPandas, one row per document, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_gif_transparency_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_gif_animated_features,
+        synthesize_gif_composited,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_gif_animated_features(
+        synthesize_gif_composited(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "multimodal_png_interlaced_decode",
     oracle="""
 WITH d AS (

@@ -66,13 +66,13 @@ def test_driver_window_keys_are_oracle_carrying():
     )
     for name in window:
         assert qs[name].oracle is not None, f"{name} in driver window without oracle"
-    # never-checked drain leads; agg_approx_distinct closes the
-    # 50-slot window (eight oldest-r3 refreshes were displaced to
+    # never-checked drain leads; the last r2-refresh key closes the
+    # 50-slot window (nine oldest-r3 refreshes were displaced to
     # _R12_REFRESH as r11-new codec keys took slots)
     assert window[: len(registry._R11_PLANNED_HEAD)] == list(
         registry._R11_PLANNED_HEAD
     )
-    assert window[-1] == "agg_approx_distinct"
+    assert window[-1] == "scan_csv_tsv"
     # past-window tail: only the documented rows-only refresh entries
     tail = list(registry._DRIVER_PRIORITY)[50:]
     assert tail == ["sim_ann_lsh", "sim_ann_ivf_hi", "sim_ann_ivf_pq_hi"]

@@ -1688,9 +1688,9 @@ def test_gif_interlace_and_animation_roundtrip():
     interlacing round-trips bit-exactly, including heights where later
     passes are empty; (b) animated streams decode every frame with GCE
     delays; (c) sub-rectangle frames composite over the previous frame
-    (disposal 1); (d) restore-disposals and transparency reject as the
-    documented boundary; (e) the single-frame entry decodes interlaced
-    images too."""
+    (disposal 1); (d) restore-disposals and transparency composite
+    correctly (reserved disposals 4-7 reject); (e) the single-frame
+    entry decodes interlaced images too."""
     import numpy as np
     import pytest
 
@@ -1729,16 +1729,73 @@ def test_gif_interlace_and_animation_roundtrip():
     want[3:5, 4:7] = pal[patch.astype(np.int64)]
     assert np.array_equal(out2["frames"][1], want)
 
-    # unsupported GCE features reject loudly
+    # reserved disposal methods (4-7) reject loudly
     raw3 = bytearray(encode_gif_animated(frames, pal))
     gce = raw3.index(b"\x21\xf9")
-    raw3[gce + 3] |= 0x08  # disposal 2 (restore to background)
+    raw3[gce + 3] |= 0x10  # disposal 4 (reserved)
     with pytest.raises(ValueError, match="disposal"):
         decode_gif_frames(bytes(raw3))
-    raw4 = bytearray(encode_gif_animated(frames, pal))
-    raw4[raw4.index(b"\x21\xf9") + 3] |= 0x01  # transparency flag
-    with pytest.raises(ValueError, match="transparency"):
-        decode_gif_frames(bytes(raw4))
+
+
+def test_gif_transparency_and_restore_disposals():
+    """GCE-surface closure (operators/gif.py): transparency holes show
+    the underlying canvas; disposal 2 restores the frame's rect to the
+    LSD background color; disposal 3 reverts the canvas to its
+    pre-frame state; the expected canvases are replayed independently
+    with plain numpy (the same fold the SQL oracle expresses as a
+    last-effective-writer scan)."""
+    import numpy as np
+
+    from cobradb_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_composited,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    sw, sh, bg, t = 11, 9, 5, 15
+    base = rng.integers(0, 15, (sh, sw)).astype(np.uint8)  # opaque (never 15)
+    patch1 = rng.integers(0, 16, (4, 5)).astype(np.uint8)  # has T holes
+    patch2 = rng.integers(0, 15, (3, 4)).astype(np.uint8)
+    patch3 = rng.integers(0, 16, (5, 6)).astype(np.uint8)
+    specs = [
+        dict(indices=base, left=0, top=0, disposal=1, transparent=None, delay_cs=4),
+        dict(indices=patch1, left=2, top=3, disposal=2, transparent=t, delay_cs=5),
+        dict(indices=patch2, left=6, top=1, disposal=3, transparent=None, delay_cs=6),
+        dict(indices=patch3, left=1, top=2, disposal=1, transparent=t, delay_cs=7),
+    ]
+    out = decode_gif_frames(encode_gif_composited((sw, sh), specs, pal, bg_index=bg))
+    assert out["delays_cs"] == [4, 5, 6, 7]
+    assert len(out["frames"]) == 4
+
+    # independent numpy replay of the documented compositing fold
+    state = np.broadcast_to(pal[bg], (sh, sw, 3)).copy()
+    want = []
+    for s in specs:
+        h, w = s["indices"].shape
+        disp = state.copy()
+        reg = disp[s["top"] : s["top"] + h, s["left"] : s["left"] + w]
+        if s["transparent"] is None:
+            reg[:] = pal[s["indices"].astype(int)]
+        else:
+            m = s["indices"] != s["transparent"]
+            reg[m] = pal[s["indices"].astype(int)][m]
+        want.append(disp)
+        if s["disposal"] == 2:
+            state = disp.copy()
+            state[s["top"] : s["top"] + h, s["left"] : s["left"] + w] = pal[bg]
+        elif s["disposal"] != 3:
+            state = disp
+    for got, exp in zip(out["frames"], want):
+        assert np.array_equal(got, exp)
+    # the three behaviors are actually distinguishable in this fixture:
+    # frame 2 sees bg in frame 1's rect (disposal 2)...
+    assert np.array_equal(out["frames"][2][3:7, 2:7], want[2][3:7, 2:7])
+    assert (out["frames"][2][4, 3] == pal[bg]).all()
+    # ...and frame 3 does NOT see frame 2's patch (disposal 3 reverted)
+    reverted = out["frames"][3][1:4, 6:10]
+    frame2_patch = pal[patch2.astype(int)]
+    assert not np.array_equal(reverted, frame2_patch) or (base[1:4, 6:10] == patch2).all()
 
 
 def test_flac_stereo_decorrelation_and_lpc():

@@ -1642,6 +1642,13 @@ AUDITS = [
         "per document, nothing driver-side",
     ),
     (
+        "multimodal_gif_transparency_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document GIF transparency/restore-disposal decode over "
+        "Arrow batches; one row per document, nothing driver-side",
+    ),
+    (
         "multimodal_png_interlaced_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],

@@ -233,6 +233,7 @@ PROBES = [
     "multimodal_gif_animated_decode",
     "multimodal_wav_stereo_decode",
     "multimodal_flac_stereo_decode",
+    "multimodal_gif_transparency_decode",
 ]
 
 
