@@ -10,8 +10,9 @@ bits, 4-bit bitrate index, 2-bit sampling-rate index, padding bit), plus
 ID3v2 tag skipping (syncsafe 28-bit size, the id3.org spec).  Layer III
 Huffman main-data symbol decode is real too (operators/mp3huff.py,
 query multimodal_mp3_huffman_decode); what remains the documented
-NotImplementedError boundary is requantization + IMDCT + synthesis —
-waveform math, not bitstream work.
+NotImplementedError boundary is IMDCT + polyphase synthesis —
+waveform transforms; requantization to spectral values is real too
+(operators/mp3requant.py, query multimodal_mp3_requantize_decode).
 
 Synthesis builds spec-valid frame sequences (real headers, deterministic
 filler payload) so the walk is exercised end-to-end: per-frame bitrate
@@ -626,7 +627,7 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
 # MPEG-1 Layer III side information (ISO/IEC 11172-3 2.4.1.7) — every
 # field is a fixed-width bitfield, so parsing it needs no Huffman work.
 # Huffman symbol decode over this record is real as well (mp3huff.py),
-# leaving requantization + IMDCT + synthesis as the honest Layer-III
+# leaving IMDCT + polyphase synthesis as the honest Layer-III
 # boundary: container walk (index_mp3), header arithmetic, and the full
 # side-info record are real; THIS fixture's main data is zero bits, a
 # synthetic simplification

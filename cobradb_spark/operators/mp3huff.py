@@ -2,7 +2,9 @@
 (ISO/IEC 11172-3 2.4.1.7 / 2.4.2.7, Table B.7), no codec library.
 
 This converts the documented Layer III boundary from "all of the main
-data" to "requantization + IMDCT + synthesis only": the container walk
+data" to "requantization + IMDCT + synthesis only" (and requantization
+landed too — operators/mp3requant.py — leaving IMDCT + synthesis as the
+boundary): the container walk
 (mp3.py index_mp3), the 136-bit side-info record (mp3.py
 parse_mp3_sideinfo), and now the full part2+part3 bitstream — slen-coded
 scalefactors with scfsi sharing, region-partitioned big-value pair
@@ -771,6 +773,12 @@ def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
                     "scalefacs": sfv, "values": values, "n_quads": nq,
                     "big_values": rec["bv"], "tabs": rec["tabs"],
                     "ct": rec["ct"],
+                    # requantization inputs (operators/mp3requant.py)
+                    "global_gain": rec["global_gain"],
+                    "preflag": rec["preflag"],
+                    "scalefac_scale": rec["scalefac_scale"],
+                    "subblock_gain": rec.get("subblock_gain"),
+                    "scfsi": scfsi,
                 }
             )
         n_frames += 1

@@ -22,7 +22,8 @@ Codec coverage in this container (no PIL / librosa / ffmpeg):
     (operators/mp3.py, mp2.py — all four Layer II allocation tables)
     to exact subband samples, and Layer III side-info + Huffman
     main-data symbol decode (mp3huff.py); the remaining audio boundary
-    (requant/IMDCT/polyphase synthesis to PCM) and VIDEO codecs
+    (IMDCT/polyphase synthesis to PCM; requantization is real,
+    operators/mp3requant.py) and VIDEO codecs
     (H.264) are clearly-marked NotImplementedError stubs where the
     librosa/ffmpeg call would go.
 """
@@ -1009,6 +1010,22 @@ decode_layer2_stereo_features = _codec_feature_decoder(
     allocation and scalefactors, shared intensity triplets) over Arrow
     batches; integer aggregates count TRANSMITTED entities so the SQL
     oracle replay pins the channel interleave exactly.""",
+)
+
+
+decode_mp3_requant_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3requant", "decode_mp3_requantized",
+    (
+        "n_frames", "sample_rate", "sum_q", "n_requant_nz",
+        "sum_xr_fp", "sum_abs_xr_fp", "sum_abs_short_fp",
+    ),
+    """Full Layer III decode THROUGH requantization (operators/
+    mp3requant.py: |is|^(4/3) scaling, global_gain ladder,
+    scalefac_scale, preflag/pretab, subblock gains, scfsi-shared
+    scalefactors applied, long+short band geometry) over Arrow
+    batches; emits quarter-exponent sums and 1e-9 fixed-point value
+    sums the SQL oracle replays bit-exactly via shared literal double
+    tables.""",
 )
 
 

@@ -456,7 +456,7 @@ FROM g GROUP BY doc_id
     "tests (tests/test_sources.py). This closes the JPEG third of the "
     "r4 'compressed codecs env-blocked' gap; MP3 Huffman symbol decode "
     "landed r11 (multimodal_mp3_huffman_decode); H.264 and MP3 "
-    "requant/IMDCT stay stubbed (no pure-numpy path of reasonable "
+    "IMDCT/synthesis stay stubbed (no pure-numpy path of reasonable "
     "scope).",
     tags=("multimodal",),
 )
@@ -1071,8 +1071,9 @@ FROM sbagg s JOIN cellagg c USING (doc_id)
     "the MPEG-1 audio family; B.2c/B.2d landed r11 (multimodal_mp2_"
     "lowrate_decode) and Layer III Huffman symbol decode too "
     "(multimodal_mp3_huffman_decode), leaving the bit reservoir, "
-    "requant/IMDCT, and the polyphase synthesis window to PCM as the "
-    "honest remaining boundary.  The hash checks the "
+    "and the IMDCT + polyphase synthesis window to PCM as the "
+    "honest remaining boundary (requantization landed r11: "
+    "multimodal_mp3_requantize_decode).  The hash checks the "
     "integer decode aggregates (dequant numerators are exact "
     "integers); float subband samples are dyadic-exact on this fixture "
     "and verified in tests/test_sources.py.  Scale posture: "
@@ -1294,7 +1295,8 @@ def multimodal_mp3_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "framing-independence property a conformant decoder must have.  "
     "This closes the main_data_begin=0 restriction from r11's Huffman "
     "key; the remaining Layer III boundary is purely waveform math "
-    "(requantization + IMDCT + synthesis).  Scale posture: Arrow "
+    "(IMDCT + synthesis; requantization is real — "
+    "multimodal_mp3_requantize_decode).  Scale posture: Arrow "
     "mapInPandas, one row per document, per-row-linear state (the "
     "511-byte tail), nothing driver-side.",
     tags=("multimodal",),
@@ -1657,7 +1659,8 @@ FROM gr GROUP BY doc_id, n_frames, sr, scfsi
     "main_data_begin).  Every field is a FIXED-WIDTH bitfield, so this "
     "whole record is parseable without Huffman work.  Huffman symbol "
     "decode over this record is real too (multimodal_mp3_huffman_"
-    "decode); requantization + IMDCT stay the stubbed boundary.  "
+    "decode), and so is requantization (multimodal_mp3_requantize_"
+    "decode); IMDCT + synthesis stay the stubbed boundary.  "
     "The fixture carries spec-valid side info over zero "
     "main-data bits (a documented synthetic simplification; the "
     "declared lengths fit the fitted frame, main_data_begin = 0).  "
@@ -1687,8 +1690,9 @@ def multimodal_mp3_sideinfo_parse(spark: SparkSession, sf_dir: str) -> DataFrame
     "count1 quads with sign bits and the standard rewind-on-partial "
     "stuffing tolerance, per-granule stuffing skip to the part2_3 "
     "boundary.  This closes the r9/r10 VERDICT Layer III boundary at "
-    "symbol decode: what remains stubbed is requantization + IMDCT + "
-    "synthesis (waveform math, not bitstream work).  The oracle replays "
+    "symbol decode; requantization is real too (multimodal_mp3_"
+    "requantize_decode), leaving IMDCT + synthesis stubbed (waveform "
+    "transforms, not bitstream work).  The oracle replays "
     "the deterministic synthesis schedule in pure SQL, so a hash match "
     "proves decode(encode(schedule)) == schedule across every codeword "
     "boundary and sign bit — sum_is/sum_abs_is/n_nonzero depend on the "
@@ -1704,6 +1708,191 @@ def multimodal_mp3_huffman_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents")
     return decode_mp3_main_features(
+        synthesize_mp3_main(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_mp3_requantize_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]
+           WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,230,276,330,384,576]
+           ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,364,448,550,576]
+         END AS sfb,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,22,30,40,52,66,84,106,136,192]
+           WHEN 1 THEN [0,4,8,12,16,22,28,38,50,64,80,100,126,192]
+           ELSE [0,4,8,12,16,22,30,42,58,78,104,138,180,192]
+         END AS sfbs
+  FROM documents),
+gr AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.sfb, d.sfbs, f.f, g.g,
+         CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
+         CASE WHEN (d.doc_id + 2 * f.f) % 5 <> 0
+               AND (d.doc_id + 2 * f.f + 1) % 5 <> 0
+              THEN (d.doc_id + f.f) % 16 ELSE 0 END AS scfsi,
+         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s1,
+         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s2,
+         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                      CAST((d.doc_id + 3 * f.f) % 16 AS INTEGER) + 1) AS s10,
+         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                      CAST((d.doc_id + 3 * f.f) % 16 AS INTEGER) + 1) AS s20,
+         (d.doc_id * 3 + 5 * f.f + 7 * g.g) % 100 AS bv,
+         2 + (d.doc_id + f.f + g.g) % 6 AS r0c,
+         2 + (d.doc_id + f.f + 2 * g.g) % 5 AS r1c,
+         (d.doc_id + f.f + 2 * g.g) % 12 AS nq,
+         (d.doc_id + g.g) % 256 AS gg,
+         (d.doc_id + f.f + g.g) % 2 AS pre,
+         2 * ((d.doc_id + f.f) % 2 + 1) AS sfsu
+  FROM d,
+       UNNEST(range(0, d.n_frames)) AS f(f),
+       UNNEST(range(0, 2)) AS g(g)),
+gr2 AS (
+  SELECT *, 2 * bv + 4 * nq AS nzend,
+         CASE WHEN short = 1 THEN LEAST(36, 2 * bv)
+              ELSE LEAST(list_extract(sfb, CAST(r0c AS INTEGER) + 2), 2 * bv) END AS e0,
+         CASE WHEN short = 1 THEN 2 * bv
+              ELSE LEAST(list_extract(sfb, CAST(r0c + r1c AS INTEGER) + 3), 2 * bv) END AS e1
+  FROM gr),
+ln_l AS (
+  SELECT g2.*, b.b, -1 AS w, i.i,
+         CASE WHEN b.b >= 21 THEN 0
+              WHEN g2.g = 1 AND g2.scfsi > 0
+                   AND ((g2.scfsi // list_extract([8,4,2,1],
+                          CAST(CASE WHEN b.b < 6 THEN 0 WHEN b.b < 11 THEN 1
+                               WHEN b.b < 16 THEN 2 ELSE 3 END AS INTEGER) + 1)) % 2) = 1
+              THEN (g2.doc_id + g2.f + b.b)
+                   % (1 << CASE WHEN b.b < 11 THEN g2.s10 ELSE g2.s20 END)
+              ELSE (g2.doc_id + g2.f + 2 * g2.g
+                    + CASE WHEN g2.g = 1 AND g2.scfsi > 0
+                      THEN (CASE WHEN b.b >= 6 AND (g2.scfsi // 8) % 2 = 0 THEN 6 ELSE 0 END)
+                         + (CASE WHEN b.b >= 11 AND (g2.scfsi // 4) % 2 = 0 THEN 5 ELSE 0 END)
+                         + (CASE WHEN b.b >= 16 AND (g2.scfsi // 2) % 2 = 0 THEN 5 ELSE 0 END)
+                         + b.b - CASE WHEN b.b < 6 THEN 0 WHEN b.b < 11 THEN 6
+                                      WHEN b.b < 16 THEN 11 ELSE 16 END
+                      ELSE b.b END)
+                   % (1 << CASE WHEN b.b < 11 THEN g2.s1 ELSE g2.s2 END)
+         END AS sfv,
+         list_extract([0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0],
+                      CAST(b.b AS INTEGER) + 1) AS ptab
+  FROM gr2 g2,
+       UNNEST(range(0, 22)) AS b(b),
+       UNNEST(range(list_extract(g2.sfb, CAST(b.b AS INTEGER) + 1),
+                    LEAST(list_extract(g2.sfb, CAST(b.b AS INTEGER) + 2),
+                          g2.nzend))) AS i(i)
+  WHERE g2.short = 0),
+ln_s AS (
+  SELECT g2.*, b.b, w.w, i.i,
+         CASE WHEN b.b >= 12 THEN 0
+              ELSE (g2.doc_id + g2.f + 2 * g2.g + 3 * b.b + w.w)
+                   % (1 << CASE WHEN b.b < 6 THEN g2.s1 ELSE g2.s2 END)
+         END AS sfv,
+         0 AS ptab
+  FROM gr2 g2,
+       UNNEST(range(0, 13)) AS b(b),
+       UNNEST(range(0, 3)) AS w(w),
+       UNNEST(range(
+         3 * list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)
+           + w.w * (list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 2)
+                    - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
+         LEAST(3 * list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)
+           + (w.w + 1) * (list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 2)
+                          - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
+               g2.nzend))) AS i(i)
+  WHERE g2.short = 1),
+lines AS (
+  SELECT doc_id, short, f, g, i,
+         gg - 210 - sfsu * (sfv + pre * ptab) AS q,
+         doc_id + f + 2 * g AS _unused,
+         e0, e1, bv, scfsi
+  FROM ln_l
+  UNION ALL
+  SELECT doc_id, short, f, g, i,
+         gg - 210 - 8 * ((doc_id + g + w) % 8) - sfsu * sfv AS q,
+         0 AS _unused, e0, e1, bv, scfsi
+  FROM ln_s),
+vals AS (
+  SELECT doc_id, short, q,
+         CASE WHEN i < 2 * bv THEN
+           (doc_id + 3 * f + 5 * g + 7 * i)
+             % (list_extract([1,2,2,3,0],
+                  CAST((doc_id + 2 * f + 3 * g
+                        + CASE WHEN i < e0 THEN 0
+                               WHEN i < e1 THEN 1 ELSE 2 END) % 5 AS INTEGER) + 1) + 1)
+         ELSE
+           CASE WHEN (doc_id + f + g + 4 * ((i - 2 * bv) // 4)
+                      + (i - 2 * bv) % 4) % 3 = 0 THEN 1 ELSE 0 END
+         END AS a,
+         CASE WHEN i < 2 * bv
+              THEN CASE WHEN (doc_id + f + g + i) % 2 = 1 THEN 1 ELSE 0 END
+              ELSE CASE WHEN (doc_id + (i - 2 * bv) // 4 + (i - 2 * bv) % 4) % 2 = 1
+                        THEN 1 ELSE 0 END
+         END AS neg
+  FROM lines),
+fp AS (
+  SELECT doc_id, short, q, a, neg,
+         CAST(FLOOR(((list_extract([0.0, 1.0, 2.5198420997897464, 4.3267487109222245],
+                                   CAST(a AS INTEGER) + 1)
+                      * list_extract([1.0, 1.189207115002721, 1.4142135623730951, 1.681792830507429],
+                                     CAST((q + 400) % 4 AS INTEGER) + 1))
+                     * power(2.0, (q + 400) // 4 - 100)) * 1000000000.0) AS BIGINT) AS mag
+  FROM vals WHERE a > 0),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n_requant_nz,
+         CAST(sum(CASE WHEN neg = 1 THEN -mag ELSE mag END) AS BIGINT) AS sum_xr_fp,
+         CAST(sum(mag) AS BIGINT) AS sum_abs_xr_fp,
+         CAST(COALESCE(sum(mag) FILTER (short = 1), 0) AS BIGINT) AS sum_abs_short_fp
+  FROM fp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.sr AS BIGINT) AS sample_rate,
+       COALESCE(a.sum_q, 0) AS sum_q,
+       COALESCE(a.n_requant_nz, 0) AS n_requant_nz,
+       COALESCE(a.sum_xr_fp, 0) AS sum_xr_fp,
+       COALESCE(a.sum_abs_xr_fp, 0) AS sum_abs_xr_fp,
+       COALESCE(a.sum_abs_short_fp, 0) AS sum_abs_short_fp
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    doc="REAL MPEG-1 Layer III decode THROUGH REQUANTIZATION (ISO "
+    "11172-3 2.4.3.4 — operators/mp3requant.py over the mp3huff.py "
+    "symbol decode): spectral values xr = sign * |is|^(4/3) * "
+    "2^((global_gain-210)/4) * 2^(-(scalefac_scale+1)/2 * (sf + "
+    "preflag*pretab)) for long blocks and the subblock-gain variant "
+    "for short windows, with scfsi-SHARED scalefactors APPLIED (not "
+    "just parsed) and each line mapped to its scalefactor band by the "
+    "published long/short band tables (B.8).  This moves the Layer "
+    "III boundary to IMDCT + polyphase synthesis only.  Cross-engine "
+    "exactness: every exponent is a multiple of 1/4, so values factor "
+    "through two 4-entry LITERAL double tables (|is|^(4/3), 2^(k/4)) "
+    "shared verbatim with this oracle; IEEE multiplication of "
+    "identical doubles in identical order plus FLOOR is "
+    "bit-deterministic, so the 1e-9 fixed-point sums hash EXACTLY — "
+    "no rounding-mode or libm dependence.  The oracle replays the "
+    "synthesis schedule per spectral LINE (band-major generation "
+    "gives each line its band for free), so the hash pins the gain "
+    "ladder, pretab highlights, subblock gains, scfsi copy semantics, "
+    "and every sign.  Scale posture: Arrow mapInPandas, one row per "
+    "document, per-row-linear, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_requantize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_requant_features,
+        synthesize_mp3_main,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_mp3_requant_features(
         synthesize_mp3_main(d, id_col="doc_id")
     ).withColumnRenamed("id", "doc_id")
 

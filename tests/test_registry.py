@@ -72,7 +72,7 @@ def test_driver_window_keys_are_oracle_carrying():
     assert window[: len(registry._R11_PLANNED_HEAD)] == list(
         registry._R11_PLANNED_HEAD
     )
-    assert window[-1] == "scan_csv_tsv"
+    assert window[-1] == "project_compute"
     # past-window tail: only the documented rows-only refresh entries
     tail = list(registry._DRIVER_PRIORITY)[50:]
     assert tail == ["sim_ann_lsh", "sim_ann_ivf_hi", "sim_ann_ivf_pq_hi"]

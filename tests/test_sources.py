@@ -1096,6 +1096,81 @@ def test_mp3_huffman_main_roundtrip_and_clean_errors():
         decode_mp3_main(bytes(b))
 
 
+def test_mp3_requantization_oracle_crossengine_and_formula():
+    """Layer III requantization (operators/mp3requant.py): (a) the
+    registered SQL oracle, run in DuckDB over a bare doc_id relation,
+    reproduces decode_mp3_requantized(encode_mp3_main(d)) BIT-EXACTLY
+    on every aggregate — an independent-engine check of the shared
+    literal-double fixed-point scheme; (b) the table path equals the
+    spec formula |is|^(4/3) * 2^(q/4) within float tolerance; (c)
+    scfsi-shared granule-1 scalefactors copy granule 0's effective
+    values."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from cobradb_spark.operators.mp3huff import decode_mp3_main, encode_mp3_main
+    from cobradb_spark.operators.mp3requant import (
+        P43,
+        QP,
+        _effective_long_scalefacs,
+        decode_mp3_requantized,
+    )
+    from cobradb_spark.registry import get_query
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM range(0, 45) t(doc_id)")
+    ora = (
+        con.execute(get_query("multimodal_mp3_requantize_decode").oracle)
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    cols = ("n_frames", "sample_rate", "sum_q", "n_requant_nz",
+            "sum_xr_fp", "sum_abs_xr_fp", "sum_abs_short_fp")
+    saw_short = saw_scfsi = 0
+    for d in range(45):
+        got = decode_mp3_requantized(encode_mp3_main(d))
+        for c in cols:
+            assert int(ora.loc[d, c]) == int(got[c]), (d, c)
+        assert got["n_requant_nz"] == got["n_nonzero"]
+        saw_short += got["n_short"]
+        saw_scfsi += any(
+            g["granule"] == 1 and g["scfsi"] for g in got["granules"]
+        )
+    assert saw_short and saw_scfsi  # fixture exercises both paths
+
+    # (b) the literal-table factorization IS the spec formula
+    for a in (1, 2, 3):
+        for q in (-300, -123, -2, 0, 1, 7, 45):
+            qs = q + 400
+            table = P43[a] * QP[qs % 4] * 2.0 ** (qs // 4 - 100)
+            direct = math.pow(a, 4.0 / 3.0) * math.pow(2.0, q / 4.0)
+            assert abs(table - direct) <= 1e-12 * abs(direct), (a, q)
+
+    # (c) scfsi sharing copies granule 0's effective values
+    checked = 0
+    for d in range(45):
+        dec = decode_mp3_main(encode_mp3_main(d))
+        g0 = {}
+        for gr in dec["granules"]:
+            if gr["short"]:
+                continue
+            if gr["granule"] == 0:
+                g0[(gr["frame"], gr["ch"])] = np.asarray(gr["scalefacs"])
+                continue
+            if not gr["scfsi"]:
+                continue
+            eff = _effective_long_scalefacs(gr, g0[(gr["frame"], gr["ch"])])
+            groups = ((0, 6), (6, 11), (11, 16), (16, 21))
+            for k, (lo, hi) in enumerate(groups):
+                if (gr["scfsi"] >> (3 - k)) & 1:
+                    assert (eff[lo:hi] == g0[(gr["frame"], gr["ch"])][lo:hi]).all()
+                    checked += 1
+    assert checked > 0
+
+
 def test_mp3_huffman_decoder_fuzz_never_crashes():
     """Mutation fuzz: flip one byte anywhere in a valid Layer III
     stream, or truncate it — decode_mp3_main must either raise

@@ -1691,6 +1691,13 @@ AUDITS = [
         "batches; one row per document, nothing driver-side",
     ),
     (
+        "multimodal_mp3_requantize_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document Layer III decode through requantization over "
+        "Arrow batches; one row per document, nothing driver-side",
+    ),
+    (
         "multimodal_bmp_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],

@@ -234,6 +234,7 @@ PROBES = [
     "multimodal_wav_stereo_decode",
     "multimodal_flac_stereo_decode",
     "multimodal_gif_transparency_decode",
+    "multimodal_mp3_requantize_decode",
 ]
 
 
