@@ -7,12 +7,16 @@ decides routing, sharding, and dedup BEFORE any expensive decode.  This
 module implements that pass for real, from the published MPEG-1 header
 layout (ISO/IEC 11172-3 frame header: 11-bit syncword, version/layer
 bits, 4-bit bitrate index, 2-bit sampling-rate index, padding bit), plus
-ID3v2 tag skipping (syncsafe 28-bit size, the id3.org spec).  Layer III
-Huffman main-data symbol decode is real too (operators/mp3huff.py,
-query multimodal_mp3_huffman_decode); what remains the documented
-NotImplementedError boundary is IMDCT + polyphase synthesis —
-waveform transforms; requantization to spectral values is real too
-(operators/mp3requant.py, query multimodal_mp3_requantize_decode).
+ID3v2 tag skipping (syncsafe 28-bit size, the id3.org spec).  The FULL
+decode chain past the index is real too: Huffman symbol decode
+(operators/mp3huff.py), requantization (operators/mp3requant.py), and
+the time-domain stages to PCM — alias reduction, reorder, windowed
+IMDCT, overlap-add, frequency inversion, polyphase synthesis
+(operators/mp3imdct.py; queries multimodal_mp3_{huffman,requantize,
+imdct,pcm}_decode).  Remaining documented boundaries: linbits escape
+magnitudes (|is| > 3 needs the unbundled large-value codebooks) and
+the normative ISO Table B.3 synthesis prototype window (a substitute
+prototype is used — mp3imdct.py docstring).
 
 Synthesis builds spec-valid frame sequences (real headers, deterministic
 filler payload) so the walk is exercised end-to-end: per-frame bitrate

@@ -1,10 +1,10 @@
 """MPEG-1 Layer III Huffman-coded main data — REAL symbol decode
 (ISO/IEC 11172-3 2.4.1.7 / 2.4.2.7, Table B.7), no codec library.
 
-This converts the documented Layer III boundary from "all of the main
-data" to "requantization + IMDCT + synthesis only" (and requantization
-landed too — operators/mp3requant.py — leaving IMDCT + synthesis as the
-boundary): the container walk
+This converted the documented Layer III boundary from "all of the main
+data" to "requantization + IMDCT + synthesis only" — and both of those
+landed too (operators/mp3requant.py; operators/mp3imdct.py through
+polyphase synthesis to PCM): the container walk
 (mp3.py index_mp3), the 136-bit side-info record (mp3.py
 parse_mp3_sideinfo), and now the full part2+part3 bitstream — slen-coded
 scalefactors with scfsi sharing, region-partitioned big-value pair

@@ -30,10 +30,11 @@ is reproducible bit-exactly by numpy here and by DuckDB in the oracle
 with no rounding-mode or libm dependence (the association order is
 part of the contract; both sides write the same parenthesization).
 
-Remaining honest boundary: IMDCT + polyphase synthesis to PCM, and
-the linbits escape magnitudes (|is| > 15 needs the unbundled
-codebooks, so requantization of escapes is unreachable here; a stream
-that somehow presented one raises).
+IMDCT + polyphase synthesis to PCM are real too, downstream in
+operators/mp3imdct.py (which consumes requantize_lines below).
+Remaining honest boundary: the linbits escape magnitudes (|is| > 15
+needs the unbundled codebooks, so requantization of escapes is
+unreachable here; a stream that somehow presented one raises).
 """
 
 from __future__ import annotations
@@ -195,6 +196,56 @@ def requantize_granules(dec: dict) -> dict:
         "sum_abs_short_fp": sum_abs_short,
         "n_requant_nz": n_nz,
     }
+
+
+def requantize_lines(dec: dict) -> list[dict]:
+    """Per-granule DENSE requantized spectra for the time-domain stages
+    (operators/mp3imdct.py): one record per granule with the full
+    576-line int64 vector in 1e-9 fixed point (uncoded lines are 0),
+    plus the fields the IMDCT chain needs.  The per-line math is the
+    SAME helpers requantize_granules hashes (q ladder, scfsi sharing,
+    band geometry, floor pin) — sign applied AFTER the magnitude floor,
+    exactly as the SQL oracle writes it."""
+    sr = dec["sample_rate"]
+    long_band = _long_band_of_line(sr)
+    pretab = np.asarray(PRETAB, dtype=np.int64)
+    short_band, short_win = _short_maps(sr)
+    g0_eff: dict[tuple[int, int], np.ndarray] = {}
+    out: list[dict] = []
+    for gr in dec["granules"]:
+        vals = np.asarray(gr["values"], dtype=np.int64)
+        xr = np.zeros(576, dtype=np.int64)
+        if vals.size:
+            a = np.abs(vals)
+            gg = gr["global_gain"]
+            sfs_units = 2 * (gr["scalefac_scale"] + 1)
+            n = vals.size
+            if gr["short"]:
+                band = short_band[:n]
+                win = short_win[:n]
+                sf36 = np.asarray(gr["scalefacs"], dtype=np.int64)
+                if sf36.size != 36:
+                    raise ValueError("corrupt granule record: expected 36 short scalefactors")
+                sf = np.where(band < 12, sf36[np.minimum(3 * band + win, 35)], 0)
+                sbg = np.asarray(gr["subblock_gain"], dtype=np.int64)[win]
+                q = gg - 210 - 8 * sbg - sfs_units * sf
+            else:
+                eff = _effective_long_scalefacs(gr, g0_eff.get((gr["frame"], gr["ch"])))
+                if gr["granule"] == 0:
+                    g0_eff[(gr["frame"], gr["ch"])] = eff
+                band = long_band[:n]
+                sfband = np.where(band < 21, eff[np.minimum(band, 20)], 0)
+                q = gg - 210 - sfs_units * (sfband + gr["preflag"] * pretab[band])
+            nz = a > 0
+            mag = _requant_fp(a[nz], q[nz]).astype(np.int64)
+            xr[np.nonzero(nz)[0]] = np.where(vals[nz] < 0, -mag, mag)
+        out.append(
+            {
+                "frame": gr["frame"], "ch": gr["ch"], "granule": gr["granule"],
+                "short": gr["short"], "xr_fp": xr,
+            }
+        )
+    return out
 
 
 def decode_mp3_requantized(data: bytes) -> dict:

@@ -1029,6 +1029,34 @@ decode_mp3_requant_features = _codec_feature_decoder(
 )
 
 
+decode_mp3_imdct_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3imdct", "decode_mp3_imdct",
+    (
+        "n_frames", "sample_rate", "n_ts_nz", "sum_ts_fp",
+        "sum_abs_ts_fp", "sum_ts_w_fp",
+    ),
+    """Full Layer III decode through ALIAS REDUCTION + REORDER + IMDCT
+    + windowing + granule overlap-add + frequency inversion
+    (operators/mp3imdct.py) over Arrow batches; integer fixed-point
+    subband-time-sample aggregates the SQL oracle replays bit-exactly
+    via shared 2^18 coefficient tables.""",
+)
+
+
+decode_mp3_pcm_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3imdct", "decode_mp3_pcm",
+    (
+        "n_frames", "sample_rate", "n_pcm", "n_pcm_nz", "sum_pcm_fp",
+        "sum_abs_pcm_fp", "sum_pcm_w_fp",
+    ),
+    """Full Layer III decode to PCM: the mp3imdct.py time-domain chain
+    plus the 32-band polyphase synthesis filterbank (64x32 matrixing,
+    zig-zag 16-deep FIFO, 512-tap windowed sum; substitute prototype
+    window — see operators/mp3imdct.py docstring) over Arrow batches;
+    integer PCM aggregates for the SQL oracle replay.""",
+)
+
+
 synthesize_mp3_reservoir = _codec_synthesizer(
     "cobradb_spark.operators.mp3huff", "encode_mp3_reservoir",
     """One mono MPEG-1 Layer III stream per row whose main data USES

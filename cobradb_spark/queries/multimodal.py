@@ -455,9 +455,9 @@ FROM g GROUP BY doc_id
     "general lossy content is covered by the encode/decode tolerance "
     "tests (tests/test_sources.py). This closes the JPEG third of the "
     "r4 'compressed codecs env-blocked' gap; MP3 Huffman symbol decode "
-    "landed r11 (multimodal_mp3_huffman_decode); H.264 and MP3 "
-    "IMDCT/synthesis stay stubbed (no pure-numpy path of reasonable "
-    "scope).",
+    "landed r11 (multimodal_mp3_huffman_decode), as did the full MP3 "
+    "chain to PCM (multimodal_mp3_pcm_decode); H.264 stays stubbed "
+    "(no pure-numpy path of reasonable scope).",
     tags=("multimodal",),
 )
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,10 +910,10 @@ FROM agg
     "metadata an audio-ingest pipeline needs BEFORE any PCM decode: "
     "frame count, duration, bitrate profile, VBR spread, container "
     "offsets.  Header arithmetic is integer-exact, so the whole index "
-    "hash-checks against a SQL replay of the frame schedule; full "
-    "Huffman/IMDCT PCM decode remains the documented stub (the honest "
-    "boundary: indexing is implementable from the spec, synthesis of "
-    "the psychoacoustic bit reservoir is not in scope).  Scale posture: "
+    "hash-checks against a SQL replay of the frame schedule; the full "
+    "decode chain to PCM is real too, on coded fixtures "
+    "(multimodal_mp3_{huffman,requantize,imdct,pcm}_decode).  "
+    "Scale posture: "
     "Arrow mapInPandas over the payload column, nothing driver-side, "
     "output one row per document.",
     tags=("multimodal",),
@@ -1660,7 +1660,8 @@ FROM gr GROUP BY doc_id, n_frames, sr, scfsi
     "whole record is parseable without Huffman work.  Huffman symbol "
     "decode over this record is real too (multimodal_mp3_huffman_"
     "decode), and so is requantization (multimodal_mp3_requantize_"
-    "decode); IMDCT + synthesis stay the stubbed boundary.  "
+    "decode), and so are the time-domain stages to PCM "
+    "(multimodal_mp3_imdct_decode / multimodal_mp3_pcm_decode).  "
     "The fixture carries spec-valid side info over zero "
     "main-data bits (a documented synthetic simplification; the "
     "declared lengths fit the fitted frame, main_data_begin = 0).  "
@@ -1691,8 +1692,9 @@ def multimodal_mp3_sideinfo_parse(spark: SparkSession, sf_dir: str) -> DataFrame
     "stuffing tolerance, per-granule stuffing skip to the part2_3 "
     "boundary.  This closes the r9/r10 VERDICT Layer III boundary at "
     "symbol decode; requantization is real too (multimodal_mp3_"
-    "requantize_decode), leaving IMDCT + synthesis stubbed (waveform "
-    "transforms, not bitstream work).  The oracle replays "
+    "requantize_decode), and the time-domain chain to PCM closed r11 "
+    "(multimodal_mp3_imdct_decode / multimodal_mp3_pcm_decode).  "
+    "The oracle replays "
     "the deterministic synthesis schedule in pure SQL, so a hash match "
     "proves decode(encode(schedule)) == schedule across every codeword "
     "boundary and sign bit — sum_is/sum_abs_is/n_nonzero depend on the "
@@ -1871,7 +1873,8 @@ FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
     "for short windows, with scfsi-SHARED scalefactors APPLIED (not "
     "just parsed) and each line mapped to its scalefactor band by the "
     "published long/short band tables (B.8).  This moves the Layer "
-    "III boundary to IMDCT + polyphase synthesis only.  Cross-engine "
+    "III boundary downstream to the time-domain stages, themselves "
+    "closed by multimodal_mp3_imdct_decode / _pcm_decode.  Cross-engine "
     "exactness: every exponent is a multiple of 1/4, so values factor "
     "through two 4-entry LITERAL double tables (|is|^(4/3), 2^(k/4)) "
     "shared verbatim with this oracle; IEEE multiplication of "
@@ -2155,3 +2158,369 @@ def multimodal_image_channel_hist(spark: SparkSession, sf_dir: str) -> DataFrame
     return imgs.mapInPandas(
         hist, schema="doc_id long, channel long, bin long, n_px long"
     )
+
+
+# --- Layer III time-domain chain (operators/mp3imdct.py) -------------
+#
+# The two oracles below replay the FULL decode — schedule -> symbols ->
+# requantized xr (the proven multimodal_mp3_requantize_decode replay)
+# -> alias reduction / reorder -> windowed IMDCT -> overlap-add ->
+# frequency inversion (-> polyphase synthesis) — in pure SQL, as
+# integer contribution-sums with one positive-offset floor-division per
+# stage.  Coefficient tables are EMBEDDED FROM operators/mp3imdct.py at
+# import time, so both engines share the exact int64 literals by
+# construction (the module docstring carries the stage bounds; DuckDB
+# sums in HUGEINT, numpy in int64 under the proven < 2^62 bounds).
+
+from cobradb_spark.operators import mp3imdct as _imdct3
+
+
+def _sql_ints(vals) -> str:
+    import numpy as _np
+
+    return "[" + ",".join(str(int(v)) for v in _np.asarray(vals).ravel()) + "]"
+
+
+def _odiv(expr: str, bits: int) -> str:
+    """Floor division by 2^bits via the positive-offset trick (DuckDB
+    `//` truncates toward zero; numpy floors — identical for x+2^62>0)."""
+    off = 1 << 62
+    return f"((({expr}) + {off}) // {1 << bits} - {off >> (bits)})"
+
+
+def _mp3_ts_chain_sql(doc_filter: str) -> str:
+    """CTE chain from the documents table through per-(granule, subband,
+    tick) subband time samples `ts(doc_id, gseq, sb, t, tsv)` plus the
+    doc-level CTE `d(doc_id, n_frames, sr, ...)`.  The schedule/xr part
+    mirrors the multimodal_mp3_requantize_decode oracle line for line;
+    the time-domain stages mirror operators/mp3imdct.py."""
+    cs = _sql_ints(_imdct3.CS_FP)
+    ca = _sql_ints(_imdct3.CA_FP)
+    coswl = _sql_ints(_imdct3.COSW_LONG[0])  # row-major j*18 + k
+    scosw = _sql_ints(_imdct3.SCOSW12)  # row-major j*6 + p
+    fp_one = _imdct3.FP_ONE
+    xr_div = 1 << _imdct3.XR_DIV_BITS
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]
+           WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,230,276,330,384,576]
+           ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,364,448,550,576]
+         END AS sfb,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,22,30,40,52,66,84,106,136,192]
+           WHEN 1 THEN [0,4,8,12,16,22,28,38,50,64,80,100,126,192]
+           ELSE [0,4,8,12,16,22,30,42,58,78,104,138,180,192]
+         END AS sfbs
+  FROM documents{doc_filter}),
+gr AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.sfb, d.sfbs, f.f, g.g,
+         CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
+         CASE WHEN (d.doc_id + 2 * f.f) % 5 <> 0
+               AND (d.doc_id + 2 * f.f + 1) % 5 <> 0
+              THEN (d.doc_id + f.f) % 16 ELSE 0 END AS scfsi,
+         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s1,
+         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s2,
+         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+                      CAST((d.doc_id + 3 * f.f) % 16 AS INTEGER) + 1) AS s10,
+         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+                      CAST((d.doc_id + 3 * f.f) % 16 AS INTEGER) + 1) AS s20,
+         (d.doc_id * 3 + 5 * f.f + 7 * g.g) % 100 AS bv,
+         2 + (d.doc_id + f.f + g.g) % 6 AS r0c,
+         2 + (d.doc_id + f.f + 2 * g.g) % 5 AS r1c,
+         (d.doc_id + f.f + 2 * g.g) % 12 AS nq,
+         (d.doc_id + g.g) % 256 AS gg,
+         (d.doc_id + f.f + g.g) % 2 AS pre,
+         2 * ((d.doc_id + f.f) % 2 + 1) AS sfsu
+  FROM d,
+       UNNEST(range(0, d.n_frames)) AS f(f),
+       UNNEST(range(0, 2)) AS g(g)),
+gr2 AS (
+  SELECT *, 2 * bv + 4 * nq AS nzend,
+         CASE WHEN short = 1 THEN LEAST(36, 2 * bv)
+              ELSE LEAST(list_extract(sfb, CAST(r0c AS INTEGER) + 2), 2 * bv) END AS e0,
+         CASE WHEN short = 1 THEN 2 * bv
+              ELSE LEAST(list_extract(sfb, CAST(r0c + r1c AS INTEGER) + 3), 2 * bv) END AS e1
+  FROM gr),
+ln_l AS (
+  SELECT g2.*, b.b, -1 AS w, i.i,
+         CASE WHEN b.b >= 21 THEN 0
+              WHEN g2.g = 1 AND g2.scfsi > 0
+                   AND ((g2.scfsi // list_extract([8,4,2,1],
+                          CAST(CASE WHEN b.b < 6 THEN 0 WHEN b.b < 11 THEN 1
+                               WHEN b.b < 16 THEN 2 ELSE 3 END AS INTEGER) + 1)) % 2) = 1
+              THEN (g2.doc_id + g2.f + b.b)
+                   % (1 << CASE WHEN b.b < 11 THEN g2.s10 ELSE g2.s20 END)
+              ELSE (g2.doc_id + g2.f + 2 * g2.g
+                    + CASE WHEN g2.g = 1 AND g2.scfsi > 0
+                      THEN (CASE WHEN b.b >= 6 AND (g2.scfsi // 8) % 2 = 0 THEN 6 ELSE 0 END)
+                         + (CASE WHEN b.b >= 11 AND (g2.scfsi // 4) % 2 = 0 THEN 5 ELSE 0 END)
+                         + (CASE WHEN b.b >= 16 AND (g2.scfsi // 2) % 2 = 0 THEN 5 ELSE 0 END)
+                         + b.b - CASE WHEN b.b < 6 THEN 0 WHEN b.b < 11 THEN 6
+                                      WHEN b.b < 16 THEN 11 ELSE 16 END
+                      ELSE b.b END)
+                   % (1 << CASE WHEN b.b < 11 THEN g2.s1 ELSE g2.s2 END)
+         END AS sfv,
+         list_extract([0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0],
+                      CAST(b.b AS INTEGER) + 1) AS ptab
+  FROM gr2 g2,
+       UNNEST(range(0, 22)) AS b(b),
+       UNNEST(range(list_extract(g2.sfb, CAST(b.b AS INTEGER) + 1),
+                    LEAST(list_extract(g2.sfb, CAST(b.b AS INTEGER) + 2),
+                          g2.nzend))) AS i(i)
+  WHERE g2.short = 0),
+ln_s AS (
+  SELECT g2.*, b.b, w.w, i.i,
+         CASE WHEN b.b >= 12 THEN 0
+              ELSE (g2.doc_id + g2.f + 2 * g2.g + 3 * b.b + w.w)
+                   % (1 << CASE WHEN b.b < 6 THEN g2.s1 ELSE g2.s2 END)
+         END AS sfv,
+         0 AS ptab
+  FROM gr2 g2,
+       UNNEST(range(0, 13)) AS b(b),
+       UNNEST(range(0, 3)) AS w(w),
+       UNNEST(range(
+         3 * list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)
+           + w.w * (list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 2)
+                    - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
+         LEAST(3 * list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)
+           + (w.w + 1) * (list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 2)
+                          - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
+               g2.nzend))) AS i(i)
+  WHERE g2.short = 1),
+xlines AS (
+  SELECT doc_id, short, f, g, i, i AS pos,
+         gg - 210 - sfsu * (sfv + pre * ptab) AS q,
+         e0, e1, bv
+  FROM ln_l
+  UNION ALL
+  SELECT doc_id, short, f, g, i,
+         3 * i - 6 * list_extract(sfbs, CAST(b AS INTEGER) + 1)
+           - 3 * w * (list_extract(sfbs, CAST(b AS INTEGER) + 2)
+                      - list_extract(sfbs, CAST(b AS INTEGER) + 1)) + w AS pos,
+         gg - 210 - 8 * ((doc_id + g + w) % 8) - sfsu * sfv AS q,
+         e0, e1, bv
+  FROM ln_s),
+xvals AS (
+  SELECT doc_id, short, f, g, pos, q,
+         CASE WHEN i < 2 * bv THEN
+           (doc_id + 3 * f + 5 * g + 7 * i)
+             % (list_extract([1,2,2,3,0],
+                  CAST((doc_id + 2 * f + 3 * g
+                        + CASE WHEN i < e0 THEN 0
+                               WHEN i < e1 THEN 1 ELSE 2 END) % 5 AS INTEGER) + 1) + 1)
+         ELSE
+           CASE WHEN (doc_id + f + g + 4 * ((i - 2 * bv) // 4)
+                      + (i - 2 * bv) % 4) % 3 = 0 THEN 1 ELSE 0 END
+         END AS a,
+         CASE WHEN i < 2 * bv
+              THEN CASE WHEN (doc_id + f + g + i) % 2 = 1 THEN 1 ELSE 0 END
+              ELSE CASE WHEN (doc_id + (i - 2 * bv) // 4 + (i - 2 * bv) % 4) % 2 = 1
+                        THEN 1 ELSE 0 END
+         END AS neg
+  FROM xlines),
+a0 AS (
+  SELECT doc_id, short, 2 * f + g AS gseq, pos,
+         {_odiv("CASE WHEN neg = 1 THEN -mag ELSE mag END", _imdct3.XR_DIV_BITS)} AS a0v
+  FROM (
+    SELECT *,
+           CAST(FLOOR(((list_extract([0.0, 1.0, 2.5198420997897464, 4.3267487109222245],
+                                     CAST(a AS INTEGER) + 1)
+                        * list_extract([1.0, 1.189207115002721, 1.4142135623730951, 1.681792830507429],
+                                       CAST((q + 400) % 4 AS INTEGER) + 1))
+                       * power(2.0, (q + 400) // 4 - 100)) * 1000000000.0) AS BIGINT) AS mag
+    FROM xvals WHERE a > 0)
+  WHERE mag > 0),
+acontrib AS (
+  SELECT doc_id, short, gseq, pos AS tgt,
+         a0v * (CASE
+            WHEN short = 1 THEN {fp_one}
+            WHEN pos % 18 >= 10 AND pos // 18 < 31
+              THEN list_extract({cs}, CAST(18 - pos % 18 AS INTEGER))
+            WHEN pos % 18 <= 7 AND pos // 18 >= 1
+              THEN list_extract({cs}, CAST(pos % 18 + 1 AS INTEGER))
+            ELSE {fp_one} END) AS c
+  FROM a0
+  UNION ALL
+  SELECT doc_id, short, gseq,
+         CASE WHEN pos % 18 >= 10 THEN pos + 35 - 2 * (pos % 18)
+              ELSE pos - 2 * (pos % 18) - 1 END AS tgt,
+         CASE WHEN pos % 18 >= 10
+              THEN a0v * list_extract({ca}, CAST(18 - pos % 18 AS INTEGER))
+              ELSE -a0v * list_extract({ca}, CAST(pos % 18 + 1 AS INTEGER)) END AS c
+  FROM a0
+  WHERE short = 0 AND ((pos % 18 >= 10 AND pos // 18 < 31)
+                       OR (pos % 18 <= 7 AND pos // 18 >= 1))),
+a1 AS (
+  SELECT doc_id, short, gseq, tgt AS pos,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS a1v
+  FROM acontrib GROUP BY doc_id, short, gseq, tgt),
+zc AS (
+  SELECT doc_id, gseq, pos // 18 AS sb, j.j AS j,
+         a1v * list_extract({coswl}, CAST(j.j * 18 + pos % 18 + 1 AS INTEGER)) AS c
+  FROM a1, UNNEST(range(0, 36)) AS j(j)
+  WHERE short = 0 AND a1v <> 0
+  UNION ALL
+  SELECT doc_id, gseq, pos // 18 AS sb,
+         6 * ((pos % 18) % 3) + 6 + j.j AS j,
+         a1v * list_extract({scosw}, CAST(j.j * 6 + (pos % 18) // 3 + 1 AS INTEGER)) AS c
+  FROM a1, UNNEST(range(0, 12)) AS j(j)
+  WHERE short = 1 AND a1v <> 0),
+z AS (
+  SELECT doc_id, gseq, sb, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS zv
+  FROM zc GROUP BY doc_id, gseq, sb, j),
+tsc AS (
+  SELECT doc_id, gseq, sb, j AS t, zv FROM z WHERE j < 18 AND zv <> 0
+  UNION ALL
+  SELECT doc_id, gseq + 1 AS gseq, sb, j - 18 AS t, zv FROM z WHERE j >= 18 AND zv <> 0),
+ts AS (
+  SELECT tsc.doc_id, gseq, sb, t,
+         SUM(zv) * (CASE WHEN sb % 2 = 1 AND t % 2 = 1 THEN -1 ELSE 1 END) AS tsv
+  FROM tsc JOIN d ON d.doc_id = tsc.doc_id
+  WHERE gseq < 2 * d.n_frames
+  GROUP BY tsc.doc_id, gseq, sb, t)
+"""
+
+
+@register(
+    "multimodal_mp3_imdct_decode",
+    oracle=_mp3_ts_chain_sql("") + """,
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (tsv <> 0) AS BIGINT) AS n_ts_nz,
+         CAST(SUM(tsv) AS BIGINT) AS sum_ts_fp,
+         CAST(SUM(ABS(tsv)) AS BIGINT) AS sum_abs_ts_fp,
+         CAST(SUM(tsv * (1 + (gseq + sb + t) % 7)) AS BIGINT) AS sum_ts_w_fp
+  FROM ts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.sr AS BIGINT) AS sample_rate,
+       COALESCE(a.n_ts_nz, 0) AS n_ts_nz,
+       COALESCE(a.sum_ts_fp, 0) AS sum_ts_fp,
+       COALESCE(a.sum_abs_ts_fp, 0) AS sum_abs_ts_fp,
+       COALESCE(a.sum_ts_w_fp, 0) AS sum_ts_w_fp
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    doc="REAL MPEG-1 Layer III decode through the TIME-DOMAIN mapping "
+    "(ISO 11172-3 2.4.3.4 tail — operators/mp3imdct.py over the proven "
+    "requantized spectra): Table B.9 alias-reduction butterflies on "
+    "all 31 subband boundaries, short-block REORDERING (band-major -> "
+    "point-interleaved), the windowed 36-point long / 3x12-point short "
+    "IMDCT, 18-sample granule overlap-add with per-subband state, and "
+    "odd-subband/odd-sample frequency inversion.  This closes the "
+    "IMDCT half of the documented Layer III boundary; polyphase "
+    "synthesis is multimodal_mp3_pcm_decode.  Cross-engine exactness: "
+    "every stage is integer contributions -> SUM -> one floor-division "
+    "by 2^18, with coefficient tables floor(x*2^18) EMBEDDED from the "
+    "Python module into this SQL at import (identical int64 literals "
+    "by construction; DuckDB sums in HUGEINT, numpy in int64 under "
+    "documented < 2^62 stage bounds).  The positional weight "
+    "(1 + (gseq+sb+t) % 7) pins each sample's granule/subband/tick "
+    "placement, so a decoder that swaps windows, misorders overlap, or "
+    "skips inversion hash-mismatches.  Scale posture: Arrow "
+    "mapInPandas, one row per document, per-row-linear work, nothing "
+    "driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_imdct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_imdct_features,
+        synthesize_mp3_main,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_mp3_imdct_features(
+        synthesize_mp3_main(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_mp3_pcm_decode",
+    oracle=_mp3_ts_chain_sql(" WHERE doc_id % 10 = 0") + f""",
+s0 AS (
+  SELECT doc_id, 18 * gseq + t AS tg, sb,
+         {_odiv("tsv", _imdct3.TS_DIV_BITS)} AS s0v
+  FROM ts WHERE tsv <> 0),
+vc AS (
+  SELECT doc_id, tg, m.m AS m,
+         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
+                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
+  FROM s0, UNNEST(range(0, 64)) AS m(m)
+  WHERE s0v <> 0),
+v1 AS (
+  SELECT doc_id, tg, m,
+         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
+  FROM vc GROUP BY doc_id, tg, m),
+pc AS (
+  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m < 32 AND v1v <> 0
+  UNION ALL
+  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m >= 32 AND v1v <> 0),
+pcm AS (
+  SELECT pc.doc_id, t_out, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
+  FROM pc JOIN d ON d.doc_id = pc.doc_id
+  WHERE t_out < 36 * d.n_frames
+  GROUP BY pc.doc_id, t_out, j),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
+         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
+         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
+         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
+  FROM pcm GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.sr AS BIGINT) AS sample_rate,
+       CAST(36 * d.n_frames * 32 AS BIGINT) AS n_pcm,
+       COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
+       COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
+       COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
+       COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    doc="REAL MPEG-1 Layer III decode to PCM — the COMPLETE decoder "
+    "chain: container walk -> side info -> Huffman symbols -> "
+    "requantization -> alias/reorder -> windowed IMDCT -> overlap-add "
+    "-> frequency inversion -> 32-band POLYPHASE SYNTHESIS (ISO "
+    "11172-3 A.2: V = N@S matrixing with N[m][k] = "
+    "cos((16+m)(2k+1)pi/64), zig-zag 16-deep FIFO with zero warm-up, "
+    "512-tap windowed sum emitting 32 PCM samples per tick).  One "
+    "documented substitution: the synthesis PROTOTYPE WINDOW is a "
+    "Hann-windowed ideal lowpass at the spec's cutoff pi/64 standing "
+    "in for ISO Table B.3's normative printed coefficients "
+    "(operators/mp3imdct.py docstring — the filterbank algebra is "
+    "exercised exactly; the constant table is swappable in one "
+    "place).  Fixture: every 10th document (the oracle replay "
+    "expands T x 64 x 32 matrixing rows; the subset keeps the DuckDB "
+    "side linear-friendly at sf0.1 while 50+ documents x 8 granules "
+    "still pin the FIFO across every warm-up phase).  The weight "
+    "(1 + (t+j) % 11) pins each PCM sample's (tick, slot).  Scale "
+    "posture: Arrow mapInPandas, one row per document, "
+    "per-row-linear, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_pcm_features,
+        synthesize_mp3_main,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return decode_mp3_pcm_features(
+        synthesize_mp3_main(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")

@@ -1954,3 +1954,183 @@ def test_flac_stereo_fuzz_never_crashes():
     # FLAC is CRC+MD5 guarded end to end: essentially every mutation
     # must be REJECTED (a passing mutation would be a guard hole)
     assert outcomes["rejected"] >= 245, outcomes
+
+
+def test_mp3_imdct_pcm_chain_crossengine_and_float_reference():
+    """Layer III time-domain chain (operators/mp3imdct.py): (a) both
+    registered SQL oracles, run in DuckDB over a bare doc_id relation,
+    reproduce the Python decode BIT-EXACTLY; (b) the whole fixed-point
+    pipeline (alias -> reorder -> windowed IMDCT -> overlap-add ->
+    inversion -> synthesis) tracks an independent FLOAT-domain
+    reference built from the spec formulas (cos/sin evaluated directly,
+    no shared tables) within fixed-point tolerance on a high-gain
+    document; (c) start/stop long windows are valid block types with
+    the normal window's first half (start) / second half (stop); (d)
+    granule overlap-add and odd/odd frequency inversion are exactly
+    z_cur[:18] + z_prev[18:] with sign flips."""
+    import duckdb
+    import numpy as np
+
+    from cobradb_spark.operators import mp3imdct as m
+    from cobradb_spark.operators.mp3huff import decode_mp3_main, encode_mp3_main
+    from cobradb_spark.operators.mp3requant import requantize_lines
+    from cobradb_spark.registry import get_query
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM range(180, 260) t(doc_id)")
+    ora = (
+        con.execute(get_query("multimodal_mp3_imdct_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    orap = (
+        con.execute(get_query("multimodal_mp3_pcm_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    any_nz = 0
+    for d in range(180, 260):
+        got = m.decode_mp3_imdct(encode_mp3_main(d))
+        for c in ("n_frames", "sample_rate", "n_ts_nz", "sum_ts_fp",
+                  "sum_abs_ts_fp", "sum_ts_w_fp"):
+            assert int(ora.loc[d, c]) == int(got[c]), (d, c)
+        any_nz += got["n_ts_nz"]
+        if d % 10 == 0:
+            gp = m.decode_mp3_pcm(encode_mp3_main(d))
+            for c in ("n_pcm", "n_pcm_nz", "sum_pcm_fp",
+                      "sum_abs_pcm_fp", "sum_pcm_w_fp"):
+                assert int(orap.loc[d, c]) == int(gp[c]), (d, c)
+    assert any_nz > 0  # the gg window makes these docs non-silent
+
+    # (b) float-domain reference, spec formulas evaluated directly
+    def float_ts(dec):
+        sr = dec["sample_rate"]
+        out = []
+        prev = np.zeros((32, 36))
+        inv = np.ones((32, 18))
+        inv[1::2, 1::2] = -1.0
+        cs = 1.0 / np.sqrt(1.0 + np.asarray(m._ALIAS_C) ** 2)
+        ca = np.asarray(m._ALIAS_C) * cs
+        jj = np.arange(36)[:, None]
+        kk = np.arange(18)[None, :]
+        basis = np.cos(np.pi / 72 * (2 * jj + 19) * (2 * kk + 1)) * np.sin(
+            np.pi / 36 * (jj + 0.5)
+        )[:, None].reshape(36, 1)
+        j12 = np.arange(12)[:, None]
+        p6 = np.arange(6)[None, :]
+        b12 = np.cos(np.pi / 24 * (2 * j12 + 7) * (2 * p6 + 1)) * np.sin(
+            np.pi / 12 * (j12 + 0.5)
+        ).reshape(12, 1)
+        for rec in requantize_lines(dec):
+            xr = rec["xr_fp"].astype(np.float64) / 1e9
+            if rec["short"]:
+                ro = np.zeros(576)
+                ro[m._REORDER[sr]] = xr
+                xm = ro.reshape(32, 6, 3)
+                z = np.zeros((32, 36))
+                for w in range(3):
+                    z[:, 6 + 6 * w : 18 + 6 * w] += np.einsum(
+                        "jp,sp->sj", b12, xm[:, :, w]
+                    )
+            else:
+                al = xr.copy()
+                for sb in range(1, 32):
+                    for i in range(8):
+                        u, l = 18 * sb - 1 - i, 18 * sb + i
+                        al[u], al[l] = (
+                            xr[u] * cs[i] - xr[l] * ca[i],
+                            xr[l] * cs[i] + xr[u] * ca[i],
+                        )
+                z = al.reshape(32, 18) @ basis.T
+            out.append(((z[:, :18] + prev[:, 18:]) * inv).T)
+            prev = z
+        return np.concatenate(out, axis=0)
+
+    dec = decode_mp3_main(encode_mp3_main(251))  # gg ~ 251: large values
+    ts_fp = m.time_samples(dec)[0].astype(np.float64) * (1 << m.XR_DIV_BITS) / 1e9
+    ts_ref = float_ts(dec)
+    scale = np.abs(ts_ref).max()
+    assert scale > 1.0  # genuinely loud fixture
+    # fixed-point steps (2^18 coefficients, 3 floor stages) stay well
+    # under 1e-3 relative at this magnitude
+    assert np.abs(ts_fp - ts_ref).max() <= 1e-3 * scale
+
+    # float polyphase reference for the same doc
+    s = m.time_samples(dec)[0]
+    pcm_fp = m.synthesis_pcm(s).astype(np.float64)
+    nmat = np.cos((16 + np.arange(64))[:, None] * (2 * np.arange(32))[None, :] + 0.0)
+    i512 = np.arange(512)
+    dwin = (0.5 - 0.5 * np.cos(2 * np.pi * (i512 + 0.5) / 512)) * np.sinc(
+        (i512 - 255.5) / 64.0
+    )
+    nref = np.cos((16 + np.arange(64))[:, None] * (2 * np.arange(32)[None, :] + 1) * np.pi / 64)
+    sf = s.astype(np.float64)
+    vref = sf @ nref.T
+    vp = np.vstack([np.zeros((15, 64)), vref])
+    t_total = sf.shape[0]
+    raw = np.zeros((t_total, 32))
+    for i in range(8):
+        raw += dwin[np.arange(32) + 64 * i][None, :] * vp[15 - 2 * i : 15 - 2 * i + t_total, :32]
+        raw += dwin[np.arange(32) + 64 * i + 32][None, :] * vp[14 - 2 * i : 14 - 2 * i + t_total, 32:]
+    pcm_ref = raw / (1 << (m.TS_DIV_BITS + m.V_DIV_BITS))
+    pscale = np.abs(pcm_ref).max()
+    assert pscale > 0
+    assert np.abs(pcm_fp - pcm_ref).max() <= 2e-3 * pscale + 2.0
+
+    # (c) start/stop windows
+    w0, w1, w3 = m._long_window(0), m._long_window(1), m._long_window(3)
+    assert np.allclose(w1[:18], w0[:18]) and np.allclose(w3[18:], w0[18:])
+    assert (w1[18:24] == 1).all() and (w3[12:18] == 1).all()
+    assert (w1[30:] == 0).all() and (w3[:6] == 0).all()
+    xr = np.zeros(576, dtype=np.int64)
+    xr[7] = 10**12
+    z_start = m.granule_z(xr, False, 44100, bt_long=1)
+    z_stop = m.granule_z(xr, False, 44100, bt_long=3)
+    z_norm = m.granule_z(xr, False, 44100, bt_long=0)
+    assert (z_start != z_norm).any() and (z_stop != z_norm).any()
+    assert (z_start[0, 30:] == 0).all() and (z_stop[0, :6] == 0).all()
+    try:
+        m.granule_z(xr, False, 44100, bt_long=2)
+        raise AssertionError("short block type must not reach the long path")
+    except ValueError:
+        pass
+
+    # (d) overlap-add + inversion algebra on the real stream
+    sr = dec["sample_rate"]
+    recs = sorted(requantize_lines(dec), key=lambda r: (r["frame"], r["granule"]))
+    z0 = m.granule_z(recs[0]["xr_fp"], recs[0]["short"], sr)
+    z1 = m.granule_z(recs[1]["xr_fp"], recs[1]["short"], sr)
+    ts_all = m.time_samples(dec)[0]
+    inv = np.ones((32, 18), dtype=np.int64)
+    inv[1::2, 1::2] = -1
+    assert (ts_all[:18] == (z0[:, :18] * inv).T).all()
+    assert (ts_all[18:36] == ((z1[:, :18] + z0[:, 18:]) * inv).T).all()
+
+
+def test_mp3_pcm_decoder_fuzz_never_crashes():
+    """Mutation fuzz through the FULL chain (symbols -> requantize ->
+    alias/IMDCT -> synthesis): flip one byte in a valid stream —
+    decode_mp3_pcm must either raise ValueError/NotImplementedError
+    (linbits escapes are a documented requantization boundary) or
+    return well-formed integer aggregates; never an index crash and
+    never an int64-range excursion (the documented stage bounds hold
+    for ANY decodable symbol content, since |is|<=3 is enforced)."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp3huff import encode_mp3_main
+    from cobradb_spark.operators.mp3imdct import decode_mp3_pcm
+
+    base = bytearray(encode_mp3_main(251))
+    rng = np.random.default_rng(2511)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_mp3_pcm(bytes(b))
+            assert out["n_pcm"] == 36 * out["n_frames"] * 32
+            assert 0 <= out["n_pcm_nz"] <= out["n_pcm"]
+            assert abs(out["sum_pcm_fp"]) <= out["sum_abs_pcm_fp"] < 1 << 62
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["rejected"] += 1
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes

@@ -1698,6 +1698,20 @@ AUDITS = [
         "Arrow batches; one row per document, nothing driver-side",
     ),
     (
+        "multimodal_mp3_imdct_decode",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "per-document Layer III alias/reorder/IMDCT/overlap-add over "
+        "Arrow batches; one row per document, nothing driver-side",
+    ),
+    (
+        "multimodal_mp3_pcm_decode",
+        ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "full Layer III decode to PCM; the %10 fixture subset is "
+        "pushed to the parquet scan; one row per document",
+    ),
+    (
         "multimodal_bmp_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],
