@@ -46,6 +46,7 @@ import numpy as np
 from cobradb_spark.operators.mp3 import (
     SAMPLE_RATE,
     SCALEFACTOR,
+    SF_FP,
     _BitReader,
     _BitWriter,
     _byte_bits,
@@ -512,6 +513,7 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
     num_sum = 0
     num_sq_sum = 0
     samples: list[np.ndarray] = []
+    samples_fp: list[np.ndarray] = []
     while pos < len(data):
         if pos + 4 > len(data):
             raise ValueError("corrupt layer2 stream: truncated frame header")
@@ -638,6 +640,7 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
             return [r.read(nb) for _ in range(3)]
 
         frame_samples = np.zeros((36, 32, nch))
+        frame_fp = np.zeros((36, 32, nch), dtype=np.int64)
         for gr in range(12):
             part = gr // 4
             for sb in range(sblimit):
@@ -649,13 +652,19 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
                             continue
                         lv = layer2_levels(sb, alloc[ch][sb], sblimit)
                         v = read_triplet(lv)
-                        sf = SCALEFACTOR[sf_parts[(ch, sb)][part]]
+                        sfi = sf_parts[(ch, sb)][part]
+                        sf = SCALEFACTOR[sfi]
                         for k in range(3):
                             num = 2 * v[k] + 1 - lv
                             code_sum += v[k]
                             num_sum += num
                             num_sq_sum += num * num
                             frame_samples[gr * 3 + k, sb, ch] = sf * num / lv
+                            # 2^28 fixed point (python // floors; the
+                            # SQL replay uses the +K*L offset form)
+                            frame_fp[gr * 3 + k, sb, ch] = (
+                                num * SF_FP[sfi]
+                            ) // lv
                 else:
                     # intensity region: one triplet, both channels
                     lv = layer2_levels(sb, alloc[0][sb], sblimit)
@@ -666,12 +675,17 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
                         num_sum += num
                         num_sq_sum += num * num
                     for ch in range(nch):
-                        sf = SCALEFACTOR[sf_parts[(ch, sb)][part]]
+                        sfi = sf_parts[(ch, sb)][part]
+                        sf = SCALEFACTOR[sfi]
                         for k in range(3):
                             frame_samples[gr * 3 + k, sb, ch] = (
                                 sf * (2 * v[k] + 1 - lv) / lv
                             )
+                            frame_fp[gr * 3 + k, sb, ch] = (
+                                (2 * v[k] + 1 - lv) * SF_FP[sfi]
+                            ) // lv
         samples.append(frame_samples)
+        samples_fp.append(frame_fp)
         n_frames += 1
         pos += nbytes
     if n_frames == 0:
@@ -690,4 +704,5 @@ def _decode_layer2(data: bytes, require_mono: bool) -> dict:
         "num_sum": num_sum,
         "num_sq_sum": num_sq_sum,
         "subband_samples": np.concatenate(samples, axis=0),
+        "subband_samples_fp": np.concatenate(samples_fp, axis=0),
     }

@@ -357,6 +357,13 @@ def _byte_bits(data: bytes):
 
 SCALEFACTOR = [2.0 * 2.0 ** (-idx / 3.0) for idx in range(63)]
 
+# Fixed-point scalefactors for the Layer I/II PCM pins
+# (operators/mp3imdct.py): floor(sf * 2^28) int literals, embedded
+# verbatim into the DuckDB oracle SQL so both engines share them by
+# construction.  |num * SF_FP| <= 65534 * 2^29 < 2^46 — int64-safe.
+SF_FP_BITS = 28
+SF_FP = tuple(int(np.floor(s * (1 << SF_FP_BITS))) for s in SCALEFACTOR)
+
 
 def layer1_stereo_schedule(doc_id: int) -> dict:
     """Deterministic two-channel Layer I synthesis schedule (shared by
@@ -495,6 +502,7 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
     num_sum = 0
     num_sq_sum = 0
     samples: list[np.ndarray] = []
+    samples_fp: list[np.ndarray] = []
     while pos < len(data):
         if pos + 4 > len(data):
             raise ValueError("corrupt layer1 stream: truncated frame header")
@@ -578,6 +586,7 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
                     sf_idx[(ch, sb)] = idx
                     sf_idx_sum += idx
         frame_samples = np.zeros((12, 32, nch))
+        frame_fp = np.zeros((12, 32, nch), dtype=np.int64)
         for t in range(12):
             for sb in range(32):
                 if not any(alloc[ch][sb] for ch in range(nch)):
@@ -595,6 +604,11 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
                         frame_samples[t, sb, ch] = (
                             SCALEFACTOR[sf_idx[(ch, sb)]] * num / ((1 << nb) - 1)
                         )
+                        # 2^28 fixed point (python // floors; the SQL
+                        # replay uses the +K*L offset form)
+                        frame_fp[t, sb, ch] = (
+                            num * SF_FP[sf_idx[(ch, sb)]]
+                        ) // ((1 << nb) - 1)
                 else:
                     # intensity region: one sample code, both channels
                     nb = alloc[0][sb] + 1
@@ -607,7 +621,11 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
                         frame_samples[t, sb, ch] = (
                             SCALEFACTOR[sf_idx[(ch, sb)]] * num / ((1 << nb) - 1)
                         )
+                        frame_fp[t, sb, ch] = (
+                            num * SF_FP[sf_idx[(ch, sb)]]
+                        ) // ((1 << nb) - 1)
         samples.append(frame_samples)
+        samples_fp.append(frame_fp)
         n_frames += 1
         pos += slots * 4
     if n_frames == 0:
@@ -624,6 +642,7 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
         "num_sum": num_sum,
         "num_sq_sum": num_sq_sum,
         "subband_samples": np.concatenate(samples, axis=0),
+        "subband_samples_fp": np.concatenate(samples_fp, axis=0),
     }
 
 
@@ -631,10 +650,10 @@ def _decode_layer1(data: bytes, require_mono: bool) -> dict:
 # MPEG-1 Layer III side information (ISO/IEC 11172-3 2.4.1.7) — every
 # field is a fixed-width bitfield, so parsing it needs no Huffman work.
 # Huffman symbol decode over this record is real as well (mp3huff.py),
-# leaving IMDCT + polyphase synthesis as the honest Layer-III
-# boundary: container walk (index_mp3), header arithmetic, and the full
-# side-info record are real; THIS fixture's main data is zero bits, a
-# synthetic simplification
+# and so are requantization (mp3requant.py) and the time-domain chain
+# to PCM (mp3imdct.py): container walk (index_mp3), header arithmetic,
+# and the full side-info record are real; THIS fixture's main data is
+# zero bits, a synthetic simplification
 # documented at the query (the side info itself is spec-valid and the
 # declared part2_3 lengths FIT the frame's main-data area with
 # main_data_begin = 0, so the framing is structurally consistent).

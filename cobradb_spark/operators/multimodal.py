@@ -18,14 +18,15 @@ Codec coverage in this container (no PIL / librosa / ffmpeg):
     numpy/stdlib-only and oracle-checked end-to-end.
   - "fake": deterministic sha256-derived features — the full Spark
     plumbing (schema, batching, partitioning) is real and oracle-checked;
-  - REAL bitstream decode for compressed audio: MPEG-1 Layers I/II
-    (operators/mp3.py, mp2.py — all four Layer II allocation tables)
-    to exact subband samples, and Layer III side-info + Huffman
-    main-data symbol decode (mp3huff.py); the remaining audio boundary
-    (IMDCT/polyphase synthesis to PCM; requantization is real,
-    operators/mp3requant.py) and VIDEO codecs
-    (H.264) are clearly-marked NotImplementedError stubs where the
-    librosa/ffmpeg call would go.
+  - REAL bitstream decode for compressed audio: ALL THREE MPEG-1
+    layers to PCM — Layers I/II (operators/mp3.py, mp2.py — all four
+    Layer II allocation tables) and Layer III (side-info + Huffman
+    symbol decode in mp3huff.py, requantization in mp3requant.py,
+    alias/IMDCT/overlap in mp3imdct.py), all through the shared
+    polyphase synthesis filterbank (mp3imdct.py synthesis_pcm, with a
+    documented substitute prototype window for ISO Table B.3).
+    VIDEO codecs (H.264) remain clearly-marked NotImplementedError
+    stubs where the ffmpeg call would go.
 """
 
 from __future__ import annotations
@@ -1054,6 +1055,34 @@ decode_mp3_pcm_features = _codec_feature_decoder(
     zig-zag 16-deep FIFO, 512-tap windowed sum; substitute prototype
     window — see operators/mp3imdct.py docstring) over Arrow batches;
     integer PCM aggregates for the SQL oracle replay.""",
+)
+
+
+decode_layer2_pcm_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3imdct", "decode_layer2_pcm",
+    (
+        "n_frames", "sample_rate", "sblimit", "n_pcm", "n_pcm_nz",
+        "sum_pcm_fp", "sum_abs_pcm_fp", "sum_pcm_w_fp",
+    ),
+    """Full MPEG-1 Layer II decode to PCM: the general Layer II parser
+    (mp2.py) with 2^28 fixed-point subband samples through the SAME
+    polyphase synthesis filterbank as Layer III
+    (operators/mp3imdct.py synthesis_pcm) over Arrow batches; integer
+    PCM aggregates for the SQL oracle replay.""",
+)
+
+
+decode_layer1_pcm_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3imdct", "decode_layer1_pcm",
+    (
+        "n_frames", "sample_rate", "n_pcm", "n_pcm_nz",
+        "sum_pcm_fp", "sum_abs_pcm_fp", "sum_pcm_w_fp",
+    ),
+    """Full MPEG-1 Layer I decode to PCM: the general Layer I parser
+    (mp3.py) with 2^28 fixed-point subband samples through the shared
+    polyphase synthesis filterbank (operators/mp3imdct.py
+    synthesis_pcm) over Arrow batches; integer PCM aggregates for the
+    SQL oracle replay.""",
 )
 
 

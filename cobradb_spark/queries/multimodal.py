@@ -2524,3 +2524,266 @@ def multimodal_mp3_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mp3_pcm_features(
         synthesize_mp3_main(d, id_col="doc_id")
     ).withColumnRenamed("id", "doc_id")
+
+
+def _mp2_sfp_sql(doc_filter: str) -> str:
+    """CTE chain replaying the Layer II schedule (the proven
+    multimodal_mp2_subband_decode replay) down to PER-SAMPLE 2^28
+    fixed-point subband values `sfp(doc_id, n_frames, tg, sb, s0v)`
+    already divided for synthesis input: s_fp = floor(num * SF_FP[sfi]
+    / L) (offset form, L <= 31 on this fixture), s0v = floor(s_fp /
+    2^TS_DIV).  The applied scalefactor per frame part follows scfsi
+    (0:(t0,t1,t2) 1:(t0,t0,t1) 2:(t0,t0,t0) 3:(t0,t1,t1))."""
+    from cobradb_spark.operators.mp3 import SF_FP
+
+    sffp = _sql_ints(SF_FP)
+    koff = 1 << 31
+    return f"""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 1
+              THEN 30 ELSE 27 END AS sblimit,
+         2 + doc_id % 3 AS n_low, 1 + doc_id % 3 AS n_mid,
+         doc_id % 3 AS n_hi
+  FROM documents{doc_filter}),
+sbs AS (
+  SELECT d.doc_id, d.n_frames, d.sr, d.sblimit, s.sb
+  FROM d, UNNEST(list_concat(list_concat(
+           list_transform(range(0, d.n_low), x -> x),
+           list_transform(range(11, 11 + d.n_mid), x -> x)),
+           list_transform(range(23, 23 + d.n_hi), x -> x))) AS s(sb)),
+lv AS (
+  SELECT doc_id, n_frames, sr, sblimit, sb,
+         CASE WHEN sb < 3 THEN list_extract([3,7,15,31],
+                   CAST(1 + (doc_id + sb) % 4 AS INTEGER))
+              WHEN sb < 23 THEN list_extract([3,5,7,9],
+                   CAST(1 + (doc_id + sb) % 4 AS INTEGER))
+              ELSE list_extract([3,5],
+                   CAST(1 + (doc_id + sb) % 2 AS INTEGER)) END AS L,
+         (doc_id + sb) % 4 AS scfsi,
+         3 * ((doc_id + sb) % 21) AS t0,
+         3 * ((doc_id + sb + 7) % 21) AS t1,
+         3 * ((doc_id + sb + 14) % 21) AS t2
+  FROM sbs),
+cell AS (
+  SELECT p.doc_id, p.n_frames, p.sb,
+         f.f * 36 + g.gr * 3 + k.k AS tg,
+         2 * ((p.doc_id*11 + f.f*7 + p.sb*5 + g.gr*3 + k.k) % p.L)
+           + 1 - p.L AS num,
+         p.L,
+         CASE g.gr // 4
+           WHEN 0 THEN p.t0
+           WHEN 1 THEN CASE WHEN p.scfsi = 0 OR p.scfsi = 3
+                            THEN p.t1 ELSE p.t0 END
+           ELSE CASE p.scfsi WHEN 0 THEN p.t2 WHEN 1 THEN p.t1
+                             WHEN 2 THEN p.t0 ELSE p.t1 END
+         END AS sfi
+  FROM lv p,
+       UNNEST(range(0, p.n_frames)) AS f(f),
+       UNNEST(range(0, 12)) AS g(gr),
+       UNNEST(range(0, 3)) AS k(k)),
+sfp AS (
+  SELECT doc_id, n_frames, tg, sb,
+         {_odiv(f"(num * list_extract({sffp}, CAST(sfi + 1 AS INTEGER))"
+                f" + {koff} * L) // L - {koff}", _imdct3.TS_DIV_BITS)} AS s0v
+  FROM cell)
+"""
+
+
+@register(
+    "multimodal_mp2_pcm_decode",
+    oracle=_mp2_sfp_sql(" WHERE doc_id % 5 = 0") + f""",
+vc AS (
+  SELECT doc_id, tg, m.m AS m,
+         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
+                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
+  FROM sfp, UNNEST(range(0, 64)) AS m(m)
+  WHERE s0v <> 0),
+v1 AS (
+  SELECT doc_id, tg, m,
+         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
+  FROM vc GROUP BY doc_id, tg, m),
+pc AS (
+  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m < 32 AND v1v <> 0
+  UNION ALL
+  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m >= 32 AND v1v <> 0),
+pcm AS (
+  SELECT pc.doc_id, t_out, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
+  FROM pc JOIN d ON d.doc_id = pc.doc_id
+  WHERE t_out < 36 * d.n_frames
+  GROUP BY pc.doc_id, t_out, j),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
+         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
+         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
+         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
+  FROM pcm GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.sr AS BIGINT) AS sample_rate,
+       CAST(d.sblimit AS BIGINT) AS sblimit,
+       CAST(36 * d.n_frames * 32 AS BIGINT) AS n_pcm,
+       COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
+       COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
+       COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
+       COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    doc="REAL MPEG-1 Layer II decode to PCM — the general Layer II "
+    "parser (B.2a/B.2b allocation regions, grouped + ungrouped "
+    "quantizers, scfsi-APPLIED scalefactors per frame part) feeding "
+    "the SAME polyphase synthesis filterbank as Layer III "
+    "(operators/mp3imdct.py synthesis_pcm — the filterbank is "
+    "layer-independent in the spec, so one implementation serves all "
+    "three layers).  Subband samples pin as floor(num * "
+    "floor(sf*2^28) / L) — exact integer division on both engines "
+    "(offset form for DuckDB's truncating //) with the 63-entry "
+    "scalefactor table EMBEDDED from operators/mp3.py SF_FP; the "
+    "synthesis stages reuse the mp3 oracle's integer V/PCM CTEs "
+    "verbatim.  Fixture: every 5th document (the replay expands "
+    "T x 64 matrixing rows).  Weight (1 + (t+j) % 11) pins (tick, "
+    "slot) placement.  Scale posture: Arrow mapInPandas, one row per "
+    "document, per-row-linear, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp2_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_layer2_pcm_features,
+        synthesize_layer2,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return decode_layer2_pcm_features(
+        synthesize_layer2(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _mp1_sfp_sql(doc_filter: str) -> str:
+    """Layer I per-sample replay down to synthesis-ready `sfp(doc_id,
+    n_frames, tg, sb, s0v)`: the proven multimodal_mp1_subband_decode
+    schedule (n_alloc = 4 + id%5 subbands, nb = 2 + (id+sb)%10 bits,
+    sf_idx = 3*((id+sb)%21), code = (id*11+f*7+sb*5+t*3) % 2^nb) with
+    num = 2c + 2 - 2^nb over L = 2^nb - 1, pinned exactly as
+    floor(num * SF_FP[sfi] / L) / 2^TS_DIV."""
+    from cobradb_spark.operators.mp3 import SF_FP
+
+    sffp = _sql_ints(SF_FP)
+    koff = 1 << 31
+    return f"""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         4 + doc_id % 5 AS n_alloc
+  FROM documents{doc_filter}),
+sbs AS (
+  SELECT d.doc_id, d.n_frames, d.sr, s.sb,
+         2 + (d.doc_id + s.sb) % 10 AS nb,
+         3 * ((d.doc_id + s.sb) % 21) AS sfi
+  FROM d, UNNEST(range(0, d.n_alloc)) AS s(sb)),
+cell AS (
+  SELECT p.doc_id, p.n_frames, p.sb,
+         f.f * 12 + t.t AS tg,
+         2 * ((p.doc_id*11 + f.f*7 + p.sb*5 + t.t*3) % (1 << p.nb))
+           + 2 - (1 << p.nb) AS num,
+         (1 << p.nb) - 1 AS L,
+         p.sfi
+  FROM sbs p,
+       UNNEST(range(0, p.n_frames)) AS f(f),
+       UNNEST(range(0, 12)) AS t(t)),
+sfp AS (
+  SELECT doc_id, n_frames, tg, sb,
+         {_odiv(f"(num * list_extract({sffp}, CAST(sfi + 1 AS INTEGER))"
+                f" + {koff} * L) // L - {koff}", _imdct3.TS_DIV_BITS)} AS s0v
+  FROM cell)
+"""
+
+
+_MP1_PCM_SYNTH_TAIL = f""",
+vc AS (
+  SELECT doc_id, tg, m.m AS m,
+         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
+                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
+  FROM sfp, UNNEST(range(0, 64)) AS m(m)
+  WHERE s0v <> 0),
+v1 AS (
+  SELECT doc_id, tg, m,
+         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
+  FROM vc GROUP BY doc_id, tg, m),
+pc AS (
+  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m < 32 AND v1v <> 0
+  UNION ALL
+  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m >= 32 AND v1v <> 0),
+pcm AS (
+  SELECT pc.doc_id, t_out, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
+  FROM pc JOIN d ON d.doc_id = pc.doc_id
+  WHERE t_out < 12 * d.n_frames
+  GROUP BY pc.doc_id, t_out, j),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
+         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
+         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
+         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
+  FROM pcm GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.sr AS BIGINT) AS sample_rate,
+       CAST(12 * d.n_frames * 32 AS BIGINT) AS n_pcm,
+       COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
+       COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
+       COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
+       COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@register(
+    "multimodal_mp1_pcm_decode",
+    oracle=_mp1_sfp_sql(" WHERE doc_id % 5 = 0") + _MP1_PCM_SYNTH_TAIL,
+    doc="REAL MPEG-1 Layer I decode to PCM — the general Layer I "
+    "parser (4-bit allocations, 6-bit scalefactors, nb-bit codes, "
+    "rational requantization num/(2^nb - 1)) feeding the SAME "
+    "polyphase synthesis filterbank as Layers II/III "
+    "(operators/mp3imdct.py synthesis_pcm).  With this key all three "
+    "MPEG-1 audio layers decode to PCM through one shared, "
+    "layer-independent filterbank — as the spec structures it.  "
+    "Subband samples pin as floor(num * floor(sf*2^28) / L) exactly "
+    "on both engines; synthesis stages reuse the shared integer "
+    "V/PCM replay.  Fixture: every 5th document.  Weight "
+    "(1 + (t+j) % 11) pins (tick, slot) placement.  Scale posture: "
+    "Arrow mapInPandas, one row per document, per-row-linear, "
+    "nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp1_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_layer1_pcm_features,
+        synthesize_layer1,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return decode_layer1_pcm_features(
+        synthesize_layer1(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")

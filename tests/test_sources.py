@@ -2134,3 +2134,63 @@ def test_mp3_pcm_decoder_fuzz_never_crashes():
         except (ValueError, NotImplementedError):
             outcomes["rejected"] += 1
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_layer1_layer2_pcm_crossengine_and_shared_filterbank():
+    """Layers I and II to PCM through the SHARED polyphase filterbank
+    (operators/mp3imdct.py synthesis_pcm): (a) both registered SQL
+    oracles reproduce the Python decode BIT-EXACTLY over a bare doc_id
+    relation; (b) the 2^28 fixed-point subband samples equal the
+    decoders' float samples within one quantum (so the synthesis input
+    is the same audio, not a parallel approximation); (c) one
+    filterbank serves all three layers: feeding Layer II's samples
+    through the same synthesis_pcm used by Layer III is what the keys
+    do — verify the function is literally shared and zero-input
+    produces zero output with the FIFO's zero warm-up."""
+    import duckdb
+    import numpy as np
+
+    from cobradb_spark.operators import mp3imdct as m
+    from cobradb_spark.operators.mp2 import decode_layer2, encode_layer2
+    from cobradb_spark.operators.mp3 import SF_FP, decode_layer1, encode_layer1
+    from cobradb_spark.registry import get_query
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM range(0, 80) t(doc_id)")
+    ora1 = (
+        con.execute(get_query("multimodal_mp1_pcm_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    ora2 = (
+        con.execute(get_query("multimodal_mp2_pcm_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    assert len(ora1) == len(ora2) == 16  # %5 subset of 80
+    nz1 = nz2 = 0
+    for d in range(0, 80, 5):
+        g1 = m.decode_layer1_pcm(encode_layer1(d))
+        g2 = m.decode_layer2_pcm(encode_layer2(d))
+        for c in ("n_frames", "sample_rate", "n_pcm", "n_pcm_nz",
+                  "sum_pcm_fp", "sum_abs_pcm_fp", "sum_pcm_w_fp"):
+            assert int(ora1.loc[d, c]) == int(g1[c]), ("L1", d, c)
+            assert int(ora2.loc[d, c]) == int(g2[c]), ("L2", d, c)
+        assert int(ora2.loc[d, "sblimit"]) == int(g2["sblimit"])
+        nz1 += g1["n_pcm_nz"]
+        nz2 += g2["n_pcm_nz"]
+    assert nz1 > 0 and nz2 > 0
+
+    # (b) fixed-point subband samples track the float decode
+    for d in (3, 17, 44):
+        d1 = decode_layer1(encode_layer1(d))
+        fp = d1["subband_samples_fp"][:, :, 0] / 2.0**28
+        assert np.abs(fp - d1["subband_samples"]).max() <= 2.0**-27
+        d2 = decode_layer2(encode_layer2(d))
+        fp2 = d2["subband_samples_fp"][:, :, 0] / 2.0**28
+        assert np.abs(fp2 - d2["subband_samples"]).max() <= 2.0**-27
+
+    # (c) shared filterbank semantics
+    assert m.decode_layer2_pcm.__module__ == m.decode_mp3_pcm.__module__
+    zero = np.zeros((24, 32), dtype=np.int64)
+    assert (m.synthesis_pcm(zero) == 0).all()
+    # SF_FP is floor(2 * 2^(-idx/3) * 2^28): spot-check the dyadic rows
+    assert SF_FP[0] == 2 << 28 and SF_FP[3] == 1 << 28 and SF_FP[6] == 1 << 27

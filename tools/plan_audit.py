@@ -1712,6 +1712,20 @@ AUDITS = [
         "pushed to the parquet scan; one row per document",
     ),
     (
+        "multimodal_mp1_pcm_decode",
+        ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "Layer I decode to PCM through the shared synthesis "
+        "filterbank; one row per document",
+    ),
+    (
+        "multimodal_mp2_pcm_decode",
+        ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "Layer II decode to PCM through the shared synthesis "
+        "filterbank; one row per document",
+    ),
+    (
         "multimodal_bmp_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],

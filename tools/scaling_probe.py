@@ -235,6 +235,10 @@ PROBES = [
     "multimodal_flac_stereo_decode",
     "multimodal_gif_transparency_decode",
     "multimodal_mp3_requantize_decode",
+    "multimodal_mp3_imdct_decode",
+    "multimodal_mp3_pcm_decode",
+    "multimodal_mp1_pcm_decode",
+    "multimodal_mp2_pcm_decode",
 ]
 
 
