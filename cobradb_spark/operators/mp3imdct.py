@@ -257,13 +257,13 @@ def decode_mp3_imdct(data: bytes) -> dict:
     }
 
 
-def decode_mp3_pcm(data: bytes) -> dict:
-    """Full mono Layer III decode to PCM (substitute prototype window —
-    module docstring): integer aggregates for the SQL oracle.  Weight
-    (1 + (t + j) % 11) pins each PCM sample's (tick, slot) placement;
-    the FIFO's zero warm-up is part of the contract (heads sum over
-    fewer taps)."""
-    dec = decode_mp3_main(data)
+def _pcm_aggregates(dec: dict) -> dict:
+    """Synthesis + aggregation over every channel of a decoded Layer
+    III stream: channels run the chain independently (the fixture's
+    joint modes are mode_extension 0 — layout-identical, no
+    intensity/MS math), and the per-(tick, slot) weights are
+    channel-symmetric, so stereo aggregates are exactly the sum of the
+    per-channel chains — which is what the stereo oracle replays."""
     ts_by_ch = time_samples(dec)
     n_nz = s_pcm = s_abs = s_w = n_total = 0
     for ts in ts_by_ch.values():
@@ -285,6 +285,27 @@ def decode_mp3_pcm(data: bytes) -> dict:
         "sum_abs_pcm_fp": s_abs,
         "sum_pcm_w_fp": s_w,
     }
+
+
+def decode_mp3_pcm(data: bytes) -> dict:
+    """Full mono Layer III decode to PCM (substitute prototype window —
+    module docstring): integer aggregates for the SQL oracle.  Weight
+    (1 + (t + j) % 11) pins each PCM sample's (tick, slot) placement;
+    the FIFO's zero warm-up is part of the contract (heads sum over
+    fewer taps)."""
+    return _pcm_aggregates(decode_mp3_main(data))
+
+
+def decode_mp3_stereo_pcm(data: bytes) -> dict:
+    """Full TWO-CHANNEL Layer III decode to PCM: the general symbol
+    decode (stereo side info, gr0ch0 gr0ch1 gr1ch0 gr1ch1 interleave)
+    through the per-channel requantize/IMDCT/synthesis chain.  The
+    fixture's channels carry the mono schedule at collision-free
+    virtual docs, so the oracle is the proven mono PCM replay at the
+    virtual ids summed over channels — no new arithmetic to trust."""
+    from cobradb_spark.operators.mp3huff import decode_mp3_main_general
+
+    return _pcm_aggregates(decode_mp3_main_general(data))
 
 
 def decode_layer2_pcm(data: bytes) -> dict:

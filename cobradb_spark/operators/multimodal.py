@@ -1086,6 +1086,19 @@ decode_layer1_pcm_features = _codec_feature_decoder(
 )
 
 
+decode_mp3_stereo_pcm_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3imdct", "decode_mp3_stereo_pcm",
+    (
+        "n_frames", "sample_rate", "n_pcm", "n_pcm_nz", "sum_pcm_fp",
+        "sum_abs_pcm_fp", "sum_pcm_w_fp",
+    ),
+    """Full TWO-CHANNEL Layer III decode to PCM: stereo symbol decode
+    (mp3huff.py decode_mp3_main_general) through the per-channel
+    requantize/IMDCT/synthesis chain (operators/mp3imdct.py) over
+    Arrow batches; integer PCM aggregates summed over channels.""",
+)
+
+
 synthesize_mp3_reservoir = _codec_synthesizer(
     "cobradb_spark.operators.mp3huff", "encode_mp3_reservoir",
     """One mono MPEG-1 Layer III stream per row whose main data USES

@@ -2188,7 +2188,7 @@ def _odiv(expr: str, bits: int) -> str:
     return f"((({expr}) + {off}) // {1 << bits} - {off >> (bits)})"
 
 
-def _mp3_ts_chain_sql(doc_filter: str) -> str:
+def _mp3_ts_chain_sql(doc_filter: str, doc_relation: str = "documents") -> str:
     """CTE chain from the documents table through per-(granule, subband,
     tick) subband time samples `ts(doc_id, gseq, sb, t, tsv)` plus the
     doc-level CTE `d(doc_id, n_frames, sr, ...)`.  The schedule/xr part
@@ -2216,7 +2216,7 @@ WITH d AS (
            WHEN 1 THEN [0,4,8,12,16,22,28,38,50,64,80,100,126,192]
            ELSE [0,4,8,12,16,22,30,42,58,78,104,138,180,192]
          END AS sfbs
-  FROM documents{doc_filter}),
+  FROM {doc_relation}{doc_filter}),
 gr AS (
   SELECT d.doc_id, d.n_frames, d.sr, d.sfb, d.sfbs, f.f, g.g,
          CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
@@ -2786,4 +2786,95 @@ def multimodal_mp1_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return decode_layer1_pcm_features(
         synthesize_layer1(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_mp3_stereo_pcm_decode",
+    oracle=_mp3_ts_chain_sql(
+        "",
+        "(SELECT 6 * doc_id + 3 * c.c + doc_id % 3 AS doc_id "
+        "FROM documents, UNNEST([0, 1]) AS c(c) WHERE doc_id % 10 = 0)",
+    ) + f""",
+s0 AS (
+  SELECT doc_id, 18 * gseq + t AS tg, sb,
+         {_odiv("tsv", _imdct3.TS_DIV_BITS)} AS s0v
+  FROM ts WHERE tsv <> 0),
+vc AS (
+  SELECT doc_id, tg, m.m AS m,
+         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
+                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
+  FROM s0, UNNEST(range(0, 64)) AS m(m)
+  WHERE s0v <> 0),
+v1 AS (
+  SELECT doc_id, tg, m,
+         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
+  FROM vc GROUP BY doc_id, tg, m),
+pc AS (
+  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m < 32 AND v1v <> 0
+  UNION ALL
+  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m >= 32 AND v1v <> 0),
+pcm AS (
+  SELECT pc.doc_id, t_out, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
+  FROM pc JOIN d ON d.doc_id = pc.doc_id
+  WHERE t_out < 36 * d.n_frames
+  GROUP BY pc.doc_id, t_out, j),
+vagg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
+         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
+         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
+         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
+  FROM pcm GROUP BY doc_id),
+vdoc AS (
+  SELECT d.doc_id, d.n_frames, d.sr,
+         COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
+         COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
+         COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
+         COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
+  FROM d LEFT JOIN vagg a ON a.doc_id = d.doc_id)
+SELECT (doc_id // 3) // 2 AS doc_id,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(MAX(sr) AS BIGINT) AS sample_rate,
+       CAST(SUM(36 * n_frames * 32) AS BIGINT) AS n_pcm,
+       CAST(SUM(n_pcm_nz) AS BIGINT) AS n_pcm_nz,
+       CAST(SUM(sum_pcm_fp) AS BIGINT) AS sum_pcm_fp,
+       CAST(SUM(sum_abs_pcm_fp) AS BIGINT) AS sum_abs_pcm_fp,
+       CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
+FROM vdoc GROUP BY (doc_id // 3) // 2
+""",
+    doc="REAL TWO-CHANNEL MPEG-1 Layer III decode to PCM: the 32-byte "
+    "stereo side-info record and gr0ch0 gr0ch1 gr1ch0 gr1ch1 main-data "
+    "interleave (stereo / joint-ext0 / dual rotation) through the "
+    "per-channel requantize -> alias/IMDCT -> overlap-add -> polyphase "
+    "synthesis chain.  Channels are independent end to end on this "
+    "fixture (mode_extension 0: no intensity/MS math), and each "
+    "channel's content is the mono schedule at a collision-free "
+    "virtual doc (v = 6d + 3ch + d%3, same sr/frame count per "
+    "channel), so the oracle is the PROVEN mono PCM replay evaluated "
+    "at the virtual ids and summed over channels — no new arithmetic "
+    "to trust; a desynced channel interleave or cross-channel overlap "
+    "state hash-mismatches.  Fixture: every 10th document.  Scale "
+    "posture: Arrow mapInPandas, one row per document, "
+    "per-row-linear, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_stereo_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_stereo_pcm_features,
+        synthesize_mp3_stereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return decode_mp3_stereo_pcm_features(
+        synthesize_mp3_stereo(d, id_col="doc_id")
     ).withColumnRenamed("id", "doc_id")

@@ -2194,3 +2194,46 @@ def test_layer1_layer2_pcm_crossengine_and_shared_filterbank():
     assert (m.synthesis_pcm(zero) == 0).all()
     # SF_FP is floor(2 * 2^(-idx/3) * 2^28): spot-check the dyadic rows
     assert SF_FP[0] == 2 << 28 and SF_FP[3] == 1 << 28 and SF_FP[6] == 1 << 27
+
+
+def test_mp3_stereo_pcm_channel_exactness_and_oracle():
+    """Stereo Layer III to PCM: (a) the stereo chain's aggregates equal
+    the SUM of the mono chain at the two virtual docs — channel
+    EXACTNESS through symbol decode, requantization, IMDCT, overlap
+    state, and synthesis (a cross-channel overlap or FIFO leak breaks
+    this); (b) the registered SQL oracle (mono replay at virtual ids,
+    regrouped) reproduces the decode BIT-EXACTLY."""
+    import duckdb
+
+    from cobradb_spark.operators.mp3huff import (
+        encode_mp3_main,
+        encode_mp3_stereo,
+        mp3_stereo_virtual_docs,
+    )
+    from cobradb_spark.operators.mp3imdct import (
+        decode_mp3_pcm,
+        decode_mp3_stereo_pcm,
+    )
+    from cobradb_spark.registry import get_query
+
+    cols = ("n_pcm", "n_pcm_nz", "sum_pcm_fp", "sum_abs_pcm_fp", "sum_pcm_w_fp")
+    for d in (0, 7, 23, 101, 250):
+        st = decode_mp3_stereo_pcm(encode_mp3_stereo(d))
+        v0, v1 = mp3_stereo_virtual_docs(d)
+        m0 = decode_mp3_pcm(encode_mp3_main(v0))
+        m1 = decode_mp3_pcm(encode_mp3_main(v1))
+        for k in cols:
+            assert st[k] == m0[k] + m1[k], (d, k)
+        assert st["n_frames"] == m0["n_frames"] == m1["n_frames"]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM range(0, 60) t(doc_id)")
+    ora = (
+        con.execute(get_query("multimodal_mp3_stereo_pcm_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    assert len(ora) == 6  # %10 subset
+    for d in range(0, 60, 10):
+        got = decode_mp3_stereo_pcm(encode_mp3_stereo(d))
+        for k in ("n_frames", "sample_rate", *cols):
+            assert int(ora.loc[d, k]) == int(got[k]), (d, k)

@@ -1726,6 +1726,13 @@ AUDITS = [
         "filterbank; one row per document",
     ),
     (
+        "multimodal_mp3_stereo_pcm_decode",
+        ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "two-channel Layer III decode to PCM; per-channel chains over "
+        "Arrow batches; one row per document",
+    ),
+    (
         "multimodal_bmp_decode",
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin"],
