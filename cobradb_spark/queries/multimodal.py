@@ -2389,6 +2389,59 @@ ts AS (
 """
 
 
+def _pcm_synth_sql(sfp_rel: str, t_bound: str) -> str:
+    """Shared polyphase-synthesis replay (one text for all four PCM
+    oracles — Layer I, Layer II, Layer III mono and stereo): matrixing
+    vc -> v1, zig-zag FIFO expansion pc, windowed sum pcm over a
+    relation {sfp_rel}(doc_id, tg, sb, s0v); pcm rows bounded at
+    t_out < {t_bound}.  Tables embedded from operators/mp3imdct.py."""
+    return f""",
+vc AS (
+  SELECT doc_id, tg, m.m AS m,
+         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
+                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
+  FROM {sfp_rel}, UNNEST(range(0, 64)) AS m(m)
+  WHERE s0v <> 0),
+v1 AS (
+  SELECT doc_id, tg, m,
+         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
+  FROM vc GROUP BY doc_id, tg, m),
+pc AS (
+  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m < 32 AND v1v <> 0
+  UNION ALL
+  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
+         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
+                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
+  FROM v1, UNNEST(range(0, 8)) AS i(i)
+  WHERE m >= 32 AND v1v <> 0),
+pcm AS (
+  SELECT pc.doc_id, t_out, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
+  FROM pc JOIN d ON d.doc_id = pc.doc_id
+  WHERE t_out < {t_bound}
+  GROUP BY pc.doc_id, t_out, j),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
+         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
+         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
+         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
+  FROM pcm GROUP BY doc_id)"""
+
+
+# ts(doc_id, gseq, sb, t, tsv) -> the synthesis input relation for the
+# Layer III PCM oracles.
+_MP3_S0_SQL = f""",
+s0 AS (
+  SELECT doc_id, 18 * gseq + t AS tg, sb,
+         {_odiv("tsv", _imdct3.TS_DIV_BITS)} AS s0v
+  FROM ts WHERE tsv <> 0)"""
+
+
 @register(
     "multimodal_mp3_imdct_decode",
     oracle=_mp3_ts_chain_sql("") + """,
@@ -2443,46 +2496,8 @@ def multimodal_mp3_imdct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_mp3_pcm_decode",
-    oracle=_mp3_ts_chain_sql(" WHERE doc_id % 10 = 0") + f""",
-s0 AS (
-  SELECT doc_id, 18 * gseq + t AS tg, sb,
-         {_odiv("tsv", _imdct3.TS_DIV_BITS)} AS s0v
-  FROM ts WHERE tsv <> 0),
-vc AS (
-  SELECT doc_id, tg, m.m AS m,
-         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
-                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
-  FROM s0, UNNEST(range(0, 64)) AS m(m)
-  WHERE s0v <> 0),
-v1 AS (
-  SELECT doc_id, tg, m,
-         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
-  FROM vc GROUP BY doc_id, tg, m),
-pc AS (
-  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m < 32 AND v1v <> 0
-  UNION ALL
-  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m >= 32 AND v1v <> 0),
-pcm AS (
-  SELECT pc.doc_id, t_out, j,
-         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
-  FROM pc JOIN d ON d.doc_id = pc.doc_id
-  WHERE t_out < 36 * d.n_frames
-  GROUP BY pc.doc_id, t_out, j),
-agg AS (
-  SELECT doc_id,
-         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
-         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
-         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
-         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
-  FROM pcm GROUP BY doc_id)
+    oracle=_mp3_ts_chain_sql(" WHERE doc_id % 10 = 0") + _MP3_S0_SQL
+    + _pcm_synth_sql("s0", "36 * d.n_frames") + """
 SELECT d.doc_id,
        CAST(d.n_frames AS BIGINT) AS n_frames,
        CAST(d.sr AS BIGINT) AS sample_rate,
@@ -2594,42 +2609,8 @@ sfp AS (
 
 @register(
     "multimodal_mp2_pcm_decode",
-    oracle=_mp2_sfp_sql(" WHERE doc_id % 5 = 0") + f""",
-vc AS (
-  SELECT doc_id, tg, m.m AS m,
-         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
-                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
-  FROM sfp, UNNEST(range(0, 64)) AS m(m)
-  WHERE s0v <> 0),
-v1 AS (
-  SELECT doc_id, tg, m,
-         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
-  FROM vc GROUP BY doc_id, tg, m),
-pc AS (
-  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m < 32 AND v1v <> 0
-  UNION ALL
-  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m >= 32 AND v1v <> 0),
-pcm AS (
-  SELECT pc.doc_id, t_out, j,
-         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
-  FROM pc JOIN d ON d.doc_id = pc.doc_id
-  WHERE t_out < 36 * d.n_frames
-  GROUP BY pc.doc_id, t_out, j),
-agg AS (
-  SELECT doc_id,
-         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
-         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
-         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
-         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
-  FROM pcm GROUP BY doc_id)
+    oracle=_mp2_sfp_sql(" WHERE doc_id % 5 = 0")
+    + _pcm_synth_sql("sfp", "36 * d.n_frames") + """
 SELECT d.doc_id,
        CAST(d.n_frames AS BIGINT) AS n_frames,
        CAST(d.sr AS BIGINT) AS sample_rate,
@@ -2711,42 +2692,12 @@ sfp AS (
 """
 
 
-_MP1_PCM_SYNTH_TAIL = f""",
-vc AS (
-  SELECT doc_id, tg, m.m AS m,
-         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
-                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
-  FROM sfp, UNNEST(range(0, 64)) AS m(m)
-  WHERE s0v <> 0),
-v1 AS (
-  SELECT doc_id, tg, m,
-         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
-  FROM vc GROUP BY doc_id, tg, m),
-pc AS (
-  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m < 32 AND v1v <> 0
-  UNION ALL
-  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m >= 32 AND v1v <> 0),
-pcm AS (
-  SELECT pc.doc_id, t_out, j,
-         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
-  FROM pc JOIN d ON d.doc_id = pc.doc_id
-  WHERE t_out < 12 * d.n_frames
-  GROUP BY pc.doc_id, t_out, j),
-agg AS (
-  SELECT doc_id,
-         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
-         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
-         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
-         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
-  FROM pcm GROUP BY doc_id)
+
+
+@register(
+    "multimodal_mp1_pcm_decode",
+    oracle=_mp1_sfp_sql(" WHERE doc_id % 5 = 0")
+    + _pcm_synth_sql("sfp", "12 * d.n_frames") + """
 SELECT d.doc_id,
        CAST(d.n_frames AS BIGINT) AS n_frames,
        CAST(d.sr AS BIGINT) AS sample_rate,
@@ -2756,12 +2707,7 @@ SELECT d.doc_id,
        COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
-"""
-
-
-@register(
-    "multimodal_mp1_pcm_decode",
-    oracle=_mp1_sfp_sql(" WHERE doc_id % 5 = 0") + _MP1_PCM_SYNTH_TAIL,
+""",
     doc="REAL MPEG-1 Layer I decode to PCM — the general Layer I "
     "parser (4-bit allocations, 6-bit scalefactors, nb-bit codes, "
     "rational requantization num/(2^nb - 1)) feeding the SAME "
@@ -2795,53 +2741,14 @@ def multimodal_mp1_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "",
         "(SELECT 6 * doc_id + 3 * c.c + doc_id % 3 AS doc_id "
         "FROM documents, UNNEST([0, 1]) AS c(c) WHERE doc_id % 10 = 0)",
-    ) + f""",
-s0 AS (
-  SELECT doc_id, 18 * gseq + t AS tg, sb,
-         {_odiv("tsv", _imdct3.TS_DIV_BITS)} AS s0v
-  FROM ts WHERE tsv <> 0),
-vc AS (
-  SELECT doc_id, tg, m.m AS m,
-         s0v * list_extract({_sql_ints(_imdct3.N_FP)},
-                            CAST(m.m * 32 + sb + 1 AS INTEGER)) AS c
-  FROM s0, UNNEST(range(0, 64)) AS m(m)
-  WHERE s0v <> 0),
-v1 AS (
-  SELECT doc_id, tg, m,
-         {_odiv("CAST(" + _odiv("SUM(c)", _imdct3.FP_BITS) + " AS BIGINT)", _imdct3.V_DIV_BITS)} AS v1v
-  FROM vc GROUP BY doc_id, tg, m),
-pc AS (
-  SELECT doc_id, tg + 2 * i.i AS t_out, m AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m < 32 AND v1v <> 0
-  UNION ALL
-  SELECT doc_id, tg + 2 * i.i + 1 AS t_out, m - 32 AS j,
-         v1v * list_extract({_sql_ints(_imdct3.D_FP)},
-                            CAST(m + 64 * i.i + 1 AS INTEGER)) AS c
-  FROM v1, UNNEST(range(0, 8)) AS i(i)
-  WHERE m >= 32 AND v1v <> 0),
-pcm AS (
-  SELECT pc.doc_id, t_out, j,
-         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS p
-  FROM pc JOIN d ON d.doc_id = pc.doc_id
-  WHERE t_out < 36 * d.n_frames
-  GROUP BY pc.doc_id, t_out, j),
-vagg AS (
-  SELECT doc_id,
-         CAST(COUNT(*) FILTER (p <> 0) AS BIGINT) AS n_pcm_nz,
-         CAST(SUM(p) AS BIGINT) AS sum_pcm_fp,
-         CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_pcm_fp,
-         CAST(SUM(p * (1 + (t_out + j) % 11)) AS BIGINT) AS sum_pcm_w_fp
-  FROM pcm GROUP BY doc_id),
+    ) + _MP3_S0_SQL + _pcm_synth_sql("s0", "36 * d.n_frames") + """,
 vdoc AS (
   SELECT d.doc_id, d.n_frames, d.sr,
          COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
          COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
          COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
          COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
-  FROM d LEFT JOIN vagg a ON a.doc_id = d.doc_id)
+  FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id)
 SELECT (doc_id // 3) // 2 AS doc_id,
        CAST(MAX(n_frames) AS BIGINT) AS n_frames,
        CAST(MAX(sr) AS BIGINT) AS sample_rate,
