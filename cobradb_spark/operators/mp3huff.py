@@ -474,6 +474,82 @@ def encode_mp3_stereo(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def mp3_jstereo_schedule(doc_id: int, ch: int) -> dict:
+    """Deterministic JOINT-STEREO schedule for channel ch (shared by
+    the encoder, the SQL oracle, and the tests), shaped for
+    _build_granules.  Deliberately simpler than the mono schedule so
+    the requantized-domain stereo math is the thing under test: all
+    granules LONG, scfsi 0, scalefac_compress 13 (slen 3/3 — every
+    band's scalefactor is 3 bits, so ch1's values double as legal
+    is_pos 0..7), preflag 0, no count1 quads.  ch0 carries a wide
+    coded region (bv 40-69); ch1 a narrow one (bv 5-14), so intensity
+    bands (band lower edge >= ch1's rzero start) always exist.
+    mode_extension rotates 1/2/3 per frame (encoder header)."""
+    bv = (lambda f, g: 40 + (doc_id + f + g) % 30) if ch == 0 else (
+        lambda f, g: 5 + (doc_id + f + g) % 10
+    )
+    return {
+        "sr_idx": doc_id % 3,
+        "n_frames": 2 + doc_id % 2,
+        "short": lambda f, g: False,
+        "scfsi": lambda f: 0,
+        "scalefac_compress": lambda f, g: 13,
+        "sf_value": lambda f, g, j, sl: (doc_id + ch * 5 + f + 2 * g + j) % 8,
+        "big_values": bv,
+        "region0": lambda f, g: 2 + (doc_id + f + g) % 6,
+        "region1": lambda f, g: 2 + (doc_id + f) % 5,
+        "table": lambda f, g, r: _TB[(doc_id + 2 * f + 3 * g + r + ch) % 5],
+        "bv_value": lambda f, g, i, m: (doc_id * 11 + ch * 13 + 3 * f + 5 * g + 7 * i)
+        % (m + 1),
+        "bv_sign": lambda f, g, i: (doc_id + ch + f + g + i) % 2,
+        "n_quads": lambda f, g: 0,
+        "c1_bit": lambda f, g, q, p: 0,
+        "c1_sign": lambda q, p: 0,
+        "count1table": lambda f, g: 0,
+        "preflag": lambda f, g: 0,
+        "scalefac_scale": lambda f, g: (doc_id + f) % 2,
+        "subblock_gain": lambda g, k: 0,
+    }
+
+
+def encode_mp3_jstereo(doc_id: int) -> bytes:
+    """Spec-valid TWO-CHANNEL joint-stereo MPEG-1 Layer III stream
+    whose frames USE mode_extension: ext = 1 + (doc_id + f) % 3
+    rotates intensity-only / MS-only / both.  Channel content follows
+    mp3_jstereo_schedule; global_gain = (2*doc_id + ch + g) % 256
+    (the gg virtual id passed to _build_granules)."""
+    schs = [mp3_jstereo_schedule(doc_id, ch) for ch in range(2)]
+    sr_idx = schs[0]["sr_idx"]
+    sfb = SFB_LONG[SAMPLE_RATE[sr_idx]]
+    n_frames = schs[0]["n_frames"]
+    out = bytearray()
+    for f in range(n_frames):
+        ext = 1 + (doc_id + f) % 3
+        grs_by_ch, scfsi_by_ch = [], []
+        for ch in range(2):
+            grs, scfsi = _build_granules(schs[ch], 2 * doc_id + ch, sfb, f)
+            grs_by_ch.append(grs)
+            scfsi_by_ch.append(scfsi)
+        si = _write_side_info_stereo(grs_by_ch, scfsi_by_ch, 0)
+        need_bits = sum(len(gr["bits"]) for grs in grs_by_ch for gr in grs)
+        br_idx = next(
+            i for i in range(1, 15)
+            if (frame_length(i, sr_idx, 0) - 36) * 8 >= need_bits
+        )
+        flen = frame_length(br_idx, sr_idx, 0)
+        main = _BitWriter()
+        for g in range(2):
+            for ch in range(2):
+                main.bits.extend(grs_by_ch[ch][g]["bits"])
+        b0, b1 = 0xFF, 0xE0 | (0b11 << 3) | (0b01 << 1) | 0b1
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        b3 = (0b01 << 6) | (ext << 4) | 0x04
+        out += bytes((b0, b1, b2, b3))
+        out += si.to_bytes(32)
+        out += main.to_bytes(flen - 36)
+    return bytes(out)
+
+
 def encode_mp3_reservoir(doc_id: int) -> bytes:
     """Spec-valid mono Layer III stream whose main data USES the bit
     reservoir (ISO 11172-3 2.4.1.7 main_data_begin): granule bits are
@@ -572,7 +648,15 @@ def decode_mp3_main_general(data: bytes) -> dict:
     return _decode_mp3_main(data, require_mono=False)
 
 
-def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
+def decode_mp3_main_joint(data: bytes) -> dict:
+    """General Layer III symbol decode that also ACCEPTS joint-stereo
+    mode_extension != 0 (intensity and/or MS): each granule record is
+    stamped with the frame's mode_ext so the requantized-domain stereo
+    processing (operators/mp3stereo.py) can apply it downstream."""
+    return _decode_mp3_main(data, require_mono=False, allow_joint=True)
+
+
+def _decode_mp3_main(data: bytes, require_mono: bool, allow_joint: bool = False) -> dict:
     pos = 0
     n_frames = 0
     sr = None
@@ -605,11 +689,15 @@ def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
         mode = b3 >> 6  # 00 stereo, 01 joint, 10 dual, 11 single
         if require_mono and mode != 0b11:
             raise ValueError("unsupported mp3 stream: not single-channel")
-        if mode == 0b01 and ((b3 >> 4) & 0b11) != 0:
+        mode_ext = (b3 >> 4) & 0b11
+        if mode != 0b01:
+            mode_ext = 0
+        if mode_ext != 0 and not allow_joint:
             raise ValueError(
                 "unsupported mp3 stream: intensity/MS joint stereo "
                 "(mode_extension != 0) is requantized-domain processing, "
-                "out of symbol-decode scope"
+                "out of symbol-decode scope here — decode via "
+                "decode_mp3_main_joint + operators/mp3stereo.py"
             )
         if nch is None:
             nch = 1 if mode == 0b11 else 2
@@ -779,6 +867,7 @@ def _decode_mp3_main(data: bytes, require_mono: bool) -> dict:
                     "scalefac_scale": rec["scalefac_scale"],
                     "subblock_gain": rec.get("subblock_gain"),
                     "scfsi": scfsi,
+                    "mode_ext": mode_ext,
                 }
             )
         n_frames += 1

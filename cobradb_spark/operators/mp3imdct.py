@@ -181,7 +181,7 @@ def granule_z(xr_fp: np.ndarray, short: bool, sr: int, bt_long: int = 0) -> np.n
     return zraw // FP_ONE
 
 
-def time_samples(dec: dict) -> dict:
+def time_samples(dec: dict, lines: list | None = None) -> dict:
     """Per-channel subband time samples for a decoded stream: overlap-
     add of consecutive granules' z (18 samples each) with frequency
     inversion (odd subband, odd sample -> negate).  Returns
@@ -189,7 +189,8 @@ def time_samples(dec: dict) -> dict:
     the final granule's z[18:] tail stays in (dropped) overlap state,
     as in any streaming decoder."""
     sr = dec["sample_rate"]
-    lines = requantize_lines(dec)
+    if lines is None:
+        lines = requantize_lines(dec)
     by_ch: dict[int, list] = {}
     for rec in lines:
         by_ch.setdefault(rec["ch"], []).append(rec)
@@ -257,14 +258,14 @@ def decode_mp3_imdct(data: bytes) -> dict:
     }
 
 
-def _pcm_aggregates(dec: dict) -> dict:
+def _pcm_aggregates(dec: dict, lines: list | None = None) -> dict:
     """Synthesis + aggregation over every channel of a decoded Layer
     III stream: channels run the chain independently (the fixture's
     joint modes are mode_extension 0 — layout-identical, no
     intensity/MS math), and the per-(tick, slot) weights are
     channel-symmetric, so stereo aggregates are exactly the sum of the
     per-channel chains — which is what the stereo oracle replays."""
-    ts_by_ch = time_samples(dec)
+    ts_by_ch = time_samples(dec, lines=lines)
     n_nz = s_pcm = s_abs = s_w = n_total = 0
     for ts in ts_by_ch.values():
         pcm = synthesis_pcm(ts)
@@ -294,6 +295,19 @@ def decode_mp3_pcm(data: bytes) -> dict:
     the FIFO's zero warm-up is part of the contract (heads sum over
     fewer taps)."""
     return _pcm_aggregates(decode_mp3_main(data))
+
+
+def decode_mp3_joint_pcm(data: bytes) -> dict:
+    """Full JOINT-STEREO Layer III decode to PCM: symbol decode with
+    mode_extension accepted (mp3huff.decode_mp3_main_joint), MS +
+    intensity stereo processing on the requantized spectra
+    (operators/mp3stereo.py), then the per-channel IMDCT/synthesis
+    chain.  Aggregates sum over both output channels."""
+    from cobradb_spark.operators.mp3huff import decode_mp3_main_joint
+    from cobradb_spark.operators.mp3stereo import joint_stereo_lines
+
+    dec = decode_mp3_main_joint(data)
+    return _pcm_aggregates(dec, lines=joint_stereo_lines(dec))
 
 
 def decode_mp3_stereo_pcm(data: bytes) -> dict:

@@ -1099,6 +1099,28 @@ decode_mp3_stereo_pcm_features = _codec_feature_decoder(
 )
 
 
+synthesize_mp3_jstereo = _codec_synthesizer(
+    "cobradb_spark.operators.mp3huff", "encode_mp3_jstereo",
+    """One TWO-CHANNEL JOINT-STEREO MPEG-1 Layer III stream per row
+    (operators/mp3huff.py encode_mp3_jstereo): mode_extension rotates
+    intensity-only / MS-only / both per frame; long-only granules with
+    3-bit scalefactors so ch1's values double as legal is_pos.""",
+)
+
+
+decode_mp3_joint_pcm_features = _codec_feature_decoder(
+    "cobradb_spark.operators.mp3imdct", "decode_mp3_joint_pcm",
+    (
+        "n_frames", "sample_rate", "n_pcm", "n_pcm_nz", "sum_pcm_fp",
+        "sum_abs_pcm_fp", "sum_pcm_w_fp",
+    ),
+    """Full JOINT-STEREO Layer III decode to PCM: symbol decode with
+    mode_extension accepted, MS + intensity processing on the
+    requantized spectra (operators/mp3stereo.py), per-channel
+    IMDCT/synthesis (operators/mp3imdct.py) over Arrow batches.""",
+)
+
+
 synthesize_mp3_reservoir = _codec_synthesizer(
     "cobradb_spark.operators.mp3huff", "encode_mp3_reservoir",
     """One mono MPEG-1 Layer III stream per row whose main data USES

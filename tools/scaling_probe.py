@@ -240,6 +240,7 @@ PROBES = [
     "multimodal_mp1_pcm_decode",
     "multimodal_mp2_pcm_decode",
     "multimodal_mp3_stereo_pcm_decode",
+    "multimodal_mp3_joint_pcm_decode",
 ]
 
 
