@@ -2326,3 +2326,33 @@ def test_mp3_joint_stereo_ms_intensity_semantics_and_oracle():
         raise AssertionError("strict decode must reject mode_extension != 0")
     except ValueError as e:
         assert "mode_extension" in str(e)
+
+
+def test_mp3_joint_pcm_fuzz_never_crashes():
+    """Mutation fuzz through the joint-stereo chain: flip one byte in a
+    valid joint stream — decode_mp3_joint_pcm must either raise
+    ValueError/NotImplementedError (a flip can fabricate a
+    window-switching granule, whose intensity handling is the
+    documented sub-boundary) or return well-formed aggregates with the
+    documented int64 headroom."""
+    import numpy as np
+
+    from cobradb_spark.operators.mp3huff import encode_mp3_jstereo
+    from cobradb_spark.operators.mp3imdct import decode_mp3_joint_pcm
+
+    base = bytearray(encode_mp3_jstereo(123))
+    rng = np.random.default_rng(1231)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(base)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_mp3_joint_pcm(bytes(b))
+            assert out["n_pcm"] == 2 * 36 * out["n_frames"] * 32
+            assert 0 <= out["n_pcm_nz"] <= out["n_pcm"]
+            assert abs(out["sum_pcm_fp"]) <= out["sum_abs_pcm_fp"] < 1 << 62
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["rejected"] += 1
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
