@@ -2836,6 +2836,7 @@ xl AS (
   SELECT gr.*, c.ch,
          CASE c.ch WHEN 0 THEN gr.bvl ELSE gr.bvr END AS bv,
          b.b, i.i,
+         list_extract(gr.sfb, CAST(b.b AS INTEGER) + 1) AS edge_lo,
          (gr.rdoc + c.ch * 5 + gr.f + 2 * gr.g
           + CASE WHEN b.b < 21 THEN b.b ELSE 20 END) % 8 AS sfv_raw,
          (2 * gr.rdoc + c.ch + gr.g) % 256 AS gg
@@ -2847,7 +2848,7 @@ xl AS (
                           2 * CASE c.ch WHEN 0 THEN gr.bvl ELSE gr.bvr END)))
          AS i(i)),
 xv AS (
-  SELECT rdoc, n_frames, sr, sfb, f, g, ext, bvr, ch, b, i,
+  SELECT rdoc, n_frames, sr, f, g, ext, bvr, ch, b, i, edge_lo,
          gg - 210 - sfsu * (CASE WHEN b < 21 THEN sfv_raw ELSE 0 END) AS q,
          (rdoc * 11 + ch * 13 + 3 * f + 5 * g + 7 * i)
            % (list_extract([1,2,2,3,0],
@@ -2859,7 +2860,7 @@ xv AS (
          (rdoc + ch + f + g + i) % 2 AS neg
   FROM xl),
 xr AS (
-  SELECT rdoc, n_frames, sr, sfb, f, g, ext, bvr, ch, b, i,
+  SELECT rdoc, n_frames, sr, f, g, ext, bvr, ch, b, i, edge_lo,
          (1 - 2 * neg)
            * CAST(FLOOR(((list_extract([0.0, 1.0, 2.5198420997897464, 4.3267487109222245],
                                        CAST(a AS INTEGER) + 1)
@@ -2869,13 +2870,13 @@ xr AS (
   FROM xv WHERE a > 0),
 pair AS (
   SELECT rdoc, n_frames, f, g, i, b, ext,
-         ANY_VALUE(sfb) AS sfb, ANY_VALUE(bvr) AS bvr,
+         ANY_VALUE(edge_lo) AS edge_lo, ANY_VALUE(bvr) AS bvr,
          COALESCE(SUM(CASE WHEN ch = 0 THEN xr END), 0) AS m,
          COALESCE(SUM(CASE WHEN ch = 1 THEN xr END), 0) AS s
   FROM xr GROUP BY rdoc, n_frames, f, g, i, b, ext),
 mixed AS (
   SELECT rdoc, f, g, i,
-         list_extract(sfb, CAST(b AS INTEGER) + 1) >= 2 * bvr
+         edge_lo >= 2 * bvr
            AND ext % 2 = 1 AS isb,
          (rdoc + 5 + f + 2 * g
           + CASE WHEN b < 21 THEN b ELSE 20 END) % 8 AS p,
