@@ -258,17 +258,13 @@ def decode_mp3_imdct(data: bytes) -> dict:
     }
 
 
-def _pcm_aggregates(dec: dict, lines: list | None = None) -> dict:
-    """Synthesis + aggregation over every channel of a decoded Layer
-    III stream: channels run the chain independently (the fixture's
-    joint modes are mode_extension 0 — layout-identical, no
-    intensity/MS math), and the per-(tick, slot) weights are
-    channel-symmetric, so stereo aggregates are exactly the sum of the
-    per-channel chains — which is what the stereo oracle replays."""
-    ts_by_ch = time_samples(dec, lines=lines)
+def _aggregate_pcm(pcm_arrays) -> dict:
+    """Integer PCM aggregates over per-channel (T, 32) arrays — ONE
+    implementation for every PCM key (Layer I/II/III, mono/stereo/
+    joint), matching the shared SQL tail: weight (1 + (t + j) % 11)
+    pins each sample's (tick, slot) placement."""
     n_nz = s_pcm = s_abs = s_w = n_total = 0
-    for ts in ts_by_ch.values():
-        pcm = synthesis_pcm(ts)
+    for pcm in pcm_arrays:
         t = np.arange(pcm.shape[0])[:, None]
         j = np.arange(32)[None, :]
         w = 1 + (t + j) % 11
@@ -278,13 +274,27 @@ def _pcm_aggregates(dec: dict, lines: list | None = None) -> dict:
         s_abs += int(np.abs(pcm).sum())
         s_w += int((pcm * w).sum())
     return {
-        "n_frames": dec["n_frames"],
-        "sample_rate": dec["sample_rate"],
         "n_pcm": n_total,
         "n_pcm_nz": n_nz,
         "sum_pcm_fp": s_pcm,
         "sum_abs_pcm_fp": s_abs,
         "sum_pcm_w_fp": s_w,
+    }
+
+
+
+def _pcm_aggregates(dec: dict, lines: list | None = None) -> dict:
+    """Synthesis + aggregation over every channel of a decoded Layer
+    III stream: channels run the chain independently (the fixture's
+    joint modes are mode_extension 0 — layout-identical, no
+    intensity/MS math), and the per-(tick, slot) weights are
+    channel-symmetric, so stereo aggregates are exactly the sum of the
+    per-channel chains — which is what the stereo oracle replays."""
+    ts_by_ch = time_samples(dec, lines=lines)
+    return {
+        "n_frames": dec["n_frames"],
+        "sample_rate": dec["sample_rate"],
+        **_aggregate_pcm(synthesis_pcm(ts) for ts in ts_by_ch.values()),
     }
 
 
@@ -329,32 +339,18 @@ def decode_layer2_pcm(data: bytes) -> dict:
     subband samples in 2^28 fixed point (mp2.py subband_samples_fp:
     floor(num * SF_FP[sf_idx] / L), exact integer both engines) ->
     synthesis_pcm.  Bounds: |s_fp| <= 2^30, S0 <= 2^22, V raw <=
-    32*2^22*2^18 = 2^45, pcm raw <= 16*2^23*2^18 = 2^45 — int64-safe.
-    Weight (1 + (t + j) % 11) pins each PCM sample's (tick, slot)."""
+    32*2^22*2^18 = 2^45, pcm raw <= 16*2^23*2^18 = 2^45 — int64-safe."""
     from cobradb_spark.operators.mp2 import decode_layer2_general
 
     dec = decode_layer2_general(data)
-    sfp = dec["subband_samples_fp"]  # (T, 32, nch) int64
-    n_nz = s_pcm = s_abs = s_w = n_total = 0
-    for ch in range(sfp.shape[2]):
-        pcm = synthesis_pcm(sfp[:, :, ch])
-        t = np.arange(pcm.shape[0])[:, None]
-        j = np.arange(32)[None, :]
-        w = 1 + (t + j) % 11
-        n_total += pcm.size
-        n_nz += int((pcm != 0).sum())
-        s_pcm += int(pcm.sum())
-        s_abs += int(np.abs(pcm).sum())
-        s_w += int((pcm * w).sum())
+    sfp = dec["subband_samples_fp"]
     return {
         "n_frames": dec["n_frames"],
         "sample_rate": dec["sample_rate"],
         "sblimit": dec["sblimit"],
-        "n_pcm": n_total,
-        "n_pcm_nz": n_nz,
-        "sum_pcm_fp": s_pcm,
-        "sum_abs_pcm_fp": s_abs,
-        "sum_pcm_w_fp": s_w,
+        **_aggregate_pcm(
+            synthesis_pcm(sfp[:, :, ch]) for ch in range(sfp.shape[2])
+        ),
     }
 
 
@@ -363,28 +359,15 @@ def decode_layer1_pcm(data: bytes) -> dict:
     synthesis filterbank (layer-independent in the spec): subband
     samples in 2^28 fixed point (mp3.py subband_samples_fp:
     floor(num * SF_FP[sf_idx] / (2^nb - 1))) -> synthesis_pcm.  Same
-    int64 bounds as decode_layer2_pcm.  Weight (1 + (t + j) % 11)."""
+    int64 bounds as decode_layer2_pcm."""
     from cobradb_spark.operators.mp3 import decode_layer1_general
 
     dec = decode_layer1_general(data)
-    sfp = dec["subband_samples_fp"]  # (T, 32, nch) int64
-    n_nz = s_pcm = s_abs = s_w = n_total = 0
-    for ch in range(sfp.shape[2]):
-        pcm = synthesis_pcm(sfp[:, :, ch])
-        t = np.arange(pcm.shape[0])[:, None]
-        j = np.arange(32)[None, :]
-        w = 1 + (t + j) % 11
-        n_total += pcm.size
-        n_nz += int((pcm != 0).sum())
-        s_pcm += int(pcm.sum())
-        s_abs += int(np.abs(pcm).sum())
-        s_w += int((pcm * w).sum())
+    sfp = dec["subband_samples_fp"]
     return {
         "n_frames": dec["n_frames"],
         "sample_rate": dec["sample_rate"],
-        "n_pcm": n_total,
-        "n_pcm_nz": n_nz,
-        "sum_pcm_fp": s_pcm,
-        "sum_abs_pcm_fp": s_abs,
-        "sum_pcm_w_fp": s_w,
+        **_aggregate_pcm(
+            synthesis_pcm(sfp[:, :, ch]) for ch in range(sfp.shape[2])
+        ),
     }

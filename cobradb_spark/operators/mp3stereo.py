@@ -33,7 +33,10 @@ from __future__ import annotations
 import numpy as np
 
 from cobradb_spark.operators.mp3huff import SFB_LONG
-from cobradb_spark.operators.mp3requant import requantize_lines
+from cobradb_spark.operators.mp3requant import (
+    _effective_long_scalefacs,
+    requantize_lines,
+)
 
 FP_BITS = 18
 FP_ONE = 1 << FP_BITS
@@ -96,6 +99,7 @@ def joint_stereo_lines(dec: dict) -> list[dict]:
     for gr in dec["granules"]:
         recs_by_key[(gr["frame"], gr["granule"], gr["ch"])] = gr
     out = [dict(rec) for rec in lines]
+    g0_eff_r: dict[int, "np.ndarray"] = {}
     for (f, g), chs in by_key.items():
         if set(chs) != {0, 1}:
             raise ValueError("corrupt joint stream: missing channel granule")
@@ -110,11 +114,19 @@ def joint_stereo_lines(dec: dict) -> list[dict]:
                 "documented sub-boundary (per-window is_pos); the joint "
                 "fixture is long-only"
             )
+        # is_pos reads the right granule's EFFECTIVE scalefactors —
+        # scfsi-shared groups copy granule 0's, exactly as
+        # requantization applies them; the RAW transmitted list is
+        # shorter and band-misaligned under scfsi (a corrupt stream
+        # flipping a scfsi bit must reject, not misindex).
+        eff_r = _effective_long_scalefacs(gr_r, g0_eff_r.get(f))
+        if g == 0:
+            g0_eff_r[f] = eff_r
         left, right = joint_mix_granule(
             lines[chs[0]]["xr_fp"],
             lines[chs[1]]["xr_fp"],
             ext,
-            gr_r["scalefacs"],
+            eff_r,
             len(gr_r["values"]),
             sr,
         )

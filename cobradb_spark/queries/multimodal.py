@@ -1714,9 +1714,12 @@ def multimodal_mp3_huffman_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     ).withColumnRenamed("id", "doc_id")
 
 
-@register(
-    "multimodal_mp3_requantize_decode",
-    oracle="""
+def _mp3_sched_prefix_sql(doc_filter: str = "", doc_relation: str = "documents") -> str:
+    """The mono main-data schedule replay (d/gr/gr2/ln_l/ln_s CTEs) —
+    ONE text shared by the requantization oracle and the time-domain
+    chain (_mp3_ts_chain_sql), so the two proven replays cannot
+    drift apart."""
+    return f"""
 WITH d AS (
   SELECT doc_id,
          2 + doc_id % 3 AS n_frames,
@@ -1732,7 +1735,7 @@ WITH d AS (
            WHEN 1 THEN [0,4,8,12,16,22,28,38,50,64,80,100,126,192]
            ELSE [0,4,8,12,16,22,30,42,58,78,104,138,180,192]
          END AS sfbs
-  FROM documents),
+  FROM {doc_relation}{doc_filter}),
 gr AS (
   SELECT d.doc_id, d.n_frames, d.sr, d.sfb, d.sfbs, f.f, g.g,
          CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
@@ -1810,7 +1813,12 @@ ln_s AS (
                           - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
                g2.nzend))) AS i(i)
   WHERE g2.short = 1),
-lines AS (
+"""
+
+
+@register(
+    "multimodal_mp3_requantize_decode",
+    oracle=_mp3_sched_prefix_sql() + """lines AS (
   SELECT doc_id, short, f, g, i,
          gg - 210 - sfsu * (sfv + pre * ptab) AS q,
          doc_id + f + 2 * g AS _unused,
@@ -2258,101 +2266,7 @@ def _mp3_ts_chain_sql(doc_filter: str, doc_relation: str = "documents") -> str:
     doc-level CTE `d(doc_id, n_frames, sr, ...)`.  The schedule/xr part
     mirrors the multimodal_mp3_requantize_decode oracle line for line;
     the time-domain stages mirror operators/mp3imdct.py."""
-    return f"""
-WITH d AS (
-  SELECT doc_id,
-         2 + doc_id % 3 AS n_frames,
-         list_extract([44100, 48000, 32000],
-                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
-         CASE CAST(doc_id % 3 AS INTEGER)
-           WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]
-           WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,230,276,330,384,576]
-           ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,364,448,550,576]
-         END AS sfb,
-         CASE CAST(doc_id % 3 AS INTEGER)
-           WHEN 0 THEN [0,4,8,12,16,22,30,40,52,66,84,106,136,192]
-           WHEN 1 THEN [0,4,8,12,16,22,28,38,50,64,80,100,126,192]
-           ELSE [0,4,8,12,16,22,30,42,58,78,104,138,180,192]
-         END AS sfbs
-  FROM {doc_relation}{doc_filter}),
-gr AS (
-  SELECT d.doc_id, d.n_frames, d.sr, d.sfb, d.sfbs, f.f, g.g,
-         CASE WHEN (d.doc_id + 2 * f.f + g.g) % 5 = 0 THEN 1 ELSE 0 END AS short,
-         CASE WHEN (d.doc_id + 2 * f.f) % 5 <> 0
-               AND (d.doc_id + 2 * f.f + 1) % 5 <> 0
-              THEN (d.doc_id + f.f) % 16 ELSE 0 END AS scfsi,
-         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
-                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s1,
-         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
-                      CAST((d.doc_id + 3 * f.f + 5 * g.g) % 16 AS INTEGER) + 1) AS s2,
-         list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
-                      CAST((d.doc_id + 3 * f.f) % 16 AS INTEGER) + 1) AS s10,
-         list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
-                      CAST((d.doc_id + 3 * f.f) % 16 AS INTEGER) + 1) AS s20,
-         (d.doc_id * 3 + 5 * f.f + 7 * g.g) % 100 AS bv,
-         2 + (d.doc_id + f.f + g.g) % 6 AS r0c,
-         2 + (d.doc_id + f.f + 2 * g.g) % 5 AS r1c,
-         (d.doc_id + f.f + 2 * g.g) % 12 AS nq,
-         (d.doc_id + g.g) % 256 AS gg,
-         (d.doc_id + f.f + g.g) % 2 AS pre,
-         2 * ((d.doc_id + f.f) % 2 + 1) AS sfsu
-  FROM d,
-       UNNEST(range(0, d.n_frames)) AS f(f),
-       UNNEST(range(0, 2)) AS g(g)),
-gr2 AS (
-  SELECT *, 2 * bv + 4 * nq AS nzend,
-         CASE WHEN short = 1 THEN LEAST(36, 2 * bv)
-              ELSE LEAST(list_extract(sfb, CAST(r0c AS INTEGER) + 2), 2 * bv) END AS e0,
-         CASE WHEN short = 1 THEN 2 * bv
-              ELSE LEAST(list_extract(sfb, CAST(r0c + r1c AS INTEGER) + 3), 2 * bv) END AS e1
-  FROM gr),
-ln_l AS (
-  SELECT g2.*, b.b, -1 AS w, i.i,
-         CASE WHEN b.b >= 21 THEN 0
-              WHEN g2.g = 1 AND g2.scfsi > 0
-                   AND ((g2.scfsi // list_extract([8,4,2,1],
-                          CAST(CASE WHEN b.b < 6 THEN 0 WHEN b.b < 11 THEN 1
-                               WHEN b.b < 16 THEN 2 ELSE 3 END AS INTEGER) + 1)) % 2) = 1
-              THEN (g2.doc_id + g2.f + b.b)
-                   % (1 << CASE WHEN b.b < 11 THEN g2.s10 ELSE g2.s20 END)
-              ELSE (g2.doc_id + g2.f + 2 * g2.g
-                    + CASE WHEN g2.g = 1 AND g2.scfsi > 0
-                      THEN (CASE WHEN b.b >= 6 AND (g2.scfsi // 8) % 2 = 0 THEN 6 ELSE 0 END)
-                         + (CASE WHEN b.b >= 11 AND (g2.scfsi // 4) % 2 = 0 THEN 5 ELSE 0 END)
-                         + (CASE WHEN b.b >= 16 AND (g2.scfsi // 2) % 2 = 0 THEN 5 ELSE 0 END)
-                         + b.b - CASE WHEN b.b < 6 THEN 0 WHEN b.b < 11 THEN 6
-                                      WHEN b.b < 16 THEN 11 ELSE 16 END
-                      ELSE b.b END)
-                   % (1 << CASE WHEN b.b < 11 THEN g2.s1 ELSE g2.s2 END)
-         END AS sfv,
-         list_extract([0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0],
-                      CAST(b.b AS INTEGER) + 1) AS ptab
-  FROM gr2 g2,
-       UNNEST(range(0, 22)) AS b(b),
-       UNNEST(range(list_extract(g2.sfb, CAST(b.b AS INTEGER) + 1),
-                    LEAST(list_extract(g2.sfb, CAST(b.b AS INTEGER) + 2),
-                          g2.nzend))) AS i(i)
-  WHERE g2.short = 0),
-ln_s AS (
-  SELECT g2.*, b.b, w.w, i.i,
-         CASE WHEN b.b >= 12 THEN 0
-              ELSE (g2.doc_id + g2.f + 2 * g2.g + 3 * b.b + w.w)
-                   % (1 << CASE WHEN b.b < 6 THEN g2.s1 ELSE g2.s2 END)
-         END AS sfv,
-         0 AS ptab
-  FROM gr2 g2,
-       UNNEST(range(0, 13)) AS b(b),
-       UNNEST(range(0, 3)) AS w(w),
-       UNNEST(range(
-         3 * list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)
-           + w.w * (list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 2)
-                    - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
-         LEAST(3 * list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)
-           + (w.w + 1) * (list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 2)
-                          - list_extract(g2.sfbs, CAST(b.b AS INTEGER) + 1)),
-               g2.nzend))) AS i(i)
-  WHERE g2.short = 1),
-xlines AS (
+    return _mp3_sched_prefix_sql(doc_filter, doc_relation) + f"""xlines AS (
   SELECT doc_id, short, f, g, i, i AS pos,
          gg - 210 - sfsu * (sfv + pre * ptab) AS q,
          e0, e1, bv

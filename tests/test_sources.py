@@ -2327,6 +2327,23 @@ def test_mp3_joint_stereo_ms_intensity_semantics_and_oracle():
     except ValueError as e:
         assert "mode_extension" in str(e)
 
+    # regression (round-11 review): a flipped scfsi bit makes granule 1
+    # transmit FEWER scalefactors; is_pos must read the scfsi-EFFECTIVE
+    # list (clean decode or ValueError), never misindex the raw one.
+    b = bytearray(encode_mp3_jstereo(123))
+    crashes = 0
+    for pos in range(4, 36):  # both side-info scfsi regions
+        for bit in range(8):
+            bb = bytearray(b)
+            bb[pos] ^= 1 << bit
+            try:
+                decode_mp3_joint_pcm(bytes(bb))
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception:
+                crashes += 1
+    assert crashes == 0
+
 
 def test_mp3_joint_pcm_fuzz_never_crashes():
     """Mutation fuzz through the joint-stereo chain: flip one byte in a
