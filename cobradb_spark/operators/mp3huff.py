@@ -512,13 +512,11 @@ def mp3_jstereo_schedule(doc_id: int, ch: int) -> dict:
     }
 
 
-def encode_mp3_jstereo(doc_id: int) -> bytes:
-    """Spec-valid TWO-CHANNEL joint-stereo MPEG-1 Layer III stream
-    whose frames USE mode_extension: ext = 1 + (doc_id + f) % 3
-    rotates intensity-only / MS-only / both.  Channel content follows
-    mp3_jstereo_schedule; global_gain = (2*doc_id + ch + g) % 256
-    (the gg virtual id passed to _build_granules)."""
-    schs = [mp3_jstereo_schedule(doc_id, ch) for ch in range(2)]
+def _encode_joint(doc_id: int, schs) -> bytes:
+    """Assemble a two-channel joint-stereo stream from per-channel
+    schedules: mode_extension ext = 1 + (doc_id + f) % 3 rotates
+    intensity-only / MS-only / both per frame; global_gain =
+    (2*doc_id + ch + g) % 256 (the gg virtual id)."""
     sr_idx = schs[0]["sr_idx"]
     sfb = SFB_LONG[SAMPLE_RATE[sr_idx]]
     n_frames = schs[0]["n_frames"]
@@ -548,6 +546,58 @@ def encode_mp3_jstereo(doc_id: int) -> bytes:
         out += si.to_bytes(32)
         out += main.to_bytes(flen - 36)
     return bytes(out)
+
+
+def encode_mp3_jstereo(doc_id: int) -> bytes:
+    """Spec-valid TWO-CHANNEL joint-stereo MPEG-1 Layer III stream
+    whose frames USE mode_extension (long-only granules; channel
+    content follows mp3_jstereo_schedule)."""
+    return _encode_joint(doc_id, [mp3_jstereo_schedule(doc_id, ch) for ch in range(2)])
+
+
+def mp3_jstereo_short_schedule(doc_id: int, ch: int) -> dict:
+    """Joint-stereo schedule variant with every granule SHORT
+    (window-switching, block_type 2) — exercises the per-window
+    intensity semantics.  Same simplifications as the long schedule
+    (scalefac_compress 13 so the 36 short scalefactors are 3 bits each
+    and ch1's double as legal per-(band, window) is_pos; no count1);
+    subblock gains rotate so the requantized window gains differ.
+    ch0 carries a wide coded region (bv 30-54, past the 36-line
+    region-0 split), ch1 a narrow one (bv 4-12), so whole-window
+    intensity regions always exist."""
+    bv = (lambda f, g: 30 + (doc_id + f + g) % 25) if ch == 0 else (
+        lambda f, g: 4 + (doc_id + f + g) % 9
+    )
+    return {
+        "sr_idx": doc_id % 3,
+        "n_frames": 2 + doc_id % 2,
+        "short": lambda f, g: True,
+        "scfsi": lambda f: 0,
+        "scalefac_compress": lambda f, g: 13,
+        "sf_value": lambda f, g, j, sl: (doc_id + ch * 5 + f + 2 * g + j) % 8,
+        "big_values": bv,
+        "region0": lambda f, g: 0,
+        "region1": lambda f, g: 0,
+        "table": lambda f, g, r: _TB[(doc_id + 2 * f + 3 * g + r + ch) % 5],
+        "bv_value": lambda f, g, i, m: (doc_id * 11 + ch * 13 + 3 * f + 5 * g + 7 * i)
+        % (m + 1),
+        "bv_sign": lambda f, g, i: (doc_id + ch + f + g + i) % 2,
+        "n_quads": lambda f, g: 0,
+        "c1_bit": lambda f, g, q, p: 0,
+        "c1_sign": lambda q, p: 0,
+        "count1table": lambda f, g: 0,
+        "preflag": lambda f, g: 0,
+        "scalefac_scale": lambda f, g: (doc_id + f) % 2,
+        "subblock_gain": lambda g, k: (doc_id + ch + g + k) % 8,
+    }
+
+
+def encode_mp3_jstereo_short(doc_id: int) -> bytes:
+    """Joint-stereo stream whose granules are all SHORT — the
+    per-window intensity fixture (mp3_jstereo_short_schedule)."""
+    return _encode_joint(
+        doc_id, [mp3_jstereo_short_schedule(doc_id, ch) for ch in range(2)]
+    )
 
 
 def encode_mp3_reservoir(doc_id: int) -> bytes:

@@ -3,8 +3,8 @@
 spectra — the processing the symbol-decode stereo key documented as
 out of scope, now real.
 
-Semantics (long blocks; the joint fixture is long-only and a short
-joint granule raises as the documented sub-boundary):
+Semantics (both block families — long granules and SHORT
+window-switching granules with per-(band, window) intensity):
 - mode_extension bit 1 = MS stereo: L = (M + S)/sqrt(2),
   R = (M - S)/sqrt(2) on every band not intensity-processed.
 - mode_extension bit 0 = intensity stereo: scalefactor bands whose
@@ -34,6 +34,7 @@ import numpy as np
 
 from cobradb_spark.operators.mp3huff import SFB_LONG
 from cobradb_spark.operators.mp3requant import (
+    SFB_SHORT,
     _effective_long_scalefacs,
     requantize_lines,
 )
@@ -83,6 +84,49 @@ def joint_mix_granule(
     return left, right
 
 
+def joint_mix_granule_short(
+    m_fp: np.ndarray,
+    s_fp: np.ndarray,
+    ext: int,
+    sf36_r,
+    nzend_r: int,
+    sr: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Joint mixing for a SHORT (window-switching) granule pair, on the
+    STORED (band-major, pre-reorder) layout: intensity applies per
+    (band, window) — window w of band b is an intensity region iff its
+    first stored line (3*edge[b] + w*width) lies at/above the right
+    channel's zero-part start, with is_pos = the right granule's short
+    scalefactor sf36[3b + w]; band 12 (no scalefactor) inherits band
+    11's same-window is_pos, as long band 21 inherits band 20's.
+    is_pos 7 falls back to MS/passthrough, as in the long path."""
+    if ext & 2:
+        left = ((m_fp + s_fp) * MS_FP) // FP_ONE
+        right = ((m_fp - s_fp) * MS_FP) // FP_ONE
+    else:
+        left = m_fp.copy()
+        right = s_fp.copy()
+    if ext & 1:
+        edges = SFB_SHORT[sr]
+        sf_r = np.asarray(sf36_r, dtype=np.int64)
+        if sf_r.size != 36:
+            raise ValueError("corrupt joint stream: expected 36 short scalefactors")
+        for b in range(13):
+            width = edges[b + 1] - edges[b]
+            base = 3 * edges[b]
+            for w in range(3):
+                lo = base + w * width
+                if lo < nzend_r:
+                    continue
+                p = int(sf_r[3 * min(b, 11) + w])
+                if p == 7:
+                    continue
+                hi = lo + width
+                left[lo:hi] = (m_fp[lo:hi] * ILR_FP[p]) // FP_ONE
+                right[lo:hi] = (m_fp[lo:hi] * IRR_FP[p]) // FP_ONE
+    return left, right
+
+
 def joint_stereo_lines(dec: dict) -> list[dict]:
     """Requantize + stereo-process a decode_mp3_main_joint result:
     returns per-granule line records in the requantize_lines shape
@@ -108,28 +152,37 @@ def joint_stereo_lines(dec: dict) -> list[dict]:
         ext = gr_l["mode_ext"]
         if ext == 0:
             continue
-        if gr_l["short"] or gr_r["short"]:
-            raise NotImplementedError(
-                "joint stereo over short (window-switching) granules is the "
-                "documented sub-boundary (per-window is_pos); the joint "
-                "fixture is long-only"
+        if gr_l["short"] != gr_r["short"]:
+            raise ValueError(
+                "unsupported joint stream: channel block types differ in a "
+                "mode_extension frame (intensity band geometry is undefined)"
             )
-        # is_pos reads the right granule's EFFECTIVE scalefactors —
-        # scfsi-shared groups copy granule 0's, exactly as
-        # requantization applies them; the RAW transmitted list is
-        # shorter and band-misaligned under scfsi (a corrupt stream
-        # flipping a scfsi bit must reject, not misindex).
-        eff_r = _effective_long_scalefacs(gr_r, g0_eff_r.get(f))
-        if g == 0:
-            g0_eff_r[f] = eff_r
-        left, right = joint_mix_granule(
-            lines[chs[0]]["xr_fp"],
-            lines[chs[1]]["xr_fp"],
-            ext,
-            eff_r,
-            len(gr_r["values"]),
-            sr,
-        )
+        if gr_l["short"]:
+            left, right = joint_mix_granule_short(
+                lines[chs[0]]["xr_fp"],
+                lines[chs[1]]["xr_fp"],
+                ext,
+                gr_r["scalefacs"],
+                len(gr_r["values"]),
+                sr,
+            )
+        else:
+            # is_pos reads the right granule's EFFECTIVE scalefactors —
+            # scfsi-shared groups copy granule 0's, exactly as
+            # requantization applies them; the RAW transmitted list is
+            # shorter and band-misaligned under scfsi (a corrupt stream
+            # flipping a scfsi bit must reject, not misindex).
+            eff_r = _effective_long_scalefacs(gr_r, g0_eff_r.get(f))
+            if g == 0:
+                g0_eff_r[f] = eff_r
+            left, right = joint_mix_granule(
+                lines[chs[0]]["xr_fp"],
+                lines[chs[1]]["xr_fp"],
+                ext,
+                eff_r,
+                len(gr_r["values"]),
+                sr,
+            )
         out[chs[0]]["xr_fp"] = left
         out[chs[1]]["xr_fp"] = right
     return out

@@ -1121,6 +1121,15 @@ decode_mp3_joint_pcm_features = _codec_feature_decoder(
 )
 
 
+synthesize_mp3_jstereo_short = _codec_synthesizer(
+    "cobradb_spark.operators.mp3huff", "encode_mp3_jstereo_short",
+    """One TWO-CHANNEL JOINT-STEREO Layer III stream per row whose
+    granules are all SHORT (window-switching) — the per-(band, window)
+    intensity fixture (operators/mp3huff.py encode_mp3_jstereo_short);
+    mode_extension rotates 1/2/3 per frame.""",
+)
+
+
 synthesize_mp3_reservoir = _codec_synthesizer(
     "cobradb_spark.operators.mp3huff", "encode_mp3_reservoir",
     """One mono MPEG-1 Layer III stream per row whose main data USES

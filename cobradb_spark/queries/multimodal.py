@@ -2867,3 +2867,166 @@ def multimodal_mp3_joint_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFra
     return decode_mp3_joint_pcm_features(
         synthesize_mp3_jstereo(d, id_col="doc_id")
     ).withColumnRenamed("id", "doc_id")
+
+
+def _mp3_joint_short_prefix_sql(doc_filter: str) -> str:
+    """Short-granule joint replay down to a0: mp3_jstereo_short_schedule
+    per channel (all granules window-switching), requantized per stored
+    line (subblock gains + per-(band, window) short scalefactors), then
+    per-WINDOW intensity / MS mixing, emitting REORDERED positions for
+    the shared time-domain suffix (short=1 path)."""
+    from cobradb_spark.operators.mp3stereo import ILR_FP, IRR_FP, MS_FP
+
+    ilr = _sql_ints(ILR_FP)
+    irr = _sql_ints(IRR_FP)
+    return f"""
+WITH rd AS (
+  SELECT doc_id AS rdoc, 2 + doc_id % 2 AS n_frames,
+         list_extract([44100, 48000, 32000],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS sr,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN [0,4,8,12,16,22,30,40,52,66,84,106,136,192]
+           WHEN 1 THEN [0,4,8,12,16,22,28,38,50,64,80,100,126,192]
+           ELSE [0,4,8,12,16,22,30,42,58,78,104,138,180,192]
+         END AS sfbs
+  FROM documents{doc_filter}),
+d AS (
+  SELECT 2 * rdoc + c.c AS doc_id, n_frames, sr
+  FROM rd, UNNEST([0, 1]) AS c(c)),
+gr AS (
+  SELECT rd.rdoc, rd.n_frames, rd.sr, rd.sfbs, f.f, g.g,
+         1 + (rd.rdoc + f.f) % 3 AS ext,
+         30 + (rd.rdoc + f.f + g.g) % 25 AS bvl,
+         4 + (rd.rdoc + f.f + g.g) % 9 AS bvr,
+         2 * ((rd.rdoc + f.f) % 2 + 1) AS sfsu
+  FROM rd,
+       UNNEST(range(0, rd.n_frames)) AS f(f),
+       UNNEST(range(0, 2)) AS g(g)),
+xl AS (
+  SELECT gr.*, c.ch,
+         CASE c.ch WHEN 0 THEN gr.bvl ELSE gr.bvr END AS bv,
+         b.b, w.w, i.i,
+         list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 1) AS e_b,
+         list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 2)
+           - list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 1) AS wd,
+         (2 * gr.rdoc + c.ch + gr.g) % 256 AS gg
+  FROM gr,
+       UNNEST([0, 1]) AS c(ch),
+       UNNEST(range(0, 13)) AS b(b),
+       UNNEST(range(0, 3)) AS w(w),
+       UNNEST(range(
+         3 * list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 1)
+           + w.w * (list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 2)
+                    - list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 1)),
+         LEAST(3 * list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 1)
+           + (w.w + 1) * (list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 2)
+                          - list_extract(gr.sfbs, CAST(b.b AS INTEGER) + 1)),
+               2 * CASE c.ch WHEN 0 THEN gr.bvl ELSE gr.bvr END)))
+         AS i(i)),
+xv AS (
+  SELECT rdoc, n_frames, sr, f, g, ext, bvr, ch, b, w, i, e_b, wd,
+         gg - 210 - 8 * ((rdoc + ch + g + w) % 8)
+           - sfsu * (CASE WHEN b < 12
+                          THEN (rdoc + ch * 5 + f + 2 * g + 3 * b + w) % 8
+                          ELSE 0 END) AS q,
+         (rdoc * 11 + ch * 13 + 3 * f + 5 * g + 7 * i)
+           % (list_extract([1,2,2,3,0],
+                CAST((rdoc + 2 * f + 3 * g + ch
+                      + CASE WHEN i < LEAST(36, 2 * bv) THEN 0 ELSE 1 END)
+                     % 5 AS INTEGER) + 1) + 1) AS a,
+         (rdoc + ch + f + g + i) % 2 AS neg
+  FROM xl),
+xr AS (
+  SELECT rdoc, n_frames, f, g, ext, bvr, ch, b, w, i, e_b, wd,
+         (1 - 2 * neg)
+           * CAST(FLOOR(((list_extract([0.0, 1.0, 2.5198420997897464, 4.3267487109222245],
+                                       CAST(a AS INTEGER) + 1)
+                          * list_extract([1.0, 1.189207115002721, 1.4142135623730951, 1.681792830507429],
+                                         CAST((q + 400) % 4 AS INTEGER) + 1))
+                         * power(2.0, (q + 400) // 4 - 100)) * 1000000000.0) AS BIGINT) AS xr
+  FROM xv WHERE a > 0),
+pair AS (
+  SELECT rdoc, n_frames, f, g, i, b, w, ext,
+         ANY_VALUE(e_b) AS e_b, ANY_VALUE(wd) AS wd, ANY_VALUE(bvr) AS bvr,
+         COALESCE(SUM(CASE WHEN ch = 0 THEN xr END), 0) AS m,
+         COALESCE(SUM(CASE WHEN ch = 1 THEN xr END), 0) AS s
+  FROM xr GROUP BY rdoc, n_frames, f, g, i, b, w, ext),
+mixed AS (
+  SELECT rdoc, f, g, i, e_b, wd, w,
+         3 * e_b + w * wd >= 2 * bvr AND ext % 2 = 1 AS isb,
+         (rdoc + 5 + f + 2 * g
+          + 3 * (CASE WHEN b < 12 THEN b ELSE 11 END) + w) % 8 AS p,
+         m, s, ext
+  FROM pair),
+mixed2 AS (
+  SELECT rdoc, f, g, i, e_b, wd, w,
+         CASE WHEN isb AND p < 7
+              THEN {_odiv(f"m * list_extract({ilr}, CAST(p + 1 AS INTEGER))", _imdct3.FP_BITS)}
+              WHEN ext >= 2
+              THEN {_odiv(f"(m + s) * {MS_FP}", _imdct3.FP_BITS)}
+              ELSE m END AS out_l,
+         CASE WHEN isb AND p < 7
+              THEN {_odiv(f"m * list_extract({irr}, CAST(p + 1 AS INTEGER))", _imdct3.FP_BITS)}
+              WHEN ext >= 2
+              THEN {_odiv(f"(m - s) * {MS_FP}", _imdct3.FP_BITS)}
+              ELSE s END AS out_r
+  FROM mixed),
+a0 AS (
+  SELECT 2 * rdoc + c.c AS doc_id, 1 AS short, 2 * f + g AS gseq,
+         3 * i - 6 * e_b - 3 * w * wd + w AS pos,
+         {_odiv("CASE c.c WHEN 0 THEN out_l ELSE out_r END", _imdct3.XR_DIV_BITS)} AS a0v
+  FROM mixed2, UNNEST([0, 1]) AS c(c)
+  WHERE (CASE c.c WHEN 0 THEN out_l ELSE out_r END) <> 0),
+"""
+
+
+@register(
+    "multimodal_mp3_joint_short_pcm_decode",
+    oracle=_mp3_joint_short_prefix_sql(" WHERE doc_id % 10 = 0")
+    + _TS_SUFFIX_SQL + _MP3_S0_SQL
+    + _pcm_synth_sql("s0", "36 * d.n_frames") + """,
+vdoc AS (
+  SELECT d.doc_id, d.n_frames, d.sr,
+         COALESCE(a.n_pcm_nz, 0) AS n_pcm_nz,
+         COALESCE(a.sum_pcm_fp, 0) AS sum_pcm_fp,
+         COALESCE(a.sum_abs_pcm_fp, 0) AS sum_abs_pcm_fp,
+         COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
+  FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+SELECT doc_id // 2 AS doc_id,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(MAX(sr) AS BIGINT) AS sample_rate,
+       CAST(SUM(36 * n_frames * 32) AS BIGINT) AS n_pcm,
+       CAST(SUM(n_pcm_nz) AS BIGINT) AS n_pcm_nz,
+       CAST(SUM(sum_pcm_fp) AS BIGINT) AS sum_pcm_fp,
+       CAST(SUM(sum_abs_pcm_fp) AS BIGINT) AS sum_abs_pcm_fp,
+       CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
+FROM vdoc GROUP BY doc_id // 2
+""",
+    doc="REAL joint-stereo Layer III decode to PCM over SHORT "
+    "(window-switching) granules — per-(band, window) INTENSITY "
+    "semantics (operators/mp3stereo.py joint_mix_granule_short): "
+    "window w of short band b is an intensity region iff its first "
+    "stored line (3*edge[b] + w*width, band-major layout) lies "
+    "at/above the right channel's zero-part start, with is_pos = the "
+    "right granule's short scalefactor sf36[3b+w] (band 12 inherits "
+    "band 11's same-window value; is_pos 7 falls back to MS/pass; "
+    "subblock gains exercise per-window requantization).  Mixing "
+    "happens on the STORED layout before reordering; the oracle emits "
+    "reordered positions into the SAME shared time-domain suffix "
+    "(short IMDCT path) and synthesis tail.  This closes the short-"
+    "block half of the joint-stereo surface — with the long-block key "
+    "(multimodal_mp3_joint_pcm_decode), intensity/MS is implemented "
+    "over both block families.  Scale posture: Arrow mapInPandas, one "
+    "row per document, per-row-linear, nothing driver-side.",
+    tags=("multimodal",),
+)
+def multimodal_mp3_joint_short_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        decode_mp3_joint_pcm_features,
+        synthesize_mp3_jstereo_short,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return decode_mp3_joint_pcm_features(
+        synthesize_mp3_jstereo_short(d, id_col="doc_id")
+    ).withColumnRenamed("id", "doc_id")

