@@ -2,9 +2,11 @@
 cohort retention, funnel conversion, daily-count anomaly z-scores,
 benchmark decontamination (n-gram overlap), and PII-style redaction.
 
-These mirror the reference's event-analytics surface (cobradb's
-sessionize / funnel / retention macros — reference/queries/analytics/*)
-re-expressed as single declarative Spark plans: sessionization is a
+Design rationale [P]: public cobradb is an ETL/loader package (models +
+get_or_create upserts); it has no analytics query engine.  These
+operators are the event-analytics surface any warehouse built ON such a
+schema needs (sessionize / funnel / retention are the standard product-
+analytics trio), expressed as single declarative Spark plans: sessionization is a
 lag + running-sum window (one shuffle on user_id, reused by every
 window in the chain); retention/funnel are two-phase aggregations that
 reduce events to one row per (user, period/stage) BEFORE the heavy

@@ -6,9 +6,9 @@ cheap if file-level zone maps (min/max per column chunk) let the engine
 skip data.  These operators compute the layout: a Morton (Z-order)
 key that co-clusters two dimensions so BOTH benefit from skipping, and
 an ntile-based range plan that yields equal-height partition boundaries
-for sorted writes.  Reference: cobradb's clustering maintenance jobs
-(reference/storage/layout/*); the lakehouse analogue is Delta/Iceberg
-OPTIMIZE ZORDER BY.
+for sorted writes.  Design rationale [P]: public cobradb has no layout
+engine — this is the lakehouse zone-map discipline (Delta/Iceberg
+OPTIMIZE ZORDER BY) re-derived for the testdata schema.
 
 The third storage-layout lever — bucketBy(k, key) catalog tables that
 turn every repeat join+agg on the key into a ZERO-Exchange plan — is

@@ -1,0 +1,209 @@
+"""End-to-end corpus-curation pipeline — stage COMPOSITION, not new ops.
+
+Every large-scale training-data shop runs one nightly program shaped
+like this: exact dedup -> near-dedup -> quality/language filter ->
+benchmark decontamination -> deterministic split.  The individual
+stages are proven registry keys (dedup_exact_hash, dedup_cluster_cc /
+text_fingerprint_winnow, text_quality_score, text_lang_id,
+decontam_ngram_overlap, split_train_test); this module chains their
+exact formulations into ONE lazy DataFrame program so the optimizer
+sees the whole plan — filters push below windows where legal, the
+eval-gram side broadcasts, and nothing materializes to the driver
+between stages.
+
+Scale posture (100 TB): each stage is either a narrow projection/filter
+or a single hash-shuffle keyed on high-entropy values (content sha256,
+30-char fingerprints, doc_id) — no skew by construction, no iterative
+driver loop (transitive near-dup clusters are dedup_cluster_cc's job;
+the banded keep-min used here is the one-pass conservative variant that
+composes lazily).  The decontamination join broadcasts the eval gram
+set, which is tiny relative to the corpus by definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cobradb_spark.io import load_table
+from cobradb_spark.queries.mlprep import _bucket, _bucket_sql
+from cobradb_spark.queries.textops import _DE, _EN, _ES, _hits_duck
+from cobradb_spark.registry import register
+
+_QUALITY_MIN = 0.35  # same composite score as text_quality_score
+_CONTAM_MAX = 0.2  # same threshold as decontam_ngram_overlap
+
+
+def _word_trigrams(words_col: str) -> F.Column:
+    """Distinct word 3-grams — decontam_ngram_overlap's proven formulation."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words_col) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(words_col, i, 3), " "),
+        )
+    )
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+WITH s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS keep1
+    FROM documents) WHERE doc_id = keep1
+), s2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY substr(text, 1, 30)) AS kp,
+           min(doc_id) OVER (PARTITION BY right(text, 30)) AS ks
+    FROM s1) WHERE doc_id = kp AND doc_id = ks
+), s3 AS (
+  SELECT doc_id, text,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         round(least(len(str_split(text, ' ')) / 100.0, 1.0) * 0.5
+               + least((length(text) - len(str_split(text, ' ')) + 1.0)
+                       / len(str_split(text, ' ')) / 8.0, 1.0) * 0.5, 6) AS quality,
+         {_hits_duck(_EN)} AS en_hits,
+         {_hits_duck(_DE)} AS de_hits,
+         {_hits_duck(_ES)} AS es_hits
+  FROM s2
+), s3f AS (
+  SELECT doc_id, text, n_words, quality FROM s3
+  WHERE quality >= {_QUALITY_MIN}
+    AND (en_hits > 0 OR de_hits > 0 OR es_hits > 0)
+), ev AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                  i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
+                              ' ', str_split(text, ' ')[i + 2]))) AS g
+  FROM documents WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
+                            ' ', str_split(text, ' ')[i + 2]))) AS g
+  FROM s3f WHERE doc_id % 50 <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT tr.doc_id, count(*) AS n_hit FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id
+), s4 AS (
+  SELECT s.doc_id, s3f.n_words, s3f.quality,
+         round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams, 6) AS contamination
+  FROM sizes s JOIN s3f USING (doc_id) LEFT JOIN hits h ON s.doc_id = h.doc_id
+  WHERE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams < {_CONTAM_MAX}
+)
+SELECT doc_id, n_words, quality, contamination,
+       CASE WHEN {_bucket_sql('doc_id', 'curate')} < 80 THEN 'train'
+            WHEN {_bucket_sql('doc_id', 'curate')} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM s4
+""",
+    doc="Corpus curation end-to-end, ONE lazy plan: (1) exact dedup — keep-min "
+    "doc_id per sha256(lower(trim(text))) content hash; (2) one-pass near-dedup "
+    "— survive only as min of BOTH the 30-char-prefix and 30-char-suffix "
+    "fingerprint buckets (the banded conservative variant of dedup_cluster_cc's "
+    "transitive merge — no iterative driver loop, composes lazily); (3) quality "
+    ">= 0.35 (text_quality_score composite) AND stopword language detected "
+    "(text_lang_id lexicons); (4) decontamination — drop docs sharing >= 20% of "
+    "distinct word-trigrams with the eval slice (doc_id % 50 = 0, excluded from "
+    "the corpus), eval grams broadcast; (5) deterministic md5-bucket 80/10/10 "
+    "split. Output: surviving doc_id, n_words, quality, contamination, split. "
+    "Stages shuffle on content hash / fingerprints / doc_id — high-entropy keys, "
+    "no skew; nothing collects to the driver between stages.",
+    tags=("pipeline", "llm"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # (1) exact dedup: window-min over the content hash keeps the payload
+    # columns without a join-back; the partition key is a 256-bit hash, so
+    # bucket sizes are duplicate-group sizes — no hot keys.
+    s1 = (
+        d.withColumn(
+            "keep1",
+            F.min("doc_id").over(
+                Window.partitionBy(F.sha2(F.lower(F.trim("text")), 256))
+            ),
+        )
+        .filter(F.col("doc_id") == F.col("keep1"))
+        .drop("keep1")
+    )
+
+    # (2) banded near-dedup: min over prefix-fingerprint bucket AND min over
+    # suffix-fingerprint bucket (dedup_cluster_cc's candidate keys).
+    s2 = (
+        s1.withColumn(
+            "kp", F.min("doc_id").over(Window.partitionBy(F.substring("text", 1, 30)))
+        )
+        .withColumn(
+            "ks", F.min("doc_id").over(Window.partitionBy(F.expr("right(text, 30)")))
+        )
+        .filter((F.col("doc_id") == F.col("kp")) & (F.col("doc_id") == F.col("ks")))
+        .drop("kp", "ks")
+    )
+
+    # (3) quality + language gate — pure codegen, same formulas as
+    # text_quality_score / text_lang_id.
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    awl = (F.length("text") - n_words + 1.0) / n_words
+    quality = F.round(
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + F.least(awl / 8.0, F.lit(1.0)) * 0.5,
+        6,
+    )
+
+    def hits(lex):
+        return F.size(F.filter(words, lambda x: x.isin(*lex))).cast("long")
+
+    s3f = (
+        s2.select(
+            "doc_id",
+            "text",
+            n_words.alias("n_words"),
+            quality.alias("quality"),
+            hits(_EN).alias("en_hits"),
+            hits(_DE).alias("de_hits"),
+            hits(_ES).alias("es_hits"),
+        )
+        .filter(
+            (F.col("quality") >= _QUALITY_MIN)
+            & ((F.col("en_hits") > 0) | (F.col("de_hits") > 0) | (F.col("es_hits") > 0))
+        )
+        .drop("en_hits", "de_hits", "es_hits")
+    )
+
+    # (4) decontamination: eval grams come from the RAW corpus (the eval
+    # slice is fixed before curation), broadcast into a semi-style overlap
+    # count; eval docs themselves leave the corpus here.
+    ev = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.split("text", " ").alias("w"))
+        .select(F.explode(_word_trigrams("w")).alias("g"))
+        .distinct()
+    )
+    tr = (
+        s3f.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(_word_trigrams("w")).alias("g"))
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hit = tr.join(F.broadcast(ev), "g").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    contamination = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams")
+    s4 = (
+        sizes.join(s3f, "doc_id")
+        .join(hit, "doc_id", "left")
+        .filter(contamination < _CONTAM_MAX)
+        .select("doc_id", "n_words", "quality", F.round(contamination, 6).alias("contamination"))
+    )
+
+    # (5) deterministic 80/10/10 split — split_train_test's md5 bucket.
+    b = _bucket("doc_id", "curate")
+    return s4.select(
+        "doc_id",
+        "n_words",
+        "quality",
+        "contamination",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )

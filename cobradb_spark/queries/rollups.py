@@ -1,8 +1,9 @@
 """Mergeable-state rollups: OHLC time-series downsampling, histogram
 quantile sketches, and incremental (base + delta) aggregation.
 
-The shared scale pattern (reference: cobradb's hypertable continuous
-aggregates, reference/storage/rollup/*): reduce raw events to a small
+The shared scale pattern (the TimescaleDB continuous-aggregate /
+materialized-rollup design, public knowledge [P] — cobradb itself has
+no rollup engine): reduce raw events to a small
 per-bucket state that MERGES — so coarser windows, late backfills, and
 incremental refreshes combine existing state instead of rescanning the
 fact table.  min/max/sum/count merge trivially; quantiles need a sketch

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "cobradb_spark.queries.layout",
     "cobradb_spark.queries.graph",
     "cobradb_spark.queries.geo",
+    "cobradb_spark.queries.pipeline",
 )
 
 
@@ -92,98 +93,44 @@ def _load() -> None:
 # oracle output AS BIGINT, and tools/check.py now fails on dtype-class
 # mismatches so local EXACT implies driver-hashable again).
 #
-# Round 11 window (_DRIVER_PRIORITY below), executing the r10-staged
-# plan (r10 VERDICT items 1+2+10):
-#   * slots 1-27: ALL never-driver-checked oracle-carrying keys — the
-#     6-key r10 residue, the two graded ANN-hi verdicts, and the twelve
-#     r11-new codec keys (Layer III Huffman + bit reservoir + stereo +
-#     REQUANTIZATION, Layer II B.2c/B.2d, Layer II and Layer I
-#     stereo/joint/dual, Adam7-interlaced PNG, animated+interlaced GIF,
-#     GIF transparency + restore-disposals, stereo/8-bit WAV,
-#     stereo/LPC FLAC, and the TIME-DOMAIN closers: the Layer III
-#     IMDCT chain plus ALL THREE layers through the shared polyphase
-#     synthesis to PCM).  After this window runs, every
-#     oracle-carrying registry key has a driver hash row.
-#   * slot 28: sim_ann_lsh_graded — the hash-carrying companion of the
-#     one §2 key whose latest driver row is a stale r8 `no_oracle`
-#     entry (sim_ann_lsh itself is rows-only and sits in the
-#     past-window tail).
-#   * slots 29-36: the streaming family I1-I8 (r10 VERDICT item 10 —
-#     last checked r3; applyInPandasWithState is session-conf-
-#     sensitive, so 8 rounds of conf churn deserve fresh rows).
-#   * slots 37-50: the oldest surviving driver evidence — the 14
-#     oldest remaining r2-checked keys (joins/filters/scans, including
-#     join_bucketed_colocated, the bucketBy zero-Exchange demo);
-#     the displaced oldest refreshes (join_lateral_topk, join_null_safe,
-#     join_outer_left_right_full,
-#     join_self_hierarchy, join_semi,
-#     join_shuffle_hash_hint, join_shuffle_large, scan_csv_tsv,
-#     agg_approx_distinct and nine r3 rows) move to _R12_REFRESH as
-#     r11-new codec keys took slots.
-# Every key is oracle-carrying (rows-only keys never spend a window
-# slot) and locally EXACT at sf0.01 under tools/check.py --window.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- first-time rows: zero the never-checked set ---
-    "multimodal_mp3_sideinfo_parse",
-    "analytics_hhi_concentration", "analytics_theil_index",
-    "agg_entropy_pergroup", "text_mattr_lexical_diversity",
-    "mlprep_mutual_information",
-    "sim_ann_ivf_hi_graded", "sim_ann_ivf_pq_hi_graded",
-    "multimodal_mp3_huffman_decode", "multimodal_mp2_lowrate_decode",
-    "multimodal_mp3_reservoir_decode", "multimodal_mp2_stereo_decode",
-    "multimodal_mp1_stereo_decode", "multimodal_mp3_stereo_decode",
-    "multimodal_png_interlaced_decode", "multimodal_gif_animated_decode",
-    "multimodal_wav_stereo_decode", "multimodal_flac_stereo_decode",
-    "multimodal_gif_transparency_decode", "multimodal_mp3_requantize_decode",
-    "multimodal_mp3_imdct_decode", "multimodal_mp3_pcm_decode",
-    "multimodal_mp1_pcm_decode", "multimodal_mp2_pcm_decode",
-    "multimodal_mp3_stereo_pcm_decode", "multimodal_mp3_joint_pcm_decode",
-    "multimodal_mp3_joint_short_pcm_decode",
-    # --- stale-row refresh: hash-carrying LSH verdict ---
-    "sim_ann_lsh_graded",
-    # --- streaming refresh (I1-I8, last checked r3) ---
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_counts",
-    "stream_static_join", "stream_foreachBatch_sink",
-    # --- oldest-evidence refresh: the 22 remaining r2 rows ---
-    "agg_basic", "agg_count_distinct", "case_when", "distinct_project",
-    "filter_conjunctive", "filter_in_null", "fk_audit_anti",
-    "hierarchy_recursive_cte", "join_anti", "join_broadcast_inner",
-    "join_bucketed_colocated", "join_cross_bounded", "join_fuzzy_blocked",
-    "project_compute",
-    # --- past the 50-row window: rows-only refreshes, zero-cost under
-    # a 50-row window (the pattern r9/r10 used for sim_ann_lsh) ---
-    "sim_ann_lsh", "sim_ann_ivf_hi", "sim_ann_ivf_pq_hi",
+# Round 11 executed the r10-staged drain: CORRECTNESS_r11 landed 50/50
+# EXACT — after it, EVERY oracle-carrying key has a driver hash row
+# (437/437 green latest rows) and the only keys with no row at all are
+# the two rows-only ANN-hi points.
+#
+# Round 12 window (_DRIVER_PRIORITY below), executing the r11-staged
+# plan (r11 VERDICT items 2+3+6):
+#   * slot 1: pipeline_curate_corpus — the one r12-new key (end-to-end
+#     corpus curation composition; full DuckDB oracle).
+#   * slots 2-48: _R12_REFRESH — the 47 keys whose latest driver
+#     evidence was r2/r3 (all of E/F/G, most D/H/K, scan_csv_tsv,
+#     scan_json_lines).  After this window, no key's evidence predates
+#     r4.
+#   * slots 49-50: sim_ann_ivf_hi / sim_ann_ivf_pq_hi — the ONLY two
+#     registry keys with no driver row of any kind.  Rows-only by
+#     design (recall-graded companions hash-passed r11); spending two
+#     window slots on `no_oracle` rows (the J2/J4 r8 pattern)
+#     completes the 443/443 driver ledger (r11 VERDICT item 2).
+# Every oracle-carrying window key is locally EXACT at sf0.01 under
+# tools/check.py --window.  (_DRIVER_PRIORITY itself is assembled from
+# the named stage tuples below so the window cannot drift from the
+# staging lists the tests assert against.)
+
+# r12-new keys (the never-driver-checked drain head): every
+# oracle-carrying key added during r12 must be appended here AND given
+# a window slot; tests/test_registry.py asserts the recomputed
+# never-checked set stays a subset of this tuple, so new keys cannot
+# silently miss the drain path.
+_R12_NEW: tuple[str, ...] = (
+    "pipeline_curate_corpus",
 )
 
-# Drained r11 backlog (kept for the staging-integrity test): the keys
-# that had no driver row entering r11.  All sit in the window above;
-# tests/test_registry.py asserts the window covers the recomputed
-# never-checked set exactly, so the drain cannot rot.
-_R11_PLANNED_HEAD: tuple[str, ...] = (
-    "multimodal_mp3_sideinfo_parse",
-    "analytics_hhi_concentration", "analytics_theil_index",
-    "agg_entropy_pergroup", "text_mattr_lexical_diversity",
-    "mlprep_mutual_information",
-    # --- keys added during r10 (appended as they land) ---
-    "sim_ann_ivf_hi_graded", "sim_ann_ivf_pq_hi_graded",
-    # --- keys added during r11 ---
-    "multimodal_mp3_huffman_decode", "multimodal_mp2_lowrate_decode",
-    "multimodal_mp3_reservoir_decode", "multimodal_mp2_stereo_decode",
-    "multimodal_mp1_stereo_decode", "multimodal_mp3_stereo_decode",
-    "multimodal_png_interlaced_decode", "multimodal_gif_animated_decode",
-    "multimodal_wav_stereo_decode", "multimodal_flac_stereo_decode",
-    "multimodal_gif_transparency_decode", "multimodal_mp3_requantize_decode",
-    "multimodal_mp3_imdct_decode", "multimodal_mp3_pcm_decode",
-    "multimodal_mp1_pcm_decode", "multimodal_mp2_pcm_decode",
-    "multimodal_mp3_stereo_pcm_decode", "multimodal_mp3_joint_pcm_decode",
-    "multimodal_mp3_joint_short_pcm_decode",
-)
+# Rows-only keys deliberately spending window slots this round (driver
+# records `no_oracle` rows — completes the 443-key ledger).
+_R12_ROWSONLY: tuple[str, ...] = ("sim_ann_ivf_hi", "sim_ann_ivf_pq_hi")
 
-# Staged r12 refresh plan: the remaining r3-checked keys once the r11
-# window lands (30 never rotated out of r3 + the displaced oldest-r3 /
-# r2 refreshes, scan_csv_tsv and agg_approx_distinct among them) —
-# after them, no §2 key's evidence predates r11.
+# The r3-era refresh executed by this round's window (kept as a named
+# tuple for the staging-integrity test and the r13 plan below).
 _R12_REFRESH: tuple[str, ...] = (
     "join_lateral_topk", "join_null_safe", "join_outer_left_right_full", "join_self_hierarchy", "join_semi",
     "join_shuffle_hash_hint", "join_shuffle_large",
@@ -197,6 +144,37 @@ _R12_REFRESH: tuple[str, ...] = (
     "udtf_expand", "win_lag_lead", "win_nth_first_last",
     "win_ntile_pctrank", "win_range_frame", "win_rank_topk_pergroup",
     "win_running_frame",
+)
+
+# Staged r13 refresh plan: the 47 keys whose latest driver evidence is
+# r4 (the next-oldest tier once the r12 window lands) — after them, no
+# key's evidence predates r5.
+_R13_REFRESH: tuple[str, ...] = (
+    "agg_bitmap_distinct_rollup", "agg_collect_synonyms",
+    "agg_heavy_hitters", "agg_histogram_quantile_merge",
+    "agg_hll_intersect_estimate", "agg_hll_sketch_merge", "agg_pivot",
+    "analytics_copurchase_pairs", "analytics_rolling_distinct_users",
+    "array_ops", "cohort_retention", "decontam_ngram_overlap",
+    "dedup_cluster_cc", "dedup_cosine_near", "dedup_exact_hash",
+    "dedup_ngram_jaccard", "dedup_repeated_spans", "dedup_simhash",
+    "dedup_sorted_neighborhood", "dedup_url_canonical",
+    "embed_kmeans_cluster", "embed_quantize_int8",
+    "etl_dedup_incremental", "events_anomaly_mad",
+    "events_anomaly_zscore", "funnel_conversion", "funnel_time_bounded",
+    "join_bloom_prefilter", "join_interval_overlap",
+    "reshape_transpose", "reshape_unpivot", "segment_rfm",
+    "sessionize_events", "sim_cosine_topk", "str_regexp_extract_all",
+    "text_bpe_pair_counts", "text_feature_hashing",
+    "text_fingerprint_winnow", "text_inverted_index", "text_lang_id",
+    "text_pii_redact", "text_quality_score", "text_repetition_stats",
+    "text_tfidf_topk", "text_token_count", "text_unigram_perplexity",
+    "ts_autocorr",
+)
+
+# The driver window is slots [:50]; the tail past the window holds only
+# rows-only keys (zero-cost — they never spend a hash-check slot).
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    _R12_NEW + _R12_REFRESH + _R12_ROWSONLY + ("sim_ann_lsh",)
 )
 
 
