@@ -32,9 +32,10 @@ part of the contract; both sides write the same parenthesization).
 
 IMDCT + polyphase synthesis to PCM are real too, downstream in
 operators/mp3imdct.py (which consumes requantize_lines below).
-Remaining honest boundary: the linbits escape magnitudes (|is| > 15
-needs the unbundled codebooks, so requantization of escapes is
-unreachable here; a stream that somehow presented one raises).
+Remaining honest boundary: the linbits escape magnitudes (|is| > 3
+needs the unbundled escape codebooks — the bundled tables max out at
+3 — so requantization of escapes is unreachable here; a stream that
+somehow presented one raises).
 """
 
 from __future__ import annotations

@@ -23,9 +23,18 @@ one integer multiply by a floor(x * 2^18) table entry plus one
 floor-division, applied to the 1e-9 fixed-point xr values BEFORE the
 time-domain chain.  Bounds: |xr| <= 1.06e13, so the MS product
 |(M+S) * MS_FP| <= 2.12e13 * 185363 < 3.94e18 < 2^62 (the offset-form
-requirement) and mixed outputs <= 1.5e13, which the mp3imdct stage
-bounds absorb (IMDCT raw then <= 6.1e18 < 2^63 in numpy; DuckDB sums
-in HUGEINT).
+requirement) and mixed outputs <= 1.5e13.
+
+Mixed outputs EXCEED the mono chain's |xr| bound by sqrt(2), which
+would push the IMDCT z-stage raw sums to ~6.1e18 — past the -2^62
+domain of the oracle's positive-offset floor-division (DuckDB `//`
+truncates, so a sum in (-6.1e18, -2^62) would differ from numpy floor
+by 1).  joint_stereo_lines therefore divides EVERY granule's spectrum
+in a joint stream by 2^JOINT_HEADROOM_BITS before the time-domain
+chain, and the SQL replay folds the same bit into its a0 stage
+(floor(floor(x/2)/2^4) == floor(x/2^5), so one combined division is
+exact).  Post-headroom |xr| <= 7.5e12 < the 1.06e13 mono bound, and
+every documented mp3imdct stage bound applies a fortiori.
 """
 
 from __future__ import annotations
@@ -44,6 +53,11 @@ FP_ONE = 1 << FP_BITS
 
 # floor(2^18 / sqrt(2)) — the MS normalization, shared with the oracle.
 MS_FP = int(np.floor(FP_ONE / np.sqrt(2.0)))
+
+# Extra right-shift applied to every granule of a joint stream before
+# the time-domain chain (module docstring: keeps the IMDCT z-stage raw
+# sums inside the oracle's +-2^62 offset-form floor-division domain).
+JOINT_HEADROOM_BITS = 1
 
 # Intensity ratios k/(1+k) and 1/(1+k), k = tan(is_pos*pi/12), for
 # is_pos 0..6 (6 = all-left).  is_pos 7 never indexes these.
@@ -185,4 +199,10 @@ def joint_stereo_lines(dec: dict) -> list[dict]:
             )
         out[chs[0]]["xr_fp"] = left
         out[chs[1]]["xr_fp"] = right
+    # Uniform headroom bit for the WHOLE stream (mixed and ext==0
+    # granules alike, so the stream stays on one scale): numpy //
+    # floors, and the oracle folds this into its a0 division —
+    # floor(floor(x/2)/2^4) == floor(x/2^5).
+    for rec in out:
+        rec["xr_fp"] = rec["xr_fp"] // (1 << JOINT_HEADROOM_BITS)
     return out

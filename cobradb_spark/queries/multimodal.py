@@ -2181,6 +2181,9 @@ def multimodal_image_channel_hist(spark: SparkSession, sf_dir: str) -> DataFrame
 # sums in HUGEINT, numpy in int64 under the proven < 2^62 bounds).
 
 from cobradb_spark.operators import mp3imdct as _imdct3
+from cobradb_spark.operators.mp3stereo import (
+    JOINT_HEADROOM_BITS as _JOINT_HEADROOM_BITS,
+)
 
 
 def _sql_ints(vals) -> str:
@@ -2431,7 +2434,8 @@ SELECT d.doc_id,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
-    doc="REAL MPEG-1 Layer III decode to PCM — the COMPLETE decoder "
+    doc="REAL MPEG-1 Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
+    "— the COMPLETE decoder "
     "chain: container walk -> side info -> Huffman symbols -> "
     "requantization -> alias/reorder -> windowed IMDCT -> overlap-add "
     "-> frequency inversion -> 32-band POLYPHASE SYNTHESIS (ISO "
@@ -2545,7 +2549,8 @@ SELECT d.doc_id,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
-    doc="REAL MPEG-1 Layer II decode to PCM — the general Layer II "
+    doc="REAL MPEG-1 Layer II decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
+    "— the general Layer II "
     "parser (B.2a/B.2b allocation regions, grouped + ungrouped "
     "quantizers, scfsi-APPLIED scalefactors per frame part) feeding "
     "the SAME polyphase synthesis filterbank as Layer III "
@@ -2631,7 +2636,8 @@ SELECT d.doc_id,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
-    doc="REAL MPEG-1 Layer I decode to PCM — the general Layer I "
+    doc="REAL MPEG-1 Layer I decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
+    "— the general Layer I "
     "parser (4-bit allocations, 6-bit scalefactors, nb-bit codes, "
     "rational requantization num/(2^nb - 1)) feeding the SAME "
     "polyphase synthesis filterbank as Layers II/III "
@@ -2682,7 +2688,8 @@ SELECT (doc_id // 3) // 2 AS doc_id,
        CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
 FROM vdoc GROUP BY (doc_id // 3) // 2
 """,
-    doc="REAL TWO-CHANNEL MPEG-1 Layer III decode to PCM: the 32-byte "
+    doc="REAL TWO-CHANNEL MPEG-1 Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
+    ": the 32-byte "
     "stereo side-info record and gr0ch0 gr0ch1 gr1ch0 gr1ch1 main-data "
     "interleave (stereo / joint-ext0 / dual rotation) through the "
     "per-channel requantize -> alias/IMDCT -> overlap-add -> polyphase "
@@ -2811,7 +2818,7 @@ mixed2 AS (
   FROM mixed),
 a0 AS (
   SELECT 2 * rdoc + c.c AS doc_id, 0 AS short, 2 * f + g AS gseq, i AS pos,
-         {_odiv("CASE c.c WHEN 0 THEN out_l ELSE out_r END", _imdct3.XR_DIV_BITS)} AS a0v
+         {_odiv("CASE c.c WHEN 0 THEN out_l ELSE out_r END", _imdct3.XR_DIV_BITS + _JOINT_HEADROOM_BITS)} AS a0v
   FROM mixed2, UNNEST([0, 1]) AS c(c)
   WHERE (CASE c.c WHEN 0 THEN out_l ELSE out_r END) <> 0),
 """
@@ -2839,7 +2846,8 @@ SELECT doc_id // 2 AS doc_id,
        CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
 FROM vdoc GROUP BY doc_id // 2
 """,
-    doc="REAL JOINT-STEREO MPEG-1 Layer III decode to PCM — MS and "
+    doc="REAL JOINT-STEREO MPEG-1 Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
+    "— MS and "
     "INTENSITY stereo processing on the requantized spectra "
     "(operators/mp3stereo.py, ISO 11172-3 2.4.3.4.9), the processing "
     "the symbol-decode stereo key documented as out of scope: "
@@ -2974,7 +2982,7 @@ mixed2 AS (
 a0 AS (
   SELECT 2 * rdoc + c.c AS doc_id, 1 AS short, 2 * f + g AS gseq,
          3 * i - 6 * e_b - 3 * w * wd + w AS pos,
-         {_odiv("CASE c.c WHEN 0 THEN out_l ELSE out_r END", _imdct3.XR_DIV_BITS)} AS a0v
+         {_odiv("CASE c.c WHEN 0 THEN out_l ELSE out_r END", _imdct3.XR_DIV_BITS + _JOINT_HEADROOM_BITS)} AS a0v
   FROM mixed2, UNNEST([0, 1]) AS c(c)
   WHERE (CASE c.c WHEN 0 THEN out_l ELSE out_r END) <> 0),
 """
@@ -3002,7 +3010,8 @@ SELECT doc_id // 2 AS doc_id,
        CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
 FROM vdoc GROUP BY doc_id // 2
 """,
-    doc="REAL joint-stereo Layer III decode to PCM over SHORT "
+    doc="REAL joint-stereo Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
+    "over SHORT "
     "(window-switching) granules — per-(band, window) INTENSITY "
     "semantics (operators/mp3stereo.py joint_mix_granule_short): "
     "window w of short band b is an intensity region iff its first "

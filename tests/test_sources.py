@@ -2305,20 +2305,38 @@ def test_mp3_joint_stereo_ms_intensity_semantics_and_oracle():
                         ispos_seen.add(p)
                         if p != 7:
                             isb[edges[b] : edges[b + 1]] = True
+            # joint_stereo_lines scales the whole stream down by the
+            # headroom bit (mp3stereo module docstring) — undo it for
+            # the semantic reconstructions, with floor-error slack
+            hd = 1 << st.JOINT_HEADROOM_BITS
             if ext & 2 and np.abs(m[~isb]).max() > 1e6:
-                # MS reconstructs: (L+R)/sqrt2 ~ M, (L-R)/sqrt2 ~ S
-                rec_m = (lo[~isb] + ro[~isb]) / np.sqrt(2.0)
-                assert np.abs(rec_m - m[~isb]).max() <= 4 + 1e-5 * np.abs(m[~isb]).max()
+                # MS reconstructs: (L+R)*hd/sqrt2 ~ M, (L-R)*hd/sqrt2 ~ S
+                rec_m = (lo[~isb] + ro[~isb]) * hd / np.sqrt(2.0)
+                assert np.abs(rec_m - m[~isb]).max() <= 4 * hd + 1e-5 * np.abs(m[~isb]).max()
                 ms_checked += 1
             if isb.any() and np.abs(m[isb]).max() > 1e6:
                 assert (s[isb] == 0).all()  # intensity region IS r's zero part
                 # energy split tracks tan ratios; right channel gains signal
-                k = np.abs(ro[isb]).sum() + np.abs(lo[isb]).sum()
-                assert abs(k - np.abs(m[isb]).sum()) <= 4 * isb.sum() + 0.061 * k
+                k = (np.abs(ro[isb]).sum() + np.abs(lo[isb]).sum()) * hd
+                assert abs(k - np.abs(m[isb]).sum()) <= 4 * hd * isb.sum() + 0.061 * k
                 is_checked += 1
     assert exts_seen == {1, 2, 3}
     assert ispos_seen == set(range(8))
     assert ms_checked > 0 and is_checked > 0
+
+    # regression (round-12 advice): joint-mixed spectra exceed the mono
+    # |xr| bound by sqrt(2), which without the headroom bit pushes the
+    # IMDCT z-stage raw sum past the oracle's -2^62 offset-form floor-
+    # division domain.  Assert the post-headroom spectra keep the
+    # WORST-CASE z raw sum (18 lines * 2^18 window scale * max|a1|,
+    # |a1| <= 1.3867 * |a0|) strictly inside the domain, doc by doc.
+    max_xr = 0
+    for d in range(90, 140):
+        for rec in st.joint_stereo_lines(decode_mp3_main_joint(encode_mp3_jstereo(d))):
+            max_xr = max(max_xr, int(np.abs(rec["xr_fp"]).max()))
+    assert max_xr <= 1.06e13  # the documented mono-chain |xr| bound
+    worst_z_raw = 18 * (1 << 18) * int(1.3867 * (max_xr >> 4) + 1)
+    assert worst_z_raw < 1 << 62
 
     data = encode_mp3_jstereo(97)
     try:
@@ -2442,8 +2460,12 @@ def test_mp3_joint_short_per_window_intensity_and_oracle():
                     p = gr_r["scalefacs"][3 * min(b, 11) + w]
                     if p == 7 or not np.abs(m[lo:hi]).max():
                         continue
-                    exp_l = (m[lo:hi] * st.ILR_FP[p]) // st.FP_ONE
-                    exp_r = (m[lo:hi] * st.IRR_FP[p]) // st.FP_ONE
+                    # mix result carries the stream-wide headroom shift
+                    # (floor composes: mix // 2^h is exactly what the
+                    # chain stores)
+                    hd = 1 << st.JOINT_HEADROOM_BITS
+                    exp_l = ((m[lo:hi] * st.ILR_FP[p]) // st.FP_ONE) // hd
+                    exp_r = ((m[lo:hi] * st.IRR_FP[p]) // st.FP_ONE) // hd
                     assert (lo_out[lo:hi] == exp_l).all(), (d, f, g, b, w)
                     assert (ro_out[lo:hi] == exp_r).all(), (d, f, g, b, w)
     assert boundary_windows > 0  # the fixture genuinely splits bands
