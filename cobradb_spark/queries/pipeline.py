@@ -175,27 +175,38 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # (4) decontamination: eval grams come from the RAW corpus (the eval
-    # slice is fixed before curation), broadcast into a semi-style overlap
-    # count; eval docs themselves leave the corpus here.
+    # slice is fixed before curation), broadcast into a left join whose
+    # match flag and gram count aggregate in ONE pass.  n_words/quality
+    # ride through the explode so the curated subtree above is evaluated
+    # exactly once — no sizes/hits/join-back triple evaluation (each
+    # re-evaluation would repeat the three dedup window shuffles at
+    # 100 TB).  ev.g is distinct, so the left join never fans out and
+    # count(*) per doc IS the distinct-gram count.
     ev = (
         d.filter(F.col("doc_id") % 50 == 0)
         .select(F.split("text", " ").alias("w"))
         .select(F.explode(_word_trigrams("w")).alias("g"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     tr = (
         s3f.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode(_word_trigrams("w")).alias("g"))
+        .select("doc_id", "n_words", "quality", F.split("text", " ").alias("w"))
+        .select("doc_id", "n_words", "quality", F.explode(_word_trigrams("w")).alias("g"))
     )
-    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hit = tr.join(F.broadcast(ev), "g").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
-    contamination = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams")
-    s4 = (
-        sizes.join(s3f, "doc_id")
-        .join(hit, "doc_id", "left")
-        .filter(contamination < _CONTAM_MAX)
-        .select("doc_id", "n_words", "quality", F.round(contamination, 6).alias("contamination"))
+    scored = (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.first("quality").alias("quality"),
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    contamination = F.col("n_hit").cast("double") / F.col("n_grams")
+    s4 = scored.filter(contamination < _CONTAM_MAX).select(
+        "doc_id", "n_words", "quality", F.round(contamination, 6).alias("contamination")
     )
 
     # (5) deterministic 80/10/10 split — split_train_test's md5 bucket.

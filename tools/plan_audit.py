@@ -1791,6 +1791,18 @@ AUDITS = [
         "one fact rollup to the |A|x|B| contingency grid; marginals "
         "and MI algebra broadcast on KB-sized tables",
     ),
+    (
+        "pipeline_curate_corpus",
+        ["SCANS<=2", "BroadcastHashJoin LeftOuter", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BatchEvalPython", "CollectLimit"],
+        "five curation stages in ONE lazy plan: the curated subtree "
+        "(3 partitioned dedup windows + quality/lang filter) is "
+        "evaluated exactly once (2 scans total: corpus + eval slice); "
+        "eval trigrams broadcast into a left join whose match flag and "
+        "gram count aggregate in a single partial+final pass; nothing "
+        "materializes to the driver between stages",
+    ),
 ]
 
 
