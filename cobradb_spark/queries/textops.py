@@ -27,6 +27,27 @@ _SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 => >=1 of 4 chunks equal
 _CHUNK_BITS = 15
 
 
+def simhash_fingerprint(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, fingerprint): 60-bit SimHash from
+    per-word md5 hashes, sign-of-bit-sums.  Shared by dedup_simhash and
+    the cross-engine property fuzz (tests/test_functions.py)."""
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    words = words.select("doc_id", _H_SPARK(F.col("w")).alias("h"))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fp_expr = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr.bitwiseOR(term)
+    return bit_sums.select("doc_id", fp_expr.alias("fingerprint"))
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -54,21 +75,7 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    words = words.select("doc_id", _H_SPARK(F.col("w")).alias("h"))
-    bit_sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
-    )
-    fp_expr = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp_expr = term if fp_expr is None else fp_expr.bitwiseOR(term)
-    fp = bit_sums.select("doc_id", fp_expr.alias("fingerprint"))
+    fp = simhash_fingerprint(d.select("doc_id", "text"))
 
     chunks = fp.select(
         "doc_id",

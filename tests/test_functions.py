@@ -127,3 +127,190 @@ def test_global_prefix_sums_matches_sequential(spark):
         for r in out:
             ea, eb = expect[r.uid]
             assert (r.pa, r.pb) == (ea, eb), (num_parts, r.uid)
+
+
+# --- r12: cross-engine property fuzz for the H1-H4 + SimHash scalar
+# surface (r11 VERDICT item 8).  These formulations carry hand-built
+# cross-engine hash tricks (md5-bucket conv, array_sort vs ORDER BY,
+# regex charsets); the fuzz drives random unicode / whitespace / empty
+# strings through BOTH engines and asserts bit-identical outputs —
+# hardening the most user-facing scalar surface the way the codec
+# family is (200-mutation fuzz).  One Spark job + one DuckDB query per
+# example; strings exclude NUL (DuckDB VARCHAR rejects it) and lone
+# surrogates (not valid UTF-8, unrepresentable in Arrow transfer).
+
+_XTEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=30,
+)
+
+
+def _duck_on(pdf, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+@given(st.lists(_XTEXT, min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_h1_normalize_crossengine(spark, xs):
+    """H1 str_normalize_ids chain: regexp_replace charset scrub + lower
+    + trim + translate agree byte-for-byte on arbitrary unicode."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    got = (
+        df.select(
+            "i",
+            F.lower(F.trim(F.regexp_replace("s", "[^a-zA-Z0-9_]", "_"))).alias("norm"),
+            F.translate("s", " -", "__").alias("tr"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        "SELECT i, lower(trim(regexp_replace(s, '[^a-zA-Z0-9_]', '_', 'g'))) AS norm, "
+        "translate(s, ' -', '__') AS tr FROM t ORDER BY i",
+    )
+    assert list(got["norm"]) == list(want["norm"])
+    assert list(got["tr"]) == list(want["tr"])
+
+
+@given(st.lists(_XTEXT, min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_h2_split_extract_crossengine(spark, xs):
+    """H2 str_split_compartment: regexp_extract groups on ^(\\w+) (\\w+)$
+    (ASCII \\w in both Java regex and RE2) and first split token agree,
+    including no-match -> '' and empty-string -> [''] conventions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pat = r"^(\w+) (\w+)$"
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    got = (
+        df.select(
+            "i",
+            F.regexp_extract("s", pat, 1).alias("g1"),
+            F.regexp_extract("s", pat, 2).alias("g2"),
+            F.split("s", " ").getItem(0).alias("tok"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        "SELECT i, regexp_extract(s, '^(\\w+) (\\w+)$', 1) AS g1, "
+        "regexp_extract(s, '^(\\w+) (\\w+)$', 2) AS g2, "
+        "str_split(s, ' ')[1] AS tok FROM t ORDER BY i",
+    )
+    assert list(got["g1"]) == list(want["g1"])
+    assert list(got["g2"]) == list(want["g2"])
+    assert list(got["tok"]) == list(want["tok"])
+
+
+@given(st.lists(_XTEXT, min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_md5_bucket_conv_crossengine(spark, xs):
+    """The md5-bucket trick underlying SimHash/mlprep determinism:
+    Spark conv(substring(md5(x),1,15),16,10) == DuckDB
+    CAST('0x'||substr(md5(x),1,15) AS UBIGINT) for arbitrary strings."""
+    import pandas as pd
+    from cobradb_spark.queries.textops import _H_DUCK, _H_SPARK
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    got = df.select("i", _H_SPARK(F.col("s")).alias("h")).toPandas().sort_values("i")
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        f"SELECT i, {_H_DUCK.format(c='s')} AS h FROM t ORDER BY i",
+    )
+    assert [int(v) for v in got["h"]] == [int(v) for v in want["h"]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # group
+            st.integers(-(2**40), 2**40),  # "metabolite" key
+            st.integers(-(10**6), 10**6),  # "stoich" quantity
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_h4_reaction_signature_crossengine(spark, rows):
+    """H4 hash_reaction_dedup signature: sha2-of-sorted-pairs equals
+    DuckDB sha256(string_agg ORDER BY) for random int pairs, including
+    negatives and duplicate pairs (array_sort and ORDER BY coincide on
+    the ASCII pair encoding)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g long, k long, q long")
+    pair = F.concat_ws(":", F.col("k"), F.col("q"))
+    got = (
+        df.groupBy("g")
+        .agg(F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(pair))), 256).alias("sig"))
+        .toPandas()
+        .sort_values("g")
+    )
+    want = _duck_on(
+        pd.DataFrame(rows, columns=["g", "k", "q"]),
+        "SELECT g, sha256(string_agg(concat(k, ':', q), ',' "
+        "ORDER BY concat(k, ':', q))) AS sig FROM t GROUP BY g ORDER BY g",
+    )
+    assert list(got["sig"]) == list(want["sig"])
+
+
+@given(st.lists(_XTEXT, min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_simhash_fingerprint_crossengine(spark, xs):
+    """SimHash fingerprints agree bit-for-bit across engines on random
+    unicode texts (empty strings, runs of spaces, astral chars), and
+    the banding invariant holds: any pair at hamming <= 3 shares at
+    least one of the 4 15-bit chunks (the pigeonhole recall guarantee
+    dedup_simhash's candidate join relies on)."""
+    import pandas as pd
+    from cobradb_spark.queries.textops import (
+        _CHUNK_BITS,
+        _H_DUCK,
+        _SIMHASH_BITS,
+        _SIMHASH_CHUNKS,
+        simhash_fingerprint,
+    )
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "doc_id long, text string")
+    got = simhash_fingerprint(df).toPandas().sort_values("doc_id")
+    bitcols = ", ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(1 AS BIGINT) << {b} ELSE 0 END AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    ors = " | ".join(f"b{b}" for b in range(_SIMHASH_BITS))
+    want = _duck_on(
+        pd.DataFrame({"doc_id": range(len(xs)), "text": xs}),
+        f"""WITH words AS (
+  SELECT doc_id, {_H_DUCK.format(c="unnest(str_split(text, ' '))")} AS h FROM t
+), bits AS (SELECT doc_id, {bitcols} FROM words GROUP BY doc_id)
+SELECT doc_id, ({ors}) AS fingerprint FROM bits ORDER BY doc_id""",
+    )
+    fps = [int(v) for v in got["fingerprint"]]
+    assert fps == [int(v) for v in want["fingerprint"]]
+    mask = (1 << _CHUNK_BITS) - 1
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if bin(fps[i] ^ fps[j]).count("1") <= 3:
+                assert any(
+                    (fps[i] >> (c * _CHUNK_BITS)) & mask
+                    == (fps[j] >> (c * _CHUNK_BITS)) & mask
+                    for c in range(_SIMHASH_CHUNKS)
+                )
