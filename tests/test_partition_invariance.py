@@ -118,6 +118,10 @@ PROBE_KEYS = [
     "mlprep_mutual_information",
     "text_mattr_lexical_diversity",
     "analytics_hhi_concentration",
+    # r12: the five-stage curation composition — three window-min
+    # dedup stages, a broadcast-left-join contamination aggregate, and
+    # an md5 split must all hold under any task layout
+    "pipeline_curate_corpus",
 ]
 
 

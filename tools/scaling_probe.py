@@ -242,6 +242,8 @@ PROBES = [
     "multimodal_mp3_stereo_pcm_decode",
     "multimodal_mp3_joint_pcm_decode",
     "multimodal_mp3_joint_short_pcm_decode",
+    # r12 additions
+    "pipeline_curate_corpus",
 ]
 
 
