@@ -438,3 +438,33 @@ def test_bpe_train_matches_reference_trainer(spark, sf_dir):
         for r in get_query("text_bpe_train").fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_pipeline_curate_corpus_composition_contract(spark, sf_dir):
+    """The five-stage composition must agree with its constituent keys:
+    (a) no eval-slice doc (doc_id % 50 = 0) survives; (b) every
+    survivor is an exact-dedup survivor (a keep_id in dedup_exact_hash);
+    (c) per-survivor quality equals text_quality_score's value and
+    clears the gate; (d) contamination < 0.2; (e) the split column
+    equals the md5-bucket rule recomputed locally (seed 'curate')."""
+    import hashlib
+
+    from cobradb_spark.registry import get_query
+
+    out = {r.doc_id: r for r in get_query("pipeline_curate_corpus").fn(spark, sf_dir).collect()}
+    assert out, "pipeline produced no survivors at this SF"
+    assert all(d % 50 != 0 for d in out)  # (a)
+
+    keep = {r.keep_id for r in get_query("dedup_exact_hash").fn(spark, sf_dir).collect()}
+    assert set(out) <= keep  # (b)
+
+    q = {r.doc_id: r.quality for r in get_query("text_quality_score").fn(spark, sf_dir).collect()}
+    for d, r in out.items():  # (c) + (d)
+        assert r.quality == q[d] and r.quality >= 0.35, d
+        assert 0.0 <= r.contamination < 0.2, d
+
+    for d, r in out.items():  # (e)
+        h = hashlib.md5(f"curate{d}".encode()).hexdigest()
+        b = int(h[:15], 16) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r.split == want, (d, b, r.split)
