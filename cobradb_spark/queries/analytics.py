@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
+from cobradb_spark.ngrams import TRIGRAMS_SQL, word_trigrams
 from cobradb_spark.registry import register
+
+# shared cross-engine trigram snippet (cobradb_spark/ngrams.py) — keeps
+# decontam_ngram_overlap and pipeline_curate_corpus in lockstep
+_TRI_SQL = TRIGRAMS_SQL.format(w="str_split(text, ' ')")
 
 _SESSION_GAP_MIN = 30
 
@@ -220,17 +225,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontam_ngram_overlap",
-    oracle="""
+    oracle=f"""
 WITH ev AS (
-  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-                  i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
-                              ' ', str_split(text, ' ')[i + 2]))) AS g
+  SELECT DISTINCT unnest({_TRI_SQL}) AS g
   FROM documents WHERE doc_id % 50 = 0
 ), tr AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
-                            ' ', str_split(text, ' ')[i + 2]))) AS g
+  SELECT DISTINCT doc_id, unnest({_TRI_SQL}) AS g
   FROM documents WHERE doc_id % 50 <> 0
 ), sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id
@@ -256,11 +256,9 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split materialized once per row — element_at(split(...)) inside the
     # lambda re-splits the full text per gram (see dedup_containment_ngram)
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
-        lambda i: F.array_join(F.slice("w", i, 3), " "),
+    grams = w.select(
+        "doc_id", F.explode(F.array_distinct(word_trigrams("w"))).alias("g")
     )
-    grams = w.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("g"))
     ev = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
     tr = grams.filter(F.col("doc_id") % 50 != 0)
     sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))

@@ -2185,6 +2185,16 @@ from cobradb_spark.operators.mp3stereo import (
     JOINT_HEADROOM_BITS as _JOINT_HEADROOM_BITS,
 )
 
+# One shared disclosure for every *_pcm_decode key (review r12: six
+# verbatim copies drift; swap the window in ONE place when ISO Table
+# B.3 constants become available).
+_SUBST_WINDOW_NOTE = (
+    " (PCM computed with a SUBSTITUTE synthesis prototype window — a "
+    "Hann-windowed lowpass standing in for ISO Table B.3's normative "
+    "printed coefficients; operators/mp3imdct.py) "
+)
+
+
 
 def _sql_ints(vals) -> str:
     import numpy as _np
@@ -2434,8 +2444,7 @@ SELECT d.doc_id,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
-    doc="REAL MPEG-1 Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
-    "— the COMPLETE decoder "
+    doc="REAL MPEG-1 Layer III decode to PCM" + _SUBST_WINDOW_NOTE + "— the COMPLETE decoder "
     "chain: container walk -> side info -> Huffman symbols -> "
     "requantization -> alias/reorder -> windowed IMDCT -> overlap-add "
     "-> frequency inversion -> 32-band POLYPHASE SYNTHESIS (ISO "
@@ -2549,8 +2558,7 @@ SELECT d.doc_id,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
-    doc="REAL MPEG-1 Layer II decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
-    "— the general Layer II "
+    doc="REAL MPEG-1 Layer II decode to PCM" + _SUBST_WINDOW_NOTE + "— the general Layer II "
     "parser (B.2a/B.2b allocation regions, grouped + ungrouped "
     "quantizers, scfsi-APPLIED scalefactors per frame part) feeding "
     "the SAME polyphase synthesis filterbank as Layer III "
@@ -2636,8 +2644,7 @@ SELECT d.doc_id,
        COALESCE(a.sum_pcm_w_fp, 0) AS sum_pcm_w_fp
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
-    doc="REAL MPEG-1 Layer I decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
-    "— the general Layer I "
+    doc="REAL MPEG-1 Layer I decode to PCM" + _SUBST_WINDOW_NOTE + "— the general Layer I "
     "parser (4-bit allocations, 6-bit scalefactors, nb-bit codes, "
     "rational requantization num/(2^nb - 1)) feeding the SAME "
     "polyphase synthesis filterbank as Layers II/III "
@@ -2688,8 +2695,7 @@ SELECT (doc_id // 3) // 2 AS doc_id,
        CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
 FROM vdoc GROUP BY (doc_id // 3) // 2
 """,
-    doc="REAL TWO-CHANNEL MPEG-1 Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
-    ": the 32-byte "
+    doc="REAL TWO-CHANNEL MPEG-1 Layer III decode to PCM" + _SUBST_WINDOW_NOTE + "— the 32-byte "
     "stereo side-info record and gr0ch0 gr0ch1 gr1ch0 gr1ch1 main-data "
     "interleave (stereo / joint-ext0 / dual rotation) through the "
     "per-channel requantize -> alias/IMDCT -> overlap-add -> polyphase "
@@ -2846,8 +2852,7 @@ SELECT doc_id // 2 AS doc_id,
        CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
 FROM vdoc GROUP BY doc_id // 2
 """,
-    doc="REAL JOINT-STEREO MPEG-1 Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
-    "— MS and "
+    doc="REAL JOINT-STEREO MPEG-1 Layer III decode to PCM" + _SUBST_WINDOW_NOTE + "— MS and "
     "INTENSITY stereo processing on the requantized spectra "
     "(operators/mp3stereo.py, ISO 11172-3 2.4.3.4.9), the processing "
     "the symbol-decode stereo key documented as out of scope: "
@@ -3010,8 +3015,7 @@ SELECT doc_id // 2 AS doc_id,
        CAST(SUM(sum_pcm_w_fp) AS BIGINT) AS sum_pcm_w_fp
 FROM vdoc GROUP BY doc_id // 2
 """,
-    doc="REAL joint-stereo Layer III decode to PCM (PCM computed with a SUBSTITUTE synthesis prototype window — a Hann-windowed lowpass standing in for ISO Table B.3's normative printed coefficients; operators/mp3imdct.py) "
-    "over SHORT "
+    doc="REAL joint-stereo Layer III decode to PCM" + _SUBST_WINDOW_NOTE + "over SHORT "
     "(window-switching) granules — per-(band, window) INTENSITY "
     "semantics (operators/mp3stereo.py joint_mix_granule_short): "
     "window w of short band b is an intensity region iff its first "

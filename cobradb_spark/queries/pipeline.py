@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
+from cobradb_spark.ngrams import TRIGRAMS_SQL, word_trigrams
 from cobradb_spark.queries.mlprep import _bucket, _bucket_sql
 from cobradb_spark.queries.textops import _DE, _EN, _ES, _hits_duck
 from cobradb_spark.registry import register
@@ -33,15 +34,12 @@ from cobradb_spark.registry import register
 _QUALITY_MIN = 0.35  # same composite score as text_quality_score
 _CONTAM_MAX = 0.2  # same threshold as decontam_ngram_overlap
 
+_TRI = TRIGRAMS_SQL.format(w="str_split(text, ' ')")
+
 
 def _word_trigrams(words_col: str) -> F.Column:
-    """Distinct word 3-grams — decontam_ngram_overlap's proven formulation."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words_col) - 2, F.lit(1))),
-            lambda i: F.array_join(F.slice(words_col, i, 3), " "),
-        )
-    )
+    """Distinct word 3-grams — the shared cross-engine formulation."""
+    return F.array_distinct(word_trigrams(words_col))
 
 
 @register(
@@ -73,15 +71,10 @@ WITH s1 AS (
   WHERE quality >= {_QUALITY_MIN}
     AND (en_hits > 0 OR de_hits > 0 OR es_hits > 0)
 ), ev AS (
-  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-                  i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
-                              ' ', str_split(text, ' ')[i + 2]))) AS g
+  SELECT DISTINCT unnest({_TRI}) AS g
   FROM documents WHERE doc_id % 50 = 0
 ), tr AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
-                            ' ', str_split(text, ' ')[i + 2]))) AS g
+  SELECT DISTINCT doc_id, unnest({_TRI}) AS g
   FROM s3f WHERE doc_id % 50 <> 0
 ), sizes AS (
   SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id

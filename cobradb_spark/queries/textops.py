@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
+from cobradb_spark.ngrams import ngrams_sql, word_ngrams
 from cobradb_spark.registry import register
+
+# shared cross-engine gram snippets (cobradb_spark/ngrams.py)
+_BI_SQL = ngrams_sql("str_split(text, ' ')", 2)
+_TRI_SQL = ngrams_sql("str_split(text, ' ')", 3)
 
 # 60-bit word hash: first 15 hex chars of md5 -> integer (same value in
 # both engines; 60 bits keeps it inside a signed 64-bit long).
@@ -118,12 +123,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 1, 1) + 1),
-                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1])))
-           AS shingle
+  SELECT DISTINCT doc_id, unnest({_BI_SQL}) AS shingle
   FROM documents
 ), sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
@@ -150,11 +152,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split materialized once per row — element_at(split(...)) inside the
     # lambda re-splits the full text per gram (see dedup_containment_ngram)
     w = d.select("doc_id", F.split("text", " ").alias("w"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice("w", i, 2), " "),
+    sh = w.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams("w", 2))).alias("shingle")
     )
-    sh = w.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # NOTE r5: the posting-grouping + HOF pair-explode rewrite that won
     # for dedup_containment_ngram was A/B-tried here and LOST badly:
@@ -2505,11 +2505,7 @@ _KEEP_DOCS_SQL = """
     oracle=f"""
 WITH RECURSIVE docs AS ({_KEEP_DOCS_SQL}),
 sh0 AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-                i -> concat(str_split(text, ' ')[i], ' ', str_split(text, ' ')[i + 1],
-                            ' ', str_split(text, ' ')[i + 2])))
-           AS shingle
+  SELECT DISTINCT doc_id, unnest({_TRI_SQL}) AS shingle
   FROM docs
 ), sh AS (
   SELECT sh0.* FROM sh0
@@ -2589,10 +2585,7 @@ def dedup_near_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
-        lambda i: F.array_join(F.slice("w", i, 3), " "),
-    )
+    trigrams = word_ngrams("w", 3)
     sh0 = w.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("shingle"))
     # stop-shingle df cap: shingles shared by > 64 docs carry no dedup
     # signal but dominate the posting join's df^2 cost — drop them from

@@ -183,15 +183,29 @@ def test_h1_normalize_crossengine(spark, xs):
     assert list(got["tr"]) == list(want["tr"])
 
 
+# Java regex `$` (default mode) matches BEFORE a final line terminator
+# (\n, \r\n, \x85,  ,  ) while RE2's `$` is \z — a GENUINE
+# engine divergence (verified: Spark extracts 'a' from "a b\n", DuckDB
+# returns '').  The H2 key's input (p_name) never ends in a line
+# terminator, so the key is safe; the fuzz asserts agreement exactly on
+# the domain where the engines agree.
+_LINE_TERMINATORS = ("\n", "\r", "\x85", "\u2028", "\u2029")
+
+
 @given(st.lists(_XTEXT, min_size=1, max_size=40))
 @settings(max_examples=12, deadline=None)
 def test_h2_split_extract_crossengine(spark, xs):
     """H2 str_split_compartment: regexp_extract groups on ^(\\w+) (\\w+)$
     (ASCII \\w in both Java regex and RE2) and first split token agree,
-    including no-match -> '' and empty-string -> [''] conventions."""
+    including no-match -> '' and empty-string -> [''] conventions.
+    Strings ending in a line terminator are excluded — Java `$` vs RE2
+    `$` genuinely differ there (comment above)."""
     import pandas as pd
+    from hypothesis import assume
     from pyspark.sql import functions as F
 
+    xs = [s for s in xs if not s.endswith(_LINE_TERMINATORS)]
+    assume(xs)
     pat = r"^(\w+) (\w+)$"
     df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
     got = (
@@ -314,3 +328,32 @@ SELECT doc_id, ({ors}) AS fingerprint FROM bits ORDER BY doc_id""",
                     == (fps[j] >> (c * _CHUNK_BITS)) & mask
                     for c in range(_SIMHASH_CHUNKS)
                 )
+
+
+@given(
+    st.lists(_XTEXT, min_size=1, max_size=30),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_word_ngrams_crossengine(spark, xs, n):
+    """The shared n-gram builder (cobradb_spark/ngrams.py) produces
+    identical gram lists in both engines for ANY text — including docs
+    under n words, empty texts, and runs of spaces (the r12 review
+    found the previous inline DuckDB concat() form diverged exactly
+    there: it kept separators around NULL words)."""
+    import pandas as pd
+    from cobradb_spark.ngrams import ngrams_sql, word_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    got = (
+        df.select("i", F.split("s", " ").alias("w"))
+        .select("i", word_ngrams("w", n).alias("grams"))
+        .toPandas()
+        .sort_values("i")
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        f"SELECT i, {ngrams_sql('str_split(s, chr(32))', n)} AS grams FROM t ORDER BY i",
+    )
+    assert [list(g) for g in got["grams"]] == [list(g) for g in want["grams"]]
