@@ -468,3 +468,67 @@ def test_pipeline_curate_corpus_composition_contract(spark, sf_dir):
         b = int(h[:15], 16) % 100
         want = "train" if b < 80 else ("val" if b < 90 else "test")
         assert r.split == want, (d, b, r.split)
+
+
+def test_pipeline_curate_corpus_adversarial_micro_corpora(spark, tmp_path):
+    """The full five-stage pipeline agrees with its DuckDB oracle on
+    ADVERSARIAL synthetic corpora the fixtures never produce: exact
+    duplicates, shared 30-char prefixes/suffixes, sub-3-word and empty
+    texts, eval-slice collisions (doc_id % 50 == 0), stopword-free
+    docs, and heavy trigram overlap with the eval slice.  This pins the
+    composition on the edge shapes (the r12 review found a short-text
+    gram divergence in exactly this family)."""
+    import duckdb
+    import pandas as pd
+
+    from cobradb_spark.registry import get_query
+
+    filler = " ".join(["the quick brown fox jumps of a to in is and"] * 4)
+    evalfill = " ".join(["held out benchmark questions the of to answer key"] * 4)
+    prefix30 = "PPPPPPPPPPPPPPPPPPPPPPPPPPPPPP"  # 30 chars
+    suffix30 = "SSSSSSSSSSSSSSSSSSSSSSSSSSSSSS"
+    texts = {
+        0: evalfill + " eval slice doc",           # eval (doc_id%50==0)
+        1: evalfill + " eval slice doc",           # exact dup of eval text
+        2: "alpha doc " + filler + " two end",     # survivor
+        3: "alpha doc " + filler + " two end",     # exact dup of 2 -> drop
+        4: prefix30 + " " + filler + " four end",  # prefix group min
+        5: prefix30 + " " + filler + " five end",  # same prefix -> drop
+        6: "sgroup one " + filler + " " + suffix30,  # suffix group min
+        7: "sgroup two " + filler + " " + suffix30,  # same suffix -> drop
+        8: "a b",                                  # sub-3-word: quality gate
+        9: "",                                     # empty text
+        10: "zzz qqq " * 30,                       # no stopwords -> lang gate
+        11: "prefixbreaker " + evalfill + " end",  # eval-gram overlap -> decontam
+        12: "clean survivor " + filler + " h end",  # survivor
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    q = get_query("pipeline_curate_corpus")
+    got = sorted(
+        tuple(r) for r in q.fn(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.execute("CREATE VIEW documents AS SELECT * FROM pdf")
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    survivors = {r[0] for r in got}
+    assert 0 not in survivors and 1 not in survivors  # eval + its dup
+    assert 3 not in survivors        # exact dup loses to doc 2
+    assert 5 not in survivors        # prefix fingerprint dedup
+    assert 7 not in survivors        # suffix fingerprint dedup
+    assert 8 not in survivors and 9 not in survivors  # quality gate
+    assert 10 not in survivors       # language gate
+    assert 11 not in survivors       # decontamination (eval-gram overlap)
+    assert {2, 4, 6, 12} <= survivors  # clean docs flow all the way through
