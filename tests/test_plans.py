@@ -161,3 +161,20 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pipeline_curate_corpus_plan_is_scale_safe(spark, sf_dir):
+    """The five-stage curation composition stays one scale-safe plan:
+    no cartesian/nested-loop, eval grams broadcast, every Window
+    partitioned (the dedup stages key on content fingerprints), and the
+    curated subtree is evaluated once (<= 2 parquet scans)."""
+    from cobradb_spark.registry import get_query
+
+    df = get_query("pipeline_curate_corpus").fn(spark, sf_dir)
+    assert_scale_safe(df, forbid_nested_loop=True)
+    s = plan_summary(df)
+    assert s.broadcast_hash_joins >= 1  # eval trigram set
+    assert s.cartesian_products == 0
+    assert len(s.read_schemas) <= 2, (
+        f"curated subtree re-evaluated: {len(s.read_schemas)} scans"
+    )
