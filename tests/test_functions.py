@@ -357,3 +357,138 @@ def test_word_ngrams_crossengine(spark, xs, n):
         f"SELECT i, {ngrams_sql('str_split(s, chr(32))', n)} AS grams FROM t ORDER BY i",
     )
     assert [list(g) for g in got["grams"]] == [list(g) for g in want["grams"]]
+
+
+@given(
+    st.lists(
+        st.dates(min_value=__import__("datetime").date(1900, 1, 2),
+                 max_value=__import__("datetime").date(2199, 12, 30)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_h5_date_parts_crossengine(spark, ds):
+    """H5 date_parts_trunc family: year/month/ISO-dow (Spark weekday()+1
+    == DuckDB isodow), Monday week truncation, epoch day diff, and
+    last_day agree across engines for arbitrary dates (leap years,
+    century boundaries, pre-1970)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(ds)], "i long, d date")
+    got = (
+        df.select(
+            "i",
+            F.year("d").cast("long").alias("y"),
+            F.month("d").cast("long").alias("m"),
+            (F.weekday("d") + 1).cast("long").alias("iso_dow"),
+            F.date_trunc("week", "d").alias("week_start"),
+            F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long").alias("epoch_days"),
+            F.last_day("d").cast("timestamp_ntz").alias("month_end"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(ds)), "d": pd.to_datetime(ds)}),
+        "SELECT i, CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m, "
+        "CAST(isodow(d) AS BIGINT) AS iso_dow, "
+        "CAST(date_trunc('week', d) AS TIMESTAMP) AS week_start, "
+        "date_diff('day', TIMESTAMP '1970-01-01', d) AS epoch_days, "
+        "CAST(last_day(CAST(d AS DATE)) AS TIMESTAMP) AS month_end FROM t ORDER BY i",
+    )
+    for c in ("y", "m", "iso_dow", "epoch_days"):
+        assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
+    for c in ("week_start", "month_end"):
+        assert list(pd.to_datetime(got[c])) == list(pd.to_datetime(want[c])), c
+
+
+# Floats of the form k/8 keep every square and sum on a 6-fractional-bit
+# grid, so round(x, 6) is exact on both engines (no .xxxxxx5 tie can
+# arise — math_suite's docstring documents why ties are out of contract).
+_EIGHTHS = st.integers(min_value=-800, max_value=800).map(lambda k: k / 8.0)
+
+
+@given(st.lists(st.lists(_EIGHTHS, min_size=0, max_size=24), min_size=1, max_size=30))
+@settings(max_examples=12, deadline=None)
+def test_h8_array_hof_crossengine(spark, arrays):
+    """H8 higher-order array functions: filter/aggregate/exists/forall
+    vs list_filter/list_sum(list_transform)/len-comparisons agree for
+    arbitrary double arrays, including empty arrays and zeros."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i long, emb array<double>"
+    )
+    got = (
+        df.select(
+            "i",
+            F.size(F.filter("emb", lambda x: x > 0)).cast("long").alias("n_pos"),
+            F.round(
+                F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x), 6
+            ).alias("sumsq"),
+            F.exists("emb", lambda x: x > 2.0).alias("any_big"),
+            F.forall("emb", lambda x: F.abs(x) < 10.0).alias("all_small"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(arrays)), "emb": arrays}),
+        "SELECT i, CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_pos, "
+        "round(coalesce(list_sum(list_transform(emb, x -> x * x)), 0.0), 6) AS sumsq, "
+        "(len(list_filter(emb, x -> x > 2.0)) > 0) AS any_big, "
+        "(len(list_filter(emb, x -> abs(x) >= 10.0)) = 0) AS all_small FROM t ORDER BY i",
+    )
+    assert [int(v) for v in got["n_pos"]] == [int(v) for v in want["n_pos"]]
+    assert [float(v) for v in got["sumsq"]] == [float(v) for v in want["sumsq"]]
+    assert [bool(v) for v in got["any_big"]] == [bool(v) for v in want["any_big"]]
+    assert [bool(v) for v in got["all_small"]] == [bool(v) for v in want["all_small"]]
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["O", "F", "P"]), st.sampled_from(["1-URGENT", "2-HIGH", "3-LOW"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_h11_null_chain_crossengine(spark, rows):
+    """H11 conditional_null chain: nullif/coalesce/nvl2 fallbacks agree
+    across engines for every status/priority combination (the branches
+    where nullif yields NULL are the interesting ones)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, s, p) for i, (s, p) in enumerate(rows)], "i long, s string, p string"
+    )
+    s_or_null = F.nullif("s", F.lit("O"))
+    got = (
+        df.select(
+            "i",
+            s_or_null.alias("s_null"),
+            F.coalesce(s_or_null, F.nullif("p", F.lit("1-URGENT")), F.lit("fb")).alias("first_nn"),
+            F.nvl2(s_or_null, F.lit("closed"), F.lit("open")).alias("nvl2"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame(
+            {"i": range(len(rows)), "s": [r[0] for r in rows], "p": [r[1] for r in rows]}
+        ),
+        "SELECT i, nullif(s, 'O') AS s_null, "
+        "coalesce(nullif(s, 'O'), nullif(p, '1-URGENT'), 'fb') AS first_nn, "
+        "CASE WHEN nullif(s, 'O') IS NOT NULL THEN 'closed' ELSE 'open' END AS nvl2 "
+        "FROM t ORDER BY i",
+    )
+    same = lambda a, b: (pd.isna(a) and pd.isna(b)) or a == b  # noqa: E731
+    for c in ("s_null", "first_nn", "nvl2"):
+        assert all(same(a, b) for a, b in zip(got[c], want[c])), c
