@@ -492,3 +492,96 @@ def test_h11_null_chain_crossengine(spark, rows):
     same = lambda a, b: (pd.isna(a) and pd.isna(b)) or a == b  # noqa: E731
     for c in ("s_null", "first_nn", "nvl2"):
         assert all(same(a, b) for a, b in zip(got[c], want[c])), c
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_window_family_crossengine(spark, rows):
+    """E-family window functions agree across engines on random grouped
+    data WITH VALUE TIES: rank / dense_rank / ntile(3) / percent_rank /
+    cume_dist / lag / lead over a deterministic (v, id) total order —
+    ties in v are the interesting case (rank gaps, cume_dist plateaus);
+    the id tiebreaker makes every projected value engine-independent."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g long, v long")
+    w = Window.partitionBy("g").orderBy(F.col("v"), F.col("id"))
+    got = (
+        df.select(
+            "id",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(3).over(w).cast("long").alias("nt"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+            F.lag("v", 1).over(w).alias("lg"),
+            F.lead("v", 1, -999).over(w).alias("ld"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame(data, columns=["id", "g", "v"]),
+        "SELECT id, CAST(rank() OVER w AS BIGINT) AS rnk, "
+        "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+        "CAST(ntile(3) OVER w AS BIGINT) AS nt, "
+        "round(percent_rank() OVER w, 9) AS pr, "
+        "round(cume_dist() OVER w, 9) AS cd, "
+        "lag(v, 1) OVER w AS lg, lead(v, 1, -999) OVER w AS ld "
+        "FROM t WINDOW w AS (PARTITION BY g ORDER BY v, id) ORDER BY id",
+    )
+    for c in ("rnk", "drnk", "nt"):
+        assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
+    for c in ("pr", "cd"):
+        assert [float(v) for v in got[c]] == [float(v) for v in want[c]], c
+    same = lambda a, b: (pd.isna(a) and pd.isna(b)) or int(a) == int(b)  # noqa: E731
+    assert all(same(a, b) for a, b in zip(got["lg"], want["lg"]))
+    assert [int(v) for v in got["ld"]] == [int(v) for v in want["ld"]]
+
+
+@given(
+    st.lists(st.integers(0, 6), min_size=0, max_size=40),
+    st.lists(st.integers(0, 6), min_size=0, max_size=40),
+)
+@settings(max_examples=10, deadline=None)
+def test_setops_multiplicity_crossengine(spark, xs, ys):
+    """G-family set semantics with DUPLICATES: union all / union
+    distinct / intersect (distinct) / except (distinct) / intersectAll /
+    exceptAll multiplicities match DuckDB's bag semantics exactly."""
+    import pandas as pd
+    from collections import Counter
+
+    a = spark.createDataFrame([(v,) for v in xs] or [(None,)], "v int").filter("v is not null")
+    b = spark.createDataFrame([(v,) for v in ys] or [(None,)], "v int").filter("v is not null")
+
+    def bag(df):
+        return Counter(r.v for r in df.collect())
+
+    con_pdf_a = pd.DataFrame({"v": pd.Series(xs, dtype="int64")})
+    con_pdf_b = pd.DataFrame({"v": pd.Series(ys, dtype="int64")})
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("ta", con_pdf_a)
+    con.register("tb", con_pdf_b)
+
+    def duck_bag(sql):
+        return Counter(r[0] for r in con.execute(sql).fetchall())
+
+    assert bag(a.unionAll(b)) == duck_bag("SELECT v FROM ta UNION ALL SELECT v FROM tb")
+    assert bag(a.union(b).distinct()) == duck_bag("SELECT v FROM ta UNION SELECT v FROM tb")
+    assert bag(a.intersect(b)) == duck_bag("SELECT v FROM ta INTERSECT SELECT v FROM tb")
+    assert bag(a.exceptAll(b)) == duck_bag("SELECT v FROM ta EXCEPT ALL SELECT v FROM tb")
+    assert bag(a.intersectAll(b)) == duck_bag("SELECT v FROM ta INTERSECT ALL SELECT v FROM tb")
+    assert bag(a.subtract(b)) == duck_bag("SELECT v FROM ta EXCEPT SELECT v FROM tb")
+    con.close()
