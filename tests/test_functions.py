@@ -585,3 +585,53 @@ def test_setops_multiplicity_crossengine(spark, xs, ys):
     assert bag(a.intersectAll(b)) == duck_bag("SELECT v FROM ta INTERSECT ALL SELECT v FROM tb")
     assert bag(a.subtract(b)) == duck_bag("SELECT v FROM ta EXCEPT SELECT v FROM tb")
     con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_percentile_and_ordered_pick_crossengine(spark, rows):
+    """D8/D10: Spark percentile()/median() match DuckDB
+    percentile_cont/median (linear interpolation on random ints, odd
+    and even group sizes, duplicate values), and max_by/min_by over a
+    (value, unique-key) struct equals the row_number()-ranked pick."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g long, v long")
+    got = (
+        df.groupBy("g")
+        .agg(
+            F.round(F.expr("percentile(v, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
+            F.round(F.median("v"), 6).alias("med"),
+            F.expr("max_by(id, struct(v, id))").alias("argmax"),
+            F.expr("min_by(id, struct(v, id))").alias("argmin"),
+        )
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame(data, columns=["id", "g", "v"]),
+        "WITH ranked AS (SELECT *, "
+        "row_number() OVER (PARTITION BY g ORDER BY v DESC, id DESC) AS rmax, "
+        "row_number() OVER (PARTITION BY g ORDER BY v ASC, id ASC) AS rmin FROM t) "
+        "SELECT g, "
+        "round(percentile_cont(0.25) WITHIN GROUP (ORDER BY v), 6) AS p25, "
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 6) AS p50, "
+        "round(median(v), 6) AS med, "
+        "max(CASE WHEN rmax = 1 THEN id END) AS argmax, "
+        "max(CASE WHEN rmin = 1 THEN id END) AS argmin "
+        "FROM ranked GROUP BY g ORDER BY g",
+    )
+    for c in ("p25", "p50", "med"):
+        assert [float(v) for v in got[c]] == [float(v) for v in want[c]], c
+    for c in ("argmax", "argmin"):
+        assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
