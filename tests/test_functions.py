@@ -3,6 +3,7 @@ upgrade the reference's example-based suite lacks (SURVEY §5.1/5.2)."""
 
 from __future__ import annotations
 
+import datetime
 import re
 
 from hypothesis import given, settings
@@ -361,8 +362,8 @@ def test_word_ngrams_crossengine(spark, xs, n):
 
 @given(
     st.lists(
-        st.dates(min_value=__import__("datetime").date(1900, 1, 2),
-                 max_value=__import__("datetime").date(2199, 12, 30)),
+        st.dates(min_value=datetime.date(1900, 1, 2),
+                 max_value=datetime.date(2199, 12, 30)),
         min_size=1,
         max_size=50,
     )
@@ -572,19 +573,21 @@ def test_setops_multiplicity_crossengine(spark, xs, ys):
     import duckdb
 
     con = duckdb.connect()
-    con.register("ta", con_pdf_a)
-    con.register("tb", con_pdf_b)
+    try:
+        con.register("ta", con_pdf_a)
+        con.register("tb", con_pdf_b)
 
-    def duck_bag(sql):
-        return Counter(r[0] for r in con.execute(sql).fetchall())
+        def duck_bag(sql):
+            return Counter(r[0] for r in con.execute(sql).fetchall())
 
-    assert bag(a.unionAll(b)) == duck_bag("SELECT v FROM ta UNION ALL SELECT v FROM tb")
-    assert bag(a.union(b).distinct()) == duck_bag("SELECT v FROM ta UNION SELECT v FROM tb")
-    assert bag(a.intersect(b)) == duck_bag("SELECT v FROM ta INTERSECT SELECT v FROM tb")
-    assert bag(a.exceptAll(b)) == duck_bag("SELECT v FROM ta EXCEPT ALL SELECT v FROM tb")
-    assert bag(a.intersectAll(b)) == duck_bag("SELECT v FROM ta INTERSECT ALL SELECT v FROM tb")
-    assert bag(a.subtract(b)) == duck_bag("SELECT v FROM ta EXCEPT SELECT v FROM tb")
-    con.close()
+        assert bag(a.unionAll(b)) == duck_bag("SELECT v FROM ta UNION ALL SELECT v FROM tb")
+        assert bag(a.union(b).distinct()) == duck_bag("SELECT v FROM ta UNION SELECT v FROM tb")
+        assert bag(a.intersect(b)) == duck_bag("SELECT v FROM ta INTERSECT SELECT v FROM tb")
+        assert bag(a.exceptAll(b)) == duck_bag("SELECT v FROM ta EXCEPT ALL SELECT v FROM tb")
+        assert bag(a.intersectAll(b)) == duck_bag("SELECT v FROM ta INTERSECT ALL SELECT v FROM tb")
+        assert bag(a.subtract(b)) == duck_bag("SELECT v FROM ta EXCEPT SELECT v FROM tb")
+    finally:
+        con.close()
 
 
 @given(
