@@ -663,7 +663,11 @@ FROM supplier s JOIN customer c
   ON levenshtein(s.s_name, c.c_name) <= 6
 """,
     doc="H3 at scale: edit-distance join with PassJoin segment blocking "
-    "on DATA-ADAPTIVE boundaries. Pigeonhole: if lev(a,b) <= 6, split a "
+    "on DATA-ADAPTIVE boundaries. ORACLE DOMAIN NOTE: DuckDB levenshtein "
+    "counts UTF-8 BYTES while Spark counts code points (fuzz-verified: "
+    "'' vs '\u20ac' scores 3 vs 1) — the cross-engine contract holds on "
+    "the ASCII name domain both sides run on; a unicode corpus would "
+    "need a code-point oracle. Pigeonhole: if lev(a,b) <= 6, split a "
     "into 7 contiguous segments and at least one appears EXACTLY in b "
     "within index-based shift bounds — true for ANY split, so boundary "
     "choice is pure performance. The supplier side indexes its 7 "

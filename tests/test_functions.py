@@ -638,3 +638,118 @@ def test_percentile_and_ordered_pick_crossengine(spark, rows):
         assert [float(v) for v in got[c]] == [float(v) for v in want[c]], c
     for c in ("argmax", "argmin"):
         assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
+
+
+# DuckDB levenshtein counts UTF-8 BYTES; Spark counts code points —
+# a GENUINE engine divergence (verified: levenshtein('', '\u20ac') is
+# 3 in DuckDB, 1 in Spark; '\U0001F600' scores 4 vs 1).  The fuzzy-join
+# keys run on ASCII TPC-H names where the two coincide; the fuzz pins
+# parity exactly on that domain (same treatment as the Java-vs-RE2 `$`
+# divergence above).
+_ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=30
+)
+
+
+@given(st.lists(st.tuples(_ASCII_TEXT, _ASCII_TEXT), min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_levenshtein_crossengine(spark, pairs):
+    """H3 str_fuzzy_match's join predicate: levenshtein distances agree
+    across engines on the ASCII domain the fuzzy-join keys run on
+    (byte-vs-codepoint divergence on non-ASCII documented above)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a string, b string"
+    )
+    got = (
+        df.select("i", F.levenshtein("a", "b").cast("long").alias("d"))
+        .toPandas()
+        .sort_values("i")
+    )
+    want = _duck_on(
+        pd.DataFrame(
+            {"i": range(len(pairs)), "a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}
+        ),
+        "SELECT i, CAST(levenshtein(a, b) AS BIGINT) AS d FROM t ORDER BY i",
+    )
+    assert [int(v) for v in got["d"]] == [int(v) for v in want["d"]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_null_safe_equality_crossengine(spark, rows):
+    """C-family join_null_safe predicate: Spark's <=> (eqNullSafe)
+    matches DuckDB's IS NOT DISTINCT FROM on every null/value
+    combination."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, a int, b int"
+    )
+    got = (
+        df.select("i", F.col("a").eqNullSafe(F.col("b")).alias("eq"))
+        .toPandas()
+        .sort_values("i")
+    )
+    want = _duck_on(
+        pd.DataFrame(
+            {
+                "i": range(len(rows)),
+                "a": pd.array([r[0] for r in rows], dtype="Int64"),
+                "b": pd.array([r[1] for r in rows], dtype="Int64"),
+            }
+        ),
+        "SELECT i, (a IS NOT DISTINCT FROM b) AS eq FROM t ORDER BY i",
+    )
+    assert [bool(v) for v in got["eq"]] == [bool(v) for v in want["eq"]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_multikey_null_ordering_crossengine(spark, rows):
+    """F1 sort_multikey_nulls: (asc NULLS FIRST, desc NULLS LAST)
+    multi-key ordering produces the same total order in both engines
+    for random nullable keys (a unique id tiebreaker pins ties)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, a int, b int")
+    got = [
+        r.id
+        for r in df.orderBy(
+            F.col("a").asc_nulls_first(), F.col("b").desc_nulls_last(), F.col("id").asc()
+        ).collect()
+    ]
+    want = _duck_on(
+        pd.DataFrame(
+            {
+                "id": range(len(rows)),
+                "a": pd.array([r[0] for r in rows], dtype="Int64"),
+                "b": pd.array([r[1] for r in rows], dtype="Int64"),
+            }
+        ),
+        "SELECT id FROM t ORDER BY a ASC NULLS FIRST, b DESC NULLS LAST, id ASC",
+    )
+    assert got == [int(v) for v in want["id"]]
