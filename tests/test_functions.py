@@ -753,3 +753,34 @@ def test_multikey_null_ordering_crossengine(spark, rows):
         "SELECT id FROM t ORDER BY a ASC NULLS FIRST, b DESC NULLS LAST, id ASC",
     )
     assert got == [int(v) for v in want["id"]]
+
+
+@given(st.lists(_XTEXT, min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_string_slicing_crossengine(spark, xs):
+    """The curation pipeline's fingerprints hash substring(text,1,30)
+    and right(text,30); quality scoring divides by length(text).  Pin
+    that all three are CODE-POINT based in both engines on arbitrary
+    unicode (unlike levenshtein, where DuckDB counts bytes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    got = (
+        df.select(
+            "i",
+            F.substring("s", 1, 7).alias("pre"),
+            F.expr("right(s, 7)").alias("suf"),
+            F.length("s").cast("long").alias("n"),
+        )
+        .toPandas()
+        .sort_values("i")
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        "SELECT i, substr(s, 1, 7) AS pre, right(s, 7) AS suf, "
+        "CAST(length(s) AS BIGINT) AS n FROM t ORDER BY i",
+    )
+    assert list(got["pre"]) == list(want["pre"])
+    assert list(got["suf"]) == list(want["suf"])
+    assert [int(v) for v in got["n"]] == [int(v) for v in want["n"]]
