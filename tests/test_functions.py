@@ -784,3 +784,45 @@ def test_string_slicing_crossengine(spark, xs):
     assert list(got["pre"]) == list(want["pre"])
     assert list(got["suf"]) == list(want["suf"])
     assert [int(v) for v in got["n"]] == [int(v) for v in want["n"]]
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),  # missing key entirely
+            st.integers(-10**6, 10**6),
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                           blacklist_characters='"\\'), max_size=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_h10_json_extract_crossengine(spark, vals):
+    """H10 json_extract_nested: get_json_object('$.k') matches DuckDB
+    json_extract_string for int values, string values, and absent keys
+    (NULL on both sides)."""
+    import json as J
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    props = [
+        J.dumps({"other": 1}) if v is None else J.dumps({"k": v, "other": 1})
+        for v in vals
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(props)], "i long, props string"
+    )
+    got = (
+        df.select("i", F.get_json_object("props", "$.k").alias("k_str"))
+        .toPandas()
+        .sort_values("i")
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(props)), "props": props}),
+        "SELECT i, json_extract_string(props, '$.k') AS k_str FROM t ORDER BY i",
+    )
+    same = lambda a, b: (pd.isna(a) and pd.isna(b)) or a == b  # noqa: E731
+    assert all(same(a, b) for a, b in zip(got["k_str"], want["k_str"]))
