@@ -20,22 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cobradb_spark.buckets import bucket as _bucket
+from cobradb_spark.buckets import bucket_sql as _bucket_sql
 from cobradb_spark.io import load_table
 from cobradb_spark.registry import register
-
-
-def _bucket(col_expr: str, seed: str) -> F.Column:
-    """Deterministic [0,100) bucket from md5 — Spark side."""
-    h = F.md5(F.concat(F.lit(seed), F.expr(col_expr).cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 100
-
-
-def _bucket_sql(col_expr: str, seed: str) -> str:
-    """Same bucket — DuckDB side (UBIGINT parse of the same 15 hex chars)."""
-    return (
-        f"CAST(CAST(concat('0x', substr(md5(concat('{seed}', "
-        f"CAST({col_expr} AS VARCHAR))), 1, 15)) AS UBIGINT) % 100 AS BIGINT)"
-    )
 
 
 @register(

@@ -3043,3 +3043,71 @@ def multimodal_mp3_joint_short_pcm_decode(spark: SparkSession, sf_dir: str) -> D
     return decode_mp3_joint_pcm_features(
         synthesize_mp3_jstereo_short(d, id_col="doc_id")
     ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "multimodal_magic_sniff",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN '52494646' WHEN 1 THEN '50360A31'
+            WHEN 2 THEN 'FFD8FFE0' WHEN 3 THEN '89504E47'
+            ELSE '47494638' END AS magic4_hex,
+       CASE doc_id % 5
+            WHEN 0 THEN 'wav' WHEN 1 THEN 'ppm' WHEN 2 THEN 'jpeg'
+            WHEN 3 THEN 'png' ELSE 'gif' END AS detected
+FROM documents
+""",
+    doc="Magic-byte FORMAT SNIFFING over a mixed binary landing zone — "
+    "the dispatch front-door of every multimodal ingest: a crawl "
+    "delivers blobs with missing/lying extensions, and the first "
+    "pipeline stage classifies each payload by its leading bytes before "
+    "routing to the right decoder.  Fixture: each doc synthesizes into "
+    "one of FIVE real containers by doc_id % 5 (RIFF/WAV, netpbm P6, "
+    "baseline JFIF JPEG, PNG, GIF89a — the same spec-compliant "
+    "synthesizers the decode keys use), unioned into one mixed blob "
+    "column.  The sniff itself is PURE JVM codegen — hex(substring("
+    "payload, 1, n)) prefix dispatch, with the RIFF branch also "
+    "checking the 'WAVE' form type at offset 9 — no Python touches the "
+    "bytes, so at 100 TB this runs at scan speed as a narrow projection "
+    "(in production it sits directly on scan_binaryfile_ingest's "
+    "binaryFile source and routes via partitionBy(detected)).  Oracle: "
+    "the format assignment is deterministic from doc_id, so DuckDB "
+    "recomputes the expected magic constants and labels per doc — a "
+    "misclassifying sniffer or a synthesizer emitting a malformed "
+    "header hash-mismatches.",
+    tags=("multimodal",),
+)
+def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.multimodal import (
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    routed = [
+        synthesize_wav(d.filter(F.col("doc_id") % 5 == 0), id_col="doc_id"),
+        synthesize_ppm(d.filter(F.col("doc_id") % 5 == 1), id_col="doc_id"),
+        synthesize_jpeg(d.filter(F.col("doc_id") % 5 == 2), id_col="doc_id"),
+        synthesize_png(d.filter(F.col("doc_id") % 5 == 3), id_col="doc_id"),
+        synthesize_gif(d.filter(F.col("doc_id") % 5 == 4), id_col="doc_id"),
+    ]
+    blobs = routed[0]
+    for part in routed[1:]:
+        blobs = blobs.unionByName(part)
+    magic4 = F.hex(F.expr("substring(payload, 1, 4)"))
+    form = F.hex(F.expr("substring(payload, 9, 4)"))  # RIFF form type
+    detected = (
+        F.when(magic4 == "89504E47", "png")
+        .when(F.substring(magic4, 1, 6) == "FFD8FF", "jpeg")
+        .when(magic4 == "47494638", "gif")
+        .when((magic4 == "52494646") & (form == "57415645"), "wav")
+        .when(F.substring(magic4, 1, 4) == "5036", "ppm")
+        .otherwise("unknown")
+    )
+    return blobs.select(
+        F.col("id").alias("doc_id"),
+        magic4.alias("magic4_hex"),
+        detected.alias("detected"),
+    )

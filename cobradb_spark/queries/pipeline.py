@@ -25,10 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cobradb_spark.buckets import bucket as _bucket
+from cobradb_spark.buckets import bucket_sql as _bucket_sql
 from cobradb_spark.io import load_table
+from cobradb_spark.lexicons import DE as _DE
+from cobradb_spark.lexicons import EN as _EN
+from cobradb_spark.lexicons import ES as _ES
+from cobradb_spark.lexicons import hits_sql as _hits_duck
 from cobradb_spark.ngrams import TRIGRAMS_SQL, word_trigrams
-from cobradb_spark.queries.mlprep import _bucket, _bucket_sql
-from cobradb_spark.queries.textops import _DE, _EN, _ES, _hits_duck
 from cobradb_spark.registry import register
 
 _QUALITY_MIN = 0.35  # same composite score as text_quality_score

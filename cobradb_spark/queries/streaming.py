@@ -1232,3 +1232,49 @@ def stream_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
     )
     return run_to_memory(out, "complete")
+
+
+@register(
+    "stream_state_store_read",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY user_id
+""",
+    doc="Streaming STATE-STORE introspection (Spark 4 `statestore` batch "
+    "read format): run a checkpointed streaming aggregation to "
+    "completion (availableNow), then read the operator's state files "
+    "DIRECTLY from the checkpoint — no replay, no sink — and verify the "
+    "per-key state (count + integer-cent sum per user) equals the batch "
+    "truth over the same input.  This is the ops capability every "
+    "large-scale streaming deployment eventually needs: inspecting a "
+    "production job's keyed state in place (find the skewed key bloating "
+    "a state partition, audit state after an upgrade, debug a stuck "
+    "watermark) without touching the running query.  Scale posture: the "
+    "state read is partition-parallel over the store's own files (state "
+    "partition count is decoupled from the job's shuffle partitions), "
+    "and the verification join is the driver's ordinary hash compare.  "
+    "The value struct's field names are the engine's positional "
+    "aggregate slots (count, sum) — pinned here, exercised end-to-end.",
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, events_stream_dir(sf_dir))
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    ckpt = scratch_dir("cobradb_ssread_")
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n"),
+        F.col("value.sum").cast("long").alias("cents"),
+    )

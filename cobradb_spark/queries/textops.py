@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cobradb_spark import lexicons
 from cobradb_spark.io import load_table
 from cobradb_spark.ngrams import ngrams_sql, word_ngrams
 from cobradb_spark.registry import register
@@ -298,14 +299,10 @@ def dedup_cosine_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(emb, threshold=0.4)
 
 
-_EN = ("the", "a", "and", "of", "to", "in", "is")
-_DE = ("der", "die", "das", "und", "ist", "mit", "ein")
-_ES = ("el", "la", "de", "que", "y", "los", "un")
-
-
-def _hits_duck(lex: tuple[str, ...]) -> str:
-    inlist = ", ".join(f"'{w}'" for w in lex)
-    return f"len(list_filter(str_split(text, ' '), x -> x IN ({inlist})))"
+# Promoted to the shared public module cobradb_spark/lexicons.py
+# (round-13 ADVICE); aliases kept so existing call sites read the same.
+_EN, _DE, _ES = lexicons.EN, lexicons.DE, lexicons.ES
+_hits_duck = lexicons.hits_sql
 
 
 @register(
@@ -3324,4 +3321,69 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(div(sum(types) * 1000000, {_MATTR_W} * count(*)) AS BIGINT)"
             ).alias("mattr_ppm"),
         )
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(str_split(text, '')) AS ch FROM documents
+), cnts AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS cnt
+  FROM ch GROUP BY doc_id, ch
+), agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         round(sum(cnt * ln(cnt)), 9) AS s
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       round((ln(n_chars) - s / n_chars) / ln(2), 6) AS entropy_bits,
+       round((ln(n_chars) - s / n_chars) / ln(2), 6) < 3.0 AS low_entropy
+FROM agg
+""",
+    doc="Per-document CHARACTER-level Shannon entropy (bits/char) — the "
+    "classic cheap gibberish/boilerplate detector corpus pipelines run "
+    "before training: base64 blobs and minified JS score high, "
+    "repeated-template boilerplate scores low, natural prose sits near "
+    "4 bits; the low_entropy flag (< 3.0 bits) marks the boilerplate "
+    "tail.  Complements text_ocr_noise_score (charset-class signal) and "
+    "text_repetition_stats (word/bigram duplication) with the "
+    "distribution-shape signal both miss.  Formulation: explode to "
+    "(doc_id, char), count, then H = (ln n - Σ cnt·ln cnt / n)/ln 2 — "
+    "ONE shuffle keyed (doc_id, char) whose cardinality is bounded by "
+    "|docs|·|alphabet|, with map-side partial counts doing most of the "
+    "work; a zero-shuffle per-row HOF variant exists "
+    "(aggregate over array_distinct) but its per-row cost is "
+    "O(distinct·len) and DuckDB's list_distinct does not pin element "
+    "order, so the grouped form is both the faster AND the "
+    "oracle-parity-safe one.  Cross-engine FP: the Σ cnt·ln cnt sum "
+    "order differs between engines — rounded to 9 before the division "
+    "(the text_unigram_perplexity re-sync pattern); split(text, '') "
+    "yields per-character arrays identically in Spark and DuckDB on "
+    "these ASCII corpora (code-point parity pinned by the r12 fuzz "
+    "campaign for non-ASCII).",
+    tags=("textops",),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.round(F.sum(F.col("cnt") * F.log("cnt")), 9).alias("s"),
+    )
+    ln2 = 0.6931471805599453
+    h = F.round((F.log("n_chars") - F.col("s") / F.col("n_chars")) / ln2, 6)
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        h.alias("entropy_bits"),
+        (h < 3.0).alias("low_entropy"),
     )

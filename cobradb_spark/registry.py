@@ -98,7 +98,15 @@ def _load() -> None:
 # (437/437 green latest rows) and the only keys with no row at all are
 # the two rows-only ANN-hi points.
 #
-# Round 12 window (_DRIVER_PRIORITY below), executing the r11-staged
+# Round 13 window (_DRIVER_PRIORITY below): slots 1-3 the r13-new keys
+# (text_char_entropy, stream_state_store_read, multimodal_magic_sniff —
+# each locally hash-EXACT at sf0.01 under tools/check.py --plain), then
+# the 47-key r4-era refresh staged last round (_R13_REFRESH) — exactly
+# 50 slots, after which no key's driver evidence predates r5.  The r12
+# staging tuples below are kept verbatim: the monotone staging test
+# asserts against them and the r12 ledger they produced.
+#
+# Round 12 window (previous round), which executed the r11-staged
 # plan (r11 VERDICT items 2+3+6):
 #   * slot 1: pipeline_curate_corpus — the one r12-new key (end-to-end
 #     corpus curation composition; full DuckDB oracle).
@@ -171,11 +179,47 @@ _R13_REFRESH: tuple[str, ...] = (
     "ts_autocorr",
 )
 
-# The driver window is slots [:50]; the tail past the window holds only
-# rows-only keys (zero-cost — they never spend a hash-check slot).
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    _R12_NEW + _R12_REFRESH + _R12_ROWSONLY + ("sim_ann_lsh",)
+# r13-new keys (the never-driver-checked drain head): every
+# oracle-carrying key added during r13 must be appended here AND given
+# a window slot; tests/test_registry.py asserts the recomputed
+# never-checked set stays a subset of this tuple.
+_R13_NEW: tuple[str, ...] = (
+    "text_char_entropy",
+    "stream_state_store_read",
+    "multimodal_magic_sniff",
 )
+
+# Staged r14 refresh plan: the 50 keys whose latest driver evidence is
+# r5 (the next-oldest tier once the r13 window lands) — after them, no
+# key's evidence predates r6.
+_R14_REFRESH: tuple[str, ...] = (
+    "agg_argminmax", "agg_corr_matrix", "agg_countmin_freq",
+    "agg_listagg_ordered", "agg_mode", "agg_skew_kurt",
+    "agg_stats_higher", "agg_weighted_stats",
+    "analytics_pattern_match_journeys", "date_month_diff_exact",
+    "date_months_between", "dedup_containment_ngram",
+    "dq_validate_suite", "etl_corpus_mixture", "etl_k_anonymize",
+    "etl_pack_sequences", "etl_table_checksum", "json_variant_typed",
+    "math_bround", "multimodal_audio_decode", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_image_decode",
+    "multimodal_phash_dedup", "multimodal_video_frame_decode",
+    "rollup_hypertable", "scalars_try_safe", "set_intersect_except_all",
+    "sql_idle_rich_customers_q22", "sql_large_volume_in_q18",
+    "sql_top_supplier_scalar_q15", "sql_waiting_suppliers_q21",
+    "stream_cdc_upsert_view", "stream_chained_stateful_agg",
+    "stream_python_sink", "stream_python_source",
+    "stream_sessionize_stateful", "stream_stream_join",
+    "stream_trending_topk", "udaf_pandas_gmean",
+    "udf_arrow_optimized_scalar", "udf_cogrouped_map",
+    "udf_grouped_apply_arrow", "udf_map_in_arrow", "udf_sql_declarative",
+    "udtf_polymorphic_analyze", "win_cume_dist", "win_ewma_smooth",
+    "win_islands_ranges", "win_running_distinct",
+)
+
+# The driver window is slots [:50]: the r13 drain head (3 new keys)
+# followed by the 47-key r4-era refresh staged last round — after this
+# window lands, no key's driver evidence predates r5.
+_DRIVER_PRIORITY: tuple[str, ...] = _R13_NEW + _R13_REFRESH
 
 
 def all_queries() -> dict[str, Query]:

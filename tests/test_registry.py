@@ -50,12 +50,12 @@ def test_entry_contract_shapes():
 
 def test_driver_window_shape():
     """The correctness driver checks the FIRST 50 queries() entries, so
-    ordering is part of the verification contract.  The r12 window is
-    assembled from named stage tuples: the new-key drain head, the
-    r2/r3-era evidence refresh, then the two rows-only ANN-hi keys
-    deliberately spending `no_oracle` slots to complete the 443-key
-    ledger (r11 VERDICT item 2).  Every other window key must carry an
-    oracle; the past-window tail holds only rows-only keys."""
+    ordering is part of the verification contract.  The r13 window is
+    assembled from named stage tuples: the new-key drain head
+    (_R13_NEW), then the 47-key r4-era evidence refresh staged last
+    round (_R13_REFRESH) — exactly 50 slots, every one oracle-carrying
+    (the rows-only ledger was completed in r12; no slot is spent on
+    `no_oracle` rows this round)."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
@@ -63,20 +63,13 @@ def test_driver_window_shape():
     assert window == list(registry._DRIVER_PRIORITY)[:50], (
         "driver window must be exactly the first 50 of the rotated priority list"
     )
-    assert window == list(
-        registry._R12_NEW + registry._R12_REFRESH + registry._R12_ROWSONLY
-    ), "window must be exactly new-head + refresh + rows-only ledger slots"
-    rowsonly = set(registry._R12_ROWSONLY)
+    assert window == list(registry._R13_NEW + registry._R13_REFRESH), (
+        "window must be exactly new-head + staged refresh"
+    )
     for name in window:
-        if name in rowsonly:
-            assert qs[name].oracle is None, f"{name} staged rows-only but HAS an oracle"
-        else:
-            assert qs[name].oracle is not None, f"{name} in driver window without oracle"
-    # past-window tail: only rows-only refresh entries (zero-cost)
-    tail = list(registry._DRIVER_PRIORITY)[50:]
-    assert tail == ["sim_ann_lsh"]
-    for name in tail:
-        assert qs[name].oracle is None, f"{name} in rows-only tail HAS an oracle"
+        assert qs[name].oracle is not None, f"{name} in driver window without oracle"
+    # nothing past the window: every slot this round is a hash check
+    assert list(registry._DRIVER_PRIORITY)[50:] == []
 
 
 def _driver_checked_keys():
@@ -97,16 +90,16 @@ def test_window_drains_backlog_and_next_round_is_staged():
     wrote CORRECTNESS_r11.json).  Driver rows only accumulate, so every
     assertion here is of the form `shrinking_set <= staged_constant`:
 
-      * never-checked oracle keys  ⊆  _R12_NEW        (can only shrink)
-      * keys with evidence ≤ r3    ⊆  window          (can only shrink)
-      * keys with evidence ≤ r4    ⊆  window ∪ _R13   (can only shrink)
+      * never-checked oracle keys  ⊆  _R13_NEW        (can only shrink)
+      * keys with evidence ≤ r4    ⊆  window          (can only shrink)
+      * keys with evidence ≤ r5    ⊆  window ∪ _R14   (can only shrink)
       * staged refresh keys all registered with prior rows (rows never
         disappear, registration is append-only)
     """
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    staged_new = list(registry._R12_NEW)
+    staged_new = list(registry._R13_NEW)
     assert len(staged_new) == len(set(staged_new)), "duplicate keys in new-key drain list"
     missing = [n for n in staged_new if n not in qs]
     assert not missing, f"staged new keys not registered: {missing}"
@@ -124,24 +117,19 @@ def test_window_drains_backlog_and_next_round_is_staged():
         f"{sorted(never_checked - set(staged_new))}"
     )
     assert set(staged_new) <= set(window), "new-key head not in the window"
-    # rows-only ledger slots: never driver-run keys being given their
-    # `no_oracle` rows; anything else rows-only in the window is waste
-    for n in registry._R12_ROWSONLY:
-        assert n in window, f"rows-only ledger key {n} not in window"
-        assert qs[n].oracle is None, f"{n} staged rows-only but HAS an oracle"
     # refresh slots must already HAVE driver rows (they re-run, they
     # don't drain the backlog)
-    for n in registry._R12_REFRESH:
+    for n in registry._R13_REFRESH:
         assert n in qs, f"refresh key {n} not registered"
         assert n in checked, f"window refresh key {n} has no prior driver row"
     # next round's staging: registered, has prior rows, disjoint from
     # the current window
-    r13 = list(registry._R13_REFRESH)
-    assert len(r13) == len(set(r13)), "duplicate keys in r13 staging"
-    for n in r13:
-        assert n in qs, f"r13 refresh key {n} not registered"
-        assert n in checked, f"r13 refresh key {n} has no prior driver row"
-        assert n not in window, f"r13 refresh key {n} already in the r12 window"
+    r14 = list(registry._R14_REFRESH)
+    assert len(r14) == len(set(r14)), "duplicate keys in r14 staging"
+    for n in r14:
+        assert n in qs, f"r14 refresh key {n} not registered"
+        assert n in checked, f"r14 refresh key {n} has no prior driver row"
+        assert n not in window, f"r14 refresh key {n} already in the r13 window"
     # nothing stale is forgotten — monotone: a driver run only RAISES a
     # key's latest round, so these stale sets only shrink
     import json
@@ -152,10 +140,10 @@ def test_window_drains_backlog_and_next_round_is_staged():
         rnd = int(p.stem.split("_r")[1])
         for k in json.loads(p.read_text()):
             latest[k] = rnd
-    stale_r3 = {k for k, r in latest.items() if r <= 3 and k in qs}
-    assert stale_r3 <= set(window), (
-        f"r2/r3-era keys not refreshed by this window: {sorted(stale_r3 - set(window))}"
-    )
     stale_r4 = {k for k, r in latest.items() if r <= 4 and k in qs}
-    uncovered = stale_r4 - set(window) - set(r13)
-    assert not uncovered, f"stale keys neither in window nor r13: {sorted(uncovered)}"
+    assert stale_r4 <= set(window), (
+        f"r4-era keys not refreshed by this window: {sorted(stale_r4 - set(window))}"
+    )
+    stale_r5 = {k for k, r in latest.items() if r <= 5 and k in qs}
+    uncovered = stale_r5 - set(window) - set(r14)
+    assert not uncovered, f"stale keys neither in window nor r14: {sorted(uncovered)}"

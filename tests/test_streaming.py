@@ -359,3 +359,30 @@ def test_stage_parquet_batch_atomic_single_file(spark, tmp_path):
     assert staged == ["b1_0.parquet"]
     assert not [f for f in os.listdir(src) if f.startswith(".")]  # no leftovers
     assert spark.read.parquet(src).count() == 5_000
+
+
+def test_state_store_read_matches_batch_truth(spark, sf_dir):
+    """The statestore batch reader must expose the checkpointed keyed
+    state exactly equal to the batch aggregation over the same input —
+    per key, not just in aggregate."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark import registry
+
+    got = {
+        r.user_id: (r.n, r.cents)
+        for r in registry.get_query("stream_state_store_read")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    truth = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == truth

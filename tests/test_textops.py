@@ -532,3 +532,78 @@ def test_pipeline_curate_corpus_adversarial_micro_corpora(spark, tmp_path):
     assert 10 not in survivors       # language gate
     assert 11 not in survivors       # decontamination (eval-gram overlap)
     assert {2, 4, 6, 12} <= survivors  # clean docs flow all the way through
+
+
+def test_char_entropy_matches_python(spark, sf_dir):
+    """Engine entropy == from-first-principles python entropy, and the
+    uniform-distribution invariant H == log2(k) holds on a synthetic doc."""
+    import math
+    from collections import Counter
+
+    out = {
+        r.doc_id: r
+        for r in registry.get_query("text_char_entropy").fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    assert docs
+    for d in docs:
+        cnts = Counter(d.text)
+        n = len(d.text)
+        h = -sum((c / n) * math.log2(c / n) for c in cnts.values())
+        got = out[d.doc_id]
+        assert got.n_chars == n
+        assert got.n_distinct_chars == len(cnts)
+        assert got.entropy_bits == pytest.approx(h, abs=1e-5)
+        assert got.low_entropy == (got.entropy_bits < 3.0)
+    # uniform alphabet: 16 distinct chars each appearing 4x -> exactly 4 bits
+    uni = spark.createDataFrame(
+        [(0, "abcdefghijklmnop" * 4)], "doc_id long, text string"
+    )
+    uni.createOrReplaceTempView("_ent_uni")
+    from cobradb_spark.queries.textops import text_char_entropy  # noqa: F401
+
+    cnts = (
+        uni.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    row = (
+        cnts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.round(F.sum(F.col("cnt") * F.log("cnt")), 9).alias("s"),
+        )
+        .select(
+            F.round(
+                (F.log("n") - F.col("s") / F.col("n")) / 0.6931471805599453, 6
+            ).alias("h")
+        )
+        .collect()[0]
+    )
+    assert row.h == pytest.approx(4.0, abs=1e-9)
+
+
+def test_magic_sniff_routes_every_format(spark, sf_dir):
+    """Every container family must appear, each detected label must match
+    the doc_id % 5 routing, and the sniffed magic must be the format's
+    real signature read from the payload bytes (not a mapping shortcut)."""
+    rows = registry.get_query("multimodal_magic_sniff").fn(spark, sf_dir).collect()
+    expect = {0: "wav", 1: "ppm", 2: "jpeg", 3: "png", 4: "gif"}
+    magic = {
+        "wav": "52494646",
+        "ppm": "50360A31",
+        "jpeg": "FFD8FFE0",
+        "png": "89504E47",
+        "gif": "47494638",
+    }
+    seen = set()
+    for r in rows:
+        want = expect[r.doc_id % 5]
+        assert r.detected == want, (r.doc_id, r.detected, want)
+        assert r.magic4_hex == magic[want]
+        seen.add(r.detected)
+    assert seen == set(expect.values())
+    # no doc lost or duplicated in the mixed union
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
