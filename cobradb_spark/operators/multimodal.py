@@ -1430,3 +1430,25 @@ def parse_srt_cues(df: DataFrame) -> DataFrame:
         schema="id long, cue_idx long, start_ms long, end_ms long, "
         "n_lines long, n_words long",
     )
+
+
+def sniff_magic(payload_col: str = "payload"):
+    """Magic-byte container detection as a PURE-JVM Column expression:
+    hex-prefix dispatch over the payload's leading bytes (PNG 8-byte
+    signature head, JPEG SOI+marker, GIF8, RIFF with the 'WAVE' form
+    type at offset 9, netpbm 'P6').  Shared by multimodal_magic_sniff
+    (the audit key) and pipeline_curate_multimodal (which ROUTES blobs
+    to decoders on this value), so the classifier under test and the
+    dispatcher in the pipeline cannot drift apart.  No Python touches
+    the bytes — at 100 TB this is a narrow codegen projection running
+    at scan speed."""
+    magic4 = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
+    form = F.hex(F.expr(f"substring({payload_col}, 9, 4)"))
+    return (
+        F.when(magic4 == "89504E47", "png")
+        .when(F.substring(magic4, 1, 6) == "FFD8FF", "jpeg")
+        .when(magic4 == "47494638", "gif")
+        .when((magic4 == "52494646") & (form == "57415645"), "wav")
+        .when(F.substring(magic4, 1, 4) == "5036", "ppm")
+        .otherwise("unknown")
+    )

@@ -3093,21 +3093,169 @@ def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png(d.filter(F.col("doc_id") % 5 == 3), id_col="doc_id"),
         synthesize_gif(d.filter(F.col("doc_id") % 5 == 4), id_col="doc_id"),
     ]
+    from cobradb_spark.operators.multimodal import sniff_magic
+
     blobs = routed[0]
     for part in routed[1:]:
         blobs = blobs.unionByName(part)
     magic4 = F.hex(F.expr("substring(payload, 1, 4)"))
-    form = F.hex(F.expr("substring(payload, 9, 4)"))  # RIFF form type
-    detected = (
-        F.when(magic4 == "89504E47", "png")
-        .when(F.substring(magic4, 1, 6) == "FFD8FF", "jpeg")
-        .when(magic4 == "47494638", "gif")
-        .when((magic4 == "52494646") & (form == "57415645"), "wav")
-        .when(F.substring(magic4, 1, 4) == "5036", "ppm")
-        .otherwise("unknown")
-    )
     return blobs.select(
         F.col("id").alias("doc_id"),
         magic4.alias("magic4_hex"),
-        detected.alias("detected"),
+        sniff_magic("payload").alias("detected"),
+    )
+
+
+@register(
+    "pipeline_curate_multimodal",
+    oracle="""
+WITH wav_s AS (
+  SELECT d.doc_id, d.n, ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+  FROM (SELECT doc_id, 800 + doc_id % 100 AS n FROM documents
+        WHERE doc_id % 5 = 0) d,
+       UNNEST(range(0, d.n)) AS t(i)
+), wav AS (
+  SELECT doc_id, 'audio' AS modality, 'wav' AS detected,
+         CAST(n AS BIGINT) AS n_units, CAST(sum(v) AS BIGINT) AS content_sum
+  FROM wav_s GROUP BY doc_id, n
+), rgbpix AS (
+  SELECT doc_id, (doc_id + x.x * 3 + y.y * 7 + c.c * 11) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, 16)) AS x(x),
+       UNNEST(range(0, 16)) AS y(y),
+       UNNEST(range(0, 3)) AS c(c)
+  WHERE doc_id % 5 IN (1, 3)
+), rgb AS (
+  SELECT doc_id, 'image' AS modality,
+         CASE WHEN doc_id % 5 = 1 THEN 'ppm' ELSE 'png' END AS detected,
+         CAST(768 AS BIGINT) AS n_units, CAST(sum(v) AS BIGINT) AS content_sum
+  FROM rgbpix GROUP BY doc_id
+), jpg AS (
+  SELECT doc_id, 'image' AS modality, 'jpeg' AS detected,
+         CAST(768 AS BIGINT) AS n_units,
+         CAST(3 * 64 * sum(28 + 2 * ((doc_id * 7 + b.b * 13) % 101)) AS BIGINT)
+           AS content_sum
+  FROM documents, UNNEST(range(0, 4)) AS b(b)
+  WHERE doc_id % 5 = 2 GROUP BY doc_id
+), gifpx AS (
+  SELECT doc_id, (doc_id + 3 * x.x + 7 * y.y) % 64 AS j
+  FROM documents,
+       UNNEST(range(0, 16)) AS x(x),
+       UNNEST(range(0, 16)) AS y(y)
+  WHERE doc_id % 5 = 4
+), gif AS (
+  SELECT doc_id, 'image' AS modality, 'gif' AS detected,
+         CAST(768 AS BIGINT) AS n_units,
+         CAST(sum((doc_id + 3 * j) % 256) + sum((2 * doc_id + 7 * j) % 256)
+              + sum((5 * doc_id + 11 * j) % 256) AS BIGINT) AS content_sum
+  FROM gifpx GROUP BY doc_id
+), uni AS (
+  SELECT * FROM wav
+  UNION ALL SELECT * FROM rgb
+  UNION ALL SELECT * FROM jpg
+  UNION ALL SELECT * FROM gif
+), scored AS (
+  SELECT *, round(CAST(content_sum AS DOUBLE) / n_units, 6) AS mean_val
+  FROM uni
+)
+SELECT doc_id, modality, detected, n_units, content_sum, mean_val,
+       CAST(CAST(CAST(concat('0x', substr(md5(concat('mmshard',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 100 AS BIGINT) % 8
+            AS BIGINT) AS shard
+FROM scored
+WHERE (modality = 'image' AND mean_val BETWEEN 120 AND 136)
+   OR (modality = 'audio' AND mean_val >= -22000)
+""",
+    doc="End-to-end MULTIMODAL curation pipeline — stage COMPOSITION over "
+    "proven keys, the binary-corpus sibling of pipeline_curate_corpus: "
+    "(1) a mixed binary landing zone (five real containers synthesized "
+    "per doc_id%5 — the magic_sniff fixture), (2) magic-byte detection "
+    "from the BYTES (shared operators/multimodal.sniff_magic — the same "
+    "classifier the audit key checks), (3) dispatch of each blob to its "
+    "detected format's REAL decoder (RIFF/WAV chunk walk, P6 parse, "
+    "baseline-JPEG Huffman+IDCT, PNG inflate+unfilter, GIF LZW — a "
+    "missniffed blob would hit the wrong decoder and fail loudly), "
+    "(4) a uniform per-blob feature row (modality, n_units, "
+    "content_sum, mean), (5) per-modality QUALITY GATES (images: "
+    "brightness band 120-136 — too-dark/too-bright junk dropped; audio: "
+    "DC-offset floor >= -22000 — corrupted-bias recordings dropped; "
+    "both non-vacuous at every sf), (6) deterministic 8-way shard "
+    "assignment via the shared md5 bucket (cobradb_spark/buckets.py).  "
+    "Scale posture: synthesis, sniffing, decode, gating, and sharding "
+    "are ALL partition-local (mapInPandas or codegen projections) — the "
+    "plan has ZERO exchanges end-to-end; the only driver data is the "
+    "final collect.  Every branch's decoded content is SQL-reproducible "
+    "(the decode keys' oracles), so the whole pipeline hash-checks: "
+    "sniff, decode, gate, and shard all verified in one value hash.",
+    tags=("multimodal",),
+)
+def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.buckets import bucket
+    from cobradb_spark.operators.multimodal import (
+        decode_gif_features,
+        decode_jpeg_features,
+        decode_png_features,
+        sniff_magic,
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    routed = [
+        synthesize_wav(d.filter(F.col("doc_id") % 5 == 0), id_col="doc_id"),
+        synthesize_ppm(d.filter(F.col("doc_id") % 5 == 1), id_col="doc_id"),
+        synthesize_jpeg(d.filter(F.col("doc_id") % 5 == 2), id_col="doc_id"),
+        synthesize_png(d.filter(F.col("doc_id") % 5 == 3), id_col="doc_id"),
+        synthesize_gif(d.filter(F.col("doc_id") % 5 == 4), id_col="doc_id"),
+    ]
+    blobs = routed[0]
+    for part in routed[1:]:
+        blobs = blobs.unionByName(part)
+    sniffed = blobs.withColumn("detected", sniff_magic("payload"))
+
+    def img_branch(fmt: str, decoder) -> DataFrame:
+        feats = decoder(sniffed.filter(F.col("detected") == fmt).select("id", "payload"))
+        return feats.select(
+            "id",
+            F.lit("image").alias("modality"),
+            F.lit(fmt).alias("detected"),
+            (F.col("width") * F.col("height") * 3).cast("long").alias("n_units"),
+            (F.col("r_sum") + F.col("g_sum") + F.col("b_sum"))
+            .cast("long")
+            .alias("content_sum"),
+        )
+
+    audio = decode_wav_features(
+        sniffed.filter(F.col("detected") == "wav").select("id", "payload")
+    ).select(
+        "id",
+        F.lit("audio").alias("modality"),
+        F.lit("wav").alias("detected"),
+        F.col("n_samples").cast("long").alias("n_units"),
+        F.col("s_sum").cast("long").alias("content_sum"),
+    )
+    uni = audio
+    for fmt, dec in (
+        ("ppm", lambda df: decode_ppm_features(df, stride=1)),
+        ("jpeg", decode_jpeg_features),
+        ("png", decode_png_features),
+        ("gif", decode_gif_features),
+    ):
+        uni = uni.unionByName(img_branch(fmt, dec))
+
+    mean_val = F.round(F.col("content_sum").cast("double") / F.col("n_units"), 6)
+    scored = uni.withColumn("mean_val", mean_val)
+    kept = scored.filter(
+        ((F.col("modality") == "image") & F.col("mean_val").between(120, 136))
+        | ((F.col("modality") == "audio") & (F.col("mean_val") >= -22000))
+    )
+    return kept.select(
+        F.col("id").alias("doc_id"),
+        "modality",
+        "detected",
+        "n_units",
+        "content_sum",
+        "mean_val",
+        (bucket("id", "mmshard") % 8).cast("long").alias("shard"),
     )

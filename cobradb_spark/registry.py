@@ -98,11 +98,13 @@ def _load() -> None:
 # (437/437 green latest rows) and the only keys with no row at all are
 # the two rows-only ANN-hi points.
 #
-# Round 13 window (_DRIVER_PRIORITY below): slots 1-3 the r13-new keys
-# (text_char_entropy, stream_state_store_read, multimodal_magic_sniff —
-# each locally hash-EXACT at sf0.01 under tools/check.py --plain), then
-# the 47-key r4-era refresh staged last round (_R13_REFRESH) — exactly
-# 50 slots, after which no key's driver evidence predates r5.  The r12
+# Round 13 window (_DRIVER_PRIORITY below): slots 1-4 the r13-new keys
+# (text_char_entropy, stream_state_store_read, multimodal_magic_sniff,
+# pipeline_curate_multimodal — each locally hash-EXACT at sf0.01 under
+# tools/check.py --plain), then the r4-era refresh staged last round
+# (_R13_REFRESH minus ts_autocorr, displaced to _R14_REFRESH to make
+# room) — exactly 50 slots, after which the only key with evidence
+# older than r5 is ts_autocorr (r4, staged first for r14).  The r12
 # staging tuples below are kept verbatim: the monotone staging test
 # asserts against them and the r12 ledger they produced.
 #
@@ -154,9 +156,9 @@ _R12_REFRESH: tuple[str, ...] = (
     "win_running_frame",
 )
 
-# Staged r13 refresh plan: the 47 keys whose latest driver evidence is
-# r4 (the next-oldest tier once the r12 window lands) — after them, no
-# key's evidence predates r5.
+# Staged r13 refresh plan (as executed): 46 of the 47 r4-era keys —
+# ts_autocorr was displaced into _R14_REFRESH when the fourth r13-new
+# key landed, keeping the window at exactly 50.
 _R13_REFRESH: tuple[str, ...] = (
     "agg_bitmap_distinct_rollup", "agg_collect_synonyms",
     "agg_heavy_hitters", "agg_histogram_quantile_merge",
@@ -176,7 +178,6 @@ _R13_REFRESH: tuple[str, ...] = (
     "text_fingerprint_winnow", "text_inverted_index", "text_lang_id",
     "text_pii_redact", "text_quality_score", "text_repetition_stats",
     "text_tfidf_topk", "text_token_count", "text_unigram_perplexity",
-    "ts_autocorr",
 )
 
 # r13-new keys (the never-driver-checked drain head): every
@@ -187,12 +188,14 @@ _R13_NEW: tuple[str, ...] = (
     "text_char_entropy",
     "stream_state_store_read",
     "multimodal_magic_sniff",
+    "pipeline_curate_multimodal",
 )
 
 # Staged r14 refresh plan: the 50 keys whose latest driver evidence is
 # r5 (the next-oldest tier once the r13 window lands) — after them, no
 # key's evidence predates r6.
 _R14_REFRESH: tuple[str, ...] = (
+    "ts_autocorr",  # r4-era, displaced from the r13 window by the 4th new key
     "agg_argminmax", "agg_corr_matrix", "agg_countmin_freq",
     "agg_listagg_ordered", "agg_mode", "agg_skew_kurt",
     "agg_stats_higher", "agg_weighted_stats",

@@ -607,3 +607,44 @@ def test_magic_sniff_routes_every_format(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == n_docs
     assert len({r.doc_id for r in rows}) == n_docs
+
+
+def test_pipeline_curate_multimodal_composition_contract(spark, sf_dir):
+    """The pipeline's branches must agree with the standalone decode keys
+    they compose (audio branch == multimodal_audio_decode's s_sum), the
+    gates must be non-vacuous per modality, and shards must be in [0, 8)."""
+    rows = (
+        registry.get_query("pipeline_curate_multimodal").fn(spark, sf_dir).collect()
+    )
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    # routing: every kept row's detected matches the landing-zone format
+    expect = {0: "wav", 1: "ppm", 2: "jpeg", 3: "png", 4: "gif"}
+    for r in rows:
+        assert r.detected == expect[r.doc_id % 5]
+        assert r.modality == ("audio" if r.detected == "wav" else "image")
+        assert 0 <= r.shard < 8
+        # gate actually held
+        if r.modality == "image":
+            assert 120 <= r.mean_val <= 136
+        else:
+            assert r.mean_val >= -22000
+    # composition: audio features equal the standalone decode key's
+    audio_truth = {
+        r.doc_id: (r.n_samples, r.s_sum)
+        for r in registry.get_query("multimodal_audio_decode")
+        .fn(spark, sf_dir)
+        .collect()
+        if r.doc_id % 5 == 0
+    }
+    audio_kept = [r for r in rows if r.modality == "audio"]
+    assert audio_kept
+    for r in audio_kept:
+        assert (r.n_units, r.content_sum) == audio_truth[r.doc_id]
+    # gates drop something in every modality (non-vacuous)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_audio_land = sum(1 for i in range(n_docs) if i % 5 == 0)
+    n_image_land = n_docs - n_audio_land
+    assert 0 < len(audio_kept) < n_audio_land
+    n_image_kept = sum(1 for r in rows if r.modality == "image")
+    assert 0 < n_image_kept < n_image_land

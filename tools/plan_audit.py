@@ -1803,6 +1803,32 @@ AUDITS = [
         "gram count aggregate in a single partial+final pass; nothing "
         "materializes to the driver between stages",
     ),
+    (
+        "multimodal_magic_sniff",
+        ["Union"],
+        ["Exchange", "BatchEvalPython"],
+        "magic-byte dispatch is a narrow codegen projection over the "
+        "unioned blob branches — zero exchanges, and the only Python "
+        "stages are the Arrow-batched synthesizers (MapInPandas), "
+        "never a row-at-a-time UDF",
+    ),
+    (
+        "pipeline_curate_multimodal",
+        ["Union"],
+        ["Exchange", "BatchEvalPython", "CartesianProduct"],
+        "the full multimodal curation pipeline — synthesize, sniff, "
+        "per-format decode, quality gate, shard assign — is "
+        "partition-local end-to-end: ZERO exchanges in the plan; every "
+        "Python stage is Arrow-batched MapInPandas",
+    ),
+    (
+        "text_char_entropy",
+        ["HashAggregate"],
+        ["Exchange rangepartitioning", "BatchEvalPython"],
+        "both aggregations are partial+final hash aggregates; the only "
+        "shuffle is the (doc_id, char) hash exchange whose cardinality "
+        "is bounded by |docs| x |alphabet|",
+    ),
 ]
 
 

@@ -244,6 +244,11 @@ PROBES = [
     "multimodal_mp3_joint_short_pcm_decode",
     # r12 additions
     "pipeline_curate_corpus",
+    # r13 additions
+    "text_char_entropy",
+    "multimodal_magic_sniff",
+    "pipeline_curate_multimodal",
+    "stream_state_store_read",
 ]
 
 
