@@ -151,26 +151,13 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     writer) per row: n_samples = 800 + id % 100 at 8 kHz, samples
     s_i = ((id*31 + i*7) % 65536) - 32768.  Deterministic integer content
     so decoded features are SQL-reproducible; the container itself is a
-    spec-compliant WAV any player could read."""
-    import io
-    import wave
-
-    import numpy as np
+    spec-compliant WAV any player could read.  Bytes come from the
+    shared per-id builder (_wav_payload) so the standalone fixture and
+    the mixed landing zone (synthesize_mixed) cannot drift."""
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            for did in pdf[id_col]:
-                n = 800 + int(did) % 100
-                i = np.arange(n, dtype=np.int64)
-                samples = ((int(did) * 31 + i * 7) % 65536 - 32768).astype("<i2")
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(8000)
-                    w.writeframes(samples.tobytes())
-                payloads.append(buf.getvalue())
+            payloads = [_wav_payload(int(did)) for did in pdf[id_col]]
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
@@ -526,20 +513,12 @@ def decode_flac_stereo_features(df: DataFrame) -> DataFrame:
 def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a REAL binary PPM (netpbm P6) 16x16 RGB image per row with
     pixel bytes p(x,y,c) = (id + x*3 + y*7 + c*11) % 256 — a valid image
-    any netpbm tool opens, with SQL-reproducible content."""
-    import numpy as np
+    any netpbm tool opens, with SQL-reproducible content.  Bytes come
+    from the shared per-id builder (_ppm_payload)."""
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
-            y, x, c = np.meshgrid(
-                np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
-            )
-            base = (x * 3 + y * 7 + c * 11).astype(np.int64)
-            for did in pdf[id_col]:
-                img = ((int(did) + base) % 256).astype(np.uint8)
-                payloads.append(header + img.tobytes())
+            payloads = [_ppm_payload(int(did)) for did in pdf[id_col]]
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
@@ -663,23 +642,12 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     y_b = 28 + 2*((id*7 + b*13) % 101) and neutral chroma.  Even values
     + DC quant step 16 make the lossy pipeline exact for this content
     (DC-only blocks), so downstream decode features are SQL-reproducible
-    while the decoder stays fully general."""
-    import numpy as np
-
-    from cobradb_spark.operators.jpeg import encode_jpeg
+    while the decoder stays fully general.  Bytes come from the shared
+    per-id builder (_jpeg_payload)."""
 
     def gen(batches):
         for pdf in batches:
-            payloads = []
-            for i in pdf["id"]:
-                img = np.zeros((16, 16, 3), dtype=np.uint8)
-                for b in range(4):
-                    v = 28 + 2 * ((int(i) * 7 + b * 13) % 101)
-                    by, bx = (b // 2) * 8, (b % 2) * 8
-                    img[by : by + 8, bx : bx + 8, 0] = v
-                img[:, :, 1] = 128
-                img[:, :, 2] = 128
-                payloads.append(encode_jpeg(img, dc_step=16, ac_step=16))
+            payloads = [_jpeg_payload(int(i)) for i in pdf["id"]]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
     return df.select(F.col(id_col).alias("id")).mapInPandas(
@@ -705,20 +673,12 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the scanline filter type cycling y % 5, so decoding exercises every
     unfilter path (None/Sub/Up/Average/Paeth).  PNG is lossless, so the
     formula is the exact decoded content — no value constraints needed
-    (unlike the JPEG fixture)."""
-    import numpy as np
-
-    from cobradb_spark.operators.png import encode_png
+    (unlike the JPEG fixture).  Bytes come from the shared per-id
+    builder (_png_payload)."""
 
     def gen(batches):
         for pdf in batches:
-            x = np.arange(16)[None, :, None]
-            y = np.arange(16)[:, None, None]
-            c = np.arange(3)[None, None, :]
-            payloads = []
-            for i in pdf["id"]:
-                img = ((int(i) + x * 3 + y * 7 + c * 11) % 256).astype(np.uint8)
-                payloads.append(encode_png(img))
+            payloads = [_png_payload(int(i)) for i in pdf["id"]]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
     return df.select(F.col(id_col).alias("id")).mapInPandas(
@@ -770,25 +730,12 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     greedy-LZW compression, not clear-spam): 16x16 pixels over a 64-color
     palette, pal[j] = ((id + 3j) % 256, (2id + 7j) % 256, (5id + 11j) % 256)
     and index(x, y) = (id + 3x + 7y) % 64.  GIF is lossless, so the
-    formulas are the exact decoded content."""
-    import numpy as np
-
-    from cobradb_spark.operators.gif import encode_gif
+    formulas are the exact decoded content.  Bytes come from the shared
+    per-id builder (_gif_payload)."""
 
     def gen(batches):
-        x = np.arange(16)[None, :]
-        y = np.arange(16)[:, None]
-        j = np.arange(64)
         for pdf in batches:
-            payloads = []
-            for i in pdf["id"]:
-                i = int(i)
-                pal = np.stack(
-                    [(i + 3 * j) % 256, (2 * i + 7 * j) % 256, (5 * i + 11 * j) % 256],
-                    axis=1,
-                ).astype(np.uint8)
-                idx = ((i + 3 * x + 7 * y) % 64).astype(np.uint8)
-                payloads.append(encode_gif(idx, pal))
+            payloads = [_gif_payload(int(i)) for i in pdf["id"]]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
     return df.select(F.col(id_col).alias("id")).mapInPandas(
@@ -1451,4 +1398,171 @@ def sniff_magic(payload_col: str = "payload"):
         .when((magic4 == "52494646") & (form == "57415645"), "wav")
         .when(F.substring(magic4, 1, 4) == "5036", "ppm")
         .otherwise("unknown")
+    )
+
+
+# --- Per-id payload builders: ONE formula per container, shared by the
+# per-format synthesizers above (via the _MIXED_BUILDERS registry) and
+# synthesize_mixed below, so the fixture content cannot drift between
+# the standalone decode keys and the mixed-landing-zone pipeline.
+
+
+def _wav_payload(i: int) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    n = 800 + i % 100
+    idx = np.arange(n, dtype=np.int64)
+    samples = ((i * 31 + idx * 7) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_payload(i: int) -> bytes:
+    import numpy as np
+
+    header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+    y, x, c = np.meshgrid(
+        np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
+    )
+    base = (x * 3 + y * 7 + c * 11).astype(np.int64)
+    return header + ((i + base) % 256).astype(np.uint8).tobytes()
+
+
+def _jpeg_payload(i: int) -> bytes:
+    import numpy as np
+
+    from cobradb_spark.operators.jpeg import encode_jpeg
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    for b in range(4):
+        v = 28 + 2 * ((i * 7 + b * 13) % 101)
+        by, bx = (b // 2) * 8, (b % 2) * 8
+        img[by : by + 8, bx : bx + 8, 0] = v
+    img[:, :, 1] = 128
+    img[:, :, 2] = 128
+    return encode_jpeg(img, dc_step=16, ac_step=16)
+
+
+def _png_payload(i: int) -> bytes:
+    import numpy as np
+
+    from cobradb_spark.operators.png import encode_png
+
+    x = np.arange(16)[None, :, None]
+    y = np.arange(16)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    img = ((i + x * 3 + y * 7 + c * 11) % 256).astype(np.uint8)
+    return encode_png(img)
+
+
+def _gif_payload(i: int) -> bytes:
+    import numpy as np
+
+    from cobradb_spark.operators.gif import encode_gif
+
+    j = np.arange(64)
+    pal = np.stack(
+        [(i + 3 * j) % 256, (2 * i + 7 * j) % 256, (5 * i + 11 * j) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    idx = ((i + 3 * x + 7 * y) % 64).astype(np.uint8)
+    return encode_gif(idx, pal)
+
+
+# doc_id % 5 -> container builder: the mixed-landing-zone routing shared
+# by multimodal_magic_sniff's fixture and pipeline_curate_multimodal.
+_MIXED_BUILDERS = (_wav_payload, _ppm_payload, _jpeg_payload, _png_payload, _gif_payload)
+
+
+def synthesize_mixed(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The mixed binary landing zone in ONE pass: each row synthesizes
+    the container its id % 5 selects (WAV/PPM/JPEG/PNG/GIF via the
+    shared per-id builders).  This is the scale-correct fixture shape —
+    one corpus scan, one Arrow-batched stage — where a per-format
+    union of synthesizers would re-evaluate the synthesis subtree once
+    per downstream consumer (the round-13 plan audit caught exactly
+    that: 50 parquet scans in the first pipeline draft)."""
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                _MIXED_BUILDERS[int(i) % 5](int(i)) for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema="id long, payload binary")
+
+
+def decode_any_features(df: DataFrame) -> DataFrame:
+    """(id, payload, detected) -> uniform curation features with PER-ROW
+    decoder dispatch inside ONE Arrow-batched stage: WAV chunk walk, P6
+    parse, baseline-JPEG Huffman+IDCT, PNG inflate+unfilter, GIF LZW —
+    the same general decoders the standalone decode keys run.  This is
+    how a mixed 100 TB blob corpus actually decodes: one pass, each row
+    routed by its sniffed format, no per-format re-scan of the corpus
+    and no union of per-format subplans.  An unroutable format raises
+    loudly (a missniff cannot silently drop rows)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def dec(batches):
+        from cobradb_spark.operators.gif import decode_gif
+        from cobradb_spark.operators.jpeg import decode_jpeg
+        from cobradb_spark.operators.png import decode_png
+
+        for pdf in batches:
+            out = {
+                "id": [], "modality": [], "detected": [],
+                "n_units": [], "content_sum": [],
+            }
+            for i, payload, fmt in zip(pdf["id"], pdf["payload"], pdf["detected"]):
+                b = bytes(payload)
+                if fmt == "wav":
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                        n = w.getnframes()
+                        samples = np.frombuffer(
+                            w.readframes(n), dtype="<i2"
+                        ).astype(np.int64)
+                    modality, n_units, csum = "audio", n, int(samples.sum())
+                else:
+                    if fmt == "ppm":
+                        magic, dims, maxval, raster = b.split(b"\n", 3)
+                        assert magic == b"P6" and maxval == b"255"
+                        w_, h_ = (int(v) for v in dims.split())
+                        rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h_, w_, 3)
+                    elif fmt == "jpeg":
+                        rgb = decode_jpeg(b)
+                    elif fmt == "png":
+                        rgb = decode_png(b)
+                    elif fmt == "gif":
+                        rgb = decode_gif(b)
+                    else:
+                        raise ValueError(f"unroutable format {fmt!r} for id {i}")
+                    modality = "image"
+                    n_units = rgb.shape[0] * rgb.shape[1] * 3
+                    csum = int(rgb.astype(np.int64).sum())
+                out["id"].append(i)
+                out["modality"].append(modality)
+                out["detected"].append(fmt)
+                out["n_units"].append(n_units)
+                out["content_sum"].append(csum)
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload", "detected").mapInPandas(
+        dec,
+        schema="id long, modality string, detected string, "
+        "n_units long, content_sum long",
     )

@@ -3167,85 +3167,52 @@ WHERE (modality = 'image' AND mean_val BETWEEN 120 AND 136)
    OR (modality = 'audio' AND mean_val >= -22000)
 """,
     doc="End-to-end MULTIMODAL curation pipeline — stage COMPOSITION over "
-    "proven keys, the binary-corpus sibling of pipeline_curate_corpus: "
-    "(1) a mixed binary landing zone (five real containers synthesized "
-    "per doc_id%5 — the magic_sniff fixture), (2) magic-byte detection "
-    "from the BYTES (shared operators/multimodal.sniff_magic — the same "
-    "classifier the audit key checks), (3) dispatch of each blob to its "
-    "detected format's REAL decoder (RIFF/WAV chunk walk, P6 parse, "
-    "baseline-JPEG Huffman+IDCT, PNG inflate+unfilter, GIF LZW — a "
-    "missniffed blob would hit the wrong decoder and fail loudly), "
-    "(4) a uniform per-blob feature row (modality, n_units, "
-    "content_sum, mean), (5) per-modality QUALITY GATES (images: "
-    "brightness band 120-136 — too-dark/too-bright junk dropped; audio: "
-    "DC-offset floor >= -22000 — corrupted-bias recordings dropped; "
-    "both non-vacuous at every sf), (6) deterministic 8-way shard "
-    "assignment via the shared md5 bucket (cobradb_spark/buckets.py).  "
-    "Scale posture: synthesis, sniffing, decode, gating, and sharding "
-    "are ALL partition-local (mapInPandas or codegen projections) — the "
-    "plan has ZERO exchanges end-to-end; the only driver data is the "
-    "final collect.  Every branch's decoded content is SQL-reproducible "
-    "(the decode keys' oracles), so the whole pipeline hash-checks: "
-    "sniff, decode, gate, and shard all verified in one value hash.",
+    "proven decoders, the binary-corpus sibling of pipeline_curate_corpus: "
+    "(1) a mixed binary landing zone (five real containers, one per doc "
+    "by doc_id%5, built in ONE corpus pass — synthesize_mixed over the "
+    "shared per-id payload builders), (2) magic-byte detection from the "
+    "BYTES (shared operators/multimodal.sniff_magic — the same "
+    "classifier the audit key checks), (3) PER-ROW dispatch of each "
+    "blob to its detected format's REAL decoder inside ONE Arrow-batched "
+    "stage (RIFF/WAV chunk walk, P6 parse, baseline-JPEG Huffman+IDCT, "
+    "PNG inflate+unfilter, GIF LZW — decode_any_features; a missniffed "
+    "blob hits the wrong decoder and fails loudly), (4) a uniform "
+    "per-blob feature row (modality, n_units, content_sum, mean), "
+    "(5) per-modality QUALITY GATES (images: brightness band 120-136 — "
+    "too-dark/too-bright junk dropped; audio: DC-offset floor >= -22000 "
+    "— corrupted-bias recordings dropped; both non-vacuous at every "
+    "sf), (6) deterministic 8-way shard assignment via the shared md5 "
+    "bucket (cobradb_spark/buckets.py).  Scale posture: ONE parquet "
+    "scan, TWO Arrow-batched stages, ZERO exchanges, zero unions "
+    "(plan-audited SCANS<=1).  The first draft dispatched decoders as a "
+    "5-way filtered union and the plan audit exposed the unshared-"
+    "subtree blowup — 50 parquet scans, each decode branch re-running "
+    "the full synthesis union; per-row dispatch is the shape that "
+    "survives 100 TB.  Every format's decoded content is "
+    "SQL-reproducible (the decode keys' oracles), so the whole pipeline "
+    "hash-checks: sniff, decode, gate, and shard in one value hash.",
     tags=("multimodal",),
 )
 def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.buckets import bucket
     from cobradb_spark.operators.multimodal import (
-        decode_gif_features,
-        decode_jpeg_features,
-        decode_png_features,
+        decode_any_features,
         sniff_magic,
-        synthesize_gif,
-        synthesize_jpeg,
-        synthesize_png,
+        synthesize_mixed,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    routed = [
-        synthesize_wav(d.filter(F.col("doc_id") % 5 == 0), id_col="doc_id"),
-        synthesize_ppm(d.filter(F.col("doc_id") % 5 == 1), id_col="doc_id"),
-        synthesize_jpeg(d.filter(F.col("doc_id") % 5 == 2), id_col="doc_id"),
-        synthesize_png(d.filter(F.col("doc_id") % 5 == 3), id_col="doc_id"),
-        synthesize_gif(d.filter(F.col("doc_id") % 5 == 4), id_col="doc_id"),
-    ]
-    blobs = routed[0]
-    for part in routed[1:]:
-        blobs = blobs.unionByName(part)
+    # ONE corpus pass builds the mixed landing zone; a per-format union
+    # of synthesizers here re-evaluated the synthesis subtree once per
+    # decode branch (50 parquet scans in the first draft's audited plan).
+    blobs = synthesize_mixed(d, id_col="doc_id")
     sniffed = blobs.withColumn("detected", sniff_magic("payload"))
-
-    def img_branch(fmt: str, decoder) -> DataFrame:
-        feats = decoder(sniffed.filter(F.col("detected") == fmt).select("id", "payload"))
-        return feats.select(
-            "id",
-            F.lit("image").alias("modality"),
-            F.lit(fmt).alias("detected"),
-            (F.col("width") * F.col("height") * 3).cast("long").alias("n_units"),
-            (F.col("r_sum") + F.col("g_sum") + F.col("b_sum"))
-            .cast("long")
-            .alias("content_sum"),
-        )
-
-    audio = decode_wav_features(
-        sniffed.filter(F.col("detected") == "wav").select("id", "payload")
-    ).select(
-        "id",
-        F.lit("audio").alias("modality"),
-        F.lit("wav").alias("detected"),
-        F.col("n_samples").cast("long").alias("n_units"),
-        F.col("s_sum").cast("long").alias("content_sum"),
-    )
-    uni = audio
-    for fmt, dec in (
-        ("ppm", lambda df: decode_ppm_features(df, stride=1)),
-        ("jpeg", decode_jpeg_features),
-        ("png", decode_png_features),
-        ("gif", decode_gif_features),
-    ):
-        uni = uni.unionByName(img_branch(fmt, dec))
+    # ONE decode pass, each row dispatched to its sniffed format's
+    # general decoder inside the Arrow batch — no per-format re-scan.
+    feats = decode_any_features(sniffed)
 
     mean_val = F.round(F.col("content_sum").cast("double") / F.col("n_units"), 6)
-    scored = uni.withColumn("mean_val", mean_val)
+    scored = feats.withColumn("mean_val", mean_val)
     kept = scored.filter(
         ((F.col("modality") == "image") & F.col("mean_val").between(120, 136))
         | ((F.col("modality") == "audio") & (F.col("mean_val") >= -22000))

@@ -826,3 +826,64 @@ def test_h10_json_extract_crossengine(spark, vals):
     )
     same = lambda a, b: (pd.isna(a) and pd.isna(b)) or a == b  # noqa: E731
     assert all(same(a, b) for a, b in zip(got["k_str"], want["k_str"]))
+
+
+@given(st.lists(_XTEXT.filter(lambda s: len(s) > 0), min_size=1, max_size=30))
+@settings(max_examples=12, deadline=None)
+def test_char_split_entropy_crossengine(spark, xs):
+    """text_char_entropy's two cross-engine dependencies, fuzzed on
+    arbitrary unicode: (1) Spark split(s, '') and DuckDB str_split(s, '')
+    produce the identical per-character array (code-point splitting on
+    both sides — astral plane included, since Java's zero-width split
+    does not cut surrogate pairs); (2) the full entropy formulation
+    (round-9 on the Σ cnt·ln cnt sum, round-6 on the bits) lands on the
+    identical doubles despite engine-order FP summation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    got_chars = (
+        df.select("i", F.split("s", "").alias("ch"))
+        .toPandas()
+        .sort_values("i")
+    )
+    want_chars = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        "SELECT i, str_split(s, '') AS ch FROM t ORDER BY i",
+    )
+    assert [list(c) for c in got_chars["ch"]] == [list(c) for c in want_chars["ch"]]
+
+    cnts = (
+        df.select("i", F.explode(F.split("s", "")).alias("ch"))
+        .groupBy("i", "ch")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    got = (
+        cnts.groupBy("i")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.round(F.sum(F.col("cnt") * F.log("cnt")), 9).alias("s9"),
+        )
+        .select(
+            "i",
+            "n",
+            F.round(
+                (F.log("n") - F.col("s9") / F.col("n")) / 0.6931471805599453, 6
+            ).alias("h"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _duck_on(
+        pd.DataFrame({"i": range(len(xs)), "s": xs}),
+        """
+WITH ch AS (SELECT i, unnest(str_split(s, '')) AS ch FROM t),
+cnts AS (SELECT i, ch, CAST(count(*) AS DOUBLE) AS cnt FROM ch GROUP BY i, ch),
+agg AS (SELECT i, CAST(sum(cnt) AS BIGINT) AS n, round(sum(cnt * ln(cnt)), 9) AS s9
+        FROM cnts GROUP BY i)
+SELECT i, n, round((ln(n) - s9 / n) / ln(2), 6) AS h FROM agg ORDER BY i
+""",
+    ).reset_index(drop=True)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["h"].tolist() == want["h"].tolist()

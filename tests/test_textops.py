@@ -648,3 +648,40 @@ def test_pipeline_curate_multimodal_composition_contract(spark, sf_dir):
     assert 0 < len(audio_kept) < n_audio_land
     n_image_kept = sum(1 for r in rows if r.modality == "image")
     assert 0 < n_image_kept < n_image_land
+
+
+def test_mixed_landing_zone_matches_per_format_synthesizers(spark, sf_dir):
+    """synthesize_mixed must emit byte-identical payloads to the
+    per-format synthesizers (shared per-id builders — this pins the
+    no-drift contract), and decode_any_features must route every one."""
+    from cobradb_spark.operators.multimodal import (
+        _gif_payload,
+        _jpeg_payload,
+        _png_payload,
+        _ppm_payload,
+        _wav_payload,
+        decode_any_features,
+        sniff_magic,
+        synthesize_mixed,
+        synthesize_ppm,
+        synthesize_wav,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
+    mixed = {r.id: bytes(r.payload) for r in synthesize_mixed(d).collect()}
+    builders = {0: _wav_payload, 1: _ppm_payload, 2: _jpeg_payload,
+                3: _png_payload, 4: _gif_payload}
+    for i, payload in mixed.items():
+        assert payload == builders[i % 5](i)
+    # per-format synthesizers produce the same bytes for their slice
+    wav = {r.id: bytes(r.payload)
+           for r in synthesize_wav(d.filter("doc_id % 5 = 0")).collect()}
+    assert wav and all(mixed[i] == p for i, p in wav.items())
+    ppm = {r.id: bytes(r.payload)
+           for r in synthesize_ppm(d.filter("doc_id % 5 = 1")).collect()}
+    assert ppm and all(mixed[i] == p for i, p in ppm.items())
+    # the dispatch decoder routes every row without error
+    blobs = synthesize_mixed(d).withColumn("detected", sniff_magic("payload"))
+    feats = decode_any_features(blobs).collect()
+    assert len(feats) == d.count()
+    assert {r.modality for r in feats} == {"audio", "image"}

@@ -1814,12 +1814,14 @@ AUDITS = [
     ),
     (
         "pipeline_curate_multimodal",
-        ["Union"],
-        ["Exchange", "BatchEvalPython", "CartesianProduct"],
+        ["SCANS<=1", "MapInPandas"],
+        ["Exchange", "Union", "BatchEvalPython", "CartesianProduct"],
         "the full multimodal curation pipeline — synthesize, sniff, "
-        "per-format decode, quality gate, shard assign — is "
-        "partition-local end-to-end: ZERO exchanges in the plan; every "
-        "Python stage is Arrow-batched MapInPandas",
+        "PER-ROW decoder dispatch, quality gate, shard assign — is ONE "
+        "corpus scan + TWO Arrow-batched stages, zero exchanges, zero "
+        "unions.  The first draft's 5-way filtered-union dispatch "
+        "re-evaluated the synthesis subtree per decode branch (50 scans "
+        "in the audited plan) — this gate pins the fix",
     ),
     (
         "text_char_entropy",
