@@ -1405,6 +1405,33 @@ def sniff_magic(payload_col: str = "payload"):
 # per-format synthesizers above (via the _MIXED_BUILDERS registry) and
 # synthesize_mixed below, so the fixture content cannot drift between
 # the standalone decode keys and the mixed-landing-zone pipeline.
+# The id-INDEPENDENT index grids are built once per process (lazy
+# module cache) — the builders run per row, and re-running meshgrid /
+# arange per payload is pure allocation churn (r13 review finding;
+# the pre-refactor batch loops hoisted these per batch).
+
+_GRIDS: dict[str, object] = {}
+
+
+def _grid(key: str):
+    if key not in _GRIDS:
+        import numpy as np
+
+        if key == "ppm_base":
+            y, x, c = np.meshgrid(
+                np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
+            )
+            _GRIDS[key] = (x * 3 + y * 7 + c * 11).astype(np.int64)
+        elif key == "png_base":
+            x = np.arange(16)[None, :, None]
+            y = np.arange(16)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            _GRIDS[key] = x * 3 + y * 7 + c * 11
+        elif key == "gif_j":
+            _GRIDS[key] = np.arange(64)
+        elif key == "gif_xy":
+            _GRIDS[key] = (np.arange(16)[None, :], np.arange(16)[:, None])
+    return _GRIDS[key]
 
 
 def _wav_payload(i: int) -> bytes:
@@ -1429,11 +1456,7 @@ def _ppm_payload(i: int) -> bytes:
     import numpy as np
 
     header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
-    y, x, c = np.meshgrid(
-        np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
-    )
-    base = (x * 3 + y * 7 + c * 11).astype(np.int64)
-    return header + ((i + base) % 256).astype(np.uint8).tobytes()
+    return header + ((i + _grid("ppm_base")) % 256).astype(np.uint8).tobytes()
 
 
 def _jpeg_payload(i: int) -> bytes:
@@ -1456,10 +1479,7 @@ def _png_payload(i: int) -> bytes:
 
     from cobradb_spark.operators.png import encode_png
 
-    x = np.arange(16)[None, :, None]
-    y = np.arange(16)[:, None, None]
-    c = np.arange(3)[None, None, :]
-    img = ((i + x * 3 + y * 7 + c * 11) % 256).astype(np.uint8)
+    img = ((i + _grid("png_base")) % 256).astype(np.uint8)
     return encode_png(img)
 
 
@@ -1468,13 +1488,12 @@ def _gif_payload(i: int) -> bytes:
 
     from cobradb_spark.operators.gif import encode_gif
 
-    j = np.arange(64)
+    j = _grid("gif_j")
     pal = np.stack(
         [(i + 3 * j) % 256, (2 * i + 7 * j) % 256, (5 * i + 11 * j) % 256],
         axis=1,
     ).astype(np.uint8)
-    x = np.arange(16)[None, :]
-    y = np.arange(16)[:, None]
+    x, y = _grid("gif_xy")
     idx = ((i + 3 * x + 7 * y) % 64).astype(np.uint8)
     return encode_gif(idx, pal)
 

@@ -3064,9 +3064,10 @@ FROM documents
     "pipeline stage classifies each payload by its leading bytes before "
     "routing to the right decoder.  Fixture: each doc synthesizes into "
     "one of FIVE real containers by doc_id % 5 (RIFF/WAV, netpbm P6, "
-    "baseline JFIF JPEG, PNG, GIF89a — the same spec-compliant "
-    "synthesizers the decode keys use), unioned into one mixed blob "
-    "column.  The sniff itself is PURE JVM codegen — hex(substring("
+    "baseline JFIF JPEG, PNG, GIF89a) in ONE corpus pass "
+    "(synthesize_mixed over the shared per-id builders — byte-identical "
+    "to the standalone decode keys' synthesizers, drift-tested).  "
+    "The sniff itself is PURE JVM codegen — hex(substring("
     "payload, 1, n)) prefix dispatch, with the RIFF branch also "
     "checking the 'WAVE' form type at offset 9 — no Python touches the "
     "bytes, so at 100 TB this runs at scan speed as a narrow projection "
@@ -3079,25 +3080,12 @@ FROM documents
     tags=("multimodal",),
 )
 def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cobradb_spark.operators.multimodal import (
-        synthesize_gif,
-        synthesize_jpeg,
-        synthesize_png,
-    )
+    from cobradb_spark.operators.multimodal import sniff_magic, synthesize_mixed
 
     d = load_table(spark, sf_dir, "documents")
-    routed = [
-        synthesize_wav(d.filter(F.col("doc_id") % 5 == 0), id_col="doc_id"),
-        synthesize_ppm(d.filter(F.col("doc_id") % 5 == 1), id_col="doc_id"),
-        synthesize_jpeg(d.filter(F.col("doc_id") % 5 == 2), id_col="doc_id"),
-        synthesize_png(d.filter(F.col("doc_id") % 5 == 3), id_col="doc_id"),
-        synthesize_gif(d.filter(F.col("doc_id") % 5 == 4), id_col="doc_id"),
-    ]
-    from cobradb_spark.operators.multimodal import sniff_magic
-
-    blobs = routed[0]
-    for part in routed[1:]:
-        blobs = blobs.unionByName(part)
+    # one corpus pass builds the mixed zone (byte-identical to the
+    # per-format synthesizers — shared per-id builders, drift-tested)
+    blobs = synthesize_mixed(d, id_col="doc_id")
     magic4 = F.hex(F.expr("substring(payload, 1, 4)"))
     return blobs.select(
         F.col("id").alias("doc_id"),

@@ -31,6 +31,7 @@ from cobradb_spark.io import load_table
 from cobradb_spark.lexicons import DE as _DE
 from cobradb_spark.lexicons import EN as _EN
 from cobradb_spark.lexicons import ES as _ES
+from cobradb_spark.lexicons import hits as lex_hits
 from cobradb_spark.lexicons import hits_sql as _hits_duck
 from cobradb_spark.ngrams import TRIGRAMS_SQL, word_trigrams
 from cobradb_spark.registry import register
@@ -151,18 +152,15 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
 
-    def hits(lex):
-        return F.size(F.filter(words, lambda x: x.isin(*lex))).cast("long")
-
     s3f = (
         s2.select(
             "doc_id",
             "text",
             n_words.alias("n_words"),
             quality.alias("quality"),
-            hits(_EN).alias("en_hits"),
-            hits(_DE).alias("de_hits"),
-            hits(_ES).alias("es_hits"),
+            lex_hits(words, _EN).alias("en_hits"),
+            lex_hits(words, _DE).alias("de_hits"),
+            lex_hits(words, _ES).alias("es_hits"),
         )
         .filter(
             (F.col("quality") >= _QUALITY_MIN)

@@ -332,16 +332,12 @@ FROM scores
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-
-    def hits(lex):
-        return F.size(F.filter(words, lambda x: x.isin(*lex))).cast("long")
-
     scored = d.select(
         "doc_id",
         "lang",
-        hits(_EN).alias("en_hits"),
-        hits(_DE).alias("de_hits"),
-        hits(_ES).alias("es_hits"),
+        lexicons.hits(words, _EN).alias("en_hits"),
+        lexicons.hits(words, _DE).alias("de_hits"),
+        lexicons.hits(words, _ES).alias("es_hits"),
     )
     pred = (
         F.when(

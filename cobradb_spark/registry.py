@@ -219,9 +219,10 @@ _R14_REFRESH: tuple[str, ...] = (
     "win_islands_ranges", "win_running_distinct",
 )
 
-# The driver window is slots [:50]: the r13 drain head (3 new keys)
-# followed by the 47-key r4-era refresh staged last round — after this
-# window lands, no key's driver evidence predates r5.
+# The driver window is slots [:50]: the r13 drain head (4 new keys)
+# followed by the 46-key r4-era refresh (ts_autocorr displaced to
+# _R14_REFRESH) — after this window lands, the only pre-r5 evidence is
+# ts_autocorr, staged first for r14.
 _DRIVER_PRIORITY: tuple[str, ...] = _R13_NEW + _R13_REFRESH
 
 

@@ -92,7 +92,9 @@ def test_window_drains_backlog_and_next_round_is_staged():
     assertion here is of the form `shrinking_set <= staged_constant`:
 
       * never-checked oracle keys  ⊆  _R13_NEW        (can only shrink)
-      * keys with evidence ≤ r4    ⊆  window          (can only shrink)
+      * keys with evidence ≤ r4    ⊆  window ∪ _R14   (ts_autocorr is
+        r4-era and deliberately sits only in _R14_REFRESH — displaced
+        from the window by the fourth r13-new key)
       * keys with evidence ≤ r5    ⊆  window ∪ _R14   (can only shrink)
       * staged refresh keys all registered with prior rows (rows never
         disappear, registration is append-only)

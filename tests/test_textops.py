@@ -667,7 +667,7 @@ def test_mixed_landing_zone_matches_per_format_synthesizers(spark, sf_dir):
         synthesize_wav,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 25")
     mixed = {r.id: bytes(r.payload) for r in synthesize_mixed(d).collect()}
     builders = {0: _wav_payload, 1: _ppm_payload, 2: _jpeg_payload,
                 3: _png_payload, 4: _gif_payload}

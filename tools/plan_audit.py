@@ -1805,12 +1805,12 @@ AUDITS = [
     ),
     (
         "multimodal_magic_sniff",
-        ["Union"],
-        ["Exchange", "BatchEvalPython"],
-        "magic-byte dispatch is a narrow codegen projection over the "
-        "unioned blob branches — zero exchanges, and the only Python "
-        "stages are the Arrow-batched synthesizers (MapInPandas), "
-        "never a row-at-a-time UDF",
+        ["SCANS<=1", "MapInPandas"],
+        ["Exchange", "Union", "BatchEvalPython"],
+        "magic-byte dispatch is a narrow codegen projection over ONE "
+        "corpus pass (synthesize_mixed) — no per-format union, zero "
+        "exchanges, and the only Python stage is the Arrow-batched "
+        "synthesizer, never a row-at-a-time UDF",
     ),
     (
         "pipeline_curate_multimodal",
