@@ -182,7 +182,7 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check exactly the current round's new-key drain head (_R12_NEW)",
+        help="check exactly the current round's new-key drain head (_R13_NEW)",
     )
     args = ap.parse_args()
 
@@ -191,7 +191,7 @@ def main() -> int:
     if args.window:
         names = list(registry._DRIVER_PRIORITY)
     elif args.staged:
-        names = list(registry._R12_NEW)
+        names = list(registry._R13_NEW)
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
