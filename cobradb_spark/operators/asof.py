@@ -63,3 +63,52 @@ def asof_join_backward(
         *[F.col("__last_r").getField(c).alias(c) for c in right_value_cols],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Mirror of asof_join_backward: for each left row, attach
+    right_value_cols of the EARLIEST right row with right.on >= left.on
+    within the same `by` group (pandas merge_asof direction='forward').
+    Ties at right.on == left.on qualify.  Same scale shape: ONE shuffle
+    on (by, on), a single window pass, no nested loop.
+
+    Returns all left columns + right_value_cols (null when no match).
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__sort"),  # left first at equal __on ...
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_value_cols).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    tagged_r = right.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__sort"),  # ... so same-ts right rows are in the frame
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*right_value_cols).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__on").asc(), F.col("__sort").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = tagged_l.unionByName(tagged_r).withColumn(
+        "__first_r", F.first("__r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__sort") == 0).select(
+        *[F.col("__l").getField(c).alias(c) for c in lcols],
+        *[F.col("__first_r").getField(c).alias(c) for c in right_value_cols],
+    )
+    return out

@@ -4066,3 +4066,77 @@ def analytics_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n").alias("n_units"), "theil_t", "theil_l")
     )
+
+
+@register(
+    "analytics_stickiness_dau_mau",
+    oracle="""
+WITH presence AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), grid AS (
+  SELECT DISTINCT day FROM presence
+), cover AS (
+  SELECT DISTINCT p.user_id, p.day + k.k * INTERVAL 1 DAY AS day
+  FROM presence p, UNNEST(range(0, 30)) AS k(k)
+), mau AS (
+  SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+  FROM cover c JOIN grid g ON g.day = c.day GROUP BY c.day
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM presence GROUP BY day
+)
+SELECT d.day, d.dau, m.mau,
+       round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM dau d JOIN mau m ON m.day = d.day
+""",
+    doc="DAU/MAU STICKINESS per day — the canonical product-engagement "
+    "ratio (what fraction of the monthly-active base shows up on a "
+    "given day): DAU(d) = distinct users active on d, MAU(d) = distinct "
+    "users active in the trailing 30 days [d-29, d], stickiness = "
+    "DAU/MAU.  Exactness at scale via the PRESENCE-EXPLODE pattern "
+    "(analytics_rolling_distinct_users' 7-day trick at 30 days): raw "
+    "events first collapse to distinct (user, day) presence rows, each "
+    "presence then covers the 30 grid days it contributes a membership "
+    "to, and MAU is a plain count(DISTINCT) per covered day — "
+    "cardinality is |users| x |active days| x 30 presence rows, NEVER "
+    "|events| x 30, and every stage is an ordinary partial+final "
+    "aggregate; no sliding window state, no per-day rescan of the "
+    "fact.  Cover days land on the activity grid (join against it) so "
+    "no phantom trailing days appear.  The division is a single "
+    "bigint/bigint double rounded to 6 — bit-identical cross-engine.",
+    tags=("analytics",),
+)
+def analytics_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    presence = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        ).distinct()
+    )
+    grid = presence.select("day").distinct()
+    cover = (
+        presence.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("k"),
+            "day",
+        )
+        .select(
+            "user_id",
+            F.expr("timestampadd(DAY, k, day)").alias("day"),
+        )
+        .distinct()
+    )
+    mau = (
+        cover.join(grid, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    dau = presence.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )

@@ -1307,3 +1307,55 @@ def join_temporal_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFram
             F.max(overlap).cast("bigint").alias("max_overlap_us"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+WITH probe AS (
+  SELECT p.event_id, p.ts, epoch_us(p.ts) AS p_us,
+         (SELECT min(epoch_us(s.ts)) FROM events s
+          WHERE s.user_id = p.user_id AND s.event_type = 'error'
+            AND s.ts >= p.ts) AS e_us
+  FROM events p WHERE p.event_type = 'purchase'
+)
+SELECT event_id, ts, e_us AS next_error_us,
+       e_us - p_us AS gap_us
+FROM probe
+""",
+    doc="FORWARD as-of join (earliest-at-or-after; pandas merge_asof "
+    "direction='forward') — the incident-triage shape: for each "
+    "purchase, the user's NEXT error event, answering 'did a failure "
+    "follow this transaction, and how soon?'.  Completes the as-of "
+    "family: join_asof (backward), join_asof_nearest (min |gap|), "
+    "join_asof_tolerance (backward + staleness bound), and now "
+    "forward.  Implementation mirrors the backward operator "
+    "(operators/asof.py asof_join_forward): union both sides, ONE "
+    "shuffle on (user_id, ts), a single window pass taking FIRST "
+    "ignorenulls over [current, unbounded following] with same-ts "
+    "right rows sorted after left so ties at s.ts == p.ts qualify on "
+    "both engines — no nested loop, no per-key driver work.  Gaps are "
+    "exact integer epoch micros.",
+    tags=("joins",),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.io import load_events
+    from cobradb_spark.operators.asof import asof_join_forward
+
+    ev = load_events(spark, sf_dir)
+    us = F.expr(_NTZ_US)
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", us.alias("p_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", us.alias("e_us")
+    )
+    out = asof_join_forward(
+        probes, errors, on="ts", by="user_id", right_value_cols=["e_us"]
+    )
+    return out.select(
+        "event_id",
+        "ts",
+        F.col("e_us").cast("long").alias("next_error_us"),
+        (F.col("e_us") - F.col("p_us")).cast("long").alias("gap_us"),
+    )

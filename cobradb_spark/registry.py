@@ -98,13 +98,15 @@ def _load() -> None:
 # (437/437 green latest rows) and the only keys with no row at all are
 # the two rows-only ANN-hi points.
 #
-# Round 13 window (_DRIVER_PRIORITY below): slots 1-4 the r13-new keys
+# Round 13 window (_DRIVER_PRIORITY below): slots 1-6 the r13-new keys
 # (text_char_entropy, stream_state_store_read, multimodal_magic_sniff,
-# pipeline_curate_multimodal — each locally hash-EXACT at sf0.01 under
-# tools/check.py --plain), then the r4-era refresh staged last round
-# (_R13_REFRESH minus ts_autocorr, displaced to _R14_REFRESH to make
-# room) — exactly 50 slots, after which the only key with evidence
-# older than r5 is ts_autocorr (r4, staged first for r14).  The r12
+# pipeline_curate_multimodal, join_asof_forward,
+# analytics_stickiness_dau_mau — each locally hash-EXACT at sf0.01
+# under tools/check.py --plain), then the r4-era refresh staged last
+# round (_R13_REFRESH minus the three keys displaced to _R14_REFRESH
+# to make room) — exactly 50 slots, after which the only keys with
+# evidence older than r5 are the three displaced r4-era keys, staged
+# first for r14.  The r12
 # staging tuples below are kept verbatim: the monotone staging test
 # asserts against them and the r12 ledger they produced.
 #
@@ -156,9 +158,10 @@ _R12_REFRESH: tuple[str, ...] = (
     "win_running_frame",
 )
 
-# Staged r13 refresh plan (as executed): 46 of the 47 r4-era keys —
-# ts_autocorr was displaced into _R14_REFRESH when the fourth r13-new
-# key landed, keeping the window at exactly 50.
+# Staged r13 refresh plan (as executed): 44 of the 47 r4-era keys —
+# ts_autocorr, text_token_count, and text_unigram_perplexity were
+# displaced into _R14_REFRESH as the 4th-6th r13-new keys landed,
+# keeping the window at exactly 50.
 _R13_REFRESH: tuple[str, ...] = (
     "agg_bitmap_distinct_rollup", "agg_collect_synonyms",
     "agg_heavy_hitters", "agg_histogram_quantile_merge",
@@ -177,7 +180,7 @@ _R13_REFRESH: tuple[str, ...] = (
     "text_bpe_pair_counts", "text_feature_hashing",
     "text_fingerprint_winnow", "text_inverted_index", "text_lang_id",
     "text_pii_redact", "text_quality_score", "text_repetition_stats",
-    "text_tfidf_topk", "text_token_count", "text_unigram_perplexity",
+    "text_tfidf_topk",
 )
 
 # r13-new keys (the never-driver-checked drain head): every
@@ -189,13 +192,16 @@ _R13_NEW: tuple[str, ...] = (
     "stream_state_store_read",
     "multimodal_magic_sniff",
     "pipeline_curate_multimodal",
+    "join_asof_forward",
+    "analytics_stickiness_dau_mau",
 )
 
 # Staged r14 refresh plan: the 50 keys whose latest driver evidence is
 # r5 (the next-oldest tier once the r13 window lands) — after them, no
 # key's evidence predates r6.
 _R14_REFRESH: tuple[str, ...] = (
-    "ts_autocorr",  # r4-era, displaced from the r13 window by the 4th new key
+    # r4-era keys displaced from the r13 window by the 4th-6th new keys
+    "ts_autocorr", "text_token_count", "text_unigram_perplexity",
     "agg_argminmax", "agg_corr_matrix", "agg_countmin_freq",
     "agg_listagg_ordered", "agg_mode", "agg_skew_kurt",
     "agg_stats_higher", "agg_weighted_stats",
@@ -219,10 +225,10 @@ _R14_REFRESH: tuple[str, ...] = (
     "win_islands_ranges", "win_running_distinct",
 )
 
-# The driver window is slots [:50]: the r13 drain head (4 new keys)
-# followed by the 46-key r4-era refresh (ts_autocorr displaced to
+# The driver window is slots [:50]: the r13 drain head (6 new keys)
+# followed by the 44-key r4-era refresh (3 keys displaced to
 # _R14_REFRESH) — after this window lands, the only pre-r5 evidence is
-# ts_autocorr, staged first for r14.
+# the three displaced r4-era keys, staged first for r14.
 _DRIVER_PRIORITY: tuple[str, ...] = _R13_NEW + _R13_REFRESH
 
 

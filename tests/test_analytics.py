@@ -364,3 +364,37 @@ def test_top_paths_python_replay(spark, sf_dir):
         for r in get_query("analytics_top_paths").fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_stickiness_dau_mau_matches_python_replay(spark, sf_dir):
+    """DAU/MAU from first principles on the raw events; the presence-
+    explode MAU must equal the naive trailing-30-day distinct count."""
+    from collections import defaultdict
+
+    from cobradb_spark import registry
+
+    rows = (
+        registry.get_query("analytics_stickiness_dau_mau")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r.ts.date()].add(r.user_id)
+    days = sorted(by_day)
+    got = {r.day.date(): r for r in rows}
+    assert set(got) == set(days)
+    for d in days:
+        dau = len(by_day[d])
+        mau_set = set()
+        for d2 in days:
+            if 0 <= (d - d2).days <= 29:
+                mau_set |= by_day[d2]
+        r = got[d]
+        assert r.dau == dau
+        assert r.mau == len(mau_set)
+        assert r.stickiness == pytest.approx(dau / len(mau_set), abs=1e-6)
+        assert r.dau <= r.mau

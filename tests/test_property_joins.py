@@ -261,3 +261,51 @@ def test_pit_scd2_exactly_one_version_per_fact(spark, sf_dir):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_asof_forward_ties_and_replay(spark):
+    """Forward as-of: earliest right row with on >= left.on; a right row
+    at EXACTLY left.on must qualify (micro-fixture), and the operator
+    must match a python replay on a small randomized frame."""
+    from pyspark.sql import functions as F
+
+    from cobradb_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 15, 102)], "u long, t long, lid long"
+    ).select("lid", "u", F.col("t").alias("on"))
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 25, 8), (2, 14, 9)], "u long, t long, v long"
+    ).select("u", F.col("t").alias("on"), "v")
+    out = {
+        r.lid: r.v
+        for r in asof_join_forward(
+            left, right, on="on", by="u", right_value_cols=["v"]
+        ).collect()
+    }
+    # lid=100: right at exactly t=10 qualifies; lid=101: next is t=25;
+    # lid=102: right at t=14 is BEFORE t=15 -> no forward match
+    assert out == {100: 7, 101: 8, 102: None}
+
+    import random
+
+    rng = random.Random(13)
+    L = [(u, rng.randrange(0, 50), i) for i, u in enumerate(
+        rng.choices(range(4), k=40))]
+    R = [(u, rng.randrange(0, 50), 1000 + i) for i, u in enumerate(
+        rng.choices(range(4), k=40))]
+    # unique (u, t) on the right so the earliest-match value is well-defined
+    seen = set()
+    R = [r for r in R if not (r[:2] in seen or seen.add(r[:2]))]
+    lf = spark.createDataFrame(L, "u long, on long, lid long")
+    rf = spark.createDataFrame(R, "u long, on long, v long")
+    got = {
+        r.lid: r.v
+        for r in asof_join_forward(
+            lf, rf, on="on", by="u", right_value_cols=["v"]
+        ).collect()
+    }
+    for u, t, lid in L:
+        cands = [(rt, v) for (ru, rt, v) in R if ru == u and rt >= t]
+        want = min(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)

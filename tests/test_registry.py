@@ -52,8 +52,8 @@ def test_driver_window_shape():
     """The correctness driver checks the FIRST 50 queries() entries, so
     ordering is part of the verification contract.  The r13 window is
     assembled from named stage tuples: the new-key drain head
-    (_R13_NEW), then the 47-key r4-era evidence refresh staged last
-    round (_R13_REFRESH, minus the one key displaced to _R14_REFRESH to
+    (_R13_NEW), then the r4-era evidence refresh staged last round
+    (_R13_REFRESH, minus the three keys displaced to _R14_REFRESH to
     keep 50 slots) — every slot oracle-carrying
     (the rows-only ledger was completed in r12; no slot is spent on
     `no_oracle` rows this round)."""
@@ -92,9 +92,10 @@ def test_window_drains_backlog_and_next_round_is_staged():
     assertion here is of the form `shrinking_set <= staged_constant`:
 
       * never-checked oracle keys  ⊆  _R13_NEW        (can only shrink)
-      * keys with evidence ≤ r4    ⊆  window ∪ _R14   (ts_autocorr is
-        r4-era and deliberately sits only in _R14_REFRESH — displaced
-        from the window by the fourth r13-new key)
+      * keys with evidence ≤ r4    ⊆  window ∪ _R14   (ts_autocorr,
+        text_token_count, text_unigram_perplexity are r4-era and
+        deliberately sit only in _R14_REFRESH — displaced from the
+        window by the 4th-6th r13-new keys)
       * keys with evidence ≤ r5    ⊆  window ∪ _R14   (can only shrink)
       * staged refresh keys all registered with prior rows (rows never
         disappear, registration is append-only)

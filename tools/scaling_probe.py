@@ -249,6 +249,8 @@ PROBES = [
     "multimodal_magic_sniff",
     "pipeline_curate_multimodal",
     "stream_state_store_read",
+    "join_asof_forward",
+    "analytics_stickiness_dau_mau",
 ]
 
 
