@@ -31,7 +31,9 @@ def hits(words_col, lex: tuple[str, ...]) -> F.Column:
     return F.size(F.filter(words_col, lambda x: x.isin(*lex))).cast("long")
 
 
-def hits_sql(lex: tuple[str, ...]) -> str:
-    """DuckDB side: same count over str_split(text, ' ')."""
+def hits_sql(lex: tuple[str, ...], col: str = "text") -> str:
+    """DuckDB side: same count over str_split(col, ' ') — `col`
+    parameterized to mirror the Spark builder (ADVICE r13: a consumer
+    scoring a differently named column must not silently diverge)."""
     inlist = ", ".join(f"'{w}'" for w in lex)
-    return f"len(list_filter(str_split(text, ' '), x -> x IN ({inlist})))"
+    return f"len(list_filter(str_split({col}, ' '), x -> x IN ({inlist})))"

@@ -75,7 +75,10 @@ def asof_join_forward(
     """Mirror of asof_join_backward: for each left row, attach
     right_value_cols of the EARLIEST right row with right.on >= left.on
     within the same `by` group (pandas merge_asof direction='forward').
-    Ties at right.on == left.on qualify.  Same scale shape: ONE shuffle
+    Ties at right.on == left.on qualify.  Among multiple right rows with
+    equal `on`, the window's (__on, __sort) order leaves them unordered —
+    callers should ensure `on` is unique per group for full determinism
+    (same caveat as the backward twin).  Same scale shape: ONE shuffle
     on (by, on), a single window pass, no nested loop.
 
     Returns all left columns + right_value_cols (null when no match).

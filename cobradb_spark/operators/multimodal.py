@@ -183,7 +183,8 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             }
             for did, payload in zip(pdf["id"], pdf["payload"]):
                 with wave.open(io.BytesIO(payload), "rb") as w:
-                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("WAV payload must be mono 16-bit")
                     rate, n = w.getframerate(), w.getnframes()
                     samples = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
                 out["id"].append(did)
@@ -311,12 +312,14 @@ def decode_motion_ppm_scene_sads(df: DataFrame) -> DataFrame:
             for did, payload in zip(pdf["id"], pdf["payload"]):
                 off, frame_no, prev = 0, 0, None
                 while off < len(payload):
-                    assert payload[off : off + 2] == b"P6"
+                    if payload[off : off + 2] != b"P6":
+                        raise ValueError("P6 frame magic missing in video container")
                     p1 = payload.index(b"\n", off)
                     p2 = payload.index(b"\n", p1 + 1)
                     p3 = payload.index(b"\n", p2 + 1)
                     w, h = (int(v) for v in payload[p1 + 1 : p2].split())
-                    assert payload[p2 + 1 : p3] == b"255"
+                    if payload[p2 + 1 : p3] != b"255":
+                        raise ValueError("P6 frame maxval must be 255")
                     raster = payload[p3 + 1 : p3 + 1 + w * h * 3]
                     off = p3 + 1 + w * h * 3
                     img = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
@@ -357,7 +360,8 @@ def resample_wav_pcm(df: DataFrame) -> DataFrame:
             }
             for did, payload in zip(pdf["id"], pdf["payload"]):
                 with wave.open(io.BytesIO(payload), "rb") as w:
-                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError("WAV payload must be mono 16-bit")
                     rate, n = w.getframerate(), w.getnframes()
                     v = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
                 j = np.arange((3 * (n - 1)) // 2 + 1, dtype=np.int64)
@@ -538,7 +542,8 @@ def decode_ppm_features(df: DataFrame, stride: int = 2) -> DataFrame:
             out = {"id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
             for did, payload in zip(pdf["id"], pdf["payload"]):
                 magic, dims, maxval, raster = payload.split(b"\n", 3)
-                assert magic == b"P6" and maxval == b"255"
+                if magic != b"P6" or maxval != b"255":
+                    raise ValueError("PPM payload must be P6 with maxval 255")
                 w, h = (int(v) for v in dims.split())
                 img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
                 small = img[::stride, ::stride, :].astype(np.int64)
@@ -599,13 +604,15 @@ def decode_motion_ppm_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             for did, payload in zip(pdf["id"], pdf["payload"]):
                 off, frame_no = 0, 0
                 while off < len(payload):
-                    assert payload[off : off + 2] == b"P6"
+                    if payload[off : off + 2] != b"P6":
+                        raise ValueError("P6 frame magic missing in video container")
                     # header = 3 newline-terminated fields from the offset
                     p1 = payload.index(b"\n", off)
                     p2 = payload.index(b"\n", p1 + 1)
                     p3 = payload.index(b"\n", p2 + 1)
                     w, h = (int(v) for v in payload[p1 + 1 : p2].split())
-                    assert payload[p2 + 1 : p3] == b"255"
+                    if payload[p2 + 1 : p3] != b"255":
+                        raise ValueError("P6 frame maxval must be 255")
                     raster = payload[p3 + 1 : p3 + 1 + w * h * 3]
                     off = p3 + 1 + w * h * 3
                     if frame_no % every_n == 0:
@@ -1550,7 +1557,8 @@ def decode_any_features(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if fmt == "wav":
                     with wave.open(io.BytesIO(b), "rb") as w:
-                        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                            raise ValueError("WAV payload must be mono 16-bit")
                         n = w.getnframes()
                         samples = np.frombuffer(
                             w.readframes(n), dtype="<i2"
@@ -1559,7 +1567,8 @@ def decode_any_features(df: DataFrame) -> DataFrame:
                 else:
                     if fmt == "ppm":
                         magic, dims, maxval, raster = b.split(b"\n", 3)
-                        assert magic == b"P6" and maxval == b"255"
+                        if magic != b"P6" or maxval != b"255":
+                            raise ValueError("PPM payload must be P6 with maxval 255")
                         w_, h_ = (int(v) for v in dims.split())
                         rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h_, w_, 3)
                     elif fmt == "jpeg":

@@ -122,17 +122,18 @@ FROM ranked WHERE rn = 1
     doc="Composed LLM-corpus build — the end-to-end hygiene pass a training "
     "pipeline runs per snapshot: (1) language gate + length/token quality "
     "gates (all narrow filters, lang pushed to the scan), (2) exact dedup "
-    "keeping the lowest doc_id per md5(text) signature via ONE shuffle "
-    "(window on the signature — no groupBy+join-back), (3) deterministic "
-    "md5 shard assignment, rerun-stable with no RNG. Composes the A/B "
-    "filter, H hash, E window, and mlprep sampling primitives in a single "
+    "keeping the lowest doc_id per md5(text) signature via ONE partial+final "
+    "aggregate shuffle (groupBy+min/min_by, NOT a window on the signature — "
+    "a window cannot split a mega-duplicate group across tasks, so the hot "
+    "group funnels through one task at 100 TB; the combiner collapses it "
+    "per input task, r13 VERDICT item 2's gate enforces this shape), "
+    "(3) deterministic md5 shard assignment, rerun-stable with no RNG. "
+    "Composes the A/B filter, H hash, and D agg primitives in a single "
     "declarative plan; at 100 TB every stage is map-side except the one "
     "signature shuffle. Downstream: etl_shard_balanced packs the survivors "
     "into token-balanced shards.",
 )
 def etl_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("long")
     base = (
@@ -141,8 +142,14 @@ def etl_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tokens", n_tokens)
         .filter(F.col("n_tokens") >= 20)
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    canon = (
+        base.groupBy(F.md5("text").alias("__sig"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .drop("__sig")
+    )
     shard = (
         F.conv(
             F.substring(

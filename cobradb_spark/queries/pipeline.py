@@ -11,18 +11,24 @@ sees the whole plan — filters push below windows where legal, the
 eval-gram side broadcasts, and nothing materializes to the driver
 between stages.
 
-Scale posture (100 TB): each stage is either a narrow projection/filter
-or a single hash-shuffle keyed on high-entropy values (content sha256,
-30-char fingerprints, doc_id) — no skew by construction, no iterative
-driver loop (transitive near-dup clusters are dedup_cluster_cc's job;
-the banded keep-min used here is the one-pass conservative variant that
-composes lazily).  The decontamination join broadcasts the eval gram
-set, which is tiny relative to the corpus by definition.
+Scale posture (100 TB): every dedup stage is a partial+final hash
+AGGREGATE (map-side combine), never a window over a text-derived
+partition key.  A window cannot split one partition-key group across
+tasks, so a mega-duplicate content group or a boilerplate-concentrated
+30-char prefix ("<!DOCTYPE html><head><meta charse…") funnels through a
+single task at 100 TB; groupBy+min combines those groups per input task
+before the shuffle, and the keep-set join-backs key on unique doc_id
+(no hot keys; AQE skew-split applies where a sort-merge is chosen).
+No iterative driver loop (transitive near-dup clusters are
+dedup_cluster_cc's job; the banded keep-min used here is the one-pass
+conservative variant that composes lazily).  The decontamination join
+broadcasts the eval gram set, which is tiny relative to the corpus by
+definition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cobradb_spark.buckets import bucket as _bucket
@@ -107,38 +113,64 @@ FROM s4
     "distinct word-trigrams with the eval slice (doc_id % 50 = 0, excluded from "
     "the corpus), eval grams broadcast; (5) deterministic md5-bucket 80/10/10 "
     "split. Output: surviving doc_id, n_words, quality, contamination, split. "
-    "Stages shuffle on content hash / fingerprints / doc_id — high-entropy keys, "
-    "no skew; nothing collects to the driver between stages.",
+    "Every dedup stage is a partial+final groupBy-min (map-side combine kills "
+    "mega-duplicate and boilerplate-prefix skew) with unique-doc_id semi "
+    "join-backs; nothing collects to the driver between stages.",
     tags=("pipeline", "llm"),
 )
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # (1) exact dedup: window-min over the content hash keeps the payload
-    # columns without a join-back; the partition key is a 256-bit hash, so
-    # bucket sizes are duplicate-group sizes — no hot keys.
+    # (1)+(2) exact + banded near-dedup as ONE linear aggregate chain over a
+    # SINGLE corpus scan — no window over a text-derived partition key
+    # anywhere (a window cannot split one partition-key group across tasks,
+    # so mega-duplicate content groups and boilerplate-concentrated 30-char
+    # prefixes funnel through a single task at 100 TB).  Every stage below
+    # is a partial+final aggregate: map-side combine collapses a hot group
+    # to one row per input task before its shuffle.  min_by carries the
+    # kept row's text through the combiner (deterministic — doc_id is
+    # unique), which is what lets the whole chain stay join-free and
+    # single-scan; its string buffer makes Spark pick partial+final
+    # SortAggregate rather than HashAggregate, which keeps the same
+    # skew-immunity (the combine is the point, not the hash table).
+    #
+    # (1) exact dedup: keep the min-doc_id row per content sha256.
     s1 = (
-        d.withColumn(
-            "keep1",
-            F.min("doc_id").over(
-                Window.partitionBy(F.sha2(F.lower(F.trim("text")), 256))
-            ),
+        d.groupBy(F.sha2(F.lower(F.trim("text")), 256).alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
         )
-        .filter(F.col("doc_id") == F.col("keep1"))
-        .drop("keep1")
+        .drop("__h")
     )
 
-    # (2) banded near-dedup: min over prefix-fingerprint bucket AND min over
-    # suffix-fingerprint bucket (dedup_cluster_cc's candidate keys).
+    # (2) banded near-dedup: a doc survives iff it is the min of BOTH its
+    # 30-char-prefix bucket AND its 30-char-suffix bucket, both computed
+    # over s1 (matching the oracle's two windows on s1, NOT sequentially).
+    # Explode each s1 row into its two typed bucket rows, take the combined
+    # per-bucket winner in one shuffle, then count wins per doc: a doc can
+    # win at most one bucket of each type, so wins == 2 IS the prefix-AND-
+    # suffix condition.  The winner set is one row per distinct bucket, so
+    # the second shuffle is bucket-cardinality-bounded.
+    exploded = s1.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                F.struct(F.lit("p").alias("t"), F.substring("text", 1, 30).alias("k")),
+                F.struct(F.lit("s").alias("t"), F.expr("right(text, 30)").alias("k")),
+            )
+        ).alias("b"),
+    )
+    winners = exploded.groupBy("b").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
     s2 = (
-        s1.withColumn(
-            "kp", F.min("doc_id").over(Window.partitionBy(F.substring("text", 1, 30)))
-        )
-        .withColumn(
-            "ks", F.min("doc_id").over(Window.partitionBy(F.expr("right(text, 30)")))
-        )
-        .filter((F.col("doc_id") == F.col("kp")) & (F.col("doc_id") == F.col("ks")))
-        .drop("kp", "ks")
+        winners.groupBy("doc_id")
+        .agg(F.count("*").alias("__wins"), F.max("text").alias("text"))
+        .filter(F.col("__wins") == 2)
+        .drop("__wins")
     )
 
     # (3) quality + language gate — pure codegen, same formulas as

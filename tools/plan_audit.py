@@ -289,10 +289,13 @@ AUDITS = [
     (
         "etl_llm_corpus_pipeline",
         ["EqualTo(lang,en)", "GreaterThanOrEqual(n_chars,100)", "EXCHANGES<=1"],
-        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin", "Window"],
         "corpus hygiene pass: language + length gates reach the parquet "
-        "reader; exact dedup is the single shuffle (window on md5 "
-        "signature); shard assignment is map-side — ONE exchange total",
+        "reader; exact dedup is the single shuffle — a partial+final "
+        "groupBy+min/min_by on the md5 signature (NOT a window: the "
+        "skewed-window gate bans signature-partitioned windows; the "
+        "combiner collapses mega-duplicate groups per input task); "
+        "shard assignment is map-side — ONE exchange total",
     ),
     (
         "scan_partition_pruning",
@@ -1793,14 +1796,22 @@ AUDITS = [
     ),
     (
         "pipeline_curate_corpus",
-        ["SCANS<=2", "BroadcastHashJoin LeftOuter", "HashAggregate"],
+        ["SCANS<=2", "EXCHANGES<=5", "BroadcastHashJoin LeftOuter",
+         "SortAggregate", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
-         "BatchEvalPython", "CollectLimit"],
-        "five curation stages in ONE lazy plan: the curated subtree "
-        "(3 partitioned dedup windows + quality/lang filter) is "
-        "evaluated exactly once (2 scans total: corpus + eval slice); "
-        "eval trigrams broadcast into a left join whose match flag and "
-        "gram count aggregate in a single partial+final pass; nothing "
+         "BatchEvalPython", "CollectLimit", "Window"],
+        "five curation stages in ONE lazy plan with ZERO windows (r13 "
+        "VERDICT #1: window-min over text-derived keys funnels "
+        "mega-duplicate / boilerplate-prefix groups through one task; "
+        "all three dedup stages are now partial+final aggregates whose "
+        "map-side combine collapses hot groups per input task — "
+        "SortAggregate, not HashAggregate, only because min_by carries "
+        "a string buffer; the combine semantics are identical); 2 scans "
+        "total (corpus + eval slice), 5 exchanges total = 3 chain "
+        "shuffles (sha / bucket / doc_id — the decontamination rollup "
+        "REUSES the doc_id partitioning) + the eval-gram distinct + its "
+        "broadcast, eval trigrams broadcast into a left join whose "
+        "match flag and gram count aggregate in one pass; nothing "
         "materializes to the driver between stages",
     ),
     (
@@ -1850,6 +1861,133 @@ _UNPARTITIONED_WINDOW_OK: dict[str, str] = {
     "rollup_calendar_spine": "window over a generated calendar grid",
     "events_stl_strength": "window over the bounded seasonal-period grid",
 }
+
+
+# Standing gate (r13 VERDICT item 2): a Window PARTITIONED BY a
+# raw-text / substring-derived key is the J8 hazard the unpartitioned
+# gate cannot see — on real web data, 30-char prefixes and exact
+# content strings are boilerplate-concentrated, and a window cannot
+# split one partition-key group across tasks (no map-side combine), so
+# the hot bucket funnels through a single task at 100 TB.  Aggregates
+# (groupBy+min + join-back, or min_by chains) combine those groups per
+# input task before the shuffle — use them instead.  Flag any
+# windowspecdefinition whose PARTITION section applies a text-slicing /
+# casing function to a column (substring/right/left/lower/trim/split/
+# regexp/concat) or partitions by a raw `text` column, unless the
+# expression is wrapped in a fixed-width hash (sha2/md5/xxhash64/hash/
+# crc32 alone do NOT excuse it — sha-keyed windows still cannot split a
+# mega-duplicate group; they are only allowlisted with justification).
+_TEXT_PARTITION_RE = re.compile(
+    r"\b(?:substring|substr|right|left|lower|upper|trim|ltrim|rtrim|"
+    r"split|split_part|regexp_extract|regexp_replace|replace|concat|"
+    r"concat_ws|reverse|repeat|soundex)\s*\(|\btext#"
+)
+_SKEWED_WINDOW_OK: dict[str, str] = {}
+
+
+def _balanced_args(plan: str, key: str) -> list[str]:
+    """Every paren-balanced argument string of `key(...)` in the plan.
+
+    The shared one-level-nesting regex used by the unpartitioned gate
+    cannot see past specifiedwindowframe(unboundedpreceding$(), ...) —
+    two paren levels — so this gate scans with an explicit depth
+    counter.
+    """
+    out: list[str] = []
+    i = 0
+    needle = key + "("
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            return out
+        k = j + len(needle)
+        depth = 1
+        start = k
+        while k < len(plan) and depth > 0:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[start : k - 1])
+        i = k
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        cur += ch
+    parts.append(cur)
+    return parts
+
+
+def _window_alias_defs(plan: str) -> dict[str, str]:
+    """Map `_wN#id` -> its defining Project expression.
+
+    Catalyst extracts complex window partition keys into a Project
+    below the Window (`substring(text#1, 1, 30) AS _w0#11`), so the
+    windowspecdefinition itself only shows the opaque alias; resolving
+    it is what lets the gate see the text function.
+    """
+    defs: dict[str, str] = {}
+    for m in re.finditer(r" AS (_w\d+#\d+)", plan):
+        alias = m.group(1)
+        # scan backwards paren-balanced to the expression start (the
+        # previous top-level ',' or '[')
+        i = m.start() - 1
+        depth = 0
+        while i >= 0:
+            ch = plan[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch in ",[" and depth == 0:
+                break
+            i -= 1
+        defs.setdefault(alias, plan[i + 1 : m.start()].strip())
+    return defs
+
+
+def _skewed_window_violations(name: str, plan: str) -> list[str]:
+    out: list[str] = []
+    if name in _SKEWED_WINDOW_OK:
+        return out
+    defs = _window_alias_defs(plan)
+    seen: set[str] = set()
+    for s in _balanced_args(plan, "windowspecdefinition"):
+        partition = [
+            p
+            for p in _split_top_level(s)
+            if " ASC" not in p
+            and " DESC" not in p
+            and not p.strip().startswith("specifiedwindowframe")
+        ]
+        for p in partition:
+            resolved = defs.get(p.strip(), p)
+            if _TEXT_PARTITION_RE.search(resolved) and resolved not in seen:
+                seen.add(resolved)
+                out.append(
+                    f"{name}: Window PARTITIONED BY a text-derived key "
+                    f"({resolved.strip()[:80]!r}) — hot text buckets funnel "
+                    "through one task (no map-side combine); rewrite as "
+                    "groupBy+min(+min_by/join-back) or allowlist in "
+                    "_SKEWED_WINDOW_OK with a justification"
+                )
+    return out
 
 
 def _unpartitioned_window_violations(name: str, plan: str) -> list[str]:
@@ -1920,6 +2058,8 @@ def main() -> int:
             if frag in plan:
                 failures.append(f"{name}: forbidden {frag!r} present in plan")
         for msg in _unpartitioned_window_violations(name, plan):
+            failures.append(msg)
+        for msg in _skewed_window_violations(name, plan):
             failures.append(msg)
         sections.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
 
