@@ -19,12 +19,19 @@ queries (0.58x -> 0.69x headline, 1.07x -> 1.17x TPC-H vs frozen
 numbers measured in different sessions), so a single absolute reading
 is no longer trustworthy as a regression signal.  The `ab` block runs
 an INTERLEAVED A/B — the previous round's frozen commit (git worktree)
-vs HEAD, alternating REF, HEAD, REF, HEAD in fresh JVMs via
-tools/bench_once.py — so both variants see the same machine conditions
-and the ratio is environment-free.  Fail-soft: any git/subprocess
-problem degrades to "ab": {"error": ...} without touching the primary
-numbers.  Tunables: SPARK_GRAFT_AB=0 disables, SPARK_GRAFT_AB_REF
-overrides the frozen commit, SPARK_GRAFT_AB_PAIRS the pair count.
+vs HEAD in fresh JVMs via tools/bench_once.py — so both variants see
+the same machine conditions and the ratio is environment-free.  Two
+r13-VERDICT de-confounds (three consecutive rounds read headline > 1
+with the excess entirely in the FIRST JVM of a session): (1) one
+DISCARDED WARMUP PAIR runs first — recorded in `warmup_discarded` for
+transparency, excluded from the medians — so one-time session costs
+(JIT profile seeding, OS page cache for parquet + imports) are paid
+before any measured run; (2) the measured pairs ALTERNATE side order
+(REF,HEAD then HEAD,REF ...) so neither side systematically runs
+first.  Fail-soft: any git/subprocess problem degrades to
+"ab": {"error": ...} without touching the primary numbers.  Tunables:
+SPARK_GRAFT_AB=0 disables, SPARK_GRAFT_AB_REF overrides the frozen
+commit, SPARK_GRAFT_AB_PAIRS the measured pair count (default 3).
 
 Prints TWO JSON lines (last complete line wins): the primary payload
 immediately —
@@ -140,10 +147,11 @@ def _bench_once(repo_root: str, sf_dir: str) -> dict[str, float]:
 
 
 def interleaved_ab(sf_dir: str) -> dict:
-    """REF, HEAD, REF, HEAD in fresh JVMs; medians + ratio."""
+    """Fresh-JVM A/B: one discarded warmup pair, then `pairs` measured
+    pairs with alternating side order; medians + ratio."""
     try:
         ref = os.environ.get("SPARK_GRAFT_AB_REF") or _detect_prev_round_ref()
-        pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
+        pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "3"))
         wt = f"/tmp/bench_ab_{ref}"
     except Exception as e:  # noqa: BLE001 — fail-soft by contract
         return {"error": f"ab config: {e}"}
@@ -158,14 +166,26 @@ def interleaved_ab(sf_dir: str) -> dict:
     except Exception as e:  # noqa: BLE001 — fail-soft by contract
         return {"error": f"worktree: {e}"}
     try:
+        # discarded warmup pair: pays the session's one-time costs so
+        # the FIRST measured JVM of each side starts warm (the r11-r13
+        # headline>1 readings were dominated by each session's first run)
+        warmup = {
+            "ref": _bench_once(wt, sf_dir),
+            "head": _bench_once(_REPO, sf_dir),
+        }
         ref_runs, head_runs = [], []
-        for _ in range(pairs):
-            ref_runs.append(_bench_once(wt, sf_dir))
-            head_runs.append(_bench_once(_REPO, sf_dir))
+        for i in range(pairs):
+            if i % 2 == 0:
+                ref_runs.append(_bench_once(wt, sf_dir))
+                head_runs.append(_bench_once(_REPO, sf_dir))
+            else:
+                head_runs.append(_bench_once(_REPO, sf_dir))
+                ref_runs.append(_bench_once(wt, sf_dir))
         med = lambda runs, k: statistics.median(r[k] for r in runs)  # noqa: E731
         return {
             "ref": ref,
             "pairs": pairs,
+            "warmup_discarded": warmup,
             "ref_runs": ref_runs,
             "head_runs": head_runs,
             "headline_ratio": round(med(head_runs, "headline") / med(ref_runs, "headline"), 4),

@@ -280,3 +280,96 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rn")
     )
+
+
+def ivf_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    nlist: int = 8,
+    nassign: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE all-pairs cosine near-neighbors via an IVF index:
+    candidate pairs are vectors sharing at least one of their `nassign`
+    nearest KMeans cells, scored exactly per cell with the BLAS kernel.
+
+    This is the index-accelerated scale path of knn.cosine_near_pairs:
+    instead of broadcasting the corpus matrix (or LSH bucketing), the
+    IVF index build (KMeans, seed-pinned) partitions the corpus into
+    nlist cells; multi-assignment (nassign > 1) recovers pairs that
+    straddle a cell border, the same recall knob as LSH's extra hash
+    tables.  Per-cell scoring is an applyInPandas grouped-map over the
+    cell key — at 100 TB nlist scales to ~sqrt(N) so each cell stays
+    a bounded m x m BLAS problem, and only the (tiny) centroid matrix
+    ever touches the driver (broadcast back out).  Recall < 1 by
+    design: pairs whose members share no assigned cell are missed —
+    callers needing an exact-verified result use cosine_near_pairs and
+    grade this path against it (the _graded key pattern).
+
+    Returns (a_id, b_id, cos_sim) with a_id < b_id, cos_sim rounded 6,
+    deduplicated across shared cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    vec = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        array_to_vector(vec_col).alias("features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=10, featuresCol="features")
+    model = km.fit(vec)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    def assign_cells(batches):
+        C = b_centers.value
+        n_assign = min(nassign, len(C))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d, axis=1)[:, :n_assign]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_assign),
+                    "embedding": pdf["embedding"].iloc[
+                        np.repeat(np.arange(len(pdf)), n_assign)
+                    ].to_numpy(),
+                    "cell": cells.ravel().astype("int32"),
+                }
+            )
+
+    assigned = vec.select("vec_id", "embedding").mapInPandas(
+        assign_cells, schema="vec_id long, embedding array<float>, cell int"
+    )
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": S[ai, bi]}
+        )
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        pairs_in_cell, schema="a_id long, b_id long, cos_sim double"
+    )
+    # a pair sharing several assigned cells is scored once per shared
+    # cell with bit-identical doubles; max() is a pure dedup
+    return (
+        cand.groupBy("a_id", "b_id")
+        .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
+    )

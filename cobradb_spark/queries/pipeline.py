@@ -245,3 +245,177 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contamination",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-side curation (r13 VERDICT item 3): the vector analog of
+# pipeline_curate_corpus — the SECOND nightly program a training-data
+# shop runs.  Index-accelerated near-dedup over the embedding column,
+# composed with the hygiene gate and the deterministic split as ONE
+# lazy plan.  The J2/J4 evidence pattern: the ANN-backed key is
+# rows-only by design (KMeans cells are seed-pinned but not
+# SQL-expressible), and the _graded companion replays the SAME pipeline
+# with the EXACT pair kernel (full DuckDB oracle) and hash-pins the
+# ANN stage's recall/agreement against it.
+# ---------------------------------------------------------------------------
+
+_EMB_COS_THRESHOLD = 0.4  # same bar as dedup_cosine_near
+
+
+def _emb_l2(vec_col: str) -> F.Column:
+    """Float64 L2 norm of an array<float> column — codegen HOF, the
+    same formulation embed_vector_norm oracles."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(vec_col, vec_col, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _curated_embeddings_base(spark: SparkSession, sf_dir: str):
+    """(hygiene-gated embeddings, documents) shared by both keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = emb.withColumn("l2", _emb_l2("embedding")).filter(F.col("l2") > 0)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ok, docs
+
+
+def _survivors(ok: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Greedy one-pass keep-lowest: drop every vector that appears as
+    the GREATER id of a near-dup pair (a_id < b_id by construction).
+    The conservative non-iterative variant — transitive chains may
+    over-drop relative to connected-components, deterministically; the
+    same trade pipeline_curate_corpus's banded stage makes."""
+    drops = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return ok.join(drops, "vec_id", "anti")
+
+
+@register(
+    "pipeline_curate_embeddings",
+    oracle=None,  # ANN stage (KMeans cells) not SQL-expressible; graded below
+    doc="Embeddings curation end-to-end, ONE lazy plan: (1) hygiene gate — "
+    "keep vectors with finite nonzero L2 norm; (2) IVF index build (KMeans "
+    "nlist=8, seed=42, centroids broadcast) and near-dup candidate pairs "
+    "from vectors sharing >= 1 of their nassign=2 nearest cells, scored "
+    "exactly per cell (applyInPandas BLAS, cos >= 0.4); (3) greedy "
+    "keep-lowest survivor per near-dup pair; (4) join survivors back to "
+    "documents for language metadata; (5) deterministic md5-bucket 80/10/10 "
+    "split. Output: vec_id, lang, label, l2_norm, split. At 100 TB nlist "
+    "scales to ~sqrt(N) so each cell is a bounded BLAS problem; only the "
+    "centroid matrix touches the driver. rows-only by design (cell "
+    "assignment is seed-pinned KMeans, not SQL-expressible); "
+    "pipeline_curate_embeddings_graded hash-pins this pipeline's recall "
+    "and survivor agreement against the exact-kernel replay.",
+    tags=("pipeline", "llm"),
+)
+def pipeline_curate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.ivf import ivf_near_pairs
+
+    ok, docs = _curated_embeddings_base(spark, sf_dir)
+    pairs = ivf_near_pairs(ok, _EMB_COS_THRESHOLD, nlist=8, nassign=2, seed=42)
+    surv = _survivors(ok, pairs)
+    b = _bucket("vec_id", "curate_emb")
+    return (
+        surv.join(docs, surv.vec_id == docs.doc_id)
+        .select(
+            "vec_id",
+            "lang",
+            "label",
+            F.round("l2", 6).alias("l2_norm"),
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        )
+    )
+
+
+@register(
+    "pipeline_curate_embeddings_graded",
+    oracle=f"""
+WITH nrm AS (
+  SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1
+), ok AS (
+  SELECT vec_id FROM nrm WHERE nrm > 0
+), ex AS (
+  SELECT e.vec_id, unnest(e.embedding) AS v,
+         generate_subscripts(e.embedding, 1) AS i
+  FROM embeddings e JOIN ok USING (vec_id)
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d.a_id, d.b_id
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.a_id
+  JOIN nrm nb ON nb.vec_id = d.b_id
+  WHERE d.dot / (na.nrm * nb.nrm) >= {_EMB_COS_THRESHOLD}
+), surv AS (
+  SELECT vec_id FROM ok WHERE vec_id NOT IN (SELECT b_id FROM pairs)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_vecs,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_exact_survivors,
+       true AS pair_recall_ok,
+       true AS survivor_jaccard_ok
+""",
+    doc="Self-grading verdict for pipeline_curate_embeddings: the SAME "
+    "hygiene gate and greedy survivor rule are replayed with the EXACT "
+    "cosine pair kernel (broadcast BLAS, full DuckDB oracle on counts), "
+    "and the IVF-candidate pipeline is compared against it in-query: "
+    "pair_recall_ok pins |ANN pairs ∩ exact pairs| / |exact pairs|, "
+    "survivor_jaccard_ok pins |ANN surv ∩ exact surv| / |ANN surv ∪ "
+    "exact surv|; both thresholds sit under the worst tri-scale "
+    "measurement (see tests).  KMeans cells are pure functions of "
+    "seed 42, so the verdict is deterministic.",
+    tags=("pipeline", "llm"),
+)
+def pipeline_curate_embeddings_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cobradb_spark.operators.ivf import ivf_near_pairs
+    from cobradb_spark.operators.knn import cosine_near_pairs
+
+    ok, _docs = _curated_embeddings_base(spark, sf_dir)
+    ex_pairs = cosine_near_pairs(ok, _EMB_COS_THRESHOLD).select("a_id", "b_id")
+    ann_pairs = ivf_near_pairs(
+        ok, _EMB_COS_THRESHOLD, nlist=8, nassign=2, seed=42
+    ).select("a_id", "b_id")
+    ex_surv = _survivors(ok, ex_pairs).select("vec_id")
+    ann_surv = _survivors(ok, ann_pairs).select("vec_id")
+
+    n_vecs = ok.agg(F.count("*").cast("bigint").alias("n_vecs"))
+    n_ex_pairs = ex_pairs.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    n_ex_surv = ex_surv.agg(F.count("*").cast("bigint").alias("n_exact_survivors"))
+    pair_hits = ann_pairs.join(ex_pairs, ["a_id", "b_id"]).agg(
+        F.count("*").cast("bigint").alias("pair_hits")
+    )
+    surv_inter = ann_surv.join(ex_surv, "vec_id").agg(
+        F.count("*").cast("bigint").alias("surv_inter")
+    )
+    n_ann_surv = ann_surv.agg(F.count("*").cast("bigint").alias("n_ann_surv"))
+    return (
+        n_vecs.crossJoin(F.broadcast(n_ex_pairs))
+        .crossJoin(F.broadcast(n_ex_surv))
+        .crossJoin(F.broadcast(pair_hits))
+        .crossJoin(F.broadcast(surv_inter))
+        .crossJoin(F.broadcast(n_ann_surv))
+        .select(
+            "n_vecs",
+            "n_exact_pairs",
+            "n_exact_survivors",
+            # pooled pair recall >= 0.60 (measured 0.79-0.92 tri-scale;
+            # threshold sits ~0.2 under the worst measurement, the LSH
+            # graded-key convention)
+            (
+                F.col("pair_hits") * 1000 >= F.lit(600) * F.col("n_exact_pairs")
+            ).alias("pair_recall_ok"),
+            # survivor-set Jaccard >= 0.85 (measured 0.92-0.99 tri-scale);
+            # union = |ann| + |ex| - |inter|
+            (
+                F.col("surv_inter") * 1000
+                >= F.lit(850)
+                * (F.col("n_ann_surv") + F.col("n_exact_survivors") - F.col("surv_inter"))
+            ).alias("survivor_jaccard_ok"),
+        )
+    )

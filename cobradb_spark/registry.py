@@ -196,9 +196,25 @@ _R13_NEW: tuple[str, ...] = (
     "analytics_stickiness_dau_mau",
 )
 
-# Staged r14 refresh plan: the 50 keys whose latest driver evidence is
-# r5 (the next-oldest tier once the r13 window lands) — after them, no
-# key's evidence predates r6.
+# r14-new keys (the never-driver-checked drain head for r14): the
+# embeddings-curation composition (r13 VERDICT item 3).  The _graded
+# key carries the full DuckDB oracle; the base key is rows-only by
+# design (KMeans cell assignment is seed-pinned but not
+# SQL-expressible — the J2/J4 pattern).
+_R14_NEW: tuple[str, ...] = ("pipeline_curate_embeddings_graded",)
+_R14_ROWSONLY: tuple[str, ...] = ("pipeline_curate_embeddings",)
+
+# Keys whose IMPLEMENTATION was rewritten in r14 (the window-skew fix:
+# text-keyed window-min dedup -> partial+final groupBy-min chains).
+# Their prior hash rows proved the OLD code; they re-prove this round.
+_R14_REPROOF: tuple[str, ...] = (
+    "pipeline_curate_corpus", "etl_llm_corpus_pipeline",
+)
+
+# Executed r14 refresh: the 46 oldest of the 53 keys staged last round
+# (3 r4-era + 50 r5-era; 7 displaced to _R15_REFRESH by the 4 slots
+# above) — after this window lands, no key's evidence predates r6
+# except the 7 displaced r5-era keys, staged first for r15.
 _R14_REFRESH: tuple[str, ...] = (
     # r4-era keys displaced from the r13 window by the 4th-6th new keys
     "ts_autocorr", "text_token_count", "text_unigram_perplexity",
@@ -220,16 +236,24 @@ _R14_REFRESH: tuple[str, ...] = (
     "stream_sessionize_stateful", "stream_stream_join",
     "stream_trending_topk", "udaf_pandas_gmean",
     "udf_arrow_optimized_scalar", "udf_cogrouped_map",
-    "udf_grouped_apply_arrow", "udf_map_in_arrow", "udf_sql_declarative",
+    "udf_grouped_apply_arrow",
+)
+
+# Staged r15 refresh plan: the 7 r5-era keys displaced from the r14
+# window by the new/re-proof slots — after them, no key's evidence
+# predates r6.
+_R15_REFRESH: tuple[str, ...] = (
+    "udf_map_in_arrow", "udf_sql_declarative",
     "udtf_polymorphic_analyze", "win_cume_dist", "win_ewma_smooth",
     "win_islands_ranges", "win_running_distinct",
 )
 
-# The driver window is slots [:50]: the r13 drain head (6 new keys)
-# followed by the 44-key r4-era refresh (3 keys displaced to
-# _R14_REFRESH) — after this window lands, the only pre-r5 evidence is
-# the three displaced r4-era keys, staged first for r14.
-_DRIVER_PRIORITY: tuple[str, ...] = _R13_NEW + _R13_REFRESH
+# The driver window is slots [:50]: the r14 drain head (1 new oracled
+# key + 1 declared rows-only + 2 rewritten-key re-proofs) followed by
+# the 46-key refresh staged last round.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    _R14_NEW + _R14_ROWSONLY + _R14_REPROOF + _R14_REFRESH
+)
 
 
 def all_queries() -> dict[str, Query]:

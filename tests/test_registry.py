@@ -50,13 +50,14 @@ def test_entry_contract_shapes():
 
 def test_driver_window_shape():
     """The correctness driver checks the FIRST 50 queries() entries, so
-    ordering is part of the verification contract.  The r13 window is
-    assembled from named stage tuples: the new-key drain head
-    (_R13_NEW), then the r4-era evidence refresh staged last round
-    (_R13_REFRESH, minus the three keys displaced to _R14_REFRESH to
-    keep 50 slots) — every slot oracle-carrying
-    (the rows-only ledger was completed in r12; no slot is spent on
-    `no_oracle` rows this round)."""
+    ordering is part of the verification contract.  The r14 window is
+    assembled from named stage tuples: the new-key drain head (_R14_NEW
+    + the declared rows-only _R14_ROWSONLY), the two rewritten-key
+    re-proofs (_R14_REPROOF — their prior hash rows proved the OLD
+    window-min code), then the oldest-evidence refresh staged last
+    round (_R14_REFRESH, 46 of 53; the rest displaced to
+    _R15_REFRESH).  Every slot except the declared rows-only key is
+    oracle-carrying."""
     from cobradb_spark import registry
 
     qs = registry.all_queries()
@@ -64,11 +65,17 @@ def test_driver_window_shape():
     assert window == list(registry._DRIVER_PRIORITY)[:50], (
         "driver window must be exactly the first 50 of the rotated priority list"
     )
-    assert window == list(registry._R13_NEW + registry._R13_REFRESH), (
-        "window must be exactly new-head + staged refresh"
-    )
+    assert window == list(
+        registry._R14_NEW
+        + registry._R14_ROWSONLY
+        + registry._R14_REPROOF
+        + registry._R14_REFRESH
+    ), "window must be exactly new-head + re-proofs + staged refresh"
     for name in window:
-        assert qs[name].oracle is not None, f"{name} in driver window without oracle"
+        if name in registry._R14_ROWSONLY:
+            assert qs[name].oracle is None, f"{name} declared rows-only but has oracle"
+        else:
+            assert qs[name].oracle is not None, f"{name} in driver window without oracle"
     # nothing past the window: every slot this round is a hash check
     assert list(registry._DRIVER_PRIORITY)[50:] == []
 
@@ -91,19 +98,17 @@ def test_window_drains_backlog_and_next_round_is_staged():
     wrote CORRECTNESS_r11.json).  Driver rows only accumulate, so every
     assertion here is of the form `shrinking_set <= staged_constant`:
 
-      * never-checked oracle keys  ⊆  _R13_NEW        (can only shrink)
-      * keys with evidence ≤ r4    ⊆  window ∪ _R14   (ts_autocorr,
-        text_token_count, text_unigram_perplexity are r4-era and
-        deliberately sit only in _R14_REFRESH — displaced from the
-        window by the 4th-6th r13-new keys)
-      * keys with evidence ≤ r5    ⊆  window ∪ _R14   (can only shrink)
+      * never-checked oracle keys  ⊆  _R14_NEW        (can only shrink)
+      * keys with evidence ≤ r5    ⊆  window ∪ _R15   (can only shrink;
+        after the r14 window lands only the 7 displaced r5-era keys in
+        _R15_REFRESH remain pre-r6)
       * staged refresh keys all registered with prior rows (rows never
         disappear, registration is append-only)
     """
     from cobradb_spark import registry
 
     qs = registry.all_queries()
-    staged_new = list(registry._R13_NEW)
+    staged_new = list(registry._R14_NEW + registry._R14_ROWSONLY)
     assert len(staged_new) == len(set(staged_new)), "duplicate keys in new-key drain list"
     missing = [n for n in staged_new if n not in qs]
     assert not missing, f"staged new keys not registered: {missing}"
@@ -121,19 +126,19 @@ def test_window_drains_backlog_and_next_round_is_staged():
         f"{sorted(never_checked - set(staged_new))}"
     )
     assert set(staged_new) <= set(window), "new-key head not in the window"
-    # refresh slots must already HAVE driver rows (they re-run, they
-    # don't drain the backlog)
-    for n in registry._R13_REFRESH:
+    # refresh and re-proof slots must already HAVE driver rows (they
+    # re-run, they don't drain the backlog)
+    for n in registry._R14_REFRESH + registry._R14_REPROOF:
         assert n in qs, f"refresh key {n} not registered"
         assert n in checked, f"window refresh key {n} has no prior driver row"
     # next round's staging: registered, has prior rows, disjoint from
     # the current window
-    r14 = list(registry._R14_REFRESH)
-    assert len(r14) == len(set(r14)), "duplicate keys in r14 staging"
-    for n in r14:
-        assert n in qs, f"r14 refresh key {n} not registered"
-        assert n in checked, f"r14 refresh key {n} has no prior driver row"
-        assert n not in window, f"r14 refresh key {n} already in the r13 window"
+    r15 = list(registry._R15_REFRESH)
+    assert len(r15) == len(set(r15)), "duplicate keys in r15 staging"
+    for n in r15:
+        assert n in qs, f"r15 refresh key {n} not registered"
+        assert n in checked, f"r15 refresh key {n} has no prior driver row"
+        assert n not in window, f"r15 refresh key {n} already in the r14 window"
     # nothing stale is forgotten — monotone: a driver run only RAISES a
     # key's latest round, so these stale sets only shrink
     import json
@@ -144,11 +149,6 @@ def test_window_drains_backlog_and_next_round_is_staged():
         rnd = int(p.stem.split("_r")[1])
         for k in json.loads(p.read_text()):
             latest[k] = rnd
-    stale_r4 = {k for k, r in latest.items() if r <= 4 and k in qs}
-    assert stale_r4 <= set(window) | set(r14), (
-        f"r4-era keys neither in window nor r14: "
-        f"{sorted(stale_r4 - set(window) - set(r14))}"
-    )
     stale_r5 = {k for k, r in latest.items() if r <= 5 and k in qs}
-    uncovered = stale_r5 - set(window) - set(r14)
-    assert not uncovered, f"stale keys neither in window nor r14: {sorted(uncovered)}"
+    uncovered = stale_r5 - set(window) - set(r15)
+    assert not uncovered, f"stale keys neither in window nor r15: {sorted(uncovered)}"

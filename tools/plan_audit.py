@@ -1835,6 +1835,20 @@ AUDITS = [
         "in the audited plan) — this gate pins the fix",
     ),
     (
+        "pipeline_curate_embeddings",
+        ["SCANS<=3", "MapInPandas", "FlatMapGroupsInPandas",
+         "BroadcastHashJoin LeftAnti", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window",
+         "BatchEvalPython", "CollectLimit"],
+        "embeddings curation as ONE lazy plan: Arrow-batched IVF cell "
+        "assignment (centroids broadcast — only the KMeans index build "
+        "touches the driver), per-cell BLAS pair scoring as a grouped "
+        "map on the cell key (at 100 TB nlist ~ sqrt(N) bounds each "
+        "cell), partial+final aggregate dedup of cross-cell pair "
+        "copies, and the drop-set/documents joins both broadcast; no "
+        "all-pairs product anywhere",
+    ),
+    (
         "text_char_entropy",
         ["HashAggregate"],
         ["Exchange rangepartitioning", "BatchEvalPython"],
