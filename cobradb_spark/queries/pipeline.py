@@ -7,7 +7,7 @@ stages are proven registry keys (dedup_exact_hash, dedup_cluster_cc /
 text_fingerprint_winnow, text_quality_score, text_lang_id,
 decontam_ngram_overlap, split_train_test); this module chains their
 exact formulations into ONE lazy DataFrame program so the optimizer
-sees the whole plan — filters push below windows where legal, the
+sees the whole plan — projections prune across stage boundaries, the
 eval-gram side broadcasts, and nothing materializes to the driver
 between stages.
 

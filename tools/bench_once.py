@@ -1,6 +1,11 @@
 """Single-pass suite runner for bench.py's interleaved A/B.
 
-Usage: python tools/bench_once.py <repo_root> <sf_dir>
+Usage: python tools/bench_once.py <repo_root> <sf_dir> [query,query,...]
+
+With the optional third argument, runs ONLY the named registry keys
+(one untimed warmup + 3 timed runs each, median) and prints
+{"queries": {name: sec}} — the single-query interleaved-A/B probe the
+q19 (r12) / q8 (r14) quiet re-reads use.
 
 Imports the engine from <repo_root> (which may be a git worktree of a
 FROZEN commit — the code under test), runs one untimed warmup pass and
@@ -26,6 +31,7 @@ import time
 
 def main() -> None:
     repo_root, sf_dir = sys.argv[1], sys.argv[2]
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     sys.path.insert(0, repo_root)
 
     from cobradb_spark import registry
@@ -48,6 +54,19 @@ def main() -> None:
             t_total += time.perf_counter() - t0
             release_rank_caches()
         return t_total
+
+    if only:
+        import statistics
+
+        per: dict[str, float] = {}
+        for name in only:
+            one_pass([name])  # warmup: codegen + page cache
+            per[name] = round(
+                statistics.median(one_pass([name]) for _ in range(3)), 4
+            )
+        print(json.dumps({"queries": per}))
+        spark.stop()
+        return
 
     one_pass(headline)  # warmup: codegen + page cache
     one_pass(tpch)

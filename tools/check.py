@@ -182,7 +182,8 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check exactly the current round's new-key drain head (_R13_NEW)",
+        help="check exactly the current round's drain head (new keys + "
+        "declared rows-only + rewritten-key re-proofs)",
     )
     args = ap.parse_args()
 
@@ -191,7 +192,9 @@ def main() -> int:
     if args.window:
         names = list(registry._DRIVER_PRIORITY)
     elif args.staged:
-        names = list(registry._R13_NEW)
+        names = list(
+            registry._R14_NEW + registry._R14_ROWSONLY + registry._R14_REPROOF
+        )
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)

@@ -1874,6 +1874,10 @@ _UNPARTITIONED_WINDOW_OK: dict[str, str] = {
     # days/weeks-scale sequence, bounded by construction, no limit node
     "rollup_calendar_spine": "window over a generated calendar grid",
     "events_stl_strength": "window over the bounded seasonal-period grid",
+    # the lag window runs over the MONTHLY revenue rollup (one row per
+    # distinct order month — calendar-bounded, ~84 at any SF), never
+    # raw orders; found by the r14 --gates-all full-registry sweep
+    "rollup_growth_mom_yoy": "lag window over the month-grain rollup grid",
 }
 
 
@@ -2032,6 +2036,45 @@ def _unpartitioned_window_violations(name: str, plan: str) -> list[str]:
     return out
 
 
+def gates_all() -> int:
+    """Full-registry sweep of the two STRUCTURAL window gates
+    (unpartitioned-window and skewed-text-partition) over every
+    registered key's plan — not just the AUDITS entries.  The r13
+    skewed-window gate caught a second J8-hazard instance
+    (etl_llm_corpus_pipeline) only because that key happened to be
+    audited; this mode closes the coverage gap for keys without a
+    per-key audit entry.  Streaming keys whose builders return
+    streaming DataFrames are planned the same way (explainString works
+    pre-start); keys that raise during plan BUILD are reported too.
+    """
+    spark = get_spark("plan_audit_gates")
+    qs = registry.all_queries()
+    failures: list[str] = []
+    n_ok = 0
+    for name, q in qs.items():
+        try:
+            df = q.fn(spark, SF)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            failures.append(f"{name}: plan build failed: {type(e).__name__}: {e}")
+            continue
+        msgs = _unpartitioned_window_violations(name, plan)
+        msgs += _skewed_window_violations(name, plan)
+        failures.extend(msgs)
+        n_ok += not msgs
+    if failures:
+        print("WINDOW-GATE SWEEP FAILURES:")
+        for x in failures:
+            print(" -", x)
+        return 1
+    print(f"window-gate sweep OK: {n_ok}/{len(qs)} keys clean")
+    return 0
+
+
 def main() -> int:
     spark = get_spark("plan_audit")
     qs = registry.all_queries()
@@ -2113,4 +2156,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--gates-all" in sys.argv:
+        sys.exit(gates_all())
     sys.exit(main())

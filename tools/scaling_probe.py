@@ -251,6 +251,9 @@ PROBES = [
     "stream_state_store_read",
     "join_asof_forward",
     "analytics_stickiness_dau_mau",
+    # r14 additions
+    "pipeline_curate_embeddings",
+    "pipeline_curate_embeddings_graded",
 ]
 
 
