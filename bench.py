@@ -31,7 +31,10 @@ before any measured run; (2) the measured pairs ALTERNATE side order
 first.  Fail-soft: any git/subprocess problem degrades to
 "ab": {"error": ...} without touching the primary numbers.  Tunables:
 SPARK_GRAFT_AB=0 disables, SPARK_GRAFT_AB_REF overrides the frozen
-commit, SPARK_GRAFT_AB_PAIRS the measured pair count (default 3).
+commit, SPARK_GRAFT_AB_PAIRS the measured pair count (default 4 — an
+EVEN count, so the alternation is exactly balanced; an odd count would
+leave one side first in a majority of pairs and reintroduce a residual
+order bias).
 
 Prints TWO JSON lines (last complete line wins): the primary payload
 immediately —
@@ -151,7 +154,7 @@ def interleaved_ab(sf_dir: str) -> dict:
     pairs with alternating side order; medians + ratio."""
     try:
         ref = os.environ.get("SPARK_GRAFT_AB_REF") or _detect_prev_round_ref()
-        pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "3"))
+        pairs = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "4"))
         wt = f"/tmp/bench_ab_{ref}"
     except Exception as e:  # noqa: BLE001 — fail-soft by contract
         return {"error": f"ab config: {e}"}

@@ -1951,33 +1951,58 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _window_alias_defs(plan: str) -> dict[str, str]:
-    """Map `_wN#id` -> its defining Project expression.
+    """Map `name#id` -> its defining Project expression.
 
     Catalyst extracts complex window partition keys into a Project
     below the Window (`substring(text#1, 1, 30) AS _w0#11`), so the
     windowspecdefinition itself only shows the opaque alias; resolving
-    it is what lets the gate see the text function.
+    it is what lets the gate see the text function.  ALL aliases are
+    mapped, not just Catalyst's `_wN` extractions — a user-named
+    `.withColumn('prefix', substring(...))` then partitionBy('prefix')
+    shows `prefix#123` in the spec (r14 review finding #1).  The
+    backward scan balances square brackets too, so element access like
+    `split(text#6,  , -1)[0] AS _w0#120` resolves to the full
+    expression instead of truncating at the `[`.
     """
     defs: dict[str, str] = {}
-    for m in re.finditer(r" AS (_w\d+#\d+)", plan):
+    for m in re.finditer(r" AS (\w+#\d+)", plan):
         alias = m.group(1)
-        # scan backwards paren-balanced to the expression start (the
-        # previous top-level ',' or '[')
+        # scan backwards paren/bracket-balanced to the expression start
+        # (the previous top-level ',' or '[')
         i = m.start() - 1
         depth = 0
         while i >= 0:
             ch = plan[i]
-            if ch == ")":
+            if ch in ")]":
                 depth += 1
-            elif ch == "(":
+            elif ch in "([":
                 if depth == 0:
                     break
                 depth -= 1
-            elif ch in ",[" and depth == 0:
+            elif ch == "," and depth == 0:
                 break
             i -= 1
         defs.setdefault(alias, plan[i + 1 : m.start()].strip())
     return defs
+
+
+def _resolve_deep(expr: str, defs: dict[str, str], depth: int = 3) -> str:
+    """Expression text PLUS the definitions of any aliases it
+    references, up to `depth` hops — so a partition key that resolves
+    to `prefix#123` whose own definition is `substring(text#1, 1, 30)`
+    still exposes the text function to the regex.  Returns concatenated
+    text (the gate only pattern-matches; it never parses)."""
+    out = expr
+    frontier = expr
+    for _ in range(depth):
+        adds = [
+            defs[a] for a in re.findall(r"\w+#\d+", frontier) if a in defs
+        ]
+        if not adds:
+            break
+        frontier = " ".join(adds)
+        out += " " + frontier
+    return out
 
 
 def _skewed_window_violations(name: str, plan: str) -> list[str]:
@@ -1995,7 +2020,7 @@ def _skewed_window_violations(name: str, plan: str) -> list[str]:
             and not p.strip().startswith("specifiedwindowframe")
         ]
         for p in partition:
-            resolved = defs.get(p.strip(), p)
+            resolved = _resolve_deep(p.strip(), defs)
             if _TEXT_PARTITION_RE.search(resolved) and resolved not in seen:
                 seen.add(resolved)
                 out.append(
