@@ -1900,7 +1900,15 @@ _TEXT_PARTITION_RE = re.compile(
     r"split|split_part|regexp_extract|regexp_replace|replace|concat|"
     r"concat_ws|reverse|repeat|soundex)\s*\(|\btext#"
 )
-_SKEWED_WINDOW_OK: dict[str, str] = {}
+_SKEWED_WINDOW_OK: dict[str, str] = {
+    # the marginal-sum windows run over the |labels| x |labels|
+    # confusion GRID (<= 16 rows here), i.e. AFTER the partial+final
+    # groupBy collapsed raw docs — the partition value is lang_id's
+    # bounded categorical (CASE over lexicon hits, whose definition
+    # transitively references text and trips the deep alias resolver),
+    # not a per-document text bucket
+    "mlprep_confusion_matrix": "marginals over the bounded label-grid rollup",
+}
 
 
 def _balanced_args(plan: str, key: str) -> list[str]:
