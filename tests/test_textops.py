@@ -856,3 +856,95 @@ def test_pipeline_curate_corpus_hypothesis_micro_corpora(spark):
         assert got == want
 
     run()
+
+
+def test_pipeline_curate_embeddings_synthetic_edge_corpus(spark, tmp_path):
+    """Edge shapes the sf fixtures never produce, through the FULL ANN
+    pipeline: (a) zero and NaN vectors are dropped by the hygiene gate
+    (norm > 0 is false for both); (b) within a group of bit-identical
+    vectors only the min vec_id survives (identical vectors get
+    identical cell assignments, so the exact-duplicate pair is always
+    an IVF candidate — cos exactly 1); (c) every survivor's l2_norm and
+    split replay in numpy/hashlib; (d) ivf_near_pairs on this corpus
+    stays a subset of the numpy all-pairs truth with equal cosines."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cobradb_spark.operators.ivf import ivf_near_pairs
+    from cobradb_spark.registry import get_query
+
+    rng = np.random.default_rng(7)
+    # three well-separated clusters -> plausible KMeans cells
+    centers = rng.normal(size=(3, 16)) * 10
+    vecs = []
+    for i in range(42):
+        vecs.append(centers[i % 3] + rng.normal(size=16) * 0.5)
+    vecs = np.array(vecs, dtype=np.float32)
+    vecs[7] = vecs[3]   # exact dup group {3, 7}
+    vecs[25] = vecs[11]  # exact dup group {11, 25}
+    vecs[40] = 0.0      # zero vector -> hygiene drop
+    vecs[41, 0] = np.nan  # NaN vector -> hygiene drop (norm is NaN)
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(42, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": np.zeros(42, dtype=np.int32),
+        }
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(42, dtype=np.int64),
+            "text": ["synthetic doc"] * 42,
+            "lang": ["en"] * 42,
+            "source": ["synthetic"] * 42,
+            "n_chars": [13] * 42,
+        }
+    )
+    sf = str(tmp_path)
+    emb.to_parquet(f"{sf}/embeddings.parquet", index=False)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    out = {
+        r.vec_id: r
+        for r in get_query("pipeline_curate_embeddings").fn(spark, sf).collect()
+    }
+    assert 40 not in out and 41 not in out  # (a)
+    assert 7 not in out and 25 not in out   # (b): dup losers dropped
+    # (b) continued: the dup winners lose only to a NEAR-dup pair, and
+    # here the clusters make everything in one cluster near-dup, so
+    # just assert the greedy direction: no survivor has a smaller-id
+    # exact duplicate
+    for vid in out:
+        assert vid not in (7, 25, 40, 41)
+
+    V = np.array([v for v in vecs[:40]], dtype=np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    for vid, r in out.items():  # (c)
+        assert abs(r.l2_norm - round(float(norms[vid]), 6)) < 1e-6
+        h = hashlib.md5(f"curate_emb{vid}".encode()).hexdigest()
+        b = int(h[:15], 16) % 100
+        assert r.split == ("train" if b < 80 else ("val" if b < 90 else "test"))
+        assert r.lang == "en"
+
+    # (d) ANN pairs subset-of-truth with equal cosines on this corpus
+    ok_emb = spark.createDataFrame(emb[:40])
+    ann = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in ivf_near_pairs(ok_emb, 0.4, nlist=8, nassign=2, seed=42).collect()
+    }
+    U = V / norms[:, None]
+    S = U @ U.T
+    truth = {
+        (a, b): S[a, b]
+        for a in range(40)
+        for b in range(a + 1, 40)
+        if S[a, b] >= 0.4
+    }
+    assert set(ann) <= set(truth)
+    for p, c in ann.items():
+        assert abs(c - round(truth[p], 6)) < 1e-9
+    # identical-vector pairs are guaranteed candidates
+    assert (3, 7) in ann and (11, 25) in ann and ann[(3, 7)] == 1.0
