@@ -1878,6 +1878,15 @@ _UNPARTITIONED_WINDOW_OK: dict[str, str] = {
     # distinct order month — calendar-bounded, ~84 at any SF), never
     # raw orders; found by the r14 --gates-all full-registry sweep
     "rollup_growth_mom_yoy": "lag window over the month-grain rollup grid",
+    # found by the r14 paren-balance fix to THIS gate (the original
+    # one-level regex could not parse unboundedpreceding$()/currentrow$()
+    # frames, so most real windowspecs were never checked — pinned by
+    # tests/test_window_gates.py).  All four run over bounded rollup
+    # grids, never raw rows:
+    "win_rolling_corr": "24h rolling frame over the hourly (view,click) grid",
+    "events_slo_burn_rate": "6h rolling frame over the hourly error-rate grid",
+    "mlprep_lorenz_deciles": "running sum over the 10-row decile rollup",
+    "analytics_diff_in_diff": "scalar attach over the 2-row arm rollup",
 }
 
 
@@ -2043,9 +2052,16 @@ def _skewed_window_violations(name: str, plan: str) -> list[str]:
 
 def _unpartitioned_window_violations(name: str, plan: str) -> list[str]:
     out: list[str] = []
-    specs = re.findall(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)", plan)
+    # r14: the original one-level-nesting regex could not parse frames
+    # containing unboundedpreceding$()/currentrow$() (two paren levels),
+    # so the gate silently SKIPPED most real windowspecs — including
+    # every row_number()/unbounded-frame window — and only ever matched
+    # literal-bound frames like (RowFrame, -1, -1).  Exposed by the
+    # tests/test_window_gates.py pin; now uses the same paren-balanced
+    # scanner as the skewed-window gate.
+    specs = _balanced_args(plan, "windowspecdefinition")
     def _is_unpartitioned(s: str) -> bool:
-        first = s.split(",", 1)[0]
+        first = _split_top_level(s)[0]
         return (
             " ASC" in first
             or " DESC" in first
