@@ -290,6 +290,8 @@ def ivf_near_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int = 1_000_000,
+    score_block_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """APPROXIMATE all-pairs cosine near-neighbors via an IVF index:
     candidate pairs are vectors sharing at least one of their `nassign`
@@ -302,11 +304,21 @@ def ivf_near_pairs(
     straddle a cell border, the same recall knob as LSH's extra hash
     tables.  Per-cell scoring is an applyInPandas grouped-map over the
     cell key — at 100 TB nlist scales to ~sqrt(N) so each cell stays
-    a bounded m x m BLAS problem, and only the (tiny) centroid matrix
+    a bounded BLAS problem, and only the (tiny) centroid matrix
     ever touches the driver (broadcast back out).  Recall < 1 by
     design: pairs whose members share no assigned cell are missed —
     callers needing an exact-verified result use cosine_near_pairs and
     grade this path against it (the _graded key pattern).
+
+    Hot-cell posture: scoring is BLOCKED — row-blocks of the cell
+    matrix against the whole cell, block size chosen so the similarity
+    slab stays under `score_block_bytes` — so peak memory is O(m x B),
+    never the m x m matrix a skewed cell would blow up on.  The grouped
+    map still materializes the cell's (m x d) vectors themselves, so a
+    cell larger than `max_cell_rows` raises loudly (the gated-collect
+    convention: fail with the knob named, never OOM a worker) — the fix
+    at scale is raising nlist toward ~sqrt(N), which shrinks every
+    cell.
 
     Returns (a_id, b_id, cos_sim) with a_id < b_id, cos_sim rounded 6,
     deduplicated across shared cells.
@@ -349,19 +361,42 @@ def ivf_near_pairs(
     )
 
     def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        m = len(pdf)
+        if m < 2:
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
                 {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        if m > max_cell_rows:
+            raise ValueError(
+                f"ivf_near_pairs: a cell holds {m} vectors, over the "
+                f"max_cell_rows={max_cell_rows} budget — raise nlist "
+                "(toward ~sqrt(N)) so cells shrink, or raise the budget "
+                "explicitly"
             )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         M = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = Mn @ Mn.T
-        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
+        # blocked upper-triangle scoring: ids are sorted ascending, so
+        # global row index i < column index j implies ids[i] < ids[j]
+        blk = max(1, score_block_bytes // (m * 8))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            S = Mn[s:e] @ Mn.T  # (e-s) x m slab
+            ai, bi = np.nonzero(S >= threshold)
+            keep = (s + ai) < bi
+            ai, bi = ai[keep], bi[keep]
+            out_a.append(ids[s + ai])
+            out_b.append(ids[bi])
+            out_c.append(S[ai, bi])
         return pd.DataFrame(
-            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": S[ai, bi]}
+            {
+                "a_id": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "b_id": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cos_sim": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
         )
 
     cand = assigned.groupBy("cell").applyInPandas(

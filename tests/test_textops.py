@@ -948,3 +948,33 @@ def test_pipeline_curate_embeddings_synthetic_edge_corpus(spark, tmp_path):
         assert abs(c - round(truth[p], 6)) < 1e-9
     # identical-vector pairs are guaranteed candidates
     assert (3, 7) in ann and (11, 25) in ann and ann[(3, 7)] == 1.0
+
+
+def test_ivf_near_pairs_blocked_scoring_matches_full(spark, sf_dir):
+    """Hot-cell posture: forcing a tiny score block (many slabs) must
+    produce the identical pair set and cosines as one-slab scoring, and
+    an over-budget cell must raise loudly instead of materializing the
+    m x m matrix."""
+    import pytest as _pytest
+
+    from cobradb_spark.io import load_table
+    from cobradb_spark.operators.ivf import ivf_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in ivf_near_pairs(emb, 0.4, nlist=8, nassign=2, seed=42).collect()
+    }
+    # 8 bytes * m per block row -> block of ~3 rows at m=500: many slabs
+    tiny = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in ivf_near_pairs(
+            emb, 0.4, nlist=8, nassign=2, seed=42, score_block_bytes=16_000
+        ).collect()
+    }
+    assert tiny == full
+
+    with _pytest.raises(Exception, match="max_cell_rows"):
+        ivf_near_pairs(
+            emb, 0.4, nlist=8, nassign=2, seed=42, max_cell_rows=10
+        ).collect()
