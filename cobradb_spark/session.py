@@ -35,17 +35,36 @@ RUNTIME_CONFS = {
 }
 
 
+# Sessions already initialized by apply_runtime_confs.  Weak keys: a
+# stopped session's wrapper drops out and a fresh session re-applies.
+# Memoized because the call sits on every load_table (hot: every bench
+# run re-builds its DataFrames) and 12 py4j conf.set round trips cost
+# ~2.5 ms per call; applying once per session is also less surprising —
+# a caller that deliberately overrides a conf mid-session no longer has
+# it silently stomped back by the next table load.
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Set the engine's runtime confs on an existing session.
+    """Set the engine's runtime confs on an existing session (once per
+    session object).
 
     All keys in RUNTIME_CONFS are runtime-settable, so this is safe on a
     session we did not build (e.g. the correctness driver's).
     """
+    global _CONFS_APPLIED
+    if _CONFS_APPLIED is None:
+        import weakref
+
+        _CONFS_APPLIED = weakref.WeakSet()
+    if spark in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this deployment; defaults must do
+    _CONFS_APPLIED.add(spark)
     return spark
 
 
