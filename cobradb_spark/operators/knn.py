@@ -77,11 +77,21 @@ def _collect_unit_matrix_gated(
     # the real collect stays structurally bounded too: if the source
     # grew between the probe and this job (appended partition,
     # non-deterministic subtree), the limit caps the driver pull and the
-    # overflow row routes to the LSH fallback instead of an OOM
-    rows = emb.select(id_col, vec_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    # overflow row routes to the LSH fallback instead of an OOM.
+    # toPandas instead of collect: the Arrow path (guide §6) moves the
+    # (n x d) vector block columnar instead of pickling one Row per
+    # vector — measurably faster on every timed run, identical values.
+    pdf = emb.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         return None
-    return _rows_to_unit_matrix(rows)
+    if pdf.empty:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat_n
 
 
 def cosine_topk_against(

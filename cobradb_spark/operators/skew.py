@@ -63,3 +63,31 @@ def two_phase_agg(
             raise ValueError(f"unsupported agg {spec!r}")
     partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
     return partial.groupBy(key).agg(*final_exprs)
+
+
+def fan_out(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
+    """Hash-repartition `df` across the session's cores before a
+    CPU-amplifying operator (a wide explode, per-row crypto hashing, an
+    expensive expression tree).
+
+    Why: a scan stage fuses everything up to the next exchange into the
+    scan tasks, so when the input arrives in few splits (one parquet row
+    group, a gzip file, a small pre-agg), ALL downstream per-row work
+    runs at the input's parallelism — one straggler core while the rest
+    of the machine idles (guide §2.5 "input skew": repartition right
+    after the read).  Spreading 10^5-10^6 narrow rows costs a few MB of
+    shuffle; serializing 10-100x that many post-explode expression
+    evaluations costs seconds.  At cluster scale the same call fans a
+    small hot input across the fleet and is a no-op-sized shuffle for
+    already-wide inputs.
+
+    Keyed on `keys` (deterministic hash partitioning — reproducible
+    under task retry without the sort round-robin repartition needs);
+    callers pass any stable, high-cardinality column such as a row id.
+    `parts` defaults to the session's defaultParallelism, so the grain
+    is scale-adaptive, never a constant tuned to one machine.
+    """
+    n = parts or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    if keys:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)

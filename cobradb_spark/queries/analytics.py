@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from cobradb_spark.io import load_table
 from cobradb_spark.ngrams import TRIGRAMS_SQL, word_trigrams
+from cobradb_spark.operators.skew import fan_out
 from cobradb_spark.registry import register
 
 # shared cross-engine trigram snippet (cobradb_spark/ngrams.py) — keeps
@@ -2953,7 +2954,15 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ).alias("k"),
     )
-    drawn = base.withColumn(
+    # Fan the narrow base across cores BEFORE the x64 replicate explode:
+    # the md5 draw runs per (row, replicate) — 64x the scan's row count —
+    # and would otherwise execute entirely inside the scan stage at the
+    # input's split parallelism (one parquet row group = one core doing
+    # ~40M hashes; measured 28.3 s -> see OPTIMIZATION_r14.md).  Hash-
+    # partitioned on the unique row key k, so the spread is deterministic
+    # and the draw values (and thus the CI bounds) are unchanged.
+    base_wide = fan_out(base, "k")
+    drawn = base_wide.withColumn(
         "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     ).withColumn(
         "m",

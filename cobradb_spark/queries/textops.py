@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from cobradb_spark import lexicons
 from cobradb_spark.io import load_table
 from cobradb_spark.ngrams import ngrams_sql, word_ngrams
+from cobradb_spark.operators.skew import fan_out
 from cobradb_spark.registry import register
 
 # shared cross-engine gram snippets (cobradb_spark/ngrams.py)
@@ -152,11 +153,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # split materialized once per row — element_at(split(...)) inside the
     # lambda re-splits the full text per gram (see dedup_containment_ngram)
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
-        "doc_id", F.explode(F.array_distinct(word_ngrams("w", 2))).alias("shingle")
+    # fan_out: the bigram explode amplifies 1 row -> ~|words| rows and
+    # would otherwise run at the scan's split parallelism on BOTH join
+    # sides (r14: 4 serial Generate subtrees measured 23 s at sf0.1).
+    w = fan_out(d.select("doc_id", F.split("text", " ").alias("w")), "doc_id")
+    # |shingles(doc)| rides THROUGH the explode as a per-row column (the
+    # array is sized before exploding), so no separate `sizes` aggregate
+    # subtree and no join-back — the r14 plan drops from 4 Generate
+    # (2 sizes branches re-exploding the corpus) + 3 joins to 2 Generate
+    # + 1 join; n is a group key (constant per doc) in the pair rollup.
+    gs = w.select("doc_id", F.array_distinct(word_ngrams("w", 2)).alias("gs"))
+    sh = gs.select(
+        "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # NOTE r5: the posting-grouping + HOF pair-explode rewrite that won
     # for dedup_containment_ngram was A/B-tried here and LOST badly:
     # word-BIGRAM shingles have high document frequency (common word
@@ -170,14 +179,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("both"))
     )
     jac = F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -221,15 +233,27 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per element_at — 5 full-text splits PER GRAM (measured 11.6x on 10x
     # data before this; 1.7x after).  slice() builds each gram from the
     # materialized array in one call.
-    w = d.filter(F.size(F.split("text", " ")) >= 5).select(
-        "doc_id", F.split("text", " ").alias("w")
+    # fan_out before the gram explode: same serial-scan amplification as
+    # dedup_ngram_jaccard (the 5-gram build is ~|words| array_join calls
+    # per doc, all fused into the one-split scan stage otherwise).
+    w = fan_out(
+        d.filter(F.size(F.split("text", " ")) >= 5).select(
+            "doc_id", F.split("text", " ").alias("w")
+        ),
+        "doc_id",
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("w") - 4),
         lambda i: F.array_join(F.slice("w", i, 5), " "),
     )
-    sh = w.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # |shingles(doc)| rides through the explode as a column (r14, same
+    # rewrite as dedup_ngram_jaccard): no separate `sizes` aggregate
+    # subtree re-exploding the corpus, no join-back — n travels inside
+    # the posting-list structs and comes out as a group key.
+    gsz = w.select("doc_id", F.array_distinct(grams).alias("gs"))
+    sh = gsz.select(
+        "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("g")
+    )
     # Pair generation via posting-list grouping + ordered-pair HOF
     # explode instead of a sh><sh self-join (r5): the join shuffled the
     # full 250k-row posting list TWICE (both sides) plus the joined
@@ -241,7 +265,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variant's documented mitigation.
     lists = (
         sh.groupBy("g")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     inter = (
@@ -249,18 +273,18 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "flatten(transform(ds, x -> "
-                    "transform(filter(ds, y -> y != x), y -> struct(x AS a_id, y AS b_id))))"
+                    "transform(filter(ds, y -> y.doc_id != x.doc_id), "
+                    "y -> struct(x.doc_id AS a_id, x.n AS na, y.doc_id AS b_id))))"
                 )
             ).alias("p")
         )
-        .select("p.a_id", "p.b_id")
-        .groupBy("a_id", "b_id")
+        .select("p.a_id", "p.na", "p.b_id")
+        .groupBy("a_id", "b_id", "na")
         .agg(F.count("*").alias("inter"))
     )
-    containment = F.col("inter").cast("double") / F.col("n")
+    containment = F.col("inter").cast("double") / F.col("na")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .filter((F.col("n") >= 5) & (containment >= 0.8))
+        inter.filter((F.col("na") >= 5) & (containment >= 0.8))
         .select("a_id", "b_id", F.round(containment, 6).alias("containment"))
     )
 
