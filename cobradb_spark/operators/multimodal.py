@@ -39,6 +39,25 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
 
+
+def _fanned_ids(df: DataFrame, id_col: str, alias: str | None = None) -> DataFrame:
+    """Bare-id input for a payload synthesizer, fanned across cores.
+
+    Synthesis and the downstream decode are CPU-amplifying Python stages
+    (kilobytes of codec work per 8-byte id row); without the fan-out
+    they run at the id scan's split parallelism — one parquet row group
+    means ONE Python worker decodes the whole corpus serially (measured
+    r14: the Layer I/II/III decode keys spent 13-29 s each at sf0.1 on
+    one core).  The exchange this inserts moves only the id column —
+    blobs are created after it and never shuffle, which preserves the
+    plan-audit invariant.  Partition count and keying come from
+    skew.fan_out (defaultParallelism, deterministic id hash)."""
+    from cobradb_spark.operators.skew import fan_out
+
+    col = F.col(id_col).alias(alias) if alias else F.col(id_col)
+    return fan_out(df.select(col), alias or id_col)
+
+
 _REAL_CODECS = {
     "image": "PIL.Image.open + resize/normalize",
     "audio": "librosa.load + mel-spectrogram",
@@ -113,7 +132,7 @@ def _codec_synthesizer(module: str, encoder: str, doc: str):
                     }
                 )
 
-        return df.select(id_col).mapInPandas(
+        return _fanned_ids(df, id_col).mapInPandas(
             synth, schema="id long, payload binary"
         )
 
@@ -160,7 +179,7 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = [_wav_payload(int(did)) for did in pdf[id_col]]
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def decode_wav_features(df: DataFrame) -> DataFrame:
@@ -242,7 +261,7 @@ def synthesize_wav_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def decode_wav_stereo_features(df: DataFrame) -> DataFrame:
@@ -412,7 +431,7 @@ def synthesize_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_flac(samples, 8000))
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def decode_flac_features(df: DataFrame) -> DataFrame:
@@ -478,7 +497,7 @@ def synthesize_flac_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_flac_stereo(l, r, use_lpc=False))
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def decode_flac_stereo_features(df: DataFrame) -> DataFrame:
@@ -525,7 +544,7 @@ def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = [_ppm_payload(int(did)) for did in pdf[id_col]]
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def decode_ppm_features(df: DataFrame, stride: int = 2) -> DataFrame:
@@ -586,7 +605,7 @@ def synthesize_motion_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(b"".join(frames))
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def decode_motion_ppm_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
@@ -657,7 +676,7 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = [_jpeg_payload(int(i)) for i in pdf["id"]]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("id")).mapInPandas(
+    return _fanned_ids(df, id_col, "id").mapInPandas(
         gen, schema="id long, payload binary"
     )
 
@@ -688,7 +707,7 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = [_png_payload(int(i)) for i in pdf["id"]]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("id")).mapInPandas(
+    return _fanned_ids(df, id_col, "id").mapInPandas(
         gen, schema="id long, payload binary"
     )
 
@@ -717,7 +736,7 @@ def synthesize_png_interlaced(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 payloads.append(encode_png(img, interlace=True))
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("id")).mapInPandas(
+    return _fanned_ids(df, id_col, "id").mapInPandas(
         gen, schema="id long, payload binary"
     )
 
@@ -745,7 +764,7 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = [_gif_payload(int(i)) for i in pdf["id"]]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("id")).mapInPandas(
+    return _fanned_ids(df, id_col, "id").mapInPandas(
         gen, schema="id long, payload binary"
     )
 
@@ -777,7 +796,7 @@ def synthesize_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def index_mp3_features(df: DataFrame) -> DataFrame:
@@ -1174,7 +1193,7 @@ def synthesize_gif_animated(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("id")).mapInPandas(
+    return _fanned_ids(df, id_col, "id").mapInPandas(
         gen, schema="id long, payload binary"
     )
 
@@ -1273,7 +1292,7 @@ def synthesize_gif_composited(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 )
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("id")).mapInPandas(
+    return _fanned_ids(df, id_col, "id").mapInPandas(
         gen, schema="id long, payload binary"
     )
 
@@ -1321,7 +1340,7 @@ def synthesize_srt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(synth, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(synth, schema="id long, payload binary")
 
 
 def parse_srt_cues(df: DataFrame) -> DataFrame:
@@ -1526,7 +1545,7 @@ def synthesize_mixed(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, schema="id long, payload binary")
+    return _fanned_ids(df, id_col).mapInPandas(gen, schema="id long, payload binary")
 
 
 def decode_any_features(df: DataFrame) -> DataFrame:

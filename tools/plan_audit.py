@@ -431,7 +431,7 @@ AUDITS = [
     (
         "sample_weighted_topk",
         ["WindowGroupLimit"],
-        ["BatchEvalPython", "Exchange hashpartitioning(doc_id"],
+        ["BatchEvalPython", "hashpartitioning(doc_id"],
         "A-Res keying is a narrow map fused into the scan; the per-language "
         "top-5 prunes per-partition via WindowGroupLimit before the shuffle",
     ),
@@ -595,11 +595,13 @@ AUDITS = [
     ),
     (
         "multimodal_audio_decode",
-        ["MapInPandas"],
-        ["SinglePartition", "Exchange"],
+        ["MapInPandas", "hashpartitioning(doc_id"],
+        ["SinglePartition"],
         "WAV synthesize and decode are back-to-back Arrow-batched "
-        "MapInPandas stages with ZERO shuffles — blobs never leave their "
-        "partition, only per-doc feature rows exist downstream",
+        "MapInPandas stages; the ONLY exchange carries bare doc_ids "
+        "below the synthesizer (r14 fan-out: one parquet row group = "
+        "one Python worker otherwise) — blobs themselves never leave "
+        "their partition, only per-doc feature rows exist downstream",
     ),
     (
         "scan_nested_ingest",
@@ -611,11 +613,12 @@ AUDITS = [
     ),
     (
         "multimodal_video_frame_decode",
-        ["MapInPandas"],
-        ["SinglePartition", "Exchange"],
+        ["MapInPandas", "hashpartitioning(doc_id"],
+        ["SinglePartition"],
         "container synthesis and the header-walking frame decoder are "
-        "back-to-back partition-local MapInPandas stages — video blobs "
-        "never shuffle",
+        "back-to-back partition-local MapInPandas stages; the ONLY "
+        "exchange carries bare doc_ids below the synthesizer (r14 "
+        "fan-out) — video blobs themselves never shuffle",
     ),
     (
         "text_bpe_pair_counts",
@@ -749,10 +752,11 @@ AUDITS = [
     ),
     (
         "multimodal_flac_decode",
-        ["MapInPandas", "Scan parquet"],
-        ["Exchange", "CartesianProduct"],
-        "synthesize and decode are back-to-back Arrow-batched narrow "
-        "stages — zero shuffles, nothing driver-side",
+        ["MapInPandas", "Scan parquet", "hashpartitioning(doc_id"],
+        ["CartesianProduct"],
+        "synthesize and decode are back-to-back Arrow-batched stages; "
+        "the ONLY exchange carries bare doc_ids below the synthesizer "
+        "(r14 fan-out) — payloads never shuffle, nothing driver-side",
     ),
     (
         "rollup_downsample_lttb",
@@ -1002,19 +1006,23 @@ AUDITS = [
     ),
     (
         "multimodal_mp3_frame_index",
-        ["MapInPandas"],
-        ["Exchange hashpartitioning", "CartesianProduct", "SortMergeJoin",
+        ["MapInPandas", "hashpartitioning(doc_id"],
+        ["CartesianProduct", "SortMergeJoin",
          "BatchEvalPython"],
         "synthesize + index are chained Arrow mapInPandas stages over "
-        "the payload column — zero shuffles, one row out per document",
+        "the payload column; the only exchange is the r14 bare-id "
+        "fan-out below the synthesizer — payloads never shuffle, one "
+        "row out per document",
     ),
     (
         "multimodal_srt_parse",
-        ["MapInPandas"],
-        ["Exchange hashpartitioning", "CartesianProduct", "SortMergeJoin",
+        ["MapInPandas", "hashpartitioning(doc_id"],
+        ["CartesianProduct", "SortMergeJoin",
          "BatchEvalPython"],
         "cue parsing is a pure Arrow map over payloads; the per-cue "
-        "fan-out happens inside the batch, never via join/explode",
+        "fan-out happens inside the batch, never via join/explode, and "
+        "the only exchange is the r14 bare-id fan-out below the "
+        "synthesizer",
     ),
     (
         "analytics_ab_cuped",
@@ -1237,10 +1245,11 @@ AUDITS = [
     ),
     (
         "multimodal_audio_resample",
-        ["MapInPandas"],
-        ["SinglePartition", "Exchange"],
+        ["MapInPandas", "hashpartitioning(doc_id"],
+        ["SinglePartition"],
         "WAV synthesize and fixed-point resample are back-to-back "
-        "Arrow-batched MapInPandas stages with ZERO shuffles — blobs "
+        "Arrow-batched MapInPandas stages; the ONLY exchange carries "
+        "bare doc_ids below the synthesizer (r14 fan-out) — blobs "
         "never leave their partition, only per-doc stat rows exist "
         "downstream",
     ),
@@ -1816,23 +1825,28 @@ AUDITS = [
     ),
     (
         "multimodal_magic_sniff",
-        ["SCANS<=1", "MapInPandas"],
-        ["Exchange", "Union", "BatchEvalPython"],
+        ["SCANS<=1", "MapInPandas", "hashpartitioning(doc_id"],
+        ["Union", "BatchEvalPython"],
         "magic-byte dispatch is a narrow codegen projection over ONE "
-        "corpus pass (synthesize_mixed) — no per-format union, zero "
-        "exchanges, and the only Python stage is the Arrow-batched "
-        "synthesizer, never a row-at-a-time UDF",
+        "corpus pass (synthesize_mixed) — no per-format union; the ONLY "
+        "exchange carries bare doc_ids below the synthesizer (r14 "
+        "fan-out: a one-row-group id scan would otherwise serialize the "
+        "payload synthesis into one Python worker), and the only Python "
+        "stage is the Arrow-batched synthesizer, never a row-at-a-time "
+        "UDF",
     ),
     (
         "pipeline_curate_multimodal",
-        ["SCANS<=1", "MapInPandas"],
-        ["Exchange", "Union", "BatchEvalPython", "CartesianProduct"],
+        ["SCANS<=1", "MapInPandas", "hashpartitioning(doc_id"],
+        ["Union", "BatchEvalPython", "CartesianProduct"],
         "the full multimodal curation pipeline — synthesize, sniff, "
         "PER-ROW decoder dispatch, quality gate, shard assign — is ONE "
-        "corpus scan + TWO Arrow-batched stages, zero exchanges, zero "
-        "unions.  The first draft's 5-way filtered-union dispatch "
-        "re-evaluated the synthesis subtree per decode branch (50 scans "
-        "in the audited plan) — this gate pins the fix",
+        "corpus scan + TWO Arrow-batched stages, zero unions; the ONLY "
+        "exchange carries bare doc_ids below the synthesizer (r14 "
+        "fan-out — payloads themselves never shuffle).  The first "
+        "draft's 5-way filtered-union dispatch re-evaluated the "
+        "synthesis subtree per decode branch (50 scans in the audited "
+        "plan) — this gate pins the fix",
     ),
     (
         "pipeline_curate_embeddings",
