@@ -381,10 +381,22 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     spark.dataSource.register(EventsStreamDataSource)
+    # Micro-batch size follows source volume (the maxOffsetsPerTrigger
+    # discipline, r14): a replay-to-completion pays full micro-batch
+    # machinery per batch, so an unconditional 2000-row batch turned the
+    # sf0.1 file into 50 batches (~59 s of per-batch overhead).  ~8
+    # batches bound the replay at any SF; the 2000-row floor keeps the
+    # multi-batch offset contract genuinely exercised (the point of this
+    # key) even on the smallest fixtures.  The final complete-mode
+    # aggregate is batching-invariant, so results are unchanged.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(2000, -(-n_rows // 8))
     ev = (
         spark.readStream.format("cobradb_pyevents")
         .option("path", f"{sf_dir}/events.parquet")
-        .option("batchRows", "2000")
+        .option("batchRows", str(batch_rows))
         .load()
     )
     agg = ev.groupBy("event_type").agg(

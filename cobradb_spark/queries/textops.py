@@ -3137,10 +3137,21 @@ def etl_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = [(r["pair"][0], r["pair"][1]) for r in top]
 
+    pair_strs = [ra + rb for ra, rb in rules]
+
     def count_tokens(batches):
         for pdf in batches:
             n_out = []
             for word in pdf["word"]:
+                # Early exit (r14): rules merge single-character pairs, so
+                # a word containing none of the 8 rule digraphs has no
+                # first merge — and merged (multi-char) tokens can never
+                # equal a single-char rule side, so later merges cannot
+                # appear either.  C-speed substring checks skip the
+                # O(rules x len) Python loop for the common case.
+                if not any(p in word for p in pair_strs):
+                    n_out.append(len(word))
+                    continue
                 toks = list(word)
                 while True:
                     best = None

@@ -17,10 +17,16 @@ from pyspark.sql import SparkSession
 # externally-provided sessions (the verify driver builds its own).
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
-    # Size shuffle/state partitions to the machine, not the 200 default:
-    # AQE re-coalesces batch shuffles anyway; streaming state stores do
-    # NOT (one store per partition), so this is the streaming-state knob.
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # Size shuffle/state partitions to the session's core count, not the
+    # 200 default: AQE re-coalesces batch shuffles anyway; streaming
+    # state stores do NOT (one store per partition), so this is the
+    # streaming-state knob.  SPARK_GRAFT_CPUS (the driver contract's
+    # core-count env) takes precedence over the machine's physical count
+    # — otherwise a local[8] scaling run would still spin 32 state
+    # stores per micro-batch (r14).
+    "spark.sql.shuffle.partitions": str(
+        int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 8
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

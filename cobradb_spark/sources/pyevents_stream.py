@@ -24,22 +24,33 @@ class _EventsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str, batch_rows: int):
         self.path = path
         self.batch_rows = batch_rows
+        # Per-QUERY driver-side cache (r14): the reader object lives for
+        # the streaming query's lifetime, and re-reading the whole file
+        # plus its footer on EVERY micro-batch made a 50-batch replay
+        # scan the source 50 times.  A restarted query builds a fresh
+        # reader, so recovery semantics are unchanged.
+        self._tbl = None
+        self._nrows: int | None = None
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
-    def _slice(self, start: int, end: int):
-        import pyarrow.parquet as pq
+    def _table(self):
+        if self._tbl is None:
+            import pyarrow.parquet as pq
 
-        tbl = pq.read_table(self.path, columns=_COLS)
-        chunk = tbl.slice(start, max(end - start, 0))
+            self._tbl = pq.read_table(self.path, columns=_COLS)
+            self._nrows = self._tbl.num_rows
+        return self._tbl
+
+    def _slice(self, start: int, end: int):
+        chunk = self._table().slice(start, max(end - start, 0))
         cols = [chunk[c].to_pylist() for c in _COLS]
         return iter(list(zip(*cols))) if chunk.num_rows else iter([])
 
     def read(self, start: dict):
-        import pyarrow.parquet as pq
-
-        n = pq.ParquetFile(self.path).metadata.num_rows
+        self._table()
+        n = self._nrows
         lo = start["row"]
         hi = min(lo + self.batch_rows, n)
         if lo >= n:  # caught up: no new offset, no rows
