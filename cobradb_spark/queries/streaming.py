@@ -27,6 +27,7 @@ from cobradb_spark.operators.streams import (
     read_events_stream,
     run_to_memory,
     stage_parquet_batch,
+    unload_state_stores,
 )
 from cobradb_spark.registry import register
 from cobradb_spark.scratch import scratch_dir
@@ -280,6 +281,7 @@ def stream_foreachBatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        unload_state_stores(spark)
     return spark.read.parquet(target)
 
 
@@ -641,6 +643,7 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        unload_state_stores(spark)
     return read_manifested_jsonl(
         spark, out, "event_id long, user_id long, event_type string, value double"
     )
@@ -724,6 +727,7 @@ def stream_cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        unload_state_stores(spark)
     return spark.read.parquet(versions[-1]).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
@@ -883,11 +887,19 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so two sentinel rounds are needed: round 1 advances the
         # watermark past every real view's expiry, round 2 triggers the
         # micro-batch that flushes under it.
+        # One explicit slice: the default createDataFrame spreads these 2
+        # rows over defaultParallelism pickled partitions, and the
+        # atomic coalesce(1) write then opens all 32 Python iterators
+        # SEQUENTIALLY in one task (measured 4 s per sentinel staging vs
+        # 0.15 s single-slice — r14).
         s = spark.createDataFrame(
-            [
-                (-(2 * n - 1), flush_ns + (n - 1) * step, -1, "view", 0.0, "{}"),
-                (-(2 * n), flush_ns + (n - 1) * step, -2, "purchase", 0.0, "{}"),
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (-(2 * n - 1), flush_ns + (n - 1) * step, -1, "view", 0.0, "{}"),
+                    (-(2 * n), flush_ns + (n - 1) * step, -2, "purchase", 0.0, "{}"),
+                ],
+                numSlices=1,
+            ),
             schema="event_id long, ts long, user_id long, event_type string, "
             "value double, props string",
         )
@@ -1284,6 +1296,7 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    unload_state_stores(spark)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),

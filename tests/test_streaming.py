@@ -386,3 +386,20 @@ def test_state_store_read_matches_batch_truth(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_unload_state_stores_idempotent_and_rerunnable(spark, sf_dir):
+    """unload_state_stores drops only the provider CACHE: calling it
+    repeatedly (and between queries) must never error, and a stateful
+    query must produce identical results immediately after an unload —
+    state always reloads from the checkpoint on next access."""
+    from cobradb_spark.operators.streams import unload_state_stores
+
+    unload_state_stores(spark)
+    unload_state_stores(spark)  # idempotent
+    fn = registry.get_query("stream_tumbling_agg").fn
+    first = fn(spark, sf_dir).collect()
+    unload_state_stores(spark)
+    second = fn(spark, sf_dir).collect()
+    assert sorted(first) == sorted(second)
+    assert len(first) > 0
