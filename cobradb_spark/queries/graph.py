@@ -73,18 +73,67 @@ edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed-symmetric edge list: distinct part pairs sharing an order."""
-    lp = (
+    """Directed-symmetric edge list: distinct part pairs sharing an order.
+
+    Built join-free: lineitem's (order, part) pairs group into a sorted
+    per-order part set (one partial+final aggregation; collect_set
+    dedups within the order, and sets are tiny — at most the order's
+    line count), i<j pairs explode from the set, and the symmetric
+    closure unions the swap before the final distinct.  2 exchanges
+    instead of the 3 the distinct+self-join formulation paid, and no
+    join probe — measured 2.0 s vs 3.0 s warm / 3.8 s vs 7.9 s cold at
+    sf0.1 (r14), identical 2 392 000-row output.  Per-order sets stay
+    bounded at any corpus scale (an order has a handful of lines), so
+    the explode never concentrates into hub tasks the way per-NODE
+    neighbor sets can."""
+    grouped = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+    )
+    half = grouped.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s, y AS d)))"
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+    return half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _strong_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered strong part pairs (p1 < p2 sharing >= _CC_MIN_SUPPORT
+    orders) — the `strong` CTE shared by the components / label-prop /
+    k-core / assortativity ops.
+
+    Built join-free like _copurchase_edges: one partial+final
+    aggregation groups lineitem into sorted per-order part sets
+    (collect_set dedups within the order, exactly like the old
+    distinct() pre-pass), i<j pairs stream from a two-step lateral
+    explode, and support counts partial-aggregate map-side.  2
+    exchanges instead of the distinct+self-join's 3; identical
+    3 573-pair output at sf0.1 (r14 A/B)."""
+    grouped = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+    )
+    anchored = grouped.select("ps", F.posexplode("ps").alias("i", "p1"))
+    pairs = anchored.select(
+        "p1", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("p2")
     )
     return (
-        lp.alias("a")
-        .join(lp.alias("b"), "ok")
-        .filter(F.col("a.pk") != F.col("b.pk"))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _CC_MIN_SUPPORT)
+        .select("p1", "p2")
     )
 
 
@@ -92,25 +141,7 @@ def _strong_edges_both_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-symmetric strong edge list (part pairs sharing >=
     _CC_MIN_SUPPORT orders) — the _CC_EDGE_SQL `edges` CTE in DataFrame
     form, shared by the components/assortativity ops."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    strong = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= _CC_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
+    strong = _strong_pairs(spark, sf_dir)
     return strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
@@ -382,16 +413,16 @@ def _jaccard_neighbors_capped(
         fedges = edges
     deg = fedges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     nbrs = fedges.groupBy("dst").agg(F.sort_array(F.collect_set("src")).alias("ns"))
-    pairs = nbrs.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ns, (x, i) -> "
-                    "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b)))"
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    # Two-step lateral explode: posexplode anchors each wedge apex, then
+    # the tail slice explodes per anchor.  Replaces the one-shot nested
+    # transform-of-transforms, which materialized the FULL d^2/2 pair
+    # array per neighbor row before exploding it — allocation-bound at
+    # 12 M pairs (A/B r14: 7.0 s vs 10.5 s full-query warm; the pair
+    # stream itself is identical: ns is sorted, so a < b).
+    anchored = nbrs.select("ns", F.posexplode("ns").alias("i", "a"))
+    pairs = anchored.select(
+        "a", F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("b")
+    )
     inter = pairs.groupBy("a", "b").agg(F.count("*").alias("n_shared"))
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
@@ -448,9 +479,11 @@ FROM scored ORDER BY jaccard DESC, a, b LIMIT 50
     "tests/test_graph_cap.py proves cap >= max-degree reproduces the "
     "uncapped classical result bit-for-bit. Wedge generation is JOIN-FREE: "
     "filtered edges group into a sorted neighbor list per shared endpoint "
-    "(one shuffle), i<j pairs explode from a nested-transform HOF — "
-    "measured 2.9x faster than the edge self-join because wedge rows are "
-    "emitted by a narrow map instead of a shuffle join probe. Degrees join "
+    "(one shuffle), i<j pairs stream from a two-step lateral explode "
+    "(posexplode the apex, explode the tail slice) — faster than both the "
+    "edge self-join and the one-shot nested-transform HOF, which had to "
+    "materialize the full d^2/2 pair array per row before exploding it "
+    "(A/B r14: 7.0 s vs 9.7 s join vs 10.5 s nested HOF). Degrees join "
     "in for the union size via the size-gated broadcast (shuffle join past "
     "~8M vertices); global top-50 is a TakeOrdered heap with deterministic "
     "(a, b) tie-break. The edge list persists across its two uses (degree "
@@ -558,25 +591,7 @@ FROM comp c JOIN sizes s USING (comp_id)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.operators.rank import pin_cache
 
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    strong = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= _CC_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
+    strong = _strong_pairs(spark, sf_dir)
     edges = pin_cache(
         strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
             strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
@@ -598,10 +613,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("n2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the pre-round label through the halving join so the
+        # convergence test is a plain filter over the checkpointed rows
+        # — the old jumped><labels re-join cost an extra shuffle-join
+        # job per round (~0.25 s x 7 rounds at sf0.1, r14 A/B: 8.1 ->
+        # 6.6 s median with the HOF edge build)
         stepped = (
             labels.join(nbr_min, labels["n"] == F.col("n2"), "left")
             .select(
                 "n",
+                F.col("comp").alias("old"),
                 F.least(
                     "comp", F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
@@ -613,15 +634,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         jumped = (
             stepped.join(l2, stepped["comp"] == l2["cn"])
-            .select("n", F.col("ccomp").alias("comp"))
+            .select(
+                "n",
+                F.col("ccomp").alias("comp"),
+                (F.col("ccomp") != F.col("old")).alias("_ch"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "n")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("_ch").count()
+        labels = jumped.select("n", "comp")
         if changed == 0:
             break
     else:
@@ -695,25 +716,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.operators.rank import pin_cache
     from pyspark.sql import Window
 
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    strong = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= _CC_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
+    strong = _strong_pairs(spark, sf_dir)
     edges = pin_cache(
         strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
             strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
@@ -817,7 +820,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        # union of ALREADY-checkpointed frontiers: the plan stays a flat
+        # union over <= _BFS_MAX_DEPTH materialized leaves, so there is
+        # no lineage blowup to truncate — re-checkpointing the union
+        # re-copied all visited rows every round (r14 A/B: 8.1 -> 7.1 s
+        # median at sf0.1 dropping it)
+        visited = visited.union(nxt)
         frontier = nxt
     else:
         raise RuntimeError(f"BFS did not converge within {_BFS_MAX_DEPTH} rounds")
@@ -1327,25 +1335,7 @@ FROM fin
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.operators.rank import pin_cache
 
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    strong = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= _CC_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
+    strong = _strong_pairs(spark, sf_dir)
     edges = pin_cache(
         strong.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
             strong.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
@@ -1536,19 +1526,7 @@ FROM dsum ds LEFT JOIN intra i USING (brand) CROSS JOIN m
     tags=("graph",),
 )
 def graph_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    strong = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= _CC_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
+    strong = _strong_pairs(spark, sf_dir)
     lbl = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("n"), F.col("p_brand").alias("brand")
     )

@@ -51,6 +51,11 @@ RUNTIME_CONFS = {
     # checksums buy nothing here; on a durable production checkpoint
     # store re-enable per durability policy.
     "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # Default-true, pinned because correctness of the watermark-flush
+    # replays (stream_stream_outer_join's single sentinel round) relies
+    # on it: after a batch advances the watermark, the engine runs one
+    # no-data micro-batch so state evicts/emits under the NEW watermark.
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Allow custom Python DataSources (sources/pydocs.py) to absorb
     # pushed filters; off by default in Spark 4.1.
