@@ -92,19 +92,26 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
     )
-    half = grouped.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s, y AS d)))"
+    half = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> "
+                        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s, y AS d)))"
+                    )
                 )
-            )
-        ).alias("p")
-    ).select(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+            ).alias("p")
+        )
+        .select(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+        # dedup BEFORE the symmetric union: the i<j half and its swap are
+        # disjoint (i<j is strict), so distinct-ing the half then unioning
+        # shuffles half the bytes the old union-then-distinct paid
+        .distinct()
+    )
     return half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
 
 
 def _strong_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,13 +905,21 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = spark.sparkContext.defaultParallelism
         edges = pin_cache(_copurchase_edges(spark, sf_dir).repartition(k, "src"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    source = (
-        deg.orderBy(F.col("outdeg").desc(), F.col("node")).first()["node"]
-    )  # bounded collect: the deterministic hub seed
-    base = deg.select(
+    # seed selection stays IN the plan (a 1-row TakeOrdered subtree
+    # broadcast-cross-joined into deg, the oracle's src0 CTE shape)
+    # instead of a driver .first(): the old collect was a second action
+    # that re-ran the whole edge build before the main query started —
+    # on the broadcast path edges are deliberately uncached, so the
+    # build was paid twice (r14, guide §5.2)
+    src0 = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("node"))
+        .limit(1)
+        .select(F.col("node").alias("s"))
+    )
+    base = deg.crossJoin(F.broadcast(src0)).select(
         "node",
         "outdeg",
-        F.when(F.col("node") == int(source), 1.0).otherwise(0.0).alias("seed"),
+        F.when(F.col("node") == F.col("s"), 1.0).otherwise(0.0).alias("seed"),
     )
     ranks = base.select("node", "outdeg", "seed", F.col("seed").alias("pr"))
     for _ in range(_ITERS):
@@ -1049,12 +1064,15 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("nd").alias("nd"))
         )
+        # ONE checkpoint per round: improved and dist are a plain filter /
+        # projection over the checkpointed merge, so re-materializing them
+        # bought nothing — the old three-checkpoint round paid two extra
+        # materialization jobs per round (r14, the CC convergence-fold
+        # pattern; lineage still truncates at m every round)
         m = dist.join(cand, "node", "full_outer").localCheckpoint()
-        improved = (
-            m.filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-            .select("node", F.col("nd").alias("dist"))
-            .localCheckpoint()
-        )
+        improved = m.filter(
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        ).select("node", F.col("nd").alias("dist"))
         if improved.isEmpty():
             break
         dist = m.select(
@@ -1063,7 +1081,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("dist"), F.col("nd")),
                 F.coalesce(F.col("nd"), F.col("dist")),
             ).alias("dist"),
-        ).localCheckpoint()
+        )
     else:
         raise RuntimeError(
             f"SSSP did not converge within {_SSSP_MAX_ROUNDS} rounds"

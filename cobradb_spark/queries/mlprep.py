@@ -267,14 +267,28 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         docs.select("doc_id", F.concat(F.lit("S"), F.expr("right(text, 30)")).alias("k"))
     )
-    edges = (
-        ks.alias("a")
-        .join(ks.alias("b"), "k")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-        .persist()
+    # join-free candidate edges (the _strong_pairs / _copurchase_edges
+    # build, r14): docs sharing a fingerprint group into one sorted set
+    # per key, i<j pairs stream from a two-step lateral explode, and the
+    # symmetric closure unions the swap — 2 exchanges and no join probe
+    # vs the ks-self-join's 3; the i<j half and its swap are disjoint,
+    # so the distinct runs on half the rows.  Per-key sets are the
+    # near-dup cluster sizes (bounded by the mutation fan-out), so the
+    # explode cannot concentrate into hub tasks.
+    grouped = ks.groupBy("k").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
     )
+    anchored = grouped.select("ds", F.posexplode("ds").alias("i", "a"))
+    half = (
+        anchored.select(
+            F.col("a").alias("src"),
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
     for _ in range(12):  # diameter bound; converges in ~3 rounds here
         neigh = (
@@ -490,12 +504,20 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster")
-    ex = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
+    # vectors stay FLOAT through the pair join and cast to double only
+    # inside the products (float->double is exact, so every dot/nrm is
+    # bit-identical to the old cast-up-front formulation) — the cluster
+    # self-join shuffles each embedding at half the bytes (guide §2.3
+    # narrower types; the arrays dominate the pair rows)
+    ex = emb.select("vec_id", F.col("embedding").alias("v")).withColumn(
         "nrm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.sqrt(
+            F.aggregate(
+                "v",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
     )
     vc = ex.join(assign, "vec_id")
     a = vc.select(
@@ -515,7 +537,9 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster") == F.col("cluster_b")) & (F.col("a_id") < F.col("b_id")),
     )
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     cos = dot / (F.col("na") * F.col("nb"))
     near = pairs.select(
