@@ -62,7 +62,12 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = d.select("doc_id", shingles.alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(shingled).select("doc_id", "features")
+    from cobradb_spark.operators.rank import pin_cache
+
+    # pinned: approxSimilarityJoin references feats as BOTH join sides,
+    # and the shingle+HashingTF pipeline is the CPU-heavy half of this
+    # key — uncached it executes twice (r14, guide §5.2)
+    feats = pin_cache(tf.transform(shingled).select("doc_id", "features"))
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
@@ -1524,37 +1529,44 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok FROM ex
     tags=("llm",),
 )
 def dedup_minhash_near_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    sh = docs.select(
+    from cobradb_spark.operators.skew import fan_out
+
+    # the dedup_ngram_jaccard shape (r14): fan the explode-amplified
+    # split off the single-split scan, and carry |shingles(doc)| THROUGH
+    # the explode as a per-row column (the array is sized before
+    # exploding) — no separate `sizes` aggregate subtree re-exploding
+    # the corpus and no two join-backs; n is a group key (constant per
+    # doc) in the pair rollup
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w")
+        ),
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
-                    lambda i: F.array_join(F.slice("w", i, 3), " "),
-                )
-            )
-        ).alias("s"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    gs = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+                lambda i: F.array_join(F.slice("w", i, 3), " "),
+            )
+        ).alias("gs"),
+    )
+    sh = gs.select("doc_id", F.size("gs").alias("n"), F.explode("gs").alias("s"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("both"))
     )
-    exact = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
-        )
-        .filter(10 * F.col("both") >= 7 * (F.col("na") + F.col("nb") - F.col("both")))
-        .select("doc_a", "doc_b")
-    )
+    exact = inter.filter(
+        10 * F.col("both") >= 7 * (F.col("na") + F.col("nb") - F.col("both"))
+    ).select("doc_a", "doc_b")
     ann = dedup_minhash_near(spark, sf_dir).select("doc_a", "doc_b")
     n_ex = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
     hits = ann.join(exact, ["doc_a", "doc_b"]).agg(
