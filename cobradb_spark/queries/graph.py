@@ -1268,6 +1268,11 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("s").cast("bigint").alias("raw"))
         )
         amax = ar.agg(F.max("raw").alias("m"))
+        # checkpointed deliberately (r14 A/B): dropping this checkpoint
+        # to fold each iteration into one materialization measured WORSE
+        # (6.1-6.5 -> 8.2+ s) — the un-truncated part-side chain
+        # re-executes inside both the h-checkpoint job and the max
+        # broadcast build, costing more than the extra job saved.
         a = (
             ar.crossJoin(F.broadcast(amax))
             .select("pk", F.expr("div(raw * 1000000, m)").alias("s"))

@@ -1446,6 +1446,10 @@ def _exact_dup_positions(d: DataFrame, L: int) -> DataFrame:
     """
     from cobradb_spark.operators.rank import pin_cache
 
+    # NOT cached (r14 A/B): pinning this 2.5 M-row gram stream to save
+    # the second explode pass measured WORSE (6.4-8.9 -> 9.3-10.2 s for
+    # the cut key) — the wide cache write costs more than re-running the
+    # explode+substring+hash, which is cheap CPU over pruned columns.
     ph = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.col("n") - (L - 1))).alias("pos"),
