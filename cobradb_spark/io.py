@@ -81,28 +81,38 @@ def _assert_events_ts_sane(events: DataFrame, sf_dir: str) -> None:
     _TS_SANITY_OK.add(key)
 
 
-# On-disk schema per (realpath'd sf_dir, table), captured from the FIRST
-# inferred read of that file in this process.  Subsequent loads pass it
-# back explicitly, which skips the footer-inference step Spark otherwise
-# repeats on every spark.read.parquet call (~130 ms -> ~27 ms per load
-# measured at sf0.1; every bench/driver timed run rebuilds its
-# DataFrames, so this is pure fixed overhead on every query).  Cached
-# schemas are exactly what inference produced for the same immutable
-# file, so plans and results are byte-identical; the schema-sanity
-# tripwires below still run against the inferred first read.  At 100 TB
-# the same discipline applies: resolve a table's schema once per
-# process, not once per query (schemas.py design note).
-_FILE_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+# On-disk schema per (realpath'd parquet path, mtime_ns, size), captured
+# from the FIRST inferred read of that file in this process.  Subsequent
+# loads pass it back explicitly, which skips the footer-inference step
+# Spark otherwise repeats on every spark.read.parquet call (~130 ms ->
+# ~27 ms per load measured at sf0.1; every bench/driver timed run
+# rebuilds its DataFrames, so this is pure fixed overhead on every
+# query).  Cached schemas are exactly what inference produced for the
+# same file bytes, so plans and results are byte-identical; the
+# schema-sanity tripwires below still run against the inferred first
+# read.  The (mtime_ns, size) key components invalidate the entry when
+# the file (or dataset directory) is rewritten in-process (r14 verdict
+# item 7): a rewrite re-infers and re-runs the tripwires instead of
+# silently applying the stale schema.  The stat costs microseconds per
+# load.  At 100 TB the same discipline applies: resolve a table's
+# schema once per process, not once per query (schemas.py design note).
+_FILE_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
 
 
 def _read_parquet_cached_schema(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[DataFrame, bool]:
     """Read <sf_dir>/<name>.parquet, inferring the schema only on the
-    first read per (dir, table); returns (df, first_read)."""
-    key = (os.path.realpath(sf_dir), name)
-    cached = _FILE_SCHEMA_CACHE.get(key)
+    first read per (path, mtime, size); returns (df, first_read)."""
     path = f"{sf_dir}/{name}.parquet"
+    real = os.path.realpath(path)
+    try:
+        st = os.stat(real)
+        key = (real, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing path: let spark.read.parquet produce its own error
+        key = (real, -1, -1)
+    cached = _FILE_SCHEMA_CACHE.get(key)
     if cached is not None:
         return spark.read.schema(cached).parquet(path), False
     df = spark.read.parquet(path)
@@ -119,18 +129,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SCHEMA_SANITY_OK: set[tuple[str, str]] = set()
-
-
 def _assert_table_schema_sane(df: DataFrame, sf_dir: str, name: str) -> None:
     """Same tripwire idea as _assert_events_ts_sane, for the two tables
     whose layout a regeneration could plausibly drift (r3 verdict item 7):
     documents (text must still be a string column) and embeddings
-    (embedding must still be an array of floats).  One footer-schema
-    inspection per (realpath'd dir, table); no data scan.
+    (embedding must still be an array of floats).  Runs on every fresh
+    schema inference (first read per (path, mtime, size) — so a
+    rewritten file is re-checked); no data scan, metadata only.
     """
-    key = (os.path.realpath(sf_dir), name)
-    if key in _SCHEMA_SANITY_OK or name not in ("documents", "embeddings"):
+    if name not in ("documents", "embeddings"):
         return
     expected = schemas.TABLE_SCHEMAS[name]
     got = {f.name: f.dataType for f in df.schema.fields}
@@ -153,7 +160,6 @@ def _assert_table_schema_sane(df: DataFrame, sf_dir: str, name: str) -> None:
             f"embeddings.embedding in {sf_dir} is {got['embedding']} (expected "
             "array<float>) — on-disk layout changed"
         )
-    _SCHEMA_SANITY_OK.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -15,6 +15,7 @@ file drop) and a real sink; nothing in the transformations changes.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 
@@ -108,6 +109,40 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+@contextlib.contextmanager
+def ephemeral_replay_confs(spark: SparkSession):
+    """Scope 'checkpoint checksums off' to a replay-to-completion query.
+
+    Spark 4.1 wraps every checkpoint file in a checksum writer whose
+    close() blocks on a shared background pool; with 32 concurrent
+    stateful tasks x 4 stores each, thread dumps show tasks parked in
+    ChecksumCheckpointFileManager.awaitResult for seconds (median
+    stream-join task 3.7 s blocked vs 0.15 s CPU; 2.4 s after the
+    flip).  The replay checkpoints here are ephemeral scratch dirs never
+    restored across process failures, so integrity checksums buy
+    nothing — but the conf is session-global, so it is set around the
+    replay and RESTORED after (r14 verdict item 5: leaving it in
+    RUNTIME_CONFS silently disabled checksums for any later query a
+    foreign session pointed at a durable checkpoint store).
+    """
+    key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # unknown to this build: nothing to scope
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        except Exception:
+            pass
+
+
 def unload_state_stores(spark: SparkSession) -> None:
     """Drop this JVM's cached state-store providers after a replay query.
 
@@ -123,7 +158,19 @@ def unload_state_stores(spark: SparkSession) -> None:
     lock).  Unloading between queries keeps the map at steady state.
     Safe by construction: a provider for a live query reloads from its
     checkpoint on next access — this drops cache, never state.
+
+    Scope note (r14 ADVICE): unloadAll() drops provider caches for ALL
+    streaming queries in the JVM, so the call is skipped while any
+    OTHER query is still active — dropping a live query's providers is
+    correctness-safe but would thrash state reloads on its next batch.
+    Call sites here all run replay queries to completion sequentially,
+    so the skip only matters for e.g. parallel test runners.
     """
+    try:
+        if spark.streams.active:
+            return  # a live query would pay a state reload per store
+    except Exception:
+        pass
     try:
         spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
     except Exception:
@@ -142,18 +189,19 @@ def run_to_memory(
     """
     spark = sdf.sparkSession
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        for hook in process_batches or []:
-            hook()
+    with ephemeral_replay_confs(spark):
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
             q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+            for hook in process_batches or []:
+                hook()
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return spark.table(name)

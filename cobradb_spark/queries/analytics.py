@@ -2879,6 +2879,34 @@ def _boot_mult_sql(u: str) -> str:
     return f"CASE {whens} ELSE 7 END"
 
 
+# Keyed Lehmer (MINSTD) replicate stream, r14 verdict item 3: the old
+# draw ran md5(concat(k,'-',r)) per (row, replicate) — 64x the scan's
+# rows of string-concat + md5 + base-16 conv, ~230 ns/draw and the
+# whole cost of the query.  xxhash64 was considered and REJECTED: Spark
+# hashes the internal UnsafeRow encoding with a fixed seed and DuckDB
+# has no equivalent, so the oracle could not mirror it.  Instead the
+# md5-60-bit convention now seeds ONCE PER ROW (h = md5 of the row key,
+# splittable-seed style) and each replicate draws from a two-step
+# MINSTD Lehmer stream keyed by (h, r) — pure BIGINT arithmetic both
+# engines evaluate bit-identically.  Overflow-safe in DuckDB's checked
+# BIGINT: h < 2^60 and (r+1)*K <= 64*2.7e9 < 2^38 so the sum < 2^63;
+# x < 2^31 so x*48271 < 2^47.  Modulo bias of the final % 1e6 is
+# 2^31-1 mod 1e6 = 0.02% — immaterial for bootstrap multiplicities.
+_BOOT_LEHMER_M = 2147483647  # 2^31 - 1 (Mersenne prime, MINSTD modulus)
+_BOOT_LEHMER_A = 48271  # MINSTD multiplier (Park-Miller revised)
+_BOOT_LEHMER_K = 2654435761  # 2^32 / golden ratio: replicate key spread
+
+
+def _boot_u_sql(h: str, r: str) -> str:
+    """Uniform ppm draw for (row-seed h, replicate r) — identical text
+    for Spark SQL and DuckDB, fully parenthesized so both engines parse
+    the same tree."""
+    x0 = f"(({h} + ({r} + 1) * {_BOOT_LEHMER_K}) % {_BOOT_LEHMER_M})"
+    x1 = f"(({x0} * {_BOOT_LEHMER_A}) % {_BOOT_LEHMER_M})"
+    x2 = f"(({x1} * {_BOOT_LEHMER_A}) % {_BOOT_LEHMER_M})"
+    return f"({x2} % 1000000)"
+
+
 @register(
     "analytics_bootstrap_ci",
     oracle=f"""
@@ -2888,14 +2916,15 @@ WITH base AS (
          concat(CAST(l_orderkey AS VARCHAR), '-',
                 CAST(l_linenumber AS VARCHAR)) AS k
   FROM lineitem
+), seeded AS (
+  SELECT flag, cents,
+         CAST(CAST(concat('0x', substr(md5(k), 1, 15)) AS UBIGINT)
+              AS BIGINT) AS h
+  FROM base
 ), drawn AS (
   SELECT flag, cents, r.r,
-         {_boot_mult_sql(
-             "CAST(CAST(concat('0x', substr(md5(concat(k, '-', "
-             "CAST(r.r AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) "
-             "% 1000000"
-         )} AS m
-  FROM base, UNNEST(range(0, {_BOOT_B})) AS r(r)
+         {_boot_mult_sql(_boot_u_sql("h", "r.r"))} AS m
+  FROM seeded, UNNEST(range(0, {_BOOT_B})) AS r(r)
 ), rep AS (
   SELECT flag, r, CAST(sum(m) AS BIGINT) AS s_m,
          CAST(sum(m * cents) AS BIGINT) AS s_mx
@@ -2929,10 +2958,14 @@ GROUP BY p.flag, p.n_rows, r2.b_eff, p.mean_milli
     f"{_BOOT_B}, each row enters with multiplicity ~ Poisson(1) instead "
     "of a global n-out-of-n draw, so resampling needs no coordination "
     "and partial-aggregates map-side).  Draws are DETERMINISTIC under "
-    "the shared md5-60-bit convention (the KMV discipline): u = "
-    "h(key, r) % 1e6 -> multiplicity via the hardcoded Poisson(1) CDF "
-    "ppm table (no engine evaluates exp), so replicate means — exact "
-    "integer milli-cents, truncating 128-bit division — and the "
+    "the splittable-seed convention: each row seeds ONCE with its "
+    "md5-60-bit key hash (the KMV discipline), each replicate then "
+    "draws u from a keyed two-step MINSTD Lehmer stream — pure BIGINT "
+    "arithmetic both engines evaluate bit-identically (one md5 per ROW "
+    "instead of per draw; see _boot_u_sql) — and u maps to a "
+    "multiplicity via the hardcoded Poisson(1) CDF ppm table (no "
+    "engine evaluates exp), so replicate means — exact integer "
+    "milli-cents, truncating 128-bit division — and the "
     "(2.5%, 97.5%) order-statistic bounds hash EXACT cross-engine.  "
     "Per flag: row count, replicate count, point mean, and the CI "
     "bounds (2nd and 63rd order statistics of the 64 replicate means, "
@@ -2955,29 +2988,26 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
     )
     # Fan the narrow base across cores BEFORE the x64 replicate explode:
-    # the md5 draw runs per (row, replicate) — 64x the scan's row count —
-    # and would otherwise execute entirely inside the scan stage at the
-    # input's split parallelism (one parquet row group = one core doing
-    # ~40M hashes; measured 28.3 s -> see OPTIMIZATION_r14.md).  Hash-
+    # the per-draw arithmetic runs per (row, replicate) — 64x the scan's
+    # row count — and would otherwise execute entirely inside the scan
+    # stage at the input's split parallelism (one parquet row group =
+    # one core; measured 28.3 s -> see OPTIMIZATION_r14.md).  Hash-
     # partitioned on the unique row key k, so the spread is deterministic
     # and the draw values (and thus the CI bounds) are unchanged.
     base_wide = fan_out(base, "k")
-    drawn = base_wide.withColumn(
-        "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
-    ).withColumn(
-        "m",
-        F.expr(
-            # explicit BIGINT cast before the modulo (repo convention,
-            # graph.py/llm.py md5-bucket sites; r8 ADVICE): conv()
-            # returns STRING, and relying on implicit string%int->long
-            # coercion would silently diverge from the oracle if a
-            # future Spark coerced to double (60-bit values > 2^53)
-            _boot_mult_sql(
-                "CAST(conv(substring(md5(concat(k, '-', CAST(r AS STRING))), 1, 15),"
-                " 16, 10) AS BIGINT) % 1000000"
-            )
-        ),
+    # one md5 per ROW (the splittable seed), then k is dropped — the x64
+    # explode carries (flag, cents, h) only, and each draw is 4 BIGINT
+    # ops instead of concat+md5+conv (r14 verdict item 3; explicit
+    # BIGINT cast on conv() per the r8 ADVICE convention: conv returns
+    # STRING and implicit coercion could silently become double)
+    seeded = base_wide.select(
+        "flag",
+        "cents",
+        F.expr("CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT)").alias("h"),
     )
+    drawn = seeded.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).withColumn("m", F.expr(_boot_mult_sql(_boot_u_sql("h", "r"))))
     rep = drawn.groupBy("flag", "r").agg(
         F.sum("m").cast("bigint").alias("s_m"),
         F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("s_mx"),

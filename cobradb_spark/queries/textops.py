@@ -1446,19 +1446,28 @@ def _exact_dup_positions(d: DataFrame, L: int) -> DataFrame:
     """
     from cobradb_spark.operators.rank import pin_cache
 
-    # NOT cached (r14 A/B): pinning this 2.5 M-row gram stream to save
-    # the second explode pass measured WORSE (6.4-8.9 -> 9.3-10.2 s for
-    # the cut key) — the wide cache write costs more than re-running the
-    # explode+substring+hash, which is cheap CPU over pruned columns.
-    ph = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n") - (L - 1))).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(f"substring(text, pos, {L})").alias("gram"),
-    ).withColumn("h", F.xxhash64("gram"))
+    # The hash stream is pinned NARROW — (doc_id, pos, h), 24 bytes/row,
+    # no gram strings — so the explode+substring+hash pass over the
+    # corpus runs ONCE instead of twice (once for the candidate-hash
+    # count gate, once for the candidate join).  r14 A/B had REJECTED
+    # caching the WIDE stream (gram column included: 6.4-8.9 ->
+    # 9.3-10.2 s for the cut key — the 50-char strings made the cache
+    # write cost more than the recompute); the r15 narrow variant keeps
+    # the win without the string payload (verdict item 6).  Candidate
+    # grams are re-derived by substring from the docs table at
+    # verify time — candidates are bounded by the corpus duplicate
+    # rate, so that join touches a small fraction of positions.
+    ph = pin_cache(
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n") - (L - 1))).alias("pos"),
+            "text",
+        ).select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.expr(f"substring(text, pos, {L})")).alias("h"),
+        )
+    )
     cand_h = pin_cache(
         ph.groupBy("h").count().filter(F.col("count") > 1).select("h")
     )
@@ -1469,8 +1478,15 @@ def _exact_dup_positions(d: DataFrame, L: int) -> DataFrame:
         cand_h = F.broadcast(cand_h)
     # pinned: the candidate set (orders below the position stream)
     # feeds both the exact-verify groupBy and the dup join — caching
-    # stops the full gram-hash scan from re-executing per consumer
-    cand = pin_cache(ph.join(cand_h, "h").select("doc_id", "pos", "gram"))
+    # stops the candidate derivation from re-executing per consumer
+    cand = pin_cache(
+        ph.join(cand_h, "h")
+        .select("doc_id", "pos")
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "pos", F.expr(f"substring(text, pos, {L})").alias("gram")
+        )
+    )
     gfreq = (
         cand.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
     )

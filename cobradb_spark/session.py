@@ -41,16 +41,12 @@ RUNTIME_CONFS = {
     # q9 0.79->0.53); keys that deliberately demonstrate sort-merge
     # pin it with an explicit MERGE hint instead.
     "spark.sql.join.preferSortMergeJoin": "false",
-    # Spark 4.1 wraps every checkpoint file in a checksum writer whose
-    # close() blocks on a shared background pool; with 32 concurrent
-    # stateful tasks x 4 stores each, thread dumps show tasks parked in
-    # ChecksumCheckpointFileManager.awaitResult for seconds (median
-    # stream-join task 3.7 s blocked vs 0.15 s CPU; 2.4 s after the
-    # flip).  These replay checkpoints are ephemeral scratch dirs that
-    # are never restored across process failures, so the integrity
-    # checksums buy nothing here; on a durable production checkpoint
-    # store re-enable per durability policy.
-    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # NOTE: spark.sql.streaming.checkpoint.fileChecksum.enabled=false is
+    # deliberately NOT here (r14 verdict item 5): it is scoped to the
+    # ephemeral replay checkpoints via
+    # operators/streams.ephemeral_replay_confs (set/restore around each
+    # replay query), so a foreign session pointing a streaming query at
+    # a DURABLE checkpoint store keeps its integrity checksums.
     # Default-true, pinned because correctness of the watermark-flush
     # replays (stream_stream_outer_join's single sentinel round) relies
     # on it: after a batch advances the watermark, the engine runs one

@@ -110,8 +110,9 @@ def test_t_closeness_matches_naive_tvd(spark, sf_dir):
 
 
 def test_bootstrap_ci_matches_hash_replay(spark, sf_dir):
-    """Exact replay of the deterministic Poisson bootstrap: same md5
-    draws, same multiplicity table, same order statistics."""
+    """Exact replay of the deterministic Poisson bootstrap: same
+    per-row md5 seed, same keyed MINSTD Lehmer replicate stream, same
+    multiplicity table, same order statistics."""
     cdf = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
@@ -121,14 +122,18 @@ def test_bootstrap_ci_matches_hash_replay(spark, sf_dir):
     s_mx = defaultdict(int)
     point_n = Counter()
     point_sum = Counter()
+    M, A, K = 2147483647, 48271, 2654435761
     for r in li:
         cents = math.floor(r.l_extendedprice * 100.0 + 0.5)
         point_n[r.l_returnflag] += 1
         point_sum[r.l_returnflag] += cents
         key = f"{r.l_orderkey}-{r.l_linenumber}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
         for rep in range(B):
-            h = hashlib.md5(f"{key}-{rep}".encode()).hexdigest()
-            u = int(h[:15], 16) % 1_000_000
+            x = (h + (rep + 1) * K) % M
+            x = (x * A) % M
+            x = (x * A) % M
+            u = x % 1_000_000
             m = next((k for k, c in enumerate(cdf) if u < c), 7)
             if m:
                 s_m[(r.l_returnflag, rep)] += m

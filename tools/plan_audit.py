@@ -2138,6 +2138,57 @@ def gates_all() -> int:
     return 0
 
 
+def _smj_degradation_gate(spark, qs) -> tuple[list[str], str]:
+    """Big-big joins must degrade to SortMergeJoin when SHJ's size
+    conditions fail (r14 verdict item 5).
+
+    RUNTIME_CONFS sets spark.sql.join.preferSortMergeJoin=false; the
+    planner may then pick shuffled-hash ONLY when one side's estimated
+    per-partition share fits a local hash map (the size guard keyed on
+    autoBroadcastJoinThreshold * shuffle partitions).  At the audit SF
+    the guard passes and SHJ is chosen — correct locally, but the
+    100 TB posture depends on the guard REFUSING when estimates are
+    large.  Emulate that here: with autoBroadcastJoinThreshold=-1 the
+    guard can never pass (and broadcasts are off), so the two known
+    big-big shapes must plan SortMergeJoin — a Spark upgrade that made
+    SHJ unconditional under preferSortMergeJoin=false would fail this
+    gate instead of OOMing at scale.
+    """
+    keys = ("join_shuffle_large", "join_outer_left_right_full")
+    fails: list[str] = []
+    lines: list[str] = []
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in keys:
+            plan = qs[name].fn(spark, SF)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            if "SortMergeJoin" not in plan:
+                fails.append(
+                    f"{name}: expected SortMergeJoin with SHJ size guard "
+                    "disabled (autoBroadcastJoinThreshold=-1)"
+                )
+            if "ShuffledHashJoin" in plan:
+                fails.append(
+                    f"{name}: ShuffledHashJoin chosen despite the size "
+                    "guard being unsatisfiable — OOM risk at scale"
+                )
+            lines.append(f"- `{name}`: SortMergeJoin ✓")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    section = (
+        "## SMJ degradation gate (preferSortMergeJoin=false posture)\n\n"
+        "With `autoBroadcastJoinThreshold=-1` (SHJ size guard "
+        "unsatisfiable, broadcasts off), the big-big shapes must fall "
+        "back to SortMergeJoin — the graceful-degradation property the "
+        "global SHJ preference relies on at 100 TB:\n\n" + "\n".join(lines) + "\n"
+    )
+    return fails, section
+
+
 def main() -> int:
     spark = get_spark("plan_audit")
     qs = registry.all_queries()
@@ -2182,6 +2233,10 @@ def main() -> int:
         for msg in _skewed_window_violations(name, plan):
             failures.append(msg)
         sections.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+
+    smj_fails, smj_section = _smj_degradation_gate(spark, qs)
+    failures.extend(smj_fails)
+    sections.append(smj_section)
 
     header = (
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)\n\n"
