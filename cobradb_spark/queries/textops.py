@@ -2629,6 +2629,16 @@ def dedup_near_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     trigrams = word_ngrams("w", 3)
+    # NOTE r15, probed and REJECTED: persisting this shingle stream
+    # around the df-cap join (it feeds both the df aggregate and the
+    # join probe side, so the split+ngrams+explode pass executes twice)
+    # measured 1.62-2.19 -> 0.91-1.18 s warm on the sh build in
+    # isolation, but FLAT end-to-end across 6 interleaved fresh-JVM
+    # pairs (head median ~5.1-5.4 s vs ref ~5.3 s: the cache write
+    # offsets the recompute in a cold run) — and the cached rows carry
+    # the 3-word shingle STRINGS, the same wide-payload cache the r14
+    # exactsubstr probe measured as a net LOSS (6.4-8.9 -> 9.3-10.2 s).
+    # The double pass stays; it is the cheaper end-to-end shape.
     sh0 = w.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("shingle"))
     # stop-shingle df cap: shingles shared by > 64 docs carry no dedup
     # signal but dominate the posting join's df^2 cost — drop them from
