@@ -90,14 +90,24 @@ FROM lineitem GROUP BY l_returnflag
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # Both aggregates run over the DISTINCT (flag, partkey) pairs: the HLL
+    # sketch is duplicate-insensitive (registers are max-of-hashes), so
+    # approx_count_distinct over the deduped pairs builds the IDENTICAL
+    # sketch it would over the raw rows, and the exact distinct count
+    # degenerates to a plain count (null-skipping count("l_partkey") ==
+    # countDistinct semantics).  Mixing countDistinct with a regular agg
+    # in ONE groupBy made Catalyst plan TWO aggregation subtrees over TWO
+    # lineitem scans joined back together (r15 measured: 3.1-3.3 s warm
+    # vs 0.34 exact-only + 0.89 approx-only); this shape is one scan, one
+    # map-side-deduped pair shuffle, no join — 0.96-0.99 s warm (3.3x),
+    # values and schema byte-identical (guide §2.4: remove the duplicate
+    # subtree instead of computing things twice).
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    exact = F.count("l_partkey")
+    return pairs.groupBy("l_returnflag").agg(
+        exact.alias("exact_parts"),
         (
-            F.abs(
-                F.approx_count_distinct("l_partkey", rsd=0.01)
-                - F.countDistinct("l_partkey")
-            )
-            / F.countDistinct("l_partkey")
+            F.abs(F.approx_count_distinct("l_partkey", rsd=0.01) - exact) / exact
             <= F.lit(0.05)
         ).alias("approx_within_5pct"),
     )

@@ -18,6 +18,33 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
         assert r.approx_within_5pct is True
 
 
+def test_approx_distinct_dedup_rewrite_equivalence(spark):
+    """r15 rewrite invariant: running both aggregates over the DISTINCT
+    (group, key) pairs is value-identical to the one-groupBy
+    countDistinct + approx form — the HLL sketch is duplicate-insensitive
+    and null-skipping count(key) over deduped pairs == countDistinct.
+    Exercised on a synthetic frame WITH duplicates and nulls (the two
+    hazards of the rewrite), not the fixture tables."""
+    rows = [("a", 1), ("a", 1), ("a", 2), ("a", None), ("b", 7), ("b", 7),
+            ("b", None), ("b", None), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    old = df.groupBy("g").agg(
+        F.countDistinct("k").alias("exact"),
+        F.approx_count_distinct("k", rsd=0.01).alias("approx"),
+    )
+    pairs = df.select("g", "k").distinct()
+    new = pairs.groupBy("g").agg(
+        F.count("k").alias("exact"),
+        F.approx_count_distinct("k", rsd=0.01).alias("approx"),
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    # and the registered query itself stays self-grading green
+    out = registry.get_query("agg_approx_distinct").fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.approx_within_5pct is True for r in out)
+
+
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     """J4 contract: LSH top-10 must recall >= 0.8 of exact euclidean top-10."""
     import numpy as np
